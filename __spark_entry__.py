@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the reference's
+"guests visiting >1 city" two-level aggregation,
+``redshift-etl-notebook.ipynb`` cell 51) at sf0.001.
+``queries()`` / ``oracle_sql()`` expose the full catalog from
+``airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans``.
 """
 
 from __future__ import annotations
@@ -14,25 +14,37 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _configure(spark: SparkSession) -> SparkSession:
+    """Apply the engine's session profile to a driver-provided session
+    (the driver builds its own SparkSession, so set dynamic confs here;
+    see airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.session
+    for the full factory)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import QUERIES
+
+    return QUERIES["a_nested_histogram"](_configure(spark), "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        name: (lambda spark, sf_dir, _fn=fn: _fn(_configure(spark), sf_dir))
+        for name, fn in QUERIES.items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted for the rows-only
+    operators: MinHash/SimHash signatures, hyperplane LSH)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,164 @@
+"""Deterministic text operators: language ID, sentiment, quality,
+tokens, fingerprints.
+
+The reference's only black-box compute is two Spark-NLP pretrained
+pipelines (``apps/process_reviews.py:125-127,133-140`` — language
+detection and English sentiment). What matters for parity is the
+*operator shape* — a pure row-wise string→label function applied
+selectively and re-unioned (SURVEY.md §2.9) — not model accuracy
+(the reference itself disclaims it, ``README.md:255``).
+
+Our classifiers are therefore **deterministic marker-count heuristics
+expressed as portable SQL**: the same generated expression string runs
+under Spark SQL (via ``F.expr``) and DuckDB (as the oracle), built
+only from ``lower/length/replace/regexp_replace/CASE`` which the two
+engines implement identically. Marker counting uses the
+replace-delta trick ``(len(s) - len(replace(s, m, ''))) / len(m)``
+— left-to-right non-overlapping scan in both engines, hence exactly
+equal counts.
+
+Everything here is a pure column expression: JVM-side, codegen'd, no
+Python UDFs on the hot path — at 100 TB these run inside the scan
+stage with zero extra shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker words per language. Tiny on purpose: the operator contract is
+# "deterministic row-wise classifier", not linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "is", "of", "with"),
+    "fr": ("le", "la", "et", "les", "une"),
+    "de": ("der", "die", "und", "das", "nicht"),
+    "es": ("el", "los", "que", "una", "para"),
+}
+# Priority order for deterministic argmax tie-breaking.
+LANG_PRIORITY = ("en", "fr", "de", "es")
+
+POS_WORDS = ("good", "great", "love", "excellent", "nice", "best", "fast")
+NEG_WORDS = ("bad", "poor", "hate", "terrible", "awful", "worst", "slow")
+
+STOPWORDS = ("the", "a", "and", "is", "of", "to", "in", "it", "that", "with")
+
+
+def _norm(col_sql: str) -> str:
+    """Lowercase, non-letters→single space, padded with spaces so every
+    word has space delimiters on both sides."""
+    return f"(' ' || regexp_replace(lower({col_sql}), '[^a-z]+', ' ') || ' ')"
+
+
+def _occurrences(s: str, word: str) -> str:
+    """Count of ``' word '`` in pre-normalized ``s`` via replace-delta."""
+    m = f" {word} "
+    return f"((length({s}) - length(replace({s}, '{m}', ''))) / {len(m)})"
+
+
+def _score(s: str, words: tuple[str, ...]) -> str:
+    return "(" + " + ".join(_occurrences(s, w) for w in words) + ")"
+
+
+def lang_detect_sql(col_sql: str) -> str:
+    """Portable SQL: ISO-ish language code for a text column.
+
+    Deterministic argmax over per-language marker scores with
+    priority-order tie-breaking; 'und' when no marker hits. Mirrors the
+    operator shape of reference N1 (``apps/process_reviews.py:125-127``).
+    """
+    s = _norm(col_sql)
+    scores = {lang: _score(s, LANG_MARKERS[lang]) for lang in LANG_PRIORITY}
+    branches = []
+    for i, lang in enumerate(LANG_PRIORITY):
+        rest = LANG_PRIORITY[i + 1 :]
+        conds = [f"{scores[lang]} > 0"]
+        conds += [f"{scores[lang]} >= {scores[o]}" for o in rest]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"(CASE {' '.join(branches)} ELSE 'und' END)"
+
+
+def sentiment_sql(col_sql: str) -> str:
+    """Portable SQL: {'pos','neg','n/a'} lexicon sentiment — positive
+    minus negative marker counts (reference N2 domain,
+    ``apps/process_reviews.py:133-140``)."""
+    s = _norm(col_sql)
+    diff = f"({_score(s, POS_WORDS)} - {_score(s, NEG_WORDS)})"
+    return (
+        f"(CASE WHEN {diff} > 0 THEN 'pos' "
+        f"WHEN {diff} < 0 THEN 'neg' ELSE 'n/a' END)"
+    )
+
+
+def token_count_sql(col_sql: str) -> str:
+    """Portable SQL: whitespace token count (space-delta + 1 on a
+    whitespace-collapsed string; 0 for blank/empty)."""
+    s = f"regexp_replace(trim({col_sql}), '\\s+', ' ')"
+    return (
+        f"(CASE WHEN length(trim({col_sql})) = 0 THEN 0 "
+        f"ELSE length({s}) - length(replace({s}, ' ', '')) + 1 END)"
+    )
+
+
+def stopword_ratio_sql(col_sql: str) -> str:
+    """Portable SQL: stopword tokens / total tokens (0.0 for empty)."""
+    s = _norm(col_sql)
+    stop = _score(s, STOPWORDS)
+    total = token_count_sql(col_sql)
+    return (
+        f"(CASE WHEN {total} = 0 THEN 0.0 "
+        f"ELSE CAST({stop} AS DOUBLE) / {total} END)"
+    )
+
+
+def quality_score_sql(col_sql: str) -> str:
+    """Portable SQL: [0,1] document-quality heuristic — mean of three
+    signals a pretraining pipeline would gate on: length in a healthy
+    band, stopword ratio in a natural-language band, low
+    non-alphanumeric density."""
+    n = f"length({col_sql})"
+    len_ok = f"(CASE WHEN {n} BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)"
+    stop = stopword_ratio_sql(col_sql)
+    stop_ok = f"(CASE WHEN {stop} BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END)"
+    alpha = f"length(regexp_replace(lower({col_sql}), '[^a-z0-9 ]+', ''))"
+    punct_ok = (
+        f"(CASE WHEN {n} = 0 THEN 0.0 "
+        f"WHEN CAST({alpha} AS DOUBLE) / {n} >= 0.8 THEN 1.0 ELSE 0.0 END)"
+    )
+    # CAST + integer divisor: a `/ 3.0` literal would be DOUBLE in
+    # DuckDB but DECIMAL in Spark SQL (scale-6 division) — divergent.
+    return f"(CAST(({len_ok} + {stop_ok} + {punct_ok}) AS DOUBLE) / 3)"
+
+
+def fingerprint_sql(col_sql: str) -> str:
+    """Portable SQL: md5 hex of the case/whitespace-normalized text —
+    the exact-duplicate document fingerprint."""
+    s = f"trim(regexp_replace(lower({col_sql}), '\\s+', ' '))"
+    return f"md5({s})"
+
+
+# ---- Spark Column wrappers (same generated SQL via F.expr) ----------
+
+
+def lang_detect(col: str) -> Column:
+    return F.expr(lang_detect_sql(col))
+
+
+def sentiment(col: str) -> Column:
+    return F.expr(sentiment_sql(col))
+
+
+def token_count(col: str) -> Column:
+    return F.expr(token_count_sql(col)).cast("bigint")
+
+
+def stopword_ratio(col: str) -> Column:
+    return F.expr(stopword_ratio_sql(col))
+
+
+def quality_score(col: str) -> Column:
+    return F.expr(quality_score_sql(col))
+
+
+def fingerprint(col: str) -> Column:
+    return F.expr(fingerprint_sql(col))

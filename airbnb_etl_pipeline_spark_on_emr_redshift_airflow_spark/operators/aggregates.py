@@ -1,0 +1,116 @@
+"""Aggregation shapes (SURVEY.md §2.4) + determinism helpers.
+
+Reference behaviors rebuilt: group-by count/avg, ratio-to-total via
+scalar subquery (``redshift-etl-notebook.ipynb`` cells 41/47), the
+two-level nested aggregation (cell 51 — "cities visited" histogram),
+per-group set-collect flattened to CSV
+(``apps/process_reviewers.py:87,93``), and top-k
+(cells 47/49 ``ORDER BY ... DESC LIMIT 5``).
+
+``dec_sum`` / ``dec_avg`` are the catalog-wide pattern for
+cross-engine-deterministic money aggregation: exact decimal
+accumulation (associative ⇒ partition-order independent), one final
+IEEE cast back to double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,4)"
+_SCALE = 10000
+
+
+def _fixed(c: Column) -> Column:
+    """Per-row fixed-point quantization at 4 decimal places:
+    ``floor(x*10000 + 0.5)`` as bigint. Unlike a double→decimal cast
+    (whose half-boundary rounding differs between engines — Spark uses
+    the exact binary expansion, DuckDB the shortest decimal repr), this
+    is a pure IEEE-754 multiply+add+floor: bit-identical everywhere."""
+    return F.floor(c * _SCALE + F.lit(0.5)).cast("bigint")
+
+
+def dec_sum(col: Column | str, alias: str) -> Column:
+    """Order-independent sum of a double expression: per-row 4-dp
+    fixed-point quantization, exact integer sum, one final double
+    division. Associative ⇒ partition/accumulation-order independent."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(_fixed(c)).cast("double") / _SCALE).alias(alias)
+
+
+def dec_avg(col: Column | str, alias: str) -> Column:
+    """Order-independent mean: exact fixed-point sum → double, divided
+    by 10^4 then the bigint count — deterministic double divisions."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(_fixed(c)).cast("double") / _SCALE / F.count(c)).alias(alias)
+
+
+def dec_sum_sql(expr: str, alias: str) -> str:
+    """DuckDB oracle fragment matching :func:`dec_sum` exactly."""
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {_SCALE} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {_SCALE} AS {alias}"
+    )
+
+
+def dec_avg_sql(expr: str, alias: str) -> str:
+    """DuckDB oracle fragment matching :func:`dec_avg` exactly."""
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {_SCALE} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {_SCALE} / COUNT({expr}) AS {alias}"
+    )
+
+
+def ratio_to_total(
+    df: DataFrame, group: list[str], alias: str = "share"
+) -> DataFrame:
+    """Per-group count share of the grand total. The reference does
+    this with a scalar subquery in the SELECT list (cell 41/47:
+    ``count(*)::decimal / (SELECT count(*) ...)``); here the total
+    comes from an unpartitioned window sum over the (tiny) aggregated
+    result — no second scan of the input.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*group).agg(F.count("*").alias("cnt"))
+    total = F.sum("cnt").over(Window.partitionBy())
+    return counts.withColumn(alias, (F.col("cnt").cast("double") / total))
+
+
+def nested_histogram(
+    df: DataFrame, entity: str, attribute: str
+) -> DataFrame:
+    """Two-level aggregation (reference cell 51): distinct
+    (entity, attribute) pairs → per-entity attribute count → histogram
+    of those counts. Returns (n_<attribute>, num_<entity>).
+    """
+    per_entity = (
+        df.select(entity, attribute)
+        .distinct()
+        .groupBy(entity)
+        .agg(F.count("*").alias("n_attr"))
+    )
+    return per_entity.groupBy("n_attr").agg(F.count("*").alias("num_entities"))
+
+
+def collect_set_csv(
+    df: DataFrame, group: list[str], col: str, alias: str
+) -> DataFrame:
+    """Per-group distinct-set flattened to a sorted CSV string —
+    reference ``collect_set`` + ``array_join``
+    (``apps/process_reviewers.py:87,93``), with ``array_sort`` added
+    so the string is deterministic (collect_set order is not).
+    """
+    return df.groupBy(*group).agg(
+        F.array_join(F.array_sort(F.collect_set(col)), ",").alias(alias)
+    )
+
+
+def topk(df: DataFrame, order_desc: list[str | Column], k: int) -> DataFrame:
+    """Deterministic top-k: ORDER BY ... DESC LIMIT k. Spark plans
+    TakeOrderedAndProject — per-partition heaps, no global sort.
+    ``order_desc`` must include a unique tie-break column.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_desc]
+    return df.orderBy(*[c.desc() for c in cols]).limit(k)

@@ -1,0 +1,215 @@
+"""Document deduplication operators — exact and near-duplicate.
+
+Training-data extensions beyond the reference (whose only dedup is
+key-based ``dropDuplicates``, ``apps/process_reviews.py:148``): the
+standard pretraining-corpus dedup ladder, each expressed as
+shuffle-conscious DataFrame compositions (no Python on the hot path):
+
+- **exact**: md5 fingerprint of normalized text → min-id survivor
+- **n-gram Jaccard**: word-shingle inverted index → candidate pairs →
+  exact Jaccard (the verify step of MinHash, usable alone at small N)
+- **MinHash + LSH**: k permutations via seeded xxhash64, banded into
+  buckets; candidates join on (band, band_hash) — the 100 TB path:
+  cost is O(docs × shingles) + one shuffle per groupBy, never O(docs²)
+- **SimHash**: 64-bit bit-majority signature; near-dups share bucket
+  keys on rotated signatures (here: exact-signature buckets)
+
+All signatures derive from ``xxhash64`` — deterministic across runs,
+partitions, and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Shared normalization: lowercase, collapse non-letters to single
+# spaces. Same expression family as functions.text (portable SQL).
+_NORM = "trim(regexp_replace(lower(text), '[^a-z]+', ' '))"
+
+
+def normalized_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    norm = _NORM.replace("text", text_col)
+    return docs.withColumn("__tokens", F.split(F.expr(norm), " "))
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """doc_id → exploded distinct word n-gram shingles (one row per
+    (doc, shingle)). Shingling is a pure array expression — no UDF."""
+    toked = normalized_tokens(docs, text_col)
+    # Guard: sequence(1, 0) would *descend* in Spark, so docs shorter
+    # than n tokens get an explicit empty shingle array.
+    shingle_expr = F.expr(
+        f"""
+        CASE WHEN size(__tokens) >= {n} THEN
+          array_distinct(transform(
+            sequence(1, size(__tokens) - {n - 1}),
+            i -> concat_ws(' ', slice(__tokens, i, {n}))
+          ))
+        ELSE array() END
+        """
+    )
+    return (
+        toked.select("doc_id", F.explode(shingle_expr).alias("shingle"))
+    )
+
+
+def exact_dedup_fingerprint(docs: DataFrame) -> DataFrame:
+    """Exact dedup: md5(normalized text) fingerprint, min-doc_id
+    survivor. Two hash shuffles (fingerprint groupBy); fully
+    deterministic."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions.text import (
+        fingerprint,
+    )
+
+    fp = docs.select("doc_id", fingerprint("text").alias("fp"))
+    return fp.groupBy("fp").agg(F.min("doc_id").alias("keep_doc_id"))
+
+
+def jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all candidate pairs sharing
+    ≥1 shingle: inverted index (shingle → docs) self-joined, pair
+    intersection counted, union derived from per-doc shingle counts.
+
+    Scale: never materializes the docs² matrix — only pairs that share
+    a shingle. Hot shingles fan out quadratically; at 100 TB drop the
+    top-frequency shingles (stopword shingles) before the self-join or
+    switch to :func:`minhash_lsh`.
+    """
+    sh = word_shingles(docs, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    size_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    size_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(size_a, "doc_a")
+        .join(size_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 32, n: int = 3) -> DataFrame:
+    """k-permutation MinHash signature per doc: one groupBy over the
+    exploded shingles computes all k mins in a single shuffle
+    (``min(xxhash64(seed_j, shingle))`` per j)."""
+    sh = word_shingles(docs, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}") for j in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, k: int = 32, bands: int = 8, n: int = 3
+) -> DataFrame:
+    """LSH banding: signature split into ``bands`` bands of ``k/bands``
+    rows; docs sharing any (band_id, band_hash) bucket become candidate
+    pairs. Returns (doc_a, doc_b) distinct candidates.
+
+    The scale path for near-dedup: shuffle on band buckets, quadratic
+    only within a bucket (bounded by design via band width)."""
+    r = k // bands
+    sig = minhash_signatures(docs, k, n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(*[F.col(f"h{b * r + i}") for i in range(r)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.bh")
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band_id", "bh")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band_id", "bh")
+    return (
+        a.join(b, ["band_id", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact shingle Jaccard —
+    candidates only, so the verify join touches a tiny fraction of
+    pairs. Returns (doc_a, doc_b, jaccard ≥ threshold)."""
+    cands = minhash_lsh_candidates(docs, k, bands, n)
+    sh = word_shingles(docs, n)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(cands, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc: per-token xxhash64, bit-majority vote
+    across tokens — 64 conditional sums in one aggregate pass, then the
+    signature reassembled with bit arithmetic. Pure JVM expressions."""
+    toked = normalized_tokens(docs)
+    tokens = toked.select(
+        "doc_id", F.explode("__tokens").alias("tok")
+    ).withColumn("th", F.xxhash64("tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.expr(f"(th >> {i}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    votes = tokens.groupBy("doc_id").agg(*bit_aggs)
+    sig = None
+    for i in range(64):
+        term = F.when(F.col(f"b{i}") > 0, F.expr(f"cast(1 as bigint) << {i}")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_dup_buckets(docs: DataFrame) -> DataFrame:
+    """Docs sharing an identical SimHash signature (hamming distance 0
+    buckets). Rotate/band the signature for distance>0 at scale."""
+    sig = simhash_signatures(docs)
+    return (
+        sig.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,166 @@
+"""Embedding similarity search — brute-force cosine baseline + LSH
+bucketed ANN (training-data extension; SURVEY.md §7.2 step 8).
+
+Vectors stay as ``array<float>`` columns; all math is JVM-side array
+expressions (``zip_with`` products folded with ``aggregate``) — no
+Python, no per-row UDF. The brute-force path broadcasts the (small)
+query set against the corpus: O(queries × corpus) dot products inside
+whole-stage codegen, then a per-query top-k window. The ANN path cuts
+the corpus side by random-hyperplane bucketing — the 100 TB strategy
+(probe only matching buckets; recall tuned by #planes/#tables).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    """Cosine similarity of two double-array columns (cast float
+    embeddings to ``array<double>`` first for cross-engine-stable
+    arithmetic)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def as_double(vec: str) -> Column:
+    return F.col(vec).cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` (small) is broadcast; the corpus streams through the
+    dot-product map stage once; the only shuffle is the per-query
+    top-k window. Self-matches excluded. Ties broken by neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine("qv", "cv").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.92,
+    bucket_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking bucket
+    (e.g. a cluster label or LSH bucket): equi-join on the bucket key
+    bounds the pair explosion, exact cosine filters. Returns
+    (id_a, id_b) with id_a < id_b."""
+    base = emb.select(
+        F.col(bucket_col).alias("bucket"),
+        F.col(id_col).alias("id"),
+        as_double(vec_col).alias("v"),
+    )
+    a = base.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = base.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine("va", "vb") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def hyperplane_buckets(
+    emb: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector: sign bit of the dot
+    product with each of ``n_planes`` fixed seeded planes, packed into
+    an int. Planes are literal arrays compiled into the plan — no
+    driver state, no shuffle."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    bucket = None
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = F.when(_dot(as_double(vec_col), plane) >= 0, 1).otherwise(0)
+        term = (bit * (2**i)).cast("int")
+        bucket = term if bucket is None else bucket + term
+    return emb.withColumn("bucket", bucket)
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's
+    hyperplane bucket, then exact cosine rank within it. Trades recall
+    for a corpus-side scan that shrinks by ~2^n_planes — the scale path
+    when the corpus no longer fits a broadcast cross-join."""
+    cb = hyperplane_buckets(corpus, n_planes, dim, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(vec_col).alias("cv"),
+        "bucket",
+    )
+    qb = hyperplane_buckets(queries, n_planes, dim, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"), "bucket"
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine("qv", "cv").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,0 +1,234 @@
+"""Catalog: aggregation shapes (SURVEY.md §2.4) incl. the flagship
+two-level histogram and the TPC-H-Q1-shaped headline query."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+    collect_set_csv,
+    dec_avg,
+    dec_avg_sql,
+    dec_sum,
+    dec_sum_sql,
+    nested_histogram,
+    ratio_to_total,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
+    load,
+    register,
+)
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dec_sum_sql("l_quantity", "sum_qty")},
+           {dec_sum_sql("l_extendedprice", "sum_base_price")},
+           {dec_sum_sql("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+           {dec_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+           {dec_avg_sql("l_quantity", "avg_qty")},
+           {dec_avg_sql("l_extendedprice", "avg_price")},
+           {dec_avg_sql("l_discount", "avg_disc")},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """Headline bench query — TPC-H Q1 shape: scan-heavy two-key hash
+    aggregate with 8 measures. Exercises A3/A4/F13 and the decimal
+    determinism pattern. At scale this is a pure map-side-partial +
+    single-shuffle aggregate; AQE coalesces the 6-group result."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_sum(disc_price, "sum_disc_price"),
+            dec_sum(charge, "sum_charge"),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            dec_avg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "a_global_scalars",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_order,
+           CAST(MAX(o_orderdate) AS TIMESTAMP) AS last_order,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    """,
+)
+def a_global_scalars(spark, sf_dir):
+    """A1/A2 global scalar aggregates — the reference's quality-gate
+    counts (``airbnb-etl-airflow.py:141``) and the max-date watermark
+    (``apps/process_reviews.py:102-103``)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@register(
+    "a_groupby_multi_measure",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           {dec_avg_sql("c.c_acctbal", "avg_acctbal")},
+           {dec_sum_sql("c.c_acctbal", "total_acctbal")}
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def a_groupby_multi_measure(spark, sf_dir):
+    """A3/A4 multi-measure group-by over a broadcast dim join — the
+    per-city weather means (``redshift-etl-notebook.ipynb`` cell 35)."""
+    customer, nation = load(spark, sf_dir, "customer", "nation")
+    return (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            dec_avg("c_acctbal", "avg_acctbal"),
+            dec_sum("c_acctbal", "total_acctbal"),
+        )
+    )
+
+
+@register(
+    "a_ratio_to_total",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS cnt,
+           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM orders) AS share
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a_ratio_to_total(spark, sf_dir):
+    """A5 ratio-to-total — the reference's sentiment-share scalar
+    subquery (cells 41/47, ``count(*)::decimal / (SELECT COUNT(*)...)``)
+    re-expressed as a window sum over the aggregated result (one input
+    scan instead of two)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return ratio_to_total(orders, ["o_orderpriority"])
+
+
+@register(
+    "a_distinct_multi_col",
+    oracle="""
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    """,
+)
+def a_distinct_multi_col(spark, sf_dir):
+    """A6 — multi-column GROUP BY used purely for dedup (reference
+    cells 49/51 inner queries)."""
+    (customer,) = load(spark, sf_dir, "customer")
+    return customer.select("c_nationkey", "c_mktsegment").distinct()
+
+
+@register(
+    "a_nested_histogram",
+    oracle="""
+    SELECT n_attr, count(*) AS num_entities FROM (
+      SELECT c_custkey, count(*) AS n_attr FROM (
+        SELECT DISTINCT c.c_custkey, o.o_orderpriority
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      ) pairs GROUP BY c_custkey
+    ) per_entity GROUP BY n_attr
+    """,
+)
+def a_nested_histogram(spark, sf_dir):
+    """**Flagship** — A7, the reference's "guests visiting >1 city"
+    two-level aggregation (``redshift-etl-notebook.ipynb`` cell 51):
+    fact⋈dim → distinct pairs → per-entity count → histogram of
+    counts. Here: how many customers used exactly N distinct order
+    priorities."""
+    orders, customer = load(spark, sf_dir, "orders", "customer")
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "c_custkey", "o_orderpriority"
+    )
+    return nested_histogram(joined, "c_custkey", "o_orderpriority")
+
+
+@register(
+    "a_collect_set_join",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def a_collect_set_join(spark, sf_dir):
+    """A10/F10 — per-group distinct set flattened to a sorted CSV
+    string (``apps/process_reviewers.py:87,93`` languages_spoken)."""
+    (customer,) = load(spark, sf_dir, "customer")
+    return collect_set_csv(customer, ["c_nationkey"], "c_mktsegment", "segments")
+
+
+@register(
+    "a_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           {dec_sum_sql("l_quantity", "sum_qty")}
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a_rollup(spark, sf_dir):
+    """Grouping-sets surface extension (SURVEY.md §2.4 note: free via
+    ``df.rollup``): subtotal lattice over the Q1 keys."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dec_sum("l_quantity", "sum_qty")
+    )
+
+
+@register(
+    "a_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {dec_sum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END", "qty_open")},
+           {dec_sum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END", "qty_filled")}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_pivot(spark, sf_dir):
+    """Pivot surface extension: linestatus columns out of rows.
+    Expressed as conditional aggregation (identical plan to
+    ``.pivot()`` with explicit values, and oracle-portable)."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dec_sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")), "qty_open"),
+        dec_sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")), "qty_filled"),
+    )
+
+
+@register("a_approx_sketches")
+def a_approx_sketches(spark, sf_dir):
+    """Approximate aggregates (scale path: sketches instead of exact
+    distinct at 100 TB). No SQL oracle — HLL/quantile sketches are
+    engine-specific; tests assert error bounds vs exact values."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias(
+            "price_quantiles"
+        ),
+    )

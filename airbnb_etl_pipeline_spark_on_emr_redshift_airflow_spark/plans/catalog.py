@@ -1,0 +1,101 @@
+"""Query registry + testdata table loading.
+
+Every analytical capability from SURVEY.md §2 (plus the training-data
+extensions) registers here as a named query: a ``(spark, sf_dir) ->
+DataFrame`` callable and, when SQL-expressible, a DuckDB oracle string.
+The driver (and our own parity tests) execute both sides at sf=0.01 and
+compare row count, schema, and an order-insensitive value hash.
+
+Cross-engine determinism rules used throughout the catalog:
+
+- **Money sums**: cast the per-row double expression to
+  ``DECIMAL(18,4)`` *before* aggregating. Decimal addition is exact and
+  associative, so the sum is independent of partition/accumulation
+  order; the final cast back to double is a deterministic IEEE-754
+  rounding in both engines. (Raw double sums are order-dependent and
+  local[32] vs DuckDB would disagree in the last bits.)
+- **Averages**: exact decimal sum cast to double, divided by the
+  bigint count — one deterministic double division.
+- **Ranking/limits**: every ORDER BY used under a LIMIT or window
+  carries a unique tie-break key so both engines select the same rows.
+- **Timestamps**: the session timezone is pinned to UTC
+  (``session.get_spark``) to match DuckDB's naive timestamps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Oracle-side view of events with ts truncated to micros, matching the
+# Spark-side read in ``_read`` (DuckDB reads the column as
+# TIMESTAMP_NS; the testdata is micro-aligned so this cast is exact).
+EVENTS_SRC = (
+    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, "
+    "event_type, value, props FROM events)"
+)
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Register ``fn`` as catalog query ``name`` with an optional DuckDB
+    oracle. Queries without an oracle get the driver's weaker rows-only
+    check (reserved for genuinely non-SQL-expressible operators)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = " ".join(oracle.split())
+        return fn
+
+    return deco
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects. Read nanos as long (legacy conf)
+        # and convert; the testdata is microsecond-aligned, so the
+        # div-1000 truncation is lossless (events oracles cast DuckDB's
+        # TIMESTAMP_NS to micros the same way).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # Integer `div`, not `/`: double division of an ~1.7e18 nanos
+        # value exceeds the 2^53 mantissa and corrupts microseconds.
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    """Load testdata parquet tables. Plain ``spark.read.parquet`` —
+    column pruning and predicate pushdown are Catalyst's job, so no
+    options needed here (verify with ``.explain``: ``ReadSchema`` /
+    ``PushedFilters`` reflect the downstream plan)."""
+    return tuple(_read(spark, sf_dir, n) for n in names)
+
+
+def views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register testdata tables as temp views for ``spark.sql`` queries."""
+    for n in names or TABLES:
+        _read(spark, sf_dir, n).createOrReplaceTempView(n)

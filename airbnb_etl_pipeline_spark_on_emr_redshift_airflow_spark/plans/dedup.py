@@ -1,0 +1,107 @@
+"""Catalog: deduplication over ``documents`` — exact, n-gram Jaccard,
+MinHash-LSH, SimHash (training-data extensions; first-class per the
+build contract).
+
+Exact and Jaccard dedup are fully SQL-expressible and oracle-checked
+(the DuckDB side regenerates the same shingles with list functions).
+MinHash/SimHash signatures hinge on ``xxhash64``, which DuckDB doesn't
+expose — those register rows-only here and get semantic unit tests
+(crafted near-duplicates must be found; disjoint docs must not) in
+``tests/test_dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions.text import (
+    fingerprint_sql,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+    exact_dedup_fingerprint,
+    jaccard_pairs,
+    minhash_near_dups,
+    simhash_dup_buckets,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
+    load,
+    register,
+)
+
+# Jaccard self-join is quadratic in shared-shingle fan-out; the checked
+# query runs on a deterministic 1-in-20 doc subset to bound pair count
+# at sf0.01 (the operator itself takes any DataFrame).
+_SUBSET = "doc_id % 20 = 0"
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z]+', ' '))"
+
+
+@register(
+    "d_exact_dedup",
+    oracle=f"""
+    SELECT {fingerprint_sql("text")} AS fp, MIN(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def d_exact_dedup(spark, sf_dir):
+    """Exact dedup: normalized-text md5 fingerprint → min-doc_id
+    survivor per duplicate class. The corpus-scale analog of the
+    reference's key dedup (``apps/process_reviews.py:148``)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return exact_dedup_fingerprint(docs)
+
+
+@register(
+    "d_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+      FROM documents WHERE {_SUBSET}
+    ), idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+      FROM idx
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.008
+    """,
+)
+def d_ngram_jaccard_pairs(spark, sf_dir):
+    """N-gram Jaccard near-dup pairs via inverted shingle index —
+    exact set similarity, no docs² blowup (only pairs sharing a
+    shingle are scored). Word-3-gram shingles; integers throughout, so
+    the jaccard double is cross-engine exact."""
+    (docs,) = load(spark, sf_dir, "documents")
+    subset = docs.filter(F.expr(_SUBSET))
+    return jaccard_pairs(subset, n=3, threshold=0.008)
+
+
+@register("d_minhash_near_dup")
+def d_minhash_near_dup(spark, sf_dir):
+    """MinHash(32) + LSH(8 bands) candidates, verified with exact
+    shingle Jaccard ≥ 0.5 — the 100 TB near-dedup path: cost bounded
+    by bucket collisions, never O(docs²). Rows-only check (xxhash64
+    signatures are not DuckDB-expressible); semantics unit-tested on
+    crafted near-duplicates."""
+    (docs,) = load(spark, sf_dir, "documents")
+    subset = docs.filter(F.expr(_SUBSET))
+    return minhash_near_dups(subset, k=32, bands=8, n=3, threshold=0.5)
+
+
+@register("d_simhash_buckets")
+def d_simhash_buckets(spark, sf_dir):
+    """SimHash-64 exact-signature duplicate buckets (hamming-0).
+    Rows-only check; bit-majority semantics unit-tested."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return simhash_dup_buckets(docs)

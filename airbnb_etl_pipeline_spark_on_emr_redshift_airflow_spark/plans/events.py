@@ -1,0 +1,152 @@
+"""Catalog: event-time windowing + JSON extraction over ``events``
+(SURVEY.md §2.10 — the streaming analogs, all batch-checkable because
+``F.window`` / ``session_window`` run on static frames too).
+
+Oracles: tumbling ↔ ``time_bucket``; sliding ↔ union of the two hop
+offsets; session ↔ lag/cumulative-flag SQL (the SURVEY §7.4 recipe);
+dedup ↔ DISTINCT; JSON ↔ ``json_extract_string``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+    dec_sum,
+    dec_sum_sql,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
+    EVENTS_SRC,
+    load,
+    register,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.events import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+    watermark_dedup,
+)
+
+
+@register(
+    "e_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           {dec_sum_sql("value", "total_value")}
+    FROM {EVENTS_SRC} GROUP BY 1, 2
+    """,
+)
+def e_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour event-time windows per event type — the
+    streaming aggregate run in batch mode (same function the
+    ``streaming.events.stream_tumbling`` pipeline executes)."""
+    (events,) = load(spark, sf_dir, "events")
+    return tumbling_agg(events, "1 hour")
+
+
+@register(
+    "e_sliding_window",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS w0, event_type FROM {EVENTS_SRC}
+    ), expanded AS (
+      SELECT w0 AS window_start, event_type FROM bucketed
+      UNION ALL
+      SELECT w0 - INTERVAL '30 minutes' AS window_start, event_type FROM bucketed
+    )
+    SELECT window_start, event_type, count(*) AS n_events
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def e_sliding_window(spark, sf_dir):
+    """Sliding 1-hour windows, 30-minute hop: every event contributes
+    to exactly two windows (oracle: union of both hop offsets)."""
+    (events,) = load(spark, sf_dir, "events")
+    return sliding_agg(events, "1 hour", "30 minutes")
+
+
+@register(
+    "e_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM {EVENTS_SRC}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), assigned AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id,
+           count(*) AS n_events,
+           {dec_sum_sql("value", "total_value")}
+    FROM assigned GROUP BY user_id, sid
+    """,
+)
+def e_session_window(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) per user via
+    ``session_window`` — the stateful streaming operator in batch
+    mode. Oracle: the classic lag + cumulative-flag rewrite; boundary
+    semantics matched to Spark (gap ≥ 30 min ⇒ new session, end =
+    last event + gap)."""
+    (events,) = load(spark, sf_dir, "events")
+    return session_agg(events, "30 minutes")
+
+
+@register(
+    "e_watermark_dedup",
+    oracle=f"""
+    SELECT DISTINCT event_id, ts, user_id, event_type, value
+    FROM (
+      SELECT event_id, ts, user_id, event_type, value FROM {EVENTS_SRC}
+      UNION ALL
+      SELECT event_id, ts, user_id, event_type, value FROM {EVENTS_SRC}
+    ) doubled
+    """,
+)
+def e_watermark_dedup(spark, sf_dir):
+    """Watermarked exactly-once dedup (re-delivered rows collapse to
+    one — the reference's late-data repair, ``README.md:210-213``).
+    Batch analog: the input is doubled, the operator must return each
+    event exactly once."""
+    (events,) = load(spark, sf_dir, "events")
+    slim = events.select("event_id", "ts", "user_id", "event_type", "value")
+    doubled = slim.unionByName(slim)
+    return watermark_dedup(doubled)
+
+
+@register(
+    "e_json_extraction",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM {EVENTS_SRC} GROUP BY event_type
+    """,
+)
+def e_json_extraction(spark, sf_dir):
+    """JSON property extraction from the ``props`` string column
+    (surface extension per SURVEY.md §2.8 — the reference has no JSON
+    functions) + integer aggregates over the extracted field."""
+    (events,) = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )

@@ -1,0 +1,265 @@
+"""Catalog: join operators (SURVEY.md §2.3) — J1-J7 plus range/as-of
+extensions.
+
+Scale notes per query are in the docstrings; the common themes: small
+dims are broadcast (no fact shuffle), anti/semi joins replace NOT-IN
+subqueries, and the as-of join is a union+window (one shuffle) instead
+of a per-row lookup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+    dec_sum,
+    dec_sum_sql,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.joins import (
+    anti_join,
+    asof_join,
+    broadcast_enrich,
+    delta_filter,
+    range_join,
+    semi_join,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
+    load,
+    register,
+    views,
+)
+
+
+@register(
+    "j_left_enrich_fk",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
+           p.p_brand, p.p_type
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def j_left_enrich_fk(spark, sf_dir):
+    """J1 — left-outer FK enrichment, dim broadcast (the reviews ←
+    listings host_id attach, ``apps/process_reviews.py:110-116``).
+    The fact side never shuffles; check for BroadcastHashJoin in the
+    plan."""
+    li, part = load(spark, sf_dir, "lineitem", "part")
+    dim = part.select("p_partkey", "p_brand", "p_type")
+    return broadcast_enrich(li, dim, F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "p_brand", "p_type"
+    )
+
+
+@register(
+    "j_inner_composite_key",
+    oracle=f"""
+    WITH order_flag_totals AS (
+      SELECT l_orderkey, l_returnflag,
+             {dec_sum_sql("l_quantity", "flag_qty")}
+      FROM lineitem GROUP BY l_orderkey, l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, t.flag_qty
+    FROM lineitem l
+    JOIN order_flag_totals t
+      ON l.l_orderkey = t.l_orderkey AND l.l_returnflag = t.l_returnflag
+    """,
+)
+def j_inner_composite_key(spark, sf_dir):
+    """J2 — inner equi-join on a composite key (the temp⋈rain
+    DATE+STAID join, ``apps/process_weather.py:92-95``): each line item
+    picks up its (order, returnflag) group total. Both sides hash on
+    the same composite key — one co-partitioned shuffle."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    totals = li.groupBy("l_orderkey", "l_returnflag").agg(
+        dec_sum("l_quantity", "flag_qty")
+    )
+    return li.join(totals, ["l_orderkey", "l_returnflag"]).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "flag_qty"
+    )
+
+
+@register(
+    "j_broadcast_chain_dims",
+    oracle=f"""
+    SELECT r.r_name AS region, count(*) AS n_suppliers,
+           {dec_sum_sql("s.s_acctbal", "total_acctbal")}
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def j_broadcast_chain_dims(spark, sf_dir):
+    """J3 — snowflake chain through two tiny dims, both broadcast (the
+    4-row station→city lookup, ``apps/process_weather.py:96-97``).
+    Zero shuffles until the final 5-group aggregate."""
+    supplier, nation, region = load(spark, sf_dir, "supplier", "nation", "region")
+    return (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count("*").alias("n_suppliers"), dec_sum("s_acctbal", "total_acctbal"))
+    )
+
+
+@register(
+    "j_windowed_subquery_using",
+    oracle="""
+    WITH windowed AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(o_totalprice)
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS moving_avg_price
+      FROM orders
+    )
+    SELECT l.l_orderkey, l.l_linenumber, w.moving_avg_price
+    FROM lineitem l JOIN windowed w ON l.l_orderkey = w.o_orderkey
+    """,
+)
+def j_windowed_subquery_using(spark, sf_dir):
+    """J4 + A8 — join against a windowed subquery (the reference's
+    reviews ⋈ (weather + moving avg) USING(weather_id), notebook cells
+    43/45): each line item picks up its customer's 8-order moving
+    average price. Decimal window sum / count → deterministic."""
+    views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        WITH windowed AS (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                      OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / COUNT(o_totalprice)
+                      OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS moving_avg_price
+          FROM orders
+        )
+        SELECT l.l_orderkey, l.l_linenumber, w.moving_avg_price
+        FROM lineitem l JOIN windowed w ON l.l_orderkey = w.o_orderkey
+        """
+    )
+
+
+@register(
+    "j_anti_new_keys",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j_anti_new_keys(spark, sf_dir):
+    """J6 — the anti-join the reference needed and abandoned
+    (``README.md:193-199``, NOT IN > 2 h): customers that never
+    ordered. Spark's left_anti is a single hash join; null-aware,
+    no quadratic subquery."""
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    return anti_join(
+        customer, orders, F.col("c_custkey") == F.col("o_custkey")
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j_semi_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j_semi_exists(spark, sf_dir):
+    """Semi-join surface extension (EXISTS) — complement of J6."""
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    return semi_join(
+        customer, orders, F.col("c_custkey") == F.col("o_custkey")
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j_delta_scalar_subquery",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= (SELECT MAX(o_orderdate) FROM orders)
+    """,
+)
+def j_delta_scalar_subquery(spark, sf_dir):
+    """J7 — the delta-filter incremental operator
+    (``apps/process_reviews.py:98-105``): new rows selected by
+    comparison against a scalar max from the existing state. The 1-row
+    aggregate broadcasts; the big side streams through a filter."""
+    li, orders = load(spark, sf_dir, "lineitem", "orders")
+    return delta_filter(li, orders, "l_shipdate", "o_orderdate").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+
+
+@register(
+    "j_range_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderdate
+    FROM lineitem l
+    JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate BETWEEN o.o_orderdate
+                          AND o.o_orderdate + INTERVAL 90 DAY
+    """,
+)
+def j_range_join(spark, sf_dir):
+    """Range-join extension: equi key carries the shuffle, the date
+    range applies as a join-time predicate (ships within 90 days of
+    order). The reference approximates ranges with window frames +
+    equi-join (SURVEY.md §2.3 note)."""
+    li, orders = load(spark, sf_dir, "lineitem", "orders")
+    pred = F.col("l_shipdate").between(
+        F.col("o_orderdate"), F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    return range_join(li, orders, ("l_orderkey", "o_orderkey"), pred).select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate"
+    )
+
+
+@register(
+    "j_asof_join",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS last_purchase_ts, p.value AS last_purchase_value
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                    FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def j_asof_join(spark, sf_dir):
+    """As-of join extension: each click is matched to the same user's
+    most recent prior (or simultaneous) purchase. Spark lacks native
+    ASOF; ours is the union+window pattern (one shuffle on user_id —
+    see ``operators.joins.asof_join``). Oracle: DuckDB's native
+    ASOF JOIN."""
+    (events,) = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("last_purchase_ts"),
+        F.col("value").alias("last_purchase_value"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        ts="ts",
+        right_payload=["last_purchase_ts", "last_purchase_value"],
+    ).select("event_id", "user_id", "ts", "last_purchase_ts", "last_purchase_value")

@@ -1,0 +1,158 @@
+"""Catalog: text operators over ``documents`` — the reference's NLP
+stage (SURVEY.md §2.9) rebuilt as deterministic column expressions,
+plus the text-analysis surface a pretraining-data pipeline needs
+(language ID, quality scoring, token counting, fingerprinting).
+
+The classifier SQL is *generated once* in ``functions.text`` and used
+verbatim on both engines — Spark via ``F.expr``, DuckDB as the oracle —
+so parity is structural, not coincidental.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions import text as T
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.relational import (
+    align_union,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
+    load,
+    register,
+)
+
+
+@register(
+    "n_language_detect",
+    oracle=f"""
+    SELECT doc_id, {T.lang_detect_sql("text")} AS comment_language
+    FROM documents
+    """,
+)
+def n_language_detect(spark, sf_dir):
+    """N1 — language detection as a pure row-wise string→label function
+    (reference ``apps/process_reviews.py:125-127``, Spark-NLP
+    ``detect_language_220`` → here a deterministic marker-count
+    heuristic). JVM-side expression, zero shuffles: runs inside the
+    scan stage at any scale."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_detect("text").alias("comment_language"))
+
+
+@register(
+    "n_sentiment_selective",
+    oracle=f"""
+    SELECT doc_id,
+           {T.lang_detect_sql("text")} AS comment_language,
+           CASE WHEN {T.lang_detect_sql("text")} = 'en'
+                THEN {T.sentiment_sql("text")}
+                ELSE 'n/a' END AS sentiment
+    FROM documents
+    """,
+)
+def n_sentiment_selective(spark, sf_dir):
+    """N2 + U2 — the reference's selective-apply-and-reunion: sentiment
+    scored only on detected-English rows, everything else filled with
+    'n/a', the three slices re-unioned (``apps/process_reviews.py:
+    133-140``). The split/union is executed literally (three filters +
+    align_union) to reproduce the operator shape; Catalyst collapses it
+    back into one pass over the scan."""
+    (docs,) = load(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id", "text", T.lang_detect("text").alias("comment_language")
+    )
+    en = tagged.filter(F.col("comment_language") == "en").withColumn(
+        "sentiment", T.sentiment("text")
+    )
+    non_en = tagged.filter(F.col("comment_language") != "en").withColumn(
+        "sentiment", F.lit("n/a")
+    )
+    null_text = tagged.filter(F.col("comment_language").isNull()).withColumn(
+        "sentiment", F.lit("n/a")
+    )
+    return align_union(en, non_en, null_text).select(
+        "doc_id", "comment_language", "sentiment"
+    )
+
+
+@register(
+    "t_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({T.token_count_sql("text")} AS BIGINT) AS n_tokens,
+           length(text) AS n_chars_measured,
+           CAST({T.stopword_ratio_sql("text")} AS DOUBLE) AS stopword_share
+    FROM documents
+    """,
+)
+def t_token_stats(spark, sf_dir):
+    """Token counting + stopword ratio — per-document text statistics
+    (training-data extension; whitespace tokenizer expressed portably
+    via the space-delta trick, see functions.text)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        T.stopword_ratio("text").cast("double").alias("stopword_share"),
+    )
+
+
+@register(
+    "t_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({T.quality_score_sql("text")} AS DOUBLE) AS quality,
+           CASE WHEN {T.quality_score_sql("text")} >= 0.66
+                THEN 'keep' ELSE 'drop' END AS gate
+    FROM documents
+    """,
+)
+def t_quality_score(spark, sf_dir):
+    """Document quality scoring + keep/drop gate — the pretraining
+    filter stage (length band, stopword band, punctuation density)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    q = T.quality_score("text")
+    return docs.select(
+        "doc_id",
+        q.cast("double").alias("quality"),
+        F.when(q >= 0.66, "keep").otherwise("drop").alias("gate"),
+    )
+
+
+@register(
+    "t_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {T.fingerprint_sql("text")} AS fp
+    FROM documents
+    """,
+)
+def t_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 over case/whitespace-normalized
+    text — the exact-duplicate key (both engines emit identical hex)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+@register(
+    "t_language_share",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT {T.lang_detect_sql("text")} AS comment_language FROM documents
+    )
+    SELECT comment_language, count(*) AS cnt,
+           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents) AS share
+    FROM tagged GROUP BY comment_language
+    """,
+)
+def t_language_share(spark, sf_dir):
+    """The reference's language-share analytical query
+    (``README.md:265-266``: en 72% / fr 13% / …) over the detected
+    labels — classifier N1 composed with A3/A5."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        ratio_to_total,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    tagged = docs.select(T.lang_detect("text").alias("comment_language"))
+    return ratio_to_total(tagged, ["comment_language"])

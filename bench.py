@@ -1,0 +1,85 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set: the scan-heavy aggregate (q1), the flagship two-level
+histogram, join shapes (broadcast chain, windowed subquery, anti,
+range), the merge/window signature ops, text classifiers, dedup and
+similarity scale paths, and the event windowing analogs — the queries
+whose plans exercise every physical strategy the engine cares about.
+Each query executes with a count() action (forces the full plan, no
+driver-side result materialization beyond the aggregate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "a_nested_histogram",
+    "a_groupby_multi_measure",
+    "j_left_enrich_fk",
+    "j_broadcast_chain_dims",
+    "j_windowed_subquery_using",
+    "j_anti_new_keys",
+    "j_range_join",
+    "j_asof_join",
+    "u_union_dedup_merge",
+    "w_latest_snapshot_per_key",
+    "w_moving_sum_frame",
+    "n_language_detect",
+    "n_sentiment_selective",
+    "t_quality_score",
+    "d_exact_dedup",
+    "d_minhash_near_dup",
+    "s_knn_bruteforce",
+    "e_tumbling_window",
+    "e_session_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import QUERIES
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footers once so timings measure the
+    # queries, not session startup.
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
