@@ -1,0 +1,127 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed in Arrow batches via ``mapInPandas``.
+
+Training-data extension: image/audio/video columns are carried as
+``binary`` with a typed metadata struct; decode / feature-extract /
+resize / frame-sample run as Pandas-batch operators. The actual codec
+libraries (Pillow, ffmpeg, ...) are NOT in this container, so the
+codec call is isolated behind ``decode_payload`` — a deterministic
+fake (documented below) unless a real decoder is injected; everything
+Spark-side (schema, batch iteration, partitioning, output typing) is
+real and tested.
+
+Scale notes: mapInPandas streams Arrow record batches — per-row Python
+overhead is amortized; payload bytes never pass through the driver;
+repartition upstream so batches are balanced when payload sizes skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, magic string, width int, height int, "
+    "features array<double>"
+)
+
+
+def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a deterministic binary payload column from text (the
+    testdata has no real media; UTF-8 bytes stand in for an encoded
+    image). Adds ``payload binary`` and a ``meta`` struct —
+    the schema contract real ingestion would satisfy."""
+    return docs.withColumn("payload", F.encode(F.col(text_col), "UTF-8")).withColumn(
+        "meta",
+        F.struct(
+            F.lit("fake/utf8").alias("mime"),
+            F.length(F.col(text_col)).cast("bigint").alias("n_bytes"),
+        ),
+    )
+
+
+def decode_payload(payload: bytes) -> dict:
+    """Codec seam. Real deployments inject an image/audio decoder here
+    (e.g. Pillow ``Image.open``); this container has none, so the
+    default is a *deterministic fake*: 'dimensions' derived from byte
+    length, 'pixels' from a 16-bin byte histogram. Raises if asked for
+    a real codec.
+    """
+    if payload is None:
+        return {"magic": None, "width": None, "height": None, "hist": None}
+    magic = payload[:4].hex()
+    n = len(payload)
+    hist = [0] * 16
+    for b in payload:
+        hist[b >> 4] += 1
+    total = float(n) if n else 1.0
+    return {
+        "magic": magic,
+        "width": int(n % 640),
+        "height": int(n % 480),
+        "hist": [c / total for c in hist],
+    }
+
+
+def real_decoder(*_args, **_kwargs):  # pragma: no cover - explicit stub
+    """Placeholder for a true media decoder (Pillow/librosa/ffmpeg are
+    not installed in this environment)."""
+    raise NotImplementedError(
+        "media codecs are not available in this container; "
+        "inject a decoder into extract_features(decoder=...)"
+    )
+
+
+def extract_features(
+    df: DataFrame,
+    decoder: Callable[[bytes], dict] = decode_payload,
+) -> DataFrame:
+    """Decode + featurize binary payloads in Arrow batches.
+
+    ``df`` must have ``doc_id bigint, payload binary``. Output:
+    ``FEATURE_SCHEMA``. The decoder runs per row inside a
+    ``mapInPandas`` batch loop — the Spark-facing shape (schema,
+    batching, laziness) is exactly what a real image pipeline uses.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decoder(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                    "magic": [d["magic"] for d in decoded],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "features": [d["hist"] for d in decoded],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """'Frame sampling' over a binary payload — deterministic stride
+    slicing expressed as pure column ops (substr on binary), one output
+    row per sampled frame. Mirrors video frame-sampling plumbing:
+    explode(frame_index) → slice payload."""
+    idx = F.explode(
+        F.sequence(F.lit(0), F.least(
+            F.floor(F.length("payload") / every_n_bytes).cast("int"),
+            F.lit(max_frames - 1),
+        ))
+    ).alias("frame_no")
+    return df.select("doc_id", "payload", idx).select(
+        "doc_id",
+        "frame_no",
+        F.expr(f"substring(payload, frame_no * {every_n_bytes} + 1, {every_n_bytes})")
+        .alias("frame_bytes"),
+    )

@@ -110,51 +110,72 @@ def embedding_near_dup_pairs(
 
 def hyperplane_buckets(
     emb: DataFrame,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Random-hyperplane LSH bucket id per vector: sign bit of the dot
-    product with each of ``n_planes`` fixed seeded planes, packed into
-    an int. Planes are literal arrays compiled into the plan — no
-    driver state, no shuffle."""
+    """Multi-table random-hyperplane LSH: per table, the sign bits of
+    ``n_planes`` seeded hyperplane dot products pack into a bucket id;
+    one output row per (vector, table). OR-amplification across tables
+    is what buys recall — collision prob for similarity s is
+    ``1 - (1 - p1^n_planes)^n_tables`` with ``p1 = 1 - θ(s)/π``.
+    Planes are literal arrays compiled into the plan — no driver
+    state, no shuffle beyond the explode."""
     rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim)
-    bucket = None
-    for i in range(n_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
-        bit = F.when(_dot(as_double(vec_col), plane) >= 0, 1).otherwise(0)
-        term = (bit * (2**i)).cast("int")
-        bucket = term if bucket is None else bucket + term
-    return emb.withColumn("bucket", bucket)
+    planes = rng.randn(n_tables, n_planes, dim)
+    tables = []
+    for t in range(n_tables):
+        bucket = F.lit(0)
+        for i in range(n_planes):
+            plane = F.array(*[F.lit(float(x)) for x in planes[t, i]])
+            bit = F.when(_dot(as_double(vec_col), plane) >= 0, 1).otherwise(0)
+            bucket = bucket + (bit * (2**i))
+        tables.append(
+            F.struct(F.lit(t).alias("table_id"), bucket.cast("int").alias("bucket"))
+        )
+    return emb.select(
+        "*", F.explode(F.array(*tables)).alias("__t")
+    ).select(*emb.columns, "__t.table_id", "__t.bucket")
 
 
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's
-    hyperplane bucket, then exact cosine rank within it. Trades recall
-    for a corpus-side scan that shrinks by ~2^n_planes — the scale path
-    when the corpus no longer fits a broadcast cross-join."""
-    cb = hyperplane_buckets(corpus, n_planes, dim, vec_col=vec_col).select(
+    """Approximate top-k: candidates are corpus vectors sharing any
+    (table, bucket) with the query, deduped, then exact-cosine ranked.
+    The corpus-side scan shrinks by ~2^n_planes per table — the scale
+    path when the corpus no longer fits a broadcast cross-join; tune
+    (n_planes, n_tables) for the recall/cost point."""
+    cb = hyperplane_buckets(corpus, n_planes, n_tables, dim, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         as_double(vec_col).alias("cv"),
+        "table_id",
         "bucket",
     )
-    qb = hyperplane_buckets(queries, n_planes, dim, vec_col=vec_col).select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"), "bucket"
+    qb = hyperplane_buckets(queries, n_planes, n_tables, dim, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"),
+        as_double(vec_col).alias("qv"),
+        "table_id",
+        "bucket",
     )
-    scored = (
-        cb.join(F.broadcast(qb), "bucket")
+    cands = (
+        cb.join(F.broadcast(qb), ["table_id", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine("qv", "cv").alias("cos_sim"))
+        # a pair colliding in several tables scores once
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine("qv", "cv").alias("cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

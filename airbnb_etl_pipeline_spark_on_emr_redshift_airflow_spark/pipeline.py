@@ -1,0 +1,104 @@
+"""Dependency-ordered stage runner with quality gates (SURVEY.md §2.11).
+
+The reference's Airflow DAG semantics — fan-out/fan-in ordering
+(weather ∥ listings→reviews→reviewers), per-stage output-existence
+gates, row-count quality checks, idempotent re-runs parameterized by a
+period key (``airbnb-etl-airflow.py:108-147,536-551``) — rebuilt as
+library code. The AWS control plane (EMR steps, sensors, Redshift
+COPY) is explicitly out of scope (SURVEY §7.5); what remains is the
+part that affects correctness: ordering, gating, idempotence.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Stage:
+    """One pipeline stage: a function of (spark, period, context) that
+    returns an arbitrary result (usually an output path or DataFrame),
+    stored into the shared context under the stage name."""
+
+    name: str
+    fn: Callable[[SparkSession, str, dict[str, Any]], Any]
+    deps: tuple[str, ...] = ()
+    # Optional gates, run against the stage result; each is
+    # (description, predicate). A failing gate aborts the pipeline —
+    # the reference's path_exists / check_redshift_loaded behavior.
+    gates: tuple[tuple[str, Callable[[Any], bool]], ...] = ()
+
+
+@dataclass
+class PipelineRun:
+    period: str
+    results: dict[str, Any] = field(default_factory=dict)
+    executed: list[str] = field(default_factory=list)
+    skipped: list[str] = field(default_factory=list)
+
+
+class Pipeline:
+    """Topologically-ordered stage executor.
+
+    Stages whose ``fn`` returns ``None`` are treated as skipped
+    (e.g. an idempotent write that found existing output) — mirroring
+    the reference's create-if-absent short-circuit.
+    """
+
+    def __init__(self, stages: list[Stage]):
+        self._stages = {s.name: s for s in stages}
+        graph = {s.name: set(s.deps) for s in stages}
+        for s in stages:
+            for d in s.deps:
+                if d not in self._stages:
+                    raise ValueError(f"stage {s.name} depends on unknown {d}")
+        self._order = list(TopologicalSorter(graph).static_order())
+
+    def run(self, spark: SparkSession, period: str) -> PipelineRun:
+        run = PipelineRun(period=period)
+        for name in self._order:
+            stage = self._stages[name]
+            result = stage.fn(spark, period, run.results)
+            if result is None:
+                run.skipped.append(name)
+                continue
+            for desc, predicate in stage.gates:
+                if not predicate(result):
+                    raise RuntimeError(
+                        f"quality gate failed at stage {name!r}: {desc}"
+                    )
+            run.results[name] = result
+            run.executed.append(name)
+        return run
+
+
+# ---- quality-gate helpers (reference §5 checks as assertions) -------
+
+
+def non_empty(df: DataFrame) -> bool:
+    """Reference check_redshift_loaded: COUNT(*) >= 1."""
+    return df.limit(1).count() > 0
+
+
+def unique_key(*keys: str) -> Callable[[DataFrame], bool]:
+    """Reference PK-integrity check (test notebook cells 26/32/42/54):
+    distinct key count equals row count."""
+
+    def check(df: DataFrame) -> bool:
+        return df.select(*keys).distinct().count() == df.count()
+
+    return check
+
+
+def no_nulls(*cols: str) -> Callable[[DataFrame], bool]:
+    """Reference null-key check (cell 27): no NULLs in key columns."""
+
+    def check(df: DataFrame) -> bool:
+        pred = " OR ".join(f"{c} IS NULL" for c in cols)
+        return df.filter(pred).limit(1).count() == 0
+
+    return check

@@ -9,6 +9,7 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import (  # n
     dedup,
     events,
     joins,
+    multimodal,
     relational,
     similarity,
     text,

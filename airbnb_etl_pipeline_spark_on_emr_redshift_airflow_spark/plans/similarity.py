@@ -87,9 +87,10 @@ def s_embedding_near_dup(spark, sf_dir):
 
 @register("s_ann_lsh")
 def s_ann_lsh(spark, sf_dir):
-    """Hyperplane-LSH approximate top-5 (8 planes, seeded): candidates
-    limited to the query's sign-bucket, exact cosine inside. Rows-only
-    check; recall vs s_knn_bruteforce asserted in tests."""
+    """Multi-table hyperplane-LSH approximate top-5 (4 planes × 8
+    tables, OR-amplified): candidates limited to shared sign-buckets,
+    exact cosine inside. Rows-only check; recall vs s_knn_bruteforce
+    asserted in tests."""
     (emb,) = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ann_topk_lsh(emb, queries, k=5, n_planes=8, dim=64)
+    return ann_topk_lsh(emb, queries, k=5, n_planes=4, n_tables=8, dim=64)

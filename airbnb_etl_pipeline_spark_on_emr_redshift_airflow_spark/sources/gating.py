@@ -1,0 +1,89 @@
+"""Idempotent-write gating and atomic publish (S11/S12).
+
+Reference behaviors rebuilt:
+
+- ``model_exists`` — the S3 prefix check that gates every stage
+  ("create if absent", ``apps/preprocess_data.py:17-24,83``): a coarse
+  materialization cache that makes re-runs and backfills cheap.
+- staged atomic publish — write to ``*_temp``, validate, swap
+  (DAG ``update_dim_model``, ``airbnb-etl-airflow.py:116-135``):
+  downstream readers never observe a half-written model.
+
+Local/HDFS-style rename semantics via the filesystem; on object
+stores the same staging-dir pattern applies with a manifest swap.
+"""
+
+from __future__ import annotations
+
+import shutil
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+
+def model_exists(path: str) -> bool:
+    """True if the output prefix already holds a committed dataset
+    (Spark writes ``_SUCCESS`` on commit; a bare directory without it
+    is a torn write and does NOT count)."""
+    p = Path(path)
+    return p.exists() and (p / "_SUCCESS").exists()
+
+
+def idempotent_write(
+    df: DataFrame,
+    path: str,
+    writer: Callable[[DataFrame, str], None] | None = None,
+    force: bool = False,
+) -> bool:
+    """Write ``df`` to ``path`` unless a committed output already
+    exists (S11 create-if-absent). Returns True if a write happened.
+    ``writer`` defaults to an overwrite parquet sink."""
+    if model_exists(path) and not force:
+        return False
+    if writer is None:
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.io import (
+            write_parquet,
+        )
+
+        writer = write_parquet
+    writer(df, path)
+    return True
+
+
+def atomic_publish(
+    df: DataFrame,
+    final_path: str,
+    validate: Callable[[str], bool] | None = None,
+    writer: Callable[[DataFrame, str], None] | None = None,
+) -> None:
+    """S12 — staged publish: write to ``<final>__staging``, validate
+    the staged copy, then swap it into place and drop the old version.
+    Raises (leaving the previous published model intact) if validation
+    fails — the reference's update_dim_model semantics.
+
+    Caveat (same as the reference's delete-and-copy): a DataFrame
+    handle opened on ``final_path`` *before* a publish points at
+    renamed/deleted files afterwards — re-read after publishing. On an
+    object store, replace the renames with a manifest/pointer swap to
+    make the cutover atomic for concurrent readers.
+    """
+    if writer is None:
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.io import (
+            write_parquet,
+        )
+
+        writer = write_parquet
+    staging = f"{final_path}__staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    writer(df, staging)
+    if not model_exists(staging):
+        raise RuntimeError(f"staged write produced no committed output: {staging}")
+    if validate is not None and not validate(staging):
+        raise RuntimeError(f"staged model failed validation: {staging}")
+    backup = f"{final_path}__old"
+    shutil.rmtree(backup, ignore_errors=True)
+    if Path(final_path).exists():
+        Path(final_path).rename(backup)
+    Path(staging).rename(final_path)
+    shutil.rmtree(backup, ignore_errors=True)

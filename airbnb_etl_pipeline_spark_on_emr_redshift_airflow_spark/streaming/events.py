@@ -122,13 +122,14 @@ def stream_dedup(
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
-def run_to_memory(df, name: str) -> None:
+def run_to_memory(df, name: str, output_mode: str = "complete") -> None:
     """Drive a streaming DataFrame to completion synchronously into an
-    in-memory table (test/smoke harness)."""
+    in-memory table (test/smoke harness). ``output_mode``: "complete"
+    for aggregations, "append" for row-wise operators like dedup."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

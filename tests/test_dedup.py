@@ -1,0 +1,74 @@
+"""Semantic tests for the near-dedup ladder: crafted near-duplicates
+must be found, unrelated docs must not — the correctness contract for
+the rows-only (non-oracle) MinHash/SimHash operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+    exact_dedup_fingerprint,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_near_dups,
+    simhash_dup_buckets,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the birds sing in the tall green trees all day"
+)
+NEAR = BASE.replace("green trees", "green forests")  # one-word mutation
+FAR = (
+    "completely different content about spark query engines columnar "
+    "storage shuffle partitions and adaptive execution plans at scale"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, BASE.upper())],
+        "doc_id long, text string",
+    )
+
+
+def test_word_shingles_count(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = sorted(r.shingle for r in word_shingles(df, n=3).collect())
+    assert got == ["a b c", "b c d"]
+    short = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert word_shingles(short, n=3).count() == 0
+
+
+def test_exact_dedup_finds_case_variant(spark, docs):
+    out = exact_dedup_fingerprint(docs)
+    assert out.count() == 3  # BASE and BASE.upper() share a fingerprint
+    keep = {r.keep_doc_id for r in out.collect()}
+    assert 1 in keep and 4 not in keep  # min-id survivor
+
+
+def test_jaccard_pairs_scores_near_dup(spark, docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.75
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # case-normalized
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dup_not_far(spark, docs):
+    cands = {(r.doc_a, r.doc_b) for r in minhash_lsh_candidates(docs).collect()}
+    assert (1, 2) in cands and (1, 4) in cands
+    verified = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_near_dups(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in verified
+    assert not any(3 in p for p in verified)
+
+
+def test_simhash_buckets_exact_dups_only(spark, docs):
+    buckets = simhash_dup_buckets(docs).collect()
+    # BASE vs BASE.upper() tokenize identically → same signature.
+    assert len(buckets) == 1
+    assert buckets[0].n_docs == 2 and buckets[0].keep_doc_id == 1

@@ -1,0 +1,98 @@
+"""Unit tests: join operators — anti/semi null behavior, delta-filter
+boundary inclusion, incremental merge (the reference's monthly upsert,
+FIXTURES.md B1 scenario), as-of tie/no-match semantics, range join."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.joins import (
+    anti_join,
+    asof_join,
+    broadcast_enrich,
+    delta_filter,
+    incremental_merge,
+    range_join,
+    semi_join,
+)
+
+
+def ts(s: str):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_anti_semi_with_nulls(spark):
+    left = spark.createDataFrame([(1,), (2,), (None,)], "k int")
+    right = spark.createDataFrame([(2,), (None,)], "k int")
+    anti = anti_join(left, right, left.k == right.k)
+    semi = semi_join(left, right, left.k == right.k)
+    # NULL keys never equi-match: they survive the anti join — the
+    # behavior the reference's NOT IN subquery would get wrong.
+    assert sorted([r.k for r in anti.collect()], key=str) == [1, None]
+    assert [r.k for r in semi.collect()] == [2]
+
+
+def test_left_enrich_unmatched_fk_gets_nulls(spark):
+    fact = spark.createDataFrame([(1, 10), (2, 99)], "id int, fk int")
+    dim = spark.createDataFrame([(10, "x")], "fk int, attr string")
+    out = broadcast_enrich(fact, dim, "fk")
+    got = {r.id: r.attr for r in out.collect()}
+    assert got == {1: "x", 2: None}
+
+
+def test_delta_filter_boundary_is_inclusive(spark):
+    """Reference semantics (apps/process_reviews.py:98-105): rows AT
+    the previous max are re-selected (over-inclusive; downstream dedup
+    cleans up)."""
+    state = spark.createDataFrame([("2021-02-01",)], "d string")
+    incoming = spark.createDataFrame(
+        [("2021-01-31", 1), ("2021-02-01", 2), ("2021-02-02", 3)], "d string, id int"
+    )
+    out = delta_filter(incoming, state, "d", "d")
+    assert sorted(r.id for r in out.collect()) == [2, 3]
+
+
+def test_incremental_merge_newest_survives(spark):
+    snapshot = spark.createDataFrame(
+        [(1, "2021-01-01", "jan"), (2, "2021-01-01", "jan")],
+        "review_id int, date string, body string",
+    )
+    delta = spark.createDataFrame(
+        [(2, "2021-02-01", "feb_fix"), (3, "2021-02-01", "feb_new")],
+        "review_id int, date string, body string",
+    )
+    out = incremental_merge(snapshot, delta, ["review_id"], ["date", "body"])
+    got = {r.review_id: r.body for r in out.collect()}
+    assert got == {1: "jan", 2: "feb_fix", 3: "feb_new"}
+
+
+def test_asof_join_matches_most_recent_and_ties(spark):
+    clicks = spark.createDataFrame(
+        [(1, 100, ts("2024-01-01T10:00:00")), (2, 100, ts("2024-01-01T12:00:00")),
+         (3, 200, ts("2024-01-01T09:00:00"))],
+        "event_id int, user_id int, ts timestamp",
+    )
+    purchases = spark.createDataFrame(
+        [(100, ts("2024-01-01T10:00:00"), 5.0),   # tie with click 1 → matches
+         (100, ts("2024-01-01T11:30:00"), 7.0)],  # latest before click 2
+        "user_id int, ts timestamp, value double",
+    ).select(
+        "user_id", "ts",
+        F.col("ts").alias("p_ts"), F.col("value").alias("p_value"),
+    )
+    out = asof_join(clicks, purchases, on="user_id", ts="ts",
+                    right_payload=["p_ts", "p_value"])
+    got = {r.event_id: (r.p_ts, r.p_value) for r in out.collect()}
+    assert got[1] == (ts("2024-01-01T10:00:00"), 5.0)  # >= tie matches
+    assert got[2] == (ts("2024-01-01T11:30:00"), 7.0)
+    assert got[3] == (None, None)  # user with no purchases → left join nulls
+
+
+def test_range_join_window(spark):
+    left = spark.createDataFrame([(1, 5), (1, 50)], "k int, x int")
+    right = spark.createDataFrame([(1, 0)], "k2 int, lo int")
+    pred = F.col("x").between(F.col("lo"), F.col("lo") + 10)
+    out = range_join(left, right, ("k", "k2"), pred)
+    assert [r.x for r in out.collect()] == [5]

@@ -1,0 +1,85 @@
+"""Tests: stage runner (DAG semantics §2.11), quality gates, gated
+idempotent writes, atomic publish."""
+
+from __future__ import annotations
+
+import pytest
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.pipeline import (
+    Pipeline,
+    Stage,
+    no_nulls,
+    non_empty,
+    unique_key,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.gating import (
+    atomic_publish,
+    idempotent_write,
+    model_exists,
+)
+
+
+def test_pipeline_runs_in_dependency_order(spark):
+    seen = []
+
+    def mk(name):
+        def fn(_spark, period, ctx):
+            seen.append(name)
+            return f"{name}@{period}"
+        return fn
+
+    pipe = Pipeline(
+        [
+            Stage("reviews", mk("reviews"), deps=("preprocess", "listings")),
+            Stage("preprocess", mk("preprocess")),
+            Stage("weather", mk("weather"), deps=("preprocess",)),
+            Stage("listings", mk("listings"), deps=("preprocess",)),
+            Stage("reviewers", mk("reviewers"), deps=("reviews",)),
+        ]
+    )
+    run = pipe.run(spark, "2021-01")
+    assert seen.index("preprocess") < seen.index("listings")
+    assert seen.index("listings") < seen.index("reviews")
+    assert seen.index("reviews") < seen.index("reviewers")
+    assert run.results["reviews"] == "reviews@2021-01"
+
+
+def test_pipeline_gate_failure_aborts(spark):
+    df_dup = spark.createDataFrame([(1,), (1,)], "k int")
+    pipe = Pipeline(
+        [Stage("bad", lambda s, p, c: df_dup, gates=(("k unique", unique_key("k")),))]
+    )
+    with pytest.raises(RuntimeError, match="quality gate failed"):
+        pipe.run(spark, "2021-01")
+
+
+def test_gate_helpers(spark):
+    ok = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    assert non_empty(ok)
+    assert unique_key("k")(ok)
+    assert no_nulls("k", "v")(ok)
+    with_null = spark.createDataFrame([(None, "a")], "k int, v string")
+    assert not no_nulls("k")(with_null)
+
+
+def test_idempotent_write_skips_existing(spark, tmp_dir):
+    df = spark.createDataFrame([(1,)], "k int")
+    path = f"{tmp_dir}/model"
+    assert idempotent_write(df, path) is True
+    assert model_exists(path)
+    assert idempotent_write(df, path) is False  # gated: create-if-absent
+    assert idempotent_write(df, path, force=True) is True
+
+
+def test_atomic_publish_swaps_and_protects(spark, tmp_dir):
+    v1 = spark.createDataFrame([(1,)], "k int")
+    v2 = spark.createDataFrame([(2,)], "k int")
+    path = f"{tmp_dir}/published"
+    atomic_publish(v1, path)
+    assert [r.k for r in spark.read.parquet(path).collect()] == [1]
+    # failing validation must leave v1 in place
+    with pytest.raises(RuntimeError, match="validation"):
+        atomic_publish(v2, path, validate=lambda p: False)
+    assert [r.k for r in spark.read.parquet(path).collect()] == [1]
+    atomic_publish(v2, path, validate=model_exists)
+    assert [r.k for r in spark.read.parquet(path).collect()] == [2]

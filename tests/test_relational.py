@@ -1,0 +1,49 @@
+"""Unit tests: projection/normalization/union operators (P*, U*, A9).
+
+Micro-fixtures follow FIXTURES.md §B5: schema-drift variants with
+spaced/capitalized names exercising normalization and
+union-by-name semantics (the SURVEY §7.4 hard part)."""
+
+from __future__ import annotations
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.relational import (
+    align_union,
+    exact_dedup,
+    normalize_columns,
+    with_typed_nulls,
+)
+
+
+def test_normalize_columns(spark):
+    df = spark.createDataFrame([(1, "x")], ["Host Id", "Host Name"])
+    assert normalize_columns(df).columns == ["host_id", "host_name"]
+
+
+def test_with_typed_nulls_types(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    out = with_typed_nulls(df, {"price": "double", "note": "string"})
+    fields = dict(out.dtypes)
+    assert fields["price"] == "double"
+    assert fields["note"] == "string"
+    row = out.collect()[0]
+    assert row.price is None and row.note is None
+
+
+def test_align_union_schema_drift(spark):
+    """Positional union would misalign these; by-name must not."""
+    a = spark.createDataFrame([(1, "amsterdam")], "id int, city string")
+    b = spark.createDataFrame([("berlin", 2, 9.5)], "city string, id int, price double")
+    out = align_union(a, b)
+    rows = {r.id: (r.city, r.price) for r in out.collect()}
+    assert rows[1] == ("amsterdam", None)
+    assert rows[2] == ("berlin", 9.5)
+    assert dict(out.dtypes)["price"] == "double"
+
+
+def test_exact_dedup_keeps_one_per_key(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "listing_id int, payload string"
+    )
+    out = exact_dedup(df, ["listing_id"])
+    assert out.count() == 2
+    assert {r.listing_id for r in out.collect()} == {1, 2}

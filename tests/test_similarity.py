@@ -1,0 +1,56 @@
+"""Tests: brute-force cosine top-k correctness on known vectors, ANN
+recall vs the exact baseline on real testdata."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+    ann_topk_lsh,
+    brute_force_topk,
+    embedding_near_dup_pairs,
+)
+from tests.conftest import SF_DIR
+
+
+def test_brute_force_topk_known_geometry(spark):
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),   # closest to 0
+        (2, [0.0, 1.0]),   # orthogonal to 0
+        (3, [0.7, 0.7]),   # diagonal
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=3)
+    ranked = [r.neighbor_id for r in out.orderBy("rank").collect()]
+    assert ranked == [1, 3, 2]
+
+
+def test_embedding_near_dup_identical_vectors(spark):
+    vecs = [
+        (0, 1, [1.0, 2.0, 3.0]),
+        (1, 1, [1.0, 2.0, 3.0]),   # identical, same bucket
+        (2, 1, [-3.0, 1.0, 0.0]),  # unrelated, same bucket
+        (3, 2, [1.0, 2.0, 3.0]),   # identical but different bucket
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, label int, embedding array<float>")
+    pairs = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(df, 0.99).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_ann_recall_against_brute_force(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_topk_lsh(
+            emb, queries, k=5, n_planes=4, n_tables=8, dim=64
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # OR-amplified multi-table LSH; the bound is a regression floor.
+    assert recall >= 0.5, f"ANN recall collapsed: {recall}"

@@ -1,0 +1,83 @@
+"""Tests: true Structured Streaming runs (file source → memory sink,
+availableNow) agree with their batch analogs — the property that makes
+the catalog's batch oracles meaningful for the streaming pipelines."""
+
+from __future__ import annotations
+
+import datetime
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.events import (
+    run_to_memory,
+    session_agg,
+    stream_dedup,
+    stream_tumbling,
+    tumbling_agg,
+    watermark_dedup,
+)
+
+
+def ts(s: str):
+    return datetime.datetime.fromisoformat(s)
+
+
+def _write_events(spark, path):
+    rows = [
+        (1, ts("2024-01-01T10:05:00"), 1, "click", 1.0, "{}"),
+        (2, ts("2024-01-01T10:55:00"), 1, "click", 2.0, "{}"),
+        (3, ts("2024-01-01T11:05:00"), 2, "view", 3.0, "{}"),
+        (3, ts("2024-01-01T11:05:00"), 2, "view", 3.0, "{}"),  # duplicate id
+        (4, ts("2024-01-01T12:40:00"), 1, "click", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return df
+
+
+def test_stream_tumbling_equals_batch(spark, tmp_dir):
+    src = f"{tmp_dir}/events"
+    batch_df = _write_events(spark, src)
+    streaming = stream_tumbling(spark, src, width="1 hour")
+    run_to_memory(streaming, "tumb", output_mode="complete")
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM tumb").collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): r.n_events
+        for r in tumbling_agg(batch_df, "1 hour")
+        .select("window_start", "event_type", "n_events")
+        .collect()
+    }
+    assert got == expected
+    assert got[(ts("2024-01-01T10:00:00"), "click")] == 2
+
+
+def test_stream_dedup_drops_redelivered(spark, tmp_dir):
+    src = f"{tmp_dir}/events"
+    _write_events(spark, src)
+    run_to_memory(stream_dedup(spark, src), "dedup", output_mode="append")
+    out = spark.sql("SELECT * FROM dedup").collect()
+    assert len(out) == 4  # 5 rows, one duplicated event_id
+    ids = sorted(r.event_id for r in out)
+    assert ids == [1, 2, 3, 4]
+
+
+def test_batch_watermark_dedup_matches(spark, tmp_dir):
+    src = f"{tmp_dir}/events"
+    df = _write_events(spark, src)
+    assert watermark_dedup(df).count() == 4
+
+
+def test_session_agg_gap_semantics(spark, tmp_dir):
+    df = _write_events(spark, f"{tmp_dir}/events")
+    sessions = session_agg(df, "30 minutes").collect()
+    user1 = sorted(
+        [r for r in sessions if r.user_id == 1], key=lambda r: r.session_start
+    )
+    # user 1: 10:05 and 10:55 are 50min apart → separate sessions; 12:40 third
+    assert len(user1) == 3
+    assert user1[0].session_end == ts("2024-01-01T10:35:00")

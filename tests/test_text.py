@@ -1,0 +1,61 @@
+"""Unit tests: deterministic text classifiers (N1/N2 semantics) and
+text-statistics functions on crafted strings."""
+
+from __future__ import annotations
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions import text as T
+
+
+def run(spark, texts, col):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    return [r.out for r in df.select(col.alias("out")).collect()]
+
+
+def test_lang_detect_markers(spark):
+    texts = [
+        "the cat and the dog is here with us",
+        "le chat et la mer les amis",
+        "der hund und die katze das haus",
+        "el gato los perros que corren una casa",
+        "xyzzy qwerty",
+    ]
+    assert run(spark, texts, T.lang_detect("text")) == [
+        "en", "fr", "de", "es", "und",
+    ]
+
+
+def test_lang_detect_tie_breaks_by_priority(spark):
+    # 'the'(en) and 'le'(fr) once each → tie → priority order wins.
+    assert run(spark, ["the le"], T.lang_detect("text")) == ["en"]
+
+
+def test_sentiment_domain(spark):
+    texts = [
+        "this is good and great",         # pos
+        "terrible awful bad",             # neg
+        "good but bad",                   # tie → n/a
+        "nothing to say",                 # no markers → n/a
+    ]
+    assert run(spark, texts, T.sentiment("text")) == ["pos", "neg", "n/a", "n/a"]
+
+
+def test_token_count_edges(spark):
+    texts = ["one two three", "  padded   spaces  ", "", "single"]
+    assert run(spark, texts, T.token_count("text")) == [3, 2, 0, 1]
+
+
+def test_fingerprint_normalizes_case_and_space(spark):
+    texts = ["Hello  World", "hello world", "HELLO WORLD ", "other"]
+    fps = run(spark, texts, T.fingerprint("text"))
+    assert fps[0] == fps[1] == fps[2]
+    assert fps[3] != fps[0]
+
+
+def test_quality_score_bands(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs away " * 3
+    short = "hi"
+    assert run(spark, [good], T.quality_score("text")) == [1.0]
+    # "hi": length band fails, stopword ratio 0.0 (out of band) fails,
+    # punctuation density passes → 1/3
+    got = run(spark, [short], T.quality_score("text"))[0]
+    assert abs(got - 1 / 3) < 1e-12
