@@ -50,6 +50,29 @@ def _norm(col_sql: str) -> str:
     return f"(' ' || regexp_replace(lower({col_sql}), '[^a-z]+', ' ') || ' ')"
 
 
+def lang_detect_scores_sql(norm_sql: str) -> str:
+    """Classifier body over an ALREADY-normalized string expression —
+    lets the Spark side materialize the normalization once per row
+    (see :func:`with_language`) while the oracle inlines it."""
+    scores = {lang: _score(norm_sql, LANG_MARKERS[lang]) for lang in LANG_PRIORITY}
+    branches = []
+    for i, lang in enumerate(LANG_PRIORITY):
+        rest = LANG_PRIORITY[i + 1 :]
+        conds = [f"{scores[lang]} > 0"]
+        conds += [f"{scores[lang]} >= {scores[o]}" for o in rest]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"(CASE {' '.join(branches)} ELSE 'und' END)"
+
+
+def sentiment_scores_sql(norm_sql: str) -> str:
+    """Sentiment body over a pre-normalized string expression."""
+    diff = f"({_score(norm_sql, POS_WORDS)} - {_score(norm_sql, NEG_WORDS)})"
+    return (
+        f"(CASE WHEN {diff} > 0 THEN 'pos' "
+        f"WHEN {diff} < 0 THEN 'neg' ELSE 'n/a' END)"
+    )
+
+
 def _occurrences(s: str, word: str) -> str:
     """Count of ``' word '`` in pre-normalized ``s`` via replace-delta."""
     m = f" {word} "
@@ -67,27 +90,14 @@ def lang_detect_sql(col_sql: str) -> str:
     priority-order tie-breaking; 'und' when no marker hits. Mirrors the
     operator shape of reference N1 (``apps/process_reviews.py:125-127``).
     """
-    s = _norm(col_sql)
-    scores = {lang: _score(s, LANG_MARKERS[lang]) for lang in LANG_PRIORITY}
-    branches = []
-    for i, lang in enumerate(LANG_PRIORITY):
-        rest = LANG_PRIORITY[i + 1 :]
-        conds = [f"{scores[lang]} > 0"]
-        conds += [f"{scores[lang]} >= {scores[o]}" for o in rest]
-        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
-    return f"(CASE {' '.join(branches)} ELSE 'und' END)"
+    return lang_detect_scores_sql(_norm(col_sql))
 
 
 def sentiment_sql(col_sql: str) -> str:
     """Portable SQL: {'pos','neg','n/a'} lexicon sentiment — positive
     minus negative marker counts (reference N2 domain,
     ``apps/process_reviews.py:133-140``)."""
-    s = _norm(col_sql)
-    diff = f"({_score(s, POS_WORDS)} - {_score(s, NEG_WORDS)})"
-    return (
-        f"(CASE WHEN {diff} > 0 THEN 'pos' "
-        f"WHEN {diff} < 0 THEN 'neg' ELSE 'n/a' END)"
-    )
+    return sentiment_scores_sql(_norm(col_sql))
 
 
 def token_count_sql(col_sql: str) -> str:
@@ -146,6 +156,52 @@ def lang_detect(col: str) -> Column:
 
 def sentiment(col: str) -> Column:
     return F.expr(sentiment_sql(col))
+
+
+# ---- Two-phase DataFrame operators (the hot-path form) --------------
+#
+# The single-expression wrappers above re-derive the normalized string
+# inside every marker count (fine for the DuckDB oracle, which CSEs
+# it). On the Spark hot path we materialize the normalization ONCE per
+# row in its own projection — Catalyst keeps multi-referenced
+# expensive projections separate (CollapseProject does not inline
+# attributes referenced more than once), so each row pays one
+# lower+regexp_replace instead of ~40.
+
+
+def with_language(
+    df, text_col: str = "text", out: str = "comment_language"
+):
+    """Project the language label in two phases: normalize once, score
+    markers against the materialized string."""
+    normed = df.withColumn("__norm", F.expr(_norm(text_col)))
+    return normed.withColumn(out, F.expr(lang_detect_scores_sql("__norm"))).drop(
+        "__norm"
+    )
+
+
+def with_language_sentiment(
+    df,
+    text_col: str = "text",
+    lang_out: str = "comment_language",
+    sent_out: str = "sentiment",
+):
+    """N1+N2 fused single-pass: language tag plus selectively-applied
+    sentiment (scored only where the detected language is 'en',
+    'n/a' otherwise — exactly the reference's split/score/re-union
+    semantics, ``apps/process_reviews.py:133-140``, collapsed into one
+    scan instead of three)."""
+    normed = df.withColumn("__norm", F.expr(_norm(text_col)))
+    tagged = normed.withColumn(
+        lang_out, F.expr(lang_detect_scores_sql("__norm"))
+    )
+    scored = tagged.withColumn(
+        sent_out,
+        F.when(
+            F.col(lang_out) == "en", F.expr(sentiment_scores_sql("__norm"))
+        ).otherwise(F.lit("n/a")),
+    )
+    return scored.drop("__norm")
 
 
 def token_count(col: str) -> Column:

@@ -17,6 +17,7 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregate
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
     load,
     register,
+    views,
 )
 
 
@@ -217,6 +218,58 @@ def a_pivot(spark, sf_dir):
     return li.groupBy("l_returnflag").agg(
         dec_sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")), "qty_open"),
         dec_sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")), "qty_filled"),
+    )
+
+
+@register(
+    "a_scalar_subquery_ratio",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS cnt,
+           CAST(count(*) AS DOUBLE)
+             / (SELECT count(*) FROM orders
+                WHERE o_orderpriority IN ('1-URGENT','2-HIGH')) AS share_of_urgent
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+    GROUP BY o_orderstatus
+    """,
+)
+def a_scalar_subquery_ratio(spark, sf_dir):
+    """A5 in its literal reference form — a scalar subquery in the
+    SELECT list (``redshift-etl-notebook.ipynb`` cell 41:
+    ``count(*)::decimal / (SELECT COUNT(*) FROM reviews WHERE ...)``)
+    via ``spark.sql``: Catalyst plans the subquery once and broadcasts
+    the scalar."""
+    views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) AS cnt,
+               CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM orders
+                    WHERE o_orderpriority IN ('1-URGENT','2-HIGH')) AS share_of_urgent
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@register(
+    "a_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           {dec_sum_sql("l_extendedprice", "sum_price")}
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a_cube(spark, sf_dir):
+    """CUBE lattice (surface extension, free via ``df.cube`` —
+    SURVEY.md §2.4 note): all grouping-set combinations of the Q1
+    keys."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dec_sum("l_extendedprice", "sum_price")
     )
 
 

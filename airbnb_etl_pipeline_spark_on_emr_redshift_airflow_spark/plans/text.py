@@ -13,9 +13,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions import text as T
-from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.relational import (
-    align_union,
-)
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
     load,
     register,
@@ -33,10 +30,11 @@ def n_language_detect(spark, sf_dir):
     """N1 — language detection as a pure row-wise string→label function
     (reference ``apps/process_reviews.py:125-127``, Spark-NLP
     ``detect_language_220`` → here a deterministic marker-count
-    heuristic). JVM-side expression, zero shuffles: runs inside the
-    scan stage at any scale."""
+    heuristic). Two-phase projection (normalize once, score markers) —
+    JVM-side expressions, zero shuffles: runs inside the scan stage at
+    any scale."""
     (docs,) = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.lang_detect("text").alias("comment_language"))
+    return T.with_language(docs, "text").select("doc_id", "comment_language")
 
 
 @register(
@@ -51,26 +49,15 @@ def n_language_detect(spark, sf_dir):
     """,
 )
 def n_sentiment_selective(spark, sf_dir):
-    """N2 + U2 — the reference's selective-apply-and-reunion: sentiment
-    scored only on detected-English rows, everything else filled with
-    'n/a', the three slices re-unioned (``apps/process_reviews.py:
-    133-140``). The split/union is executed literally (three filters +
-    align_union) to reproduce the operator shape; Catalyst collapses it
-    back into one pass over the scan."""
+    """N2 + U2 — the reference's selective-apply semantics: sentiment
+    scored only on detected-English rows, everything else 'n/a'
+    (``apps/process_reviews.py:133-140``). The reference executes this
+    as three filtered slices re-unioned (three scans); here the fused
+    single-pass form (``with_language_sentiment``) produces identical
+    rows from ONE scan — the union *shape* itself is covered by
+    ``u_three_way_union`` and the align_union unit tests."""
     (docs,) = load(spark, sf_dir, "documents")
-    tagged = docs.select(
-        "doc_id", "text", T.lang_detect("text").alias("comment_language")
-    )
-    en = tagged.filter(F.col("comment_language") == "en").withColumn(
-        "sentiment", T.sentiment("text")
-    )
-    non_en = tagged.filter(F.col("comment_language") != "en").withColumn(
-        "sentiment", F.lit("n/a")
-    )
-    null_text = tagged.filter(F.col("comment_language").isNull()).withColumn(
-        "sentiment", F.lit("n/a")
-    )
-    return align_union(en, non_en, null_text).select(
+    return T.with_language_sentiment(docs, "text").select(
         "doc_id", "comment_language", "sentiment"
     )
 
@@ -154,5 +141,5 @@ def t_language_share(spark, sf_dir):
     )
 
     (docs,) = load(spark, sf_dir, "documents")
-    tagged = docs.select(T.lang_detect("text").alias("comment_language"))
+    tagged = T.with_language(docs, "text").select("comment_language")
     return ratio_to_total(tagged, ["comment_language"])
