@@ -237,6 +237,33 @@ def f_string_date_functions(spark, sf_dir):
 
 
 @register(
+    "f_date_parse_roundtrip",
+    oracle="""
+    WITH compact AS (
+      SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d') AS ymd FROM orders
+    )
+    SELECT o_orderkey, ymd,
+           CAST(strptime(ymd, '%Y%m%d') AS DATE) AS parsed_date,
+           CAST(EXTRACT(year FROM strptime(ymd, '%Y%m%d')) AS INT) AS y
+    FROM compact
+    WHERE CAST(strptime(ymd, '%Y%m%d') AS DATE) > DATE '1998-01-01'
+    """,
+)
+def f_date_parse_roundtrip(spark, sf_dir):
+    """F6 — compact-date parsing (`to_date(col,'yyyyMMdd')`, the ECA&D
+    weather dates at ``apps/process_weather.py:91,98``) incl. the
+    date-range predicate over the parsed value (P10)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    compact = orders.select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyyMMdd").alias("ymd")
+    )
+    parsed = compact.withColumn("parsed_date", F.to_date("ymd", "yyyyMMdd"))
+    return parsed.filter(F.col("parsed_date") > F.lit("1998-01-01").cast("date")).select(
+        "o_orderkey", "ymd", "parsed_date", F.year("parsed_date").alias("y")
+    )
+
+
+@register(
     "o_topk_deterministic",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice

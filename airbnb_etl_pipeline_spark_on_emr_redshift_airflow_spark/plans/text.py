@@ -86,6 +86,29 @@ def t_token_stats(spark, sf_dir):
 
 
 @register(
+    "t_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def t_bpe_token_count(spark, sf_dir):
+    """BPE-ish regex token counting (training-data extension): runs of
+    letters, runs of digits, or single non-alphanumeric marks — the
+    pre-tokenizer split a byte-pair encoder sees. Same RE2-compatible
+    pattern both engines."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@register(
     "t_quality_score",
     oracle=f"""
     SELECT doc_id,

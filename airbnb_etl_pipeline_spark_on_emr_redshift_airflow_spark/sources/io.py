@@ -139,5 +139,18 @@ def create_warehouse_table(
     Spark SQL managed-table write (``saveAsTable``); downstream
     analytical SQL runs against the session catalog exactly as the
     reference's notebook SQL ran against Redshift (SURVEY §3 entry
-    point 3 → entry point 2)."""
+    point 3 → entry point 2).
+
+    Mirrors the reference's ``DROP TABLE IF EXISTS`` + CREATE
+    (``airbnb-etl-airflow.py:351-361``), including clearing an orphaned
+    managed location left by a previous session (Spark refuses to
+    create a managed table over an existing directory)."""
+    import shutil
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if warehouse:
+        shutil.rmtree(Path(warehouse) / table.lower(), ignore_errors=True)
     df.write.mode(mode).format("parquet").saveAsTable(table)

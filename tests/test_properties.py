@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis): algebraic invariants of the
+merge/dedup operators that must hold for ANY input, not just fixtures.
+
+Kept to few examples — every example executes real Spark jobs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.joins import (
+    incremental_merge,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.relational import (
+    align_union,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.windows import (
+    latest_per_key_rn,
+)
+
+SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),    # key
+        st.integers(min_value=0, max_value=9),    # order
+        st.integers(min_value=0, max_value=99),   # tiebreak/payload
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _df(spark, data):
+    return spark.createDataFrame(data, "k int, ord int, payload int") \
+        if data else spark.createDataFrame([], "k int, ord int, payload int")
+
+
+@SLOW
+@given(data=rows)
+def test_latest_per_key_rn_picks_max(spark, data):
+    df = _df(spark, data)
+    out = latest_per_key_rn(df, ["k"], ["ord", "payload"]).collect()
+    expected = {}
+    for k, o, p in data:
+        if k not in expected or (o, p) > expected[k]:
+            expected[k] = (o, p)
+    assert {r.k: (r.ord, r.payload) for r in out} == expected
+
+
+@SLOW
+@given(snap=rows, delta=rows)
+def test_incremental_merge_idempotent(spark, snap, delta):
+    """Re-delivering the same delta must not change the model — the
+    property the reference's monthly re-union relies on
+    (README.md:210-213)."""
+    s, d = _df(spark, snap), _df(spark, delta)
+    once = incremental_merge(s, d, ["k"], ["ord", "payload"])
+    twice = incremental_merge(once, d, ["k"], ["ord", "payload"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@SLOW
+@given(a=rows, b=rows)
+def test_align_union_preserves_rows(spark, a, b):
+    da = _df(spark, a).withColumnRenamed("payload", "extra_a")
+    db = _df(spark, b).withColumnRenamed("payload", "extra_b")
+    out = align_union(da, db)
+    assert out.count() == len(a) + len(b)
+    assert set(out.columns) == {"k", "ord", "extra_a", "extra_b"}
