@@ -98,6 +98,32 @@ def incremental_merge(
     return latest_per_key_rn(merged, keys, order_desc)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the left (skewed) side gets a
+    deterministic per-row salt, the right side is replicated once per
+    salt value, and the join key becomes (key, salt) — a hot key's
+    rows spread over ``n_salts`` reducers instead of one straggler.
+
+    AQE's skew-join splitting (on in the session profile) handles most
+    skew automatically; use this when a single key is so hot that even
+    split shuffle blocks overwhelm one executor, or under static plans.
+    Output columns = left ∪ right minus the duplicate key, like
+    ``join(on=str)``.
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    salted_l = left.withColumn("__salt", salt.cast("int"))
+    salted_r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_l.join(salted_r, [on, "__salt"], how).drop("__salt")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

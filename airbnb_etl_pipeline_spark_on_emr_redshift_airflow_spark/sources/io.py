@@ -132,6 +132,23 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).option("escape", '"').csv(path)
 
 
+def read_json(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """JSON-lines source (surface extension; the reference has no JSON
+    I/O — SURVEY §2.8). Explicit schema avoids the double-scan
+    inference pass; ``path`` may be a glob."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink."""
+    df.write.mode(mode).json(path)
+
+
 def create_warehouse_table(
     spark: SparkSession, df: DataFrame, table: str, mode: str = "overwrite"
 ) -> None:

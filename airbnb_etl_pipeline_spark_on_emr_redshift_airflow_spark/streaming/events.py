@@ -122,6 +122,24 @@ def stream_dedup(
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def stream_dedup_within_watermark(
+    spark: SparkSession, source_dir: str, watermark: str = "2 hours"
+):
+    """readStream → ``dropDuplicatesWithinWatermark`` on event_id: the
+    bounded-state variant — duplicate arrivals are collapsed only while
+    their event time is inside the watermark horizon, so state for old
+    keys is evicted instead of growing forever. The production choice
+    when duplicates can only arrive within a known lateness bound
+    (exactly the reference's monthly re-delivery window,
+    ``README.md:210-213``)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(source_dir)
+    )
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_to_memory(df, name: str, output_mode: str = "complete") -> None:
     """Drive a streaming DataFrame to completion synchronously into an
     in-memory table (test/smoke harness). ``output_mode``: "complete"

@@ -94,3 +94,28 @@ def test_literal_table_and_warehouse(spark, tmp_dir):
     got = spark.sql("SELECT city FROM stations WHERE STAID = 593").collect()
     assert got[0].city == "Amsterdam"
     spark.sql("DROP TABLE stations")
+
+
+def test_glob_multi_file_scan(spark, tmp_dir):
+    """S2 — wildcard path patterns across month directories."""
+    for month, ids in [("2021-01", [1, 2]), ("2021-02", [3])]:
+        d = Path(tmp_dir) / "cities" / "berlin" / month
+        d.mkdir(parents=True)
+        (d / "listings.csv").write_text("id\n" + "\n".join(map(str, ids)) + "\n")
+    df = read_csv_dialect(
+        spark, f"{tmp_dir}/cities/*/*/listings.csv", schema="id int"
+    )
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3]
+
+
+def test_json_roundtrip(spark, tmp_dir):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.io import (
+        read_json,
+        write_json,
+    )
+
+    df = spark.createDataFrame([(1, {"a": 2.5})], "id int, props map<string,double>")
+    write_json(df, f"{tmp_dir}/j")
+    back = read_json(spark, f"{tmp_dir}/j", schema="id int, props map<string,double>")
+    row = back.collect()[0]
+    assert row.id == 1 and row.props["a"] == 2.5

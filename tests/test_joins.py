@@ -96,3 +96,19 @@ def test_range_join_window(spark):
     pred = F.col("x").between(F.col("lo"), F.col("lo") + 10)
     out = range_join(left, right, ("k", "k2"), pred)
     assert [r.x for r in out.collect()] == [5]
+
+
+def test_salted_join_equals_plain_join(spark):
+    from collections import Counter
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(40)] + [(2, 99)], "k int, payload int"
+    )  # key 1 is hot
+    right = spark.createDataFrame([(1, "hot"), (2, "cold")], "k int, attr string")
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.joins import (
+        salted_join,
+    )
+
+    salted = Counter((r.k, r.payload, r.attr) for r in salted_join(left, right, "k").collect())
+    plain = Counter((r.k, r.payload, r.attr) for r in left.join(right, "k").collect())
+    assert salted == plain

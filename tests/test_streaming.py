@@ -81,3 +81,17 @@ def test_session_agg_gap_semantics(spark, tmp_dir):
     # user 1: 10:05 and 10:55 are 50min apart → separate sessions; 12:40 third
     assert len(user1) == 3
     assert user1[0].session_end == ts("2024-01-01T10:35:00")
+
+
+def test_stream_dedup_within_watermark(spark, tmp_dir):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.events import (
+        stream_dedup_within_watermark,
+    )
+
+    src = f"{tmp_dir}/events"
+    _write_events(spark, src)
+    run_to_memory(
+        stream_dedup_within_watermark(spark, src), "dedup_wm", output_mode="append"
+    )
+    out = spark.sql("SELECT * FROM dedup_wm").collect()
+    assert sorted(r.event_id for r in out) == [1, 2, 3, 4]
