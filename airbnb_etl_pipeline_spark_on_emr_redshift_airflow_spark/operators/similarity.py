@@ -13,6 +13,7 @@ the corpus side by random-hyperplane bucketing — the 100 TB strategy
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -43,6 +44,29 @@ def cosine(a: str | Column, b: str | Column) -> Column:
 
 def as_double(vec: str) -> Column:
     return F.col(vec).cast("array<double>")
+
+
+def cosine_pandas(a: str | Column, b: str | Column) -> Column:
+    """Arrow-vectorized cosine via a Pandas UDF — the alternative hot
+    path when vector math outgrows expression trees (e.g. 1k+ dims,
+    where per-element ``zip_with`` codegen bloats). Batches arrive as
+    numpy-convertible arrays; one BLAS-ish pass per batch.
+
+    Note: float summation order inside numpy differs from the JVM
+    fold, so results match :func:`cosine` to ~1e-12, not bit-exact —
+    keep the expression version for oracle-checked queries.
+    """
+    @F.pandas_udf("double")
+    def _cos(av: pd.Series, bv: pd.Series) -> pd.Series:
+        am = np.stack(av.to_numpy())
+        bm = np.stack(bv.to_numpy())
+        dots = np.einsum("ij,ij->i", am, bm)
+        norms = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
+        return pd.Series(dots / norms)
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _cos(a, b)
 
 
 def brute_force_topk(

@@ -54,3 +54,26 @@ def test_ann_recall_against_brute_force(spark):
     recall = len(exact & approx) / len(exact)
     # OR-amplified multi-table LSH; the bound is a regression floor.
     assert recall >= 0.5, f"ANN recall collapsed: {recall}"
+
+
+def test_cosine_pandas_matches_expression(spark):
+    """The Arrow-vectorized path must agree with the JVM fold to float
+    tolerance on real embeddings."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        as_double,
+        cosine,
+        cosine_pandas,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(100)
+    a = emb.select(
+        F.col("vec_id"),
+        as_double("embedding").alias("v1"),
+        F.reverse(as_double("embedding")).alias("v2"),
+    )
+    both = a.select(
+        "vec_id",
+        cosine("v1", "v2").alias("jvm"),
+        cosine_pandas("v1", "v2").alias("arrow"),
+    ).collect()
+    assert all(abs(r.jvm - r.arrow) < 1e-9 for r in both)
