@@ -106,6 +106,71 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: a KMeans coarse quantizer assigns
+    every corpus vector to a centroid cell; each query probes its
+    ``n_probe`` nearest cells and exact-cosine ranks only those
+    candidates. The second ANN family next to hyperplane LSH — better
+    for clustered data (cells adapt to density; hyperplanes don't).
+
+    The KMeans fit is MLlib's distributed Lloyd iteration; the learned
+    centroids (tiny) compile into the query-side probe expression as
+    literals — no driver loop over data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(vec_col).alias("cv"),
+    ).withColumn("features", array_to_vector("cv"))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    assigned = model.transform(train).select(
+        "neighbor_id", "cv", F.col("prediction").alias("cell")
+    )
+
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    qv = as_double(vec_col)
+    cells = []
+    for cid, center in enumerate(centroids):
+        lit_center = F.array(*[F.lit(float(x)) for x in center])
+        dist2 = F.aggregate(
+            F.zip_with(qv, lit_center, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        cells.append(F.struct(dist2.alias("d"), F.lit(cid).alias("cell")))
+    probes = F.slice(F.array_sort(F.array(*cells)), 1, n_probe)
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        qv.alias("qv"),
+        F.explode(probes).alias("probe"),
+    ).select("query_id", "qv", F.col("probe.cell").alias("cell"))
+
+    scored = (
+        assigned.join(F.broadcast(qb), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine("qv", "cv").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.92,

@@ -273,6 +273,37 @@ def a_cube(spark, sf_dir):
     )
 
 
+@register(
+    "a_column_profile",
+    oracle="""
+    SELECT 'o_custkey' AS column, count(*) AS n_rows,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS exact_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def a_column_profile(spark, sf_dir):
+    """Column-profiling operator (data-quality surface — generalizes
+    the reference's notebook sanity checks into one single-pass
+    aggregate + unpivot). Exact-distinct variant used here so the
+    oracle can match; ``operators.profile.profile`` is the sketch-based
+    scale form."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.profile import (
+        exact_profile,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    return exact_profile(orders, ["o_custkey", "o_orderpriority"])
+
+
 @register("a_approx_sketches")
 def a_approx_sketches(spark, sf_dir):
     """Approximate aggregates (scale path: sketches instead of exact

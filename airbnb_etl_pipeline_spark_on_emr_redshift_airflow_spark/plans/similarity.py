@@ -85,6 +85,21 @@ def s_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(emb, threshold=0.92, bucket_col="label")
 
 
+@register("s_ann_ivf")
+def s_ann_ivf(spark, sf_dir):
+    """IVF approximate top-5: KMeans(16) coarse quantizer, 2-cell
+    probe, exact cosine within probed cells. Rows-only check (the
+    quantizer is iterative/learned); recall vs s_knn_bruteforce
+    asserted in tests."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=2)
+
+
 @register("s_ann_lsh")
 def s_ann_lsh(spark, sf_dir):
     """Multi-table hyperplane-LSH approximate top-5 (4 planes × 8

@@ -77,3 +77,22 @@ def test_cosine_pandas_matches_expression(spark):
         cosine_pandas("v1", "v2").alias("arrow"),
     ).collect()
     assert all(abs(r.jvm - r.arrow) < 1e-9 for r in both)
+
+
+def test_ivf_recall_against_brute_force(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"

@@ -95,3 +95,67 @@ def test_stream_dedup_within_watermark(spark, tmp_dir):
     )
     out = spark.sql("SELECT * FROM dedup_wm").collect()
     assert sorted(r.event_id for r in out) == [1, 2, 3, 4]
+
+
+def test_append_mode_watermark_drops_late_rows(spark, tmp_dir):
+    """Append-mode windowed aggregation with a 30-min watermark: a row
+    arriving behind the watermark must NOT reopen its (already
+    finalized) window — the streaming form of the reference's
+    late-data policy."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.events import (
+        stream_tumbling,
+    )
+
+    src = f"{tmp_dir}/events"
+    ckpt = f"{tmp_dir}/ckpt_late"
+    emitted = {}
+
+    def sink(batch_df, _epoch):
+        for r in batch_df.collect():
+            key = (r.window_start, r.event_type)
+            emitted[key] = emitted.get(key, 0) + r.n_events
+
+    def run():
+        q = (
+            stream_tumbling(spark, src, width="1 hour", watermark="30 minutes")
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    batch1 = [
+        (1, ts("2024-01-01T10:05:00"), 1, "click", 1.0, "{}"),
+        (2, ts("2024-01-01T12:00:00"), 1, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    run()
+    # watermark after batch1 = 12:00 - 30min = 11:30 → 10:00 window closed
+    assert emitted.get((ts("2024-01-01T10:00:00"), "click")) == 1
+
+    batch2 = [
+        (3, ts("2024-01-01T10:10:00"), 2, "click", 1.0, "{}"),  # LATE: behind watermark
+        (4, ts("2024-01-01T13:40:00"), 1, "click", 1.0, "{}"),  # advances watermark
+    ]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    run()
+    # the late row must not have re-emitted or incremented the 10:00 window
+    assert emitted[(ts("2024-01-01T10:00:00"), "click")] == 1
+
+    # one more trigger: the watermark recorded after batch2 (13:10)
+    # closes the 12:00-13:00 window on the next run — WITHOUT the late
+    # 10:10 row ever appearing anywhere.
+    batch3 = [(5, ts("2024-01-01T15:00:00"), 1, "view", 1.0, "{}")]
+    spark.createDataFrame(batch3, schema).write.mode("append").parquet(src)
+    run()
+    assert emitted[(ts("2024-01-01T10:00:00"), "click")] == 1
+    assert emitted.get((ts("2024-01-01T12:00:00"), "click")) == 1
+    # late event's own window (10:00, user2's 10:10 click) never re-emitted
+    total_clicks = sum(v for (w, t), v in emitted.items() if t == "click")
+    assert total_clicks == 3  # events 1, 2, 4 — late event 3 dropped
