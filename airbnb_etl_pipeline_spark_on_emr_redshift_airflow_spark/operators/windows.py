@@ -73,6 +73,34 @@ def latest_per_key_rn(
     )
 
 
+def scd2_versions(
+    df: DataFrame,
+    keys: list[str],
+    change_ts: str,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Derive an SCD2 (slowly-changing-dimension type 2) version table
+    from a change history: per key, each row becomes a version valid
+    from its change timestamp until the next change; the last version
+    per key is current.
+
+    The reference only keeps SCD1 (newest row wins — W1); this is the
+    history-preserving extension, built from one ``lead()`` window —
+    the MERGE-free Spark idiom (guide: emulate CDC/SCD2 with window +
+    union when no Delta MERGE is available). One shuffle on ``keys``.
+
+    Adds: ``valid_from`` (= change_ts), ``valid_to`` (next change's ts,
+    NULL while current), ``is_current``.
+    """
+    order = [change_ts] + list(order_tiebreak or [])
+    w = Window.partitionBy(*keys).orderBy(*_cols(order))
+    return (
+        df.withColumn("valid_from", F.col(change_ts))
+        .withColumn("valid_to", F.lead(change_ts).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
 def moving_agg(
     df: DataFrame,
     partition: list[str],

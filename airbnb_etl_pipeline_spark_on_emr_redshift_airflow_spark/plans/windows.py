@@ -209,6 +209,36 @@ def w_ntile_percentiles(spark, sf_dir):
 
 
 @register(
+    "w_scd2_versions",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           (lead(o_orderdate) OVER w IS NULL) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def w_scd2_versions(spark, sf_dir):
+    """SCD2 surface extension: each customer's order history becomes a
+    versioned dimension — valid_from/valid_to intervals from one
+    lead() window, last version current. (The reference keeps only
+    SCD1/newest-row; this preserves history — the CDC/MERGE-free
+    idiom.)"""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.windows import (
+        scd2_versions,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    slim = orders.select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+    return scd2_versions(
+        slim, ["o_custkey"], "o_orderdate", order_tiebreak=["o_orderkey"]
+    ).select(
+        "o_custkey", "o_orderkey", "o_totalprice", "valid_from", "valid_to", "is_current"
+    )
+
+
+@register(
     "w_windowed_collect_set",
     oracle="""
     SELECT o_custkey,

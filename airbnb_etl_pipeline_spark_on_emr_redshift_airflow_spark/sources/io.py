@@ -56,6 +56,33 @@ def read_csv_dialect(
     return reader.csv(path)
 
 
+def read_csv_with_rejects(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    sep: str = ",",
+) -> DataFrame:
+    """S1 variant with malformed-row capture: PERMISSIVE mode parses
+    what it can and lands unparseable source lines in a
+    ``_corrupt_record`` column instead of failing the job — the ingest
+    posture for dirty landing zones at scale (quarantine + continue,
+    never abort a 100 TB load for one bad line). Filter
+    ``_corrupt_record IS NOT NULL`` for the reject stream.
+
+    Note: Spark disallows queries that reference ONLY the corrupt
+    column on a raw CSV scan — ``cache()`` (or checkpoint) the frame
+    before splitting it into good/reject streams."""
+    full_schema = f"{schema}, _corrupt_record string"
+    return (
+        spark.read.option("header", True)
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(full_schema)
+        .csv(path)
+    )
+
+
 def read_delimited_text(
     spark: SparkSession,
     path: str,

@@ -119,3 +119,18 @@ def test_json_roundtrip(spark, tmp_dir):
     back = read_json(spark, f"{tmp_dir}/j", schema="id int, props map<string,double>")
     row = back.collect()[0]
     assert row.id == 1 and row.props["a"] == 2.5
+
+
+def test_csv_rejects_quarantined_not_fatal(spark, tmp_dir):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.io import (
+        read_csv_with_rejects,
+    )
+
+    p = Path(tmp_dir) / "dirty.csv"
+    p.write_text("id,price\n1,9.5\nnot_a_number,abc\n3,7.25\n")
+    df = read_csv_with_rejects(spark, str(p), "id int, price double").cache()
+    good = df.filter("_corrupt_record IS NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert sorted(r.id for r in good.collect()) == [1, 3]
+    assert bad.count() == 1
+    assert "not_a_number" in bad.collect()[0]._corrupt_record

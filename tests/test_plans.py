@@ -1,0 +1,68 @@
+"""Plan-assertion regression tests: the physical strategies documented
+in PLANS.md must not silently regress — pushdown reaching the scan,
+dims broadcasting, single-exchange window dedup, heap-based top-k."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name):
+    return QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(spark, name):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, SF_DIR).explain("formatted")
+    return buf.getvalue()
+
+
+def _shuffles(plan: str) -> int:
+    return (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition")
+    )
+
+
+def test_filters_push_into_parquet_scan(spark):
+    txt = _formatted(spark, "s_parquet_scan_prune")
+    assert "PushedFilters: [IsNotNull(l_returnflag)" in txt
+    assert "EqualTo(l_returnflag,R)" in txt
+    # projection pruned to exactly the referenced columns
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,"
+        "l_quantity:double,l_returnflag:string>" in txt
+    )
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(spark, "j_broadcast_chain_dims")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_latest_per_key_single_exchange(spark):
+    """Window + dropDuplicates must reuse one hash partitioning."""
+    assert _shuffles(_plan(spark, "w_latest_snapshot_per_key")) == 1
+
+
+def test_q1_single_exchange_partial_agg(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert _shuffles(plan) == 1
+    assert "partial" in plan.lower()  # map-side partial aggregation
+
+
+def test_topk_plans_take_ordered(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "o_topk_deterministic")
+
+
+def test_text_pipeline_shuffle_free(spark):
+    assert _shuffles(_plan(spark, "n_sentiment_selective")) == 0

@@ -54,3 +54,19 @@ def test_moving_agg_frame_bounds(spark):
     got = [r.mv for r in out.collect()]
     # ROWS 2 PRECEDING..CURRENT over 1..5
     assert got == [1.0, 3.0, 6.0, 9.0, 12.0]
+
+
+def test_scd2_versions_intervals(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.windows import (
+        scd2_versions,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "2021-01-01", "v1"), (1, "2021-03-01", "v2"), (2, "2021-02-01", "only")],
+        "k int, changed string, attr string",
+    )
+    out = {(r.k, r.attr): (r.valid_from, r.valid_to, r.is_current)
+           for r in scd2_versions(hist, ["k"], "changed").collect()}
+    assert out[(1, "v1")] == ("2021-01-01", "2021-03-01", False)
+    assert out[(1, "v2")] == ("2021-03-01", None, True)
+    assert out[(2, "only")] == ("2021-02-01", None, True)
