@@ -304,6 +304,44 @@ def a_column_profile(spark, sf_dir):
     return exact_profile(orders, ["o_custkey", "o_orderpriority"])
 
 
+@register("a_grouped_pandas_zscore")
+def a_grouped_pandas_zscore(spark, sf_dir):
+    """Grouped-map pandas operator (applyInPandas): per-customer order
+    z-scores. Rows-only check (float reduction order differs between
+    pandas and SQL engines); equivalence with the window-function form
+    asserted to 1e-9 in tests."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.grouped_pandas import (
+        zscore_per_group,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    return zscore_per_group(orders, "o_custkey", "o_totalprice")
+
+
+@register(
+    "a_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'price' AS measure, l_extendedprice AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'quantity', l_quantity FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    """,
+)
+def a_unpivot(spark, sf_dir):
+    """Unpivot/melt (surface extension): wide measures to (measure,
+    value) rows via ``stack`` — zero shuffles, evaluated in the scan
+    stage."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'price', l_extendedprice, 'quantity', l_quantity,"
+        " 'discount', l_discount) AS (measure, value)",
+    )
+
+
 @register("a_approx_sketches")
 def a_approx_sketches(spark, sf_dir):
     """Approximate aggregates (scale path: sketches instead of exact

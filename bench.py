@@ -42,6 +42,11 @@ HEADLINE = [
     "s_knn_bruteforce",
     "e_tumbling_window",
     "e_session_window",
+    "a_cube",
+    "a_column_profile",
+    "w_scd2_versions",
+    "s_embedding_near_dup",
+    "m_feature_extract",
 ]
 
 

@@ -47,3 +47,33 @@ def test_exact_dedup_keeps_one_per_key(spark):
     out = exact_dedup(df, ["listing_id"])
     assert out.count() == 2
     assert {r.listing_id for r in out.collect()} == {1, 2}
+
+
+def test_grouped_pandas_zscore_matches_window_form(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.grouped_pandas import (
+        zscore_per_group,
+    )
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    pandas_z = {
+        (r.o_custkey, r.o_totalprice): r.zscore
+        for r in zscore_per_group(orders, "o_custkey", "o_totalprice").collect()
+    }
+    w = Window.partitionBy("o_custkey")
+    window_z = {
+        (r.o_custkey, r.o_totalprice): r.z
+        for r in orders.select(
+            "o_custkey",
+            "o_totalprice",
+            (
+                (F.col("o_totalprice") - F.avg("o_totalprice").over(w))
+                / F.stddev_pop("o_totalprice").over(w)
+            ).alias("z"),
+        ).collect()
+    }
+    assert pandas_z.keys() == window_z.keys()
+    assert all(abs(pandas_z[k] - window_z[k]) < 1e-9 for k in pandas_z)
