@@ -180,6 +180,77 @@ def minhash_near_dups(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
+    components by iterative min-label propagation — each node adopts
+    the smallest id reachable in one hop, repeated to fixpoint.
+    Returns (doc_id, cluster_id) where cluster_id = min doc id in the
+    component (the canonical survivor).
+
+    The missing step between pair-finders (MinHash/Jaccard/cosine) and
+    an actual deduped corpus. Iterative DataFrame algorithm:
+    ``localCheckpoint`` cuts lineage each round so the plan doesn't
+    grow exponentially; convergence checked with a count aggregate
+    (components with diameter d converge in ⌈log2 d⌉+1 rounds of
+    large-star-ish propagation; max_iter bounds pathologically long
+    chains).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Full near-dedup: pairs → connected components → keep only each
+    cluster's canonical (min-id) doc plus all unpaired docs."""
+    clusters = connected_components(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti")
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per doc: per-token xxhash64, bit-majority vote
     across tokens — 64 conditional sums in one aggregate pass, then the

@@ -99,6 +99,23 @@ def d_minhash_near_dup(spark, sf_dir):
     return minhash_near_dups(subset, k=32, bands=8, n=3, threshold=0.5)
 
 
+@register("d_dup_clusters")
+def d_dup_clusters(spark, sf_dir):
+    """Pair→cluster resolution: n-gram Jaccard pairs resolved into
+    connected components (iterative min-label propagation with
+    localCheckpoint lineage cuts), returning (doc_id, cluster_id).
+    Rows-only per the driver contract for iterative algorithms; chain/
+    transitivity semantics unit-tested."""
+    (docs,) = load(spark, sf_dir, "documents")
+    subset = docs.filter(F.expr(_SUBSET))
+    pairs = jaccard_pairs(subset, n=3, threshold=0.008)
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        connected_components,
+    )
+
+    return connected_components(pairs)
+
+
 @register("d_simhash_buckets")
 def d_simhash_buckets(spark, sf_dir):
     """SimHash-64 exact-signature duplicate buckets (hamming-0).

@@ -22,6 +22,22 @@ from pathlib import Path
 from pyspark.sql import DataFrame
 
 
+def stage_checkpoint(df: DataFrame, path: str) -> DataFrame:
+    """Materialize a pipeline stage to parquet and re-read it — the
+    reference's manual lineage cut (write CSV, immediately re-read,
+    ``apps/process_reviews.py:118,129-131``) done right: parquet keeps
+    types (the reference's CSV round-trip re-inferred and silently
+    changed them, SURVEY §7.4), and the returned frame's lineage starts
+    at the files, so retries and downstream plans don't re-run the
+    expensive upstream (NLP-ish) stages."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.io import (
+        write_parquet,
+    )
+
+    write_parquet(df, path)
+    return df.sparkSession.read.parquet(path)
+
+
 def model_exists(path: str) -> bool:
     """True if the output prefix already holds a committed dataset
     (Spark writes ``_SUCCESS`` on commit; a bare directory without it

@@ -72,3 +72,23 @@ def test_simhash_buckets_exact_dups_only(spark, docs):
     # BASE vs BASE.upper() tokenize identically → same signature.
     assert len(buckets) == 1
     assert buckets[0].n_docs == 2 and buckets[0].keep_doc_id == 1
+
+
+def test_connected_components_chain_transitivity(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        connected_components,
+        dedup_by_clusters,
+    )
+
+    # chain 1-2, 2-3, 3-4 (one component) + island pair 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in [1, 2, 3, 4, 10, 11, 99]], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in dedup_by_clusters(docs, pairs).collect())
+    assert kept == [1, 10, 99]  # canonical per cluster + untouched doc

@@ -83,3 +83,20 @@ def test_atomic_publish_swaps_and_protects(spark, tmp_dir):
     assert [r.k for r in spark.read.parquet(path).collect()] == [1]
     atomic_publish(v2, path, validate=model_exists)
     assert [r.k for r in spark.read.parquet(path).collect()] == [2]
+
+
+def test_stage_checkpoint_cuts_lineage_and_keeps_types(spark, tmp_dir):
+    from pyspark.sql import functions as F
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.gating import (
+        stage_checkpoint,
+    )
+
+    df = spark.createDataFrame([(1, "2021-01-02")], "k int, d string").withColumn(
+        "d", F.to_date("d")
+    )
+    out = stage_checkpoint(df, f"{tmp_dir}/ckpt_stage")
+    assert dict(out.dtypes)["d"] == "date"  # no CSV-style type loss
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan  # lineage starts at the files
+    assert out.collect()[0].k == 1
