@@ -91,12 +91,20 @@ def d_ngram_jaccard_pairs(spark, sf_dir):
 def d_minhash_near_dup(spark, sf_dir):
     """MinHash(32) + LSH(8 bands) candidates, verified with exact
     shingle Jaccard ≥ 0.5 — the 100 TB near-dedup path: cost bounded
-    by bucket collisions, never O(docs²). Rows-only check (xxhash64
-    signatures are not DuckDB-expressible); semantics unit-tested on
-    crafted near-duplicates."""
+    by bucket collisions, never O(docs²). The synthetic corpus has no
+    natural near-duplicates, so the query PLANTS them: each subset doc
+    gets a mutated twin (one word appended, Jaccard ≈ 0.95, id+10^6) —
+    the operator must pair every doc with its twin. Rows-only check
+    (xxhash64 signatures are not DuckDB-expressible); exact pairing
+    additionally asserted in tests."""
     (docs,) = load(spark, sf_dir, "documents")
-    subset = docs.filter(F.expr(_SUBSET))
-    return minhash_near_dups(subset, k=32, bands=8, n=3, threshold=0.5)
+    subset = docs.select("doc_id", "text").filter(F.expr(_SUBSET))
+    twins = subset.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" mutated")).alias("text"),
+    )
+    corpus = subset.unionByName(twins)
+    return minhash_near_dups(corpus, k=32, bands=8, n=3, threshold=0.5)
 
 
 @register("d_dup_clusters")

@@ -92,3 +92,19 @@ def test_connected_components_chain_transitivity(spark):
     )
     kept = sorted(r.doc_id for r in dedup_by_clusters(docs, pairs).collect())
     assert kept == [1, 10, 99]  # canonical per cluster + untouched doc
+
+
+def test_minhash_catalog_query_finds_planted_twins(spark):
+    """The catalog query plants a mutated twin per subset doc; MinHash
+    must pair every doc with its twin (doc_id + 1e6)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.dedup import (
+        d_minhash_near_dup,
+    )
+    from tests.conftest import SF_DIR
+
+    pairs = {(r.doc_a, r.doc_b) for r in d_minhash_near_dup(spark, SF_DIR).collect()}
+    n_subset = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        "doc_id % 20 = 0"
+    ).count()
+    twin_pairs = {p for p in pairs if p[1] == p[0] + 1_000_000}
+    assert len(twin_pairs) == n_subset  # every doc paired with its twin
