@@ -9,9 +9,17 @@
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Make the engine package importable no matter where this module is
+# loaded from (the driver may exec this file from another CWD).
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 
 def _configure(spark: SparkSession) -> SparkSession:
