@@ -304,6 +304,33 @@ def a_column_profile(spark, sf_dir):
     return exact_profile(orders, ["o_custkey", "o_orderpriority"])
 
 
+@register(
+    "a_top_share_limit",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS cnt,
+           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM customer) AS share
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY share DESC, c_mktsegment DESC
+    LIMIT 3
+    """,
+)
+def a_top_share_limit(spark, sf_dir):
+    """The reference's cell-47 query shape exactly: ratio-to-total
+    share per group, ORDER BY share DESC LIMIT k (A5 + O2 composed),
+    with a name tie-break for determinism."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        topk,
+    )
+
+    (customer,) = load(spark, sf_dir, "customer")
+    shares = ratio_to_total(customer, ["c_mktsegment"])
+    return topk(shares, ["share", "c_mktsegment"], 3).select(
+        "c_mktsegment", "cnt", "share"
+    )
+
+
 @register("a_grouped_pandas_zscore")
 def a_grouped_pandas_zscore(spark, sf_dir):
     """Grouped-map pandas operator (applyInPandas): per-customer order

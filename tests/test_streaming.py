@@ -159,3 +159,35 @@ def test_append_mode_watermark_drops_late_rows(spark, tmp_dir):
     # late event's own window (10:00, user2's 10:10 click) never re-emitted
     total_clicks = sum(v for (w, t), v in emitted.items() if t == "click")
     assert total_clicks == 3  # events 1, 2, 4 — late event 3 dropped
+
+
+def test_stream_sliding_equals_batch(spark, tmp_dir):
+    """True-stream sliding windows (1h width, 30m hop) must agree with
+    the batch analog the oracle checks."""
+    from pyspark.sql import functions as F
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        sliding_agg,
+    )
+
+    src = f"{tmp_dir}/events"
+    batch_df = _write_events(spark, src)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    run_to_memory(stream, "slide", output_mode="complete")
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM slide").collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): r.n_events
+        for r in sliding_agg(batch_df, "1 hour", "30 minutes").collect()
+    }
+    assert got == expected
