@@ -277,14 +277,14 @@ def a_cube(spark, sf_dir):
     "a_column_profile",
     oracle="""
     SELECT 'o_custkey' AS column, count(*) AS n_rows,
-           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            COUNT(DISTINCT o_custkey) AS exact_distinct,
            CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
            CAST(MAX(o_custkey) AS VARCHAR) AS max_value
     FROM orders
     UNION ALL
     SELECT 'o_orderpriority', count(*),
-           SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_orderpriority),
            MIN(o_orderpriority), MAX(o_orderpriority)
     FROM orders
@@ -373,11 +373,18 @@ def a_unpivot(spark, sf_dir):
 def a_approx_sketches(spark, sf_dir):
     """Approximate aggregates (scale path: sketches instead of exact
     distinct at 100 TB). No SQL oracle — HLL/quantile sketches are
-    engine-specific; tests assert error bounds vs exact values."""
+    engine-specific; tests assert error bounds vs exact values.
+    Output is unpivoted to scalar (stat, value) rows — array columns
+    are not hashable by the driver's canonicalizer."""
     (li,) = load(spark, sf_dir, "lineitem")
-    return li.agg(
+    wide = li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias(
-            "price_quantiles"
+            "q"
         ),
+    )
+    return wide.selectExpr(
+        "stack(4, 'approx_distinct_parts', CAST(approx_parts AS DOUBLE), "
+        "'price_p50', q[0], 'price_p95', q[1], 'price_p99', q[2]) "
+        "AS (stat, value)"
     )

@@ -45,9 +45,13 @@ def m_feature_extract(spark, sf_dir):
     """mapInPandas decode + featurize (deterministic fake codec —
     byte-histogram features; real decoders inject at the
     ``decode_payload`` seam). Rows-only check; batch/schema semantics
-    unit-tested."""
+    unit-tested. The 16-bin feature vector is projected to per-bin
+    scalar columns here — the driver's canonicalizer can't hash array
+    cells (the array-returning operator itself is unchanged)."""
     (docs,) = load(spark, sf_dir, "documents")
-    return extract_features(attach_binary_payload(docs))
+    feats = extract_features(attach_binary_payload(docs))
+    bins = [F.col("features")[i].alias(f"f{i:02d}") for i in range(16)]
+    return feats.select("doc_id", "n_bytes", "magic", "width", "height", *bins)
 
 
 @register(
