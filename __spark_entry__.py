@@ -30,6 +30,9 @@ def _configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Policy for the testdata's TIMESTAMP(NANOS) events.ts column
+    # (mirrors session.get_spark; see plans.catalog._read).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
 
 

@@ -99,14 +99,21 @@ def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
         )
         customer = normalize_columns(
             read_csv_dialect(spark, f"{landing}/customer")
-        )
+        ).withColumn("load_period", F.lit(period))
         idempotent_write(customer, f"{lake}/customer")
         return lake
 
     def build_customer_dim(spark: SparkSession, period: str, ctx):
-        """W1 latest-per-key over the (re-delivered) customer rows."""
+        """W1 latest-per-key over the (re-delivered) customer rows.
+        Recency = the delivery period stamped at ingest; a full-row
+        content hash is the unique tie-break among same-period
+        re-deliveries (ordering by the partition key itself would make
+        the survivor arbitrary)."""
         customer = spark.read.parquet(f"{lake}/customer")
-        dim = latest_per_key_rn(customer, ["c_custkey"], ["c_custkey"])
+        payload = [c for c in customer.columns if c != "load_period"]
+        dim = latest_per_key_rn(
+            customer, ["c_custkey"], [F.col("load_period"), F.xxhash64(*payload)]
+        ).drop("load_period")
         atomic_publish(dim, f"{model}/customer_dim", validate=model_exists)
         return spark.read.parquet(f"{model}/customer_dim")
 

@@ -20,6 +20,8 @@ partitions, and cluster sizes.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -77,8 +79,13 @@ def jaccard_pairs(
     a shingle. Hot shingles fan out quadratically; at 100 TB drop the
     top-frequency shingles (stopword shingles) before the self-join or
     switch to :func:`minhash_lsh`.
+
+    Deliberately not persisted here: shingling is a cheap scan-stage
+    expression, and a persist without a matching unpersist would leak
+    executor storage for the session lifetime (callers that
+    materialize immediately can persist/unpersist around the call).
     """
-    sh = word_shingles(docs, n).persist()
+    sh = word_shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -213,6 +220,7 @@ def connected_components(
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -239,7 +247,19 @@ def connected_components(
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # One hop per iteration: a component whose diameter exceeds
+        # max_iter would return silently-wrong labels (and downstream
+        # dedup_by_clusters would under-dedup with no signal) — warn.
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} before the "
+            "fixpoint; cluster labels may be incomplete for components "
+            "with diameter > max_iter — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -46,7 +46,11 @@ class Pipeline:
 
     Stages whose ``fn`` returns ``None`` are treated as skipped
     (e.g. an idempotent write that found existing output) — mirroring
-    the reference's create-if-absent short-circuit.
+    the reference's create-if-absent short-circuit. A skipped stage
+    stores no result, so a stage with dependents must NOT return
+    ``None``: an idempotent stage that short-circuits should return
+    its already-published output (path or re-read DataFrame) instead.
+    Violations fail fast here rather than as a downstream ``KeyError``.
     """
 
     def __init__(self, stages: list[Stage]):
@@ -57,6 +61,10 @@ class Pipeline:
                 if d not in self._stages:
                     raise ValueError(f"stage {s.name} depends on unknown {d}")
         self._order = list(TopologicalSorter(graph).static_order())
+        self._dependents = {
+            s.name: sorted(t.name for t in stages if s.name in t.deps)
+            for s in stages
+        }
 
     def run(self, spark: SparkSession, period: str) -> PipelineRun:
         run = PipelineRun(period=period)
@@ -64,6 +72,13 @@ class Pipeline:
             stage = self._stages[name]
             result = stage.fn(spark, period, run.results)
             if result is None:
+                if self._dependents[name]:
+                    raise RuntimeError(
+                        f"stage {name!r} skipped (fn returned None) but "
+                        f"{self._dependents[name]} consume its result; "
+                        "idempotent stages with dependents must return "
+                        "their already-published output instead of None"
+                    )
                 run.skipped.append(name)
                 continue
             for desc, predicate in stage.gates:

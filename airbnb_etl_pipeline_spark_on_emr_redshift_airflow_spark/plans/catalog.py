@@ -73,11 +73,20 @@ def register(name: str, oracle: str | None = None):
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's
-        # vectorized reader rejects. Read nanos as long (legacy conf)
-        # and convert; the testdata is microsecond-aligned, so the
-        # div-1000 truncation is lossless (events oracles cast DuckDB's
-        # TIMESTAMP_NS to micros the same way).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # vectorized reader rejects. nanosAsLong is session policy
+        # (set visibly in session.get_spark and __spark_entry__
+        # ._configure, not as a hidden side effect here); it must be
+        # on before the read resolves the schema, so fail loudly if a
+        # foreign session lacks it. The testdata is microsecond-
+        # aligned, so the div-1000 truncation is lossless (events
+        # oracles cast DuckDB's TIMESTAMP_NS to micros the same way).
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            raise RuntimeError(
+                "reading events.parquet requires "
+                "spark.sql.legacy.parquet.nanosAsLong=true; build the "
+                "session via session.get_spark or apply "
+                "__spark_entry__._configure"
+            )
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
         # Integer `div`, not `/`: double division of an ~1.7e18 nanos
         # value exceeds the 2^53 mantissa and corrupts microseconds.

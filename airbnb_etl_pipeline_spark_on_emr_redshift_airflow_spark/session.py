@@ -55,6 +55,11 @@ def get_spark(
         # so one generated SQL string parses identically under Spark SQL
         # and DuckDB (the catalog shares classifier SQL between engines).
         .config("spark.sql.parser.escapedStringLiterals", "true")
+        # Session-wide policy: parquet TIMESTAMP(NANOS) columns (the
+        # testdata's events.ts) read as bigint nanos; plans.catalog._read
+        # converts to timestamp via integer div. Set here — visibly — so
+        # loading events is not a hidden conf side effect elsewhere.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow for any pandas_udf / toPandas path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Broadcast joins for dimension tables (reference J3's 4-row dim);
