@@ -297,10 +297,62 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 def simhash_dup_buckets(docs: DataFrame) -> DataFrame:
     """Docs sharing an identical SimHash signature (hamming distance 0
-    buckets). Rotate/band the signature for distance>0 at scale."""
+    buckets). For distance > 0 use :func:`simhash_near_dups`."""
     sig = simhash_signatures(docs)
     return (
         sig.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame, bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-duplicate pairs at hamming distance > 0 via
+    signature banding: the 64-bit signature splits into ``bands``
+    equal bands; by pigeonhole, any pair within hamming distance
+    ``bands - 1`` shares at least one unchanged band, so candidates =
+    docs colliding on any (band_id, band_bits) bucket — never O(docs²).
+    Candidates are verified with the exact popcount of the XOR'd
+    signatures and filtered to ``hamming <= max_hamming``.
+
+    Guarantee: exhaustive for ``max_hamming <= bands - 1`` (default
+    3 ≤ 4-1); larger ``max_hamming`` values are found only
+    probabilistically — raise ``bands`` to keep the guarantee (cost:
+    bands× bucket rows, narrower bands → more collisions).
+
+    Returns (doc_a, doc_b, hamming). One bucket shuffle + one verify
+    join on candidate ids.
+    """
+    width = 64 // bands
+    sig = simhash_signatures(docs)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.expr(
+                f"(simhash >> {b * width}) & {(1 << width) - 1}"
+            ).alias("bits"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.bits")
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band_id", "bits")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band_id", "bits")
+    cands = (
+        a.join(b, ["band_id", "bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sig_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    sig_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    return (
+        cands.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("hamming", F.expr("bit_count(sa ^ sb)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )

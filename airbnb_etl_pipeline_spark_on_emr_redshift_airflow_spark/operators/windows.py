@@ -101,6 +101,99 @@ def scd2_versions(
     )
 
 
+def global_distribution_ranks(
+    df: DataFrame,
+    value_col: str,
+    tiebreak: list[str],
+    n_tiles: int = 4,
+    n_buckets: int = 32,
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """Global ntile/percent_rank/cume_dist WITHOUT a single-partition
+    window — the fact-scale form of ``Window.orderBy(...)`` (which
+    Spark executes as one Exchange SinglePartition + sort: a driver-
+    sized bottleneck at 100 TB).
+
+    Three-phase distributed global rank:
+
+    1. Bucket every row by value against ``n_buckets`` approximate
+       quantile boundaries — a scan-stage CASE expression, no shuffle.
+       Equal values land in the same bucket, so bucketing is monotone
+       w.r.t. the global order even though boundaries are approximate.
+    2. Count rows per bucket (tiny aggregate, ≤ n_buckets rows) and
+       turn the counts into cumulative offsets + grand total — a
+       window over the tiny frame, then a broadcast join back.
+    3. Rank locally inside each bucket (one shuffle, partitioned by
+       bucket — sizes bounded by the quantile spacing) and add the
+       bucket offset: ``global_rn = offset + local_rn``.
+
+    Requires ``(value_col, *tiebreak)`` to be a unique total order
+    (same contract the oracle needs): then row_number == rank, so
+    ``percent_rank = (rn-1)/(N-1)`` and ``cume_dist = rn/N`` match the
+    SQL functions exactly.
+
+    Skew note: a single value spanning > 1/n_buckets of the data
+    collapses into one bucket; AQE's skew handling splits the sort,
+    but the offset math stays correct regardless.
+
+    Adds columns: ``global_rn``, ``quartile`` (ntile(n_tiles)),
+    ``pct_rank``, ``cdist``.
+    """
+    boundaries = df.stat.approxQuantile(
+        value_col, [i / n_buckets for i in range(1, n_buckets)], rel_err
+    )
+    # Monotone value-based bucket id: 1 + #boundaries strictly below x.
+    bucket = F.lit(1)
+    for b in boundaries:
+        bucket = bucket + F.when(F.col(value_col) > F.lit(b), 1).otherwise(0)
+    bucketed = df.withColumn("__bucket", bucket)
+
+    counts = bucketed.groupBy("__bucket").agg(F.count("*").alias("__cnt"))
+    w_off = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__bucket",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__offset"),
+        F.sum("__cnt").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__total"),
+    )
+
+    w_local = Window.partitionBy("__bucket").orderBy(
+        F.col(value_col), *_cols(tiebreak)
+    )
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "__bucket")
+        .withColumn("__rn", F.col("__offset") + F.row_number().over(w_local))
+    )
+    n = F.col("__total")
+    rn = F.col("__rn")
+    # SQL ntile: the first (N % n_tiles) buckets get ceil(N/n_tiles)
+    # rows, the rest floor(N/n_tiles).
+    q = (n / n_tiles).cast("long")
+    r0 = n % n_tiles
+    big = r0 * (q + 1)
+    quartile = (
+        F.when(rn <= big, ((rn - 1) / (q + 1)).cast("long") + 1)
+        .otherwise(r0 + ((rn - big - 1) / q).cast("long") + 1)
+        .cast("int")
+    )
+    return (
+        ranked.withColumn("global_rn", rn)
+        .withColumn("quartile", quartile)
+        .withColumn(
+            "pct_rank",
+            F.when(n > 1, (rn - 1).cast("double") / (n - 1)).otherwise(0.0),
+        )
+        .withColumn("cdist", rn.cast("double") / n)
+        .drop("__bucket", "__cnt", "__offset", "__total", "__rn")
+    )
+
+
 def moving_agg(
     df: DataFrame,
     partition: list[str],

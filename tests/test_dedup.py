@@ -108,3 +108,23 @@ def test_minhash_catalog_query_finds_planted_twins(spark):
     ).count()
     twin_pairs = {p for p in pairs if p[1] == p[0] + 1_000_000}
     assert len(twin_pairs) == n_subset  # every doc paired with its twin
+
+
+def test_simhash_near_dups_banded(spark, docs):
+    """Banding must recover hamming>0 near-dup pairs (exhaustively for
+    hamming <= bands-1) and never pair unrelated docs."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        simhash_near_dups,
+        simhash_signatures,
+    )
+
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    ham_near = bin(sigs[1] ^ sigs[2]).count("1")
+    assert 0 < ham_near <= 15  # fixture sanity: a true near-dup, not exact
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dups(docs, bands=16, max_hamming=15).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == ham_near
+    assert (1, 4) in pairs and pairs[(1, 4)] == 0  # case-variant: exact
+    assert not any(3 in p for p in pairs)  # FAR never pairs

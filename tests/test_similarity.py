@@ -96,3 +96,38 @@ def test_ivf_recall_against_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+
+
+def test_lsh_blocked_near_dup_recall(spark):
+    """embedding_near_dup_pairs_lsh must recover most of the exact
+    all-pairs near-dups and all planted identical twins."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    twins = emb.limit(10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "label",
+        "embedding",
+    )
+    corpus = emb.unionByName(twins)
+    # Exact ground truth: all-pairs cosine via a constant blocking key
+    # (fine at test scale).
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            corpus.withColumn("all", F.lit(1)), 0.35, bucket_col="all"
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs_lsh(
+            corpus, 0.35, n_planes=4, n_tables=16, dim=64
+        ).collect()
+    }
+    assert got <= exact  # verify step is exact: no false positives
+    twin_pairs = {(i, i + 1_000_000) for i in range(10)}
+    assert twin_pairs <= got  # identical vectors collide in every table
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.7, f"LSH-blocked recall collapsed: {recall}"

@@ -70,3 +70,40 @@ def test_scd2_versions_intervals(spark):
     assert out[(1, "v1")] == ("2021-01-01", "2021-03-01", False)
     assert out[(1, "v2")] == ("2021-03-01", None, True)
     assert out[(2, "only")] == ("2021-02-01", None, True)
+
+
+def test_global_distribution_ranks_matches_window(spark):
+    """The range-partitioned global rank must reproduce the
+    single-partition window form exactly (unique total order)."""
+    from pyspark.sql import Window
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.windows import (
+        global_distribution_ranks,
+    )
+    from tests.conftest import SF_DIR
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    expected = {
+        r.c_custkey: (r.q, r.pr, r.cd)
+        for r in cust.select(
+            "c_custkey",
+            F.ntile(4).over(w).alias("q"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    got = {
+        r.c_custkey: (r.quartile, r.pct_rank, r.cdist)
+        for r in global_distribution_ranks(
+            cust, "c_acctbal", ["c_custkey"], n_tiles=4, n_buckets=8
+        ).collect()
+    }
+    assert got.keys() == expected.keys()
+    for k, (q, pr, cd) in expected.items():
+        gq, gpr, gcd = got[k]
+        assert gq == q, (k, gq, q)
+        assert abs(gpr - pr) < 1e-12
+        assert abs(gcd - cd) < 1e-12
