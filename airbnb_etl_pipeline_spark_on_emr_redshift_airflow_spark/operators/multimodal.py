@@ -107,20 +107,26 @@ def extract_features(
 
 
 def sample_frames(
-    df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
+    df: DataFrame,
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """'Frame sampling' over a binary payload — deterministic stride
     slicing expressed as pure column ops (substr on binary), one output
     row per sampled frame. Mirrors video frame-sampling plumbing:
-    explode(frame_index) → slice payload."""
+    explode(frame_index) → slice payload. ``carry`` names extra
+    doc-level columns to repeat onto every frame row (metadata ride-
+    along, no join needed)."""
     idx = F.explode(
         F.sequence(F.lit(0), F.least(
             F.floor(F.length("payload") / every_n_bytes).cast("int"),
             F.lit(max_frames - 1),
         ))
     ).alias("frame_no")
-    return df.select("doc_id", "payload", idx).select(
+    return df.select("doc_id", *carry, "payload", idx).select(
         "doc_id",
+        *carry,
         "frame_no",
         F.expr(f"substring(payload, frame_no * {every_n_bytes} + 1, {every_n_bytes})")
         .alias("frame_bytes"),

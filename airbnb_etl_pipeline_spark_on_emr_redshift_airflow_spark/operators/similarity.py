@@ -231,27 +231,46 @@ def embedding_near_dup_pairs_lsh(
     ≈1.0 at s ≥ 0.9; raise n_planes for bigger corpora (cheaper
     buckets), raise n_tables to win recall back.
     """
+    # Candidate generation stays SLIM — id pairs only. Carrying the
+    # vectors through the bucket self-join + dedup would multiply the
+    # shuffle by the embedding width (two dense arrays per candidate
+    # row); instead the vectors join back once per *distinct* pair for
+    # the exact-cosine verify — the same candidates-only verify shape
+    # as minhash_near_dups.
     b = hyperplane_buckets(
         emb, n_planes=n_planes, n_tables=n_tables, dim=dim, seed=seed,
         vec_col=vec_col,
-    ).select(
-        "table_id", "bucket",
-        F.col(id_col).alias("id"),
-        as_double(vec_col).alias("v"),
-    )
-    a = b.select(
-        "table_id", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va")
-    )
-    c = b.select(
-        "table_id", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb")
-    )
+    ).select("table_id", "bucket", F.col(id_col).alias("id"))
+    a = b.select("table_id", "bucket", F.col("id").alias("id_a"))
+    c = b.select("table_id", "bucket", F.col("id").alias("id_b"))
     cands = (
         a.join(c, ["table_id", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
-    return cands.filter(cosine("va", "vb") >= threshold).select("id_a", "id_b")
+    # Pre-normalize once per vector so the per-pair verify is a single
+    # zip_with fold (dot product of unit vectors == cosine) instead of
+    # three (dot + two norms): ~3× less work on the dominant stage.
+    vecs = (
+        emb.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+        # norm lands as a materialized attribute first so the transform
+        # divides by a per-row value, not a re-evaluated fold.
+        .select("id", "v", _norm("v").alias("nrm"))
+        .select("id", F.expr("transform(v, x -> x / nrm)").alias("vn"))
+    )
+    va = vecs.select(F.col("id").alias("id_a"), F.col("vn").alias("vna"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("vn").alias("vnb"))
+    # The vector table is orders of magnitude smaller than the
+    # candidate-pair stream (it has no pair blowup) — broadcast it so
+    # the verify adds zero shuffles; candidates flow map-side through
+    # both attach joins straight into the dot-product filter.
+    return (
+        cands.join(F.broadcast(va), "id_a")
+        .join(F.broadcast(vb), "id_b")
+        .filter(_dot("vna", "vnb") >= threshold)
+        .select("id_a", "id_b")
+    )
 
 
 def hyperplane_buckets(
@@ -267,23 +286,31 @@ def hyperplane_buckets(
     one output row per (vector, table). OR-amplification across tables
     is what buys recall — collision prob for similarity s is
     ``1 - (1 - p1^n_planes)^n_tables`` with ``p1 = 1 - θ(s)/π``.
-    Planes are literal arrays compiled into the plan — no driver
-    state, no shuffle beyond the explode."""
+
+    All ``n_tables × n_planes`` dots compute in ONE Arrow-batched
+    numpy matmul per record batch (a Pandas UDF): expression-tree
+    folds are CodegenFallback (interpreted, boxed per element) and an
+    unrolled per-element tree blows past the codegen method limit, so
+    for this genuinely dense-matrix stage the vectorized Python path
+    is the fast one (~10× over the fold — same trade cosine_pandas
+    documents). The seeded plane matrix ships in the UDF closure — a
+    few KB of deterministic constants, no driver loop over data, no
+    shuffle beyond the explode."""
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_tables, n_planes, dim)
-    tables = []
-    for t in range(n_tables):
-        bucket = F.lit(0)
-        for i in range(n_planes):
-            plane = F.array(*[F.lit(float(x)) for x in planes[t, i]])
-            bit = F.when(_dot(as_double(vec_col), plane) >= 0, 1).otherwise(0)
-            bucket = bucket + (bit * (2**i))
-        tables.append(
-            F.struct(F.lit(t).alias("table_id"), bucket.cast("int").alias("bucket"))
-        )
-    return emb.select(
-        "*", F.explode(F.array(*tables)).alias("__t")
-    ).select(*emb.columns, "__t.table_id", "__t.bucket")
+    flat = planes.reshape(n_tables * n_planes, dim)  # (T*P, dim)
+    weights = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("array<int>")
+    def bucket_ids(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (mat @ flat.T >= 0).reshape(len(mat), n_tables, n_planes)
+        buckets = bits @ weights  # (n, n_tables)
+        return pd.Series(list(buckets.astype(np.int32)))
+
+    return emb.withColumn("__b", bucket_ids(F.col(vec_col))).select(
+        *emb.columns, F.posexplode("__b").alias("table_id", "bucket")
+    )
 
 
 def ann_topk_lsh(

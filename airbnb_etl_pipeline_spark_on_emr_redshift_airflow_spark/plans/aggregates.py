@@ -63,29 +63,6 @@ def q1_pricing_summary(spark, sf_dir):
 
 
 @register(
-    "a_global_scalars",
-    oracle="""
-    SELECT COUNT(*) AS n_rows,
-           CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_order,
-           CAST(MAX(o_orderdate) AS TIMESTAMP) AS last_order,
-           COUNT(DISTINCT o_custkey) AS n_customers
-    FROM orders
-    """,
-)
-def a_global_scalars(spark, sf_dir):
-    """A1/A2 global scalar aggregates — the reference's quality-gate
-    counts (``airbnb-etl-airflow.py:141``) and the max-date watermark
-    (``apps/process_reviews.py:102-103``)."""
-    (orders,) = load(spark, sf_dir, "orders")
-    return orders.agg(
-        F.count("*").alias("n_rows"),
-        F.min("o_orderdate").alias("first_order"),
-        F.max("o_orderdate").alias("last_order"),
-        F.countDistinct("o_custkey").alias("n_customers"),
-    )
-
-
-@register(
     "a_groupby_multi_measure",
     oracle=f"""
     SELECT n.n_name AS nation,
@@ -112,37 +89,6 @@ def a_groupby_multi_measure(spark, sf_dir):
             dec_sum("c_acctbal", "total_acctbal"),
         )
     )
-
-
-@register(
-    "a_ratio_to_total",
-    oracle="""
-    SELECT o_orderpriority,
-           count(*) AS cnt,
-           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM orders) AS share
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def a_ratio_to_total(spark, sf_dir):
-    """A5 ratio-to-total — the reference's sentiment-share scalar
-    subquery (cells 41/47, ``count(*)::decimal / (SELECT COUNT(*)...)``)
-    re-expressed as a window sum over the aggregated result (one input
-    scan instead of two)."""
-    (orders,) = load(spark, sf_dir, "orders")
-    return ratio_to_total(orders, ["o_orderpriority"])
-
-
-@register(
-    "a_distinct_multi_col",
-    oracle="""
-    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
-    """,
-)
-def a_distinct_multi_col(spark, sf_dir):
-    """A6 — multi-column GROUP BY used purely for dedup (reference
-    cells 49/51 inner queries)."""
-    (customer,) = load(spark, sf_dir, "customer")
-    return customer.select("c_nationkey", "c_mktsegment").distinct()
 
 
 @register(
@@ -185,91 +131,58 @@ def a_collect_set_join(spark, sf_dir):
 
 
 @register(
-    "a_rollup",
+    "a_rollup_cube",
     oracle=f"""
     SELECT l_returnflag, l_linestatus, count(*) AS n,
-           {dec_sum_sql("l_quantity", "sum_qty")}
-    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def a_rollup(spark, sf_dir):
-    """Grouping-sets surface extension (SURVEY.md §2.4 note: free via
-    ``df.rollup``): subtotal lattice over the Q1 keys."""
-    (li,) = load(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), dec_sum("l_quantity", "sum_qty")
-    )
-
-
-@register(
-    "a_pivot",
-    oracle=f"""
-    SELECT l_returnflag,
-           {dec_sum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END", "qty_open")},
-           {dec_sum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END", "qty_filled")}
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def a_pivot(spark, sf_dir):
-    """Pivot surface extension: linestatus columns out of rows.
-    Expressed as conditional aggregation (identical plan to
-    ``.pivot()`` with explicit values, and oracle-portable)."""
-    (li,) = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        dec_sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")), "qty_open"),
-        dec_sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")), "qty_filled"),
-    )
-
-
-@register(
-    "a_scalar_subquery_ratio",
-    oracle="""
-    SELECT o_orderstatus,
-           count(*) AS cnt,
-           CAST(count(*) AS DOUBLE)
-             / (SELECT count(*) FROM orders
-                WHERE o_orderpriority IN ('1-URGENT','2-HIGH')) AS share_of_urgent
-    FROM orders
-    WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
-    GROUP BY o_orderstatus
-    """,
-)
-def a_scalar_subquery_ratio(spark, sf_dir):
-    """A5 in its literal reference form — a scalar subquery in the
-    SELECT list (``redshift-etl-notebook.ipynb`` cell 41:
-    ``count(*)::decimal / (SELECT COUNT(*) FROM reviews WHERE ...)``)
-    via ``spark.sql``: Catalyst plans the subquery once and broadcasts
-    the scalar."""
-    views(spark, sf_dir, "orders")
-    return spark.sql(
-        """
-        SELECT o_orderstatus,
-               count(*) AS cnt,
-               CAST(count(*) AS DOUBLE)
-                 / (SELECT count(*) FROM orders
-                    WHERE o_orderpriority IN ('1-URGENT','2-HIGH')) AS share_of_urgent
-        FROM orders
-        WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
-        GROUP BY o_orderstatus
-        """
-    )
-
-
-@register(
-    "a_cube",
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           {dec_sum_sql("l_quantity", "sum_qty")},
            {dec_sum_sql("l_extendedprice", "sum_price")}
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
-def a_cube(spark, sf_dir):
-    """CUBE lattice (surface extension, free via ``df.cube`` —
-    SURVEY.md §2.4 note): all grouping-set combinations of the Q1
-    keys."""
+def a_rollup_cube(spark, sf_dir):
+    """Grouping-sets surface extension (SURVEY.md §2.4 note: free via
+    ``df.rollup`` / ``df.cube``): the full CUBE lattice over the Q1
+    keys — a strict superset of ROLLUP's subtotal sets, so one query
+    covers both shapes. Catalyst plans both as a single Expand +
+    hash aggregate (one shuffle regardless of set count)."""
     (li,) = load(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), dec_sum("l_extendedprice", "sum_price")
+        F.count("*").alias("n"),
+        dec_sum("l_quantity", "sum_qty"),
+        dec_sum("l_extendedprice", "sum_price"),
+    )
+
+
+@register(
+    "a_pivot_unpivot",
+    oracle=f"""
+    WITH pivoted AS (
+      SELECT l_returnflag,
+             {dec_sum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END", "qty_open")},
+             {dec_sum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END", "qty_filled")}
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty_open' AS measure, qty_open AS qty FROM pivoted
+    UNION ALL
+    SELECT l_returnflag, 'qty_filled' AS measure, qty_filled AS qty FROM pivoted
+    """,
+)
+def a_pivot_unpivot(spark, sf_dir):
+    """Pivot + unpivot surface extensions round-tripped in one query:
+    linestatus pivots to measure columns via conditional aggregation
+    (identical plan to ``.pivot()`` with explicit values, and
+    oracle-portable), then ``stack`` melts the measures back to
+    (measure, qty) rows — the unpivot runs driver-free in the same
+    stage as the aggregate output (no extra shuffle)."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    pivoted = li.groupBy("l_returnflag").agg(
+        dec_sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")), "qty_open"),
+        dec_sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")), "qty_filled"),
+    )
+    return pivoted.selectExpr(
+        "l_returnflag",
+        "stack(2, 'qty_open', qty_open, 'qty_filled', qty_filled)"
+        " AS (measure, qty)",
     )
 
 
@@ -288,20 +201,29 @@ def a_cube(spark, sf_dir):
            COUNT(DISTINCT o_orderpriority),
            MIN(o_orderpriority), MAX(o_orderpriority)
     FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*),
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_orderdate),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders
     """,
 )
 def a_column_profile(spark, sf_dir):
     """Column-profiling operator (data-quality surface — generalizes
     the reference's notebook sanity checks into one single-pass
-    aggregate + unpivot). Exact-distinct variant used here so the
-    oracle can match; ``operators.profile.profile`` is the sketch-based
-    scale form."""
+    aggregate + unpivot). The o_orderdate row carries the A1/A2 global
+    scalars (row count, min/max date — the reference's quality-gate
+    counts at ``airbnb-etl-airflow.py:141`` and the max-date watermark
+    of ``apps/process_reviews.py:102-103``). Exact-distinct variant
+    used here so the oracle can match; ``operators.profile.profile``
+    is the sketch-based scale form."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.profile import (
         exact_profile,
     )
 
     (orders,) = load(spark, sf_dir, "orders")
-    return exact_profile(orders, ["o_custkey", "o_orderpriority"])
+    return exact_profile(orders, ["o_custkey", "o_orderpriority", "o_orderdate"])
 
 
 @register(
@@ -343,30 +265,6 @@ def a_grouped_pandas_zscore(spark, sf_dir):
 
     (orders,) = load(spark, sf_dir, "orders")
     return zscore_per_group(orders, "o_custkey", "o_totalprice")
-
-
-@register(
-    "a_unpivot",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, 'price' AS measure, l_extendedprice AS value
-    FROM lineitem
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'quantity', l_quantity FROM lineitem
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
-    """,
-)
-def a_unpivot(spark, sf_dir):
-    """Unpivot/melt (surface extension): wide measures to (measure,
-    value) rows via ``stack`` — zero shuffles, evaluated in the scan
-    stage."""
-    (li,) = load(spark, sf_dir, "lineitem")
-    return li.selectExpr(
-        "l_orderkey",
-        "l_linenumber",
-        "stack(3, 'price', l_extendedprice, 'quantity', l_quantity,"
-        " 'discount', l_discount) AS (measure, value)",
-    )
 
 
 @register("a_approx_sketches")

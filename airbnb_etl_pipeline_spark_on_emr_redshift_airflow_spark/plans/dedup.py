@@ -21,7 +21,6 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup imp
     exact_dedup_fingerprint,
     jaccard_pairs,
     minhash_near_dups,
-    simhash_dup_buckets,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
     load,
@@ -46,7 +45,10 @@ _NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z]+', ' '))"
 def d_exact_dedup(spark, sf_dir):
     """Exact dedup: normalized-text md5 fingerprint → min-doc_id
     survivor per duplicate class. The corpus-scale analog of the
-    reference's key dedup (``apps/process_reviews.py:148``)."""
+    reference's key dedup (``apps/process_reviews.py:148``). The
+    ``fp`` column is the document-fingerprinting operator itself
+    (``functions.text.fingerprint``) — both engines emit identical hex
+    over case/whitespace-normalized text."""
     (docs,) = load(spark, sf_dir, "documents")
     return exact_dedup_fingerprint(docs)
 
@@ -87,16 +89,26 @@ def d_ngram_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(subset, n=3, threshold=0.008)
 
 
-@register("d_minhash_near_dup")
-def d_minhash_near_dup(spark, sf_dir):
-    """MinHash(32) + LSH(8 bands) candidates, verified with exact
-    shingle Jaccard ≥ 0.5 — the 100 TB near-dedup path: cost bounded
-    by bucket collisions, never O(docs²). The synthetic corpus has no
-    natural near-duplicates, so the query PLANTS them: each subset doc
-    gets a mutated twin (one word appended, Jaccard ≈ 0.95, id+10^6) —
-    the operator must pair every doc with its twin. Rows-only check
-    (xxhash64 signatures are not DuckDB-expressible); exact pairing
-    additionally asserted in tests."""
+@register("d_minhash_dup_clusters")
+def d_minhash_dup_clusters(spark, sf_dir):
+    """The full 100 TB near-dedup chain in one query: MinHash(32) +
+    LSH(8 bands) candidates, verified with exact shingle Jaccard ≥ 0.5
+    — cost bounded by bucket collisions, never O(docs²) — then the
+    verified pairs resolved into duplicate CLUSTERS by connected
+    components (iterative min-label propagation with localCheckpoint
+    lineage cuts). Returns (doc_id, cluster_id), cluster_id = the
+    canonical min-id survivor.
+
+    The synthetic corpus has no natural near-duplicates, so the query
+    PLANTS them: each subset doc gets a mutated twin (one word
+    appended, Jaccard ≈ 0.95, id+10^6) — every doc must land in a
+    cluster with its twin. Rows-only check (xxhash64 signatures and
+    iterative propagation are not DuckDB-expressible); pairing,
+    chain-transitivity, and convergence semantics unit-tested."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        connected_components,
+    )
+
     (docs,) = load(spark, sf_dir, "documents")
     subset = docs.select("doc_id", "text").filter(F.expr(_SUBSET))
     twins = subset.select(
@@ -104,29 +116,32 @@ def d_minhash_near_dup(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" mutated")).alias("text"),
     )
     corpus = subset.unionByName(twins)
-    return minhash_near_dups(corpus, k=32, bands=8, n=3, threshold=0.5)
-
-
-@register("d_dup_clusters")
-def d_dup_clusters(spark, sf_dir):
-    """Pair→cluster resolution: n-gram Jaccard pairs resolved into
-    connected components (iterative min-label propagation with
-    localCheckpoint lineage cuts), returning (doc_id, cluster_id).
-    Rows-only per the driver contract for iterative algorithms; chain/
-    transitivity semantics unit-tested."""
-    (docs,) = load(spark, sf_dir, "documents")
-    subset = docs.filter(F.expr(_SUBSET))
-    pairs = jaccard_pairs(subset, n=3, threshold=0.008)
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
-        connected_components,
-    )
-
+    pairs = minhash_near_dups(corpus, k=32, bands=8, n=3, threshold=0.5)
     return connected_components(pairs)
 
 
-@register("d_simhash_buckets")
-def d_simhash_buckets(spark, sf_dir):
-    """SimHash-64 exact-signature duplicate buckets (hamming-0).
-    Rows-only check; bit-majority semantics unit-tested."""
+@register("d_simhash_near_dup")
+def d_simhash_near_dup(spark, sf_dir):
+    """SimHash-64 near-duplicate pairs at hamming > 0 via signature
+    banding (8 bands of 8 bits ⇒ exhaustive for hamming ≤ 7),
+    verified with exact XOR popcount. Planted twins (one appended
+    word) land mostly at hamming 0-5 on this corpus — all within the
+    banding guarantee, including the distance-1 ones; twins mutated
+    past 7 bits are out of contract (raise bands to chase them, at
+    the cost of narrower bands ⇒ more bucket collisions). Exact-
+    signature (hamming-0) buckets remain available as
+    ``operators.dedup.simhash_dup_buckets``. Rows-only check
+    (xxhash64-based signatures are not DuckDB-expressible);
+    bit-majority + banding semantics unit-tested."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        simhash_near_dups,
+    )
+
     (docs,) = load(spark, sf_dir, "documents")
-    return simhash_dup_buckets(docs)
+    subset = docs.select("doc_id", "text").filter(F.expr(_SUBSET))
+    twins = subset.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" mutated")).alias("text"),
+    )
+    corpus = subset.unionByName(twins)
+    return simhash_near_dups(corpus, bands=8, max_hamming=7)

@@ -29,42 +29,45 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.events im
 
 
 @register(
-    "e_tumbling_window",
+    "e_tumbling_sliding",
     oracle=f"""
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+    WITH bucketed AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS w0, event_type, value
+      FROM {EVENTS_SRC}
+    ), expanded AS (
+      SELECT w0 AS window_start, event_type, value FROM bucketed
+      UNION ALL
+      SELECT w0 - INTERVAL '30 minutes' AS window_start, event_type, value
+      FROM bucketed
+    )
+    SELECT 'tumbling' AS kind,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type,
            count(*) AS n_events,
            {dec_sum_sql("value", "total_value")}
-    FROM {EVENTS_SRC} GROUP BY 1, 2
+    FROM {EVENTS_SRC} GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS kind, window_start, event_type,
+           count(*) AS n_events,
+           {dec_sum_sql("value", "total_value")}
+    FROM expanded GROUP BY 2, 3
     """,
 )
-def e_tumbling_window(spark, sf_dir):
-    """Tumbling 1-hour event-time windows per event type — the
-    streaming aggregate run in batch mode (same function the
-    ``streaming.events.stream_tumbling`` pipeline executes)."""
+def e_tumbling_sliding(spark, sf_dir):
+    """Tumbling 1-hour windows ∪ sliding 1-hour/30-minute-hop windows
+    per event type, tagged by kind — both streaming aggregates run in
+    batch mode (the same functions the ``streaming.events`` pipelines
+    execute; every event contributes to one tumbling and exactly two
+    sliding windows). Oracle: time_bucket for tumbling, union of the
+    two hop offsets for sliding."""
     (events,) = load(spark, sf_dir, "events")
-    return tumbling_agg(events, "1 hour")
-
-
-@register(
-    "e_sliding_window",
-    oracle=f"""
-    WITH bucketed AS (
-      SELECT time_bucket(INTERVAL '30 minutes', ts) AS w0, event_type FROM {EVENTS_SRC}
-    ), expanded AS (
-      SELECT w0 AS window_start, event_type FROM bucketed
-      UNION ALL
-      SELECT w0 - INTERVAL '30 minutes' AS window_start, event_type FROM bucketed
+    tumbling = tumbling_agg(events, "1 hour").select(
+        F.lit("tumbling").alias("kind"), "*"
     )
-    SELECT window_start, event_type, count(*) AS n_events
-    FROM expanded GROUP BY 1, 2
-    """,
-)
-def e_sliding_window(spark, sf_dir):
-    """Sliding 1-hour windows, 30-minute hop: every event contributes
-    to exactly two windows (oracle: union of both hop offsets)."""
-    (events,) = load(spark, sf_dir, "events")
-    return sliding_agg(events, "1 hour", "30 minutes")
+    sliding = sliding_agg(events, "1 hour", "30 minutes").select(
+        F.lit("sliding").alias("kind"), "*"
+    )
+    return tumbling.unionByName(sliding)
 
 
 @register(

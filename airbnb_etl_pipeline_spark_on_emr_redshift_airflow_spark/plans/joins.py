@@ -150,38 +150,36 @@ def j_windowed_subquery_using(spark, sf_dir):
 
 
 @register(
-    "j_anti_new_keys",
+    "j_anti_semi_cohorts",
     oracle="""
-    SELECT c_custkey, c_name
+    SELECT c_custkey, c_name, 'never_ordered' AS cohort
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
-def j_anti_new_keys(spark, sf_dir):
-    """J6 — the anti-join the reference needed and abandoned
-    (``README.md:193-199``, NOT IN > 2 h): customers that never
-    ordered. Spark's left_anti is a single hash join; null-aware,
-    no quadratic subquery."""
-    customer, orders = load(spark, sf_dir, "customer", "orders")
-    return anti_join(
-        customer, orders, F.col("c_custkey") == F.col("o_custkey")
-    ).select("c_custkey", "c_name")
-
-
-@register(
-    "j_semi_exists",
-    oracle="""
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT c_custkey, c_name, 'ordered' AS cohort
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
-def j_semi_exists(spark, sf_dir):
-    """Semi-join surface extension (EXISTS) — complement of J6."""
+def j_anti_semi_cohorts(spark, sf_dir):
+    """J6 + the EXISTS complement in one query — the anti-join the
+    reference needed and abandoned (``README.md:193-199``, NOT IN >
+    2 h): customers split into never-ordered (left_anti) and ordered
+    (left_semi) cohorts. Spark plans each side as a single hash join —
+    null-aware, no quadratic subquery; the build side (orders keys)
+    is shared work Catalyst can reuse via exchange reuse."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.relational import (
+        align_union,
+    )
+
     customer, orders = load(spark, sf_dir, "customer", "orders")
-    return semi_join(
+    never = anti_join(
         customer, orders, F.col("c_custkey") == F.col("o_custkey")
-    ).select("c_custkey", "c_name")
+    ).select("c_custkey", "c_name", F.lit("never_ordered").alias("cohort"))
+    did = semi_join(
+        customer, orders, F.col("c_custkey") == F.col("o_custkey")
+    ).select("c_custkey", "c_name", F.lit("ordered").alias("cohort"))
+    return align_union(never, did)
 
 
 @register(

@@ -19,24 +19,45 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog impor
 
 
 @register(
-    "m_binary_metadata",
+    "m_binary_frames",
     oracle="""
+    WITH src AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ), idx AS (
+      SELECT doc_id, n, unnest(range(0, least(n // 64, 7) + 1)) AS frame_no
+      FROM src
+    )
     SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           'fake/utf8' AS mime
-    FROM documents
+           CAST(n AS BIGINT) AS n_bytes,
+           'fake/utf8' AS mime,
+           CAST(frame_no AS INT) AS frame_no,
+           GREATEST(LEAST(64, n - frame_no * 64), 0) AS frame_len
+    FROM idx
     """,
 )
-def m_binary_metadata(spark, sf_dir):
-    """Binary payload attach + typed metadata struct: byte lengths and
-    mime tags survive the binary round-trip (oracle recomputes via
-    DuckDB's encode/octet_length)."""
+def m_binary_frames(spark, sf_dir):
+    """Binary payload attach + typed metadata struct + frame sampling
+    in one query: the payload round-trips through ``binary`` (byte
+    lengths and mime tags survive — oracle recomputes via DuckDB's
+    encode/octet_length), then stride-sliced into one row per sampled
+    frame (capped at 8) with the doc metadata carried along — the
+    video frame-sample plumbing shape, all pure column ops."""
     (docs,) = load(spark, sf_dir, "documents")
-    with_bin = attach_binary_payload(docs)
-    return with_bin.select(
+    with_bin = attach_binary_payload(docs).select(
         "doc_id",
         F.length("payload").cast("bigint").alias("n_bytes"),
         F.col("meta.mime").alias("mime"),
+        "payload",
+    )
+    frames = sample_frames(
+        with_bin, every_n_bytes=64, max_frames=8, carry=("n_bytes", "mime")
+    )
+    return frames.select(
+        "doc_id",
+        "n_bytes",
+        "mime",
+        "frame_no",
+        F.length("frame_bytes").cast("bigint").alias("frame_len"),
     )
 
 
@@ -54,28 +75,3 @@ def m_feature_extract(spark, sf_dir):
     return feats.select("doc_id", "n_bytes", "magic", "width", "height", *bins)
 
 
-@register(
-    "m_frame_sample",
-    oracle="""
-    WITH src AS (
-      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
-    ), idx AS (
-      SELECT doc_id, n, unnest(range(0, least(n // 64, 7) + 1)) AS frame_no
-      FROM src
-    )
-    SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
-           GREATEST(LEAST(64, n - frame_no * 64), 0) AS frame_len
-    FROM idx
-    """,
-)
-def m_frame_sample(spark, sf_dir):
-    """Frame sampling over a binary payload: stride slices as pure
-    column ops (one row per frame, capped at 8) — the video
-    frame-sample plumbing shape."""
-    (docs,) = load(spark, sf_dir, "documents")
-    frames = sample_frames(attach_binary_payload(docs), every_n_bytes=64, max_frames=8)
-    return frames.select(
-        "doc_id",
-        "frame_no",
-        F.length("frame_bytes").cast("bigint").alias("frame_len"),
-    )

@@ -11,10 +11,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
-    dec_sum,
-    dec_sum_sql,
-)
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.relational import (
     align_union,
     with_typed_nulls,
@@ -123,7 +119,8 @@ def p_derived_date_parts(spark, sf_dir):
 @register(
     "p_null_pad_align_union",
     oracle="""
-    SELECT c_custkey, c_name, c_mktsegment, CAST(NULL AS DOUBLE) AS c_acctbal
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_mktsegment,
+           CAST(NULL AS DOUBLE) AS c_acctbal
     FROM customer WHERE c_nationkey < 10
     UNION ALL
     SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_mktsegment, c_acctbal
@@ -135,18 +132,21 @@ def p_null_pad_align_union(spark, sf_dir):
     hard part): two sources with disjoint column subsets, typed-null
     padded and unioned by name (replacing the reference's
     sort-columns + positional-union at
-    ``apps/process_listings_hosts.py:97,111,120``)."""
+    ``apps/process_listings_hosts.py:97,111,120``). Side A's key is
+    deliberately narrowed to INT so the union must also widen
+    int→bigint — the missing-column typing AND type-widening edge
+    cases §7.4 flags, both oracle-checked (result key is BIGINT)."""
     (customer,) = load(spark, sf_dir, "customer")
     narrow_a = customer.filter(F.col("c_nationkey") < 10).select(
-        "c_custkey", "c_name", "c_mktsegment"
+        F.col("c_custkey").cast("int").alias("c_custkey"), "c_name", "c_mktsegment"
     )
     narrow_b = customer.filter(F.col("c_nationkey") >= 10).select(
         "c_custkey", "c_name", "c_acctbal"
     )
     padded_a = with_typed_nulls(narrow_a, {"c_acctbal": "double"})
-    return align_union(padded_a, narrow_b).select(
-        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
-    )
+    unioned = align_union(padded_a, narrow_b)
+    assert dict(unioned.dtypes)["c_custkey"] == "bigint", "union must widen int→bigint"
+    return unioned.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
 
 
 @register(
@@ -209,97 +209,91 @@ def u_intersect_except(spark, sf_dir):
 @register(
     "f_string_date_functions",
     oracle="""
-    SELECT concat_ws('_', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS segment_key,
-           upper(substr(c_name, 1, 8)) AS name_prefix,
-           CAST(CAST(c_acctbal / 10 AS DECIMAL(18,4)) AS DOUBLE) AS acctbal_tenth,
-           CASE WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END AS standing,
-           length(c_name) AS name_len
-    FROM customer
-    """,
-)
-def f_string_date_functions(spark, sf_dir):
-    """F1/F7/F8/F11 scalar-function surface: the surrogate-key
-    ``concat_ws`` (reference ``weather_id = concat(city,'_',date)``,
-    ``apps/process_reviews.py:111``), substring/upper, arithmetic
-    rescale, CASE, length."""
-    (customer,) = load(spark, sf_dir, "customer")
-    return customer.select(
-        F.concat_ws(
-            "_", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
-        ).alias("segment_key"),
-        F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"),
-        (F.col("c_acctbal") / 10).cast("decimal(18,4)").cast("double").alias(
-            "acctbal_tenth"
-        ),
-        F.when(F.col("c_acctbal") < 0, "debt").otherwise("credit").alias("standing"),
-        F.length("c_name").alias("name_len"),
-    )
-
-
-@register(
-    "f_date_parse_roundtrip",
-    oracle="""
     WITH compact AS (
-      SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d') AS ymd FROM orders
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+             strftime(o_orderdate, '%Y%m%d') AS ymd
+      FROM orders
     )
-    SELECT o_orderkey, ymd,
+    SELECT o_orderkey,
+           concat_ws('_', o_orderstatus, CAST(o_custkey AS VARCHAR)) AS status_key,
+           upper(substr(o_orderpriority, 1, 8)) AS prio_prefix,
+           CAST(CAST(o_totalprice / 10 AS DECIMAL(18,4)) AS DOUBLE) AS price_tenth,
+           CASE WHEN o_totalprice < 50000 THEN 'small' ELSE 'large' END AS size_class,
+           length(o_orderpriority) AS prio_len,
+           ymd,
            CAST(strptime(ymd, '%Y%m%d') AS DATE) AS parsed_date,
            CAST(EXTRACT(year FROM strptime(ymd, '%Y%m%d')) AS INT) AS y
     FROM compact
     WHERE CAST(strptime(ymd, '%Y%m%d') AS DATE) > DATE '1998-01-01'
     """,
 )
-def f_date_parse_roundtrip(spark, sf_dir):
-    """F6 — compact-date parsing (`to_date(col,'yyyyMMdd')`, the ECA&D
-    weather dates at ``apps/process_weather.py:91,98``) incl. the
-    date-range predicate over the parsed value (P10)."""
+def f_string_date_functions(spark, sf_dir):
+    """F1/F6/F7/F8/F11 + P10 scalar-function surface in one wide
+    projection: the surrogate-key ``concat_ws`` (reference
+    ``weather_id = concat(city,'_',date)``,
+    ``apps/process_reviews.py:111``), substring/upper, arithmetic
+    rescale, CASE, length, AND the compact-date round-trip
+    (``to_date(col,'yyyyMMdd')``, the ECA&D weather dates at
+    ``apps/process_weather.py:91,98``) with the date-range predicate
+    over the parsed value. All scan-stage expressions — zero
+    shuffles."""
     (orders,) = load(spark, sf_dir, "orders")
-    compact = orders.select(
-        "o_orderkey", F.date_format("o_orderdate", "yyyyMMdd").alias("ymd")
-    )
-    parsed = compact.withColumn("parsed_date", F.to_date("ymd", "yyyyMMdd"))
-    return parsed.filter(F.col("parsed_date") > F.lit("1998-01-01").cast("date")).select(
-        "o_orderkey", "ymd", "parsed_date", F.year("parsed_date").alias("y")
+    compact = orders.withColumn(
+        "ymd", F.date_format("o_orderdate", "yyyyMMdd")
+    ).withColumn("parsed_date", F.to_date("ymd", "yyyyMMdd"))
+    return compact.filter(
+        F.col("parsed_date") > F.lit("1998-01-01").cast("date")
+    ).select(
+        "o_orderkey",
+        F.concat_ws(
+            "_", F.col("o_orderstatus"), F.col("o_custkey").cast("string")
+        ).alias("status_key"),
+        F.upper(F.substring("o_orderpriority", 1, 8)).alias("prio_prefix"),
+        (F.col("o_totalprice") / 10).cast("decimal(18,4)").cast("double").alias(
+            "price_tenth"
+        ),
+        F.when(F.col("o_totalprice") < 50000, "small").otherwise("large").alias(
+            "size_class"
+        ),
+        F.length("o_orderpriority").alias("prio_len"),
+        "ymd",
+        "parsed_date",
+        F.year("parsed_date").alias("y"),
     )
 
 
 @register(
-    "o_topk_deterministic",
+    "o_topk_sort_limit",
     oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 10
+    SELECT 'top_price' AS slice, o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM (SELECT * FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10)
+    UNION ALL
+    SELECT 'earliest' AS slice, o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM (SELECT * FROM orders
+          ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 50)
     """,
 )
-def o_topk_deterministic(spark, sf_dir):
-    """O2 top-k: ORDER BY DESC LIMIT k with a unique tie-break
-    (reference cells 47/49). Spark plans TakeOrderedAndProject —
-    per-partition heaps, no global sort."""
+def o_topk_sort_limit(spark, sf_dir):
+    """O1/O2/O3 in one query: top-k by price desc (reference cells
+    47/49) ∪ the earliest-50 ascending sort+limit
+    (``apps/process_weather.py:99`` ORDER BY date; LIMIT peeks in
+    notebook cells 12/18/24), each with a unique tie-break. Spark
+    plans BOTH slices as TakeOrderedAndProject — per-partition heaps,
+    no global sort, no single-partition exchange."""
     (orders,) = load(spark, sf_dir, "orders")
-    return (
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    top = (
         orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(10)
-        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .select(F.lit("top_price").alias("slice"), *cols)
     )
-
-
-@register(
-    "o_global_sort_limit",
-    oracle="""
-    SELECT o_orderkey, o_orderdate
-    FROM orders
-    ORDER BY o_orderdate ASC, o_orderkey ASC
-    LIMIT 50
-    """,
-)
-def o_global_sort_limit(spark, sf_dir):
-    """O1/O3: global sort + limit (reference ``apps/process_weather.py:99``
-    ORDER BY date; LIMIT peeks in notebook cells 12/18/24)."""
-    (orders,) = load(spark, sf_dir, "orders")
-    return orders.orderBy("o_orderdate", "o_orderkey").limit(50).select(
-        "o_orderkey", "o_orderdate"
+    earliest = (
+        orders.orderBy("o_orderdate", "o_orderkey")
+        .limit(50)
+        .select(F.lit("earliest").alias("slice"), *cols)
     )
+    return top.unionByName(earliest)
 
 
 @register(
@@ -337,21 +331,3 @@ def u_union_dedup_merge(spark, sf_dir):
     ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
 
 
-@register(
-    "f_revenue_expression",
-    oracle=f"""
-    SELECT l_orderkey,
-           {dec_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "gross_revenue")}
-    FROM lineitem
-    GROUP BY l_orderkey
-    """,
-)
-def f_revenue_expression(spark, sf_dir):
-    """F7/F13 arithmetic-expression pipeline: the classic
-    price×(1-disc)×(1+tax) revenue expression, decimal-accumulated per
-    order (order-independent across partitions — see catalog notes)."""
-    (li,) = load(spark, sf_dir, "lineitem")
-    expr = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-    )
-    return li.groupBy("l_orderkey").agg(dec_sum(expr, "gross_revenue"))

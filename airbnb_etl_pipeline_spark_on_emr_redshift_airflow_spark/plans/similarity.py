@@ -78,8 +78,9 @@ def s_knn_bruteforce(spark, sf_dir):
 )
 def s_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, blocked by cluster label
-    (the blocking key bounds the self-join — at 100 TB swap the label
-    for an LSH bucket). Threshold 0.35 sits inside the testdata's
+    — the SMALL-SCALE oracle-checked form (with L coarse labels the
+    in-bucket self-join is O((N/L)²); ``s_near_dup_lsh_blocked`` is
+    the 100 TB path). Threshold 0.35 sits inside the testdata's
     intra-label cosine distribution (max ≈ 0.475) so the check returns
     real pairs; value spacing near the cut (~1e-5) dwarfs cross-engine
     float noise (<1e-14), so membership can't flip."""
@@ -87,27 +88,45 @@ def s_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(emb, threshold=0.35, bucket_col="label")
 
 
-@register("s_ann_ivf")
-def s_ann_ivf(spark, sf_dir):
-    """IVF approximate top-5: KMeans(16) coarse quantizer, 2-cell
-    probe, exact cosine within probed cells. Rows-only check (the
-    quantizer is iterative/learned); recall vs s_knn_bruteforce
-    asserted in tests."""
+@register("s_near_dup_lsh_blocked")
+def s_near_dup_lsh_blocked(spark, sf_dir):
+    """Embedding near-dup pairs blocked on hyperplane-LSH buckets
+    (4 planes × 16 tables) instead of the class label — the corpus-
+    scale form: expected in-bucket population N/2^planes per table,
+    candidate dedup before the exact-cosine verify, ≈0.92 recall at
+    cosine 0.35 and ≈1.0 for true near-dups. Rows-only check (random
+    planes are not oracle-expressible); recall + no-false-positive
+    semantics vs the exact all-pairs ground truth unit-tested with
+    planted twins."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs_lsh(
+        emb, threshold=0.35, n_planes=4, n_tables=16, dim=64
+    )
+
+
+@register("s_ann_methods")
+def s_ann_methods(spark, sf_dir):
+    """Both ANN families side by side, tagged by method: IVF (KMeans-16
+    coarse quantizer, 2-cell probe — cells adapt to density) and
+    multi-table hyperplane LSH (4 planes × 8 tables, OR-amplified —
+    no training pass), each returning exact-cosine-ranked top-5 within
+    its candidate set. Rows-only check (learned quantizer / random
+    planes are not oracle-expressible); recall vs s_knn_bruteforce
+    asserted in tests for both."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
         ivf_topk,
     )
 
     (emb,) = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=2)
-
-
-@register("s_ann_lsh")
-def s_ann_lsh(spark, sf_dir):
-    """Multi-table hyperplane-LSH approximate top-5 (4 planes × 8
-    tables, OR-amplified): candidates limited to shared sign-buckets,
-    exact cosine inside. Rows-only check; recall vs s_knn_bruteforce
-    asserted in tests."""
-    (emb,) = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return ann_topk_lsh(emb, queries, k=5, n_planes=4, n_tables=8, dim=64)
+    ivf = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=2).select(
+        F.lit("ivf").alias("method"), "*"
+    )
+    lsh = ann_topk_lsh(emb, queries, k=5, n_planes=4, n_tables=8, dim=64).select(
+        F.lit("lsh").alias("method"), "*"
+    )
+    return ivf.unionByName(lsh)

@@ -22,19 +22,43 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog impor
 @register(
     "n_language_detect",
     oracle=f"""
-    SELECT doc_id, {T.lang_detect_sql("text")} AS comment_language
-    FROM documents
+    WITH annotated AS (
+      SELECT doc_id,
+             struct_pack(
+               result := [{T.lang_detect_sql("text")}],
+               annotator := 'lang_detect_heuristic'
+             ) AS lang_ann
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(lang_ann.result, ',') AS comment_language
+    FROM annotated
     """,
 )
 def n_language_detect(spark, sf_dir):
-    """N1 — language detection as a pure row-wise string→label function
-    (reference ``apps/process_reviews.py:125-127``, Spark-NLP
+    """N1 + N3 — language detection as a pure row-wise string→label
+    function (reference ``apps/process_reviews.py:125-127``, Spark-NLP
     ``detect_language_220`` → here a deterministic marker-count
-    heuristic). Two-phase projection (normalize once, score markers) —
-    JVM-side expressions, zero shuffles: runs inside the scan stage at
-    any scale."""
+    heuristic), wrapped in a Spark-NLP-shaped annotation STRUCT whose
+    array field is then flattened exactly like the reference's
+    ``concat_ws(",", col("language.result"))``
+    (``apps/process_reviews.py:127``) — the struct+array flatten shape
+    on a real struct column, oracle-checked via DuckDB struct_pack /
+    array_to_string. Two-phase projection (normalize once, score
+    markers) — JVM-side expressions, zero shuffles: runs inside the
+    scan stage at any scale."""
     (docs,) = load(spark, sf_dir, "documents")
-    return T.with_language(docs, "text").select("doc_id", "comment_language")
+    annotated = T.with_language(docs, "text").withColumn(
+        "lang_ann",
+        F.struct(
+            F.array("comment_language").alias("result"),
+            F.lit("lang_detect_heuristic").alias("annotator"),
+        ),
+    ).drop("comment_language")
+    return annotated.select(
+        "doc_id",
+        F.concat_ws(",", F.col("lang_ann.result")).alias("comment_language"),
+    )
 
 
 @register(
@@ -63,85 +87,44 @@ def n_sentiment_selective(spark, sf_dir):
 
 
 @register(
-    "t_token_stats",
+    "t_text_profile",
     oracle=f"""
     SELECT doc_id,
            CAST({T.token_count_sql("text")} AS BIGINT) AS n_tokens,
            length(text) AS n_chars_measured,
-           CAST({T.stopword_ratio_sql("text")} AS DOUBLE) AS stopword_share
-    FROM documents
-    """,
-)
-def t_token_stats(spark, sf_dir):
-    """Token counting + stopword ratio — per-document text statistics
-    (training-data extension; whitespace tokenizer expressed portably
-    via the space-delta trick, see functions.text)."""
-    (docs,) = load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        T.token_count("text").alias("n_tokens"),
-        F.length("text").cast("bigint").alias("n_chars_measured"),
-        T.stopword_ratio("text").cast("double").alias("stopword_share"),
-    )
-
-
-@register(
-    "t_bpe_token_count",
-    oracle="""
-    SELECT doc_id,
+           CAST({T.stopword_ratio_sql("text")} AS DOUBLE) AS stopword_share,
            CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
-                AS BIGINT) AS n_bpe_tokens
-    FROM documents
-    """,
-)
-def t_bpe_token_count(spark, sf_dir):
-    """BPE-ish regex token counting (training-data extension): runs of
-    letters, runs of digits, or single non-alphanumeric marks — the
-    pre-tokenizer split a byte-pair encoder sees. Same RE2-compatible
-    pattern both engines."""
-    (docs,) = load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.regexp_count(F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
-        .cast("bigint")
-        .alias("n_bpe_tokens"),
-    )
-
-
-@register(
-    "t_quality_score",
-    oracle=f"""
-    SELECT doc_id,
+                AS BIGINT) AS n_bpe_tokens,
            CAST({T.quality_score_sql("text")} AS DOUBLE) AS quality,
            CASE WHEN {T.quality_score_sql("text")} >= 0.66
                 THEN 'keep' ELSE 'drop' END AS gate
     FROM documents
     """,
 )
-def t_quality_score(spark, sf_dir):
-    """Document quality scoring + keep/drop gate — the pretraining
-    filter stage (length band, stopword band, punctuation density)."""
+def t_text_profile(spark, sf_dir):
+    """The per-document text-analysis profile a pretraining pipeline
+    runs in one pass (training-data extension): whitespace token count
+    (the portable space-delta trick, see functions.text), char count,
+    stopword ratio, BPE-ish pre-tokenizer count (runs of letters,
+    runs of digits, or single non-alphanumeric marks — the split a
+    byte-pair encoder sees; same RE2-compatible pattern both
+    engines), and the quality score + keep/drop gate (length band,
+    stopword band, punctuation density). One wide scan-stage
+    projection — zero shuffles; document fingerprinting (md5 over
+    normalized text) is oracle-checked in ``d_exact_dedup``."""
     (docs,) = load(spark, sf_dir, "documents")
     q = T.quality_score("text")
     return docs.select(
         "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        T.stopword_ratio("text").cast("double").alias("stopword_share"),
+        F.regexp_count(F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
         q.cast("double").alias("quality"),
         F.when(q >= 0.66, "keep").otherwise("drop").alias("gate"),
     )
-
-
-@register(
-    "t_fingerprint",
-    oracle=f"""
-    SELECT doc_id, {T.fingerprint_sql("text")} AS fp
-    FROM documents
-    """,
-)
-def t_fingerprint(spark, sf_dir):
-    """Document fingerprinting: md5 over case/whitespace-normalized
-    text — the exact-duplicate key (both engines emit identical hex)."""
-    (docs,) = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
 
 
 @register(

@@ -27,25 +27,45 @@ DEC = "decimal(18,4)"
 @register(
     "w_latest_snapshot_per_key",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+    WITH sets AS (
+      SELECT o_custkey,
+             string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+               AS priorities_seen
+      FROM orders GROUP BY o_custkey
+    ), latest AS (
       SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
       FROM orders
-    ) t WHERE rn = 1
+    )
+    SELECT l.o_custkey, l.o_orderkey, l.o_orderdate, l.o_totalprice,
+           s.priorities_seen
+    FROM latest l JOIN sets s ON l.o_custkey = s.o_custkey
+    WHERE l.rn = 1
     """,
 )
 def w_latest_snapshot_per_key(spark, sf_dir):
-    """W1/W2 — the reference's signature dedup: newest row per key via
-    ``F.last`` over an unbounded frame + filter + dropDuplicates
-    (``apps/process_listings_hosts.py:121-125``). Order key is made
-    unique (date, then orderkey) so the reference pattern and the
-    oracle's row_number agree exactly — the equivalence SURVEY.md §7.4
-    flags as needing deterministic tie-breaking."""
+    """W1/W2 + W3 — the reference's signature per-key snapshot, exactly
+    as ``apps/process_reviewers.py:85-93`` composes it: the windowed
+    ``collect_set`` (languages-spoken move, W3) attaches the full
+    per-key attribute set, then ``F.last`` over an unbounded frame +
+    filter + dropDuplicates keeps the newest row per key (W1/W2).
+    Both window specs share the same partitioning, so Catalyst plans
+    ONE exchange on the key. Order key is made unique (date, then
+    orderkey) so the reference pattern and the oracle's row_number
+    agree exactly — the equivalence SURVEY.md §7.4 flags as needing
+    deterministic tie-breaking."""
     (orders,) = load(spark, sf_dir, "orders")
+    wset = Window.partitionBy("o_custkey")
+    enriched = orders.withColumn(
+        "priorities_seen",
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority").over(wset)), ","
+        ),
+    )
     # Composite sortable order key mirrors the reference's single
     # `last_scraped` column while staying unique.
-    keyed = orders.withColumn(
+    keyed = enriched.withColumn(
         "__ord",
         F.concat_ws(
             "#",
@@ -54,70 +74,65 @@ def w_latest_snapshot_per_key(spark, sf_dir):
         ),
     )
     return latest_per_key(keyed, ["o_custkey"], ["__ord"]).select(
-        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "priorities_seen"
     )
 
 
 @register(
-    "w_moving_avg_frame",
-    oracle="""
-    SELECT o_custkey, o_orderkey, o_orderdate,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS DOUBLE)
-           / COUNT(o_totalprice)
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS moving_avg_price
-    FROM orders
-    """,
-)
-def w_moving_avg_frame(spark, sf_dir):
-    """W4 — moving average over ROWS 7 PRECEDING (the reference's
-    temperature smoothing, notebook cell 43), decimal-accumulated."""
-    (orders,) = load(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(-7, 0)
-    )
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_orderdate",
-        (
-            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
-            / F.count("o_totalprice").over(w)
-        ).alias("moving_avg_price"),
-    )
-
-
-@register(
-    "w_moving_sum_frame",
+    "w_moving_frames",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(l_extendedprice)
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+             AS moving_avg_price,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
                 OVER (PARTITION BY l_suppkey
                       ORDER BY l_shipdate, l_orderkey, l_linenumber
-                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_qty
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS moving_qty
     FROM lineitem
     """,
 )
-def w_moving_sum_frame(spark, sf_dir):
-    """W5 — moving sum over ROWS 3 PRECEDING (the rainfall window,
-    notebook cell 45), via the generic ``moving_agg`` operator."""
+def w_moving_frames(spark, sf_dir):
+    """W4 + W5 — both bounded moving frames of the reference in one
+    pass: the 8-row moving average (temperature smoothing, notebook
+    cell 43) and the 4-row moving sum (rainfall window, cell 45), per
+    supplier over ship order. Decimal-accumulated; the two frames
+    share partitioning AND ordering, so Catalyst evaluates them in
+    one Window operator after a single exchange."""
     (li,) = load(spark, sf_dir, "lineitem")
-    out = moving_agg(
+    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    avg_frame = moving_agg(
         li,
         partition=["l_suppkey"],
-        order=["l_shipdate", "l_orderkey", "l_linenumber"],
-        preceding=3,
-        aggs={"moving_qty": F.sum(F.col("l_quantity").cast(DEC))},
+        order=order,
+        preceding=7,
+        aggs={
+            "__sum_price": F.sum(F.col("l_extendedprice").cast(DEC)),
+            "__cnt_price": F.count("l_extendedprice"),
+        },
     )
-    return out.select(
+    both = moving_agg(
+        avg_frame,
+        partition=["l_suppkey"],
+        order=order,
+        preceding=3,
+        aggs={"__sum_qty": F.sum(F.col("l_quantity").cast(DEC))},
+    )
+    return both.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.col("moving_qty").cast("double").alias("moving_qty"),
+        (F.col("__sum_price").cast("double") / F.col("__cnt_price")).alias(
+            "moving_avg_price"
+        ),
+        F.col("__sum_qty").cast("double").alias("moving_qty"),
     )
 
 
@@ -129,21 +144,41 @@ def w_moving_sum_frame(spark, sf_dir):
            rank()       OVER w2 AS rnk,
            dense_rank() OVER w2 AS drnk,
            lag(o_totalprice)  OVER w AS prev_price,
-           lead(o_totalprice) OVER w AS next_price
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS lifetime_spend,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           (lead(o_orderdate) OVER w IS NULL) AS is_current
     FROM orders
     WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
            w2 AS (PARTITION BY o_custkey ORDER BY o_orderpriority)
     """,
 )
 def w_rank_lag_lead(spark, sf_dir):
-    """Ranking/offset surface extension (SURVEY.md §2.5: absent in the
-    reference, free in Spark): row_number, rank, dense_rank, lag,
-    lead. rank/dense_rank use a deliberately non-unique order to
-    exercise tie handling (identical rank semantics both engines)."""
+    """The full ranking/offset/cumulative surface the reference lacked
+    (SURVEY.md §2.5 note: free in Spark) in one pass: row_number,
+    rank, dense_rank (deliberately non-unique order to exercise tie
+    handling), lag/lead, the running lifetime-spend total, AND the
+    SCD2 versioning idiom (valid_from/valid_to from one lead(),
+    last version current — ``operators.windows.scd2_versions``; the
+    reference keeps only SCD1/newest-row). All windows share the
+    o_custkey partitioning: one exchange, one Window operator per
+    ordering."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.windows import (
+        scd2_versions,
+    )
+
     (orders,) = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     w2 = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
-    return orders.select(
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    versioned = scd2_versions(
+        orders, ["o_custkey"], "o_orderdate", order_tiebreak=["o_orderkey"]
+    )
+    return versioned.select(
         "o_custkey",
         "o_orderkey",
         F.row_number().over(w).alias("rn"),
@@ -151,34 +186,12 @@ def w_rank_lag_lead(spark, sf_dir):
         F.dense_rank().over(w2).alias("drnk"),
         F.lag("o_totalprice").over(w).alias("prev_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
-    )
-
-
-@register(
-    "w_running_total",
-    oracle="""
-    SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-           AS lifetime_spend
-    FROM orders
-    """,
-)
-def w_running_total(spark, sf_dir):
-    """Cumulative frame extension: per-customer running spend."""
-    (orders,) = load(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias(
+        F.sum(F.col("o_totalprice").cast(DEC)).over(wcum).cast("double").alias(
             "lifetime_spend"
         ),
+        "valid_from",
+        "valid_to",
+        "is_current",
     )
 
 
@@ -194,71 +207,23 @@ def w_running_total(spark, sf_dir):
     """,
 )
 def w_ntile_percentiles(spark, sf_dir):
-    """Distribution-rank extension: ntile/percent_rank/cume_dist over a
-    global window with unique ordering. (Single-partition window — fine
-    here; at 100 TB a global rank goes through range-partitioned sort
-    instead, see operators.windows notes.)"""
-    (customer,) = load(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return customer.select(
-        "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cdist"),
-    )
-
-
-@register(
-    "w_scd2_versions",
-    oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice,
-           o_orderdate AS valid_from,
-           lead(o_orderdate) OVER w AS valid_to,
-           (lead(o_orderdate) OVER w IS NULL) AS is_current
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-)
-def w_scd2_versions(spark, sf_dir):
-    """SCD2 surface extension: each customer's order history becomes a
-    versioned dimension — valid_from/valid_to intervals from one
-    lead() window, last version current. (The reference keeps only
-    SCD1/newest-row; this preserves history — the CDC/MERGE-free
-    idiom.)"""
+    """Distribution-rank extension: global ntile/percent_rank/
+    cume_dist with unique ordering, computed WITHOUT a single-
+    partition window — ``operators.windows.global_distribution_ranks``
+    buckets by approximate quantiles (scan-stage expression), ranks
+    inside each bucket (one bounded shuffle), and adds broadcast
+    per-bucket offsets. Exact equivalence with the window form is
+    unit-tested; the oracle is the plain SQL window (identical
+    results, different physical plan)."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.windows import (
-        scd2_versions,
+        global_distribution_ranks,
     )
 
-    (orders,) = load(spark, sf_dir, "orders")
-    slim = orders.select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
-    return scd2_versions(
-        slim, ["o_custkey"], "o_orderdate", order_tiebreak=["o_orderkey"]
-    ).select(
-        "o_custkey", "o_orderkey", "o_totalprice", "valid_from", "valid_to", "is_current"
-    )
-
-
-@register(
-    "w_windowed_collect_set",
-    oracle="""
-    SELECT o_custkey,
-           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
-             AS priorities_seen
-    FROM orders GROUP BY o_custkey
-    """,
-)
-def w_windowed_collect_set(spark, sf_dir):
-    """W3 — analytic (non-ranking) aggregate over an unbounded window:
-    the reference's ``collect_set(...).over(w)`` languages-spoken move
-    (``apps/process_reviewers.py:87``), sorted for determinism."""
-    (orders,) = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey")
-    return (
-        orders.select(
-            "o_custkey",
-            F.array_join(
-                F.array_sort(F.collect_set("o_orderpriority").over(w)), ","
-            ).alias("priorities_seen"),
-        )
-        .distinct()
-    )
+    (customer,) = load(spark, sf_dir, "customer")
+    return global_distribution_ranks(
+        customer.select("c_custkey", "c_acctbal"),
+        "c_acctbal",
+        ["c_custkey"],
+        n_tiles=4,
+        n_buckets=32,
+    ).select("c_custkey", "quartile", "pct_rank", "cdist")

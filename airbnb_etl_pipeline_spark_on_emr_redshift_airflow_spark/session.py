@@ -43,6 +43,12 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # Local mode runs every task in the driver JVM; the 1g default
+        # heap starves 32 concurrent task threads. Only effective when
+        # this call launches the JVM (harmless on reuse).
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
         # AQE: runtime coalescing + skew-join handling — supersedes the
         # reference's hand-set `spark.default.parallelism 10`.
         .config("spark.sql.adaptive.enabled", "true")

@@ -46,14 +46,16 @@ def sliding_agg(
     events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
 ) -> DataFrame:
     """Overlapping hop windows: each event lands in width/slide
-    windows (here 2)."""
+    windows (here 2). Same measure set as :func:`tumbling_agg` so the
+    two compose/union cleanly."""
     return (
         events.groupBy(F.window("ts", width, slide), "event_type")
-        .agg(F.count("*").alias("n_events"))
+        .agg(F.count("*").alias("n_events"), dec_sum("value", "total_value"))
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
             "n_events",
+            "total_value",
         )
     )
 

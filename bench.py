@@ -21,6 +21,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Round-over-round mapping vs BENCH_r01 keys (catalog consolidated to
+# 50 entries in round 2): j_anti_new_keys→j_anti_semi_cohorts,
+# w_moving_sum_frame→w_moving_frames, t_quality_score→t_text_profile,
+# d_minhash_near_dup→d_minhash_dup_clusters (now includes connected
+# components), e_tumbling_window→e_tumbling_sliding (now includes the
+# sliding hop), a_cube→a_rollup_cube, w_scd2_versions→w_rank_lag_lead.
 HEADLINE = [
     "q1_pricing_summary",
     "a_nested_histogram",
@@ -28,25 +34,29 @@ HEADLINE = [
     "j_left_enrich_fk",
     "j_broadcast_chain_dims",
     "j_windowed_subquery_using",
-    "j_anti_new_keys",
+    "j_anti_semi_cohorts",
     "j_range_join",
     "j_asof_join",
     "u_union_dedup_merge",
     "w_latest_snapshot_per_key",
-    "w_moving_sum_frame",
+    "w_moving_frames",
     "n_language_detect",
     "n_sentiment_selective",
-    "t_quality_score",
+    "t_text_profile",
     "d_exact_dedup",
-    "d_minhash_near_dup",
+    "d_minhash_dup_clusters",
     "s_knn_bruteforce",
-    "e_tumbling_window",
+    "e_tumbling_sliding",
     "e_session_window",
-    "a_cube",
+    "a_rollup_cube",
     "a_column_profile",
-    "w_scd2_versions",
+    "w_rank_lag_lead",
     "s_embedding_near_dup",
     "m_feature_extract",
+    # round-2 additions: the repaired sketch query + the new scale paths
+    "a_approx_sketches",
+    "s_near_dup_lsh_blocked",
+    "w_ntile_percentiles",
 ]
 
 

@@ -28,7 +28,7 @@ SPOT = [
     "d_exact_dedup",
     "s_knn_bruteforce",
     "e_session_window",
-    "m_frame_sample",
+    "m_binary_frames",
 ]
 
 

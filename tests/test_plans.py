@@ -61,7 +61,7 @@ def test_q1_single_exchange_partial_agg(spark):
 
 
 def test_topk_plans_take_ordered(spark):
-    assert "TakeOrderedAndProject" in _plan(spark, "o_topk_deterministic")
+    assert "TakeOrderedAndProject" in _plan(spark, "o_topk_sort_limit")
 
 
 def test_text_pipeline_shuffle_free(spark):

@@ -19,7 +19,9 @@ AUDITED = [
     "j_windowed_subquery_using",
     "j_asof_join",
     "d_exact_dedup",
-    "d_minhash_near_dup",
+    "d_simhash_near_dup",
+    "s_near_dup_lsh_blocked",
+    "w_ntile_percentiles",
     "s_knn_bruteforce",
     "n_sentiment_selective",
     "e_session_window",
