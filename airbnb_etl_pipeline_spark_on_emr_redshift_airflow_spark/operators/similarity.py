@@ -187,18 +187,29 @@ def embedding_near_dup_pairs(
     O((N/L)²). At corpus scale use
     :func:`embedding_near_dup_pairs_lsh`, which blocks on hyperplane-
     LSH buckets instead (exponentially smaller buckets, tunable
-    recall)."""
-    base = emb.select(
-        F.col(bucket_col).alias("bucket"),
-        F.col(id_col).alias("id"),
-        as_double(vec_col).alias("v"),
+    recall).
+
+    Each vector is normalized ONCE before the self-join, so the
+    per-pair test is a single dot-product fold (cosine of unit
+    vectors) instead of three — the per-pair stage is the O(pairs)
+    cost. Membership is unchanged: the ~1e-15 reassociation shift is
+    9 orders of magnitude below the value spacing at any realistic
+    threshold."""
+    base = (
+        emb.select(
+            F.col(bucket_col).alias("bucket"),
+            F.col(id_col).alias("id"),
+            as_double(vec_col).alias("v"),
+        )
+        .select("bucket", "id", "v", _norm("v").alias("nrm"))
+        .select("bucket", "id", F.expr("transform(v, x -> x / nrm)").alias("vn"))
     )
-    a = base.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = base.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    a = base.select("bucket", F.col("id").alias("id_a"), F.col("vn").alias("vna"))
+    b = base.select("bucket", F.col("id").alias("id_b"), F.col("vn").alias("vnb"))
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine("va", "vb") >= threshold)
+        .filter(_dot("vna", "vnb") >= threshold)
         .select("id_a", "id_b")
     )
 

@@ -26,3 +26,34 @@ def test_queries_run_at_smallest_sf(spark):
     for name in ["q1_pricing_summary", "w_latest_snapshot_per_key",
                  "n_language_detect", "e_tumbling_sliding"]:
         assert q[name](spark, SF_DIR).count() > 0
+
+
+def test_coverage_doc_names_match_catalog():
+    """Every catalog-query-shaped name in COVERAGE.md and every bench
+    HEADLINE entry must exist in the registered catalog — guards docs
+    and bench against consolidation drift."""
+    import os
+    import re
+
+    import bench
+
+    q = entrymod.queries()
+    repo = os.path.dirname(os.path.abspath(bench.__file__))
+    text = open(os.path.join(repo, "COVERAGE.md")).read()
+    # query ids look like <family>_<words>; column names are the only
+    # other backticked tokens with that shape
+    column_names = {
+        "o_orderdate", "o_custkey", "o_orderkey", "o_orderpriority",
+        "o_totalprice", "c_custkey", "c_acctbal", "l_quantity",
+    }
+    families = ("q1_", "a_", "p_", "j_", "w_", "n_", "t_", "d_", "s_",
+                "e_", "m_", "u_", "o_", "f_")
+    mentioned = {
+        m
+        for m in re.findall(r"`([a-z0-9_]+)`", text)
+        if m.startswith(families) and m not in column_names
+    }
+    stale = sorted(mentioned - set(q))
+    assert not stale, f"stale names in COVERAGE.md: {stale}"
+    missing_bench = [n for n in bench.HEADLINE if n not in q]
+    assert not missing_bench, f"bench names missing from catalog: {missing_bench}"
