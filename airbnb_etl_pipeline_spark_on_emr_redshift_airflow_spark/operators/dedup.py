@@ -213,6 +213,10 @@ def connected_components(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
+        # Materialize once: every iteration joins edges, and without
+        # the cut each round would recompute the whole upstream
+        # pair-finding pipeline (MinHash/Jaccard) from scratch.
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -227,10 +231,14 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # The pre-update label rides along as __old so convergence is
+        # a filter on the (already checkpointed) update itself — no
+        # second join per round just to detect the fixpoint.
         updated = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
+                F.col("cluster_id").alias("__old"),
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
@@ -239,13 +247,9 @@ def connected_components(
             .localCheckpoint()
         )
         changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .limit(1)
-            .count()
+            updated.filter(F.col("cluster_id") != F.col("__old")).limit(1).count()
         )
-        labels = updated
+        labels = updated.drop("__old")
         if changed == 0:
             converged = True
             break
