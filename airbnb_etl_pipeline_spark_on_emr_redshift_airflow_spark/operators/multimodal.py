@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -54,15 +55,17 @@ def decode_payload(payload: bytes) -> dict:
         return {"magic": None, "width": None, "height": None, "hist": None}
     magic = payload[:4].hex()
     n = len(payload)
-    hist = [0] * 16
-    for b in payload:
-        hist[b >> 4] += 1
+    # numpy bincount over the nibble view — a per-byte Python loop here
+    # multiplies the whole mapInPandas stage by the corpus byte count.
+    counts = np.bincount(
+        np.frombuffer(payload, dtype=np.uint8) >> 4, minlength=16
+    )
     total = float(n) if n else 1.0
     return {
         "magic": magic,
         "width": int(n % 640),
         "height": int(n % 480),
-        "hist": [c / total for c in hist],
+        "hist": [c / total for c in counts.tolist()],
     }
 
 
