@@ -1,0 +1,166 @@
+"""Training-data sampling / mixing / packing operators.
+
+The corpus-preparation steps between "deduped documents" and "training
+batches" (training-data extension beyond the reference, alongside the
+dedup/similarity ladder): deterministic subsampling, mixture weighting
+across sources, epoch shuffling, and fixed-context sequence packing.
+
+Design rules shared by all four:
+
+- **Deterministic by construction** — sampling decisions come from
+  ``xxhash64(key, seed)``, never from an RNG, so a run is reproducible
+  across retries, partition counts, and cluster sizes (Spark's
+  ``sample``/``sampleBy`` reseed per partition split, which silently
+  changes the sample when the input layout changes).
+- **No driver-side state** — every operator is a column expression or
+  a bounded ``applyInPandas`` group; nothing collects.
+- **One shuffle or less** — sampling and mixing are scan-stage
+  filters; shuffle appears only where semantics require placement
+  (epoch shuffle, packing groups).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Hash-bucket resolution for sampling rates: 1/1e6 granularity.
+_BUCKETS = 1_000_000
+
+
+def _rate_filter(key_cols: list[str], rate: float, seed: int):
+    """Deterministic keep-predicate: keep iff
+    ``xxhash64(seed, keys) mod 1e6 < rate * 1e6``."""
+    bucket = F.pmod(F.xxhash64(F.lit(seed), *key_cols), F.lit(_BUCKETS))
+    return bucket < int(rate * _BUCKETS)
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key_cols: list[str], seed: int = 0
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows, keyed by
+    ``key_cols``: the same (key, seed) is kept or dropped identically
+    in every run, on any cluster layout — a scan-stage filter, no
+    shuffle, no RNG state."""
+    return df.filter(_rate_filter(key_cols, rate, seed))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    key_cols: list[str],
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample boilerplate
+    web text to 10% while keeping 100% of books): ``fractions`` maps
+    stratum value -> keep rate; missing strata keep rate 0. Pure
+    scan-stage CASE over the hash bucket — never a shuffle, unlike
+    count-then-limit approaches."""
+    bucket = F.pmod(F.xxhash64(F.lit(seed), *key_cols), F.lit(_BUCKETS))
+    keep = F.lit(False)
+    for value, rate in fractions.items():
+        keep = keep | (
+            (F.col(strata_col) == F.lit(value)) & (bucket < int(rate * _BUCKETS))
+        )
+    return df.filter(keep)
+
+
+def weighted_mix(
+    sources: dict[str, tuple[DataFrame, float]],
+    key_cols: list[str],
+    seed: int = 0,
+) -> DataFrame:
+    """Mixture weighting across corpora: ``sources`` maps source name
+    -> (DataFrame, keep_rate). Each source is deterministically
+    subsampled at its rate and tagged with a ``source`` column, then
+    union'd by name — the standard "x% web, y% code, z% books" recipe
+    as one lazy plan. Rates are per-source keep fractions (relative
+    mixture weights / epochs are a caller-side computation from corpus
+    sizes)."""
+    tagged = []
+    for name, (df, rate) in sources.items():
+        tagged.append(
+            df.filter(_rate_filter(key_cols, rate, seed)).withColumn(
+                "source", F.lit(name)
+            )
+        )
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def epoch_shuffle(
+    df: DataFrame, key_cols: list[str], seed: int = 0, num_partitions: int | None = None
+) -> DataFrame:
+    """Deterministic global shuffle for one training epoch: rows are
+    placed AND ordered by ``xxhash64(seed, keys)`` — repartition on the
+    hash plus a within-partition sort, so reading partitions in order
+    yields a pseudorandom document order that is identical for every
+    run with the same seed. One shuffle; no single-partition stage; a
+    new seed is a new epoch permutation."""
+    hashed = df.withColumn("__h", F.xxhash64(F.lit(seed), *key_cols))
+    parted = (
+        hashed.repartition(num_partitions, "__h")
+        if num_partitions
+        else hashed.repartition("__h")
+    )
+    return parted.sortWithinPartitions("__h").drop("__h")
+
+
+def pack_sequences(
+    df: DataFrame,
+    len_col: str,
+    max_len: int,
+    key_cols: list[str],
+    n_groups: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """Greedy first-fit packing of variable-length documents into
+    fixed-size context windows (the "sequence packing" step before
+    tokenized training batches): emits one row per input row with a
+    ``pack_id`` (global, deterministic) and ``pack_offset`` (token
+    start inside the pack); every pack's total length ≤ ``max_len``
+    (rows longer than ``max_len`` get a pack of their own).
+
+    Scale shape: rows hash into ``n_groups`` packing groups (size the
+    modulus so a group's rows fit one task comfortably — corpus_rows /
+    n_groups ≈ 10k-1M), one shuffle; the greedy scan runs per group in
+    an Arrow-batched ``applyInPandas``. Packing quality is per-group
+    (greedy within a group), which is the standard trade — global
+    optimal packing would serialize.
+    """
+    n_groups = max(1, n_groups)
+
+    grouped = df.withColumn(
+        "__g", F.pmod(F.xxhash64(F.lit(seed), *key_cols), F.lit(n_groups))
+    ).withColumn("__h", F.xxhash64(F.lit(seed + 1), *key_cols))
+
+    out_schema = ", ".join(
+        [f"{name} {dtype}" for name, dtype in df.dtypes]
+        + ["pack_id bigint", "pack_offset bigint"]
+    )
+    payload_cols = list(df.columns)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Deterministic order inside the group: by the secondary hash.
+        pdf = pdf.sort_values("__h", kind="mergesort").reset_index(drop=True)
+        group = int(pdf["__g"].iloc[0])
+        pack_ids, offsets = [], []
+        local_pack, used = 0, 0
+        for length in pdf[len_col]:
+            length = int(min(length, max_len))
+            if used + length > max_len and used > 0:
+                local_pack += 1
+                used = 0
+            pack_ids.append(group * 10_000_000 + local_pack)
+            offsets.append(used)
+            used += length
+        pdf = pdf[payload_cols].copy()
+        pdf["pack_id"] = pack_ids
+        pdf["pack_offset"] = offsets
+        return pdf
+
+    return grouped.groupBy("__g").applyInPandas(pack, out_schema)

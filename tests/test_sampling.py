@@ -1,0 +1,109 @@
+"""Tests: deterministic sampling / mixing / epoch shuffle / sequence
+packing (the training-data corpus-prep operators)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+    deterministic_sample,
+    epoch_shuffle,
+    pack_sequences,
+    stratified_sample,
+    weighted_mix,
+)
+from tests.conftest import SF_DIR
+
+
+def test_deterministic_sample_rate_and_stability(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = deterministic_sample(docs, 0.3, ["doc_id"], seed=7)
+    b = deterministic_sample(docs, 0.3, ["doc_id"], seed=7)
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b  # run-to-run identical
+    n = docs.count()
+    assert 0.2 * n < len(ids_a) < 0.4 * n  # rate is approximately honored
+    # repartitioning the input must not change the sample (unlike
+    # Spark's RNG-based df.sample)
+    ids_c = sorted(
+        r.doc_id
+        for r in deterministic_sample(
+            docs.repartition(13), 0.3, ["doc_id"], seed=7
+        ).select("doc_id").collect()
+    )
+    assert ids_c == ids_a
+
+
+def test_stratified_sample_per_stratum_rates(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    keep_all, keep_none = langs[0], langs[1]
+    out = stratified_sample(
+        docs, "lang", {keep_all: 1.0, keep_none: 0.0}, ["doc_id"]
+    )
+    got = {r.lang for r in out.select("lang").distinct().collect()}
+    assert keep_all in got and keep_none not in got
+    n_stratum = docs.filter(F.col("lang") == keep_all).count()
+    assert out.filter(F.col("lang") == keep_all).count() == n_stratum
+
+
+def test_weighted_mix_tags_and_rates(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    web = docs.filter("doc_id % 2 = 0")
+    books = docs.filter("doc_id % 2 = 1")
+    out = weighted_mix(
+        {"web": (web, 0.5), "books": (books, 1.0)}, ["doc_id"]
+    )
+    counts = {r.source: r.cnt for r in
+              out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert counts["books"] == books.count()  # rate 1.0 keeps everything
+    assert 0.3 * web.count() < counts["web"] < 0.7 * web.count()
+
+
+def test_epoch_shuffle_is_permutation_and_seed_sensitive(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    e0 = epoch_shuffle(docs, ["doc_id"], seed=0, num_partitions=4)
+    e0_again = epoch_shuffle(docs, ["doc_id"], seed=0, num_partitions=4)
+    e1 = epoch_shuffle(docs, ["doc_id"], seed=1, num_partitions=4)
+    order0 = [r.doc_id for r in e0.collect()]
+    assert sorted(order0) == sorted(r.doc_id for r in docs.collect())  # permutation
+    assert order0 == [r.doc_id for r in e0_again.collect()]  # reproducible
+    assert order0 != [r.doc_id for r in e1.collect()]  # new seed, new epoch
+    assert order0 != sorted(order0)  # actually shuffled
+
+
+def test_pack_sequences_respects_max_len_and_covers_all(spark):
+    docs = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 900) for i in range(200)],
+        "doc_id long, n_tokens long",
+    )
+    max_len = 2048
+    packed = pack_sequences(
+        docs, "n_tokens", max_len, ["doc_id"], n_groups=4
+    )
+    rows = packed.collect()
+    assert sorted(r.doc_id for r in rows) == list(range(200))  # exactly once
+    by_pack: dict = {}
+    for r in rows:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for pid, members in by_pack.items():
+        total = sum(min(r.n_tokens, max_len) for r in members)
+        assert total <= max_len, (pid, total)
+        # offsets are a proper prefix layout
+        offs = sorted(r.pack_offset for r in members)
+        assert offs[0] == 0
+
+
+def test_pack_sequences_oversized_doc_gets_own_pack(spark):
+    docs = spark.createDataFrame(
+        [(1, 5000), (2, 100), (3, 100)], "doc_id long, n_tokens long"
+    )
+    packed = {r.doc_id: (r.pack_id, r.pack_offset)
+              for r in pack_sequences(docs, "n_tokens", 1024, ["doc_id"],
+                                      n_groups=1).collect()}
+    # the oversized doc is truncated to max_len and fills its own pack:
+    # nothing else fits after it, nothing precedes it at offset > 0
+    assert packed[1][1] == 0
+    assert packed[2][0] != packed[1][0]
+    assert packed[3][0] != packed[1][0]
