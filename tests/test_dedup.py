@@ -140,3 +140,21 @@ def test_simhash_near_dups_banded(spark, docs):
     assert (1, 2) in pairs and pairs[(1, 2)] == ham_near
     assert (1, 4) in pairs and pairs[(1, 4)] == 0  # case-variant: exact
     assert not any(3 in p for p in pairs)  # FAR never pairs
+
+
+def test_connected_components_warns_without_fixpoint(spark):
+    """Hitting max_iter before convergence must warn, not silently
+    return incomplete labels (a 4-chain needs >1 one-hop round)."""
+    import warnings as w
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        connected_components(chain, max_iter=1).collect()
+    assert any("fixpoint" in str(c.message) for c in caught)

@@ -100,3 +100,27 @@ def test_stage_checkpoint_cuts_lineage_and_keeps_types(spark, tmp_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "FileScan parquet" in plan  # lineage starts at the files
     assert out.collect()[0].k == 1
+
+
+def test_skipped_stage_with_dependents_fails_fast(spark):
+    """A stage returning None (skip) while having dependents must fail
+    at the skip, not as a KeyError in the dependent."""
+    import pytest
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.pipeline import (
+        Pipeline,
+        Stage,
+    )
+
+    p = Pipeline(
+        [
+            Stage("a", lambda s, per, ctx: None),
+            Stage("b", lambda s, per, ctx: ctx["a"], deps=("a",)),
+        ]
+    )
+    with pytest.raises(RuntimeError, match="skipped .* consume its result"):
+        p.run(spark, "p1")
+    # a skip WITHOUT dependents stays a plain skip
+    p2 = Pipeline([Stage("a", lambda s, per, ctx: None)])
+    run = p2.run(spark, "p1")
+    assert run.skipped == ["a"]

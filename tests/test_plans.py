@@ -66,3 +66,23 @@ def test_topk_plans_take_ordered(spark):
 
 def test_text_pipeline_shuffle_free(spark):
     assert _shuffles(_plan(spark, "n_sentiment_selective")) == 0
+
+
+def test_events_read_requires_nanos_conf(spark):
+    """catalog._read must fail loudly on a session missing the
+    nanosAsLong policy instead of mutating the conf as a side effect."""
+    import pytest
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
+        load,
+    )
+    from tests.conftest import SF_DIR
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    try:
+        with pytest.raises(RuntimeError, match="nanosAsLong"):
+            load(spark, SF_DIR, "events")
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    (events,) = load(spark, SF_DIR, "events")
+    assert events.schema["ts"].dataType.typeName() == "timestamp"
