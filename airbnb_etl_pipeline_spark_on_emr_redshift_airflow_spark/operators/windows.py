@@ -130,7 +130,10 @@ def global_distribution_ranks(
     Requires ``(value_col, *tiebreak)`` to be a unique total order
     (same contract the oracle needs): then row_number == rank, so
     ``percent_rank = (rn-1)/(N-1)`` and ``cume_dist = rn/N`` match the
-    SQL functions exactly.
+    SQL functions exactly. ``value_col`` must be non-null: engines
+    disagree on default null ordering (Spark NULLS FIRST vs DuckDB
+    NULLS LAST), and the bucket expression would lump nulls into
+    bucket 1 — filter or coalesce nulls upstream.
 
     Skew note: a single value spanning > 1/n_buckets of the data
     collapses into one bucket; AQE's skew handling splits the sort,

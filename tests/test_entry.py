@@ -57,3 +57,20 @@ def test_coverage_doc_names_match_catalog():
     assert not stale, f"stale names in COVERAGE.md: {stale}"
     missing_bench = [n for n in bench.HEADLINE if n not in q]
     assert not missing_bench, f"bench names missing from catalog: {missing_bench}"
+
+
+def test_no_canonicalizer_hazardous_output_columns(spark):
+    """No catalog query may emit array/struct/map/binary columns: the
+    driver's pandas canonicalizer cannot sort/hash them (the round-1
+    a_approx_sketches / m_feature_extract failure class). Schemas are
+    resolved at sf0.001; lazy queries never execute."""
+    q = entrymod.queries()
+    hazards = []
+    for name, fn in q.items():
+        df = fn(spark, SF_DIR)
+        hazards += [
+            (name, col, dtype)
+            for col, dtype in df.dtypes
+            if any(k in dtype for k in ("array", "struct", "map", "binary"))
+        ]
+    assert not hazards, f"unhashable catalog outputs: {hazards}"
