@@ -165,9 +165,12 @@ def j_anti_semi_cohorts(spark, sf_dir):
     """J6 + the EXISTS complement in one query — the anti-join the
     reference needed and abandoned (``README.md:193-199``, NOT IN >
     2 h): customers split into never-ordered (left_anti) and ordered
-    (left_semi) cohorts. Spark plans each side as a single hash join —
-    null-aware, no quadratic subquery; the build side (orders keys)
-    is shared work Catalyst can reuse via exchange reuse."""
+    (left_semi) cohorts. Spark plans each side as one broadcast hash
+    join over the pruned orders key column — null-aware, no quadratic
+    subquery (the two build sides are constructed independently; at
+    dim scale that's two cheap key scans, and a single-pass
+    left-join + flag projection is the alternative when even that
+    matters)."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.relational import (
         align_union,
     )

@@ -72,3 +72,53 @@ def test_align_union_preserves_rows(spark, a, b):
     out = align_union(da, db)
     assert out.count() == len(a) + len(b)
     assert set(out.columns) == {"k", "ord", "extra_a", "extra_b"}
+
+@SLOW
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10_000),
+                 min_size=1, max_size=30, unique=True),
+    low=st.floats(min_value=0.1, max_value=0.4),
+    high=st.floats(min_value=0.5, max_value=0.9),
+)
+def test_deterministic_sample_is_nested_by_rate(spark, ids, low, high):
+    """Hash-bucket sampling is monotone: the keep-set at a lower rate
+    is a subset of the keep-set at any higher rate (same seed) — the
+    property that lets a pipeline carve consistent sub-corpora."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    small = {r.doc_id for r in deterministic_sample(df, low, ["doc_id"], seed=3).collect()}
+    big = {r.doc_id for r in deterministic_sample(df, high, ["doc_id"], seed=3).collect()}
+    assert small <= big
+
+
+@SLOW
+@given(
+    lengths=st.lists(st.integers(min_value=1, max_value=3000),
+                     min_size=1, max_size=40),
+    max_len=st.integers(min_value=512, max_value=2048),
+)
+def test_pack_sequences_invariants(spark, lengths, max_len):
+    """For ANY length distribution: every doc packed exactly once,
+    no pack exceeds max_len, offsets tile each pack without overlap."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(lengths)), "doc_id long, n_tokens long"
+    )
+    rows = pack_sequences(df, "n_tokens", max_len, ["doc_id"], n_groups=3).collect()
+    assert sorted(r.doc_id for r in rows) == list(range(len(lengths)))
+    packs: dict = {}
+    for r in rows:
+        packs.setdefault(r.pack_id, []).append(r)
+    for members in packs.values():
+        members.sort(key=lambda r: r.pack_offset)
+        cursor = 0
+        for r in members:
+            assert r.pack_offset == cursor
+            cursor += min(r.n_tokens, max_len)
+        assert cursor <= max_len
