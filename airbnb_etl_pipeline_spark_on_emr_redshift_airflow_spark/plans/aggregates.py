@@ -17,7 +17,6 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregate
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
     load,
     register,
-    views,
 )
 
 

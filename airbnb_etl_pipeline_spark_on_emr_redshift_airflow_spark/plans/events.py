@@ -12,7 +12,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
-    dec_sum,
     dec_sum_sql,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (

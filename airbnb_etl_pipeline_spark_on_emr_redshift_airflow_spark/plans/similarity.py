@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
     ann_topk_lsh,
     brute_force_topk,
-    cosine,
     embedding_near_dup_pairs,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
