@@ -205,6 +205,52 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (surface extension): the other columnar format a
+    warehouse hand-off commonly arrives in — same pushdown/pruning
+    behavior as parquet (vectorized reader, PushedFilters), zero extra
+    dependencies (ORC support is built into Spark)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink, optionally partitioned (mirror of ``write_parquet``)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def compact_output(
+    df: DataFrame,
+    path: str,
+    target_rows_per_file: int,
+    total_rows: int | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Small-files-safe parquet publish: coalesce the final write to
+    ``ceil(total_rows / target_rows_per_file)`` files instead of one
+    file per shuffle partition. At 100 TB the small-files problem is
+    the sink-side killer (a 32k-partition shuffle writing a 5-row dim
+    emits 32k files; every later scan pays per-file open cost).
+
+    ``total_rows`` defaults to a ``df.count()`` — pass it when the
+    caller already knows the cardinality to keep the plan
+    single-pass. Uses ``coalesce`` (narrow, no shuffle) so upstream
+    parallelism is preserved until the write stage."""
+    n = total_rows if total_rows is not None else df.count()
+    files = max(1, -(-n // max(1, target_rows_per_file)))
+    writer = df.coalesce(files).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
 def create_warehouse_table(
     spark: SparkSession, df: DataFrame, table: str, mode: str = "overwrite"
 ) -> None:

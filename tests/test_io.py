@@ -134,3 +134,37 @@ def test_csv_rejects_quarantined_not_fatal(spark, tmp_dir):
     assert sorted(r.id for r in good.collect()) == [1, 3]
     assert bad.count() == 1
     assert "not_a_number" in bad.collect()[0]._corrupt_record
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_dir):
+    """ORC sink/source round-trip preserving schema; predicates reach
+    the ORC reader like they do for parquet."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.io import (
+        read_orc,
+        write_orc,
+    )
+    from tests.conftest import SF_DIR
+
+    src = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    write_orc(src, f"{tmp_dir}/nation_orc")
+    back = read_orc(spark, f"{tmp_dir}/nation_orc")
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    plan = back.filter("n_regionkey = 2")._jdf.queryExecution().executedPlan().toString()
+    assert "n_regionkey" in plan and "PushedFilters" in plan
+
+
+def test_compact_output_bounds_file_count(spark, tmp_dir):
+    """compact_output must write ceil(rows/target) data files, not one
+    per shuffle partition."""
+    from pathlib import Path
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.io import (
+        compact_output,
+    )
+
+    df = spark.range(1000).repartition(16).toDF("id")
+    compact_output(df, f"{tmp_dir}/compacted", target_rows_per_file=400)
+    files = [p for p in Path(f"{tmp_dir}/compacted").glob("*.parquet")]
+    assert len(files) == 3  # ceil(1000/400)
+    assert spark.read.parquet(f"{tmp_dir}/compacted").count() == 1000
