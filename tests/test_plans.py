@@ -86,3 +86,11 @@ def test_events_read_requires_nanos_conf(spark):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     (events,) = load(spark, SF_DIR, "events")
     assert events.schema["ts"].dataType.typeName() == "timestamp"
+
+
+def test_ntile_ranks_are_bucket_partitioned(spark):
+    """w_ntile_percentiles must rank inside quantile buckets (the
+    distributed form), not via a single-partition window over the
+    data: the executed plan shows the __bucket hash partitioning."""
+    plan = _plan(spark, "w_ntile_percentiles")
+    assert "__bucket" in plan
