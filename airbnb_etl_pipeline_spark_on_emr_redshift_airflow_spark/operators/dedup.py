@@ -275,6 +275,59 @@ def dedup_by_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti")
 
 
+def contaminated_ids(
+    train: DataFrame,
+    heldout: DataFrame,
+    n: int = 13,
+    min_shared_shingles: int = 1,
+) -> DataFrame:
+    """Training docs that overlap a held-out evaluation set — the
+    benchmark-decontamination check run before pretraining:
+
+    - **exact**: normalized-text fingerprints matching any held-out
+      fingerprint (verbatim inclusion of an eval document), and
+    - **fuzzy**: docs sharing ≥ ``min_shared_shingles`` word
+      ``n``-gram shingles with the held-out set (the standard 13-gram
+      criterion — catches embedded verbatim passages, not just whole
+      documents).
+
+    Returns distinct contaminated train ``doc_id`` rows. Scale shape:
+    the held-out side is small (benchmarks), so both probes are joins
+    against a dim-sized build side — fingerprints by hash equality,
+    shingles via the inverted index (never O(train × heldout))."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions.text import (
+        fingerprint,
+    )
+
+    train_fp = train.select("doc_id", fingerprint("text").alias("fp"))
+    held_fp = heldout.select(fingerprint("text").alias("fp")).distinct()
+    exact = train_fp.join(F.broadcast(held_fp), "fp", "left_semi").select("doc_id")
+
+    train_sh = word_shingles(train, n)
+    held_sh = word_shingles(heldout, n).select("shingle").distinct()
+    fuzzy = (
+        train_sh.join(F.broadcast(held_sh), "shingle", "inner")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("__shared"))
+        .filter(F.col("__shared") >= min_shared_shingles)
+        .select("doc_id")
+    )
+    return exact.unionByName(fuzzy).distinct()
+
+
+def decontaminate(
+    train: DataFrame,
+    heldout: DataFrame,
+    n: int = 13,
+    min_shared_shingles: int = 1,
+) -> DataFrame:
+    """Drop contaminated docs from the training corpus: one left-anti
+    join against :func:`contaminated_ids` (the same anti-join shape
+    that replaced the reference's NOT IN)."""
+    bad = contaminated_ids(train, heldout, n, min_shared_shingles)
+    return train.join(bad, "doc_id", "left_anti")
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per doc: per-token xxhash64, bit-majority vote
     across tokens — 64 conditional sums in one aggregate pass, then the

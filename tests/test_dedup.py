@@ -158,3 +158,34 @@ def test_connected_components_warns_without_fixpoint(spark):
         w.simplefilter("always")
         connected_components(chain, max_iter=1).collect()
     assert any("fixpoint" in str(c.message) for c in caught)
+
+
+def test_decontaminate_drops_eval_overlap(spark):
+    """Exact copies AND docs embedding a 13-gram eval passage must be
+    dropped; clean docs survive."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        contaminated_ids,
+        decontaminate,
+    )
+
+    eval_q = (
+        "what is the capital of france and which river flows through "
+        "it on the way to the english channel near the old harbor"
+    )
+    clean = (
+        "spark executes declarative plans through catalyst and tungsten "
+        "with whole stage code generation across many partitioned tasks"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, eval_q),                                  # verbatim copy
+            (2, "intro text. " + eval_q + " closing."),   # embedded passage
+            (3, clean),                                   # untouched
+        ],
+        "doc_id long, text string",
+    )
+    heldout = spark.createDataFrame([(100, eval_q)], "doc_id long, text string")
+    bad = sorted(r.doc_id for r in contaminated_ids(train, heldout).collect())
+    assert bad == [1, 2]
+    kept = sorted(r.doc_id for r in decontaminate(train, heldout).collect())
+    assert kept == [3]
