@@ -56,6 +56,28 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
     )
 
 
+def shingle_hash_arrays(
+    docs: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """doc_id → the doc's distinct word ``n``-gram shingles as one
+    ``array<bigint>`` of xxhash64 values — the no-shuffle form of the
+    shingle set (a pure scan-stage projection; :func:`word_shingles`
+    is the exploded inverted-index form). Hashing shrinks the payload
+    to 8 bytes/shingle; a cross-shingle hash collision inside one pair
+    needs ~|sh|²/2⁶⁴ luck, far below any near-dup threshold's
+    resolution."""
+    toked = normalized_tokens(docs, text_col)
+    arr = f"""
+        CASE WHEN size(__tokens) >= {n} THEN
+          array_distinct(transform(
+            sequence(1, size(__tokens) - {n - 1}),
+            i -> xxhash64(concat_ws(' ', slice(__tokens, i, {n})))
+          ))
+        ELSE array() END
+        """
+    return toked.select("doc_id", F.expr(arr).alias("shingles"))
+
+
 def exact_dedup_fingerprint(docs: DataFrame) -> DataFrame:
     """Exact dedup: md5(normalized text) fingerprint, min-doc_id
     survivor. Two hash shuffles (fingerprint groupBy); fully
@@ -159,28 +181,30 @@ def minhash_near_dups(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash-LSH candidates verified with exact shingle Jaccard —
-    candidates only, so the verify join touches a tiny fraction of
-    pairs. Returns (doc_a, doc_b, jaccard ≥ threshold)."""
+    """MinHash-LSH candidates verified with exact shingle Jaccard.
+
+    The verify never touches the inverted shingle index: that
+    self-join fans out to EVERY co-shingle pair (the quadratic blowup
+    banding exists to avoid — a hot shingle alone would explode it)
+    before any candidate filter could bite. Instead the slim
+    (doc_a, doc_b) candidates join twice against the per-doc
+    shingle-hash arrays (:func:`shingle_hash_arrays`, a scan-stage
+    projection — no explode, no shuffle to build), and the exact
+    intersection is ``array_intersect`` per pair: total verify cost is
+    O(candidates × shingles-per-doc), two hash joins. Returns
+    (doc_a, doc_b, jaccard ≥ threshold)."""
     cands = minhash_lsh_candidates(docs, k, bands, n)
-    sh = word_shingles(docs, n)
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .join(cands, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh = shingle_hash_arrays(docs, n)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sa", "sb")))
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            / (F.size("sa") + F.size("sb") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
