@@ -91,16 +91,23 @@ def exact_dedup_fingerprint(docs: DataFrame) -> DataFrame:
 
 
 def jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5
+    docs: DataFrame, n: int = 3, threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all candidate pairs sharing
     ≥1 shingle: inverted index (shingle → docs) self-joined, pair
     intersection counted, union derived from per-doc shingle counts.
 
     Scale: never materializes the docs² matrix — only pairs that share
-    a shingle. Hot shingles fan out quadratically; at 100 TB drop the
-    top-frequency shingles (stopword shingles) before the self-join or
-    switch to :func:`minhash_lsh`.
+    a shingle. Hot shingles fan out quadratically: a shingle in d docs
+    contributes d² pair rows. ``max_shingle_df`` prunes shingles whose
+    document frequency exceeds the cap before the self-join (the
+    stopword-shingle guard for corpus scale) — candidate *discovery*
+    then misses pairs whose overlap is exclusively hot shingles, but
+    scored pairs keep their exact full-set Jaccard (intersection and
+    union still count every shingle). Default ``None`` = fully exact.
+    At 100 TB prefer a cap (or :func:`minhash_near_dups`, which never
+    builds co-shingle pairs at all).
 
     Deliberately not persisted here: shingling is a cheap scan-stage
     expression, and a persist without a matching unpersist would leak
@@ -108,6 +115,39 @@ def jaccard_pairs(
     materialize immediately can persist/unpersist around the call).
     """
     sh = word_shingles(docs, n)
+    if max_shingle_df is not None:
+        # Discovery on the pruned index, exact scoring on the full
+        # shingle sets — the same candidates + array-intersect verify
+        # shape as minhash_near_dups.
+        cold = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        pruned = sh.join(cold, "shingle", "left_semi")
+        cands = (
+            pruned.select(F.col("doc_id").alias("doc_a"), "shingle")
+            .join(pruned.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        arrs = shingle_hash_arrays(docs, n)
+        va = arrs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+        vb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+        return (
+            cands.join(va, "doc_a")
+            .join(vb, "doc_b")
+            .withColumn("n_inter", F.size(F.array_intersect("sa", "sb")))
+            .withColumn(
+                "jaccard",
+                F.col("n_inter").cast("double")
+                / (F.size("sa") + F.size("sb") - F.col("n_inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

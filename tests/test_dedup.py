@@ -160,6 +160,38 @@ def test_connected_components_warns_without_fixpoint(spark):
     assert any("fixpoint" in str(c.message) for c in caught)
 
 
+def test_jaccard_pairs_hot_shingle_cap(spark):
+    """With a df cap, pairs discoverable only through a hot shingle
+    disappear, but surviving pairs keep their exact full-set Jaccard
+    (identical to the uncapped result)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+
+    hot = "alpha beta gamma"  # the 3-gram shared by ALL docs
+    docs = spark.createDataFrame(
+        [
+            (1, hot + " one two three four five"),
+            (2, hot + " one two three four six"),   # near-dup of 1
+            (3, hot + " seven eight nine ten eleven"),  # only hot overlap
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, n=3, threshold=0.0).collect()
+    }
+    assert set(exact) == {(1, 2), (1, 3), (2, 3)}
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, n=3, threshold=0.0, max_shingle_df=2).collect()
+    }
+    # (1,3)/(2,3) shared only the df=3 hot shingle — pruned from
+    # discovery; (1,2)'s score still counts the hot shingle exactly.
+    assert set(capped) == {(1, 2)}
+    assert capped[(1, 2)] == exact[(1, 2)]
+
+
 def test_decontaminate_drops_eval_overlap(spark):
     """Exact copies AND docs embedding a 13-gram eval passage must be
     dropped; clean docs survive."""
