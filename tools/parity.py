@@ -100,7 +100,8 @@ def main() -> int:
             print(f"      oracle sample: {ort}")
         else:
             print(f"PASS  {name} ({len(srows)} rows)")
-    print(f"\n{len(failures)} failures / {len(queries)} queries")
+    n_run = len([n for n in queries if not only or n in only])
+    print(f"\n{len(failures)} failures / {n_run} queries")
     return 1 if failures else 0
 
 
