@@ -5,6 +5,7 @@ the rows-only (non-oracle) MinHash/SimHash operators."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
     exact_dedup_fingerprint,
@@ -158,6 +159,34 @@ def test_connected_components_warns_without_fixpoint(spark):
         w.simplefilter("always")
         connected_components(chain, max_iter=1).collect()
     assert any("fixpoint" in str(c.message) for c in caught)
+
+
+def test_shingle_forms_agree(spark):
+    """The scan-stage array form and the exploded inverted-index form
+    must describe the same shingle sets (minhash verify and jaccard
+    scoring depend on their agreement)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        shingle_hash_arrays,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y"), (3, "one two Three, one two three!")],
+        "doc_id long, text string",
+    )
+    arrs = {
+        r.doc_id: sorted(r.shingles)
+        for r in shingle_hash_arrays(docs, n=3).collect()
+    }
+    exploded = (
+        word_shingles(docs, n=3)
+        .select("doc_id", F.expr("xxhash64(shingle)").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+        .collect()
+    )
+    assert arrs[2] == []  # shorter than n ⇒ empty, not descending-sequence junk
+    assert {r.doc_id: list(r.hs) for r in exploded} == {1: arrs[1], 3: arrs[3]}
 
 
 def test_jaccard_pairs_hot_shingle_cap(spark):
