@@ -96,18 +96,23 @@ def epoch_shuffle(
     df: DataFrame, key_cols: list[str], seed: int = 0, num_partitions: int | None = None
 ) -> DataFrame:
     """Deterministic global shuffle for one training epoch: rows are
-    placed AND ordered by ``xxhash64(seed, keys)`` — repartition on the
-    hash plus a within-partition sort, so reading partitions in order
-    yields a pseudorandom document order that is identical for every
-    run with the same seed. One shuffle; no single-partition stage; a
-    new seed is a new epoch permutation."""
+    ordered by ``xxhash64(seed, keys)`` — a RANGE repartition on the
+    hash plus a within-partition sort, so each partition holds a
+    contiguous slice of the global hash order and reading partitions
+    in order yields THE total order by (hash, keys). That order is a
+    function of (data, seed) alone — independent of
+    ``num_partitions``, ``spark.sql.shuffle.partitions``, and cluster
+    layout (partition boundaries only pick the split points of the
+    same global order; hash ties break on the key columns). One
+    shuffle; no single-partition stage; a new seed is a new epoch
+    permutation."""
     hashed = df.withColumn("__h", F.xxhash64(F.lit(seed), *key_cols))
     parted = (
-        hashed.repartition(num_partitions, "__h")
+        hashed.repartitionByRange(num_partitions, "__h")
         if num_partitions
-        else hashed.repartition("__h")
+        else hashed.repartitionByRange("__h")
     )
-    return parted.sortWithinPartitions("__h").drop("__h")
+    return parted.sortWithinPartitions("__h", *key_cols).drop("__h")
 
 
 def pack_sequences(
@@ -133,6 +138,12 @@ def pack_sequences(
     optimal packing would serialize.
     """
     n_groups = max(1, n_groups)
+    if n_groups > (1 << 31):
+        raise ValueError(
+            f"pack_sequences: n_groups={n_groups} exceeds 2^31 — "
+            "pack_id packs (group, local_pack) into one int64 as "
+            "group << 32 | local_pack"
+        )
 
     grouped = df.withColumn(
         "__g", F.pmod(F.xxhash64(F.lit(seed), *key_cols), F.lit(n_groups))
@@ -155,7 +166,16 @@ def pack_sequences(
             if used + length > max_len and used > 0:
                 local_pack += 1
                 used = 0
-            pack_ids.append(group * 10_000_000 + local_pack)
+            # Collision-free composite id: high 32 bits = group, low 32
+            # = pack index within the group. A group would need 2^32
+            # packs (far beyond one task's rows) to overflow the low
+            # half — assert rather than silently collide.
+            if local_pack >= (1 << 32):
+                raise ValueError(
+                    "pack_sequences: >2^32 packs in one group — raise "
+                    "n_groups so groups stay task-sized"
+                )
+            pack_ids.append((group << 32) | local_pack)
             offsets.append(used)
             used += length
         pdf = pdf[payload_cols].copy()

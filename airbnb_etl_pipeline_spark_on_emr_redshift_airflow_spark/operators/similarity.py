@@ -272,13 +272,16 @@ def embedding_near_dup_pairs_lsh(
     )
     va = vecs.select(F.col("id").alias("id_a"), F.col("vn").alias("vna"))
     vb = vecs.select(F.col("id").alias("id_b"), F.col("vn").alias("vnb"))
-    # The vector table is orders of magnitude smaller than the
-    # candidate-pair stream (it has no pair blowup) — broadcast it so
-    # the verify adds zero shuffles; candidates flow map-side through
-    # both attach joins straight into the dot-product filter.
+    # NO broadcast hint on the vector attach joins: the vector table is
+    # corpus-sized (a broadcast must fit every executor AND the driver;
+    # at 10^9 docs x 64 dims it is ~0.5 TB — guaranteed OOM for the
+    # function advertised as the 100 TB path). The candidates are
+    # already slim id pairs, so the worst case is one keyed exchange
+    # per attach; at small scale AQE sees the actual sizes and
+    # converts to broadcast-hash on its own.
     return (
-        cands.join(F.broadcast(va), "id_a")
-        .join(F.broadcast(vb), "id_b")
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .filter(_dot("vna", "vnb") >= threshold)
         .select("id_a", "id_b")
     )
@@ -314,7 +317,28 @@ def hyperplane_buckets(
 
     @F.pandas_udf("array<int>")
     def bucket_ids(v: pd.Series) -> pd.Series:
-        mat = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        # Arrow may hand an empty batch (e.g. an empty partition after
+        # a selective filter) — np.stack raises on it, so short-circuit.
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        if v.isna().any():
+            raise ValueError(
+                "hyperplane_buckets: null embedding vector — filter "
+                "nulls upstream (buckets for missing vectors are "
+                "undefined)"
+            )
+        try:
+            mat = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        except ValueError as exc:  # ragged batch → np.stack refuses
+            raise ValueError(
+                "hyperplane_buckets: embedding vectors have "
+                f"inconsistent lengths (expected dim={flat.shape[1]})"
+            ) from exc
+        if mat.shape[1] != flat.shape[1]:
+            raise ValueError(
+                f"hyperplane_buckets: embedding dim {mat.shape[1]} != "
+                f"configured dim {flat.shape[1]}"
+            )
         bits = (mat @ flat.T >= 0).reshape(len(mat), n_tables, n_planes)
         buckets = bits @ weights  # (n, n_tables)
         return pd.Series(list(buckets.astype(np.int32)))
@@ -340,26 +364,32 @@ def ann_topk_lsh(
     path when the corpus no longer fits a broadcast cross-join; tune
     (n_planes, n_tables) for the recall/cost point."""
     cb = hyperplane_buckets(corpus, n_planes, n_tables, dim, vec_col=vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(vec_col).alias("cv"),
-        "table_id",
-        "bucket",
+        F.col(id_col).alias("neighbor_id"), "table_id", "bucket"
     )
     qb = hyperplane_buckets(queries, n_planes, n_tables, dim, vec_col=vec_col).select(
-        F.col(id_col).alias("query_id"),
-        as_double(vec_col).alias("qv"),
-        "table_id",
-        "bucket",
+        F.col(id_col).alias("query_id"), "table_id", "bucket"
     )
+    # Dedup SLIM (a pair colliding in several tables scores once): the
+    # dropDuplicates exchange carries bare id pairs, not the two dense
+    # vectors — otherwise shuffle bytes multiply by ~2x dim. Vectors
+    # re-attach once per *distinct* pair: queries are small by contract
+    # (broadcast), the corpus attach is a plain keyed join AQE sizes.
     cands = (
         cb.join(F.broadcast(qb), ["table_id", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        # a pair colliding in several tables scores once
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cands.select(
-        "query_id", "neighbor_id", cosine("qv", "cv").alias("cos_sim")
+    qv_tab = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    cv_tab = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    scored = (
+        cands.join(F.broadcast(qv_tab), "query_id")
+        .join(cv_tab, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine("qv", "cv").alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

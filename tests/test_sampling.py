@@ -73,6 +73,37 @@ def test_epoch_shuffle_is_permutation_and_seed_sensitive(spark):
     assert order0 != sorted(order0)  # actually shuffled
 
 
+def test_epoch_shuffle_order_independent_of_partition_count(spark):
+    # The determinism contract: the epoch order is a function of
+    # (data, seed) ALONE. Range-partitioning on the hash means the
+    # concatenated partition order equals the global hash order
+    # whatever num_partitions (or shuffle.partitions default) is.
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    o4 = [r.doc_id for r in epoch_shuffle(docs, ["doc_id"], seed=3,
+                                          num_partitions=4).collect()]
+    o13 = [r.doc_id for r in epoch_shuffle(docs, ["doc_id"], seed=3,
+                                           num_partitions=13).collect()]
+    o_default = [r.doc_id for r in epoch_shuffle(docs, ["doc_id"],
+                                                 seed=3).collect()]
+    assert o4 == o13 == o_default
+
+
+def test_pack_sequences_composite_id_is_collision_free(spark):
+    # pack_id = group << 32 | local_pack: decodable, unique across
+    # groups even when every doc is its own pack (max local_pack for
+    # the row count), and far past the old 10M-per-group modulus.
+    docs = spark.createDataFrame(
+        [(i, 10) for i in range(300)], "doc_id long, n_tokens long"
+    )
+    rows = pack_sequences(docs, "n_tokens", 10, ["doc_id"], n_groups=4).collect()
+    ids = [r.pack_id for r in rows]
+    assert len(set(ids)) == len(ids)  # one pack per doc here, all unique
+    groups = {pid >> 32 for pid in ids}
+    assert groups <= set(range(4))
+    for pid in ids:
+        assert 0 <= (pid & 0xFFFFFFFF) < 300
+
+
 def test_pack_sequences_respects_max_len_and_covers_all(spark):
     docs = spark.createDataFrame(
         [(i, 100 + (i * 37) % 900) for i in range(200)],
