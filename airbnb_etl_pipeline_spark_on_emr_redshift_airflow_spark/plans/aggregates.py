@@ -228,28 +228,72 @@ def a_column_profile(spark, sf_dir):
 @register(
     "a_top_share_limit",
     oracle="""
-    SELECT c_mktsegment,
-           count(*) AS cnt,
-           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM customer) AS share
-    FROM customer
-    GROUP BY c_mktsegment
-    ORDER BY share DESC, c_mktsegment DESC
-    LIMIT 3
+    WITH shares AS (
+      SELECT c_mktsegment,
+             count(*) AS cnt,
+             CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM customer) AS share
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY share DESC, c_mktsegment DESC
+      LIMIT 3
+    )
+    SELECT 'segment_share' AS slice, c_mktsegment AS entity, cnt AS n,
+           share AS metric
+    FROM shares
+    UNION ALL
+    SELECT 'top_price', CAST(o_orderkey AS VARCHAR), o_custkey, o_totalprice
+    FROM (SELECT * FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10)
+    UNION ALL
+    SELECT 'earliest', CAST(o_orderkey AS VARCHAR), o_custkey, o_totalprice
+    FROM (SELECT * FROM orders
+          ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 50)
     """,
 )
 def a_top_share_limit(spark, sf_dir):
-    """The reference's cell-47 query shape exactly: ratio-to-total
-    share per group, ORDER BY share DESC LIMIT k (A5 + O2 composed),
-    with a name tie-break for determinism."""
+    """A5 + O1/O2/O3 in one slot (absorbs the former
+    ``o_topk_sort_limit`` row, slice-tagged). 'segment_share': the
+    reference's cell-47 shape exactly — ratio-to-total share per
+    group, ORDER BY share DESC LIMIT k, name tie-break. 'top_price' /
+    'earliest': top-k by price desc (reference cells 47/49) and the
+    earliest-50 ascending sort+limit (``apps/process_weather.py:99``
+    ORDER BY date; LIMIT peeks in notebook cells 12/18/24), each with
+    a unique tie-break. Spark plans the sort+limit slices as
+    TakeOrderedAndProject — per-partition heaps, no global sort, no
+    single-partition exchange (asserted in ``tests/test_plans.py``)."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
         topk,
     )
 
-    (customer,) = load(spark, sf_dir, "customer")
+    customer, orders = load(spark, sf_dir, "customer", "orders")
     shares = ratio_to_total(customer, ["c_mktsegment"])
-    return topk(shares, ["share", "c_mktsegment"], 3).select(
-        "c_mktsegment", "cnt", "share"
+    seg = topk(shares, ["share", "c_mktsegment"], 3).select(
+        F.lit("segment_share").alias("slice"),
+        F.col("c_mktsegment").alias("entity"),
+        F.col("cnt").alias("n"),
+        F.col("share").alias("metric"),
     )
+    top_price = (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            F.lit("top_price").alias("slice"),
+            F.col("o_orderkey").cast("string").alias("entity"),
+            F.col("o_custkey").alias("n"),
+            F.col("o_totalprice").alias("metric"),
+        )
+    )
+    earliest = (
+        orders.orderBy("o_orderdate", "o_orderkey")
+        .limit(50)
+        .select(
+            F.lit("earliest").alias("slice"),
+            F.col("o_orderkey").cast("string").alias("entity"),
+            F.col("o_custkey").alias("n"),
+            F.col("o_totalprice").alias("metric"),
+        )
+    )
+    return seg.unionByName(top_price).unionByName(earliest)
 
 
 @register("a_grouped_pandas_zscore")

@@ -22,24 +22,6 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog impor
 
 
 @register(
-    "s_parquet_scan_prune",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity
-    FROM lineitem
-    WHERE l_returnflag = 'R' AND l_quantity > 45
-    """,
-)
-def s_parquet_scan_prune(spark, sf_dir):
-    """S4 parquet scan + Catalyst pushdown: projection prunes to 3 of 11
-    columns (ReadSchema), both predicates reach the scan (PushedFilters).
-    Reference scan sites: ``apps/process_listings_hosts.py:87``."""
-    (li,) = load(spark, sf_dir, "lineitem")
-    return li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 45)).select(
-        "l_orderkey", "l_linenumber", "l_quantity"
-    )
-
-
-@register(
     "p_project_rename_cast",
     oracle="""
     SELECT p_partkey AS part_id,
@@ -79,10 +61,15 @@ def p_project_rename_cast(spark, sf_dir):
     """,
 )
 def p_filter_predicates(spark, sf_dir):
-    """P7-P10: literal equality, IN-list, range, timestamp cut, null
-    guard — all pushed to the scan (reference filter sites
+    """S4 + P7-P10 (absorbs the former ``s_parquet_scan_prune`` row —
+    same scan-pruning semantics, one driver slot): the projection
+    prunes to 3 of 6 columns (ReadSchema) and every predicate —
+    literal equality, IN-list, range, timestamp cut, null guard —
+    reaches the parquet scan (PushedFilters; asserted in
+    ``tests/test_plans.py``). Reference filter/scan sites
     ``apps/preprocess_data.py:95``, ``apps/process_weather.py:98``,
-    ``apps/process_reviews.py:134-138``)."""
+    ``apps/process_reviews.py:134-138``,
+    ``apps/process_listings_hosts.py:87``."""
     (orders,) = load(spark, sf_dir, "orders")
     return orders.filter(
         (F.col("o_orderstatus") == "F")
@@ -152,58 +139,68 @@ def p_null_pad_align_union(spark, sf_dir):
 @register(
     "u_three_way_union",
     oracle="""
-    SELECT l_orderkey, l_linenumber, 'returned' AS disposition FROM lineitem WHERE l_returnflag = 'R'
+    SELECT 'reunion' AS slice, l_orderkey AS k1,
+           CAST(l_linenumber AS BIGINT) AS k2, 'returned' AS tag
+    FROM lineitem WHERE l_returnflag = 'R'
     UNION ALL
-    SELECT l_orderkey, l_linenumber, 'accepted' AS disposition FROM lineitem WHERE l_returnflag = 'A'
+    SELECT 'reunion', l_orderkey, CAST(l_linenumber AS BIGINT), 'accepted'
+    FROM lineitem WHERE l_returnflag = 'A'
     UNION ALL
-    SELECT l_orderkey, l_linenumber, 'n/a' AS disposition FROM lineitem WHERE l_returnflag NOT IN ('R','A')
+    SELECT 'reunion', l_orderkey, CAST(l_linenumber AS BIGINT), 'n/a'
+    FROM lineitem WHERE l_returnflag NOT IN ('R','A')
+    UNION ALL
+    SELECT 'setops', CAST(nationkey AS BIGINT), CAST(NULL AS BIGINT), 'both'
+    FROM (SELECT c_nationkey AS nationkey FROM customer INTERSECT
+          SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'setops', CAST(nationkey AS BIGINT), CAST(NULL AS BIGINT), 'customer_only'
+    FROM (SELECT c_nationkey AS nationkey FROM customer EXCEPT
+          SELECT s_nationkey FROM supplier)
     """,
 )
 def u_three_way_union(spark, sf_dir):
-    """U2 — the reference's partition-transform-reunion: split on a
-    predicate, apply a different transform per slice, reassemble
+    """U2 + the intersect/except surface extension (absorbs the former
+    ``u_intersect_except`` row — slice-tagged so both keep a driver
+    check in one slot). 'reunion' slices: the reference's
+    partition-transform-reunion — split on a predicate, apply a
+    different transform per slice, reassemble
     (``apps/process_reviews.py:137-140``: non-en ∪ scored-en ∪
-    null-language with 'n/a' fill)."""
-    (li,) = load(spark, sf_dir, "lineitem")
-    base = li.select("l_orderkey", "l_linenumber", "l_returnflag")
+    null-language with 'n/a' fill). 'setops' slices: nations present
+    in both customer and supplier vs customer-only (SURVEY.md §2.7
+    notes the reference has no intersect/except; free in Spark —
+    ``subtract`` = EXCEPT DISTINCT set semantics, like the oracle)."""
+    li, customer, supplier = load(spark, sf_dir, "lineitem", "customer", "supplier")
+    base = li.select(
+        F.lit("reunion").alias("slice"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").cast("bigint").alias("k2"),
+        "l_returnflag",
+    )
     returned = base.filter(F.col("l_returnflag") == "R").withColumn(
-        "disposition", F.lit("returned")
+        "tag", F.lit("returned")
     )
     accepted = base.filter(F.col("l_returnflag") == "A").withColumn(
-        "disposition", F.lit("accepted")
+        "tag", F.lit("accepted")
     )
     other = base.filter(~F.col("l_returnflag").isin("R", "A")).withColumn(
-        "disposition", F.lit("n/a")
+        "tag", F.lit("n/a")
     )
-    return align_union(returned, accepted, other).select(
-        "l_orderkey", "l_linenumber", "disposition"
-    )
-
-
-@register(
-    "u_intersect_except",
-    oracle="""
-    WITH build_nations AS (SELECT c_nationkey AS nationkey FROM customer INTERSECT
-                           SELECT s_nationkey FROM supplier),
-         cust_only     AS (SELECT c_nationkey AS nationkey FROM customer EXCEPT
-                           SELECT s_nationkey FROM supplier)
-    SELECT nationkey, 'both' AS presence FROM build_nations
-    UNION ALL
-    SELECT nationkey, 'customer_only' AS presence FROM cust_only
-    """,
-)
-def u_intersect_except(spark, sf_dir):
-    """Set-op surface extension (SURVEY.md §2.7 notes the reference has
-    no intersect/except; free in Spark): nations present in both
-    customer and supplier vs customer-only."""
-    customer, supplier = load(spark, sf_dir, "customer", "supplier")
     cust = customer.select(F.col("c_nationkey").alias("nationkey"))
     supp = supplier.select(F.col("s_nationkey").alias("nationkey"))
-    both = cust.intersect(supp).withColumn("presence", F.lit("both"))
-    # subtract = EXCEPT DISTINCT (set semantics, like the SQL oracle);
-    # exceptAll would keep multiplicity differences.
-    only = cust.subtract(supp).withColumn("presence", F.lit("customer_only"))
-    return align_union(both, only)
+    setops = []
+    for df, tag in ((cust.intersect(supp), "both"),
+                    (cust.subtract(supp), "customer_only")):
+        setops.append(
+            df.select(
+                F.lit("setops").alias("slice"),
+                F.col("nationkey").cast("bigint").alias("k1"),
+                F.lit(None).cast("bigint").alias("k2"),
+                F.lit(tag).alias("tag"),
+            )
+        )
+    slices = [s.select("slice", "k1", "k2", "tag")
+              for s in (returned, accepted, other)] + setops
+    return align_union(*slices)
 
 
 @register(
@@ -260,40 +257,6 @@ def f_string_date_functions(spark, sf_dir):
         "parsed_date",
         F.year("parsed_date").alias("y"),
     )
-
-
-@register(
-    "o_topk_sort_limit",
-    oracle="""
-    SELECT 'top_price' AS slice, o_orderkey, o_custkey, o_totalprice, o_orderdate
-    FROM (SELECT * FROM orders
-          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10)
-    UNION ALL
-    SELECT 'earliest' AS slice, o_orderkey, o_custkey, o_totalprice, o_orderdate
-    FROM (SELECT * FROM orders
-          ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 50)
-    """,
-)
-def o_topk_sort_limit(spark, sf_dir):
-    """O1/O2/O3 in one query: top-k by price desc (reference cells
-    47/49) ∪ the earliest-50 ascending sort+limit
-    (``apps/process_weather.py:99`` ORDER BY date; LIMIT peeks in
-    notebook cells 12/18/24), each with a unique tie-break. Spark
-    plans BOTH slices as TakeOrderedAndProject — per-partition heaps,
-    no global sort, no single-partition exchange."""
-    (orders,) = load(spark, sf_dir, "orders")
-    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
-    top = (
-        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(10)
-        .select(F.lit("top_price").alias("slice"), *cols)
-    )
-    earliest = (
-        orders.orderBy("o_orderdate", "o_orderkey")
-        .limit(50)
-        .select(F.lit("earliest").alias("slice"), *cols)
-    )
-    return top.unionByName(earliest)
 
 
 @register(

@@ -250,3 +250,59 @@ def test_decontaminate_drops_eval_overlap(spark):
     assert bad == [1, 2]
     kept = sorted(r.doc_id for r in decontaminate(train, heldout).collect())
     assert kept == [3]
+
+
+def test_catalog_decontaminate_planted_coverage(spark):
+    """The d_decontaminate catalog query plants its own contamination;
+    every planted doc must come back flagged with the right label —
+    verbatim always, fragment13 whenever the doc has >= 13 normalized
+    words (shorter docs have no complete 13-gram, legitimately
+    missed)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["d_decontaminate"](spark, SF_DIR).collect()
+    flagged = {r.doc_id: r.planted for r in rows}
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    wordy = docs.select(
+        "doc_id",
+        F.size(
+            F.split(
+                F.expr("trim(regexp_replace(lower(text), '[^a-z]+', ' '))"), " "
+            )
+        ).alias("n_words"),
+    ).collect()
+    for r in wordy:
+        if r.doc_id % 97 == 0:
+            assert flagged.get(r.doc_id) == "verbatim", r.doc_id
+        elif r.doc_id % 89 == 0 and r.n_words >= 13:
+            assert flagged.get(r.doc_id) == "fragment13", r.doc_id
+
+
+def test_catalog_sample_mix_exact_keep_sets(spark):
+    """c_sample_mix rows are the exact hash-predicate keep-sets:
+    recompute the xxhash64 predicate per row and compare set-equal —
+    and the stratified slice must keep ALL of src0 and NONE of src2."""
+    from pyspark.sql import functions as F
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    out = QUERIES["c_sample_mix"](spark, SF_DIR)
+    got = {(r.op, r.bucket, r.doc_id) for r in out.collect()}
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    b5 = F.pmod(F.xxhash64(F.lit(5), "doc_id"), F.lit(1_000_000))
+    b7 = F.pmod(F.xxhash64(F.lit(7), "doc_id"), F.lit(1_000_000))
+    expected = set()
+    for r in docs.select("doc_id", "source", b5.alias("b5"), b7.alias("b7")).collect():
+        if (r.source == "src0" or (r.source == "src1" and r.b5 < 400_000)):
+            expected.add(("stratified", r.source, r.doc_id))
+        if r.doc_id % 2 == 0 and r.b7 < 250_000:
+            expected.add(("mixture", "head", r.doc_id))
+        if r.doc_id % 2 == 1 and r.b7 < 750_000:
+            expected.add(("mixture", "tail", r.doc_id))
+    assert got == expected

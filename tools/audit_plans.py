@@ -1,7 +1,16 @@
-"""Regenerate the PLANS.md shuffle/join audit table.
+"""Regenerate the PLANS.md shuffle/join audit table and gate the
+scale invariants.
 
 Usage: python tools/audit_plans.py [sf_dir]
-Prints a markdown table of per-query physical-plan facts.
+Prints a markdown table of per-query physical-plan facts, then checks
+the permanent plan invariants (same rules as tests/test_plans.py) and
+exits nonzero if any is violated:
+
+- no broadcast HINT over a corpus-derived frame in the dedup /
+  similarity family (AQE choosing broadcast from observed sizes is
+  fine; a hint pins the choice at any scale),
+- no Exchange SinglePartition in the dedup/similarity/curation family,
+- ann_topk_lsh's candidate dedup carries no vector columns.
 """
 
 from __future__ import annotations
@@ -25,6 +34,31 @@ AUDITED = [
     "s_knn_bruteforce",
     "n_sentiment_selective",
     "e_session_window",
+    "d_decontaminate",
+    "c_sample_mix",
+    "c_pack_sequences",
+]
+
+# Every input corpus-sized → no broadcast hint allowed anywhere in the
+# plan (d_decontaminate exempt: held-out side is dim-sized by contract).
+NO_HINT = [
+    "d_ngram_jaccard_pairs",
+    "d_minhash_dup_clusters",
+    "d_simhash_near_dup",
+    "s_embedding_near_dup",
+    "s_near_dup_lsh_blocked",
+]
+
+NO_SINGLE_PARTITION = [
+    "d_exact_dedup",
+    "d_ngram_jaccard_pairs",
+    "d_minhash_dup_clusters",
+    "d_simhash_near_dup",
+    "s_near_dup_lsh_blocked",
+    "s_embedding_near_dup",
+    "d_decontaminate",
+    "c_sample_mix",
+    "c_pack_sequences",
 ]
 
 
@@ -36,15 +70,15 @@ def main() -> None:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("plan-audit")
+
+    def executed(name: str) -> str:
+        qe = QUERIES[name](spark, sf_dir)._jdf.queryExecution()
+        return qe.executedPlan().toString()
+
     print("| query | shuffles | broadcast joins | sort-merge |")
     print("|---|---|---|---|")
     for name in AUDITED:
-        plan = (
-            QUERIES[name](spark, sf_dir)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
+        plan = executed(name)
         shuffles = (
             plan.count("Exchange hashpartitioning")
             + plan.count("Exchange rangepartitioning")
@@ -54,6 +88,27 @@ def main() -> None:
             f"| {name} | {shuffles} | {plan.count('BroadcastHashJoin')} |"
             f" {plan.count('SortMergeJoin')} |"
         )
+
+    violations: list[str] = []
+    for name in NO_HINT:
+        analyzed = (
+            QUERIES[name](spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+        )
+        if "ResolvedHint" in analyzed:
+            violations.append(f"{name}: broadcast hint over corpus-derived frame")
+    for name in NO_SINGLE_PARTITION:
+        if "Exchange SinglePartition" in executed(name):
+            violations.append(f"{name}: Exchange SinglePartition")
+    ann = executed("s_ann_methods")
+    if "first(qv" in ann or "first(cv" in ann:
+        violations.append("s_ann_methods: candidate dedup carries vector columns")
+
+    if violations:
+        print("\nPLAN INVARIANT VIOLATIONS:")
+        for v in violations:
+            print(f"  - {v}")
+        sys.exit(1)
+    print("\nplan invariants: OK")
 
 
 if __name__ == "__main__":
