@@ -10,12 +10,19 @@ similarity scale paths, and the event windowing analogs — the queries
 whose plans exercise every physical strategy the engine cares about.
 Each query executes with a count() action (forces the full plan, no
 driver-side result materialization beyond the aggregate).
+
+Each query runs N_RUNS times (fresh DataFrame each run) and reports
+the MEDIAN — single-run timings at sf0.1 carry 20-30% noise, which
+round 2's round-over-round diff mistook for plan regressions. The
+query names are kept stable across rounds so BENCH_r{N}.json diffs
+per query.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -57,7 +64,13 @@ HEADLINE = [
     "a_approx_sketches",
     "s_near_dup_lsh_blocked",
     "w_ntile_percentiles",
+    # round-3 additions: the curation layer's two heavier chains
+    "d_decontaminate",
+    "c_pack_sequences",
 ]
+
+# Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.
+N_RUNS = 3
 
 
 def main() -> None:
@@ -74,13 +87,17 @@ def main() -> None:
     # queries, not session startup.
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", N_RUNS))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - start, 3)
+        runs = []
+        for _ in range(n_runs):
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.count()
+            runs.append(time.perf_counter() - start)
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
