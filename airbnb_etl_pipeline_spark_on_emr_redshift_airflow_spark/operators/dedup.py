@@ -57,7 +57,10 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
 
 
 def shingle_hash_arrays(
-    docs: DataFrame, n: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    max_shingles_per_doc: int | None = None,
 ) -> DataFrame:
     """doc_id → the doc's distinct word ``n``-gram shingles as one
     ``array<bigint>`` of xxhash64 values — the no-shuffle form of the
@@ -65,7 +68,16 @@ def shingle_hash_arrays(
     is the exploded inverted-index form). Hashing shrinks the payload
     to 8 bytes/shingle; a cross-shingle hash collision inside one pair
     needs ~|sh|²/2⁶⁴ luck, far below any near-dup threshold's
-    resolution."""
+    resolution.
+
+    ``max_shingles_per_doc`` bounds per-row memory for pathological
+    documents (a 1 GB doc would otherwise carry a ~1 GB array through
+    every verify join): keep only the ``k`` SMALLEST hashes — a
+    bottom-k (KMV) sketch. Because the global hash order is one shared
+    "permutation", two capped sets estimate the true Jaccard with
+    error O(1/√k); docs at or under the cap keep their exact shingle
+    set (sorting never changes membership), so results change only
+    for docs past the bound."""
     toked = normalized_tokens(docs, text_col)
     arr = f"""
         CASE WHEN size(__tokens) >= {n} THEN
@@ -75,6 +87,8 @@ def shingle_hash_arrays(
           ))
         ELSE array() END
         """
+    if max_shingles_per_doc is not None:
+        arr = f"slice(array_sort({arr}), 1, {int(max_shingles_per_doc)})"
     return toked.select("doc_id", F.expr(arr).alias("shingles"))
 
 
@@ -220,6 +234,7 @@ def minhash_near_dups(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.5,
+    max_shingles_per_doc: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact shingle Jaccard.
 
@@ -232,9 +247,15 @@ def minhash_near_dups(
     projection — no explode, no shuffle to build), and the exact
     intersection is ``array_intersect`` per pair: total verify cost is
     O(candidates × shingles-per-doc), two hash joins. Returns
-    (doc_a, doc_b, jaccard ≥ threshold)."""
+    (doc_a, doc_b, jaccard ≥ threshold).
+
+    ``max_shingles_per_doc`` caps the verify arrays as a bottom-k
+    sketch (see :func:`shingle_hash_arrays`): per-pair verify memory
+    is then bounded regardless of document length; docs under the cap
+    score their exact Jaccard, docs past it an O(1/√cap) estimate —
+    set it at corpus scale (pathological documents exist at 100 TB)."""
     cands = minhash_lsh_candidates(docs, k, bands, n)
-    sh = shingle_hash_arrays(docs, n)
+    sh = shingle_hash_arrays(docs, n, max_shingles_per_doc=max_shingles_per_doc)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
     return (

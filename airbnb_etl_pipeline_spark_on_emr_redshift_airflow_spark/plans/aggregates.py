@@ -296,18 +296,51 @@ def a_top_share_limit(spark, sf_dir):
     return seg.unionByName(top_price).unionByName(earliest)
 
 
-@register("a_grouped_pandas_zscore")
-def a_grouped_pandas_zscore(spark, sf_dir):
-    """Grouped-map pandas operator (applyInPandas): per-customer order
-    z-scores. Rows-only check (float reduction order differs between
-    pandas and SQL engines); equivalence with the window-function form
-    asserted to 1e-9 in tests."""
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.grouped_pandas import (
-        zscore_per_group,
-    )
+_ZS_SX = dec_sum_sql("o_totalprice", "sx").rsplit(" AS ", 1)[0]
+_ZS_SXX = dec_sum_sql("o_totalprice * o_totalprice", "sxx").rsplit(" AS ", 1)[0]
 
+
+@register(
+    "a_grouped_pandas_zscore",
+    oracle=f"""
+    WITH stats AS (
+      SELECT o_custkey, count(*) AS n, {_ZS_SX} AS sx, {_ZS_SXX} AS sxx
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_custkey, o.o_totalprice,
+           CASE WHEN (s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)) > 0
+                THEN (o.o_totalprice - s.sx / s.n)
+                     / sqrt(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n))
+                ELSE CAST(0.0 AS DOUBLE) END AS zscore
+    FROM orders o JOIN stats s ON o.o_custkey = s.o_custkey
+    """,
+)
+def a_grouped_pandas_zscore(spark, sf_dir):
+    """Per-customer order z-scores — round 1/2 this was rows-only
+    because pandas' float reduction order can't be reproduced by a SQL
+    engine. Now hash-checked: the catalog query computes the SAME
+    population z = (x-μ)/σ from exact fixed-point moment sums
+    (``dec_sum`` of x and x² — associative integer accumulation, so μ
+    and σ² are bit-identical doubles in both engines; every remaining
+    op is a deterministic IEEE division/sqrt). Constant/single-row
+    groups yield z = 0.0, matching the operator. The grouped-map
+    pandas operator (``operators.grouped_pandas.zscore_per_group``)
+    remains the escape-hatch seam and is asserted equivalent to this
+    JVM form within 1e-6 in tests — converting the driver row from
+    rows-only to oracle-checked without giving up the applyInPandas
+    coverage."""
     (orders,) = load(spark, sf_dir, "orders")
-    return zscore_per_group(orders, "o_custkey", "o_totalprice")
+    x = F.col("o_totalprice")
+    stats = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n"),
+        dec_sum(x, "sx"),
+        dec_sum(x * x, "sxx"),
+    )
+    j = orders.select("o_custkey", "o_totalprice").join(stats, "o_custkey")
+    mu = F.col("sx") / F.col("n")
+    var = F.col("sxx") / F.col("n") - mu * mu
+    z = F.when(var > 0, (x - mu) / F.sqrt(var)).otherwise(F.lit(0.0))
+    return j.select("o_custkey", "o_totalprice", z.alias("zscore"))
 
 
 @register("a_approx_sketches")

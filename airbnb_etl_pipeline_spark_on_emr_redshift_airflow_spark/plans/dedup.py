@@ -102,8 +102,12 @@ def d_minhash_dup_clusters(spark, sf_dir):
     The synthetic corpus has no natural near-duplicates, so the query
     PLANTS them: each subset doc gets a mutated twin (one word
     appended, Jaccard ≈ 0.95, id+10^6) — every doc must land in a
-    cluster with its twin. Rows-only check (xxhash64 signatures and
-    iterative propagation are not DuckDB-expressible); pairing,
+    cluster with its twin. The verify arrays are capped at 512
+    hashes/doc (bottom-k sketch) so a pathological long document
+    cannot blow executor memory; every doc in this corpus sits far
+    under the cap, so the output is bit-identical to the uncapped
+    form (asserted in tests). Rows-only check (xxhash64 signatures
+    and iterative propagation are not DuckDB-expressible); pairing,
     chain-transitivity, and convergence semantics unit-tested."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
         connected_components,
@@ -116,7 +120,9 @@ def d_minhash_dup_clusters(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" mutated")).alias("text"),
     )
     corpus = subset.unionByName(twins)
-    pairs = minhash_near_dups(corpus, k=32, bands=8, n=3, threshold=0.5)
+    pairs = minhash_near_dups(
+        corpus, k=32, bands=8, n=3, threshold=0.5, max_shingles_per_doc=512
+    )
     return connected_components(pairs)
 
 

@@ -252,6 +252,59 @@ def test_decontaminate_drops_eval_overlap(spark):
     assert kept == [3]
 
 
+def test_shingle_cap_bounds_memory_and_preserves_normal_docs(spark):
+    """max_shingles_per_doc: a pathological long doc's verify array is
+    bounded at the cap; docs under the cap keep their exact shingle
+    SET (order aside), and minhash output over normal docs is
+    unchanged by the cap. The long doc's mutated twin must still be
+    found via the bottom-k estimate."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        minhash_near_dups,
+        shingle_hash_arrays,
+    )
+
+    normal_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # letter-only tokens: the shingle normalization strips digits
+    def w(i: int) -> str:
+        return "".join(chr(97 + (i // 26**p) % 26) for p in range(3))
+
+    long_doc = " ".join(w(i) for i in range(2000))
+    docs = spark.createDataFrame(
+        [
+            (1, normal_a),
+            (2, normal_a + " appended"),
+            (3, long_doc),
+            (4, long_doc + " mutated"),
+        ],
+        "doc_id long, text string",
+    )
+    capped = {
+        r.doc_id: list(r.shingles)
+        for r in shingle_hash_arrays(docs, n=3, max_shingles_per_doc=64).collect()
+    }
+    full = {
+        r.doc_id: list(r.shingles)
+        for r in shingle_hash_arrays(docs, n=3).collect()
+    }
+    assert len(capped[3]) == 64 and len(full[3]) > 1000  # bounded
+    assert set(capped[1]) == set(full[1])  # under cap: exact set kept
+    # bottom-k really is the k smallest of the full set
+    assert capped[3] == sorted(full[3])[:64]
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_near_dups(
+            docs, k=16, bands=8, threshold=0.5, max_shingles_per_doc=64
+        ).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_near_dups(docs, k=16, bands=8, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == uncapped[(1, 2)]  # normal: exact
+    assert (3, 4) in pairs  # long twins still found via the sketch
+
+
 def test_catalog_decontaminate_planted_coverage(spark):
     """The d_decontaminate catalog query plants its own contamination;
     every planted doc must come back flagged with the right label —

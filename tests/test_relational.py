@@ -77,3 +77,27 @@ def test_grouped_pandas_zscore_matches_window_form(spark):
     }
     assert pandas_z.keys() == window_z.keys()
     assert all(abs(pandas_z[k] - window_z[k]) < 1e-9 for k in pandas_z)
+
+
+def test_grouped_pandas_zscore_matches_catalog_query(spark):
+    """The oracle-checked catalog form (exact fixed-point moment sums)
+    must agree with the applyInPandas operator to 1e-6 — the 4-dp
+    quantization of x and x² shifts mu/sigma by ~1e-4 absolute, which
+    at sigma ~1e4 is ~1e-8 on z."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.grouped_pandas import (
+        zscore_per_group,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    pandas_z = {
+        (r.o_custkey, r.o_totalprice): r.zscore
+        for r in zscore_per_group(orders, "o_custkey", "o_totalprice").collect()
+    }
+    catalog_z = {
+        (r.o_custkey, r.o_totalprice): r.zscore
+        for r in QUERIES["a_grouped_pandas_zscore"](spark, SF_DIR).collect()
+    }
+    assert pandas_z.keys() == catalog_z.keys()
+    assert all(abs(pandas_z[k] - catalog_z[k]) < 1e-6 for k in pandas_z)
