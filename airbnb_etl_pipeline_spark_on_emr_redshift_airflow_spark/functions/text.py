@@ -147,6 +147,44 @@ def fingerprint_sql(col_sql: str) -> str:
     return f"md5({s})"
 
 
+# PII redaction (training-data extension): (name, pattern, token),
+# applied IN ORDER — emails first (their local parts contain dots and
+# digits), then dotted-quad IPs, then phone-ish digit runs (which
+# would otherwise swallow IPs). Patterns stick to the syntax subset
+# Java regex (Spark) and RE2 (DuckDB) implement identically: classes,
+# bounded/greedy quantifiers, \\b word boundaries — no lookaround, no
+# backrefs.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d()\s.-]{6,}\d", "<PHONE>"),
+)
+
+
+def redact_pii_sql(col_sql: str, dialect: str = "spark") -> str:
+    """Portable-by-construction SQL: replace emails, IPv4s, and
+    phone-number-shaped digit runs with typed tokens — the standard
+    PII scrub before a corpus ships to training.
+
+    One dialect knob, because the engines disagree on scope defaults:
+    Spark's ``regexp_replace`` is always global, DuckDB's replaces the
+    FIRST match unless passed the ``'g'`` option — so the oracle text
+    appends the flag while the Spark text cannot (Spark's optional 4th
+    argument is a start position, not options). Both sides compile
+    from the same ``PII_PATTERNS`` table in the same order, so parity
+    stays structural. Works under
+    ``spark.sql.parser.escapedStringLiterals=true`` (session policy):
+    backslashes in the pattern reach the regex engine literally, same
+    as DuckDB's standard string literals."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    flag = ", 'g'" if dialect == "duckdb" else ""
+    expr = col_sql
+    for _, pattern, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pattern}', '{token}'{flag})"
+    return expr
+
+
 # ---- Spark Column wrappers (same generated SQL via F.expr) ----------
 
 
@@ -218,3 +256,7 @@ def quality_score(col: str) -> Column:
 
 def fingerprint(col: str) -> Column:
     return F.expr(fingerprint_sql(col))
+
+
+def redact_pii(col: str) -> Column:
+    return F.expr(redact_pii_sql(col))

@@ -15,12 +15,19 @@ coverage inside the first 50. This module re-registers the originals
 - if it records the full catalog, the merged-away shapes get their own
   oracle-checked rows back, and the cap question is answered for
   future rounds.
+
+New (round-3+) extension queries also register here rather than
+evicting an established row from the first 50; ``t_pii_redact`` is the
+first.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions.text import (
+    redact_pii_sql,
+)
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.relational import (
     align_union,
 )
@@ -106,3 +113,64 @@ def u_intersect_except(spark, sf_dir):
     # exceptAll would keep multiplicity differences.
     only = cust.subtract(supp).withColumn("presence", F.lit("customer_only"))
     return align_union(both, only)
+
+
+# Deterministic PII planting, shared verbatim by both engines: every
+# doc gains an email, a phone, and a dotted-quad IP derived from its
+# id, so the redaction counts below are exact per-row invariants.
+_PLANT = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), "
+    "'@example.com or +1 (555) 010-', "
+    "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), "
+    "' at 10.0.', CAST(doc_id % 256 AS STRING), '.7 now')"
+)
+
+
+def _token_count_sql(src: str, token: str) -> str:
+    """Occurrences of ``token`` in column ``src`` via replace-delta
+    (identical left-to-right scan both engines)."""
+    return (
+        f"CAST((length({src}) - length(replace({src}, '{token}', '')))"
+        f" / {len(token)} AS BIGINT)"
+    )
+
+
+@register(
+    "t_pii_redact",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, {_PLANT} AS __planted FROM documents
+    ), cleaned AS (
+      SELECT doc_id, {redact_pii_sql("__planted", dialect="duckdb")} AS clean
+      FROM planted
+    )
+    SELECT doc_id, clean,
+           {_token_count_sql("clean", "<EMAIL>")} AS n_emails,
+           {_token_count_sql("clean", "<IP>")} AS n_ips,
+           {_token_count_sql("clean", "<PHONE>")} AS n_phones
+    FROM cleaned
+    """,
+)
+def t_pii_redact(spark, sf_dir):
+    """PII redaction (training-data extension): emails, IPv4s, and
+    phone-shaped digit runs replaced with typed tokens
+    (``functions.text.redact_pii``) — a pure scan-stage regexp chain,
+    zero shuffles at any scale. The query plants one of each PII kind
+    per document (id-derived, deterministic) and returns the redacted
+    text plus per-kind token counts, so the oracle check proves both
+    that planted PII is gone and that exactly the expected tokens
+    appear. Dialect note: Spark's regexp_replace is global by default,
+    DuckDB needs the 'g' flag — both sides compile from the same
+    PII_PATTERNS table in the same order (see redact_pii_sql)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    planted = docs.select("doc_id", F.expr(_PLANT).alias("__planted"))
+    cleaned = planted.select(
+        "doc_id", F.expr(redact_pii_sql("__planted")).alias("clean")
+    )
+    return cleaned.select(
+        "doc_id",
+        "clean",
+        F.expr(_token_count_sql("clean", "<EMAIL>")).alias("n_emails"),
+        F.expr(_token_count_sql("clean", "<IP>")).alias("n_ips"),
+        F.expr(_token_count_sql("clean", "<PHONE>")).alias("n_phones"),
+    )

@@ -59,3 +59,24 @@ def test_quality_score_bands(spark):
     # punctuation density passes → 1/3
     got = run(spark, [short], T.quality_score("text"))[0]
     assert abs(got - 1 / 3) < 1e-12
+
+
+def test_redact_pii_replaces_all_kinds_globally(spark):
+    texts = [
+        "mail a.b+c@x.co.uk and d@y.io twice",          # two emails
+        "servers 10.0.0.1 and 192.168.255.7 up",        # two ips
+        "call +1 (555) 010-1234 or 555-010-9999 now",   # two phones
+        "clean text with no contact information here",
+    ]
+    got = run(spark, texts, T.redact_pii("text"))
+    assert got[0] == "mail <EMAIL> and <EMAIL> twice"
+    assert got[1] == "servers <IP> and <IP> up"
+    assert got[2] == "call <PHONE> or <PHONE> now"
+    assert got[3] == texts[3]
+
+
+def test_redact_pii_order_ips_not_eaten_by_phone(spark):
+    # the phone pattern matches dotted digit runs too: IPs must be
+    # tokenized FIRST so they keep their typed tag
+    got = run(spark, ["ip 10.1.2.3 then +1 555 010 1234"], T.redact_pii("text"))
+    assert got == ["ip <IP> then <PHONE>"]
