@@ -174,3 +174,70 @@ def t_pii_redact(spark, sf_dir):
         F.expr(_token_count_sql("clean", "<IP>")).alias("n_ips"),
         F.expr(_token_count_sql("clean", "<PHONE>")).alias("n_phones"),
     )
+
+
+# Shared normalization for the repetition profile (same family as
+# operators.dedup._NORM): lowercase, collapse non-letters.
+_REP_TOKS = "split(trim(regexp_replace(lower(text), '[^a-z]+', ' ')), ' ')"
+
+
+@register(
+    "t_repetition_profile",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_REP_TOKS} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, t, len(t) AS n_tok,
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN n_tok = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / n_tok
+                END AS DOUBLE) AS dup_token_frac,
+           CAST(CASE WHEN len(g) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+                END AS DOUBLE) AS dup_bigram_frac,
+           CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0
+                      ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / n_tok
+                      END) > 0.7 THEN 'drop' ELSE 'keep' END AS gate
+    FROM grams
+    """,
+)
+def t_repetition_profile(spark, sf_dir):
+    """Repetition quality signals (Gopher-rule family, training-data
+    extension): per-document duplicate-token fraction and duplicate
+    word-bigram fraction — the standard boilerplate/spam detectors a
+    pretraining pipeline gates on — plus the keep/drop gate at 0.7.
+    Pure array expressions over one normalization (no explode, no
+    shuffle: runs in the scan stage at any scale); the counts are
+    integer ratios, so the doubles are cross-engine exact. DuckDB
+    recomputes the same token and bigram lists with list functions
+    (same construction as the d_ngram_jaccard_pairs oracle)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.expr(_REP_TOKS).alias("__t"))
+    grams = toked.withColumn(
+        "__g",
+        F.expr(
+            "CASE WHEN size(__t) >= 2 THEN "
+            "transform(sequence(1, size(__t) - 1), "
+            "i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1))) "
+            "ELSE array() END"
+        ),
+    )
+    n_tok = F.size("__t")
+    dup_tok = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct("__t")).cast("double") / n_tok
+    )
+    n_g = F.size("__g")
+    dup_g = F.when(n_g == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct("__g")).cast("double") / n_g
+    )
+    return grams.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        dup_tok.cast("double").alias("dup_token_frac"),
+        dup_g.cast("double").alias("dup_bigram_frac"),
+        F.when(dup_tok > 0.7, "drop").otherwise("keep").alias("gate"),
+    )

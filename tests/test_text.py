@@ -80,3 +80,25 @@ def test_redact_pii_order_ips_not_eaten_by_phone(spark):
     # tokenized FIRST so they keep their typed tag
     got = run(spark, ["ip 10.1.2.3 then +1 555 010 1234"], T.redact_pii("text"))
     assert got == ["ip <IP> then <PHONE>"]
+
+
+def test_repetition_profile_flags_repetitive_docs(spark, tmp_path):
+    """Crafted docs through the actual catalog query: a 50x-repeated
+    phrase must gate 'drop' with dup_token_frac 0.98; an all-distinct
+    doc gates 'keep' with 0.0."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (1, ("buy now " * 50).strip()),            # 2 distinct / 100 tokens
+            (2, "alpha beta gamma delta epsilon"),     # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: r for r in QUERIES["t_repetition_profile"](
+        spark, str(tmp_path)).collect()}
+    assert out[1].n_tokens == 100
+    assert out[1].dup_token_frac == 0.98 and out[1].gate == "drop"
+    assert out[1].dup_bigram_frac > 0.9
+    assert out[2].dup_token_frac == 0.0 and out[2].gate == "keep"
