@@ -16,6 +16,8 @@ large-scale training pipeline runs before tokenization:
   verify, connected-component cluster resolution, min-id survivor
 - **mixture weighting** — per-source deterministic keep rates (the
   "100% curated + downsampled everything-else" recipe)
+- **PII redaction** — emails / IPs / phone-shaped runs → typed
+  tokens, after the raw-text matching stages, before publish
 - **sequence packing** — greedy first-fit of documents into fixed
   context windows, grouped Arrow batches
 - **epoch shuffle** — seeded hash placement + within-partition sort:
@@ -38,7 +40,9 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions.text import (
+    dup_token_frac,
     quality_score,
+    redact_pii,
     token_count,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
@@ -93,10 +97,13 @@ def build_pipeline(
 
     def quality(spark: SparkSession, period: str, ctx):
         """Heuristic quality gate + per-doc token length (kept as a
-        column — packing consumes it). Pure scan-stage expressions."""
+        column — packing consumes it) + the Gopher-rule repetition
+        gate (duplicate-token fraction). Pure scan-stage expressions."""
         docs = ctx["ingest"].withColumn("tok_len", token_count("text"))
         return docs.filter(
-            (quality_score("text") >= 1.0) & F.col("tok_len").between(5, 4096)
+            (quality_score("text") >= 1.0)
+            & F.col("tok_len").between(5, 4096)
+            & (dup_token_frac("text") <= 0.7)
         )
 
     def decontaminated(spark: SparkSession, period: str, ctx):
@@ -132,12 +139,23 @@ def build_pipeline(
             ["doc_id"],
         )
 
+    def redacted(spark: SparkSession, period: str, ctx):
+        """PII scrub before the corpus ships: emails / IPs /
+        phone-shaped runs become typed tokens. Runs LAST among the
+        text transforms on purpose — decontamination and dedup match
+        on raw text (redaction would break fingerprint equality with
+        the unredacted held-out set). Scan-stage regexp chain;
+        tok_len stays the pre-redaction measure (packing budgets the
+        real text length, the typed tokens are a training-side
+        convention)."""
+        return ctx["mixed"].withColumn("text", redact_pii("text"))
+
     def packed(spark: SparkSession, period: str, ctx):
         """Greedy first-fit packing into ``max_len``-token windows,
         then the atomic temp→final publish (a partial write is never
         visible to the training reader)."""
         packs = pack_sequences(
-            ctx["mixed"], "tok_len", max_len, ["doc_id"], n_groups=8
+            ctx["redacted"], "tok_len", max_len, ["doc_id"], n_groups=8
         )
         atomic_publish(packs, f"{workdir}/corpus", validate=model_exists)
         return spark.read.parquet(f"{workdir}/corpus")
@@ -170,10 +188,11 @@ def build_pipeline(
                 ),
             ),
             Stage("mixed", mixed, deps=("deduped",)),
+            Stage("redacted", redacted, deps=("mixed",)),
             Stage(
                 "packed",
                 packed,
-                deps=("mixed",),
+                deps=("redacted",),
                 gates=(("non-empty", non_empty), ("pk unique", unique_key("doc_id"))),
             ),
             Stage("epoch", epoch, deps=("packed",)),

@@ -260,3 +260,23 @@ def fingerprint(col: str) -> Column:
 
 def redact_pii(col: str) -> Column:
     return F.expr(redact_pii_sql(col))
+
+
+def dup_token_frac_sql(col_sql: str) -> str:
+    """Spark SQL (NOT oracle-portable — array functions are
+    ``size``/``array_distinct`` here vs DuckDB's
+    ``len``/``list_distinct``; the cataloged ``t_repetition_profile``
+    carries the DuckDB construction): duplicate-token fraction
+    (1 - distinct/total over normalized words; 0.0 for empty) — the
+    Gopher-rule repetition signal as one expression, for composition
+    into gates."""
+    toks = f"split(trim(regexp_replace(lower({col_sql}), '[^a-z]+', ' ')), ' ')"
+    return (
+        f"(CASE WHEN size({toks}) = 0 THEN 0.0 "
+        f"ELSE 1.0 - CAST(size(array_distinct({toks})) AS DOUBLE)"
+        f" / size({toks}) END)"
+    )
+
+
+def dup_token_frac(col: str) -> Column:
+    return F.expr(dup_token_frac_sql(col))

@@ -285,12 +285,21 @@ def connected_components(
     component (the canonical survivor).
 
     The missing step between pair-finders (MinHash/Jaccard/cosine) and
-    an actual deduped corpus. Iterative DataFrame algorithm:
-    ``localCheckpoint`` cuts lineage each round so the plan doesn't
-    grow exponentially; convergence checked with a count aggregate
-    (components with diameter d converge in ⌈log2 d⌉+1 rounds of
-    large-star-ish propagation; max_iter bounds pathologically long
-    chains).
+    an actual deduped corpus. Iterative DataFrame algorithm, two steps
+    per round:
+
+    - **hook** — each node adopts the min label among its one-hop
+      neighbors (and itself);
+    - **shortcut (pointer jumping)** — each node then adopts its
+      label's OWN label, doubling the effective propagation distance.
+
+    With the shortcut, a component of diameter d converges in
+    O(log d) rounds rather than the O(d) of hook-only propagation —
+    the difference between 6 rounds and 60 for a pathological
+    chain-shaped cluster at corpus scale. ``localCheckpoint`` cuts
+    lineage each round so the plan doesn't grow exponentially;
+    convergence is a count aggregate on the already-checkpointed
+    update; max_iter bounds the loop defensively.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -319,7 +328,7 @@ def connected_components(
         # The pre-update label rides along as __old so convergence is
         # a filter on the (already checkpointed) update itself — no
         # second join per round just to detect the fixpoint.
-        updated = (
+        hooked = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
@@ -328,6 +337,23 @@ def connected_components(
                     F.col("cluster_id"),
                     F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
+            )
+            # checkpointed because the shortcut self-join reads it twice
+            .localCheckpoint()
+        )
+        # Pointer jumping: adopt the label's own label. Labels are
+        # always ids of nodes present in `hooked` (they start as node
+        # ids and only ever move to smaller ids seen in the frame), so
+        # the left join hits; coalesce is belt-and-braces.
+        parents = hooked.select(
+            F.col("doc_id").alias("__pid"), F.col("cluster_id").alias("__plabel")
+        )
+        updated = (
+            hooked.join(parents, hooked.cluster_id == parents.__pid, "left")
+            .select(
+                "doc_id",
+                "__old",
+                F.coalesce("__plabel", "cluster_id").alias("cluster_id"),
             )
             .localCheckpoint()
         )

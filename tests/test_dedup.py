@@ -359,3 +359,24 @@ def test_catalog_sample_mix_exact_keep_sets(spark):
         if r.doc_id % 2 == 1 and r.b7 < 750_000:
             expected.add(("mixture", "tail", r.doc_id))
     assert got == expected
+
+
+def test_connected_components_long_chain_converges_in_log_rounds(spark):
+    """A 60-edge chain has diameter 60: hook-only propagation needs 60
+    rounds, pointer jumping ~log2(60)+2. max_iter=10 proves the
+    shortcut is doing the work (and no convergence warning fires)."""
+    import warnings as _warnings
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", RuntimeWarning)  # warn = fail
+        labels = connected_components(edges, max_iter=10)
+        got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert set(got) == set(range(61))
+    assert set(got.values()) == {0}  # one component, min-id label

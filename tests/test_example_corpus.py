@@ -24,6 +24,7 @@ def test_corpus_pipeline_end_to_end(spark, tmp_dir):
         "decontaminated",
         "deduped",
         "mixed",
+        "redacted",
         "packed",
         "epoch",
     ]
