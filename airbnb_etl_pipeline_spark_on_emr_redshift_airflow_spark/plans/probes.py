@@ -17,8 +17,9 @@ coverage inside the first 50. This module re-registers the originals
   future rounds.
 
 New (round-3+) extension queries also register here rather than
-evicting an established row from the first 50; ``t_pii_redact`` is the
-first.
+evicting an established row from the first 50, and they register
+BEFORE the re-registrations: if a future driver records more than 50
+but fewer than all rows, the genuinely new coverage wins the slots.
 """
 
 from __future__ import annotations
@@ -35,84 +36,6 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog impor
     load,
     register,
 )
-
-
-@register(
-    "s_parquet_scan_prune",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity
-    FROM lineitem
-    WHERE l_returnflag = 'R' AND l_quantity > 45
-    """,
-)
-def s_parquet_scan_prune(spark, sf_dir):
-    """S4 parquet scan + Catalyst pushdown: projection prunes to 3 of 11
-    columns (ReadSchema), both predicates reach the scan (PushedFilters).
-    Reference scan sites: ``apps/process_listings_hosts.py:87``."""
-    (li,) = load(spark, sf_dir, "lineitem")
-    return li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 45)).select(
-        "l_orderkey", "l_linenumber", "l_quantity"
-    )
-
-
-@register(
-    "o_topk_sort_limit",
-    oracle="""
-    SELECT 'top_price' AS slice, o_orderkey, o_custkey, o_totalprice, o_orderdate
-    FROM (SELECT * FROM orders
-          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10)
-    UNION ALL
-    SELECT 'earliest' AS slice, o_orderkey, o_custkey, o_totalprice, o_orderdate
-    FROM (SELECT * FROM orders
-          ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 50)
-    """,
-)
-def o_topk_sort_limit(spark, sf_dir):
-    """O1/O2/O3 in one query: top-k by price desc (reference cells
-    47/49) ∪ the earliest-50 ascending sort+limit
-    (``apps/process_weather.py:99`` ORDER BY date; LIMIT peeks in
-    notebook cells 12/18/24), each with a unique tie-break. Spark
-    plans BOTH slices as TakeOrderedAndProject — per-partition heaps,
-    no global sort, no single-partition exchange."""
-    (orders,) = load(spark, sf_dir, "orders")
-    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
-    top = (
-        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(10)
-        .select(F.lit("top_price").alias("slice"), *cols)
-    )
-    earliest = (
-        orders.orderBy("o_orderdate", "o_orderkey")
-        .limit(50)
-        .select(F.lit("earliest").alias("slice"), *cols)
-    )
-    return top.unionByName(earliest)
-
-
-@register(
-    "u_intersect_except",
-    oracle="""
-    WITH build_nations AS (SELECT c_nationkey AS nationkey FROM customer INTERSECT
-                           SELECT s_nationkey FROM supplier),
-         cust_only     AS (SELECT c_nationkey AS nationkey FROM customer EXCEPT
-                           SELECT s_nationkey FROM supplier)
-    SELECT nationkey, 'both' AS presence FROM build_nations
-    UNION ALL
-    SELECT nationkey, 'customer_only' AS presence FROM cust_only
-    """,
-)
-def u_intersect_except(spark, sf_dir):
-    """Set-op surface extension (SURVEY.md §2.7 notes the reference has
-    no intersect/except; free in Spark): nations present in both
-    customer and supplier vs customer-only."""
-    customer, supplier = load(spark, sf_dir, "customer", "supplier")
-    cust = customer.select(F.col("c_nationkey").alias("nationkey"))
-    supp = supplier.select(F.col("s_nationkey").alias("nationkey"))
-    both = cust.intersect(supp).withColumn("presence", F.lit("both"))
-    # subtract = EXCEPT DISTINCT (set semantics, like the SQL oracle);
-    # exceptAll would keep multiplicity differences.
-    only = cust.subtract(supp).withColumn("presence", F.lit("customer_only"))
-    return align_union(both, only)
 
 
 # Deterministic PII planting, shared verbatim by both engines: every
@@ -241,3 +164,81 @@ def t_repetition_profile(spark, sf_dir):
         dup_g.cast("double").alias("dup_bigram_frac"),
         F.when(dup_tok > 0.7, "drop").otherwise("keep").alias("gate"),
     )
+
+
+@register(
+    "s_parquet_scan_prune",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity > 45
+    """,
+)
+def s_parquet_scan_prune(spark, sf_dir):
+    """S4 parquet scan + Catalyst pushdown: projection prunes to 3 of 11
+    columns (ReadSchema), both predicates reach the scan (PushedFilters).
+    Reference scan sites: ``apps/process_listings_hosts.py:87``."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 45)).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "o_topk_sort_limit",
+    oracle="""
+    SELECT 'top_price' AS slice, o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM (SELECT * FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10)
+    UNION ALL
+    SELECT 'earliest' AS slice, o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM (SELECT * FROM orders
+          ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 50)
+    """,
+)
+def o_topk_sort_limit(spark, sf_dir):
+    """O1/O2/O3 in one query: top-k by price desc (reference cells
+    47/49) ∪ the earliest-50 ascending sort+limit
+    (``apps/process_weather.py:99`` ORDER BY date; LIMIT peeks in
+    notebook cells 12/18/24), each with a unique tie-break. Spark
+    plans BOTH slices as TakeOrderedAndProject — per-partition heaps,
+    no global sort, no single-partition exchange."""
+    (orders,) = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    top = (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(F.lit("top_price").alias("slice"), *cols)
+    )
+    earliest = (
+        orders.orderBy("o_orderdate", "o_orderkey")
+        .limit(50)
+        .select(F.lit("earliest").alias("slice"), *cols)
+    )
+    return top.unionByName(earliest)
+
+
+@register(
+    "u_intersect_except",
+    oracle="""
+    WITH build_nations AS (SELECT c_nationkey AS nationkey FROM customer INTERSECT
+                           SELECT s_nationkey FROM supplier),
+         cust_only     AS (SELECT c_nationkey AS nationkey FROM customer EXCEPT
+                           SELECT s_nationkey FROM supplier)
+    SELECT nationkey, 'both' AS presence FROM build_nations
+    UNION ALL
+    SELECT nationkey, 'customer_only' AS presence FROM cust_only
+    """,
+)
+def u_intersect_except(spark, sf_dir):
+    """Set-op surface extension (SURVEY.md §2.7 notes the reference has
+    no intersect/except; free in Spark): nations present in both
+    customer and supplier vs customer-only."""
+    customer, supplier = load(spark, sf_dir, "customer", "supplier")
+    cust = customer.select(F.col("c_nationkey").alias("nationkey"))
+    supp = supplier.select(F.col("s_nationkey").alias("nationkey"))
+    both = cust.intersect(supp).withColumn("presence", F.lit("both"))
+    # subtract = EXCEPT DISTINCT (set semantics, like the SQL oracle);
+    # exceptAll would keep multiplicity differences.
+    only = cust.subtract(supp).withColumn("presence", F.lit("customer_only"))
+    return align_union(both, only)
