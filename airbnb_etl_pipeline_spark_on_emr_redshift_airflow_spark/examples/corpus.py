@@ -52,6 +52,7 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup imp
     minhash_near_dups,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+    chunk_documents,
     deterministic_sample,
     epoch_shuffle,
     pack_sequences,
@@ -150,12 +151,31 @@ def build_pipeline(
         convention)."""
         return ctx["mixed"].withColumn("text", redact_pii("text"))
 
+    def chunked(spark: SparkSession, period: str, ctx):
+        """Docs longer than ``max_len`` split into overlapping token
+        windows BEFORE packing, so packing never truncates
+        (``pack_sequences`` clamps oversized rows to ``max_len``).
+        Chunk rows get a surrogate ``doc_id`` (parent id in the high
+        bits, chunk index low) so downstream keys stay unique; short
+        docs pass through as their own single chunk. Scan-stage
+        sequence+explode+slice — no shuffle."""
+        toked = ctx["redacted"].withColumn("__t", F.split("text", " "))
+        chunks = chunk_documents(toked, "__t", max_len, overlap=max_len // 16)
+        return chunks.select(
+            F.expr("doc_id * 4096 + chunk_id").alias("doc_id"),
+            F.col("doc_id").alias("parent_doc_id"),
+            F.array_join("chunk_tokens", " ").alias("text"),
+            "lang",
+            "source",
+            F.col("n_chunk_tokens").alias("tok_len"),
+        )
+
     def packed(spark: SparkSession, period: str, ctx):
         """Greedy first-fit packing into ``max_len``-token windows,
         then the atomic temp→final publish (a partial write is never
         visible to the training reader)."""
         packs = pack_sequences(
-            ctx["redacted"], "tok_len", max_len, ["doc_id"], n_groups=8
+            ctx["chunked"], "tok_len", max_len, ["doc_id"], n_groups=8
         )
         atomic_publish(packs, f"{workdir}/corpus", validate=model_exists)
         return spark.read.parquet(f"{workdir}/corpus")
@@ -190,9 +210,15 @@ def build_pipeline(
             Stage("mixed", mixed, deps=("deduped",)),
             Stage("redacted", redacted, deps=("mixed",)),
             Stage(
+                "chunked",
+                chunked,
+                deps=("redacted",),
+                gates=(("non-empty", non_empty), ("pk unique", unique_key("doc_id"))),
+            ),
+            Stage(
                 "packed",
                 packed,
-                deps=("redacted",),
+                deps=("chunked",),
                 gates=(("non-empty", non_empty), ("pk unique", unique_key("doc_id"))),
             ),
             Stage("epoch", epoch, deps=("packed",)),

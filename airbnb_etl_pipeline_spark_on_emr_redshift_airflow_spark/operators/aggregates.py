@@ -114,3 +114,22 @@ def topk(df: DataFrame, order_desc: list[str | Column], k: int) -> DataFrame:
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_desc]
     return df.orderBy(*[c.desc() for c in cols]).limit(k)
+
+
+def token_vocab(toked: DataFrame, tokens_col: str, k: int) -> DataFrame:
+    """Global token vocabulary (training-data extension): explode the
+    token arrays, count occurrences, return the top-``k`` tokens by
+    frequency with the token string as the deterministic tie-break.
+
+    Scale shape: the explode is scan-stage; the count groupBy carries a
+    map-side partial aggregate whose key cardinality is the VOCABULARY
+    (≪ corpus tokens), so the one shuffle moves per-vocab-entry partial
+    counts, not per-token rows; the top-k plans as
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    counts = (
+        toked.select(F.explode(F.col(tokens_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)

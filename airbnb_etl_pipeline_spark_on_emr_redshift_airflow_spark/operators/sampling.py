@@ -115,6 +115,51 @@ def epoch_shuffle(
     return parted.sortWithinPartitions("__h", *key_cols).drop("__h")
 
 
+def chunk_documents(
+    df: DataFrame,
+    tokens_col: str,
+    max_tokens: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document's token array into fixed context windows of
+    ``max_tokens`` with ``overlap`` tokens shared between consecutive
+    chunks (the long-document splitting step before tokenized training
+    batches — the complement of :func:`pack_sequences`, which merges
+    short docs; a real pipeline chunks then packs).
+
+    Emits one row per chunk with ``chunk_id`` (0-based within the
+    doc), ``chunk_tokens`` (the token slice), and ``n_chunk_tokens``.
+    Window starts are ``range(0, max(n - overlap, 1), step)`` with
+    ``step = max_tokens - overlap``: every token is covered (the last
+    start is ≥ n - max_tokens), no window is fully contained in its
+    predecessor, and zero-token docs emit zero chunks.
+
+    Scale shape: a pure scan-stage generate (sequence + explode +
+    slice) — no shuffle, no UDF, at any corpus size; output rows carry
+    only the slice, so a chunk row never duplicates the whole doc.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"chunk_documents: need 0 <= overlap < max_tokens, "
+            f"got overlap={overlap} max_tokens={max_tokens}"
+        )
+    step = max_tokens - overlap
+    starts = F.expr(
+        f"CASE WHEN size({tokens_col}) = 0 THEN array() "
+        f"ELSE sequence(0, greatest(size({tokens_col}) - {overlap}, 1) - 1, "
+        f"{step}) END"
+    )
+    keep = [c for c in df.columns if c != tokens_col]
+    exploded = df.select(*keep, F.col(tokens_col), F.explode(starts).alias("__start"))
+    chunk = F.slice(F.col(tokens_col), F.col("__start") + 1, max_tokens)
+    return exploded.select(
+        *keep,
+        F.expr(f"CAST(__start DIV {step} AS BIGINT)").alias("chunk_id"),
+        chunk.alias("chunk_tokens"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     len_col: str,

@@ -29,8 +29,14 @@ from pyspark.sql import functions as F
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions.text import (
     redact_pii_sql,
 )
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+    token_vocab,
+)
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.relational import (
     align_union,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+    chunk_documents,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
     load,
@@ -164,6 +170,80 @@ def t_repetition_profile(spark, sf_dir):
         dup_g.cast("double").alias("dup_bigram_frac"),
         F.when(dup_tok > 0.7, "drop").otherwise("keep").alias("gate"),
     )
+
+
+# Shared tokenization for the chunking / vocabulary queries: the
+# dedup-family normalization (lowercase, collapse non-letters) with
+# empty tokens dropped, so a symbol-only doc tokenizes to [] not [''].
+_TOKS = (
+    "filter(split(trim(regexp_replace(lower(text), '[^a-z]+', ' ')), ' '), "
+    "x -> x != '')"
+)
+_TOKS_DUCK = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z]+', "
+    "' ', 'g')), ' '), x -> x <> '')"
+)
+
+_CHUNK_MAX, _CHUNK_OVERLAP = 64, 16
+_CHUNK_STEP = _CHUNK_MAX - _CHUNK_OVERLAP
+
+
+@register(
+    "c_chunk_documents",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents)
+    SELECT doc_id,
+           CAST(s // {_CHUNK_STEP} AS BIGINT) AS chunk_id,
+           array_to_string(t[s+1 : s+{_CHUNK_MAX}], ' ') AS chunk_text,
+           CAST(len(t[s+1 : s+{_CHUNK_MAX}]) AS BIGINT) AS n_chunk_tokens
+    FROM toks,
+         UNNEST(range(0, greatest(len(t) - {_CHUNK_OVERLAP}, least(len(t), 1)),
+                      {_CHUNK_STEP})) AS u(s)
+    """,
+)
+def c_chunk_documents(spark, sf_dir):
+    """Long-document chunking (training-data extension): split each
+    doc's tokens into {_CHUNK_MAX}-token windows overlapping by
+    {_CHUNK_OVERLAP} (``operators.sampling.chunk_documents``) — the
+    splitting step before tokenized batches, complement of
+    ``c_pack_sequences``. Pure scan-stage sequence+explode+slice, no
+    shuffle at any scale. Output flattens the token slice to a string
+    so the catalog row carries no array columns (canonicalizer rule);
+    the oracle re-derives the identical windows with DuckDB range +
+    1-based inclusive list slicing."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.expr(_TOKS).alias("t"))
+    chunks = chunk_documents(toked, "t", _CHUNK_MAX, _CHUNK_OVERLAP)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join("chunk_tokens", " ").alias("chunk_text"),
+        "n_chunk_tokens",
+    )
+
+
+@register(
+    "t_vocab_topk",
+    oracle=f"""
+    WITH toks AS (SELECT {_TOKS_DUCK} AS t FROM documents),
+         flat AS (SELECT unnest(t) AS token FROM toks)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM flat
+    GROUP BY token
+    ORDER BY cnt DESC, token ASC
+    LIMIT 100
+    """,
+)
+def t_vocab_topk(spark, sf_dir):
+    """Vocabulary induction (training-data extension): global top-100
+    tokens by corpus frequency (``operators.aggregates.token_vocab``)
+    — the frequency table a tokenizer build starts from. One shuffle
+    whose key cardinality is the vocabulary (map-side partial counts),
+    then TakeOrderedAndProject; ties at the cutoff break on the token
+    string so the k-th row is deterministic in both engines."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toked = docs.select(F.expr(_TOKS).alias("t"))
+    return token_vocab(toked, "t", 100)
 
 
 @register(

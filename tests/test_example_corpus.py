@@ -11,7 +11,7 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.examples.corpus imp
 )
 from tests.conftest import SF_DIR
 
-MAX_LEN = 512
+MAX_LEN = 64  # < max doc tokens (99), so chunking genuinely splits docs
 
 
 def test_corpus_pipeline_end_to_end(spark, tmp_dir):
@@ -25,19 +25,23 @@ def test_corpus_pipeline_end_to_end(spark, tmp_dir):
         "deduped",
         "mixed",
         "redacted",
+        "chunked",
         "packed",
         "epoch",
     ]
     packed = run.results["packed"]
 
-    # Decontamination: no held-out doc survives into the corpus.
+    # Decontamination: no held-out doc survives into the corpus
+    # (packed rows are chunks — compare on the parent doc id).
     held_ids = {r.doc_id for r in run.results["heldout"].collect()}
     assert held_ids  # the sample actually selected something
     out_ids = {r.doc_id for r in packed.select("doc_id").collect()}
-    assert not (held_ids & out_ids)
+    parent_ids = {r.parent_doc_id for r in packed.select("parent_doc_id").collect()}
+    assert not (held_ids & parent_ids)
 
-    # Quality gate: every survivor respects the token bounds.
-    assert packed.filter(~F.col("tok_len").between(5, 4096)).count() == 0
+    # Chunk lengths: bounded by the window, never degenerate (the
+    # start rule guarantees trailing chunks carry > overlap tokens).
+    assert packed.filter(~F.col("tok_len").between(5, MAX_LEN)).count() == 0
 
     # Mixture: curated docs are all English and kept at rate 1.0 —
     # every deduped English doc reaches the output.
@@ -47,7 +51,18 @@ def test_corpus_pipeline_end_to_end(spark, tmp_dir):
         (F.col("source") == "curated") & (F.col("lang") != "en")
     ).count() == 0
     n_en_dedup = run.results["deduped"].filter(F.col("lang") == "en").count()
-    assert packed.filter(F.col("source") == "curated").count() == n_en_dedup
+    n_curated_parents = (
+        packed.filter(F.col("source") == "curated")
+        .select("parent_doc_id").distinct().count()
+    )
+    assert n_curated_parents == n_en_dedup
+
+    # Chunking: docs longer than MAX_LEN were split (some parent has
+    # >1 chunk), every chunk fits the window, and no chunk text
+    # exceeds MAX_LEN whitespace tokens.
+    per_parent = packed.groupBy("parent_doc_id").count()
+    assert per_parent.filter(F.col("count") > 1).count() > 0
+    assert packed.filter(F.col("tok_len") > MAX_LEN).count() == 0
 
     # Packing invariant: no pack exceeds the context window.
     overfull = (

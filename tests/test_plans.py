@@ -136,6 +136,8 @@ def test_ann_lsh_dedup_exchange_is_slim(spark):
         "d_decontaminate",
         "c_sample_mix",
         "c_pack_sequences",
+        "c_chunk_documents",
+        "t_vocab_topk",
     ],
 )
 def test_dedup_similarity_curation_never_single_partition(spark, name):

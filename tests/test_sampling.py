@@ -138,3 +138,76 @@ def test_pack_sequences_oversized_doc_gets_own_pack(spark):
     assert packed[1][1] == 0
     assert packed[2][0] != packed[1][0]
     assert packed[3][0] != packed[1][0]
+
+
+def _chunk_rows(spark, texts, max_tokens, overlap):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t.split()) for i, t in enumerate(texts)], "doc_id long, t array<string>"
+    )
+    return (
+        chunk_documents(df, "t", max_tokens, overlap)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    toks = [f"w{i}" for i in range(23)]
+    rows = _chunk_rows(spark, [" ".join(toks)], max_tokens=8, overlap=3)
+    # every window ≤ max, consecutive windows share exactly `overlap`
+    # tokens, and the union of windows is the whole doc in order
+    assert all(r.n_chunk_tokens <= 8 for r in rows)
+    assert [r.chunk_id for r in rows] == list(range(len(rows)))
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.chunk_tokens[-3:] == cur.chunk_tokens[:3]
+    reconstructed = list(rows[0].chunk_tokens)
+    for r in rows[1:]:
+        reconstructed.extend(r.chunk_tokens[3:])
+    assert reconstructed == toks
+
+
+def test_chunk_documents_edge_sizes(spark):
+    # empty doc -> 0 chunks; short doc -> 1 chunk; doc whose tail fits
+    # entirely inside the previous window's overlap -> no redundant
+    # trailing chunk (17 tokens, max 16, overlap 4 -> starts 0 and 12)
+    rows = _chunk_rows(
+        spark, ["", "a b c", " ".join(f"w{i}" for i in range(17))], 16, 4
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 0 not in by_doc
+    assert [c.n_chunk_tokens for c in by_doc[1]] == [3]
+    assert [c.n_chunk_tokens for c in by_doc[2]] == [16, 5]
+    # full coverage: last chunk reaches the end
+    assert by_doc[2][-1].chunk_tokens[-1] == "w16"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame([(1, ["a"])], "doc_id long, t array<string>")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "t", 8, 8)
+
+
+def test_token_vocab_counts_and_cutoff_tiebreak(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        token_vocab,
+    )
+
+    df = spark.createDataFrame(
+        [(["a", "a", "b", ""],), (["b", "c", "a"],)], "t array<string>"
+    )
+    rows = token_vocab(df, "t", 2).collect()
+    # empty tokens excluded; tie between b(2) and nothing else at the
+    # cutoff — a:3, b:2 win; c:1 cut
+    assert [(r.token, r.cnt) for r in rows] == [("a", 3), ("b", 2)]

@@ -37,6 +37,8 @@ AUDITED = [
     "d_decontaminate",
     "c_sample_mix",
     "c_pack_sequences",
+    "c_chunk_documents",
+    "t_vocab_topk",
 ]
 
 # Every input corpus-sized → no broadcast hint allowed anywhere in the
@@ -59,6 +61,8 @@ NO_SINGLE_PARTITION = [
     "d_decontaminate",
     "c_sample_mix",
     "c_pack_sequences",
+    "c_chunk_documents",
+    "t_vocab_topk",
 ]
 
 
