@@ -22,7 +22,7 @@ Design rules shared by all four:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Hash-bucket resolution for sampling rates: 1/1e6 granularity.
@@ -113,6 +113,41 @@ def epoch_shuffle(
         else hashed.repartitionByRange("__h")
     )
     return parted.sortWithinPartitions("__h", *key_cols).drop("__h")
+
+
+def group_sample_topk(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_cols: list[str],
+    prefilter_rate: float | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly-k deterministic sample per group: rank each group's rows
+    by ``md5(key)`` (a uniform, engine-portable pseudo-order — unlike
+    ``xxhash64``, md5 exists identically in every SQL engine, so this
+    sampler is oracle-checkable cross-engine) and keep the first ``k``.
+    Complements ``stratified_sample``: that keeps a *fraction* with no
+    count guarantee; this guarantees the exact per-group count.
+
+    Adds ``sample_rank`` (1..k within each group). One shuffle on
+    ``group_col``. For groups far larger than ``k``, pass
+    ``prefilter_rate`` to cut rows by the deterministic xxhash64
+    predicate *before* the window sort so the per-group sort is over
+    ~``rate·|group|`` rows, not the full group — callers should pick a
+    rate that keeps ≥ k survivors per group with margin (e.g.
+    ``50·k/min_group_size``); the operator itself never silently
+    under-fills without such a prefilter.
+    """
+    out = df
+    if prefilter_rate is not None:
+        out = out.filter(_rate_filter(key_cols, prefilter_rate, seed))
+    order = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]))
+    w = Window.partitionBy(group_col).orderBy(order.asc(), *key_cols)
+    return (
+        out.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
 
 
 def chunk_documents(

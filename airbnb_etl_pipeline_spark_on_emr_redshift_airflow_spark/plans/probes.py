@@ -32,13 +32,22 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions.text impo
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
     token_vocab,
 )
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.joins import (
+    salted_join,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.merge import (
+    apply_cdc,
+    scd2_intervals,
+)
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.relational import (
     align_union,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
     chunk_documents,
+    group_sample_topk,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
+    EVENTS_SRC,
     load,
     register,
 )
@@ -244,6 +253,193 @@ def t_vocab_topk(spark, sf_dir):
     (docs,) = load(spark, sf_dir, "documents")
     toked = docs.select(F.expr(_TOKS).alias("t"))
     return token_vocab(toked, "t", 100)
+
+
+# CDC change feed synthesized deterministically from the customer
+# snapshot itself, shared by both engines: two update waves, a delete
+# wave, and an insert wave with disjoint new keys. A key can appear in
+# several waves (e.g. %15 hits both the %5 update and the delete), so
+# the query exercises real latest-wins folding, not just disjoint ops.
+_CDC_PAYLOAD = "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
+
+
+@register(
+    "u_merge_apply_cdc",
+    oracle=f"""
+    WITH changes AS (
+      SELECT c_custkey, c_name, c_nationkey, 0.0 AS c_acctbal,
+             'STALE' AS c_mktsegment, 1 AS seq, 'U' AS op
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0,
+             'FRESH', 2, 'U'
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT {_CDC_PAYLOAD}, 3, 'D'
+      FROM customer WHERE c_custkey % 15 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
+             'INSERTED', 1, 'I'
+      FROM customer WHERE c_custkey % 25 = 0
+    ), latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                     ORDER BY seq DESC, op DESC) AS rn
+        FROM changes) WHERE rn = 1
+    )
+    SELECT {_CDC_PAYLOAD} FROM customer
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+    UNION ALL
+    SELECT {_CDC_PAYLOAD} FROM latest WHERE op <> 'D'
+    """,
+)
+def u_merge_apply_cdc(spark, sf_dir):
+    """MERGE INTO semantics (``operators.merge.apply_cdc``, warehouse
+    extension of the reference's append-only monthly merge,
+    ``apps/process_reviews.py:146-148``): a synthesized I/U/D change
+    feed folds into the customer snapshot — latest change per key wins
+    (seq desc, op desc tie-break), a winning delete drops the row,
+    winning upserts replace the payload, untouched keys pass through.
+    Scale shape: the change feed (delta-sized in production) is the
+    only windowed input; the snapshot is touched once by a keyed
+    anti-join — AQE picks broadcast when the folded feed is small."""
+    (customer,) = load(spark, sf_dir, "customer")
+    payload = customer.columns
+    changes = (
+        customer.filter("c_custkey % 5 = 0")
+        .select(
+            "c_custkey", "c_name", "c_nationkey",
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("STALE").alias("c_mktsegment"),
+            F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        )
+        .unionByName(
+            customer.filter("c_custkey % 10 = 0").select(
+                "c_custkey", "c_name", "c_nationkey",
+                (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+                F.lit("FRESH").alias("c_mktsegment"),
+                F.lit(2).alias("seq"), F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            customer.filter("c_custkey % 15 = 0").select(
+                *payload, F.lit(3).alias("seq"), F.lit("D").alias("op")
+            )
+        )
+        .unionByName(
+            customer.filter("c_custkey % 25 = 0").select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                "c_name", "c_nationkey", "c_acctbal",
+                F.lit("INSERTED").alias("c_mktsegment"),
+                F.lit(1).alias("seq"), F.lit("I").alias("op"),
+            )
+        )
+    )
+    return apply_cdc(customer, changes, ["c_custkey"], "seq", "op")
+
+
+@register(
+    "w_scd2_intervals",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
+      FROM {EVENTS_SRC} AS events
+    ), isl AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS island
+      FROM seq
+    ), runs AS (
+      SELECT user_id, island, max(event_type) AS event_type,
+             min(ts) AS effective_from
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, event_type, effective_from,
+           lead(effective_from) OVER
+             (PARTITION BY user_id ORDER BY island) AS effective_to,
+           lead(effective_from) OVER
+             (PARTITION BY user_id ORDER BY island) IS NULL AS is_current
+    FROM runs
+    """,
+)
+def w_scd2_intervals(spark, sf_dir):
+    """SCD Type-2 dimension build (``operators.merge.scd2_intervals``,
+    warehouse extension): collapse each user's event_type history into
+    effective-dated rows — consecutive same-type events merge into one
+    half-open ``[effective_from, effective_to)`` interval
+    (gaps-and-islands: null-safe lag-change flag, running-sum island
+    ids, per-island roll-up, lead for the closing edge), newest
+    interval flagged ``is_current``. All three window passes and the
+    roll-up key on user_id, so the history shuffles on one key family;
+    ties at equal ts break on event_id in both engines."""
+    (events,) = load(spark, sf_dir, "events")
+    return scd2_intervals(events, "user_id", "event_type", "ts", "event_id")
+
+
+@register(
+    "j_skew_salted",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def j_skew_salted(spark, sf_dir):
+    """Skew-resistant salted join (``operators.joins.salted_join``,
+    scale extension): lineitem⋈supplier on suppkey with the key salted
+    8 ways — each supplier's rows spread over 8 reducers instead of
+    one straggler, the supplier side replicated once per salt. The
+    salt is an internal spreading device only: the oracle is the PLAIN
+    join aggregated per nation (decimal-exact revenue), proving salting
+    changes the physical distribution and nothing else. Use when one
+    key is hot enough that even AQE's skew-split blocks overwhelm an
+    executor (AQE splits shuffle blocks; salting splits the key)."""
+    lineitem, supplier = load(spark, sf_dir, "lineitem", "supplier")
+    li = lineitem.select("l_suppkey", "l_extendedprice", "l_discount")
+    supp = supplier.select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, supp, "l_suppkey", n_salts=8)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("s_nationkey").agg(
+        F.sum(revenue.cast("decimal(18,4)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
+@register(
+    "c_group_sample_topk",
+    oracle="""
+    SELECT source, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM (SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                             doc_id) AS sample_rank
+          FROM documents)
+    WHERE sample_rank <= 20
+    """,
+)
+def c_group_sample_topk(spark, sf_dir):
+    """Exactly-k-per-group deterministic sample
+    (``operators.sampling.group_sample_topk``, training-data
+    extension): 20 documents per source, ranked by ``md5(doc_id)`` —
+    md5 is engine-portable (identical bytes in Spark and DuckDB), so
+    unlike the xxhash64 samplers this one is fully oracle-checkable:
+    the driver hash-verifies the exact sampled ids, giving the
+    sampling family a hash-checked representative next to the
+    rows-only ``c_sample_mix``. One shuffle on the group column; see
+    the operator's ``prefilter_rate`` for the giant-group scale path."""
+    (docs,) = load(spark, sf_dir, "documents")
+    sampled = group_sample_topk(docs, "source", 20, ["doc_id"])
+    return sampled.select(
+        "source", "doc_id", F.col("sample_rank").cast("bigint").alias("sample_rank")
+    )
 
 
 @register(

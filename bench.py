@@ -67,6 +67,9 @@ HEADLINE = [
     # round-3 additions: the curation layer's two heavier chains
     "d_decontaminate",
     "c_pack_sequences",
+    # round-3 additions: warehouse merge shapes
+    "u_merge_apply_cdc",
+    "w_scd2_intervals",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.

@@ -1,0 +1,121 @@
+"""Unit tests: warehouse merge operators — CDC apply (latest-wins,
+delete folding, insert, passthrough) and SCD Type-2 interval builds
+(island collapse, half-open coverage, null-safe attribute changes)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.merge import (
+    apply_cdc,
+    scd2_intervals,
+)
+
+
+def ts(s: str):
+    return datetime.datetime.fromisoformat(s)
+
+
+def _snapshot(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id bigint, name string, bal double",
+    )
+
+
+def test_apply_cdc_latest_wins_and_deletes(spark):
+    changes = spark.createDataFrame(
+        [
+            # key 1: U then D -> deleted
+            (1, "a1", 11.0, 1, "U"),
+            (1, "a1", 11.0, 2, "D"),
+            # key 2: D then U -> survives with the update payload
+            (2, "b0", 0.0, 1, "D"),
+            (2, "b2", 22.0, 2, "U"),
+            # key 5: pure insert
+            (5, "e", 50.0, 1, "I"),
+            # key 3: single update
+            (3, "c9", 33.0, 1, "U"),
+        ],
+        "id bigint, name string, bal double, seq int, op string",
+    )
+    out = apply_cdc(_snapshot(spark), changes, ["id"], "seq", "op")
+    rows = {r.id: (r.name, r.bal) for r in out.collect()}
+    assert set(rows) == {2, 3, 4, 5}  # 1 deleted, 4 untouched
+    assert rows[2] == ("b2", 22.0)
+    assert rows[3] == ("c9", 33.0)
+    assert rows[4] == ("d", 40.0)
+    assert rows[5] == ("e", 50.0)
+    assert out.columns == ["id", "name", "bal"]
+
+
+def test_apply_cdc_empty_feed_is_identity(spark):
+    snap = _snapshot(spark)
+    changes = spark.createDataFrame(
+        [], "id bigint, name string, bal double, seq int, op string"
+    )
+    out = apply_cdc(snap, changes, ["id"], "seq", "op")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, snap.collect()))
+
+
+def test_scd2_collapses_runs_with_half_open_intervals(spark):
+    hist = spark.createDataFrame(
+        [
+            (1, "gold", ts("2024-01-01"), 1),
+            (1, "gold", ts("2024-02-01"), 2),  # same value: merges
+            (1, "silver", ts("2024-03-01"), 3),
+            (1, "gold", ts("2024-04-01"), 4),  # value returns: NEW island
+            (2, "bronze", ts("2024-01-15"), 5),
+        ],
+        "uid bigint, tier string, at timestamp, eid bigint",
+    )
+    out = scd2_intervals(hist, "uid", "tier", "at", "eid")
+    rows = sorted(
+        [(r.uid, r.tier, r.effective_from, r.effective_to, r.is_current)
+         for r in out.collect()]
+    )
+    assert rows == [
+        (1, "gold", ts("2024-01-01"), ts("2024-03-01"), False),
+        (1, "gold", ts("2024-04-01"), None, True),
+        (1, "silver", ts("2024-03-01"), ts("2024-04-01"), False),
+        (2, "bronze", ts("2024-01-15"), None, True),
+    ]
+    # Half-open coverage: each non-current interval closes exactly at
+    # the next interval's start, so the timeline has no gaps/overlaps.
+
+
+def test_scd2_null_attribute_is_null_safe(spark):
+    hist = spark.createDataFrame(
+        [
+            (1, None, ts("2024-01-01"), 1),
+            (1, None, ts("2024-02-01"), 2),   # NULL->NULL: no change
+            (1, "x", ts("2024-03-01"), 3),    # NULL->x: change
+        ],
+        "uid bigint, tier string, at timestamp, eid bigint",
+    )
+    out = scd2_intervals(hist, "uid", "tier", "at", "eid")
+    rows = sorted(
+        [(r.tier, r.effective_from, r.is_current) for r in out.collect()],
+        key=str,
+    )
+    assert rows == [
+        ("x", ts("2024-03-01"), True),
+        (None, ts("2024-01-01"), False),
+    ]
+
+
+def test_scd2_tie_breaks_on_unique_column(spark):
+    # Two events at the SAME timestamp: eid orders them, so the
+    # interval sequence is deterministic.
+    hist = spark.createDataFrame(
+        [
+            (1, "a", ts("2024-01-01"), 2),
+            (1, "b", ts("2024-01-01"), 1),
+        ],
+        "uid bigint, tier string, at timestamp, eid bigint",
+    )
+    out = scd2_intervals(hist, "uid", "tier", "at", "eid")
+    rows = {r.tier: r.is_current for r in out.collect()}
+    assert rows == {"b": False, "a": True}

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
     deterministic_sample,
     epoch_shuffle,
+    group_sample_topk,
     pack_sequences,
     stratified_sample,
     weighted_mix,
@@ -211,3 +212,39 @@ def test_token_vocab_counts_and_cutoff_tiebreak(spark):
     # empty tokens excluded; tie between b(2) and nothing else at the
     # cutoff — a:3, b:2 win; c:1 cut
     assert [(r.token, r.cnt) for r in rows] == [("a", 3), ("b", 2)]
+
+
+def test_group_sample_topk_exact_count_and_determinism(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = group_sample_topk(docs, "source", 5, ["doc_id"])
+    counts = {r.source: r.n for r in a.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n_per_source = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, n in counts.items():
+        assert n == min(5, n_per_source[src])
+    # ranks are a dense 1..k prefix per group
+    ranks = {
+        (r.source, r.sample_rank) for r in a.select("source", "sample_rank").collect()
+    }
+    for src, n in counts.items():
+        assert {(src, i) for i in range(1, n + 1)} <= ranks
+    # same ids on a re-run and under a different partition layout
+    b = group_sample_topk(docs.repartition(7), "source", 5, ["doc_id"])
+    assert sorted(map(tuple, a.select("source", "doc_id").collect())) == sorted(
+        map(tuple, b.select("source", "doc_id").collect())
+    )
+
+
+def test_group_sample_topk_prefilter_subsets_consistently(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # A generous prefilter keeps >= k rows per group, so the sample is
+    # still exactly k — drawn from the hash-thinned candidate set.
+    thinned = group_sample_topk(docs, "source", 3, ["doc_id"], prefilter_rate=0.9)
+    counts = [r.n for r in thinned.groupBy("source").agg(F.count("*").alias("n")).collect()]
+    assert counts and all(n == 3 for n in counts)
+    # the prefilter is the deterministic_sample predicate: every
+    # surviving id is in that keep-set
+    kept = {r.doc_id for r in deterministic_sample(docs, 0.9, ["doc_id"]).collect()}
+    assert {r.doc_id for r in thinned.collect()} <= kept
