@@ -133,3 +133,56 @@ def token_vocab(toked: DataFrame, tokens_col: str, k: int) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
+
+
+def agg_state(df: DataFrame, keys: list[str], measure: str) -> DataFrame:
+    """Mergeable per-key aggregate STATE for one double measure:
+    ``(count, fixed-point sum, min, max)`` — the partial-aggregation
+    half of an incremental rollup (materialized-view maintenance).
+
+    At 100 TB the point is to never re-aggregate the full corpus: keep
+    yesterday's state table, compute today's delta state, and fold the
+    two with :func:`merge_agg_states` — every component is associative
+    and commutative, so ``merge(state(A), state(B)) ==
+    state(A ∪ B)`` exactly (the sum is the catalog's 4-dp fixed-point
+    integer, so even the float component is order-independent).
+    """
+    c = F.col(measure)
+    return df.groupBy(*keys).agg(
+        F.count(c).cast("bigint").alias("state_cnt"),
+        F.sum(_fixed(c)).alias("state_sum_fp"),
+        F.min(c).alias("state_min"),
+        F.max(c).alias("state_max"),
+    )
+
+
+def merge_agg_states(keys: list[str], *states: DataFrame) -> DataFrame:
+    """Fold any number of :func:`agg_state` tables into one: counts
+    and fixed-point sums add, min/max fold — one union + one grouped
+    aggregation over the (small) state tables, the delta-sized path of
+    incremental view maintenance."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*keys).agg(
+        F.sum("state_cnt").cast("bigint").alias("state_cnt"),
+        F.sum("state_sum_fp").alias("state_sum_fp"),
+        F.min("state_min").alias("state_min"),
+        F.max("state_max").alias("state_max"),
+    )
+
+
+def finalize_agg_state(state: DataFrame, keys: list[str], name: str) -> DataFrame:
+    """Resolve a state table into the user-facing aggregate columns
+    ``cnt, sum_<name>, avg_<name>, min_<name>, max_<name>`` — the same
+    deterministic double arithmetic as :func:`dec_sum`/:func:`dec_avg`
+    (exact integer sum, one final division)."""
+    sum_d = F.col("state_sum_fp").cast("double") / _SCALE
+    return state.select(
+        *keys,
+        F.col("state_cnt").alias("cnt"),
+        sum_d.alias(f"sum_{name}"),
+        (sum_d / F.col("state_cnt")).alias(f"avg_{name}"),
+        F.col("state_min").alias(f"min_{name}"),
+        F.col("state_max").alias(f"max_{name}"),
+    )

@@ -30,7 +30,19 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions.text impo
     redact_pii_sql,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+    agg_state,
+    dec_avg_sql,
+    dec_sum_sql,
+    finalize_agg_state,
+    merge_agg_states,
     token_vocab,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.behavior import (
+    funnel_steps,
+    retention_cohorts,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+    edit_distance_pairs_blocked,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.joins import (
     salted_join,
@@ -440,6 +452,164 @@ def c_group_sample_topk(spark, sf_dir):
     return sampled.select(
         "source", "doc_id", F.col("sample_rank").cast("bigint").alias("sample_rank")
     )
+
+
+@register(
+    "e_funnel_steps",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM {EVENTS_SRC} AS events),
+    u0 AS (SELECT user_id, min(ts) AS s0 FROM ev
+           WHERE event_type = 'view' GROUP BY user_id),
+    u1 AS (SELECT e.user_id, min(e.ts) AS s1
+           FROM ev e JOIN u0 ON e.user_id = u0.user_id
+           WHERE e.event_type = 'click' AND e.ts > u0.s0
+             AND e.ts <= u0.s0 + INTERVAL 1 HOUR
+           GROUP BY e.user_id),
+    u2 AS (SELECT e.user_id, min(e.ts) AS s2
+           FROM ev e JOIN u1 ON e.user_id = u1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > u1.s1
+             AND e.ts <= u1.s1 + INTERVAL 1 HOUR
+           GROUP BY e.user_id)
+    SELECT 1 AS step_idx, 'view' AS step,
+           (SELECT count(*) FROM u0) AS users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM u1)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM u2)
+    """,
+)
+def e_funnel_steps(spark, sf_dir):
+    """Sequential conversion funnel (``operators.behavior.
+    funnel_steps``, product-analytics extension): users reaching
+    view → click → purchase, each step strictly after the user's
+    earliest previous-step event and within a 1-hour gap. The oracle
+    expresses the same semantics as chained per-step min-joins; the
+    Spark side is the scale form — one hash exchange on user_id,
+    stacked whole-partition window minima (no per-step join over the
+    event log), per-user roll-up on the same partitioning, and a
+    3-row output."""
+    (events,) = load(spark, sf_dir, "events")
+    return funnel_steps(
+        events,
+        "user_id",
+        "ts",
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        max_gap="1 HOUR",
+    )
+
+
+@register(
+    "e_retention_cohorts",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM {EVENTS_SRC} AS events),
+    firsts AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+               FROM ev GROUP BY user_id)
+    SELECT CAST(f.cw AS DATE) AS cohort_week,
+           CAST(date_diff('day', CAST(f.cw AS DATE),
+                          CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                AS INTEGER) AS week_offset,
+           count(DISTINCT e.user_id) AS active_users
+    FROM ev e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def e_retention_cohorts(spark, sf_dir):
+    """Weekly retention triangle (``operators.behavior.
+    retention_cohorts``, product-analytics extension): cohort = the
+    Monday-start week of each user's first event; every event marks
+    its user active at ``week_offset`` weeks since the cohort week.
+    Monday truncation and day-diff/7 arithmetic are exact integers in
+    both engines. Scale shape: one window pass on user_id for the
+    first-seen week (no join back against the event log), then a
+    distinct-count grouped on the tiny cohort × offset key space."""
+    (events,) = load(spark, sf_dir, "events")
+    return retention_cohorts(events, "user_id", "ts")
+
+
+@register(
+    "d_edit_distance_pairs",
+    oracle="""
+    WITH codes AS (
+      SELECT c_custkey,
+             substring(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS code
+      FROM customer
+    ), recs AS (
+      SELECT c_custkey AS rec_id, code FROM codes
+      UNION ALL
+      SELECT c_custkey + 10000000,
+             concat(
+               substring(code, 1, CAST(c_custkey % 12 AS INTEGER)),
+               'Z',
+               substring(code, CAST(c_custkey % 12 AS INTEGER) + 2, 12))
+      FROM codes WHERE c_custkey % 20 = 0
+    )
+    SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+           CAST(levenshtein(a.code, b.code) AS BIGINT) AS dist
+    FROM recs a JOIN recs b ON a.rec_id < b.rec_id
+    WHERE levenshtein(a.code, b.code) <= 1
+    """,
+)
+def d_edit_distance_pairs(spark, sf_dir):
+    """Edit-distance entity resolution (``operators.dedup.
+    edit_distance_pairs_blocked``, dedup-ladder extension): 12-char
+    hash-derived record codes, one planted single-character typo per
+    20th customer, find all pairs within Levenshtein distance 1. The
+    Spark side blocks by pigeonhole string halves (lossless for
+    equal-length strings at distance 1), dedups slim id pairs, then
+    verifies exact distance; the oracle is the QUADRATIC ground truth
+    over all pairs — a blocking recall miss would fail the hash check,
+    so this row certifies completeness, not just precision."""
+    (customer,) = load(spark, sf_dir, "customer")
+    code_sql = "substring(md5(cast(c_custkey as string)), 1, 12)"
+    m_sql = "cast(c_custkey % 12 as int)"
+    base = customer.select(
+        F.col("c_custkey").alias("rec_id"), F.expr(code_sql).alias("code")
+    )
+    typos = customer.filter("c_custkey % 20 = 0").select(
+        (F.col("c_custkey") + 10_000_000).alias("rec_id"),
+        F.expr(
+            f"concat(substring({code_sql}, 1, {m_sql}), 'Z', "
+            f"substring({code_sql}, {m_sql} + 2, 12))"
+        ).alias("code"),
+    )
+    return edit_distance_pairs_blocked(
+        base.unionByName(typos), "rec_id", "code", max_dist=1
+    )
+
+
+@register(
+    "a_incremental_state_merge",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(l_quantity) AS cnt,
+           {dec_sum_sql("l_quantity", "sum_qty")},
+           {dec_avg_sql("l_quantity", "avg_qty")},
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a_incremental_state_merge(spark, sf_dir):
+    """Incremental aggregate maintenance (``operators.aggregates.
+    agg_state``/``merge_agg_states``/``finalize_agg_state``, warehouse
+    extension): lineitem splits into a 3/4 "snapshot" and 1/4 "delta",
+    each partial-aggregates to a mergeable (count, fixed-point sum,
+    min, max) state, the states fold, and the finalize resolves
+    sum/avg. The oracle is the FULL recompute — passing hash-equality
+    proves ``merge(state(A), state(B)) == state(A ∪ B)`` exactly,
+    which is what lets a 100 TB rollup re-aggregate only the daily
+    delta instead of the corpus."""
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    snap_state = agg_state(lineitem.filter("l_orderkey % 4 <> 0"), keys, "l_quantity")
+    delta_state = agg_state(lineitem.filter("l_orderkey % 4 = 0"), keys, "l_quantity")
+    merged = merge_agg_states(keys, snap_state, delta_state)
+    return finalize_agg_state(merged, keys, "qty")
 
 
 @register(

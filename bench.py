@@ -70,6 +70,10 @@ HEADLINE = [
     # round-3 additions: warehouse merge shapes
     "u_merge_apply_cdc",
     "w_scd2_intervals",
+    # round-3 additions: behavioral analytics + entity resolution
+    "e_funnel_steps",
+    "e_retention_cohorts",
+    "d_edit_distance_pairs",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.

@@ -380,3 +380,39 @@ def test_connected_components_long_chain_converges_in_log_rounds(spark):
         got = {r.doc_id: r.cluster_id for r in labels.collect()}
     assert set(got) == set(range(61))
     assert set(got.values()) == {0}  # one component, min-id label
+
+
+def test_edit_distance_pairs_complete_for_equal_length(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        edit_distance_pairs_blocked,
+    )
+
+    rows = [
+        (1, "abcdefgh"),
+        (2, "abcdefgX"),  # dist 1 from 1 (substitution in suffix half)
+        (3, "Xbcdefgh"),  # dist 1 from 1 (substitution in prefix half)
+        (4, "XbcdefgX"),  # dist 2 from 1, dist 1 from 2 and 3
+        (5, "zzzzzzzz"),  # far from everything
+    ]
+    df = spark.createDataFrame(rows, "rid bigint, code string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs_blocked(df, "rid", "code", 1).collect()
+    }
+    # every true distance-<=1 pair, none of the distance-2 ones
+    assert got == {(1, 2, 1), (1, 3, 1), (2, 4, 1), (3, 4, 1)}
+
+
+def test_edit_distance_pairs_three_pieces_for_dist_two(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        edit_distance_pairs_blocked,
+    )
+
+    # max_dist=2 -> 3 pieces; two substitutions leave one piece intact
+    rows = [(1, "abcdefghi"), (2, "Xbcdefghi"), (3, "XbcdeXghi")]
+    df = spark.createDataFrame(rows, "rid bigint, code string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs_blocked(df, "rid", "code", 2).collect()
+    }
+    assert got == {(1, 2, 1), (1, 3, 2), (2, 3, 1)}

@@ -119,3 +119,36 @@ def test_scd2_tie_breaks_on_unique_column(spark):
     out = scd2_intervals(hist, "uid", "tier", "at", "eid")
     rows = {r.tier: r.is_current for r in out.collect()}
     assert rows == {"b": False, "a": True}
+
+
+def test_agg_state_merge_equals_full_recompute(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        agg_state,
+        finalize_agg_state,
+        merge_agg_states,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.5), ("a", 2.25), ("a", -3.0), ("b", 7.0), ("b", 0.5)],
+        "k string, x double",
+    )
+    parts = [
+        df.filter("x > 1"), df.filter("x <= 1"),
+        df.filter("1 = 0"),  # empty part folds as identity
+    ]
+    merged = merge_agg_states(
+        ["k"], *[agg_state(p, ["k"], "x") for p in parts]
+    )
+    got = {
+        r.k: (r.cnt, r.sum_x, r.avg_x, r.min_x, r.max_x)
+        for r in finalize_agg_state(merged, ["k"], "x").collect()
+    }
+    direct = {
+        r.k: (r.cnt, r.sum_x, r.avg_x, r.min_x, r.max_x)
+        for r in finalize_agg_state(
+            agg_state(df, ["k"], "x"), ["k"], "x"
+        ).collect()
+    }
+    assert got == direct
+    assert got["a"] == (3, 0.75, 0.25, -3.0, 2.25)
+    assert got["b"] == (2, 7.5, 3.75, 0.5, 7.0)
