@@ -24,6 +24,7 @@ but fewer than all rows, the genuinely new coverage wins the slots.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions.text import (
@@ -57,6 +58,9 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.relationa
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
     chunk_documents,
     group_sample_topk,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.timeseries import (
+    resample_ffill,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
     EVENTS_SRC,
@@ -610,6 +614,87 @@ def a_incremental_state_merge(spark, sf_dir):
     delta_state = agg_state(lineitem.filter("l_orderkey % 4 = 0"), keys, "l_quantity")
     merged = merge_agg_states(keys, snap_state, delta_state)
     return finalize_agg_state(merged, keys, "qty")
+
+
+@register(
+    "e_resample_ffill",
+    oracle=f"""
+    WITH obs AS (
+      SELECT user_id, ts, max(value) AS value
+      FROM (SELECT user_id, ts, value FROM {EVENTS_SRC} AS events
+            WHERE event_type = 'purchase')
+      GROUP BY user_id, ts
+    ), bounds AS (
+      SELECT user_id, min(ts) AS lo, max(ts) AS hi FROM obs
+      GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS ts
+      FROM bounds
+    )
+    SELECT g.user_id, g.ts, o.value
+    FROM grid g ASOF LEFT JOIN obs o
+      ON g.user_id = o.user_id AND g.ts >= o.ts
+    """,
+)
+def e_resample_ffill(spark, sf_dir):
+    """Time-series resample + forward-fill (``operators.timeseries.
+    resample_ffill``, extension): each user's irregular purchase
+    stream lands on a per-user daily grid anchored at their first
+    purchase, each grid day carrying the most recent at-or-before
+    purchase value. The Spark side is bounds-agg → ``F.sequence``
+    grid explode → union+window as-of join (one shuffle on user_id);
+    the oracle is DuckDB's native ``generate_series`` + ``ASOF LEFT
+    JOIN``. Same-ts duplicates are pre-reduced by max(value) so the
+    as-of pick is deterministic in both engines."""
+    (events,) = load(spark, sf_dir, "events")
+    obs = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return resample_ffill(obs, "user_id", "ts", "1 DAY", ["value"])
+
+
+@register(
+    "w_cumulative_distinct",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+      FROM {EVENTS_SRC} AS events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ), daily AS (
+      SELECT first_day AS day, count(*) AS new_users
+      FROM firsts GROUP BY first_day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+)
+def w_cumulative_distinct(spark, sf_dir):
+    """Running distinct-user count by day (warehouse growth-curve
+    shape): the naive form is a cumulative COUNT(DISTINCT) window —
+    quadratic state. The scale form computes each user's FIRST day
+    (one shuffle on user_id), rolls up new-user counts per day, and
+    running-sums over the tiny day frame — the global-order window
+    touches only ~one row per day, not the event log, so the
+    single-partition stage is bounded by the calendar, not the data."""
+    (events,) = load(spark, sf_dir, "events")
+    firsts = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").cast("date").alias("first_day"))
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.withColumn(
+        "cumulative_users", F.sum("new_users").over(w).cast("bigint")
+    )
 
 
 @register(
