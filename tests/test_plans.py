@@ -147,6 +147,41 @@ def test_dedup_similarity_curation_never_single_partition(spark, name):
     assert "Exchange SinglePartition" not in _plan(spark, name), name
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "u_merge_apply_cdc",
+        "w_scd2_intervals",
+        "j_skew_salted",
+        "c_group_sample_topk",
+        "e_retention_cohorts",
+        "d_edit_distance_pairs",
+        "a_incremental_state_merge",
+        "e_resample_ffill",
+    ],
+)
+def test_warehouse_behavior_family_never_single_partition(spark, name):
+    """The round-3 warehouse/behavior operators must stay keyed
+    end-to-end: CDC folds, SCD2 windows, salted joins, per-group
+    samples, retention roll-ups, blocked edit-distance, state merges,
+    and resample grids all partition on their natural keys.
+    (e_funnel_steps / w_cumulative_distinct are exempt by design:
+    their final global frames are per-step / per-day sized.)"""
+    assert "Exchange SinglePartition" not in _plan(spark, name), name
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """w_scd2_intervals' three window passes and the island roll-up
+    all key on user_id: Catalyst must reuse ONE hash exchange for the
+    whole chain — a second keyed exchange means the partitioning was
+    broken between stages."""
+    plan = _plan(spark, "w_scd2_intervals")
+    keyed = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert keyed == 1, f"expected exactly 1 keyed exchange, saw {keyed}"
+
+
 def test_ntile_ranks_are_bucket_partitioned(spark):
     """w_ntile_percentiles must rank inside quantile buckets (the
     distributed form), not via a single-partition window over the

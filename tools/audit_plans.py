@@ -39,6 +39,16 @@ AUDITED = [
     "c_pack_sequences",
     "c_chunk_documents",
     "t_vocab_topk",
+    "u_merge_apply_cdc",
+    "w_scd2_intervals",
+    "j_skew_salted",
+    "c_group_sample_topk",
+    "e_funnel_steps",
+    "e_retention_cohorts",
+    "d_edit_distance_pairs",
+    "a_incremental_state_merge",
+    "e_resample_ffill",
+    "w_cumulative_distinct",
 ]
 
 # Every input corpus-sized → no broadcast hint allowed anywhere in the
@@ -63,6 +73,17 @@ NO_SINGLE_PARTITION = [
     "c_pack_sequences",
     "c_chunk_documents",
     "t_vocab_topk",
+    # warehouse/behavior family: everything stays keyed end-to-end
+    # (e_funnel_steps and w_cumulative_distinct are exempt — their
+    # final frames are per-step/per-day sized by construction)
+    "u_merge_apply_cdc",
+    "w_scd2_intervals",
+    "j_skew_salted",
+    "c_group_sample_topk",
+    "e_retention_cohorts",
+    "d_edit_distance_pairs",
+    "a_incremental_state_merge",
+    "e_resample_ffill",
 ]
 
 
