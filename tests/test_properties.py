@@ -122,3 +122,99 @@ def test_pack_sequences_invariants(spark, lengths, max_len):
             assert r.pack_offset == cursor
             cursor += min(r.n_tokens, max_len)
         assert cursor <= max_len
+
+
+cdc_changes = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # key
+        st.integers(min_value=0, max_value=99),  # payload
+        st.integers(min_value=0, max_value=9),   # seq
+        st.sampled_from(["I", "U", "D"]),        # op
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@SLOW
+@given(changes=cdc_changes)
+def test_apply_cdc_matches_latest_wins_model(spark, changes):
+    """apply_cdc against a direct Python fold: per key the max
+    (seq, op) change wins; a winning delete drops the key; untouched
+    snapshot keys pass through."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.merge import (
+        apply_cdc,
+    )
+
+    snap_rows = [(k, 1000 + k) for k in range(3)]  # keys 0,1,2
+    snap = spark.createDataFrame(snap_rows, "k int, payload int")
+    feed = (
+        spark.createDataFrame(changes, "k int, payload int, seq int, op string")
+        if changes
+        else spark.createDataFrame([], "k int, payload int, seq int, op string")
+    )
+    out = {r.k: r.payload for r in apply_cdc(snap, feed, ["k"], "seq", "op").collect()}
+
+    winners: dict[int, tuple] = {}
+    for k, p, s, o in changes:
+        if k not in winners or (s, o) > (winners[k][0], winners[k][1]):
+            winners[k] = (s, o, p)
+    expected = {}
+    for k, p in snap_rows:
+        if k not in winners:
+            expected[k] = p
+        elif winners[k][1] != "D":
+            expected[k] = winners[k][2]
+    for k, (s, o, p) in winners.items():
+        if k not in dict(snap_rows) and o != "D":
+            expected[k] = p
+    assert out == expected
+
+
+scd2_history = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # key
+        st.integers(min_value=0, max_value=9),   # ts
+        st.sampled_from(["x", "y", None]),       # attr (incl. nulls)
+    ),
+    min_size=0,
+    max_size=20,
+    unique_by=lambda t: (t[0], t[1]),  # unique (key, ts): tie col = ts
+)
+
+
+@SLOW
+@given(hist=scd2_history)
+def test_scd2_matches_run_length_model(spark, hist):
+    """scd2_intervals against a Python run-length collapse of each
+    key's (ts-ordered) attribute sequence, null-safe."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.merge import (
+        scd2_intervals,
+    )
+
+    df = (
+        spark.createDataFrame(hist, "k int, ts int, attr string")
+        if hist
+        else spark.createDataFrame([], "k int, ts int, attr string")
+    )
+    out = sorted(
+        (
+            (r.k, r.attr, r.effective_from, r.effective_to, r.is_current)
+            for r in scd2_intervals(df, "k", "attr", "ts", "ts").collect()
+        ),
+        key=lambda t: (t[0], t[2]),  # (key, from): attr may be None
+    )
+
+    expected = []
+    by_key: dict[int, list] = {}
+    for k, ts, a in sorted(hist, key=lambda t: (t[0], t[1])):
+        by_key.setdefault(k, []).append((ts, a))
+    for k, seq in by_key.items():
+        runs = []
+        for ts, a in seq:
+            if not runs or runs[-1][0] != a:
+                runs.append([a, ts])
+        for i, (a, start) in enumerate(runs):
+            nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+            expected.append((k, a, start, nxt, nxt is None))
+    assert out == sorted(expected, key=lambda t: (t[0], t[2]))
