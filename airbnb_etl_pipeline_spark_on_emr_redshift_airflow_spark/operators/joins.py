@@ -145,22 +145,30 @@ def asof_join(
     on: str,
     ts: str,
     right_payload: list[str],
+    strict: bool = False,
 ) -> DataFrame:
     """As-of join: each left row gets the payload of the most recent
-    right row with ``right.ts <= left.ts``, per ``on`` key.
+    right row with ``right.ts <= left.ts`` (or ``< left.ts`` with
+    ``strict=True``), per ``on`` key.
 
     Spark lacks a native ASOF JOIN; implemented as the scalable
     union-and-window pattern: tag both sides, union, sort by (key, ts,
     side) and carry the last right-side payload forward with
     ``F.last(ignorenulls=True)`` over an unbounded-preceding frame —
     one shuffle total, no per-row lookups, no ``merge_asof`` on the
-    driver. Ties (right.ts == left.ts) match, mirroring DuckDB's
-    ``ASOF JOIN ... ON l.ts >= r.ts``.
+    driver. By default ties (right.ts == left.ts) match, mirroring
+    DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``.
+
+    ``strict=True`` is the POINT-IN-TIME (feature-store) form: a left
+    row at ``t`` sees only right rows strictly before ``t`` — a
+    same-instant observation never leaks into its own label row. The
+    only mechanical difference is the tie ordering of the union tags,
+    so both forms share the one-shuffle plan.
     """
     tagged_l = left.select(
         F.col(on).alias("__k"),
         F.col(ts).alias("__ts"),
-        F.lit(1).alias("__side"),
+        F.lit(0 if strict else 1).alias("__side"),
         F.struct(*left.columns).alias("__lrow"),
         F.lit(None).cast(
             right.select(F.struct(*right_payload).alias("s")).schema["s"].dataType
@@ -169,14 +177,17 @@ def asof_join(
     tagged_r = right.select(
         F.col(on).alias("__k"),
         F.col(ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(1 if strict else 0).alias("__side"),
         F.lit(None).cast(
             left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
         ).alias("__lrow"),
         F.struct(*right_payload).alias("__payload"),
     )
-    # __side orders right rows before left rows at equal ts, so a
-    # same-timestamp right row is visible to the left row (>= match).
+    # Default: __side orders right rows before left rows at equal ts,
+    # so a same-timestamp right row is visible to the left row (>=).
+    # strict: the order flips, so at equal ts the left row is scanned
+    # first and sees only strictly-earlier right payloads (>).
+    left_tag = 0 if strict else 1
     w = (
         Window.partitionBy("__k")
         .orderBy("__ts", "__side")
@@ -185,7 +196,7 @@ def asof_join(
     unioned = tagged_l.unionByName(tagged_r)
     matched = unioned.withColumn(
         "__asof", F.last("__payload", ignorenulls=True).over(w)
-    ).filter(F.col("__side") == 1)
+    ).filter(F.col("__side") == left_tag)
     out = matched.select("__lrow.*", "__asof")
     for c in right_payload:
         out = out.withColumn(c, F.col(f"__asof.{c}"))

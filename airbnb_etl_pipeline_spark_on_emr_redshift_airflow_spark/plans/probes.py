@@ -46,6 +46,7 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup imp
     edit_distance_pairs_blocked,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.joins import (
+    asof_join,
     salted_join,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.merge import (
@@ -694,6 +695,45 @@ def w_cumulative_distinct(spark, sf_dir):
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return daily.withColumn(
         "cumulative_users", F.sum("new_users").over(w).cast("bigint")
+    )
+
+
+@register(
+    "j_point_in_time",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM {EVENTS_SRC} AS events),
+    labels AS (SELECT event_id, user_id, ts, value AS label_value
+               FROM ev WHERE event_type = 'purchase'),
+    feats AS (SELECT user_id, ts, value AS feat_value
+              FROM ev WHERE event_type = 'click')
+    SELECT l.event_id, l.user_id, l.ts, l.label_value,
+           f.ts AS feat_ts, f.feat_value
+    FROM labels l ASOF LEFT JOIN feats f
+      ON l.user_id = f.user_id AND l.ts > f.ts
+    """,
+)
+def j_point_in_time(spark, sf_dir):
+    """Point-in-time (feature-store) join (``operators.joins.
+    asof_join(strict=True)``, training-data extension): each purchase
+    label row gets the user's latest click feature STRICTLY before
+    the label instant — a same-timestamp observation never leaks into
+    its own label, the correctness rule that separates feature-store
+    joins from plain as-of joins. Same one-shuffle union+window plan
+    as ``j_asof_join``; only the tie ordering of the union tags
+    differs. Oracle: DuckDB native ``ASOF LEFT JOIN ... ON l.ts >
+    r.ts`` (strict comparator)."""
+    (events,) = load(spark, sf_dir, "events")
+    labels = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("label_value")
+    )
+    feats = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("feat_ts"),
+        F.col("value").alias("feat_value"),
+    )
+    return asof_join(
+        labels, feats, "user_id", "ts", ["feat_ts", "feat_value"], strict=True
     )
 
 

@@ -112,3 +112,29 @@ def test_salted_join_equals_plain_join(spark):
     salted = Counter((r.k, r.payload, r.attr) for r in salted_join(left, right, "k").collect())
     plain = Counter((r.k, r.payload, r.attr) for r in left.join(right, "k").collect())
     assert salted == plain
+
+
+def test_asof_join_strict_excludes_same_instant(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.joins import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2")], "k bigint, t bigint, lbl string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (1, 20, 200.0)],
+        "k bigint, t bigint, v double",
+    )
+    loose = {
+        (r.lbl): r.v
+        for r in asof_join(left, right, "k", "t", ["v"]).collect()
+    }
+    strict = {
+        (r.lbl): r.v
+        for r in asof_join(left, right, "k", "t", ["v"], strict=True).collect()
+    }
+    # default: same-instant right row matches (>=)
+    assert loose == {"l1": 100.0, "l2": 200.0}
+    # strict: same-instant row must NOT leak; latest strictly-before wins
+    assert strict == {"l1": None, "l2": 150.0}

@@ -158,6 +158,7 @@ def test_dedup_similarity_curation_never_single_partition(spark, name):
         "d_edit_distance_pairs",
         "a_incremental_state_merge",
         "e_resample_ffill",
+        "j_point_in_time",
     ],
 )
 def test_warehouse_behavior_family_never_single_partition(spark, name):

@@ -49,6 +49,7 @@ AUDITED = [
     "a_incremental_state_merge",
     "e_resample_ffill",
     "w_cumulative_distinct",
+    "j_point_in_time",
 ]
 
 # Every input corpus-sized → no broadcast hint allowed anywhere in the
@@ -84,6 +85,7 @@ NO_SINGLE_PARTITION = [
     "d_edit_distance_pairs",
     "a_incremental_state_merge",
     "e_resample_ffill",
+    "j_point_in_time",
 ]
 
 
