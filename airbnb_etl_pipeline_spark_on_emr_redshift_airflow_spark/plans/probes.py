@@ -738,6 +738,36 @@ def j_point_in_time(spark, sf_dir):
 
 
 @register(
+    "a_grouped_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_grouped_quantiles(spark, sf_dir):
+    """Exact grouped quantiles (surface extension): median / p90 / p99
+    of extended price per return flag — Spark's exact ``percentile``
+    vs DuckDB's ``quantile_cont``, both linearly interpolated, so the
+    values hash-match at the driver's 9-significant-digit canon.
+    Scale note: EXACT percentiles buffer each group's value multiset —
+    right for dim-cardinality groups like this one; at corpus
+    cardinality use the mergeable sketch forms in
+    ``a_approx_sketches`` (approx_percentile / KLL) instead. This row
+    pins the exact semantics those sketches approximate."""
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9D)").alias("p90"),
+        F.expr("percentile(l_extendedprice, 0.99D)").alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "s_parquet_scan_prune",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity
