@@ -40,3 +40,87 @@ def test_repartition_and_coalesce_counts(spark):
     assert df.repartition(8).coalesce(2).rdd.getNumPartitions() == 2
     rng = df.repartitionByRange(4, "id")
     assert rng.rdd.getNumPartitions() == 4
+
+
+# ---- Z-order clustering (operators/layout.py) ----
+
+
+def test_zorder_key_interleaves_and_bounds_block_extent(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.layout import (
+        zorder_key,
+    )
+    from pyspark.sql import functions as F
+
+    # full 32x32 grid, bits=5 -> z in [0, 1024)
+    grid = spark.range(1024).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("bigint").alias("y")
+    )
+    keyed = grid.withColumn("z", zorder_key(["x", "y"], bits=5))
+    rows = {r.z: (r.x, r.y) for r in keyed.collect()}
+    # bijection onto [0, 1024)
+    assert sorted(rows) == list(range(1024))
+    # every aligned 128-run of consecutive z values is a tight block:
+    # x spans <= 8 cells and y <= 16 (a lexicographic (x, y) sort has
+    # y extent 32 for the same run length — that's the skipping win)
+    for start in range(0, 1024, 128):
+        xs = [rows[z][0] for z in range(start, start + 128)]
+        ys = [rows[z][1] for z in range(start, start + 128)]
+        assert max(xs) - min(xs) + 1 <= 8
+        assert max(ys) - min(ys) + 1 <= 16
+
+
+def test_bucketize_clamps_and_grids(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.layout import (
+        bucketize,
+    )
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (4.999,), (5.0,), (10.0,), (99.0,)], "v double"
+    )
+    out = [r.b for r in df.select(bucketize("v", 0.0, 10.0, 3).alias("b")).collect()]
+    # 8 cells over [0,10]: clamp below to 0 and above to 7
+    assert out == [0, 0, 3, 4, 7, 7]
+
+
+def test_zorder_layout_files_bounded_in_all_dims(spark, tmp_dir):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.layout import (
+        zorder_layout,
+    )
+    from pyspark.sql import functions as F
+    import glob
+
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).cast("double").alias("x"),
+        (F.col("id") / 64).cast("bigint").cast("double").alias("y"),
+    )
+    dims = [("x", 0.0, 64.0), ("y", 0.0, 64.0)]
+    out = zorder_layout(grid, dims, bits=6, num_partitions=8)
+    path = f"{tmp_dir}/zorder"
+    out.write.parquet(path)
+
+    # row-major baseline: same data globally sorted by (x, y)
+    base_path = f"{tmp_dir}/rowmajor"
+    grid.repartitionByRange(8, "x", "y").sortWithinPartitions("x", "y").write.parquet(
+        base_path
+    )
+
+    def files_scanned_for_y_band(p, lo, hi):
+        """How many files a min/max-stats pruner must read for a
+        predicate on y ALONE (the dimension lexicographic layout
+        cannot bound)."""
+        files = glob.glob(f"{p}/part-*.parquet")
+        hit = 0
+        for f in files:
+            st = spark.read.parquet(f).agg(F.min("y"), F.max("y")).collect()[0]
+            if not (st[1] < lo or st[0] > hi):
+                hit += 1
+        return hit, len(files)
+
+    z_hit, z_total = files_scanned_for_y_band(path, 10.0, 12.0)
+    b_hit, b_total = files_scanned_for_y_band(base_path, 10.0, 12.0)
+    # (x, y)-sorted files each span the FULL y range: zero skipping.
+    assert b_hit == b_total
+    # Z-order files are bounded in y too: most files skip. Aligned
+    # 512-blocks tile 64x64 as 16x32 boxes (4 hit a 3-wide band);
+    # allow slack for sampled range boundaries.
+    assert z_hit <= z_total - 2, (z_hit, z_total)
