@@ -22,7 +22,7 @@ Design rules shared by all four:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Hash-bucket resolution for sampling rates: 1/1e6 granularity.
@@ -264,3 +264,42 @@ def pack_sequences(
         return pdf
 
     return grouped.groupBy("__g").applyInPandas(pack, out_schema)
+
+
+def hash_uniform(key_cols: list[str], seed: int = 0) -> Column:
+    """Deterministic pseudo-uniform in (0, 1) from row keys — the
+    production randomness source for :func:`weighted_sample_topk`
+    (xxhash64: layout- and retry-stable like every sampler here).
+    Oracle-checked queries substitute an engine-portable arithmetic
+    hash instead (xxhash64 exists only in Spark)."""
+    h = F.xxhash64(F.lit(seed), *[F.col(c) for c in key_cols])
+    # map to (0,1): abs bucket + half-step offset avoids exact 0/1
+    return (F.pmod(h, F.lit(_BUCKETS)) + 0.5) / _BUCKETS
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    u_col: Column,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, Efraimidis–Spirakis
+    A-ES: each row draws priority ``u^(1/w)`` from its uniform ``u``
+    and weight ``w``; the global top-``k`` priorities ARE a weighted
+    sample without replacement. Deterministic given a deterministic
+    ``u_col`` (see :func:`hash_uniform`).
+
+    Scale shape: priority is a scan-stage expression; top-k plans as
+    TakeOrderedAndProject (per-partition heaps + driver merge of k
+    rows) — no global sort, no shuffle of the corpus. Rows with
+    non-positive weight are excluded (they'd never be sampled).
+    Output adds ``priority`` (descending = selection order); pass
+    ``tiebreak_cols`` (a unique key) so the k-boundary is total.
+    """
+    w = F.col(weight_col).cast("double")
+    pri = F.pow(u_col, 1.0 / w).alias("priority")
+    order = [F.col("priority").desc()] + [
+        F.col(c) for c in (tiebreak_cols or [])
+    ]
+    return df.filter(w > 0).select("*", pri).orderBy(*order).limit(k)

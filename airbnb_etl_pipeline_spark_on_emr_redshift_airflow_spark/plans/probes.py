@@ -59,6 +59,7 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.relationa
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
     chunk_documents,
     group_sample_topk,
+    weighted_sample_topk,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.timeseries import (
     resample_ffill,
@@ -765,6 +766,43 @@ def a_grouped_quantiles(spark, sf_dir):
         F.expr("percentile(l_extendedprice, 0.99D)").alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "c_weighted_sample",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             pow(((doc_id * 2654435761) % 2147483648 + 0.5)
+                   / 2147483648,
+                 1000.0 / n_chars) AS priority
+      FROM documents WHERE n_chars > 0
+      ORDER BY priority DESC, doc_id LIMIT 50
+    )
+    """,
+)
+def c_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (``operators.sampling.
+    weighted_sample_topk``, Efraimidis–Spirakis A-ES): 50 documents
+    drawn with probability proportional to length — each row's
+    priority is ``u^(1/w)`` and the global top-k by priority IS the
+    weighted sample. The uniform here is an engine-portable Knuth
+    multiplicative hash (exact integer arithmetic in both engines;
+    production uses the xxhash64 ``hash_uniform``), and the exponent
+    is globally rescaled (w/1000 — a monotone transform that keeps
+    the identical sample) so priorities spread away from 1.0.
+    Scale: priority is scan-stage; top-k is TakeOrderedAndProject —
+    per-partition heaps, no corpus shuffle, no global sort."""
+    (docs,) = load(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648)
+        + F.lit(0.5)
+    ) / F.lit(2147483648.0)
+    weighted = docs.withColumn("w", F.col("n_chars") / F.lit(1000.0))
+    sampled = weighted_sample_topk(
+        weighted, 50, "w", u, tiebreak_cols=["doc_id"]
+    )
+    return sampled.select("doc_id", "source", "n_chars")
 
 
 @register(

@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 69
+    assert len(names) == 70
     for must_have in ("d_decontaminate", "c_sample_mix", "c_pack_sequences"):
         assert must_have in names[:50]
     # new extension queries first, then the cap-probe re-registrations
@@ -34,6 +34,7 @@ def test_oracle_keys_subset_of_queries(spark):
         "d_edit_distance_pairs", "a_incremental_state_merge",
         "e_resample_ffill", "w_cumulative_distinct",
         "j_point_in_time", "a_grouped_quantiles",
+        "c_weighted_sample",
         "s_parquet_scan_prune", "o_topk_sort_limit", "u_intersect_except",
     ]
 

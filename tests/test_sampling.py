@@ -248,3 +248,41 @@ def test_group_sample_topk_prefilter_subsets_consistently(spark):
     # surviving id is in that keep-set
     kept = {r.doc_id for r in deterministic_sample(docs, 0.9, ["doc_id"]).collect()}
     assert {r.doc_id for r in thinned.collect()} <= kept
+
+
+def test_weighted_sample_topk_determinism_and_weight_bias(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        hash_uniform,
+        weighted_sample_topk,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    u = hash_uniform(["doc_id"], seed=7)
+    a = weighted_sample_topk(docs, 40, "n_chars", u, tiebreak_cols=["doc_id"])
+    b = weighted_sample_topk(
+        docs.repartition(13), 40, "n_chars", u, tiebreak_cols=["doc_id"]
+    )
+    ids_a = sorted(r.doc_id for r in a.collect())
+    assert ids_a == sorted(r.doc_id for r in b.collect())  # layout-stable
+    assert len(ids_a) == 40
+    # priorities are valid and the output carries them
+    assert all(0.0 < r.priority <= 1.0 for r in a.collect())
+    # weight bias: length-weighted sample overrepresents long docs
+    pop_avg = docs.agg(F.avg("n_chars")).collect()[0][0]
+    samp_avg = a.agg(F.avg("n_chars")).collect()[0][0]
+    assert samp_avg > pop_avg
+
+
+def test_weighted_sample_topk_excludes_nonpositive_weights(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        hash_uniform,
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, 2.0)], "id bigint, w double"
+    )
+    out = weighted_sample_topk(
+        df, 10, "w", hash_uniform(["id"]), tiebreak_cols=["id"]
+    )
+    assert sorted(r.id for r in out.collect()) == [1, 4]
