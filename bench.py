@@ -74,6 +74,11 @@ HEADLINE = [
     "e_funnel_steps",
     "e_retention_cohorts",
     "d_edit_distance_pairs",
+    # round-3 additions: time-series + feature-store + sampling
+    "e_resample_ffill",
+    "j_point_in_time",
+    "a_grouped_quantiles",
+    "c_weighted_sample",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.
