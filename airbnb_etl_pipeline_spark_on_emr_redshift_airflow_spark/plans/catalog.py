@@ -72,27 +72,34 @@ def register(name: str, oracle: str | None = None):
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's
-        # vectorized reader rejects. nanosAsLong is session policy
-        # (set visibly in session.get_spark and __spark_entry__
-        # ._configure, not as a hidden side effect here); it must be
-        # on before the read resolves the schema, so fail loudly if a
-        # foreign session lacks it. The testdata is microsecond-
-        # aligned, so the div-1000 truncation is lossless (events
-        # oracles cast DuckDB's TIMESTAMP_NS to micros the same way).
-        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        # events.ts has shipped as either parquet TIMESTAMP(NANOS)
+        # (round 1-2 testdata) or TIMESTAMP(MICROS) (round 3+), so
+        # normalize whatever the file contains to a session-tz
+        # TIMESTAMP column. NANOS needs nanosAsLong=true (session
+        # policy, set visibly in session.get_spark and
+        # __spark_entry__._configure) and arrives here as bigint.
+        try:
+            raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        except Exception as exc:  # pragma: no cover - nanos-only path
             raise RuntimeError(
-                "reading events.parquet requires "
+                "reading a TIMESTAMP(NANOS) events.parquet requires "
                 "spark.sql.legacy.parquet.nanosAsLong=true; build the "
                 "session via session.get_spark or apply "
                 "__spark_entry__._configure"
-            )
-        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # Integer `div`, not `/`: double division of an ~1.7e18 nanos
-        # value exceeds the 2^53 mantissa and corrupts microseconds.
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+            ) from exc
+        ts_type = dict(raw.dtypes)["ts"]
+        if ts_type == "bigint":
+            # Integer `div`, not `/`: double division of an ~1.7e18
+            # nanos value exceeds the 2^53 mantissa and corrupts
+            # microseconds. The testdata is microsecond-aligned, so
+            # the div-1000 truncation is lossless.
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type.startswith("timestamp_ntz"):
+            # Session tz is pinned to UTC, so NTZ -> TZ keeps the
+            # wall-clock values bit-identical while giving downstream
+            # plans the same TIMESTAMP type as the nanos path.
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -68,24 +68,21 @@ def test_text_pipeline_shuffle_free(spark):
     assert _shuffles(_plan(spark, "n_sentiment_selective")) == 0
 
 
-def test_events_read_requires_nanos_conf(spark):
-    """catalog._read must fail loudly on a session missing the
-    nanosAsLong policy instead of mutating the conf as a side effect."""
-    import pytest
-
+def test_events_ts_normalized_to_timestamp(spark):
+    """catalog._read must present events.ts as a session-tz TIMESTAMP
+    regardless of the file's physical type (TIMESTAMP(NANOS) read as
+    bigint under nanosAsLong, or TIMESTAMP(MICROS) read as NTZ) so
+    every downstream plan sees one stable schema."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
         load,
     )
     from tests.conftest import SF_DIR
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-    try:
-        with pytest.raises(RuntimeError, match="nanosAsLong"):
-            load(spark, SF_DIR, "events")
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     (events,) = load(spark, SF_DIR, "events")
     assert events.schema["ts"].dataType.typeName() == "timestamp"
+    # and the values are real wall-clock times, not epoch-garbage
+    row = events.selectExpr("min(year(ts)) AS y").first()
+    assert 2000 <= row.y <= 2100
 
 
 def _analyzed(spark, name):
