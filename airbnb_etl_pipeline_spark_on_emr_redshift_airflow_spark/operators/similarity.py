@@ -252,13 +252,32 @@ def embedding_near_dup_pairs_lsh(
         emb, n_planes=n_planes, n_tables=n_tables, dim=dim, seed=seed,
         vec_col=vec_col,
     ).select("table_id", "bucket", F.col(id_col).alias("id"))
-    a = b.select("table_id", "bucket", F.col("id").alias("id_a"))
+    # Pair generation is the fan-out stage: a narrow input can carry a
+    # quadratic output, so its parallelism must be pinned to cluster
+    # width, not inherited from the input layout. Two places AQE's
+    # byte-based sizing gets this wrong: (1) a small/single-split scan
+    # flows through a broadcast self-join unchanged, so the whole pair
+    # blowup lands on one task; (2) the dedup exchange carries slim
+    # (id_a, id_b) rows — few bytes, heavy downstream verify — and
+    # coalesces to one or two partitions. An explicit-count
+    # repartition is exempt from AQE coalescing, pins both stages, and
+    # is ~free: the bucket-key repartition doubles as the self-join's
+    # own exchange, and the pair-key repartition doubles as the
+    # distinct's.
+    width = max(
+        emb.sparkSession.sparkContext.defaultParallelism,
+        int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+    )
+    a = b.repartition(width, "table_id", "bucket").select(
+        "table_id", "bucket", F.col("id").alias("id_a")
+    )
     c = b.select("table_id", "bucket", F.col("id").alias("id_b"))
     cands = (
         a.join(c, ["table_id", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
+        .repartition(width, "id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
     # Pre-normalize once per vector so the per-pair verify is a single
     # zip_with fold (dot product of unit vectors == cosine) instead of
