@@ -79,6 +79,8 @@ HEADLINE = [
     "j_point_in_time",
     "a_grouped_quantiles",
     "c_weighted_sample",
+    # round-3 addition: the stream-stream interval-join batch analog
+    "e_interval_attribution",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.

@@ -86,6 +86,7 @@ NO_SINGLE_PARTITION = [
     "a_incremental_state_merge",
     "e_resample_ffill",
     "j_point_in_time",
+    "e_interval_attribution",
 ]
 
 
