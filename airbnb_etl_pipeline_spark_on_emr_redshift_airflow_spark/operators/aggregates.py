@@ -15,7 +15,7 @@ IEEE cast back to double.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEC = "decimal(18,4)"
@@ -133,6 +133,63 @@ def token_vocab(toked: DataFrame, tokens_col: str, k: int) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
+
+
+def tfidf_topk(
+    toked: DataFrame,
+    tokens_col: str = "t",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF (training-data
+    extension): ``score = tf × ln(n_docs / df)`` with tf the in-doc
+    term count and df the number of documents containing the term.
+    The keyword-extraction / relevance-weighting primitive a corpus
+    pipeline builds on (salient-term indexing, near-topic filtering,
+    quality features).
+
+    Returns (id, term, tf, df, score_q4, rnk ≤ k): tf/df are exact
+    bigints, the score ships as the catalog's 4-dp fixed-point integer
+    (``floor(x·10⁴ + 0.5)``) so the only float in the row is quantized
+    the same way both engines' ``ln`` evaluates it. Ties inside a doc
+    break on the term string.
+
+    Scale shape: explode is scan-stage; the tf groupBy shuffles on
+    (doc, term); the df rollup re-aggregates the tf TABLE (one row per
+    doc-term, already ≪ corpus tokens) on term. The tf⋈df join is a
+    plain keyed exchange — df is vocabulary-rows but corpus-derived,
+    so no broadcast hint (a hot term's join rows are bounded by its
+    df; AQE skew-split handles the head words). n_docs attaches as a
+    1-row broadcast scalar, and the final top-k is a per-doc window —
+    partitioned by the id, never single-partition."""
+    terms = toked.select(
+        F.col(id_col).alias("id"), F.explode(F.col(tokens_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = toked.select(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * F.log(
+        F.col("n_docs").cast("double") / F.col("df").cast("double")
+    )
+    w = Window.partitionBy("id").orderBy(
+        score.desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            "tf",
+            "df",
+            F.floor(score * F.lit(10000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("score_q4"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
 
 
 def agg_state(df: DataFrame, keys: list[str], measure: str) -> DataFrame:

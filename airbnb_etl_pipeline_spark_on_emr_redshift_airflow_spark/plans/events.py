@@ -153,35 +153,3 @@ def e_json_extraction(spark, sf_dir):
         )
     )
 
-
-@register(
-    "e_interval_attribution",
-    oracle=f"""
-    SELECT c.event_id AS click_id,
-           c.user_id,
-           c.ts AS click_ts,
-           MAX(v.ts) AS attributed_view_ts,
-           count(*) AS n_candidate_views
-    FROM {EVENTS_SRC} c
-    JOIN {EVENTS_SRC} v
-      ON v.user_id = c.user_id
-     AND v.ts <= c.ts
-     AND v.ts > c.ts - INTERVAL '30 minutes'
-    WHERE c.event_type = 'click' AND v.event_type = 'view'
-    GROUP BY 1, 2, 3
-    """,
-)
-def e_interval_attribution(spark, sf_dir):
-    """Last-touch attribution: each click joins the views of the same
-    user within the 30 minutes before it; the most recent view wins.
-    The batch analog of the stream-stream interval join
-    (``streaming.joins.stream_interval_join`` — same condition, both
-    sides watermarked there so buffered state evicts); batch adds the
-    per-conversion argmax on top. One shuffle on user_id, slim
-    columns through the pair fan-out."""
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.joins import (
-        attribute_last_touch,
-    )
-
-    (events,) = load(spark, sf_dir, "events")
-    return attribute_last_touch(events, lag="30 minutes")

@@ -36,6 +36,7 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregate
     dec_sum_sql,
     finalize_agg_state,
     merge_agg_states,
+    tfidf_topk,
     token_vocab,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.behavior import (
@@ -271,6 +272,81 @@ def t_vocab_topk(spark, sf_dir):
     (docs,) = load(spark, sf_dir, "documents")
     toked = docs.select(F.expr(_TOKS).alias("t"))
     return token_vocab(toked, "t", 100)
+
+
+@register(
+    "t_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+         terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM terms WHERE term <> '' GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         total AS (SELECT count(*) AS n_docs FROM toks),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+                  CAST(tf.tf AS BIGINT) AS tf,
+                  CAST(dfreq.df AS BIGINT) AS df,
+                  tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+                    AS score,
+                  row_number() OVER (
+                    PARTITION BY tf.doc_id
+                    ORDER BY tf.tf * ln(CAST(n_docs AS DOUBLE)
+                                        / CAST(dfreq.df AS DOUBLE)) DESC,
+                             tf.term ASC
+                  ) AS rnk
+           FROM tf JOIN dfreq USING (term) CROSS JOIN total)
+    SELECT doc_id, term, tf, df,
+           CAST(FLOOR(score * 10000 + 0.5) AS BIGINT) AS score_q4,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM scored WHERE rnk <= 3
+    """,
+)
+def t_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 terms by TF-IDF
+    (``operators.aggregates.tfidf_topk``) — the keyword-extraction /
+    relevance-weighting primitive over the shared dedup-family
+    tokenizer. tf/df ship as exact bigints and the score as the
+    catalog's 4-dp fixed-point integer; in-doc ties break on the term
+    string. Plan: scan-stage explode → (doc, term) tf shuffle → df
+    rollup of the tf table → plain keyed tf⋈df join (vocabulary is
+    corpus-derived: no broadcast hint) → per-doc window top-k."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.expr(_TOKS).alias("t"))
+    return tfidf_topk(toked, "t", "doc_id", 3)
+
+
+@register(
+    "e_interval_attribution",
+    oracle=f"""
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           c.ts AS click_ts,
+           MAX(v.ts) AS attributed_view_ts,
+           count(*) AS n_candidate_views
+    FROM {EVENTS_SRC} c
+    JOIN {EVENTS_SRC} v
+      ON v.user_id = c.user_id
+     AND v.ts <= c.ts
+     AND v.ts > c.ts - INTERVAL '30 minutes'
+    WHERE c.event_type = 'click' AND v.event_type = 'view'
+    GROUP BY 1, 2, 3
+    """,
+)
+def e_interval_attribution(spark, sf_dir):
+    """Last-touch attribution: each click joins the views of the same
+    user within the 30 minutes before it; the most recent view wins.
+    The batch analog of the stream-stream interval join
+    (``streaming.joins.stream_interval_join`` — same condition, both
+    sides watermarked there so buffered state evicts); batch adds the
+    per-conversion argmax on top. One shuffle on user_id, slim
+    columns through the pair fan-out."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.joins import (
+        attribute_last_touch,
+    )
+
+    (events,) = load(spark, sf_dir, "events")
+    return attribute_last_touch(events, lag="30 minutes")
 
 
 # CDC change feed synthesized deterministically from the customer

@@ -79,8 +79,10 @@ HEADLINE = [
     "j_point_in_time",
     "a_grouped_quantiles",
     "c_weighted_sample",
-    # round-3 addition: the stream-stream interval-join batch analog
+    # round-3 additions: the stream-stream interval-join batch analog
+    # and the TF-IDF keyword extraction chain
     "e_interval_attribution",
+    "t_tfidf_topk",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.

@@ -21,13 +21,14 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 70
+    assert len(names) == 72
     for must_have in ("d_decontaminate", "c_sample_mix", "c_pack_sequences"):
         assert must_have in names[:50]
     # new extension queries first, then the cap-probe re-registrations
     assert names[50:] == [
         "t_pii_redact", "t_repetition_profile",
         "c_chunk_documents", "t_vocab_topk",
+        "t_tfidf_topk", "e_interval_attribution",
         "u_merge_apply_cdc", "w_scd2_intervals",
         "j_skew_salted", "c_group_sample_topk",
         "e_funnel_steps", "e_retention_cohorts",

@@ -102,3 +102,30 @@ def test_repetition_profile_flags_repetitive_docs(spark, tmp_path):
     assert out[1].dup_token_frac == 0.98 and out[1].gate == "drop"
     assert out[1].dup_bigram_frac > 0.9
     assert out[2].dup_token_frac == 0.0 and out[2].gate == "keep"
+
+
+def test_tfidf_topk_semantics(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        tfidf_topk,
+    )
+    import math
+
+    # "common" appears in all 3 docs (idf = ln(1) = 0 → never top);
+    # "rare" only in doc 0; doc 1 repeats "pair" so tf outweighs.
+    rows = [
+        (0, ["common", "rare", "pair"]),
+        (1, ["common", "pair", "pair", "pair"]),
+        (2, ["common", "solo"]),
+    ]
+    toked = spark.createDataFrame(rows, "doc_id bigint, t array<string>")
+    out = {
+        (r.doc_id, r.rnk): r for r in tfidf_topk(toked, "t", "doc_id", 2).collect()
+    }
+    assert out[(0, 1)].term == "rare"  # idf ln(3/1) beats pair's ln(3/2)
+    assert out[(0, 2)].term == "pair"
+    assert out[(1, 1)].term == "pair" and out[(1, 1)].tf == 3
+    assert out[(2, 1)].term == "solo"
+    # common has idf 0 → score 0; it may only appear as a rank-2 filler
+    assert all(r.term != "common" or r.score_q4 == 0 for r in out.values())
+    # quantization: doc0 rare = 1 * ln(3) = 1.0986 → 10986
+    assert out[(0, 1)].score_q4 == math.floor(math.log(3.0) * 10000 + 0.5)

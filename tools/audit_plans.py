@@ -87,6 +87,9 @@ NO_SINGLE_PARTITION = [
     "e_resample_ffill",
     "j_point_in_time",
     "e_interval_attribution",
+    # t_tfidf_topk exempt: its only SinglePartition exchange is the
+    # 1-row global doc count broadcast into the IDF (a scalar, same
+    # class as e_funnel_steps' per-step frame)
 ]
 
 
