@@ -149,6 +149,7 @@ def stream_interval_join(
     watermark: str = "1 hour",
     touch_type: str = "view",
     convert_type: str = "click",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Stream-stream interval join: clicks ⋈ preceding views within
     ``lag``, both sides watermarked so buffered state evicts once no
@@ -157,8 +158,15 @@ def stream_interval_join(
     (in batch: :func:`attribute_last_touch`).
 
     State bound: a view is held for ``watermark + lag`` of event time,
-    a click for ``watermark`` — both sides O(rate × horizon)."""
-    src = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(source_dir)
+    a click for ``watermark`` — both sides O(rate × horizon). Rows
+    arriving with event time already below the watermark are DROPPED
+    at the source (the eviction contract the state bound rests on;
+    asserted in tests via ``max_files_per_trigger=1`` micro-batch
+    sequencing)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    src = reader.load(source_dir)
     clicks = (
         src.filter(F.col("event_type") == convert_type)
         .select(

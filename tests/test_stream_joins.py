@@ -110,3 +110,61 @@ def test_stream_static_enrich(spark, tmp_dir):
     assert {(r.event_id, r.region) for r in batch} == {
         (r.event_id, r.region) for r in out
     }
+
+
+def test_stream_interval_join_evicts_expired_state(spark, tmp_dir):
+    """State-eviction contract: a buffered view is held only while the
+    watermark allows an in-window click to still arrive (view_ts + lag
+    vs watermark); once evicted, a later click finds no partner — the
+    bound that keeps join state O(rate × horizon), not O(history).
+    Note the guarantee's direction: Spark promises no MISSED pairs
+    inside the watermark horizon; beyond it, state is gone. (A late
+    pair arriving together in one batch may still match intra-batch —
+    that is allowed, and why this test splits the pair across
+    batches.) Sequenced with maxFilesPerTrigger=1 so each file is its
+    own micro-batch (the file source orders by mtime)."""
+    import time as _time
+
+    src = f"{tmp_dir}/ev_late"
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    # batch 1: an in-window pair at 11:50/12:00 (the positive control)
+    # plus a lone view for user 2 at 10:00. The batch advances the
+    # watermark to 12:00 - 1h = 11:00, which is past the lone view's
+    # match horizon (10:00 + 30 min) — so its state is evicted.
+    b1 = [
+        (1, ts("2024-01-01T11:50:00"), 1, "view", 1.0, "{}"),
+        (2, ts("2024-01-01T12:00:00"), 1, "click", 1.0, "{}"),
+        (3, ts("2024-01-01T10:00:00"), 2, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.2)  # distinct mtime so the file source sequences them
+    # batch 2: an unmatched click far ahead — emits nothing itself,
+    # but runs a cleanup pass under the post-batch-1 watermark (11:00),
+    # which purges user 2's view (eviction happens at batch END, so a
+    # batch is needed between the watermark advance and the probe).
+    b2 = [
+        (9, ts("2024-01-01T13:00:00"), 9, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.2)
+    # batch 3: user 2's in-window click — its view is gone from state
+    # (and the click itself sits below the watermark), so no pair.
+    b3 = [
+        (4, ts("2024-01-01T10:15:00"), 2, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(b3, schema).coalesce(1).write.mode("append").parquet(src)
+
+    run_to_memory(
+        stream_interval_join(
+            spark, src, lag="30 minutes", watermark="1 hour",
+            max_files_per_trigger=1,
+        ),
+        "ssj_late",
+        output_mode="append",
+    )
+    out = spark.sql("SELECT * FROM ssj_late").collect()
+    assert {r.click_id for r in out} == {2}
+    assert len(out) == 1
