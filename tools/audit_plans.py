@@ -50,6 +50,8 @@ AUDITED = [
     "e_resample_ffill",
     "w_cumulative_distinct",
     "j_point_in_time",
+    "t_tfidf_topk",
+    "e_interval_attribution",
 ]
 
 # Every input corpus-sized → no broadcast hint allowed anywhere in the
