@@ -131,3 +131,64 @@ def test_lsh_blocked_near_dup_recall(spark):
     assert twin_pairs <= got  # identical vectors collide in every table
     recall = len(got & exact) / len(exact)
     assert recall >= 0.7, f"LSH-blocked recall collapsed: {recall}"
+
+
+def test_ivf_index_roundtrip_and_partition_pruning(spark, tmp_dir):
+    """Build/search split: persisted index returns the same results as
+    the fused ivf_topk; the cell-partitioned store prunes to the
+    probed cells via dynamic partition pruning (the partitioning IS
+    the index — no row-level structure)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        ivf_build,
+        ivf_read_index,
+        ivf_search,
+        ivf_topk,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    assigned, centroids = ivf_build(emb, n_centroids=8)
+    ivf_write_index(assigned, centroids, f"{tmp_dir}/ivf")
+    stored, stored_centroids = ivf_read_index(spark, f"{tmp_dir}/ivf")
+    assert stored_centroids == centroids  # JSON round-trip exact
+
+    fused = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2).collect()
+    }
+    from_store = ivf_search(
+        stored, stored_centroids, queries, k=3, n_probe=2
+    )
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in from_store.collect()}
+    assert got == fused
+
+    # dynamic partition pruning reaches the cell-partitioned scan:
+    # the corpus side carries a runtime pruning filter on `cell`
+    plan = from_store._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_ivf_build_with_train_fraction(spark):
+    """Sampled quantizer training (the corpus-scale path) still
+    assigns EVERY vector and keeps usable recall."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        ivf_build,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    assigned, centroids = ivf_build(emb, n_centroids=8, train_fraction=0.5)
+    assert assigned.count() == emb.count()  # full assignment coverage
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_search(assigned, centroids, queries, k=5, n_probe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"sampled-train IVF recall collapsed: {recall}"
