@@ -206,6 +206,26 @@ def minhash_lsh_candidates(
 
     The scale path for near-dedup: shuffle on band buckets, quadratic
     only within a bucket (bounded by design via band width)."""
+    buckets = minhash_band_buckets(docs, k, bands, n)
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band_id", "bh")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band_id", "bh")
+    return (
+        a.join(b, ["band_id", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_band_buckets(
+    docs: DataFrame, k: int = 32, bands: int = 8, n: int = 3
+) -> DataFrame:
+    """(doc_id, band_id, bh) band-bucket rows: the signature split into
+    ``bands`` bands of ``k/bands`` mins, each band hashed to one
+    bucket id. The joinable half of the LSH scheme — self-join it for
+    in-corpus candidates (:func:`minhash_lsh_candidates`) or persist
+    it as the corpus index an incremental batch probes
+    (:func:`minhash_index_build` / :func:`dedup_against_index`)."""
     r = k // bands
     sig = minhash_signatures(docs, k, n)
     band_cols = [
@@ -215,17 +235,9 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ]
-    buckets = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", "band.band_id", "band.bh")
-    a = buckets.select(F.col("doc_id").alias("doc_a"), "band_id", "bh")
-    b = buckets.select(F.col("doc_id").alias("doc_b"), "band_id", "bh")
-    return (
-        a.join(b, ["band_id", "bh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
 
 
 def minhash_near_dups(
@@ -269,6 +281,92 @@ def minhash_near_dups(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_index_build(
+    docs: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    max_shingles_per_doc: int | None = 512,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistent half of incremental near-dedup: the
+    corpus's (doc_id, band_id, bh) band buckets plus its per-doc
+    shingle-hash arrays. Write both to parquet once; every later
+    batch probes them with :func:`dedup_against_index` instead of
+    re-fingerprinting the whole corpus — the daily-crawl-vs-corpus
+    cadence that makes MinHash dedup O(batch) per day, not O(corpus).
+
+    Both frames are scan-stage projections of the corpus (one shuffle
+    total, inside the signature groupBy); the bucket table is
+    bands × n_docs slim rows, the shingle table one bounded array per
+    doc (bottom-k capped by default — pathological documents exist at
+    100 TB)."""
+    buckets = minhash_band_buckets(docs, k, bands, n)
+    shingles = shingle_hash_arrays(
+        docs, n, max_shingles_per_doc=max_shingles_per_doc
+    )
+    return buckets, shingles
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index_buckets: DataFrame,
+    index_shingles: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingles_per_doc: int | None = 512,
+) -> DataFrame:
+    """Incremental near-dedup: which documents of a NEW batch
+    near-duplicate something already in an indexed corpus
+    (:func:`minhash_index_build`)? Returns
+    (new_doc_id, corpus_doc_id, jaccard ≥ threshold) — feed the
+    new_doc_id set to an anti-join to drop, or union the survivors
+    and append their bucket/shingle rows to the index.
+
+    The batch side fingerprints with the SAME (k, bands, n, cap)
+    parameters (hash functions are seed-stable across runs, so
+    signatures computed today join signatures stored last year); the
+    probe is one keyed join on (band_id, bh) — the batch side is
+    delta-sized, so AQE typically broadcasts it against the corpus
+    index — then the usual slim-candidate dedup and capped
+    array_intersect verify. In-batch duplicates are NOT reported
+    (run :func:`minhash_near_dups` on the batch for those): this
+    operator's contract is batch-vs-corpus only."""
+    new_buckets = minhash_band_buckets(new_docs, k, bands, n).select(
+        F.col("doc_id").alias("new_id"), "band_id", "bh"
+    )
+    corpus_buckets = index_buckets.select(
+        F.col("doc_id").alias("corpus_id"), "band_id", "bh"
+    )
+    cands = (
+        new_buckets.join(corpus_buckets, ["band_id", "bh"])
+        # a doc re-submitted verbatim in a later batch shares its id;
+        # never pair a doc with itself
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    new_sh = shingle_hash_arrays(
+        new_docs, n, max_shingles_per_doc=max_shingles_per_doc
+    ).select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sa"))
+    corpus_sh = index_shingles.select(
+        F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sb")
+    )
+    return (
+        cands.join(new_sh, "new_id")
+        .join(corpus_sh, "corpus_id")
+        .withColumn("n_inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size("sa") + F.size("sb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
     )
 
 

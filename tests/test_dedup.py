@@ -416,3 +416,51 @@ def test_edit_distance_pairs_three_pieces_for_dist_two(spark):
         for r in edit_distance_pairs_blocked(df, "rid", "code", 2).collect()
     }
     assert got == {(1, 2, 1), (1, 3, 2), (2, 3, 1)}
+
+
+def test_incremental_dedup_against_index(spark, tmp_dir):
+    """Index the corpus once, probe it with a new batch: cross
+    (batch, corpus) near-dup pairs match the full-recompute ground
+    truth restricted to cross pairs; in-batch pairs are out of
+    contract; persistence round-trips through parquet."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index_build,
+        minhash_near_dups,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    # the new batch: fresh ids, where 3 docs are verbatim twins of
+    # corpus docs (planted near-dups) and the rest are new text
+    twins = (
+        corpus.filter(F.col("doc_id") < 3)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    fresh = docs.filter(F.col("doc_id") >= 400).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    batch = twins.unionByName(fresh)
+
+    buckets, shingles = minhash_index_build(corpus)
+    buckets.write.mode("overwrite").parquet(f"{tmp_dir}/idx/buckets")
+    shingles.write.mode("overwrite").parquet(f"{tmp_dir}/idx/shingles")
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in dedup_against_index(
+            batch,
+            spark.read.parquet(f"{tmp_dir}/idx/buckets"),
+            spark.read.parquet(f"{tmp_dir}/idx/shingles"),
+        ).collect()
+    }
+    # every planted twin is found against its corpus original
+    assert {(10000, 0), (10001, 1), (10002, 2)} <= got
+    # ground truth: full recompute over corpus ∪ batch, cross pairs only
+    full = minhash_near_dups(corpus.select("doc_id", "text").unionByName(batch))
+    cross = {
+        (max(r.doc_a, r.doc_b), min(r.doc_a, r.doc_b))
+        for r in full.collect()
+        if (r.doc_a >= 10000) != (r.doc_b >= 10000)
+    }
+    assert got == cross
