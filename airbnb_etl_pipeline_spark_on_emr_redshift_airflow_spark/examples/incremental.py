@@ -1,0 +1,190 @@
+"""Incremental daily-crawl ingestion against a persisted corpus +
+MinHash index — the O(batch)-per-day cadence.
+
+:mod:`examples.corpus` curates a corpus in one shot; this example is
+the day-2 problem: new documents arrive continuously, and re-running
+the full dedup over corpus ∪ batch every day is O(corpus) work for an
+O(batch) change. Instead the corpus's MinHash band buckets and capped
+shingle arrays persist as an index (:func:`operators.dedup.
+minhash_index_build`), and each day's pipeline is:
+
+- **batch ingest + quality gate** — scan-stage expressions over the
+  new documents only
+- **dedup vs corpus** — :func:`operators.dedup.dedup_against_index`:
+  one (band_id, bh) probe join against the stored buckets (the batch
+  side is delta-sized — AQE broadcasts it), capped
+  ``array_intersect`` verify, anti-join drops batch docs that
+  near-duplicate anything already ingested
+- **in-batch dedup** — exact fingerprint + MinHash clusters WITHIN
+  the batch (the index only answers batch-vs-corpus)
+- **append + publish** — survivors union onto the corpus and their
+  bucket/shingle rows onto the index, both via the atomic
+  temp→final swap (readers never see a half-updated pair). At
+  100 TB both appends write new partitions instead of rewriting
+  (partition the corpus by ingest day, the index by band_id ×
+  bh-range); the fold algebra is unchanged.
+
+Signatures are seed-stable, so a batch fingerprinted today joins
+index rows written months ago. The cadence is naturally idempotent:
+re-running a day whose documents already shipped finds every batch
+doc verbatim in the corpus, drops them all, and publishes an
+unchanged corpus (asserted in ``test_example_incremental``).
+
+Bootstrap: when no corpus is published yet, the first period's
+survivors BECOME the corpus and seed the index.
+
+Run: ``python -m airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.examples.incremental [sf_dir] [workdir]``
+(periods are ``lo:hi`` doc_id slices of the testdata documents).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions.text import (
+    quality_score,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+    dedup_against_index,
+    dedup_by_clusters,
+    exact_dedup_fingerprint,
+    minhash_index_build,
+    minhash_near_dups,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.pipeline import (
+    Pipeline,
+    Stage,
+    non_empty,
+    unique_key,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.gating import (
+    atomic_publish,
+    model_exists,
+)
+
+_MINHASH = dict(k=32, bands=8, n=3)
+_CAP = 512
+
+
+def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
+    """Daily DAG: batch → quality → vs-corpus dedup → in-batch dedup →
+    append-publish (corpus + index, atomically)."""
+    corpus_path = f"{workdir}/corpus"
+    buckets_path = f"{workdir}/index/buckets"
+    shingles_path = f"{workdir}/index/shingles"
+
+    def batch(spark: SparkSession, period: str, ctx) -> DataFrame:
+        """The day's crawl: a ``lo:hi`` doc_id slice of the testdata
+        (stand-in for the day's landed files)."""
+        lo, hi = (int(x) for x in period.split(":"))
+        return (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id").between(lo, hi - 1))
+            .select("doc_id", "text", "lang", "source")
+        )
+
+    def quality(spark: SparkSession, period: str, ctx) -> DataFrame:
+        return ctx["batch"].filter(quality_score("text") >= 1.0)
+
+    def novel(spark: SparkSession, period: str, ctx) -> DataFrame:
+        """Batch docs that near-duplicate nothing in the corpus. Two
+        distinct guards: an id-level anti-join drops REPLAYED rows
+        (same doc_id already published — ``dedup_against_index``
+        never pairs an id with itself, by contract), then the index
+        probe drops content twins under fresh ids. On bootstrap (no
+        published corpus) the whole batch is novel."""
+        docs = ctx["quality"]
+        if not model_exists(corpus_path):
+            return docs
+        existing = spark.read.parquet(corpus_path).select("doc_id")
+        docs = docs.join(existing, "doc_id", "left_anti")
+        hits = dedup_against_index(
+            docs,
+            spark.read.parquet(buckets_path),
+            spark.read.parquet(shingles_path),
+            threshold=0.5,
+            max_shingles_per_doc=_CAP,
+            **_MINHASH,
+        ).select(F.col("new_id").alias("doc_id"))
+        return docs.join(hits.distinct(), "doc_id", "left_anti")
+
+    def batch_deduped(spark: SparkSession, period: str, ctx) -> DataFrame:
+        """In-batch exact + near dedup (the index only answers
+        batch-vs-corpus; twins WITHIN a day still need the self
+        form). Batch-sized work."""
+        docs = ctx["novel"]
+        survivors = exact_dedup_fingerprint(docs).select(
+            F.col("keep_doc_id").alias("doc_id")
+        )
+        exact = docs.join(survivors, "doc_id", "left_semi")
+        pairs = minhash_near_dups(exact, threshold=0.5, **_MINHASH)
+        return dedup_by_clusters(exact, pairs)
+
+    def published(spark: SparkSession, period: str, ctx) -> DataFrame:
+        """Corpus ∪ survivors and index ∪ survivor rows, atomic swap
+        each. The corpus publishes first: if the index publish then
+        fails, re-running the period dedups the batch to nothing and
+        republishes an identical corpus, after which the index
+        rebuild below heals — never the reverse order (an index
+        claiming docs the corpus lacks would drop future twins)."""
+        add = ctx["batch_deduped"]
+        if model_exists(corpus_path):
+            merged = (
+                spark.read.parquet(corpus_path).unionByName(add)
+            )
+        else:
+            merged = add
+        # localCheckpoint: the publish below swaps the directory this
+        # plan reads from (the staged-swap caveat on atomic_publish)
+        merged = merged.localCheckpoint()
+        atomic_publish(merged, corpus_path, validate=model_exists)
+        buckets, shingles = minhash_index_build(
+            merged, max_shingles_per_doc=_CAP, **_MINHASH
+        )
+        # At this (example) scale the index rebuild recomputes from the
+        # merged corpus — simplest correct form. The O(batch) form
+        # appends only `add`'s bucket/shingle rows as new partitions;
+        # both yield identical tables (signatures are deterministic).
+        atomic_publish(buckets, buckets_path, validate=model_exists)
+        atomic_publish(shingles, shingles_path, validate=model_exists)
+        return spark.read.parquet(corpus_path)
+
+    return Pipeline(
+        [
+            Stage("batch", batch),
+            Stage("quality", quality, deps=("batch",)),
+            Stage("novel", novel, deps=("quality",)),
+            Stage("batch_deduped", batch_deduped, deps=("novel",)),
+            Stage(
+                "published",
+                published,
+                deps=("batch_deduped",),
+                gates=(
+                    ("non-empty", non_empty),
+                    ("doc_id unique", unique_key("doc_id")),
+                ),
+            ),
+        ]
+    )
+
+
+def main() -> None:
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.session import (
+        get_spark,
+    )
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    workdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/incremental_demo"
+    spark = get_spark("incremental-example")
+    pipe = build_pipeline(sf_dir, workdir)
+    for period in ("0:200", "200:350", "350:500"):
+        run = pipe.run(spark, period)
+        n = run.results["published"].count()
+        print(f"period {period}: corpus now {n} docs")
+
+
+if __name__ == "__main__":
+    main()

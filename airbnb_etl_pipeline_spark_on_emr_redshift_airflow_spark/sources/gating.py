@@ -83,6 +83,13 @@ def atomic_publish(
     renamed/deleted files afterwards — re-read after publishing. On an
     object store, replace the renames with a manifest/pointer swap to
     make the cutover atomic for concurrent readers.
+
+    The swap also invalidates the session's cached file listing for
+    ``final_path`` (``refreshByPath``): Spark's shared FileStatusCache
+    otherwise serves the PRE-swap file list to the next
+    ``spark.read.parquet(final_path)`` and the scan fails on deleted
+    part files — exactly the trap a republish-then-reread pipeline
+    (e.g. the incremental-ingest example) hits on its second period.
     """
     if writer is None:
         from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.io import (
@@ -103,3 +110,4 @@ def atomic_publish(
         Path(final_path).rename(backup)
     Path(staging).rename(final_path)
     shutil.rmtree(backup, ignore_errors=True)
+    df.sparkSession.catalog.refreshByPath(final_path)

@@ -1,0 +1,68 @@
+"""Tests: the incremental daily-crawl DAG — bootstrap, cross-day twin
+dropping via the persisted index, and replay idempotence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.examples.incremental import (
+    build_pipeline,
+)
+from tests.conftest import SF_DIR
+
+
+def test_incremental_pipeline_days(spark, tmp_dir):
+    pipe = build_pipeline(SF_DIR, f"{tmp_dir}/inc")
+
+    # day 0: bootstrap — corpus is the first batch's survivors
+    run0 = pipe.run(spark, "0:200")
+    day0 = run0.results["published"]
+    n0 = day0.count()
+    assert n0 > 0
+    day0_ids = {r.doc_id for r in day0.select("doc_id").collect()}
+    assert day0_ids <= set(range(0, 200))
+
+    # day 1: new slice — corpus strictly grows, all ids unique
+    run1 = pipe.run(spark, "200:350")
+    day1 = run1.results["published"]
+    n1 = day1.count()
+    assert n1 > n0
+    assert day1.select("doc_id").distinct().count() == n1
+
+    # day 2 replay of day 0's documents: every batch doc is already
+    # in the corpus verbatim, so the index probe drops them all and
+    # the published corpus is unchanged — replay idempotence.
+    run2 = pipe.run(spark, "0:200")
+    day2 = run2.results["published"]
+    # unchanged count == the replayed batch contributed zero rows
+    # (published = corpus ∪ batch_deduped, ids unique-gated). The
+    # batch_deduped handle itself is stale post-swap by the
+    # atomic_publish caveat — don't count it here.
+    assert day2.count() == n1
+
+
+def test_incremental_drops_cross_day_twins(spark, tmp_dir):
+    """A day-2 document that verbatim-copies a day-1 document (under a
+    fresh id) must be caught by the index probe, not ingested."""
+    workdir = f"{tmp_dir}/inc_twins"
+    pipe = build_pipeline(SF_DIR, workdir)
+    pipe.run(spark, "0:100")
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    twins = docs.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 50000).alias("doc_id"), "text", "lang", "source"
+    )
+    # splice the twins in as "the next day's batch" by running the
+    # novel stage directly against the published index
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        dedup_against_index,
+    )
+
+    hits = dedup_against_index(
+        twins,
+        spark.read.parquet(f"{workdir}/index/buckets"),
+        spark.read.parquet(f"{workdir}/index/shingles"),
+    )
+    assert {r.new_id for r in hits.collect()} == {50000, 50001, 50002}
+    # and each twin matched its original
+    assert {(r.new_id - 50000) == r.corpus_id for r in hits.collect()} == {True}
