@@ -19,7 +19,7 @@ import shutil
 from collections.abc import Callable
 from pathlib import Path
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 
 def stage_checkpoint(df: DataFrame, path: str) -> DataFrame:
@@ -36,6 +36,43 @@ def stage_checkpoint(df: DataFrame, path: str) -> DataFrame:
 
     write_parquet(df, path)
     return df.sparkSession.read.parquet(path)
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, Column],
+    writer: Callable[[DataFrame, str], None] | None = None,
+) -> dict[str, object]:
+    """Write ``df`` and collect quality metrics IN THE SAME JOB via
+    ``df.observe`` — returns {metric_name: value} after the write
+    commits.
+
+    The 100 TB point: every post-hoc check (``count()``, a null scan,
+    a min/max probe) is a second full pass over data that was just
+    streamed through the sink. ``observe`` attaches aggregate
+    expressions to the write's own plan — the executors fold them as
+    rows flow by, and the observation arrives with the job — so row
+    counts / null counts / bounds cost zero extra scans. Gate on the
+    returned dict (e.g. raise before ``atomic_publish`` swaps) instead
+    of re-reading the output.
+
+    ``metrics`` values must be aggregate expressions
+    (``F.count(F.lit(1))``, ``F.sum(...)``, ``F.max(...)`` …)."""
+    from pyspark.sql import Observation
+
+    if writer is None:
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.io import (
+            write_parquet,
+        )
+
+        writer = write_parquet
+    obs = Observation("observed_write")
+    names = list(metrics)
+    observed = df.observe(obs, *[metrics[n].alias(n) for n in names])
+    writer(observed, path)
+    got = obs.get
+    return {n: got[n] for n in names}
 
 
 def model_exists(path: str) -> bool:

@@ -124,3 +124,29 @@ def test_skipped_stage_with_dependents_fails_fast(spark):
     p2 = Pipeline([Stage("a", lambda s, per, ctx: None)])
     run = p2.run(spark, "p1")
     assert run.skipped == ["a"]
+
+
+def test_observed_write_collects_metrics_in_write_job(spark, tmp_dir):
+    """Quality metrics ride the write's own job (zero extra scans) and
+    match a recount of the committed output."""
+    from pyspark.sql import functions as F
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.gating import (
+        observed_write,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "id bigint, v double"
+    )
+    got = observed_write(
+        df,
+        f"{tmp_dir}/observed",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_v": F.count(F.lit(1)) - F.count("v"),
+            "max_id": F.max("id"),
+        },
+    )
+    assert got == {"n_rows": 3, "n_null_v": 1, "max_id": 3}
+    back = spark.read.parquet(f"{tmp_dir}/observed")
+    assert back.count() == 3
