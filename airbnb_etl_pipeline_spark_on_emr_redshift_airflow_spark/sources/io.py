@@ -188,6 +188,26 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan that MERGES schemas across files (surface
+    extension): a long-lived dataset accretes columns — files written
+    before a column existed simply lack it, and the default reader
+    (schema from one random footer) either misses the new column or
+    fails on the old files. ``mergeSchema`` unions every footer's
+    schema; missing columns read as null — the read-side analog of
+    ``operators.relational.align_union``'s write-side alignment.
+    Column ADDITION only: a changed column TYPE (int→bigint) does not
+    merge — route a type migration through ``align_union``'s explicit
+    widening rewrite instead.
+
+    Cost note: merging reads every file's footer at planning time —
+    fine for a partition's worth of files, noticeable over millions;
+    at steady state pin the evolved schema explicitly
+    (``spark.read.schema(...)``) and keep this for the
+    schema-discovery/backfill path."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def read_json(
     spark: SparkSession, path: str, schema: str | None = None
 ) -> DataFrame:

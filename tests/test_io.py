@@ -168,3 +168,25 @@ def test_compact_output_bounds_file_count(spark, tmp_dir):
     files = [p for p in Path(f"{tmp_dir}/compacted").glob("*.parquet")]
     assert len(files) == 3  # ceil(1000/400)
     assert spark.read.parquet(f"{tmp_dir}/compacted").count() == 1000
+
+
+def test_read_parquet_evolving_merges_schemas(spark, tmp_dir):
+    """Old files lack the late-added column: the merged read surfaces
+    it as null for them (column addition only - type changes are
+    align_union's job)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.io import (
+        read_parquet_evolving,
+    )
+
+    p = f"{tmp_dir}/evolving"
+    spark.createDataFrame([(1, 10)], "id bigint, v bigint").write.mode(
+        "append"
+    ).parquet(p)
+    spark.createDataFrame(
+        [(2, 20, "new")], "id bigint, v bigint, tag string"
+    ).write.mode("append").parquet(p)
+
+    df = read_parquet_evolving(spark, p)
+    assert dict(df.dtypes) == {"id": "bigint", "v": "bigint", "tag": "string"}
+    rows = {r.id: (r.v, r.tag) for r in df.collect()}
+    assert rows == {1: (10, None), 2: (20, "new")}
