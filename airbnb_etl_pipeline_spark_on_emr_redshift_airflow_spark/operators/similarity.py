@@ -3,11 +3,20 @@ bucketed ANN (training-data extension; SURVEY.md §7.2 step 8).
 
 Vectors stay as ``array<float>`` columns; all math is JVM-side array
 expressions (``zip_with`` products folded with ``aggregate``) — no
-Python, no per-row UDF. The brute-force path broadcasts the (small)
-query set against the corpus: O(queries × corpus) dot products inside
-whole-stage codegen, then a per-query top-k window. The ANN path cuts
-the corpus side by random-hyperplane bucketing — the 100 TB strategy
-(probe only matching buckets; recall tuned by #planes/#tables).
+Python, no per-row UDF — except where a stage is a genuinely dense
+matrix op (hyperplane matmuls, PQ codebook argmins/LUTs), which runs
+as an Arrow-batched numpy Pandas UDF instead. The brute-force path
+broadcasts the (small) query set against the corpus: O(queries ×
+corpus) dot products inside whole-stage codegen, then a per-query
+top-k window. Three scale strategies compose on top:
+
+- **pruning** — hyperplane-LSH buckets and IVF cells cut which rows
+  a query touches (recall tuned by planes/tables or cells/probes);
+- **persistence** — IVF's cell-partitioned store and DPP make the
+  partitioning itself the index;
+- **compression** — product quantization shrinks vectors ~64× to
+  m one-byte codes; ADC scores by table lookup and an exact re-rank
+  of the shortlist recovers near-exact recall.
 """
 
 from __future__ import annotations
@@ -511,6 +520,182 @@ def ann_topk_lsh(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k_codes: int = 256,
+    dim: int = 64,
+    seed: int = 42,
+    train_fraction: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: the vector splits into
+    ``m`` subspaces of ``dim/m`` dims; each subspace gets its own
+    ``k_codes``-centroid KMeans codebook fit on the (unit-normalized)
+    corpus. Returns ``codebooks[m][k_codes][dim/m]`` — KB-to-MB-sized,
+    safe in UDF closures or JSON beside an index.
+
+    PQ is the memory half of the ANN story (IVF/LSH are the pruning
+    half): a 64-dim float64 vector (512 B) compresses to ``m``
+    one-byte codes (8 B at the defaults) — the difference between an
+    embedding table that fits executor memory at 10⁹ docs and one
+    that doesn't. Train on a hash-sample via ``train_fraction`` at
+    corpus scale (same contract as :func:`ivf_build`)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    base = _unit_vectors(corpus, id_col, vec_col)
+    if train_fraction is not None:
+        keep = F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), 10000)
+        base = base.filter(keep < int(train_fraction * 10000))
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        feats = base.select(
+            array_to_vector(
+                F.slice(F.col("vn"), j * dsub + 1, dsub)
+            ).alias("features")
+        )
+        model = KMeans(
+            k=k_codes, seed=seed + j, featuresCol="features"
+        ).fit(feats)
+        codebooks.append([c.tolist() for c in model.clusterCenters()])
+    return codebooks
+
+
+def _unit_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return (
+        df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+        .select("id", "v", _norm("v").alias("nrm"))
+        .select("id", F.expr("transform(v, x -> x / nrm)").alias("vn"))
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every corpus vector to its ``m`` nearest-centroid codes:
+    (id, codes array<int>). One Arrow-batched scan-stage projection —
+    the m × k_codes argmin per vector is a dense matrix op (at 8-bit
+    codebooks, 2048 distance evaluations per row), which outgrows
+    expression trees the same way :func:`hyperplane_buckets`'s matmul
+    does: numpy does all batch × m × k_codes distances in a few
+    einsums; the codebook rides the UDF closure (MB at most). No
+    shuffle, no join."""
+    cb = np.asarray(codebooks)  # (m, k, dsub)
+    m, k_codes, dsub = cb.shape
+    # ||x - c||² = ||x||² + ||c||² - 2x·c ; per-subspace const ||c||²
+    cb_sq = (cb ** 2).sum(axis=2)  # (m, k)
+
+    @F.pandas_udf("array<int>")
+    def codes_of(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(v.to_numpy())  # (n, dim)
+        sub = mat.reshape(len(mat), m, dsub)  # (n, m, dsub)
+        cross = np.einsum("nmd,mkd->nmk", sub, cb)  # (n, m, k)
+        d2 = cb_sq[None, :, :] - 2.0 * cross  # + ||x||² (rank-invariant)
+        return pd.Series(list(d2.argmin(axis=2).astype(np.int32)))
+
+    base = _unit_vectors(corpus, id_col, vec_col)
+    return base.select("id", codes_of("vn").alias("codes"))
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int | None = None,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes its m × k_codes lookup table of exact subspace
+    distances (one numpy pass on the tiny query side), and a corpus
+    row scores as the SUM OF m TABLE LOOKUPS on its codes —
+    approximate L2² on unit vectors, monotone with cosine. The
+    per-pair cost is m ``element_at`` adds inside whole-stage codegen;
+    the codes table is scanned once (queries broadcast); ranking is
+    the per-query top-k window.
+
+    PQ is a coarse scorer, so production searches re-rank: pass
+    ``rerank=N`` (with ``corpus``) to take the top-``N`` PQ shortlist
+    per query and re-score JUST THOSE rows with exact cosine — the
+    scan stays over 8-byte codes, the full vectors are touched for
+    only queries × N rows (a keyed join on the shortlist ids).
+
+    Returns (query_id, neighbor_id, rank)."""
+    cb = np.asarray(codebooks)
+    m, k_codes, dsub = cb.shape
+    cb_sq = (cb ** 2).sum(axis=2)
+
+    @F.pandas_udf("array<double>")
+    def lut_of(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(v.to_numpy())
+        sub = mat.reshape(len(mat), m, dsub)
+        cross = np.einsum("nmd,mkd->nmk", sub, cb)
+        lut = cb_sq[None, :, :] - 2.0 * cross  # (n, m, k)
+        return pd.Series(list(lut.reshape(len(mat), m * k_codes)))
+
+    qb = _unit_vectors(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"), lut_of("vn").alias("lut")
+    )
+    score = None
+    for j in range(m):
+        term = F.element_at(
+            F.col("lut"),
+            F.lit(j * k_codes + 1) + F.element_at(F.col("codes"), j + 1),
+        )
+        score = term if score is None else score + term
+    scored = (
+        codes_df.select(F.col("id").alias("neighbor_id"), "codes")
+        .crossJoin(F.broadcast(qb))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", score.alias("approx_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= (rerank if rerank is not None else k))
+    )
+    if rerank is None:
+        return shortlist.select("query_id", "neighbor_id", "rank")
+    if corpus is None:
+        raise ValueError("rerank requires the corpus vector table")
+    cv = _unit_vectors(corpus, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), F.col("vn").alias("cv")
+    )
+    qv = _unit_vectors(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("vn").alias("qv")
+    )
+    exact = (
+        shortlist.select("query_id", "neighbor_id")
+        .join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", _dot("qv", "cv").alias("cos_sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )

@@ -192,3 +192,49 @@ def test_ivf_build_with_train_fraction(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"sampled-train IVF recall collapsed: {recall}"
+
+
+def test_pq_compression_and_rerank_recall(spark):
+    """PQ codes: valid range, deterministic encode; ADC alone is a
+    coarse scorer, ADC + exact re-rank of the shortlist recovers
+    near-exact recall — the production search shape (scan 8-byte
+    codes, touch full vectors for only queries x rerank rows)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    cb = pq_train(emb, m=8, k_codes=64, dim=64)
+    assert len(cb) == 8 and len(cb[0]) == 64 and len(cb[0][0]) == 8
+
+    codes = pq_encode(emb, cb).cache()
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r.codes) == 8 for r in rows)
+    assert all(0 <= c < 64 for r in rows for c in r.codes)
+    # encode is deterministic (seeded KMeans, pure argmin)
+    again = {r.id: list(r.codes) for r in pq_encode(emb, cb).collect()}
+    assert {r.id: list(r.codes) for r in rows} == again
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    plain = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(codes, cb, queries, k=5).collect()
+    }
+    reranked = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(
+            codes, cb, queries, k=5, rerank=50, corpus=emb
+        ).collect()
+    }
+    coarse = len(exact & plain) / len(exact)
+    fine = len(exact & reranked) / len(exact)
+    assert coarse >= 0.2, f"ADC recall collapsed: {coarse}"
+    assert fine >= 0.8, f"reranked recall collapsed: {fine}"
+    assert fine > coarse
