@@ -148,3 +148,77 @@ def atomic_publish(
     Path(staging).rename(final_path)
     shutil.rmtree(backup, ignore_errors=True)
     df.sparkSession.catalog.refreshByPath(final_path)
+
+
+def versioned_publish(
+    df: DataFrame,
+    root: str,
+    keep: int = 3,
+    writer: Callable[[DataFrame, str], None] | None = None,
+) -> int:
+    """Monotone versioned publish with an atomic pointer — the
+    object-store-safe upgrade of :func:`atomic_publish`'s
+    rename-swap. Data lands in ``root/v=N`` (N = last published + 1);
+    the one-line ``root/LATEST`` pointer file then flips via an
+    atomic rename. Returns N.
+
+    Why this shape at scale: a delete-and-rename swap has a window
+    where a concurrent reader's resolved file list points at removed
+    files (and object stores don't even have atomic directory
+    renames). Here old versions stay intact until pruned, so an
+    in-flight job that resolved ``v=K`` keeps reading ``v=K``
+    regardless of publishes; only the pointer — one small file with
+    an atomic replace — ever changes. Rollback is a pointer rewrite
+    (:func:`rollback_version`); the ``keep`` newest versions survive
+    pruning, and the pointed-at version is never pruned."""
+    if writer is None:
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.io import (
+            write_parquet,
+        )
+
+        writer = write_parquet
+    rootp = Path(root)
+    rootp.mkdir(parents=True, exist_ok=True)
+    versions = sorted(
+        int(p.name.split("=", 1)[1])
+        for p in rootp.glob("v=*")
+        if p.is_dir() and (p / "_SUCCESS").exists()
+    )
+    n = (versions[-1] + 1) if versions else 1
+    writer(df, str(rootp / f"v={n}"))
+    if not model_exists(str(rootp / f"v={n}")):
+        raise RuntimeError(f"versioned write produced no committed output: v={n}")
+    _set_pointer(rootp, n)
+    pointed = read_version_pointer(root)
+    for old in versions[: max(0, len(versions) - (keep - 1))]:
+        if old != pointed:
+            shutil.rmtree(rootp / f"v={old}", ignore_errors=True)
+    return n
+
+
+def _set_pointer(rootp: Path, n: int) -> None:
+    tmp = rootp / "LATEST.tmp"
+    tmp.write_text(str(n))
+    tmp.replace(rootp / "LATEST")  # atomic on POSIX
+
+
+def read_version_pointer(root: str) -> int:
+    """The currently-published version number (raises if never
+    published)."""
+    return int((Path(root) / "LATEST").read_text().strip())
+
+
+def read_latest(spark, root: str) -> DataFrame:
+    """Read the pointed-at version. The returned frame resolves its
+    file list under ``root/v=N`` — later publishes don't disturb it
+    (versions are immutable once written)."""
+    return spark.read.parquet(f"{root}/v={read_version_pointer(root)}")
+
+
+def rollback_version(root: str, to_version: int) -> None:
+    """Flip the pointer back to an existing version (atomic, no data
+    movement). Raises if that version is gone (pruned)."""
+    target = Path(root) / f"v={to_version}"
+    if not (target.exists() and (target / "_SUCCESS").exists()):
+        raise RuntimeError(f"cannot roll back: no committed v={to_version}")
+    _set_pointer(Path(root), to_version)

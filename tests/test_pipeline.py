@@ -150,3 +150,50 @@ def test_observed_write_collects_metrics_in_write_job(spark, tmp_dir):
     assert got == {"n_rows": 3, "n_null_v": 1, "max_id": 3}
     back = spark.read.parquet(f"{tmp_dir}/observed")
     assert back.count() == 3
+
+
+def test_versioned_publish_pointer_rollback_prune(spark, tmp_dir):
+    """Versions are immutable, the pointer flips atomically, rollback
+    is a pointer rewrite, pruning keeps the newest `keep` and never
+    the pointed-at version."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.gating import (
+        read_latest,
+        read_version_pointer,
+        rollback_version,
+        versioned_publish,
+    )
+
+    root = f"{tmp_dir}/versioned"
+
+    def df_of(tag):
+        return spark.createDataFrame([(1, tag)], "id bigint, tag string")
+
+    assert versioned_publish(df_of("a"), root, keep=2) == 1
+    assert read_latest(spark, root).collect()[0].tag == "a"
+
+    # a reader that resolved v=1 keeps working across a later publish
+    # (immutable until pruned — unlike a delete-and-rename swap)
+    held = read_latest(spark, root)
+    assert versioned_publish(df_of("b"), root, keep=2) == 2
+    assert held.collect()[0].tag == "a"
+    assert versioned_publish(df_of("c"), root, keep=2) == 3
+    assert read_version_pointer(root) == 3
+    assert read_latest(spark, root).collect()[0].tag == "c"
+
+    # keep=2 → v=2 and v=3 survive, v=1 pruned
+    import pathlib
+
+    alive = sorted(p.name for p in pathlib.Path(root).glob("v=*"))
+    assert alive == ["v=2", "v=3"]
+
+    rollback_version(root, 2)
+    assert read_latest(spark, root).collect()[0].tag == "b"
+    # pruned version cannot be rolled back to
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        rollback_version(root, 1)
+    # next publish after rollback continues the monotone sequence and
+    # never prunes the pointed-at version
+    assert versioned_publish(df_of("d"), root, keep=1) == 4
+    assert read_latest(spark, root).collect()[0].tag == "d"
