@@ -699,3 +699,189 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    k_codes: int = 64,
+    dim: int = 64,
+    seed: int = 42,
+    train_fraction: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
+    """IVF-PQ index build — the canonical composition of the pruning
+    and compression legs: a KMeans coarse quantizer assigns each
+    (unit-normalized) vector to a cell, and PQ encodes the RESIDUAL
+    ``vn - centroid[cell]`` (residuals are centered near zero, so the
+    same code budget quantizes them much more finely than raw
+    vectors). Returns ``(index, centroids, codebooks)`` where index is
+    (neighbor_id, cell, codes) — ~9 B/vector at the defaults; persist
+    it partitioned by cell exactly like :func:`ivf_write_index` and
+    BOTH directory pruning and code compression apply.
+
+    Training (coarse KMeans + m sub-KMeans on residual slices) runs on
+    an optional hash-sample; ASSIGNMENT and encoding cover the full
+    corpus in one scan-stage pass each."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    base = _unit_vectors(corpus, id_col, vec_col)
+    train = base
+    if train_fraction is not None:
+        keep = F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), 10000)
+        train = base.filter(keep < int(train_fraction * 10000))
+    coarse = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(
+        train.withColumn("features", array_to_vector("vn"))
+    )
+    centroids = [c.tolist() for c in coarse.clusterCenters()]
+    assigned = coarse.transform(
+        base.withColumn("features", array_to_vector("vn"))
+    ).select(
+        "id", "vn", F.col("prediction").alias("cell")
+    )
+    cent_arr = np.asarray(centroids)  # (C, dim)
+
+    # residuals, Arrow-batched (vector minus its cell centroid)
+    @F.pandas_udf("array<double>")
+    def residual_of(v: pd.Series, cell: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(v.to_numpy()) - cent_arr[cell.to_numpy()]
+        return pd.Series(list(mat))
+
+    with_res = assigned.withColumn("res", residual_of("vn", "cell"))
+    res_train = with_res
+    if train_fraction is not None:
+        keep = F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), 10000)
+        res_train = with_res.filter(keep < int(train_fraction * 10000))
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        sub = res_train.select(
+            array_to_vector(F.slice(F.col("res"), j * dsub + 1, dsub)).alias(
+                "features"
+            )
+        )
+        model = KMeans(k=k_codes, seed=seed + 1 + j, featuresCol="features").fit(sub)
+        codebooks.append([c.tolist() for c in model.clusterCenters()])
+
+    cb = np.asarray(codebooks)
+    cb_sq = (cb ** 2).sum(axis=2)
+
+    @F.pandas_udf("array<int>")
+    def codes_of(res: pd.Series) -> pd.Series:
+        if len(res) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(res.to_numpy())
+        sub = mat.reshape(len(mat), m, dsub)
+        cross = np.einsum("nmd,mkd->nmk", sub, cb)
+        d2 = cb_sq[None, :, :] - 2.0 * cross
+        return pd.Series(list(d2.argmin(axis=2).astype(np.int32)))
+
+    index = with_res.select(
+        F.col("id").alias("neighbor_id"), "cell", codes_of("res").alias("codes")
+    )
+    return index, centroids, codebooks
+
+
+def ivfpq_topk(
+    index: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    rerank: int | None = None,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search an IVF-PQ index: each query probes its ``n_probe``
+    nearest cells and ADC-scores ONLY those cells' codes against a
+    per-(query, cell) residual lookup table — approximate
+    ``||q - x||²`` via ``||（q − c) − r||²``, exact in the LUT and
+    quantized only in ``r``. The LUT column lives on the exploded
+    (query × probed-cell) side (tiny by contract: queries × n_probe
+    rows), built in one numpy pass; the index scan joins on cell
+    (directory-pruned on a partitioned store) and scores with m
+    ``element_at`` adds in whole-stage codegen. ``rerank=N`` re-scores
+    the top-N shortlist with exact cosine against ``corpus``."""
+    cb = np.asarray(codebooks)
+    m, k_codes, dsub = cb.shape
+    cb_sq = (cb ** 2).sum(axis=2)
+    cent_arr = np.asarray(centroids)
+
+    @F.pandas_udf("array<double>")
+    def lut_of(v: pd.Series, cell: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        target = np.stack(v.to_numpy()) - cent_arr[cell.to_numpy()]  # q - c
+        sub = target.reshape(len(target), m, dsub)
+        cross = np.einsum("nmd,mkd->nmk", sub, cb)
+        lut = cb_sq[None, :, :] - 2.0 * cross
+        # Unlike single-table PQ, the dropped ||q-c||² term VARIES
+        # across a query's probed cells, so it is not rank-invariant:
+        # spread it evenly over the m entries (summing the m lookups
+        # then reconstitutes it exactly).
+        lut = lut + (target ** 2).sum(axis=1)[:, None, None] / m
+        return pd.Series(list(lut.reshape(len(target), m * k_codes)))
+
+    qb = (
+        _unit_vectors(queries, id_col, vec_col)
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("vn").alias("qv"),
+            F.explode(_probe_cells(centroids, F.col("vn"), n_probe)).alias(
+                "probe"
+            ),
+        )
+        .select("query_id", "qv", F.col("probe.cell").alias("cell"))
+        .select("query_id", "cell", lut_of("qv", "cell").alias("lut"))
+    )
+    score = None
+    for j in range(m):
+        term = F.element_at(
+            F.col("lut"),
+            F.lit(j * k_codes + 1) + F.element_at(F.col("codes"), j + 1),
+        )
+        score = term if score is None else score + term
+    scored = (
+        index.join(F.broadcast(qb), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", score.alias("approx_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= (rerank if rerank is not None else k)
+    )
+    if rerank is None:
+        return shortlist.select("query_id", "neighbor_id", "rank")
+    if corpus is None:
+        raise ValueError("rerank requires the corpus vector table")
+    cv = _unit_vectors(corpus, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), F.col("vn").alias("cv")
+    )
+    qv = _unit_vectors(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("vn").alias("qv")
+    )
+    exact = (
+        shortlist.select("query_id", "neighbor_id")
+        .join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", _dot("qv", "cv").alias("cos_sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

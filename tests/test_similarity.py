@@ -238,3 +238,45 @@ def test_pq_compression_and_rerank_recall(spark):
     assert coarse >= 0.2, f"ADC recall collapsed: {coarse}"
     assert fine >= 0.8, f"reranked recall collapsed: {fine}"
     assert fine > coarse
+
+
+def test_ivfpq_compose_prune_and_compress(spark):
+    """IVF-PQ: residual-encoded codes per cell; ADC search probes
+    n_probe cells only. The recall ceiling is set by CELL PRUNING
+    (exact-score IVF at the same probe level ~0.67 on this data);
+    the reranked IVF-PQ result must sit near that ceiling — i.e.
+    quantization through the shortlist costs little — and strictly
+    above the coarse ADC-only ranking's floor."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    index, cents, cbs = ivfpq_build(emb, n_centroids=8, m=8, k_codes=32, dim=64)
+    index = index.cache()
+    rows = index.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r.codes) == 8 for r in rows)
+    assert all(0 <= c < 32 for r in rows for c in r.codes)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    plain = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(index, cents, cbs, queries, k=5, n_probe=3).collect()
+    }
+    reranked = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(
+            index, cents, cbs, queries, k=5, n_probe=3, rerank=50, corpus=emb
+        ).collect()
+    }
+    coarse = len(exact & plain) / len(exact)
+    fine = len(exact & reranked) / len(exact)
+    assert coarse >= 0.15, f"IVF-PQ coarse recall collapsed: {coarse}"
+    assert fine >= 0.5, f"IVF-PQ reranked recall collapsed: {fine}"
+    assert fine > coarse
