@@ -525,6 +525,22 @@ def ann_topk_lsh(
     )
 
 
+def _stack_batch(v: "pd.Series", what: str) -> "np.ndarray":
+    """Stack an Arrow batch of vectors with a clear failure mode:
+    null or ragged embedding vectors raise a named error instead of
+    an opaque np.stack traceback from inside a task."""
+    if v.isna().any():
+        raise ValueError(
+            f"{what}: null embedding vector — filter nulls upstream"
+        )
+    try:
+        return np.stack(v.to_numpy()).astype(np.float64)
+    except ValueError as exc:
+        raise ValueError(
+            f"{what}: embedding vectors have inconsistent lengths"
+        ) from exc
+
+
 def pq_train(
     corpus: DataFrame,
     m: int = 8,
@@ -602,7 +618,7 @@ def pq_encode(
     def codes_of(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        mat = np.stack(v.to_numpy())  # (n, dim)
+        mat = _stack_batch(v, "pq_encode")
         sub = mat.reshape(len(mat), m, dsub)  # (n, m, dsub)
         cross = np.einsum("nmd,mkd->nmk", sub, cb)  # (n, m, k)
         d2 = cb_sq[None, :, :] - 2.0 * cross  # + ||x||² (rank-invariant)
@@ -646,7 +662,7 @@ def pq_topk(
     def lut_of(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        mat = np.stack(v.to_numpy())
+        mat = _stack_batch(v, "pq_topk")
         sub = mat.reshape(len(mat), m, dsub)
         cross = np.einsum("nmd,mkd->nmk", sub, cb)
         lut = cb_sq[None, :, :] - 2.0 * cross  # (n, m, k)
@@ -752,7 +768,7 @@ def ivfpq_build(
     def residual_of(v: pd.Series, cell: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        mat = np.stack(v.to_numpy()) - cent_arr[cell.to_numpy()]
+        mat = _stack_batch(v, "ivfpq_build") - cent_arr[cell.to_numpy()]
         return pd.Series(list(mat))
 
     with_res = assigned.withColumn("res", residual_of("vn", "cell"))
@@ -777,7 +793,7 @@ def ivfpq_build(
     def codes_of(res: pd.Series) -> pd.Series:
         if len(res) == 0:
             return pd.Series([], dtype=object)
-        mat = np.stack(res.to_numpy())
+        mat = _stack_batch(res, "ivfpq_build codes")
         sub = mat.reshape(len(mat), m, dsub)
         cross = np.einsum("nmd,mkd->nmk", sub, cb)
         d2 = cb_sq[None, :, :] - 2.0 * cross
@@ -820,7 +836,7 @@ def ivfpq_topk(
     def lut_of(v: pd.Series, cell: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        target = np.stack(v.to_numpy()) - cent_arr[cell.to_numpy()]  # q - c
+        target = _stack_batch(v, "ivfpq_topk") - cent_arr[cell.to_numpy()]  # q - c
         sub = target.reshape(len(target), m, dsub)
         cross = np.einsum("nmd,mkd->nmk", sub, cb)
         lut = cb_sq[None, :, :] - 2.0 * cross
