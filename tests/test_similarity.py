@@ -280,3 +280,66 @@ def test_ivfpq_compose_prune_and_compress(spark):
     assert coarse >= 0.15, f"IVF-PQ coarse recall collapsed: {coarse}"
     assert fine >= 0.5, f"IVF-PQ reranked recall collapsed: {fine}"
     assert fine > coarse
+
+
+def test_vector_index_lifecycle_versioned(spark, tmp_dir):
+    """The production lifecycle composed end-to-end: build IVF-PQ →
+    publish the cell-partitioned index through versioned_publish →
+    read_latest → search gives identical results to the in-memory
+    index; a republish later doesn't disturb the pointer semantics
+    (rollback returns the v1 answer)."""
+    import json
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_topk,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.gating import (
+        read_latest,
+        rollback_version,
+        versioned_publish,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    root = f"{tmp_dir}/vecindex"
+
+    index, cents, cbs = ivfpq_build(emb, n_centroids=8, m=8, k_codes=32, dim=64)
+    v = versioned_publish(
+        index,
+        root,
+        writer=lambda df, p: df.write.partitionBy("cell").parquet(p),
+    )
+    with open(f"{root}/v={v}/quantizers.json", "w") as fh:
+        json.dump({"centroids": cents, "codebooks": cbs}, fh)
+
+    with open(f"{root}/v={v}/quantizers.json") as fh:
+        q = json.load(fh)
+    stored = read_latest(spark, root)
+    mem = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_topk(index, cents, cbs, queries, k=3, n_probe=3).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_topk(
+            stored, q["centroids"], q["codebooks"], queries, k=3, n_probe=3
+        ).collect()
+    }
+    assert got == mem
+
+    # republish a decoy v2, then roll back — search answers from v1
+    versioned_publish(
+        index.filter(F.col("cell") == 0),
+        root,
+        writer=lambda df, p: df.write.partitionBy("cell").parquet(p),
+    )
+    rollback_version(root, v)
+    back = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_topk(
+            read_latest(spark, root), q["centroids"], q["codebooks"],
+            queries, k=3, n_probe=3,
+        ).collect()
+    }
+    assert back == mem
