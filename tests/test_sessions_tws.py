@@ -1,0 +1,93 @@
+"""Tests: transformWithState timeout sessionization — sessions close
+on event-time timers (emission without new data for the key), agree
+with session_window's session bounds, and stay open while the
+watermark hasn't passed the gap."""
+
+from __future__ import annotations
+
+import datetime
+import time as _time
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.events import (
+    run_to_memory,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.sessions import (
+    stream_sessions,
+)
+
+
+def ts(s: str):
+    return datetime.datetime.fromisoformat(s)
+
+
+SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def test_timeout_sessions_close_on_watermark(spark, tmp_dir):
+    src = f"{tmp_dir}/ev_tws"
+    # batch 1: user 1 has two sessions' worth of events; user 2 one.
+    b1 = [
+        (1, ts("2024-01-01T10:00:00"), 1, "click", 1.0, "{}"),
+        (2, ts("2024-01-01T10:10:00"), 1, "click", 2.0, "{}"),
+        (3, ts("2024-01-01T09:00:00"), 2, "view", 5.0, "{}"),
+    ]
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.2)
+    # batch 2: a far-future event advances the watermark past every
+    # session horizon — user 1 and 2's sessions must CLOSE even
+    # though neither key received new data. User 9's own session
+    # stays open (nothing advances the watermark past it).
+    b2 = [
+        (9, ts("2024-01-01T20:00:00"), 9, "view", 0.0, "{}"),
+    ]
+    spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    run_to_memory(
+        stream_sessions(
+            spark, src, gap="30 minutes", watermark="1 hour",
+            max_files_per_trigger=1,
+        ),
+        "tws_sessions",
+        output_mode="append",
+    )
+    out = {r.user_id: r for r in spark.sql("SELECT * FROM tws_sessions").collect()}
+    assert set(out) == {1, 2}  # user 9's session is still open
+    # session_window semantics: end = last event + gap
+    assert out[1].session_start == ts("2024-01-01T10:00:00")
+    assert out[1].session_end == ts("2024-01-01T10:40:00")
+    assert out[1].n_events == 2 and out[1].total_value == 3.0
+    assert out[2].session_start == ts("2024-01-01T09:00:00")
+    assert out[2].session_end == ts("2024-01-01T09:30:00")
+    assert out[2].n_events == 1 and out[2].total_value == 5.0
+
+
+def test_timeout_sessions_merge_across_batches(spark, tmp_dir):
+    """Events for one user split across micro-batches within the gap
+    fold into ONE session (state carries); the close emits once."""
+    src = f"{tmp_dir}/ev_tws2"
+    b1 = [(1, ts("2024-01-01T10:00:00"), 1, "click", 1.0, "{}")]
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.2)
+    b2 = [(2, ts("2024-01-01T10:20:00"), 1, "click", 1.0, "{}")]
+    spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.2)
+    b3 = [(9, ts("2024-01-01T20:00:00"), 9, "view", 0.0, "{}")]
+    spark.createDataFrame(b3, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    run_to_memory(
+        stream_sessions(
+            spark, src, gap="30 minutes", watermark="1 hour",
+            max_files_per_trigger=1,
+        ),
+        "tws_merge",
+        output_mode="append",
+    )
+    out = [r for r in spark.sql("SELECT * FROM tws_merge").collect()]
+    assert len(out) == 1
+    r = out[0]
+    assert r.user_id == 1 and r.n_events == 2
+    assert r.session_start == ts("2024-01-01T10:00:00")
+    assert r.session_end == ts("2024-01-01T10:50:00")
