@@ -1,7 +1,7 @@
-"""Tests: transformWithState timeout sessionization — sessions close
-on event-time timers (emission without new data for the key), agree
-with session_window's session bounds, and stay open while the
-watermark hasn't passed the gap."""
+"""Tests: event-time-timeout sessionization — sessions close on the
+watermark passing last_event + gap (emission without new data for
+the key), agree with session_window's session bounds, and stay open
+while the watermark hasn't reached the horizon."""
 
 from __future__ import annotations
 
