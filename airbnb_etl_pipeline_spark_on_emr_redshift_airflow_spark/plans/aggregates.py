@@ -132,7 +132,9 @@ def a_collect_set_join(spark, sf_dir):
 @register(
     "a_rollup_cube",
     oracle=f"""
-    SELECT l_returnflag, l_linestatus, count(*) AS n,
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n,
            {dec_sum_sql("l_quantity", "sum_qty")},
            {dec_sum_sql("l_extendedprice", "sum_price")}
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -142,10 +144,14 @@ def a_rollup_cube(spark, sf_dir):
     """Grouping-sets surface extension (SURVEY.md §2.4 note: free via
     ``df.rollup`` / ``df.cube``): the full CUBE lattice over the Q1
     keys — a strict superset of ROLLUP's subtotal sets, so one query
-    covers both shapes. Catalyst plans both as a single Expand +
-    hash aggregate (one shuffle regardless of set count)."""
+    covers both shapes, tagged with ``grouping_id()`` so subtotal rows
+    are distinguishable from genuine-NULL key rows (same bit order as
+    DuckDB's GROUPING_ID: leftmost key = MSB). Catalyst plans both as
+    a single Expand + hash aggregate (one shuffle regardless of set
+    count)."""
     (li,) = load(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
         F.count("*").alias("n"),
         dec_sum("l_quantity", "sum_qty"),
         dec_sum("l_extendedprice", "sum_price"),
