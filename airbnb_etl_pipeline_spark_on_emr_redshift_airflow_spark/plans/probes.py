@@ -33,6 +33,7 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions.text impo
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
     agg_state,
     dec_avg_sql,
+    dec_sum,
     dec_sum_sql,
     finalize_agg_state,
     merge_agg_states,
@@ -879,6 +880,110 @@ def c_weighted_sample(spark, sf_dir):
         weighted, 50, "w", u, tiebreak_cols=["doc_id"]
     )
     return sampled.select("doc_id", "source", "n_chars")
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {dec_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")},
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-06-01'
+      AND l_shipdate > TIMESTAMP '1996-06-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): selective dim filter on the
+    customer side, date filters on both fact sides, 3-way join →
+    per-order revenue → top-10. The canonical join-order showcase:
+    Catalyst pushes all three filters into the scans, broadcasts the
+    filtered customer side, and the one real shuffle is the
+    (orderkey, date, priority) aggregate — the top-10 plans as
+    TakeOrderedAndProject, never a global sort. Revenue uses the
+    catalog's fixed-point sum so the cross-engine hash is exact."""
+    cust, orders, li = load(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < "1996-06-01")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > "1996-06-01")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey")
+        )
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           {dec_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): six-way snowflake join
+    with a region filter that prunes through nation into supplier, a
+    date band on orders, and the LOCAL constraint (customer and
+    supplier share a nation) expressed in the supplier join condition.
+    The deepest join-planning exercise in the catalog: region/nation
+    broadcast down the snowflake chain, the customer⋈orders⋈lineitem
+    spine shuffles on its keys, and AQE picks broadcast for whichever
+    filtered side collapses. Fixed-point revenue sum for the oracle
+    hash."""
+    cust, orders, li, supp, nation, region = load(
+        spark, sf_dir,
+        "customer", "orders", "lineitem", "supplier", "nation", "region",
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
 
 
 @register(

@@ -79,10 +79,13 @@ HEADLINE = [
     "j_point_in_time",
     "a_grouped_quantiles",
     "c_weighted_sample",
-    # round-3 additions: the stream-stream interval-join batch analog
-    # and the TF-IDF keyword extraction chain
+    # round-3 additions: the stream-stream interval-join batch analog,
+    # the TF-IDF keyword extraction chain, and the TPC-H classic
+    # join-planning showcases
     "e_interval_attribution",
     "t_tfidf_topk",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.

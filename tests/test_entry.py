@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 72
+    assert len(names) == 74
     for must_have in ("d_decontaminate", "c_sample_mix", "c_pack_sequences"):
         assert must_have in names[:50]
     # new extension queries first, then the cap-probe re-registrations
@@ -36,6 +36,7 @@ def test_oracle_keys_subset_of_queries(spark):
         "e_resample_ffill", "w_cumulative_distinct",
         "j_point_in_time", "a_grouped_quantiles",
         "c_weighted_sample",
+        "q3_shipping_priority", "q5_local_supplier_volume",
         "s_parquet_scan_prune", "o_topk_sort_limit", "u_intersect_except",
     ]
 
