@@ -218,3 +218,37 @@ def test_scd2_matches_run_length_model(spark, hist):
             nxt = runs[i + 1][1] if i + 1 < len(runs) else None
             expected.append((k, a, start, nxt, nxt is None))
     assert out == sorted(expected, key=lambda t: (t[0], t[2]))
+
+
+@given(
+    n_publishes=st.integers(min_value=1, max_value=6),
+    keep=st.integers(min_value=1, max_value=4),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_versioned_publish_invariants(spark, tmp_path_factory, n_publishes, keep):
+    """For ANY publish sequence: the pointer equals the publish count,
+    read_latest returns the last payload, at most `keep` versions
+    survive, and the pointed-at version is always among them."""
+    import pathlib
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.gating import (
+        read_latest,
+        read_version_pointer,
+        versioned_publish,
+    )
+
+    root = str(tmp_path_factory.mktemp("vp"))
+    for i in range(1, n_publishes + 1):
+        df = spark.createDataFrame([(i,)], "payload bigint")
+        assert versioned_publish(df, root, keep=keep) == i
+    assert read_version_pointer(root) == n_publishes
+    assert read_latest(spark, root).collect()[0].payload == n_publishes
+    alive = sorted(
+        int(p.name.split("=")[1]) for p in pathlib.Path(root).glob("v=*")
+    )
+    assert len(alive) <= keep
+    assert n_publishes in alive
