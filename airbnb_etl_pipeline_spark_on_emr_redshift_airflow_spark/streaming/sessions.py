@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -57,28 +58,62 @@ def _make_session_fn(gap_ms: int):
                 }
             )
             return
-        n = 0
-        v = 0.0
-        lo_ms: int | None = None
-        hi_ms: int | None = None
+        ts_parts: list[np.ndarray] = []
+        val_parts: list[np.ndarray] = []
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
-            n += int(len(pdf))
-            v += float(pdf["value"].sum())
-            b_lo, b_hi = int(ts_ms.min()), int(ts_ms.max())
-            lo_ms = b_lo if lo_ms is None else min(lo_ms, b_lo)
-            hi_ms = b_hi if hi_ms is None else max(hi_ms, b_hi)
-        if n == 0:
+            ts_parts.append((pdf["ts"].astype("int64") // 1_000_000).to_numpy())
+            val_parts.append(pdf["value"].to_numpy(dtype="float64"))
+        if not ts_parts:
             return
+        ts_ms = np.concatenate(ts_parts)
+        vals = np.concatenate(val_parts)
+        order = np.argsort(ts_ms, kind="stable")
+        ts_ms, vals = ts_ms[order], vals[order]
+        # split the batch into gap-delimited runs: a backfill (or a
+        # watermark-lag window wider than the gap) can legitimately
+        # carry several distinct sessions for one key in one batch —
+        # folding them into min(start)/max(last) would silently merge
+        # separate sessions into one over-long session.
+        cut = np.flatnonzero(np.diff(ts_ms) > gap_ms) + 1
+        runs: list[list] = [
+            [int(t[0]), int(t[-1]), int(len(t)), float(v.sum())]
+            for t, v in zip(np.split(ts_ms, cut), np.split(vals, cut))
+        ]
         if state.exists:
-            start, last, pn, pv = state.get
-            start, last, n, v = (
-                min(start, lo_ms), max(last, hi_ms), pn + n, pv + v,
+            # late-within-watermark data may sort before the stored
+            # session, so place the stored run by start and coalesce
+            # rather than assuming it precedes the batch.
+            runs.append(list(state.get))
+            runs.sort(key=lambda r: r[0])
+        merged: list[list] = [runs[0]]
+        for r in runs[1:]:
+            prev = merged[-1]
+            if r[0] <= prev[1] + gap_ms:
+                prev[1] = max(prev[1], r[1])
+                prev[2] += r[2]
+                prev[3] += r[3]
+            else:
+                merged.append(r)
+        closed = merged[:-1]
+        if closed:
+            # every non-trailing run is followed by an in-batch event
+            # more than `gap` later — the session is already over.
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(r[0], unit="ms") for r in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(r[1] + gap_ms, unit="ms") for r in closed
+                    ],
+                    "n_events": [r[2] for r in closed],
+                    "total_value": [r[3] for r in closed],
+                }
             )
-        else:
-            start, last = lo_ms, hi_ms
+        start, last, n, v = merged[-1]
         state.update((start, last, n, v))
         # the close timer: fires once the WATERMARK passes last + gap
         state.setTimeoutTimestamp(last + gap_ms)
@@ -86,13 +121,35 @@ def _make_session_fn(gap_ms: int):
     return close_sessions
 
 
+_UNIT_MS = {
+    "millisecond": 1, "milliseconds": 1, "ms": 1,
+    "second": 1_000, "seconds": 1_000, "sec": 1_000, "secs": 1_000,
+    "s": 1_000,
+    "minute": 60_000, "minutes": 60_000, "min": 60_000, "mins": 60_000,
+    "m": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000, "hr": 3_600_000,
+    "hrs": 3_600_000, "h": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000, "d": 86_400_000,
+    "week": 604_800_000, "weeks": 604_800_000, "w": 604_800_000,
+}
+
+
 def _gap_to_ms(gap: str) -> int:
-    n, unit = gap.split()
-    return int(n) * {
-        "seconds": 1_000, "second": 1_000,
-        "minutes": 60_000, "minute": 60_000,
-        "hours": 3_600_000, "hour": 3_600_000,
-    }[unit]
+    parts = gap.strip().split()
+    if len(parts) != 2 or not parts[0].lstrip("-").isdigit():
+        raise ValueError(
+            f"invalid interval {gap!r}: expected '<n> <unit>', e.g. "
+            "'30 minutes'"
+        )
+    n, unit = int(parts[0]), parts[1].lower()
+    if unit not in _UNIT_MS:
+        raise ValueError(
+            f"invalid interval unit {parts[1]!r} in {gap!r}: supported "
+            f"units are {sorted(set(_UNIT_MS))}"
+        )
+    if n <= 0:
+        raise ValueError(f"invalid interval {gap!r}: must be positive")
+    return n * _UNIT_MS[unit]
 
 
 def sessionize_with_timeout(

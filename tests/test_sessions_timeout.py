@@ -28,7 +28,7 @@ SCHEMA = (
 
 def test_timeout_sessions_close_on_watermark(spark, tmp_dir):
     src = f"{tmp_dir}/ev_tws"
-    # batch 1: user 1 has two sessions' worth of events; user 2 one.
+    # batch 1: user 1 has one session's worth of events; user 2 one.
     b1 = [
         (1, ts("2024-01-01T10:00:00"), 1, "click", 1.0, "{}"),
         (2, ts("2024-01-01T10:10:00"), 1, "click", 2.0, "{}"),
@@ -91,3 +91,91 @@ def test_timeout_sessions_merge_across_batches(spark, tmp_dir):
     assert r.user_id == 1 and r.n_events == 2
     assert r.session_start == ts("2024-01-01T10:00:00")
     assert r.session_end == ts("2024-01-01T10:50:00")
+
+
+def test_timeout_sessions_split_within_one_batch(spark, tmp_dir):
+    """A backfill batch carrying several gap-separated runs for ONE
+    key must emit one session per run, not a single min/max blob."""
+    src = f"{tmp_dir}/ev_tws3"
+    b1 = [
+        (1, ts("2024-01-01T10:00:00"), 1, "click", 1.0, "{}"),
+        (2, ts("2024-01-01T10:10:00"), 1, "click", 2.0, "{}"),
+        # > 30 min after 10:10 — a distinct session
+        (3, ts("2024-01-01T11:30:00"), 1, "click", 4.0, "{}"),
+        # and a third
+        (4, ts("2024-01-01T13:00:00"), 1, "click", 8.0, "{}"),
+    ]
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.2)
+    b2 = [(9, ts("2024-01-01T20:00:00"), 9, "view", 0.0, "{}")]
+    spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    run_to_memory(
+        stream_sessions(
+            spark, src, gap="30 minutes", watermark="1 hour",
+            max_files_per_trigger=1,
+        ),
+        "tws_split",
+        output_mode="append",
+    )
+    rows = sorted(
+        spark.sql("SELECT * FROM tws_split WHERE user_id = 1").collect(),
+        key=lambda r: r.session_start,
+    )
+    assert [(r.session_start, r.session_end, r.n_events, r.total_value)
+            for r in rows] == [
+        (ts("2024-01-01T10:00:00"), ts("2024-01-01T10:40:00"), 2, 3.0),
+        (ts("2024-01-01T11:30:00"), ts("2024-01-01T12:00:00"), 1, 4.0),
+        (ts("2024-01-01T13:00:00"), ts("2024-01-01T13:30:00"), 1, 8.0),
+    ]
+
+
+def test_timeout_sessions_split_against_stored_state(spark, tmp_dir):
+    """A later batch whose earliest event exceeds state.last + gap
+    closes the stored session instead of merging into it."""
+    src = f"{tmp_dir}/ev_tws4"
+    b1 = [(1, ts("2024-01-01T10:00:00"), 1, "click", 1.0, "{}")]
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.2)
+    # arrives before the watermark closes session 1 (wm lag 1h > gap
+    # 30m), but 50 min after it — distinct session.
+    b2 = [(2, ts("2024-01-01T10:50:00"), 1, "click", 2.0, "{}")]
+    spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.2)
+    b3 = [(9, ts("2024-01-01T20:00:00"), 9, "view", 0.0, "{}")]
+    spark.createDataFrame(b3, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    run_to_memory(
+        stream_sessions(
+            spark, src, gap="30 minutes", watermark="1 hour",
+            max_files_per_trigger=1,
+        ),
+        "tws_state_split",
+        output_mode="append",
+    )
+    rows = sorted(
+        spark.sql("SELECT * FROM tws_state_split WHERE user_id = 1").collect(),
+        key=lambda r: r.session_start,
+    )
+    assert [(r.session_start, r.session_end, r.n_events, r.total_value)
+            for r in rows] == [
+        (ts("2024-01-01T10:00:00"), ts("2024-01-01T10:30:00"), 1, 1.0),
+        (ts("2024-01-01T10:50:00"), ts("2024-01-01T11:20:00"), 1, 2.0),
+    ]
+
+
+def test_gap_parsing_units_and_errors():
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.sessions import (
+        _gap_to_ms,
+    )
+    import pytest as _pytest
+
+    assert _gap_to_ms("1 day") == 86_400_000
+    assert _gap_to_ms("90 secs") == 90_000
+    assert _gap_to_ms("2 Hours") == 7_200_000
+    with _pytest.raises(ValueError, match="supported units"):
+        _gap_to_ms("3 fortnights")
+    with _pytest.raises(ValueError, match="expected"):
+        _gap_to_ms("soon")
+    with _pytest.raises(ValueError, match="positive"):
+        _gap_to_ms("0 minutes")
