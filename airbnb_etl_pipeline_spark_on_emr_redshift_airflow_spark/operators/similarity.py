@@ -282,6 +282,7 @@ def embedding_near_dup_pairs(
     bucket_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_rows: int | None = 50_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking bucket
     (e.g. a cluster label): equi-join on the bucket key bounds the
@@ -292,7 +293,13 @@ def embedding_near_dup_pairs(
     O((N/L)²). At corpus scale use
     :func:`embedding_near_dup_pairs_lsh`, which blocks on hyperplane-
     LSH buckets instead (exponentially smaller buckets, tunable
-    recall).
+    recall). The quadratic is GUARDED: any bucket larger than
+    ``max_bucket_rows`` fails the job with an error naming the LSH
+    form, instead of silently launching an O(n²) self-join. The guard
+    is a per-bucket count window folded into a filter via
+    ``assert_true`` — fully lazy and distributed (no driver-side
+    count), one extra exchange-free window on the partitioning the
+    join needs anyway. Pass ``max_bucket_rows=None`` to disable.
 
     Each vector is normalized ONCE before the self-join, so the
     per-pair test is a single dot-product fold (cosine of unit
@@ -310,6 +317,35 @@ def embedding_near_dup_pairs(
         .select("bucket", "id", F.expr("transform(v, x -> x / nrm)").alias("vn"))
     )
     a = base.select("bucket", F.col("id").alias("id_a"), F.col("vn").alias("vna"))
+    if max_bucket_rows is not None:
+        # count(*) over (partition by bucket) — no orderBy, so no sort;
+        # its hash partitioning is the same one the self-join requires,
+        # so the window rides the join's own exchange. assert_true
+        # inside a FILTER can't be pruned away by Catalyst (an unused
+        # projected column would be).
+        n_in_bucket = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+        guard = F.assert_true(
+            F.col("__bucket_n") <= max_bucket_rows,
+            F.concat_ws(
+                "",
+                F.lit("embedding_near_dup_pairs: bucket "),
+                F.col("bucket").cast("string"),
+                F.lit(" holds "),
+                F.col("__bucket_n").cast("string"),
+                F.lit(
+                    f" rows (> max_bucket_rows={max_bucket_rows}); the "
+                    "in-bucket self-join is O(n²) — use "
+                    "embedding_near_dup_pairs_lsh (hyperplane-LSH "
+                    "blocking) at this scale, or raise max_bucket_rows "
+                    "explicitly."
+                ),
+            ),
+        )
+        a = (
+            a.withColumn("__bucket_n", n_in_bucket)
+            .filter(guard.isNull())
+            .drop("__bucket_n")
+        )
     b = base.select("bucket", F.col("id").alias("id_b"), F.col("vn").alias("vnb"))
     return (
         a.join(b, "bucket")
@@ -369,10 +405,14 @@ def embedding_near_dup_pairs_lsh(
     # is ~free: the bucket-key repartition doubles as the self-join's
     # own exchange, and the pair-key repartition doubles as the
     # distinct's.
-    width = max(
-        emb.sparkSession.sparkContext.defaultParallelism,
-        int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-    )
+    sess = emb.sparkSession
+    try:
+        shuffle_parts = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        # platforms that auto-size the shuffle report a non-numeric
+        # value (e.g. "auto") — fall back to the cluster width
+        shuffle_parts = sess.sparkContext.defaultParallelism
+    width = max(sess.sparkContext.defaultParallelism, shuffle_parts)
     a = b.repartition(width, "table_id", "bucket").select(
         "table_id", "bucket", F.col("id").alias("id_a")
     )

@@ -38,6 +38,26 @@ def test_embedding_near_dup_identical_vectors(spark):
     assert pairs == {(0, 1)}
 
 
+def test_embedding_near_dup_guard_fires_on_oversized_bucket(spark):
+    """The quadratic label-blocked form must fail loudly — naming the
+    LSH sibling — when any blocking bucket exceeds max_bucket_rows,
+    instead of silently launching an O(n²) self-join."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    vecs = [(i, 1, [1.0, float(i), 3.0]) for i in range(6)]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, label int, embedding array<float>"
+    )
+    guarded = embedding_near_dup_pairs(df, 0.5, max_bucket_rows=3)
+    with pytest.raises(SparkRuntimeException) as exc:
+        guarded.collect()
+    assert "embedding_near_dup_pairs_lsh" in str(exc.value)
+    # same data passes with the guard sized up or disabled
+    assert embedding_near_dup_pairs(df, 0.5, max_bucket_rows=6).count() > 0
+    assert embedding_near_dup_pairs(df, 0.5, max_bucket_rows=None).count() > 0
+
+
 def test_ann_recall_against_brute_force(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 20)
