@@ -217,20 +217,68 @@ def ivf_read_index(
     return spark.read.parquet(f"{path}/vectors"), centroids
 
 
-def _probe_cells(centroids: list[list[float]], qv, n_probe: int):
-    """Expression: the ``n_probe`` nearest centroid cells for a query
-    vector — centroids compile in as literals (no driver loop over
-    data, no join against a centroid table)."""
-    cells = []
-    for cid, center in enumerate(centroids):
-        lit_center = F.array(*[F.lit(float(x)) for x in center])
-        dist2 = F.aggregate(
-            F.zip_with(qv, lit_center, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
+# Above this many centroids the literal expression tree (one struct +
+# dim-wide array literal per centroid) bloats the plan and eventually
+# breaks codegen (~2^16 branches); the Arrow-batched numpy form takes
+# over — one matmul per record batch, centroid matrix in the closure.
+_PROBE_LITERAL_MAX_CENTROIDS = 256
+
+
+def _probe_cells(
+    centroids: list[list[float]],
+    qv,
+    n_probe: int,
+    impl: str | None = None,
+):
+    """Expression: the ``n_probe`` nearest centroid cell ids (an
+    ``array<int>``, nearest first) for a query vector.
+
+    Two interchangeable implementations, dispatched on quantizer size
+    (``impl`` forces one for testing): up to
+    ``_PROBE_LITERAL_MAX_CENTROIDS`` the centroids compile in as
+    expression literals (no driver loop over data, no join, stays in
+    the JVM); past that — a production IVF index at 10⁹ vectors wants
+    2¹⁴–2¹⁶ cells — the distances compute in ONE Arrow-batched numpy
+    matmul per batch (same dense-matrix rationale as
+    :func:`hyperplane_buckets`). Ties break toward the lower cell id
+    in both forms."""
+    n = len(centroids)
+    if impl is None:
+        impl = (
+            "literal" if n <= _PROBE_LITERAL_MAX_CENTROIDS else "vectorized"
         )
-        cells.append(F.struct(dist2.alias("d"), F.lit(cid).alias("cell")))
-    return F.slice(F.array_sort(F.array(*cells)), 1, n_probe)
+    if impl == "literal":
+        cells = []
+        for cid, center in enumerate(centroids):
+            lit_center = F.array(*[F.lit(float(x)) for x in center])
+            dist2 = F.aggregate(
+                F.zip_with(qv, lit_center, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            )
+            cells.append(F.struct(dist2.alias("d"), F.lit(cid).alias("cell")))
+        return F.transform(
+            F.slice(F.array_sort(F.array(*cells)), 1, n_probe),
+            lambda s: s["cell"],
+        )
+    if impl != "vectorized":
+        raise ValueError(f"unknown probe impl {impl!r}")
+    cent = np.asarray(centroids, dtype=np.float64)  # (C, dim)
+    cent_sq = (cent ** 2).sum(axis=1)
+    k_probe = min(n_probe, n)
+
+    @F.pandas_udf("array<int>")
+    def probe_of(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = _stack_batch(v, "_probe_cells")
+        # ||q - c||² = ||q||² + ||c||² - 2 q·c ; ||q||² is constant per
+        # row, hence rank-invariant and dropped.
+        d2 = cent_sq[None, :] - 2.0 * (mat @ cent.T)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :k_probe]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    return probe_of(qv)
 
 
 def ivf_search(
@@ -241,6 +289,7 @@ def ivf_search(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_impl: str | None = None,
 ) -> DataFrame:
     """Search an IVF index (from :func:`ivf_build` or
     :func:`ivf_read_index`): each query probes its ``n_probe`` nearest
@@ -258,8 +307,10 @@ def ivf_search(
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         qv.alias("qv"),
-        F.explode(_probe_cells(centroids, qv, n_probe)).alias("probe"),
-    ).select("query_id", "qv", F.col("probe.cell").alias("cell"))
+        F.explode(
+            _probe_cells(centroids, qv, n_probe, impl=probe_impl)
+        ).alias("cell"),
+    )
 
     scored = (
         assigned.join(F.broadcast(qb), "cell")
@@ -892,11 +943,10 @@ def ivfpq_topk(
         .select(
             F.col("id").alias("query_id"),
             F.col("vn").alias("qv"),
-            F.explode(_probe_cells(centroids, F.col("vn"), n_probe)).alias(
-                "probe"
-            ),
+            F.explode(
+                _probe_cells(centroids, F.col("vn"), n_probe)
+            ).alias("cell"),
         )
-        .select("query_id", "qv", F.col("probe.cell").alias("cell"))
         .select("query_id", "cell", lut_of("qv", "cell").alias("lut"))
     )
     score = None

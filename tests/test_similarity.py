@@ -76,6 +76,61 @@ def test_ann_recall_against_brute_force(spark):
     assert recall >= 0.5, f"ANN recall collapsed: {recall}"
 
 
+def test_probe_cells_vectorized_matches_literal_at_1024_cells(spark):
+    """Past _PROBE_LITERAL_MAX_CENTROIDS the probe-cell selection runs
+    as an Arrow-batched numpy matmul instead of unrolling one struct
+    literal per centroid into the expression tree (a 2^14-cell
+    production quantizer breaks codegen that way). Both forms must
+    pick the same cells, hence identical search results."""
+    import numpy as np
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        _PROBE_LITERAL_MAX_CENTROIDS,
+        ivf_build,
+        ivf_search,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.randn(16)]) for i in range(3000)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    assigned, cents = ivf_build(df, n_centroids=1024, seed=7)
+    assigned = assigned.cache()
+    assert len(cents) == 1024 > _PROBE_LITERAL_MAX_CENTROIDS
+    queries = df.filter(F.col("vec_id") < 5)
+    auto = ivf_search(assigned, cents, queries, k=3, n_probe=4)
+    # auto-dispatch at 1024 cells goes through the Arrow-batched stage
+    assert "ArrowEvalPython" in (
+        auto._jdf.queryExecution().executedPlan().toString()
+    )
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in auto.collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_search(
+            assigned, cents, queries, k=3, n_probe=4, probe_impl="literal"
+        ).collect()
+    )
+    assert got == want
+    assigned.unpersist()
+
+
+def test_probe_cells_small_quantizer_stays_jvm_side(spark):
+    """At small centroid counts the probe stage must remain a literal
+    JVM expression — no Python eval node in the plan."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        ivf_build,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assigned, cents = ivf_build(emb, n_centroids=8)
+    plan = (
+        ivf_search(assigned, cents, emb.filter(F.col("vec_id") < 3), k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_cosine_pandas_matches_expression(spark):
     """The Arrow-vectorized path must agree with the JVM fold to float
     tolerance on real embeddings."""
