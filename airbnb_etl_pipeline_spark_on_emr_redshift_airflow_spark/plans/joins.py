@@ -51,34 +51,6 @@ def j_left_enrich_fk(spark, sf_dir):
 
 
 @register(
-    "j_inner_composite_key",
-    oracle=f"""
-    WITH order_flag_totals AS (
-      SELECT l_orderkey, l_returnflag,
-             {dec_sum_sql("l_quantity", "flag_qty")}
-      FROM lineitem GROUP BY l_orderkey, l_returnflag
-    )
-    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, t.flag_qty
-    FROM lineitem l
-    JOIN order_flag_totals t
-      ON l.l_orderkey = t.l_orderkey AND l.l_returnflag = t.l_returnflag
-    """,
-)
-def j_inner_composite_key(spark, sf_dir):
-    """J2 — inner equi-join on a composite key (the temp⋈rain
-    DATE+STAID join, ``apps/process_weather.py:92-95``): each line item
-    picks up its (order, returnflag) group total. Both sides hash on
-    the same composite key — one co-partitioned shuffle."""
-    (li,) = load(spark, sf_dir, "lineitem")
-    totals = li.groupBy("l_orderkey", "l_returnflag").agg(
-        dec_sum("l_quantity", "flag_qty")
-    )
-    return li.join(totals, ["l_orderkey", "l_returnflag"]).select(
-        "l_orderkey", "l_linenumber", "l_returnflag", "flag_qty"
-    )
-
-
-@register(
     "j_broadcast_chain_dims",
     oracle=f"""
     SELECT r.r_name AS region, count(*) AS n_suppliers,
@@ -106,7 +78,7 @@ def j_broadcast_chain_dims(spark, sf_dir):
 
 @register(
     "j_windowed_subquery_using",
-    oracle="""
+    oracle=f"""
     WITH windowed AS (
       SELECT o_orderkey, o_custkey, o_totalprice,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
@@ -118,34 +90,58 @@ def j_broadcast_chain_dims(spark, sf_dir):
                         ORDER BY o_orderdate, o_orderkey
                         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS moving_avg_price
       FROM orders
+    ), order_flag_totals AS (
+      SELECT l_orderkey, l_returnflag,
+             {dec_sum_sql("l_quantity", "flag_qty")}
+      FROM lineitem GROUP BY l_orderkey, l_returnflag
     )
-    SELECT l.l_orderkey, l.l_linenumber, w.moving_avg_price
-    FROM lineitem l JOIN windowed w ON l.l_orderkey = w.o_orderkey
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           t.flag_qty, w.moving_avg_price
+    FROM lineitem l
+    JOIN order_flag_totals t
+      ON l.l_orderkey = t.l_orderkey AND l.l_returnflag = t.l_returnflag
+    JOIN windowed w ON l.l_orderkey = w.o_orderkey
     """,
 )
 def j_windowed_subquery_using(spark, sf_dir):
-    """J4 + A8 — join against a windowed subquery (the reference's
-    reviews ⋈ (weather + moving avg) USING(weather_id), notebook cells
-    43/45): each line item picks up its customer's 8-order moving
-    average price. Decimal window sum / count → deterministic."""
+    """J4 + A8 + J2 — join against a windowed subquery (the
+    reference's reviews ⋈ (weather + moving avg) USING(weather_id),
+    notebook cells 43/45) COMPOSED with an inner equi-join on a
+    composite key (the temp⋈rain DATE+STAID join,
+    ``apps/process_weather.py:92-95``, the merged
+    ``j_inner_composite_key``, re-registered past the driver window):
+    each line item picks up its (order, returnflag) group total via
+    the composite key AND its customer's 8-order moving average
+    price. Both composite sides hash on the same key — one
+    co-partitioned shuffle — and the windowed side reuses the
+    orderkey partitioning. Decimal window sum / count →
+    deterministic."""
     views(spark, sf_dir, "orders", "lineitem")
-    return spark.sql(
+    windowed = spark.sql(
         """
-        WITH windowed AS (
-          SELECT o_orderkey, o_custkey, o_totalprice,
-                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                      OVER (PARTITION BY o_custkey
-                            ORDER BY o_orderdate, o_orderkey
-                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS DOUBLE)
-                 / COUNT(o_totalprice)
-                      OVER (PARTITION BY o_custkey
-                            ORDER BY o_orderdate, o_orderkey
-                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS moving_avg_price
-          FROM orders
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / COUNT(o_totalprice)
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS moving_avg_price
+        FROM orders
+        """
+    )
+    (li,) = load(spark, sf_dir, "lineitem")
+    totals = li.groupBy("l_orderkey", "l_returnflag").agg(
+        dec_sum("l_quantity", "flag_qty")
+    )
+    return (
+        li.join(totals, ["l_orderkey", "l_returnflag"])
+        .join(windowed, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            "flag_qty", "moving_avg_price",
         )
-        SELECT l.l_orderkey, l.l_linenumber, w.moving_avg_price
-        FROM lineitem l JOIN windowed w ON l.l_orderkey = w.o_orderkey
-        """
     )
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions.text import (
+    lang_detect_sql,
     redact_pii_sql,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
@@ -37,7 +38,6 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregate
     dec_sum_sql,
     finalize_agg_state,
     merge_agg_states,
-    tfidf_topk,
     token_vocab,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.behavior import (
@@ -52,7 +52,6 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.joins imp
     salted_join,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.merge import (
-    apply_cdc,
     scd2_intervals,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.relational import (
@@ -201,16 +200,13 @@ def t_repetition_profile(spark, sf_dir):
     )
 
 
-# Shared tokenization for the chunking / vocabulary queries: the
-# dedup-family normalization (lowercase, collapse non-letters) with
-# empty tokens dropped, so a symbol-only doc tokenizes to [] not [''].
-_TOKS = (
-    "filter(split(trim(regexp_replace(lower(text), '[^a-z]+', ' ')), ' '), "
-    "x -> x != '')"
-)
-_TOKS_DUCK = (
-    "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z]+', "
-    "' ', 'g')), ' '), x -> x <> '')"
+# Shared tokenization for the chunking / vocabulary queries lives in
+# plans.text (beside the TF-IDF query that rotated into the driver
+# window): the dedup-family normalization (lowercase, collapse
+# non-letters) with empty tokens dropped.
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.text import (  # noqa: E402
+    TOKS as _TOKS,
+    TOKS_DUCK as _TOKS_DUCK,
 )
 
 _CHUNK_MAX, _CHUNK_OVERLAP = 64, 16
@@ -276,48 +272,6 @@ def t_vocab_topk(spark, sf_dir):
 
 
 @register(
-    "t_tfidf_topk",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
-         terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
-         tf AS (SELECT doc_id, term, count(*) AS tf
-                FROM terms WHERE term <> '' GROUP BY 1, 2),
-         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         total AS (SELECT count(*) AS n_docs FROM toks),
-         scored AS (
-           SELECT tf.doc_id, tf.term,
-                  CAST(tf.tf AS BIGINT) AS tf,
-                  CAST(dfreq.df AS BIGINT) AS df,
-                  tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
-                    AS score,
-                  row_number() OVER (
-                    PARTITION BY tf.doc_id
-                    ORDER BY tf.tf * ln(CAST(n_docs AS DOUBLE)
-                                        / CAST(dfreq.df AS DOUBLE)) DESC,
-                             tf.term ASC
-                  ) AS rnk
-           FROM tf JOIN dfreq USING (term) CROSS JOIN total)
-    SELECT doc_id, term, tf, df,
-           CAST(FLOOR(score * 10000 + 0.5) AS BIGINT) AS score_q4,
-           CAST(rnk AS BIGINT) AS rnk
-    FROM scored WHERE rnk <= 3
-    """,
-)
-def t_tfidf_topk(spark, sf_dir):
-    """Per-document top-3 terms by TF-IDF
-    (``operators.aggregates.tfidf_topk``) — the keyword-extraction /
-    relevance-weighting primitive over the shared dedup-family
-    tokenizer. tf/df ship as exact bigints and the score as the
-    catalog's 4-dp fixed-point integer; in-doc ties break on the term
-    string. Plan: scan-stage explode → (doc, term) tf shuffle → df
-    rollup of the tf table → plain keyed tf⋈df join (vocabulary is
-    corpus-derived: no broadcast hint) → per-doc window top-k."""
-    (docs,) = load(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", F.expr(_TOKS).alias("t"))
-    return tfidf_topk(toked, "t", "doc_id", 3)
-
-
-@register(
     "e_interval_attribution",
     oracle=f"""
     SELECT c.event_id AS click_id,
@@ -348,89 +302,6 @@ def e_interval_attribution(spark, sf_dir):
 
     (events,) = load(spark, sf_dir, "events")
     return attribute_last_touch(events, lag="30 minutes")
-
-
-# CDC change feed synthesized deterministically from the customer
-# snapshot itself, shared by both engines: two update waves, a delete
-# wave, and an insert wave with disjoint new keys. A key can appear in
-# several waves (e.g. %15 hits both the %5 update and the delete), so
-# the query exercises real latest-wins folding, not just disjoint ops.
-_CDC_PAYLOAD = "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
-
-
-@register(
-    "u_merge_apply_cdc",
-    oracle=f"""
-    WITH changes AS (
-      SELECT c_custkey, c_name, c_nationkey, 0.0 AS c_acctbal,
-             'STALE' AS c_mktsegment, 1 AS seq, 'U' AS op
-      FROM customer WHERE c_custkey % 5 = 0
-      UNION ALL
-      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0,
-             'FRESH', 2, 'U'
-      FROM customer WHERE c_custkey % 10 = 0
-      UNION ALL
-      SELECT {_CDC_PAYLOAD}, 3, 'D'
-      FROM customer WHERE c_custkey % 15 = 0
-      UNION ALL
-      SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
-             'INSERTED', 1, 'I'
-      FROM customer WHERE c_custkey % 25 = 0
-    ), latest AS (
-      SELECT * FROM (
-        SELECT *, row_number() OVER (PARTITION BY c_custkey
-                                     ORDER BY seq DESC, op DESC) AS rn
-        FROM changes) WHERE rn = 1
-    )
-    SELECT {_CDC_PAYLOAD} FROM customer
-    WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
-    UNION ALL
-    SELECT {_CDC_PAYLOAD} FROM latest WHERE op <> 'D'
-    """,
-)
-def u_merge_apply_cdc(spark, sf_dir):
-    """MERGE INTO semantics (``operators.merge.apply_cdc``, warehouse
-    extension of the reference's append-only monthly merge,
-    ``apps/process_reviews.py:146-148``): a synthesized I/U/D change
-    feed folds into the customer snapshot — latest change per key wins
-    (seq desc, op desc tie-break), a winning delete drops the row,
-    winning upserts replace the payload, untouched keys pass through.
-    Scale shape: the change feed (delta-sized in production) is the
-    only windowed input; the snapshot is touched once by a keyed
-    anti-join — AQE picks broadcast when the folded feed is small."""
-    (customer,) = load(spark, sf_dir, "customer")
-    payload = customer.columns
-    changes = (
-        customer.filter("c_custkey % 5 = 0")
-        .select(
-            "c_custkey", "c_name", "c_nationkey",
-            F.lit(0.0).alias("c_acctbal"),
-            F.lit("STALE").alias("c_mktsegment"),
-            F.lit(1).alias("seq"), F.lit("U").alias("op"),
-        )
-        .unionByName(
-            customer.filter("c_custkey % 10 = 0").select(
-                "c_custkey", "c_name", "c_nationkey",
-                (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
-                F.lit("FRESH").alias("c_mktsegment"),
-                F.lit(2).alias("seq"), F.lit("U").alias("op"),
-            )
-        )
-        .unionByName(
-            customer.filter("c_custkey % 15 = 0").select(
-                *payload, F.lit(3).alias("seq"), F.lit("D").alias("op")
-            )
-        )
-        .unionByName(
-            customer.filter("c_custkey % 25 = 0").select(
-                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
-                "c_name", "c_nationkey", "c_acctbal",
-                F.lit("INSERTED").alias("c_mktsegment"),
-                F.lit(1).alias("seq"), F.lit("I").alias("op"),
-            )
-        )
-    )
-    return apply_cdc(customer, changes, ["c_custkey"], "seq", "op")
 
 
 @register(
@@ -1062,3 +933,70 @@ def u_intersect_except(spark, sf_dir):
     # exceptAll would keep multiplicity differences.
     only = cust.subtract(supp).withColumn("presence", F.lit("customer_only"))
     return align_union(both, only)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 merged-away originals, re-registered (same names, same
+# oracles) past the window: t_language_share folded into
+# n_language_detect (slice-tagged) and j_inner_composite_key into
+# j_windowed_subquery_using, freeing first-50 slots for t_tfidf_topk
+# and u_merge_apply_cdc.
+
+
+@register(
+    "t_language_share",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT {lang_detect_sql("text")} AS comment_language FROM documents
+    )
+    SELECT comment_language, count(*) AS cnt,
+           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents) AS share
+    FROM tagged GROUP BY comment_language
+    """,
+)
+def t_language_share(spark, sf_dir):
+    """The reference's language-share analytical query
+    (``README.md:265-266``: en 72% / fr 13% / …) over the detected
+    labels — classifier N1 composed with A3/A5. Merged into
+    ``n_language_detect``'s 'share' slice for the driver window;
+    re-registered here unchanged."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions import (
+        text as T,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        ratio_to_total,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    tagged = T.with_language(docs, "text").select("comment_language")
+    return ratio_to_total(tagged, ["comment_language"])
+
+
+@register(
+    "j_inner_composite_key",
+    oracle=f"""
+    WITH order_flag_totals AS (
+      SELECT l_orderkey, l_returnflag,
+             {dec_sum_sql("l_quantity", "flag_qty")}
+      FROM lineitem GROUP BY l_orderkey, l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, t.flag_qty
+    FROM lineitem l
+    JOIN order_flag_totals t
+      ON l.l_orderkey = t.l_orderkey AND l.l_returnflag = t.l_returnflag
+    """,
+)
+def j_inner_composite_key(spark, sf_dir):
+    """J2 — inner equi-join on a composite key (the temp⋈rain
+    DATE+STAID join, ``apps/process_weather.py:92-95``): each line item
+    picks up its (order, returnflag) group total. Both sides hash on
+    the same composite key — one co-partitioned shuffle. Merged into
+    ``j_windowed_subquery_using`` for the driver window; re-registered
+    here unchanged."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    totals = li.groupBy("l_orderkey", "l_returnflag").agg(
+        dec_sum("l_quantity", "flag_qty")
+    )
+    return li.join(totals, ["l_orderkey", "l_returnflag"]).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "flag_qty"
+    )

@@ -294,3 +294,90 @@ def u_union_dedup_merge(spark, sf_dir):
     ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
 
 
+
+
+# CDC change feed synthesized deterministically from the customer
+# snapshot itself, shared by both engines: two update waves, a delete
+# wave, and an insert wave with disjoint new keys. A key can appear in
+# several waves (e.g. %15 hits both the %5 update and the delete), so
+# the query exercises real latest-wins folding, not just disjoint ops.
+_CDC_PAYLOAD = "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
+
+
+@register(
+    "u_merge_apply_cdc",
+    oracle=f"""
+    WITH changes AS (
+      SELECT c_custkey, c_name, c_nationkey, 0.0 AS c_acctbal,
+             'STALE' AS c_mktsegment, 1 AS seq, 'U' AS op
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0,
+             'FRESH', 2, 'U'
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT {_CDC_PAYLOAD}, 3, 'D'
+      FROM customer WHERE c_custkey % 15 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
+             'INSERTED', 1, 'I'
+      FROM customer WHERE c_custkey % 25 = 0
+    ), latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                     ORDER BY seq DESC, op DESC) AS rn
+        FROM changes) WHERE rn = 1
+    )
+    SELECT {_CDC_PAYLOAD} FROM customer
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+    UNION ALL
+    SELECT {_CDC_PAYLOAD} FROM latest WHERE op <> 'D'
+    """,
+)
+def u_merge_apply_cdc(spark, sf_dir):
+    """MERGE INTO semantics (``operators.merge.apply_cdc``, warehouse
+    extension of the reference's append-only monthly merge,
+    ``apps/process_reviews.py:146-148``): a synthesized I/U/D change
+    feed folds into the customer snapshot — latest change per key wins
+    (seq desc, op desc tie-break), a winning delete drops the row,
+    winning upserts replace the payload, untouched keys pass through.
+    Scale shape: the change feed (delta-sized in production) is the
+    only windowed input; the snapshot is touched once by a keyed
+    anti-join — AQE picks broadcast when the folded feed is small."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.merge import (
+        apply_cdc,
+    )
+
+    (customer,) = load(spark, sf_dir, "customer")
+    payload = customer.columns
+    changes = (
+        customer.filter("c_custkey % 5 = 0")
+        .select(
+            "c_custkey", "c_name", "c_nationkey",
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("STALE").alias("c_mktsegment"),
+            F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        )
+        .unionByName(
+            customer.filter("c_custkey % 10 = 0").select(
+                "c_custkey", "c_name", "c_nationkey",
+                (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+                F.lit("FRESH").alias("c_mktsegment"),
+                F.lit(2).alias("seq"), F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            customer.filter("c_custkey % 15 = 0").select(
+                *payload, F.lit(3).alias("seq"), F.lit("D").alias("op")
+            )
+        )
+        .unionByName(
+            customer.filter("c_custkey % 25 = 0").select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                "c_name", "c_nationkey", "c_acctbal",
+                F.lit("INSERTED").alias("c_mktsegment"),
+                F.lit(1).alias("seq"), F.lit("I").alias("op"),
+            )
+        )
+    )
+    return apply_cdc(customer, changes, ["c_custkey"], "seq", "op")

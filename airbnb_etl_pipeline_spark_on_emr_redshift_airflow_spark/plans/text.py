@@ -29,24 +29,42 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog impor
                annotator := 'lang_detect_heuristic'
              ) AS lang_ann
       FROM documents
+    ), tagged AS (
+      SELECT doc_id,
+             array_to_string(lang_ann.result, ',') AS comment_language
+      FROM annotated
     )
-    SELECT doc_id,
-           array_to_string(lang_ann.result, ',') AS comment_language
-    FROM annotated
+    SELECT 'doc' AS slice, doc_id, comment_language,
+           CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS DOUBLE) AS share
+    FROM tagged
+    UNION ALL
+    SELECT 'share' AS slice, CAST(NULL AS BIGINT) AS doc_id,
+           comment_language, count(*) AS cnt,
+           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM tagged) AS share
+    FROM tagged GROUP BY comment_language
     """,
 )
 def n_language_detect(spark, sf_dir):
-    """N1 + N3 — language detection as a pure row-wise string→label
-    function (reference ``apps/process_reviews.py:125-127``, Spark-NLP
+    """N1 + N3 + the language-share analytic, slice-tagged. Language
+    detection as a pure row-wise string→label function (reference
+    ``apps/process_reviews.py:125-127``, Spark-NLP
     ``detect_language_220`` → here a deterministic marker-count
     heuristic), wrapped in a Spark-NLP-shaped annotation STRUCT whose
     array field is then flattened exactly like the reference's
     ``concat_ws(",", col("language.result"))``
     (``apps/process_reviews.py:127``) — the struct+array flatten shape
     on a real struct column, oracle-checked via DuckDB struct_pack /
-    array_to_string. Two-phase projection (normalize once, score
-    markers) — JVM-side expressions, zero shuffles: runs inside the
-    scan stage at any scale."""
+    array_to_string. The ``share`` slice rolls the same labels into
+    the reference's language-share query (``README.md:265-266``: en
+    72% / fr 13% / …, classifier N1 composed with A3/A5 — the merged
+    ``t_language_share``, re-registered past the driver window). The
+    per-doc slice stays JVM-side expressions, zero shuffles: runs
+    inside the scan stage at any scale; the share slice adds one
+    vocabulary-sized aggregate."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        ratio_to_total,
+    )
+
     (docs,) = load(spark, sf_dir, "documents")
     annotated = T.with_language(docs, "text").withColumn(
         "lang_ann",
@@ -55,10 +73,27 @@ def n_language_detect(spark, sf_dir):
             F.lit("lang_detect_heuristic").alias("annotator"),
         ),
     ).drop("comment_language")
-    return annotated.select(
+    tagged = annotated.select(
         "doc_id",
         F.concat_ws(",", F.col("lang_ann.result")).alias("comment_language"),
     )
+    docs_slice = tagged.select(
+        F.lit("doc").alias("slice"),
+        "doc_id",
+        "comment_language",
+        F.lit(None).cast("bigint").alias("cnt"),
+        F.lit(None).cast("double").alias("share"),
+    )
+    share_slice = ratio_to_total(
+        tagged.select("comment_language"), ["comment_language"]
+    ).select(
+        F.lit("share").alias("slice"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        "comment_language",
+        "cnt",
+        "share",
+    )
+    return docs_slice.unionByName(share_slice)
 
 
 @register(
@@ -127,25 +162,61 @@ def t_text_profile(spark, sf_dir):
     )
 
 
+# Shared tokenization for the TF-IDF / chunking / vocabulary queries:
+# the dedup-family normalization (lowercase, collapse non-letters)
+# with empty tokens dropped, so a symbol-only doc tokenizes to [] not
+# ['']. Also imported by plans.probes.
+TOKS = (
+    "filter(split(trim(regexp_replace(lower(text), '[^a-z]+', ' ')), ' '), "
+    "x -> x != '')"
+)
+TOKS_DUCK = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z]+', "
+    "' ', 'g')), ' '), x -> x <> '')"
+)
+
+
 @register(
-    "t_language_share",
+    "t_tfidf_topk",
     oracle=f"""
-    WITH tagged AS (
-      SELECT {T.lang_detect_sql("text")} AS comment_language FROM documents
-    )
-    SELECT comment_language, count(*) AS cnt,
-           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents) AS share
-    FROM tagged GROUP BY comment_language
+    WITH toks AS (SELECT doc_id, {TOKS_DUCK} AS t FROM documents),
+         terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM terms WHERE term <> '' GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         total AS (SELECT count(*) AS n_docs FROM toks),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+                  CAST(tf.tf AS BIGINT) AS tf,
+                  CAST(dfreq.df AS BIGINT) AS df,
+                  tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+                    AS score,
+                  row_number() OVER (
+                    PARTITION BY tf.doc_id
+                    ORDER BY tf.tf * ln(CAST(n_docs AS DOUBLE)
+                                        / CAST(dfreq.df AS DOUBLE)) DESC,
+                             tf.term ASC
+                  ) AS rnk
+           FROM tf JOIN dfreq USING (term) CROSS JOIN total)
+    SELECT doc_id, term, tf, df,
+           CAST(FLOOR(score * 10000 + 0.5) AS BIGINT) AS score_q4,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM scored WHERE rnk <= 3
     """,
 )
-def t_language_share(spark, sf_dir):
-    """The reference's language-share analytical query
-    (``README.md:265-266``: en 72% / fr 13% / …) over the detected
-    labels — classifier N1 composed with A3/A5."""
+def t_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 terms by TF-IDF
+    (``operators.aggregates.tfidf_topk``) — the keyword-extraction /
+    relevance-weighting primitive over the shared dedup-family
+    tokenizer. tf/df ship as exact bigints and the score as the
+    catalog's 4-dp fixed-point integer; in-doc ties break on the term
+    string. Plan: scan-stage explode → (doc, term) tf shuffle → df
+    rollup of the tf table → plain keyed tf⋈df join (vocabulary is
+    corpus-derived: no broadcast hint) → per-doc window top-k."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
-        ratio_to_total,
+        tfidf_topk,
     )
 
     (docs,) = load(spark, sf_dir, "documents")
-    tagged = T.with_language(docs, "text").select("comment_language")
-    return ratio_to_total(tagged, ["comment_language"])
+    toked = docs.select("doc_id", F.expr(TOKS).alias("t"))
+    return tfidf_topk(toked, "t", "doc_id", 3)

@@ -22,14 +22,20 @@ def test_oracle_keys_subset_of_queries(spark):
     # cap-probe re-registrations (plans.probes).
     names = list(q)
     assert len(names) == 74
-    for must_have in ("d_decontaminate", "c_sample_mix", "c_pack_sequences"):
+    # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
+    # the driver's 50-row window (t_language_share folded into
+    # n_language_detect, j_inner_composite_key into
+    # j_windowed_subquery_using — both re-registered at the tail).
+    for must_have in (
+        "d_decontaminate", "c_sample_mix", "c_pack_sequences",
+        "t_tfidf_topk", "u_merge_apply_cdc",
+    ):
         assert must_have in names[:50]
     # new extension queries first, then the cap-probe re-registrations
     assert names[50:] == [
         "t_pii_redact", "t_repetition_profile",
         "c_chunk_documents", "t_vocab_topk",
-        "t_tfidf_topk", "e_interval_attribution",
-        "u_merge_apply_cdc", "w_scd2_intervals",
+        "e_interval_attribution", "w_scd2_intervals",
         "j_skew_salted", "c_group_sample_topk",
         "e_funnel_steps", "e_retention_cohorts",
         "d_edit_distance_pairs", "a_incremental_state_merge",
@@ -38,6 +44,7 @@ def test_oracle_keys_subset_of_queries(spark):
         "c_weighted_sample",
         "q3_shipping_priority", "q5_local_supplier_volume",
         "s_parquet_scan_prune", "o_topk_sort_limit", "u_intersect_except",
+        "t_language_share", "j_inner_composite_key",
     ]
 
 
