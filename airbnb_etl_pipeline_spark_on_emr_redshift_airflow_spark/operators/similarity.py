@@ -193,16 +193,23 @@ def ivf_write_index(
     (partition pruning — verified by plan test), i.e. ~n_probe/n_cells
     of the corpus bytes, with no row-level index structure at all."""
     import json as _json
-    import os
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources import (
+        fsutil,
+    )
 
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/vectors"
     )
-    # one tiny driver-side file: the centroid list is n_cells × dim
-    # floats by construction (KB), never data-sized
-    os.makedirs(path, exist_ok=True)
-    with open(f"{path}/centroids.json", "w") as fh:
-        _json.dump(centroids, fh)
+    # one tiny metadata file: the centroid list is n_cells × dim
+    # floats by construction (KB), never data-sized. Routed through
+    # the Hadoop FileSystem so the index root may live beside the
+    # vectors on any store the session reaches (s3a://, hdfs://, …).
+    spark = assigned.sparkSession
+    fsutil.mkdirs(spark, path)
+    fsutil.write_text_atomic(
+        spark, f"{path.rstrip('/')}/centroids.json", _json.dumps(centroids)
+    )
 
 
 def ivf_read_index(
@@ -212,8 +219,13 @@ def ivf_read_index(
     centroid list). Filters on ``cell`` prune at the directory level."""
     import json as _json
 
-    with open(f"{path}/centroids.json") as fh:
-        centroids = _json.load(fh)
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources import (
+        fsutil,
+    )
+
+    centroids = _json.loads(
+        fsutil.read_text(spark, f"{path.rstrip('/')}/centroids.json")
+    )
     return spark.read.parquet(f"{path}/vectors"), centroids
 
 

@@ -170,55 +170,87 @@ def versioned_publish(
     regardless of publishes; only the pointer — one small file with
     an atomic replace — ever changes. Rollback is a pointer rewrite
     (:func:`rollback_version`); the ``keep`` newest versions survive
-    pruning, and the pointed-at version is never pruned."""
+    pruning, and the pointed-at version is never pruned.
+
+    All version discovery and pointer IO routes through the Hadoop
+    FileSystem API resolved from the session (``sources.fsutil``), so
+    ``root`` genuinely may live on the object store the data writers
+    target — driver-local ``pathlib`` would silently read the wrong
+    filesystem there."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources import (
+        fsutil,
+    )
+
     if writer is None:
         from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.io import (
             write_parquet,
         )
 
         writer = write_parquet
-    rootp = Path(root)
-    rootp.mkdir(parents=True, exist_ok=True)
+    spark = df.sparkSession
+    root = root.rstrip("/")
+    fsutil.mkdirs(spark, root)
     versions = sorted(
-        int(p.name.split("=", 1)[1])
-        for p in rootp.glob("v=*")
-        if p.is_dir() and (p / "_SUCCESS").exists()
+        int(name.split("=", 1)[1])
+        for name in fsutil.list_subdirs(spark, root, "v=*")
+        if fsutil.is_committed(spark, f"{root}/{name}")
     )
     n = (versions[-1] + 1) if versions else 1
-    writer(df, str(rootp / f"v={n}"))
-    if not model_exists(str(rootp / f"v={n}")):
+    writer(df, f"{root}/v={n}")
+    if not fsutil.is_committed(spark, f"{root}/v={n}"):
         raise RuntimeError(f"versioned write produced no committed output: v={n}")
-    _set_pointer(rootp, n)
-    pointed = read_version_pointer(root)
+    fsutil.write_text_atomic(spark, f"{root}/LATEST", str(n))
+    pointed = read_version_pointer(root, spark)
     for old in versions[: max(0, len(versions) - (keep - 1))]:
         if old != pointed:
-            shutil.rmtree(rootp / f"v={old}", ignore_errors=True)
+            fsutil.delete(spark, f"{root}/v={old}")
     return n
 
 
-def _set_pointer(rootp: Path, n: int) -> None:
-    tmp = rootp / "LATEST.tmp"
-    tmp.write_text(str(n))
-    tmp.replace(rootp / "LATEST")  # atomic on POSIX
+def _spark_or_active(spark):
+    if spark is not None:
+        return spark
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is None:
+        raise RuntimeError(
+            "no active SparkSession: pass spark= explicitly (the version "
+            "pointer resolves through the session's Hadoop filesystem)"
+        )
+    return active
 
 
-def read_version_pointer(root: str) -> int:
+def read_version_pointer(root: str, spark=None) -> int:
     """The currently-published version number (raises if never
-    published)."""
-    return int((Path(root) / "LATEST").read_text().strip())
+    published). Pointer IO goes through the Hadoop FileSystem API, so
+    ``root`` may live on any store the session can reach (s3a://,
+    hdfs://, file://, plain local paths); defaults to the active
+    session."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources import (
+        fsutil,
+    )
+
+    spark = _spark_or_active(spark)
+    return int(fsutil.read_text(spark, f"{root.rstrip('/')}/LATEST").strip())
 
 
 def read_latest(spark, root: str) -> DataFrame:
     """Read the pointed-at version. The returned frame resolves its
     file list under ``root/v=N`` — later publishes don't disturb it
     (versions are immutable once written)."""
-    return spark.read.parquet(f"{root}/v={read_version_pointer(root)}")
+    return spark.read.parquet(f"{root}/v={read_version_pointer(root, spark)}")
 
 
-def rollback_version(root: str, to_version: int) -> None:
+def rollback_version(root: str, to_version: int, spark=None) -> None:
     """Flip the pointer back to an existing version (atomic, no data
     movement). Raises if that version is gone (pruned)."""
-    target = Path(root) / f"v={to_version}"
-    if not (target.exists() and (target / "_SUCCESS").exists()):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources import (
+        fsutil,
+    )
+
+    spark = _spark_or_active(spark)
+    root = root.rstrip("/")
+    if not fsutil.is_committed(spark, f"{root}/v={to_version}"):
         raise RuntimeError(f"cannot roll back: no committed v={to_version}")
-    _set_pointer(Path(root), to_version)
+    fsutil.write_text_atomic(spark, f"{root}/LATEST", str(to_version))

@@ -188,24 +188,61 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
-def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet scan that MERGES schemas across files (surface
-    extension): a long-lived dataset accretes columns — files written
-    before a column existed simply lack it, and the default reader
-    (schema from one random footer) either misses the new column or
-    fails on the old files. ``mergeSchema`` unions every footer's
-    schema; missing columns read as null — the read-side analog of
-    ``operators.relational.align_union``'s write-side alignment.
-    Column ADDITION only: a changed column TYPE (int→bigint) does not
-    merge — route a type migration through ``align_union``'s explicit
-    widening rewrite instead.
+def read_parquet_evolving(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    renames: dict[str, str] | None = None,
+) -> DataFrame:
+    """Parquet scan across a long-lived table's schema GENERATIONS —
+    the three evolution cases a 100 TB dataset accretes:
+
+    - **column addition** (no args): ``mergeSchema`` unions every
+      footer's schema; files written before a column existed read it
+      as null — the read-side analog of
+      ``operators.relational.align_union``'s write-side alignment.
+    - **type widening** (``schema=`` the evolved DDL): files written
+      with the narrow type read under the wide one (int→bigint,
+      float→double, int→double — the parquet readers' widening
+      promotions), so a key that outgrew INT needs no rewrite of old
+      files.
+    - **column rename** (``renames={old: new}``): both generations'
+      columns are scanned (the old name is appended to the read
+      schema with the new column's type), coalesced into the new
+      name, and the old name dropped — old files keep their bytes,
+      new readers see one column.
 
     Cost note: merging reads every file's footer at planning time —
     fine for a partition's worth of files, noticeable over millions;
-    at steady state pin the evolved schema explicitly
-    (``spark.read.schema(...)``) and keep this for the
-    schema-discovery/backfill path."""
-    return spark.read.option("mergeSchema", "true").parquet(path)
+    at steady state pin the evolved ``schema`` explicitly (also the
+    cheaper path: no footer sweep) and keep the no-arg form for
+    schema discovery / backfill."""
+    from pyspark.sql.types import StructType
+
+    renames = renames or {}
+    if schema is None:
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+        target_fields = None
+    else:
+        st = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+        target_fields = list(st.fields)
+        by_name = {f.name: f for f in target_fields}
+        read_st = StructType(list(target_fields))
+        for old, new in renames.items():
+            if new in by_name and old not in read_st.fieldNames():
+                # scan the pre-rename column under the evolved type
+                read_st.add(old, by_name[new].dataType, True)
+        df = spark.read.schema(read_st).parquet(path)
+    for old, new in renames.items():
+        if old in df.columns and new in df.columns:
+            df = df.withColumn(
+                new, F.coalesce(F.col(new), F.col(old))
+            ).drop(old)
+        elif old in df.columns:
+            df = df.withColumnRenamed(old, new)
+    if target_fields is not None:
+        df = df.select(*[f.name for f in target_fields])
+    return df
 
 
 def read_json(

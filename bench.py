@@ -16,6 +16,15 @@ the MEDIAN — single-run timings at sf0.1 carry 20-30% noise, which
 round 2's round-over-round diff mistook for plan regressions. The
 query names are kept stable across rounds so BENCH_r{N}.json diffs
 per query.
+
+The JSON also carries a "scaling" section: the same queries timed at
+the sibling sf0.01 directory and the large/small time ratio per
+query. The data grows 10x between the two points, so a ratio well
+past 10 flags super-linear work (e.g. candidate-pair fan-out growing
+faster than the corpus) — the 100x-scale early warning a single
+measurement point can't see. Ratios below ~3 mean fixed overhead
+(session, planning, task launch) still dominates at sf0.1 — headroom,
+not sub-linearity. Disable with SPARK_GRAFT_BENCH_SCALING=0.
 """
 
 from __future__ import annotations
@@ -107,29 +116,61 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", N_RUNS))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        runs = []
-        for _ in range(n_runs):
-            start = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.count()
-            runs.append(time.perf_counter() - start)
-        timings[name] = round(statistics.median(runs), 3)
 
+    def time_set(at_dir: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            runs = []
+            for _ in range(n_runs):
+                start = time.perf_counter()
+                df = fn(spark, at_dir)
+                df.count()
+                runs.append(time.perf_counter() - start)
+            out[name] = round(statistics.median(runs), 3)
+        return out
+
+    timings = time_set(sf_dir)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    small_dir = os.environ.get(
+        "SPARK_GRAFT_BENCH_SCALING_DIR",
+        os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01"),
     )
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+        and os.path.isdir(small_dir)
+        and os.path.abspath(small_dir) != os.path.abspath(sf_dir.rstrip("/"))
+    ):
+        small = time_set(small_dir)
+        small_sf = small_dir.rstrip("/").rsplit("sf", 1)[-1]
+        try:
+            data_ratio = float(sf) / float(small_sf)
+        except ValueError:
+            data_ratio = None
+        result["scaling"] = {
+            "small_sf": float(small_sf)
+            if small_sf.replace(".", "").isdigit()
+            else small_sf,
+            "data_ratio": data_ratio,
+            "small_queries": small,
+            # time ratio large/small per query: ~data_ratio = linear,
+            # << data_ratio = overhead-dominated, >> data_ratio =
+            # super-linear (investigate before a 100x scale-up)
+            "time_ratio": {
+                n: (round(timings[n] / small[n], 2) if small[n] > 0 else None)
+                for n in HEADLINE
+            },
+        }
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -190,3 +190,62 @@ def test_read_parquet_evolving_merges_schemas(spark, tmp_dir):
     assert dict(df.dtypes) == {"id": "bigint", "v": "bigint", "tag": "string"}
     rows = {r.id: (r.v, r.tag) for r in df.collect()}
     assert rows == {1: (10, None), 2: (20, "new")}
+
+
+def test_read_parquet_evolving_widens_and_renames(spark, tmp_dir):
+    """The other two schema-evolution cases a long-lived table hits:
+    files written under a NARROW type read under the evolved wide one
+    (int→bigint, float→double), and a renamed column's two
+    generations coalesce into the new name."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.io import (
+        read_parquet_evolving,
+    )
+
+    p = f"{tmp_dir}/evolving_wr"
+    # generation 1: id int, qty int, score float
+    spark.createDataFrame(
+        [(1, 10, 1.5), (2, 20, 2.5)], "id int, qty int, score float"
+    ).write.mode("append").parquet(p)
+    # generation 2: id widened to bigint, qty renamed to quantity
+    # (bigint), score widened to double, late-added tag
+    spark.createDataFrame(
+        [(3_000_000_000, 30, 3.5, "new")],
+        "id bigint, quantity bigint, score double, tag string",
+    ).write.mode("append").parquet(p)
+
+    df = read_parquet_evolving(
+        spark,
+        p,
+        schema="id bigint, quantity bigint, score double, tag string",
+        renames={"qty": "quantity"},
+    )
+    assert dict(df.dtypes) == {
+        "id": "bigint", "quantity": "bigint",
+        "score": "double", "tag": "string",
+    }
+    rows = {r.id: (r.quantity, float(r.score), r.tag) for r in df.collect()}
+    assert rows == {
+        1: (10, 1.5, None),
+        2: (20, 2.5, None),
+        3_000_000_000: (30, 3.5, "new"),
+    }
+
+
+def test_read_parquet_evolving_rename_only_via_merge(spark, tmp_dir):
+    """Rename without an explicit schema rides mergeSchema: both
+    generations' columns union, then coalesce under the new name."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.io import (
+        read_parquet_evolving,
+    )
+
+    p = f"{tmp_dir}/evolving_r"
+    spark.createDataFrame([(1, 10)], "id bigint, qty bigint").write.mode(
+        "append"
+    ).parquet(p)
+    spark.createDataFrame([(2, 20)], "id bigint, quantity bigint").write.mode(
+        "append"
+    ).parquet(p)
+    df = read_parquet_evolving(spark, p, renames={"qty": "quantity"})
+    assert "qty" not in df.columns
+    rows = {r.id: r.quantity for r in df.collect()}
+    assert rows == {1: 10, 2: 20}
