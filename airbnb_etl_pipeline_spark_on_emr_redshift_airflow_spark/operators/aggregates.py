@@ -192,6 +192,82 @@ def tfidf_topk(
     )
 
 
+def unigram_lm_score(
+    toked: DataFrame,
+    tokens_col: str = "t",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    tier_high: float = -3.40,
+    tier_mid: float = -3.41,
+) -> DataFrame:
+    """Corpus-LM quality score (training-data extension): train an
+    add-``alpha``-smoothed unigram language model ON THE CORPUS ITSELF
+    and score every document by its mean token log-probability — the
+    CCNet-style perplexity filter (Wenzek et al. 2020) with the
+    n-gram LM reduced to the unigram case so the whole train+score
+    pass is two aggregations. Documents full of corpus-typical tokens
+    score high; gibberish / off-distribution documents score low and
+    land in the ``low`` tier a curation pipeline drops or downsamples.
+
+    Returns (id, n_tokens, avg_logprob, tier): ``avg_logprob =
+    Σ tf·ln((cnt+α)/(T+α·V)) / n_tokens`` with cnt the corpus count of
+    the term, T total corpus tokens, V vocabulary size. The per-term
+    product is quantized to the catalog's 4-dp fixed point BEFORE the
+    per-doc sum (order-independent exact integer addition), and the
+    tier CASE compares that integer sum against ``threshold ·
+    n_tokens · 10⁴`` in exact integer space — no float boundary can
+    flip a tier between engines.
+
+    Scale shape (mirrors :func:`tfidf_topk`): explode is scan-stage;
+    the tf groupBy shuffles on (doc, term); the LM itself is a rollup
+    of the tf TABLE on term (vocabulary-sized); (T, V) attach as a
+    1-row broadcast scalar; tf⋈counts is a plain keyed exchange (the
+    LM table is corpus-derived — no broadcast hint; AQE may still
+    choose broadcast from its observed size); the final per-doc
+    groupBy re-shuffles on the id. Nothing is ever single-partition
+    except the 1-row scalar."""
+    terms = toked.select(
+        F.col(id_col).alias("id"), F.explode(F.col(tokens_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    logp = F.log(
+        (F.col("cnt").cast("double") + F.lit(float(alpha)))
+        / (
+            F.col("total_tokens").cast("double")
+            + F.lit(float(alpha)) * F.col("vocab").cast("double")
+        )
+    )
+    scored = (
+        tf.join(counts, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(_fixed(F.col("tf") * logp)).alias("sum_fp"),
+        )
+    )
+    # integer-exact tier cut: sum_fp ≥ thr·1e4·n_tokens  ⇔  avg ≥ thr
+    def _cut(thr: float) -> Column:
+        return F.col("sum_fp") >= F.lit(round(thr * 10000)) * F.col("n_tokens")
+
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        (F.col("sum_fp").cast("double") / _SCALE / F.col("n_tokens")).alias(
+            "avg_logprob"
+        ),
+        F.when(_cut(tier_high), "high")
+        .when(_cut(tier_mid), "mid")
+        .otherwise("low")
+        .alias("tier"),
+    )
+
+
 def agg_state(df: DataFrame, keys: list[str], measure: str) -> DataFrame:
     """Mergeable per-key aggregate STATE for one double measure:
     ``(count, fixed-point sum, min, max)`` — the partial-aggregation

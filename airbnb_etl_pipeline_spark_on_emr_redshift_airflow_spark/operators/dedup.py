@@ -688,3 +688,86 @@ def edit_distance_pairs_blocked(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def boilerplate_strip(
+    toked: DataFrame,
+    tokens_col: str = "t",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 4,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (training-data extension):
+    the C4-style "remove any span that repeats across documents" rule
+    (Raffel et al. 2020 drop duplicated three-sentence spans; here the
+    span is a fixed ``chunk_tokens``-token block so the whole pass is
+    pure column expressions). Every document is cut into
+    non-overlapping chunks (:func:`..sampling.chunk_documents` with
+    overlap 0), each chunk is md5-fingerprinted, chunks whose
+    fingerprint appears in ≥ ``min_doc_freq`` DISTINCT documents are
+    boilerplate (nav bars, license headers, share buttons — anything
+    template-replicated across pages), and each document is rebuilt
+    from its surviving chunks in order.
+
+    Returns (id, n_chunks, n_boilerplate, clean_text). Documents whose
+    every chunk is boilerplate come back with ``clean_text = ''``;
+    zero-token documents emit no row (they have no chunks — filter
+    them before, or anti-join after, as the pipeline prefers).
+
+    Scale shape: chunking is scan-stage generate+slice; the frequency
+    table groups on the FIXED-WIDTH fingerprint (never the chunk text),
+    so the shuffle key is 32 bytes regardless of chunk size and its
+    cardinality is the distinct-chunk universe; the chunk⋈freq join is
+    a plain keyed exchange (frequency table is corpus-derived — no
+    broadcast hint; a viral chunk's join fan-out is bounded by its own
+    occurrence count, AQE skew-split handles the head); reassembly is
+    one groupBy on the doc id whose per-group state is the doc's own
+    chunks — bounded by max document length, the same envelope as the
+    input row."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        chunk_documents,
+    )
+
+    chunks = chunk_documents(
+        toked.select(F.col(id_col).alias("__id"), tokens_col),
+        tokens_col,
+        chunk_tokens,
+        0,
+    ).select(
+        "__id",
+        "chunk_id",
+        F.array_join("chunk_tokens", " ").alias("chunk_text"),
+    )
+    fp = chunks.withColumn("fp", F.md5("chunk_text"))
+    freq = fp.groupBy("fp").agg(
+        F.count_distinct(F.col("__id")).alias("doc_freq")
+    )
+    is_boiler = F.col("doc_freq") >= min_doc_freq
+    return (
+        fp.join(freq, "fp")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(is_boiler.cast("bigint")).cast("bigint").alias("n_boilerplate"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~is_boiler,
+                                F.struct("chunk_id", "chunk_text"),
+                            )
+                        )
+                    ),
+                    lambda x: x["chunk_text"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_chunks",
+            "n_boilerplate",
+            "clean_text",
+        )
+    )

@@ -935,6 +935,105 @@ def u_intersect_except(spark, sf_dir):
     return align_union(both, only)
 
 
+@register(
+    "t_unigram_lm_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+         terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM terms WHERE term <> '' GROUP BY 1, 2),
+         counts AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY 1),
+         tot AS (SELECT SUM(cnt) AS total_tokens, COUNT(*) AS vocab
+                 FROM counts),
+         scored AS (
+           SELECT tf.doc_id,
+                  CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+                  SUM(CAST(FLOOR(tf.tf * ln(
+                        (CAST(cnt AS DOUBLE) + 0.5)
+                        / (CAST(total_tokens AS DOUBLE)
+                           + 0.5 * CAST(vocab AS DOUBLE)))
+                      * 10000 + 0.5) AS BIGINT)) AS sum_fp
+           FROM tf JOIN counts USING (term) CROSS JOIN tot
+           GROUP BY 1)
+    SELECT doc_id, n_tokens,
+           CAST(sum_fp AS DOUBLE) / 10000 / n_tokens AS avg_logprob,
+           CASE WHEN sum_fp >= -34000 * n_tokens THEN 'high'
+                WHEN sum_fp >= -34100 * n_tokens THEN 'mid'
+                ELSE 'low' END AS tier
+    FROM scored
+    """,
+)
+def t_unigram_lm_score(spark, sf_dir):
+    """Corpus-LM quality scoring (training-data extension,
+    ``operators.aggregates.unigram_lm_score``): an add-½-smoothed
+    unigram LM trained on the corpus itself scores every document by
+    mean token log-probability — the CCNet-style perplexity filter
+    with the LM reduced to the unigram case, so train + score is two
+    rollups of the tf table. The per-term product is 4-dp fixed-point
+    quantized before the per-doc sum (exact integer addition, order-
+    independent) and the high/mid/low tier cut compares that integer
+    sum against thr·10⁴·n_tokens in exact integer space, so no float
+    boundary can flip a tier between engines."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        unigram_lm_score,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.expr(_TOKS).alias("t"))
+    return unigram_lm_score(toked, "t", "doc_id")
+
+
+_BP_CHUNK, _BP_FREQ = 4, 2
+
+
+@register(
+    "t_boilerplate_strip",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+         chunks AS (
+           SELECT doc_id, CAST(s // {_BP_CHUNK} AS BIGINT) AS chunk_id,
+                  array_to_string(t[s+1 : s+{_BP_CHUNK}], ' ') AS chunk_text
+           FROM toks,
+                UNNEST(range(0, greatest(len(t), least(len(t), 1)),
+                             {_BP_CHUNK})) AS u(s)),
+         fp AS (SELECT doc_id, chunk_id, chunk_text,
+                       md5(chunk_text) AS fp
+                FROM chunks),
+         freq AS (SELECT fp, count(DISTINCT doc_id) AS doc_freq
+                  FROM fp GROUP BY 1)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN doc_freq >= {_BP_FREQ} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boilerplate,
+           COALESCE(string_agg(
+             CASE WHEN doc_freq < {_BP_FREQ} THEN chunk_text END,
+             ' ' ORDER BY chunk_id), '') AS clean_text
+    FROM fp JOIN freq USING (fp)
+    GROUP BY doc_id
+    """,
+)
+def t_boilerplate_strip(spark, sf_dir):
+    """C4-style corpus-frequency boilerplate removal
+    (``operators.dedup.boilerplate_strip``): cut every document into
+    {_BP_CHUNK}-token chunks, md5-fingerprint them, flag fingerprints
+    occurring in ≥ {_BP_FREQ} distinct documents as boilerplate, and
+    rebuild each document from its surviving chunks in order —
+    chunk-granular cross-document dedup, the complement of
+    ``d_exact_dedup`` (whole-doc) and ``d_minhash_dup_clusters``
+    (whole-doc fuzzy). The shuffle key is the 32-byte fingerprint,
+    never the chunk text; reassembly state is bounded by one
+    document."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        boilerplate_strip,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.expr(_TOKS).alias("t"))
+    return boilerplate_strip(
+        toked, "t", "doc_id", chunk_tokens=_BP_CHUNK, min_doc_freq=_BP_FREQ
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-4 merged-away originals, re-registered (same names, same
 # oracles) past the window: t_language_share folded into

@@ -464,3 +464,51 @@ def test_incremental_dedup_against_index(spark, tmp_dir):
         if (r.doc_a >= 10000) != (r.doc_b >= 10000)
     }
     assert got == cross
+
+
+def test_boilerplate_strip_removes_cross_doc_chunks(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        boilerplate_strip,
+    )
+
+    # "nav bar home login" is template boilerplate shared by docs 0-2;
+    # everything else is unique body text. chunk=4, freq>=2.
+    rows = [
+        (0, ["nav", "bar", "home", "login", "alpha", "beta", "gamma", "delta"]),
+        (1, ["nav", "bar", "home", "login", "epsilon", "zeta", "eta", "theta"]),
+        (2, ["nav", "bar", "home", "login"]),
+        (3, ["iota", "kappa", "lam", "mu"]),
+    ]
+    toked = spark.createDataFrame(rows, "doc_id bigint, t array<string>")
+    out = {
+        r.doc_id: r
+        for r in boilerplate_strip(toked, "t", "doc_id", 4, 2).collect()
+    }
+    assert out[0].n_chunks == 2 and out[0].n_boilerplate == 1
+    assert out[0].clean_text == "alpha beta gamma delta"
+    assert out[1].clean_text == "epsilon zeta eta theta"
+    # fully-boilerplate doc survives as a row with empty clean text
+    assert out[2].n_chunks == 1 and out[2].n_boilerplate == 1
+    assert out[2].clean_text == ""
+    # unique doc untouched
+    assert out[3].n_boilerplate == 0 and out[3].clean_text == "iota kappa lam mu"
+
+
+def test_boilerplate_strip_partial_tail_chunk_not_merged(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        boilerplate_strip,
+    )
+
+    # a short tail chunk ("x y") is NOT the same fingerprint as the
+    # full boilerplate chunk prefix — only exact chunk matches count
+    rows = [
+        (0, ["a", "b", "c", "d", "x", "y"]),
+        (1, ["a", "b", "c", "d"]),
+    ]
+    toked = spark.createDataFrame(rows, "doc_id bigint, t array<string>")
+    out = {
+        r.doc_id: r
+        for r in boilerplate_strip(toked, "t", "doc_id", 4, 2).collect()
+    }
+    assert out[0].n_boilerplate == 1 and out[0].clean_text == "x y"
+    assert out[1].clean_text == ""

@@ -114,6 +114,77 @@ def test_salted_join_equals_plain_join(spark):
     assert salted == plain
 
 
+def test_salted_join_spreads_hot_key_across_tasks(spark):
+    """Under real skew (one key owning 60% of rows) the salted join's
+    reducer tasks each see ~1/n_salts of the hot key, where the plain
+    join funnels all of it into one straggler task.
+
+    AQE and auto-broadcast are disabled for the duration so both joins
+    shuffle on their keys and the output partition id IS the reducer
+    task id; per-partition row counts then measure task input directly.
+    """
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.joins import (
+        salted_join,
+    )
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # wide enough that the 8 (hot, salt) keys don't hash-collide into
+    # a shared reducer (layout is deterministic for a fixed Spark hash)
+    conf.set("spark.sql.shuffle.partitions", "256")
+    try:
+        n_rows, n_salts = 4000, 8
+        left = spark.range(n_rows).select(
+            F.when(F.col("id") < n_rows * 0.6, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 50).cast("string")))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = left.select("k").distinct().withColumn("attr", F.length("k"))
+
+        def part_counts(df):
+            return {
+                r.pid: r["count"]
+                for r in df.groupBy(F.spark_partition_id().alias("pid"))
+                .count()
+                .collect()
+            }
+
+        def hot_partitions(df):
+            return (
+                df.filter(F.col("k") == "hot")
+                .select(F.spark_partition_id().alias("pid"))
+                .distinct()
+                .count()
+            )
+
+        plain = left.join(right, "k")
+        salted = salted_join(left, right, "k", n_salts=n_salts)
+
+        plain_max = max(part_counts(plain).values())
+        salted_max = max(part_counts(salted).values())
+
+        # plain: the whole hot key lands on one reducer
+        assert plain_max >= n_rows * 0.6
+        assert hot_partitions(plain) == 1
+        # salted: the hot key spreads over ~n_salts reducers; allow 2x
+        # slack for (key, salt) pairs hash-colliding into one partition
+        assert salted_max <= plain_max / (n_salts / 2)
+        assert hot_partitions(salted) >= n_salts // 2
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
 def test_asof_join_strict_excludes_same_instant(spark):
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.joins import (
         asof_join,

@@ -129,3 +129,42 @@ def test_tfidf_topk_semantics(spark):
     assert all(r.term != "common" or r.score_q4 == 0 for r in out.values())
     # quantization: doc0 rare = 1 * ln(3) = 1.0986 → 10986
     assert out[(0, 1)].score_q4 == math.floor(math.log(3.0) * 10000 + 0.5)
+
+
+def test_unigram_lm_score_semantics(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        unigram_lm_score,
+    )
+    import math
+
+    # corpus: "the" dominates (6 of 8 tokens), "zq" is a one-off.
+    # Doc 0 is all-typical, doc 1 contains the rare token → lower score.
+    rows = [
+        (0, ["the", "the", "the"]),
+        (1, ["the", "zq"]),
+        (2, ["the", "the", "cat"]),
+    ]
+    toked = spark.createDataFrame(rows, "doc_id bigint, t array<string>")
+    out = {r.doc_id: r for r in unigram_lm_score(toked, "t", "doc_id").collect()}
+
+    total, vocab, alpha = 8, 3, 0.5
+
+    def logp(cnt):
+        return math.log((cnt + alpha) / (total + alpha * vocab))
+
+    def expected(counts):  # list of per-token corpus counts, one per token
+        # mirror the operator: per-TERM fixed-point of tf*logp, summed
+        from collections import Counter
+
+        tf = Counter(counts)
+        s = sum(math.floor(tfv * logp(c) * 10000 + 0.5) for c, tfv in tf.items())
+        return s / 10000 / len(counts)
+
+    assert out[0].n_tokens == 3
+    assert abs(out[0].avg_logprob - expected([6, 6, 6])) < 1e-12
+    assert abs(out[1].avg_logprob - expected([6, 1])) < 1e-12
+    # the all-typical doc outranks the rare-token doc
+    assert out[0].avg_logprob > out[1].avg_logprob
+    # rare-token doc scores lowest of the three
+    assert out[1].avg_logprob == min(r.avg_logprob for r in out.values())
+    assert set(out[d].tier for d in out) <= {"high", "mid", "low"}

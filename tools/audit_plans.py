@@ -51,6 +51,7 @@ AUDITED = [
     "w_cumulative_distinct",
     "j_point_in_time",
     "t_tfidf_topk",
+    "t_unigram_lm_score",
     "e_interval_attribution",
 ]
 
