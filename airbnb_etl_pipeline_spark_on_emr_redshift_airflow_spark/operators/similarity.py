@@ -418,6 +418,77 @@ def embedding_near_dup_pairs(
     )
 
 
+def semdedup(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.92,
+    seed: int = 42,
+    train_fraction: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_rows: int | None = 50_000,
+) -> DataFrame:
+    """Semantic deduplication à la SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then mark
+    near-duplicates WITHIN each cluster by exact cosine — the
+    clustering makes the quadratic verify tractable by construction
+    (pairs only form inside a cell, and cells track data density,
+    unlike fixed label blocking). The published recipe for pruning
+    semantically-redundant web data before pretraining.
+
+    Returns one row per vector: (id, is_dup) where ``is_dup`` marks a
+    vector having a near-duplicate with a SMALLER id in its cluster —
+    the deterministic greedy keep rule (the paper keeps one exemplar
+    per duplicate group; min-id is the engine's canonical survivor
+    convention, cf. ``dedup.exact_dedup_fingerprint``). Filtering
+    ``NOT is_dup`` yields the deduplicated corpus. Chains where a→b
+    and b→c but a̸→c keep both a and c: only *direct* near-duplicates
+    drop, matching SemDeDup's ε-ball semantics (for transitive
+    cluster collapse compose with ``dedup.connected_components``).
+
+    Scale shape: the KMeans fit trains on a deterministic hash-sample
+    when ``train_fraction`` is set (:func:`ivf_build`), assignment is
+    one scan-stage ``model.transform``; the in-cluster self-join
+    inherits :func:`embedding_near_dup_pairs`'s lazy per-bucket size
+    guard (``max_cluster_rows``) — an over-dense cell fails loudly
+    with the count that broke it instead of detonating an O(n²) join,
+    the signal to raise ``n_clusters`` for the corpus; the final
+    membership attach is one keyed left join of slim id pairs."""
+    assigned, _ = ivf_build(
+        emb,
+        n_centroids=n_clusters,
+        seed=seed,
+        train_fraction=train_fraction,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    clustered = assigned.select(
+        F.col("neighbor_id").alias(id_col),
+        F.col("cv").alias(vec_col),
+        "cell",
+    )
+    pairs = embedding_near_dup_pairs(
+        clustered,
+        threshold=threshold,
+        bucket_col="cell",
+        id_col=id_col,
+        vec_col=vec_col,
+        max_bucket_rows=max_cluster_rows,
+    )
+    drops = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        clustered.select(id_col)
+        .join(drops, id_col, "left")
+        .select(
+            id_col, F.coalesce("__dup", F.lit(False)).alias("is_dup")
+        )
+    )
+
+
 def embedding_near_dup_pairs_lsh(
     emb: DataFrame,
     threshold: float = 0.92,

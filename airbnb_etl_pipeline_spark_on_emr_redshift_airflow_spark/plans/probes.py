@@ -1034,6 +1034,26 @@ def t_boilerplate_strip(spark, sf_dir):
     )
 
 
+@register("s_semdedup")  # rows-only: k-means assignment is not SQL
+def s_semdedup(spark, sf_dir):
+    """Semantic dedup à la SemDeDup (Abbas et al. 2023,
+    ``operators.similarity.semdedup``): k-means clusters the embedding
+    space, exact cosine marks near-duplicates within each cluster,
+    min-id survivor — the published recipe for pruning semantically-
+    redundant pretraining data, the cluster-blocked rung of the
+    near-dup ladder between ``s_embedding_near_dup`` (fixed label
+    blocking, small-scale oracle baseline) and
+    ``s_near_dup_lsh_blocked`` (hyperplane LSH). One row per vector
+    with its keep/drop verdict; planted-twin recall and the in-cluster
+    size guard are pytest-asserted (``test_similarity.py``)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        semdedup,
+    )
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return semdedup(emb, n_clusters=16, threshold=0.97, seed=42)
+
+
 # ---------------------------------------------------------------------------
 # Round-4 merged-away originals, re-registered (same names, same
 # oracles) past the window: t_language_share folded into

@@ -95,6 +95,11 @@ HEADLINE = [
     "t_tfidf_topk",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    # round-4 additions: corpus-LM quality scoring, chunk-level
+    # boilerplate removal, and cluster-blocked semantic dedup
+    "t_unigram_lm_score",
+    "t_boilerplate_strip",
+    "s_semdedup",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.

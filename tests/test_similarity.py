@@ -418,3 +418,50 @@ def test_vector_index_lifecycle_versioned(spark, tmp_dir):
         ).collect()
     }
     assert back == mem
+
+
+def test_semdedup_drops_planted_twins_keeps_originals(spark):
+    """SemDeDup: two well-separated clusters of vectors, twins planted
+    with higher ids — every twin drops, every original (and every
+    non-duplicated vector) survives, across clusters nothing pairs."""
+    import math
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        semdedup,
+    )
+
+    rows = []
+    # cluster A around +x, cluster B around +y, 6 vectors each spaced
+    # 0.12 rad apart (cos 0.9928 < 0.995 threshold) so only the exact
+    # twins pair; cross-cluster cosine tops out at sin(0.6) ≈ 0.56
+    for i in range(6):
+        ang = 0.12 * i
+        rows.append((i, [math.cos(ang), math.sin(ang), 0.0]))
+        rows.append((100 + i, [0.0, math.cos(ang), math.sin(ang)]))
+    twins = [(1000 + vid, v) for vid, v in rows if vid in (0, 3, 103)]
+    df = spark.createDataFrame(
+        rows + twins, "vec_id long, embedding array<float>"
+    )
+    out = {r.vec_id: r.is_dup for r in semdedup(
+        df, n_clusters=2, threshold=0.995, seed=7
+    ).collect()}
+    assert len(out) == 15
+    # planted twins are exact copies with larger ids → dropped
+    assert out[1000] and out[1003] and out[1103]
+    # originals and all other vectors survive
+    assert not any(out[vid] for vid, _ in rows)
+
+
+def test_semdedup_inherits_cluster_size_guard(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        semdedup,
+    )
+
+    # 9 near-parallel vectors over 2 cells → some cell holds ≥ 5 > 4
+    vecs = [(i, [1.0, float(i) / 100.0]) for i in range(9)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    with pytest.raises(SparkRuntimeException, match="embedding_near_dup_pairs_lsh"):
+        semdedup(df, n_clusters=2, threshold=0.99, max_cluster_rows=4).collect()
