@@ -303,3 +303,92 @@ def weighted_sample_topk(
         F.col(c) for c in (tiebreak_cols or [])
     ]
     return df.filter(w > 0).select("*", pri).orderBy(*order).limit(k)
+
+
+def budget_select(
+    df: DataFrame,
+    measure_col: str,
+    priority_col: str,
+    tiebreak_col: str,
+    budget: int | None = None,
+    budget_frac: float | None = None,
+    n_buckets: int = 32,
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """Priority-ordered budget selection (training-data extension):
+    sort the corpus best-first by ``priority_col`` (descending,
+    ``tiebreak_col`` ascending for a unique total order) and keep rows
+    while the running total of ``measure_col`` stays within the
+    budget — "take the highest-quality documents until the token
+    budget is spent", the greedy knapsack every fixed-compute
+    pretraining run starts from. Pass either an absolute ``budget`` or
+    ``budget_frac`` (fraction of the corpus-wide measure total,
+    resolved via a 1-row scalar).
+
+    The naive form is ``SUM(m) OVER (ORDER BY priority DESC)`` — a
+    GLOBAL window, i.e. one partition holding the corpus. Here the
+    running sum is two-phase (same scheme as
+    :func:`..windows.global_distribution_ranks`): approx-quantile
+    boundaries on the priority column give a monotone bucket id
+    (scan-stage CASE, no shuffle); per-bucket measure totals (tiny
+    aggregate, ≤ ``n_buckets`` rows) turn into cumulative offsets via
+    a window over that tiny frame, broadcast back; each row's running
+    total is its bucket offset plus a within-bucket running sum (one
+    shuffle partitioned by bucket). Equal priorities share a bucket,
+    so the offset math is exact regardless of boundary error; only
+    bucket SIZES are approximate.
+
+    Adds ``cum_measure`` (the running total including the row) and
+    keeps rows with ``cum_measure <= budget``. ``priority_col`` must
+    be non-null (engines disagree on null ordering — coalesce
+    upstream)."""
+    if (budget is None) == (budget_frac is None):
+        raise ValueError(
+            "budget_select: pass exactly one of budget / budget_frac"
+        )
+    boundaries = df.stat.approxQuantile(
+        priority_col, [i / n_buckets for i in range(1, n_buckets)], rel_err
+    )
+    # descending bucket id: 1 + #boundaries strictly above the value
+    bucket = F.lit(1)
+    for b in boundaries:
+        bucket = bucket + F.when(F.col(priority_col) < F.lit(b), 1).otherwise(0)
+    bucketed = df.withColumn("__bucket", bucket)
+
+    m = F.col(measure_col).cast("bigint")
+    per_bucket = bucketed.groupBy("__bucket").agg(F.sum(m).alias("__bsum"))
+    w_off = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "__bucket",
+        F.coalesce(F.sum("__bsum").over(w_off), F.lit(0)).alias("__offset"),
+        F.sum("__bsum")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__total"),
+    )
+
+    w_local = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col(priority_col).desc(), F.col(tiebreak_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.col("__offset") + F.sum(m).over(w_local)
+    if budget is not None:
+        limit = F.lit(int(budget))
+    else:
+        # bigint total < 2^53 ⇒ the double product is exact enough for
+        # a deterministic floor in both engines
+        limit = F.floor(
+            F.col("__total").cast("double") * F.lit(float(budget_frac))
+        )
+    return (
+        bucketed.join(F.broadcast(offsets), "__bucket")
+        .withColumn("cum_measure", cum)
+        .filter(F.col("cum_measure") <= limit)
+        .drop("__bucket", "__bsum", "__offset", "__total")
+    )

@@ -1034,6 +1034,54 @@ def t_boilerplate_strip(spark, sf_dir):
     )
 
 
+@register(
+    "c_budget_select",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS priority,
+                         CAST(len({_TOKS_DUCK}) AS BIGINT) AS n_tokens
+                  FROM documents),
+         tot AS (SELECT SUM(n_tokens) AS total FROM base),
+         c AS (SELECT doc_id, priority, n_tokens,
+                      SUM(n_tokens) OVER (ORDER BY priority DESC, doc_id ASC
+                                          ROWS UNBOUNDED PRECEDING)
+                        AS cum_tokens
+               FROM base)
+    SELECT doc_id, priority, n_tokens, cum_tokens
+    FROM c CROSS JOIN tot
+    WHERE cum_tokens <= FLOOR(CAST(total AS DOUBLE) * 0.5)
+    """,
+)
+def c_budget_select(spark, sf_dir):
+    """Priority-ordered token-budget selection
+    (``operators.sampling.budget_select``): keep the best documents —
+    here longest-first, doc_id tiebreak — until half the corpus-wide
+    token budget is spent, i.e. the greedy knapsack of fixed-compute
+    pretraining. The oracle is the textbook GLOBAL running-sum window;
+    the Spark side computes the identical running total WITHOUT a
+    single-partition window: approx-quantile buckets on the priority
+    (scan-stage CASE), per-bucket totals → cumulative offsets over a
+    ≤32-row frame broadcast back, within-bucket running sums on a
+    by-bucket shuffle. Exact equality of every cum_tokens value is
+    what this row certifies."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        budget_select,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("priority"),
+        F.size(F.expr(_TOKS)).cast("bigint").alias("n_tokens"),
+    )
+    out = budget_select(
+        base, "n_tokens", "priority", "doc_id", budget_frac=0.5
+    )
+    return out.select(
+        "doc_id", "priority", "n_tokens",
+        F.col("cum_measure").alias("cum_tokens"),
+    )
+
+
 @register("s_semdedup")  # rows-only: k-means assignment is not SQL
 def s_semdedup(spark, sf_dir):
     """Semantic dedup à la SemDeDup (Abbas et al. 2023,

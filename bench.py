@@ -100,6 +100,7 @@ HEADLINE = [
     "t_unigram_lm_score",
     "t_boilerplate_strip",
     "s_semdedup",
+    "c_budget_select",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.

@@ -286,3 +286,52 @@ def test_weighted_sample_topk_excludes_nonpositive_weights(spark):
         df, 10, "w", hash_uniform(["id"]), tiebreak_cols=["id"]
     )
     assert sorted(r.id for r in out.collect()) == [1, 4]
+
+
+def test_budget_select_matches_naive_global_window(spark):
+    from pyspark.sql import Window
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        budget_select,
+    )
+
+    # 200 rows, clumpy priorities (ties included), varied measures
+    rows = [(i, float((i * 7) % 23), 1 + (i * 13) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, pri double, m bigint")
+
+    got = {
+        r.id: r.cum_measure
+        for r in budget_select(
+            df, "m", "pri", "id", budget=2000, n_buckets=8
+        ).collect()
+    }
+    w = Window.orderBy(F.col("pri").desc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    naive = {
+        r.id: r.cum
+        for r in df.withColumn("cum", F.sum("m").over(w))
+        .filter(F.col("cum") <= 2000)
+        .collect()
+    }
+    assert got == naive
+
+
+def test_budget_select_frac_and_arg_validation(spark):
+    import pytest
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        budget_select,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i), 10) for i in range(10)], "id bigint, pri double, m bigint"
+    )
+    # total = 100; frac 0.35 → budget 35 → exactly 3 rows of 10 kept
+    out = budget_select(df, "m", "pri", "id", budget_frac=0.35).collect()
+    assert len(out) == 3
+    assert {r.id for r in out} == {9, 8, 7}  # highest priorities first
+    with pytest.raises(ValueError, match="exactly one"):
+        budget_select(df, "m", "pri", "id")
+    with pytest.raises(ValueError, match="exactly one"):
+        budget_select(df, "m", "pri", "id", budget=5, budget_frac=0.5)

@@ -52,6 +52,11 @@ AUDITED = [
     "j_point_in_time",
     "t_tfidf_topk",
     "t_unigram_lm_score",
+    "t_boilerplate_strip",
+    # c_budget_select's one SinglePartition exchange is the ≤n_buckets
+    # offsets frame (tiny by construction) — audited for the table,
+    # exempt from the SinglePartition gate like t_tfidf_topk's scalar
+    "c_budget_select",
     "e_interval_attribution",
 ]
 
