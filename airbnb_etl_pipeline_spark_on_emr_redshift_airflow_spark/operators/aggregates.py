@@ -268,6 +268,88 @@ def unigram_lm_score(
     )
 
 
+def bigram_lm_score(
+    toked: DataFrame,
+    tokens_col: str = "t",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Interpolated bigram-LM quality score (training-data extension):
+    the next rung of the CCNet perplexity ladder above
+    :func:`unigram_lm_score` — every document is scored by its mean
+    bigram log-probability under ``p(w₂|w₁) = λ·c₂(w₁,w₂)/c₁(w₁) +
+    (1-λ)·(c₁(w₂)+α)/(T+α·V)``, a corpus-trained bigram conditional
+    interpolated with the add-α unigram (so unseen bigrams never hit
+    log 0). Repetitive/templated text scores high, shuffled or
+    off-distribution text low — a sharper quality signal than unigram
+    frequency alone. ``c₁`` is the full unigram count (the standard
+    corpus approximation: prefix occurrences differ from it only at
+    document-final positions).
+
+    Returns (id, n_bigrams, avg_logprob). Documents with fewer than 2
+    tokens have no bigrams and emit no row. Per-bigram products are
+    4-dp fixed-point quantized before the per-doc sum — exact integer
+    addition, order-independent across engines and partitionings.
+
+    Scale shape: bigram extraction is a scan-stage transform+explode
+    (never a self-join); tf₂ shuffles on (doc, w₁, w₂); the corpus
+    bigram/unigram tables are rollups of the tf tables (bigram-
+    vocabulary / vocabulary cardinality); tf₂ re-joins them as plain
+    keyed exchanges (corpus-derived — no broadcast hint; AQE
+    skew-split covers head bigrams); (T, V) attach as the 1-row
+    scalar; the final per-doc groupBy is the last shuffle."""
+    bigrams = toked.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({tokens_col}) < 2 THEN "
+                f"array() ELSE transform(sequence(1, size({tokens_col}) - 1), "
+                f"i -> struct(element_at({tokens_col}, i) AS w1, "
+                f"element_at({tokens_col}, i + 1) AS w2)) END"
+            )
+        ).alias("bg"),
+    ).select("id", "bg.w1", "bg.w2")
+    tf2 = bigrams.groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf2"))
+    c2 = tf2.groupBy("w1", "w2").agg(F.sum("tf2").alias("c2"))
+    # unigram counts over ALL token positions (not just prefixes)
+    uni = toked.select(
+        F.col(id_col).alias("id"), F.explode(F.col(tokens_col)).alias("w")
+    ).filter(F.col("w") != "")
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    totals = c1.agg(
+        F.sum("c1").alias("total_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
+    p_cond = (
+        F.col("c2").cast("double") / F.col("c1_prefix").cast("double")
+    )
+    p_uni = (
+        F.col("c1_next").cast("double") + F.lit(float(alpha))
+    ) / (
+        F.col("total_tokens").cast("double")
+        + F.lit(float(alpha)) * F.col("vocab").cast("double")
+    )
+    logp = F.log(F.lit(float(lam)) * p_cond + F.lit(1.0 - float(lam)) * p_uni)
+    return (
+        tf2.join(c2, ["w1", "w2"])
+        .join(c1.select(F.col("w").alias("w1"), F.col("c1").alias("c1_prefix")), "w1")
+        .join(c1.select(F.col("w").alias("w2"), F.col("c1").alias("c1_next")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.sum("tf2").cast("bigint").alias("n_bigrams"),
+            F.sum(_fixed(F.col("tf2") * logp)).alias("sum_fp"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_bigrams",
+            (F.col("sum_fp").cast("double") / _SCALE / F.col("n_bigrams")).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
 def agg_state(df: DataFrame, keys: list[str], measure: str) -> DataFrame:
     """Mergeable per-key aggregate STATE for one double measure:
     ``(count, fixed-point sum, min, max)`` — the partial-aggregation

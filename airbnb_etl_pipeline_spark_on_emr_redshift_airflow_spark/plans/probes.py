@@ -1102,6 +1102,59 @@ def s_semdedup(spark, sf_dir):
     return semdedup(emb, n_clusters=16, threshold=0.97, seed=42)
 
 
+@register(
+    "t_bigram_lm_score",
+    # λ literals go through CAST(.. AS DOUBLE): a bare 0.7 is DECIMAL
+    # in DuckDB (1 - 0.7 would be exactly 0.3, not the IEEE
+    # 0.30000000000000004 the Spark side computes in doubles)
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+         bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+         tf2 AS (SELECT doc_id, w1, w2, count(*) AS tf2
+                 FROM bg GROUP BY 1, 2, 3),
+         c2 AS (SELECT w1, w2, SUM(tf2) AS c2 FROM tf2 GROUP BY 1, 2),
+         uni AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         c1 AS (SELECT w, count(*) AS c1 FROM uni WHERE w <> '' GROUP BY 1),
+         tot AS (SELECT SUM(c1) AS total_tokens, COUNT(*) AS vocab FROM c1),
+         j AS (SELECT tf2.doc_id, tf2.tf2,
+                      ln(CAST(0.7 AS DOUBLE)
+                           * (CAST(c2.c2 AS DOUBLE) / CAST(p.c1 AS DOUBLE))
+                         + (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                           * ((CAST(n.c1 AS DOUBLE) + 0.5)
+                              / (CAST(tot.total_tokens AS DOUBLE)
+                                 + 0.5 * CAST(tot.vocab AS DOUBLE)))) AS logp
+               FROM tf2
+               JOIN c2 USING (w1, w2)
+               JOIN c1 p ON p.w = tf2.w1
+               JOIN c1 n ON n.w = tf2.w2
+               CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(SUM(tf2) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(FLOOR(tf2 * logp * 10000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000 / SUM(tf2) AS avg_logprob
+    FROM j GROUP BY doc_id
+    """,
+)
+def t_bigram_lm_score(spark, sf_dir):
+    """Interpolated bigram-LM scoring
+    (``operators.aggregates.bigram_lm_score``) — the rung above
+    ``t_unigram_lm_score`` on the CCNet perplexity ladder:
+    ``p(w₂|w₁) = 0.7·c₂/c₁(w₁) + 0.3·(c₁(w₂)+½)/(T+½V)`` with all
+    counts trained on the corpus itself. Bigram extraction is a
+    scan-stage transform+explode (no self-join); the LM tables are
+    rollups of the tf tables; per-bigram products fixed-point-quantize
+    before the per-doc integer sum, so both engines produce the
+    identical avg down to the hash."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        bigram_lm_score,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.expr(_TOKS).alias("t"))
+    return bigram_lm_score(toked, "t", "doc_id", lam=0.7, alpha=0.5)
+
+
 # ---------------------------------------------------------------------------
 # Round-4 merged-away originals, re-registered (same names, same
 # oracles) past the window: t_language_share folded into

@@ -101,6 +101,7 @@ HEADLINE = [
     "t_boilerplate_strip",
     "s_semdedup",
     "c_budget_select",
+    "t_bigram_lm_score",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.

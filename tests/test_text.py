@@ -168,3 +168,32 @@ def test_unigram_lm_score_semantics(spark):
     # rare-token doc scores lowest of the three
     assert out[1].avg_logprob == min(r.avg_logprob for r in out.values())
     assert set(out[d].tier for d in out) <= {"high", "mid", "low"}
+
+
+def test_bigram_lm_score_semantics(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        bigram_lm_score,
+    )
+
+    rows = [
+        (0, ["a", "b", "a", "b"]),   # typical bigrams (a,b) dominate
+        (1, ["b", "a"]),             # the rare reversed bigram
+        (2, ["a"]),                  # single token: no bigrams, no row
+    ]
+    toked = spark.createDataFrame(rows, "doc_id bigint, t array<string>")
+    out = {r.doc_id: r for r in bigram_lm_score(toked, "t", "doc_id").collect()}
+    assert set(out) == {0, 1}  # doc 2 has no bigrams
+    assert out[0].n_bigrams == 3 and out[1].n_bigrams == 1
+    # (a,b) occurs twice in the corpus, (b,a) twice too ((a,b),(b,a),(a,b)
+    # from doc 0 and (b,a) from doc 1) — doc 0's mix of the two common
+    # bigrams must score >= doc 1's single (b,a): equal-count bigrams,
+    # but conditional denominators differ (c1(a)=5 vs c1(b)=3)
+    assert out[0].avg_logprob < 0 and out[1].avg_logprob < 0
+    # monotonicity probe: a doc whose only bigram is corpus-rare
+    # relative to its prefix count ((b,b): c2=1 vs c1(b)=5) scores
+    # below the typical doc
+    rows2 = rows + [(3, ["b", "b"])]
+    toked2 = spark.createDataFrame(rows2, "doc_id bigint, t array<string>")
+    out2 = {r.doc_id: r.avg_logprob
+            for r in bigram_lm_score(toked2, "t", "doc_id").collect()}
+    assert out2[3] < out2[0]

@@ -52,6 +52,7 @@ AUDITED = [
     "j_point_in_time",
     "t_tfidf_topk",
     "t_unigram_lm_score",
+    "t_bigram_lm_score",
     "t_boilerplate_strip",
     # c_budget_select's one SinglePartition exchange is the ≤n_buckets
     # offsets frame (tiny by construction) — audited for the table,
