@@ -418,6 +418,52 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_decontaminate(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic benchmark decontamination: flag every corpus vector
+    whose embedding sits within ``threshold`` cosine of ANY held-out
+    evaluation vector — the embedding-space complement of
+    :func:`..dedup.decontaminate` (verbatim fingerprints + 13-gram
+    shingles catch copies; this catches paraphrases and translations
+    that share no n-gram with the benchmark). Returns one row per
+    corpus vector: (id, is_contaminated); train on ``NOT
+    is_contaminated``.
+
+    Scale shape (same contract as the n-gram form): the held-out side
+    is BENCHMARK-sized by contract — thousands of eval items, never
+    corpus-sized — so it broadcasts explicitly and the comparison is
+    one corpus scan with a per-(row, eval-item) cosine fold; the hit
+    set reduces to distinct slim ids and re-attaches with one keyed
+    left join. Nothing corpus-sized shuffles beyond that join. For an
+    eval suite too big to broadcast, block both sides through
+    :func:`hyperplane_buckets` first and verify only co-bucketed
+    pairs."""
+    c = corpus.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("cv")
+    )
+    h = heldout.select(as_double(vec_col).alias("hv"))
+    hits = (
+        c.crossJoin(F.broadcast(h))
+        .filter(cosine("cv", "hv") >= threshold)
+        .select("id")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("__hit", F.lit(False)).alias("is_contaminated"),
+        )
+    )
+
+
 def semdedup(
     emb: DataFrame,
     n_clusters: int = 16,

@@ -1155,6 +1155,45 @@ def t_bigram_lm_score(spark, sf_dir):
     return bigram_lm_score(toked, "t", "doc_id", lam=0.7, alpha=0.5)
 
 
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.similarity import (  # noqa: E402
+    _cos_sql,
+)
+
+
+@register(
+    "d_embedding_decontaminate",
+    oracle=f"""
+    WITH held AS (SELECT CAST(embedding AS DOUBLE[]) AS hv
+                  FROM embeddings WHERE vec_id % 20 = 0),
+         hits AS (SELECT DISTINCT c.vec_id
+                  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+                        FROM embeddings) c, held
+                  WHERE {_cos_sql("c.cv", "held.hv")} >= 0.35)
+    SELECT e.vec_id, (h.vec_id IS NOT NULL) AS is_contaminated
+    FROM embeddings e LEFT JOIN hits h USING (vec_id)
+    """,
+)
+def d_embedding_decontaminate(spark, sf_dir):
+    """Semantic benchmark decontamination
+    (``operators.similarity.embedding_decontaminate``): corpus vectors
+    within cosine 0.35 of ANY held-out eval vector (here the
+    deterministic ``vec_id % 20 = 0`` slice — 5%, benchmark-sized) are
+    flagged; the embedding-space complement of ``d_decontaminate``'s
+    verbatim+13-gram probes, catching paraphrases that share no
+    n-gram. The held-out side broadcasts by contract; every held-out
+    member is its own cosine-1 hit, a planted invariant the oracle
+    certifies. Threshold 0.35 sits inside the testdata's intra-label
+    cosine spread (same spacing argument as
+    ``s_embedding_near_dup``)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    heldout = emb.filter(F.col("vec_id") % 20 == 0)
+    return embedding_decontaminate(emb, heldout, threshold=0.35)
+
+
 # ---------------------------------------------------------------------------
 # Round-4 merged-away originals, re-registered (same names, same
 # oracles) past the window: t_language_share folded into

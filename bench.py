@@ -102,6 +102,7 @@ HEADLINE = [
     "s_semdedup",
     "c_budget_select",
     "t_bigram_lm_score",
+    "d_embedding_decontaminate",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.

@@ -465,3 +465,27 @@ def test_semdedup_inherits_cluster_size_guard(spark):
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
     with pytest.raises(SparkRuntimeException, match="embedding_near_dup_pairs_lsh"):
         semdedup(df, n_clusters=2, threshold=0.99, max_cluster_rows=4).collect()
+
+
+def test_embedding_decontaminate_flags_near_heldout(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),        # exact copy of eval item
+            (1, [0.999, 0.045]),    # paraphrase-close to eval (cos≈0.999)
+            (2, [0.0, 1.0]),        # orthogonal — clean
+            (3, [-1.0, 0.0]),       # opposite — clean
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    heldout = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = {
+        r.vec_id: r.is_contaminated
+        for r in embedding_decontaminate(corpus, heldout, 0.97).collect()
+    }
+    assert out == {0: True, 1: True, 2: False, 3: False}

@@ -58,6 +58,9 @@ AUDITED = [
     # offsets frame (tiny by construction) — audited for the table,
     # exempt from the SinglePartition gate like t_tfidf_topk's scalar
     "c_budget_select",
+    # d_embedding_decontaminate broadcasts its held-out side by
+    # CONTRACT (benchmark-sized, same exemption as d_decontaminate)
+    "d_embedding_decontaminate",
     "e_interval_attribution",
 ]
 
