@@ -1194,6 +1194,107 @@ def d_embedding_decontaminate(spark, sf_dir):
     return embedding_decontaminate(emb, heldout, threshold=0.35)
 
 
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {dec_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")},
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): quarter filter on
+    orders, returnflag filter on lineitem, customer⋈orders⋈lineitem
+    fact chain + tiny nation dim → per-customer lost revenue → top-20
+    worst. Plan: all three filters push into the scans, nation (and at
+    this SF the filtered orders side) broadcasts, one aggregate
+    shuffle keyed on the customer grain, TakeOrderedAndProject for the
+    top-20 (c_custkey tie-break). Columns trimmed to the testdata
+    schema (no address/phone/comment columns exist here)."""
+    cust, orders, li, nation = load(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-04-01")
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_returnflag") == "R")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): the HAVING-driven
+    IN-subquery — orders whose total quantity tops 250 — planned as a
+    LEFT-SEMI join against the aggregated lineitem (the shape the
+    reference's >2 h NOT-IN rewrite needed, here in its positive
+    form), then the customer⋈orders⋈lineitem re-join re-aggregates the
+    winning orders. l_quantity is integer-valued in the testdata so
+    the double sum is exact; order-total ties break on o_orderkey."""
+    cust, orders, li = load(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            big.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "o_orderkey",
+            "left_semi",
+        )
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-4 merged-away originals, re-registered (same names, same
 # oracles) past the window: t_language_share folded into

@@ -103,6 +103,8 @@ HEADLINE = [
     "c_budget_select",
     "t_bigram_lm_score",
     "d_embedding_decontaminate",
+    "q10_returned_items",
+    "q18_large_orders",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.

@@ -252,3 +252,75 @@ def test_versioned_publish_invariants(spark, tmp_path_factory, n_publishes, keep
     )
     assert len(alive) <= keep
     assert n_publishes in alive
+
+
+@SLOW
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),   # priority (ties!)
+            st.integers(min_value=1, max_value=30),   # measure
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    budget=st.integers(min_value=0, max_value=300),
+)
+def test_budget_select_matches_greedy_prefix_model(spark, data, budget):
+    """budget_select == the sequential greedy model for ANY priorities
+    (including heavy ties), measures, and budget — the bucketed
+    two-phase running sum must be indistinguishable from a single
+    global scan."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        budget_select,
+    )
+
+    rows = [(i, float(p), m) for i, (p, m) in enumerate(data)]
+    schema = "id bigint, pri double, m bigint"
+    df = spark.createDataFrame(rows, schema) if rows else \
+        spark.createDataFrame([], schema)
+    got = {
+        r.id: r.cum_measure
+        for r in budget_select(
+            df, "m", "pri", "id", budget=budget, n_buckets=4
+        ).collect()
+    }
+    expected, cum = {}, 0
+    for i, p, m in sorted(rows, key=lambda r: (-r[1], r[0])):
+        cum += m
+        if cum <= budget:
+            expected[i] = cum
+    assert got == expected
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_boilerplate_strip_identity_when_chunks_unique(spark, docs):
+    """With every chunk made doc-unique (tokens salted by doc id),
+    nothing is boilerplate: reassembly must reproduce each document
+    verbatim — splitting + fingerprinting + reordering is lossless."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        boilerplate_strip,
+    )
+
+    rows = [
+        (i, [f"{tok}{i}" for tok in toks]) for i, toks in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, t array<string>")
+    out = {
+        r.doc_id: r
+        for r in boilerplate_strip(df, "t", "doc_id", 3, 2).collect()
+    }
+    for i, toks in rows:
+        assert out[i].n_boilerplate == 0
+        assert out[i].clean_text == " ".join(toks)
