@@ -341,7 +341,15 @@ def budget_select(
     Adds ``cum_measure`` (the running total including the row) and
     keeps rows with ``cum_measure <= budget``. ``priority_col`` must
     be non-null (engines disagree on null ordering — coalesce
-    upstream)."""
+    upstream).
+
+    Degenerate case: a priority value spanning ≥ 1/n_buckets of the
+    corpus collapses into one bucket (equal values cannot straddle a
+    boundary), and a CONSTANT priority makes the within-bucket window
+    global again. Results stay exact; only parallelism degrades. Use
+    a high-cardinality priority (a quality score, not a 3-level
+    tier), or decorate ties with a deterministic hash fraction before
+    calling."""
     if (budget is None) == (budget_frac is None):
         raise ValueError(
             "budget_select: pass exactly one of budget / budget_frac"

@@ -153,6 +153,7 @@ def ivf_build(
     train_fraction: float | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_iter: int = 20,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Train the IVF coarse quantizer and assign every corpus vector
     to its cell. Returns ``(assigned, centroids)``: a
@@ -164,7 +165,11 @@ def ivf_build(
     deterministic hash-sample (id-keyed, layout-independent) — cell
     quality needs a representative sample, not every vector — while
     ASSIGNMENT still covers the full corpus in one scan-stage
-    ``model.transform``."""
+    ``model.transform``. ``max_iter`` trades quantizer quality for
+    training jobs (each Lloyd round is a cluster-wide pass over the
+    training sample); blocking/pruning uses converge-enough in a few
+    rounds — recall comes from the verify stage, not centroid
+    optimality."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -176,7 +181,9 @@ def ivf_build(
     if train_fraction is not None:
         keep = F.pmod(F.xxhash64(F.col("neighbor_id"), F.lit(seed)), 10000)
         train = base.filter(keep < int(train_fraction * 10000))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="features", maxIter=max_iter
+    ).fit(train)
     assigned = model.transform(base).select(
         "neighbor_id", "cv", F.col("prediction").alias("cell")
     )
@@ -473,6 +480,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_rows: int | None = 50_000,
+    max_iter: int = 8,
 ) -> DataFrame:
     """Semantic deduplication à la SemDeDup (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, then mark
@@ -507,6 +515,7 @@ def semdedup(
         train_fraction=train_fraction,
         id_col=id_col,
         vec_col=vec_col,
+        max_iter=max_iter,
     )
     clustered = assigned.select(
         F.col("neighbor_id").alias(id_col),
