@@ -268,6 +268,99 @@ def unigram_lm_score(
     )
 
 
+def unigram_lm_counts(
+    toked: DataFrame, tokens_col: str = "t", id_col: str = "doc_id"
+) -> DataFrame:
+    """The unigram LM as a TABLE — (term, cnt) corpus counts. Counts
+    are additive, so this is the persistable/incremental half of
+    :func:`unigram_lm_score`: land today's delta counts, fold them
+    into the stored table with :func:`merge_lm_counts` (one
+    delta-sized union+groupBy — the corpus is never rescanned), and
+    score any batch against the frozen LM with
+    :func:`unigram_lm_score_with`. Scoring new data against a FIXED
+    reference LM is the deployed CCNet shape (the filter must not
+    drift with the batch being filtered)."""
+    terms = toked.select(
+        F.col(id_col).alias("id"), F.explode(F.col(tokens_col)).alias("term")
+    ).filter(F.col("term") != "")
+    return terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def merge_lm_counts(*tables: DataFrame) -> DataFrame:
+    """Fold LM count tables: union + one groupBy sum. Exact and
+    associative (bigint addition), so
+    ``merge(counts(A), counts(B)) == counts(A ∪ B)`` row-for-row —
+    the O(delta + vocab) maintenance path."""
+    merged = tables[0]
+    for t in tables[1:]:
+        merged = merged.unionByName(t)
+    return merged.groupBy("term").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def unigram_lm_score_with(
+    toked: DataFrame,
+    counts: DataFrame,
+    tokens_col: str = "t",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    tier_high: float = -3.40,
+    tier_mid: float = -3.41,
+) -> DataFrame:
+    """Score documents against a GIVEN unigram LM count table (from
+    :func:`unigram_lm_counts`, possibly merged across many deltas and
+    read back from parquet). Same output contract and fixed-point
+    determinism as :func:`unigram_lm_score`; the one semantic addition
+    is out-of-vocabulary handling — tokens absent from the LM score at
+    the smoothing floor ``α/(T+α·V)`` via a left join with cnt
+    coalesced to 0, exactly what a frozen reference LM must do to a
+    new batch. Scale shape: the batch's tf table left-joins the
+    vocabulary-sized LM (keyed exchange, hint-free), (T, V) attach as
+    the 1-row scalar."""
+    terms = toked.select(
+        F.col(id_col).alias("id"), F.explode(F.col(tokens_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    totals = counts.agg(
+        F.sum("cnt").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    logp = F.log(
+        (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + F.lit(float(alpha)))
+        / (
+            F.col("total_tokens").cast("double")
+            + F.lit(float(alpha)) * F.col("vocab").cast("double")
+        )
+    )
+    scored = (
+        tf.join(counts, "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(_fixed(F.col("tf") * logp)).alias("sum_fp"),
+        )
+    )
+
+    def _cut(thr: float) -> Column:
+        return F.col("sum_fp") >= F.lit(round(thr * 10000)) * F.col("n_tokens")
+
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        (F.col("sum_fp").cast("double") / _SCALE / F.col("n_tokens")).alias(
+            "avg_logprob"
+        ),
+        F.when(_cut(tier_high), "high")
+        .when(_cut(tier_mid), "mid")
+        .otherwise("low")
+        .alias("tier"),
+    )
+
+
 def bigram_lm_score(
     toked: DataFrame,
     tokens_col: str = "t",

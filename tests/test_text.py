@@ -197,3 +197,59 @@ def test_bigram_lm_score_semantics(spark):
     out2 = {r.doc_id: r.avg_logprob
             for r in bigram_lm_score(toked2, "t", "doc_id").collect()}
     assert out2[3] < out2[0]
+
+
+def test_unigram_lm_counts_merge_and_frozen_scoring(spark, tmp_dir):
+    """The incremental LM path: delta counts fold exactly
+    (merge(counts(A), counts(B)) == counts(A∪B)), scoring against the
+    merged table matches the fused self-trained form, the table
+    round-trips through parquet, and OOV tokens in a NEW batch score
+    at the smoothing floor."""
+    import math
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        merge_lm_counts,
+        unigram_lm_counts,
+        unigram_lm_score,
+        unigram_lm_score_with,
+    )
+
+    a = spark.createDataFrame(
+        [(0, ["the", "the", "cat"]), (1, ["the", "dog"])],
+        "doc_id bigint, t array<string>",
+    )
+    b = spark.createDataFrame(
+        [(2, ["the", "cat", "sat"])], "doc_id bigint, t array<string>"
+    )
+    full = a.unionByName(b)
+
+    merged = {
+        r.term: r.cnt
+        for r in merge_lm_counts(
+            unigram_lm_counts(a), unigram_lm_counts(b)
+        ).collect()
+    }
+    direct = {r.term: r.cnt for r in unigram_lm_counts(full).collect()}
+    assert merged == direct
+
+    # frozen-LM scoring over the training corpus == fused self-trained
+    counts = unigram_lm_counts(full)
+    counts.write.mode("overwrite").parquet(f"{tmp_dir}/lm")
+    reloaded = spark.read.parquet(f"{tmp_dir}/lm")
+    frozen = {
+        r.doc_id: (r.n_tokens, r.avg_logprob, r.tier)
+        for r in unigram_lm_score_with(full, reloaded).collect()
+    }
+    fused = {
+        r.doc_id: (r.n_tokens, r.avg_logprob, r.tier)
+        for r in unigram_lm_score(full).collect()
+    }
+    assert frozen == fused
+
+    # OOV in a new batch: cnt=0 → p = α/(T+αV); T=8, V=4 → α/(10)
+    new_batch = spark.createDataFrame(
+        [(99, ["zyx"])], "doc_id bigint, t array<string>"
+    )
+    row = unigram_lm_score_with(new_batch, reloaded).collect()[0]
+    want = math.floor(math.log(0.5 / (8 + 0.5 * 4)) * 10000 + 0.5) / 10000
+    assert abs(row.avg_logprob - want) < 1e-12
