@@ -20,6 +20,24 @@ def ts(s: str):
     return datetime.datetime.fromisoformat(s)
 
 
+def age_files(path: str, seconds: float = 60.0) -> None:
+    """Push every file currently under ``path`` ``seconds`` into the
+    past, so the NEXT write's natural mtime sorts strictly after it.
+    The file source batches by modification time; a wall-clock sleep
+    between writes is fragile on a loaded host (writes can straddle
+    the sleep), an explicit mtime gap is not."""
+    import glob
+    import os
+
+    t = _time.time() - seconds
+    for f in glob.glob(f"{path}/**", recursive=True):
+        if os.path.isfile(f):
+            # only ever push mtimes BACK: an earlier batch aged further
+            # into the past must keep its older stamp on later calls
+            t_eff = min(t, os.path.getmtime(f))
+            os.utime(f, (t_eff, t_eff))
+
+
 SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, event_type string, "
     "value double, props string"
@@ -35,7 +53,7 @@ def test_timeout_sessions_close_on_watermark(spark, tmp_dir):
         (3, ts("2024-01-01T09:00:00"), 2, "view", 5.0, "{}"),
     ]
     spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
-    _time.sleep(1.2)
+    age_files(src)
     # batch 2: a far-future event advances the watermark past every
     # session horizon — user 1 and 2's sessions must CLOSE even
     # though neither key received new data. User 9's own session
@@ -70,10 +88,10 @@ def test_timeout_sessions_merge_across_batches(spark, tmp_dir):
     src = f"{tmp_dir}/ev_tws2"
     b1 = [(1, ts("2024-01-01T10:00:00"), 1, "click", 1.0, "{}")]
     spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
-    _time.sleep(1.2)
+    age_files(src, 120.0)
     b2 = [(2, ts("2024-01-01T10:20:00"), 1, "click", 1.0, "{}")]
     spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
-    _time.sleep(1.2)
+    age_files(src, 60.0)  # b1 keeps its older stamp; b2 lands between
     b3 = [(9, ts("2024-01-01T20:00:00"), 9, "view", 0.0, "{}")]
     spark.createDataFrame(b3, SCHEMA).coalesce(1).write.mode("append").parquet(src)
 
@@ -106,7 +124,7 @@ def test_timeout_sessions_split_within_one_batch(spark, tmp_dir):
         (4, ts("2024-01-01T13:00:00"), 1, "click", 8.0, "{}"),
     ]
     spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
-    _time.sleep(1.2)
+    age_files(src)
     b2 = [(9, ts("2024-01-01T20:00:00"), 9, "view", 0.0, "{}")]
     spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
 
@@ -136,12 +154,12 @@ def test_timeout_sessions_split_against_stored_state(spark, tmp_dir):
     src = f"{tmp_dir}/ev_tws4"
     b1 = [(1, ts("2024-01-01T10:00:00"), 1, "click", 1.0, "{}")]
     spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
-    _time.sleep(1.2)
+    age_files(src, 120.0)
     # arrives before the watermark closes session 1 (wm lag 1h > gap
     # 30m), but 50 min after it — distinct session.
     b2 = [(2, ts("2024-01-01T10:50:00"), 1, "click", 2.0, "{}")]
     spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
-    _time.sleep(1.2)
+    age_files(src, 60.0)
     b3 = [(9, ts("2024-01-01T20:00:00"), 9, "view", 0.0, "{}")]
     spark.createDataFrame(b3, SCHEMA).coalesce(1).write.mode("append").parquet(src)
 

@@ -123,7 +123,7 @@ def test_stream_interval_join_evicts_expired_state(spark, tmp_dir):
     that is allowed, and why this test splits the pair across
     batches.) Sequenced with maxFilesPerTrigger=1 so each file is its
     own micro-batch (the file source orders by mtime)."""
-    import time as _time
+    from tests.test_sessions_timeout import age_files as _age
 
     src = f"{tmp_dir}/ev_late"
     schema = (
@@ -140,7 +140,7 @@ def test_stream_interval_join_evicts_expired_state(spark, tmp_dir):
         (3, ts("2024-01-01T10:00:00"), 2, "view", 1.0, "{}"),
     ]
     spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
-    _time.sleep(1.2)  # distinct mtime so the file source sequences them
+    _age(src, 120.0)  # explicit mtime gap: the file source sequences batches
     # batch 2: an unmatched click far ahead — emits nothing itself,
     # but runs a cleanup pass under the post-batch-1 watermark (11:00),
     # which purges user 2's view (eviction happens at batch END, so a
@@ -149,7 +149,7 @@ def test_stream_interval_join_evicts_expired_state(spark, tmp_dir):
         (9, ts("2024-01-01T13:00:00"), 9, "click", 1.0, "{}"),
     ]
     spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
-    _time.sleep(1.2)
+    _age(src, 60.0)
     # batch 3: user 2's in-window click — its view is gone from state
     # (and the click itself sits below the watermark), so no pair.
     b3 = [
