@@ -494,3 +494,127 @@ def finalize_agg_state(state: DataFrame, keys: list[str], name: str) -> DataFram
         F.col("state_min").alias(f"min_{name}"),
         F.col("state_max").alias(f"max_{name}"),
     )
+
+
+def bigram_lm_tables(
+    toked: DataFrame, tokens_col: str = "t", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """The bigram LM as TABLES — ((w1, w2, c2), (w, c1)) corpus
+    counts, the persistable/incremental half of
+    :func:`bigram_lm_score` (mirror of :func:`unigram_lm_counts` for
+    the interpolated bigram). Both tables are additive: fold daily
+    deltas with :func:`merge_bigram_lm_tables` and score any batch
+    against the frozen pair with :func:`bigram_lm_score_with`."""
+    bigrams = toked.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({tokens_col}) < 2 THEN "
+                f"array() ELSE transform(sequence(1, size({tokens_col}) - 1), "
+                f"i -> struct(element_at({tokens_col}, i) AS w1, "
+                f"element_at({tokens_col}, i + 1) AS w2)) END"
+            )
+        ).alias("bg"),
+    ).select("bg.w1", "bg.w2")
+    c2 = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    uni = toked.select(
+        F.explode(F.col(tokens_col)).alias("w")
+    ).filter(F.col("w") != "")
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    return c2, c1
+
+
+def merge_bigram_lm_tables(
+    a: tuple[DataFrame, DataFrame], b: tuple[DataFrame, DataFrame]
+) -> tuple[DataFrame, DataFrame]:
+    """Fold two (c2, c1) table pairs: unions + one groupBy sum each —
+    exact bigint addition, so the merge equals retraining on the
+    union. O(delta + vocab²-observed), never O(corpus)."""
+    c2 = (
+        a[0].unionByName(b[0])
+        .groupBy("w1", "w2")
+        .agg(F.sum("c2").cast("bigint").alias("c2"))
+    )
+    c1 = (
+        a[1].unionByName(b[1])
+        .groupBy("w")
+        .agg(F.sum("c1").cast("bigint").alias("c1"))
+    )
+    return c2, c1
+
+
+def bigram_lm_score_with(
+    toked: DataFrame,
+    c2: DataFrame,
+    c1: DataFrame,
+    tokens_col: str = "t",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Score documents against GIVEN bigram LM tables (from
+    :func:`bigram_lm_tables`, possibly delta-merged and read back
+    from parquet). Same output contract and fixed-point determinism
+    as :func:`bigram_lm_score`; adds out-of-vocabulary handling for a
+    NEW batch scored against a frozen reference LM: an unseen bigram
+    contributes conditional probability 0 (only the interpolated
+    unigram term survives), an unseen unigram scores at the add-α
+    floor — both via left joins with coalesced counts, no division by
+    a missing prefix count."""
+    bigrams = toked.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({tokens_col}) < 2 THEN "
+                f"array() ELSE transform(sequence(1, size({tokens_col}) - 1), "
+                f"i -> struct(element_at({tokens_col}, i) AS w1, "
+                f"element_at({tokens_col}, i + 1) AS w2)) END"
+            )
+        ).alias("bg"),
+    ).select("id", "bg.w1", "bg.w2")
+    tf2 = bigrams.groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf2"))
+    totals = c1.agg(
+        F.sum("c1").alias("total_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
+    # unseen prefix ⇒ c2 is necessarily 0 too: coalesce the prefix
+    # denominator to 1 so 0/1 = 0 replaces the undefined 0/0
+    p_cond = (
+        F.coalesce(F.col("c2"), F.lit(0)).cast("double")
+        / F.coalesce(F.col("c1_prefix"), F.lit(1)).cast("double")
+    )
+    p_uni = (
+        F.coalesce(F.col("c1_next"), F.lit(0)).cast("double")
+        + F.lit(float(alpha))
+    ) / (
+        F.col("total_tokens").cast("double")
+        + F.lit(float(alpha)) * F.col("vocab").cast("double")
+    )
+    logp = F.log(F.lit(float(lam)) * p_cond + F.lit(1.0 - float(lam)) * p_uni)
+    return (
+        tf2.join(c2, ["w1", "w2"], "left")
+        .join(
+            c1.select(F.col("w").alias("w1"), F.col("c1").alias("c1_prefix")),
+            "w1",
+            "left",
+        )
+        .join(
+            c1.select(F.col("w").alias("w2"), F.col("c1").alias("c1_next")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.sum("tf2").cast("bigint").alias("n_bigrams"),
+            F.sum(_fixed(F.col("tf2") * logp)).alias("sum_fp"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_bigrams",
+            (F.col("sum_fp").cast("double") / _SCALE / F.col("n_bigrams")).alias(
+                "avg_logprob"
+            ),
+        )
+    )

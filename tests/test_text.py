@@ -253,3 +253,64 @@ def test_unigram_lm_counts_merge_and_frozen_scoring(spark, tmp_dir):
     row = unigram_lm_score_with(new_batch, reloaded).collect()[0]
     want = math.floor(math.log(0.5 / (8 + 0.5 * 4)) * 10000 + 0.5) / 10000
     assert abs(row.avg_logprob - want) < 1e-12
+
+
+def test_bigram_lm_tables_merge_and_frozen_scoring(spark, tmp_dir):
+    """Bigram LM incremental path: (c2, c1) tables fold exactly across
+    deltas, frozen scoring over the training corpus matches the fused
+    form, and a new batch's unseen bigram scores with conditional 0 —
+    only the interpolated unigram term — with no division error."""
+    import math
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        bigram_lm_score,
+        bigram_lm_score_with,
+        bigram_lm_tables,
+        merge_bigram_lm_tables,
+    )
+
+    a = spark.createDataFrame(
+        [(0, ["a", "b", "a", "b"])], "doc_id bigint, t array<string>"
+    )
+    b = spark.createDataFrame(
+        [(1, ["b", "a"])], "doc_id bigint, t array<string>"
+    )
+    full = a.unionByName(b)
+
+    m_c2, m_c1 = merge_bigram_lm_tables(bigram_lm_tables(a), bigram_lm_tables(b))
+    f_c2, f_c1 = bigram_lm_tables(full)
+    assert {tuple(r) for r in m_c2.collect()} == {tuple(r) for r in f_c2.collect()}
+    assert {tuple(r) for r in m_c1.collect()} == {tuple(r) for r in f_c1.collect()}
+
+    # frozen == fused over the training corpus (parquet round-trip)
+    f_c2.write.mode("overwrite").parquet(f"{tmp_dir}/c2")
+    f_c1.write.mode("overwrite").parquet(f"{tmp_dir}/c1")
+    c2r = spark.read.parquet(f"{tmp_dir}/c2")
+    c1r = spark.read.parquet(f"{tmp_dir}/c1")
+    frozen = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob)
+        for r in bigram_lm_score_with(full, c2r, c1r).collect()
+    }
+    fused = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob)
+        for r in bigram_lm_score(full).collect()
+    }
+    assert frozen == fused
+
+    # OOV bigram from seen unigrams: ("a","a") unseen → p_cond 0,
+    # p = 0.3 * (c1(a)+0.5)/(T+0.5V); T=6, V=2, c1(a)=3
+    new_batch = spark.createDataFrame(
+        [(9, ["a", "a"])], "doc_id bigint, t array<string>"
+    )
+    row = bigram_lm_score_with(new_batch, c2r, c1r).collect()[0]
+    p = (1.0 - 0.7) * ((3 + 0.5) / (6 + 0.5 * 2))
+    want = math.floor(math.log(p) * 10000 + 0.5) / 10000
+    assert abs(row.avg_logprob - want) < 1e-12
+    # fully-OOV unigrams: floor only, still finite
+    oov = spark.createDataFrame(
+        [(10, ["zz", "qq"])], "doc_id bigint, t array<string>"
+    )
+    r2 = bigram_lm_score_with(oov, c2r, c1r).collect()[0]
+    p2 = (1.0 - 0.7) * (0.5 / (6 + 0.5 * 2))
+    want2 = math.floor(math.log(p2) * 10000 + 0.5) / 10000
+    assert abs(r2.avg_logprob - want2) < 1e-12
