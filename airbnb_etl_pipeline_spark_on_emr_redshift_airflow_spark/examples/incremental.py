@@ -47,6 +47,9 @@ from pyspark.sql import functions as F
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions.text import (
     quality_score,
 )
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+    unigram_lm_counts,
+)
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
     dedup_against_index,
     dedup_by_clusters,
@@ -75,6 +78,11 @@ def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
     corpus_path = f"{workdir}/corpus"
     buckets_path = f"{workdir}/index/buckets"
     shingles_path = f"{workdir}/index/shingles"
+    lm_ledger_path = f"{workdir}/lm_ledger"
+    _toks = (
+        "filter(split(trim(regexp_replace(lower(text), '[^a-z]+', ' ')), "
+        "' '), x -> x != '')"
+    )
 
     def batch(spark: SparkSession, period: str, ctx) -> DataFrame:
         """The day's crawl: a ``lo:hi`` doc_id slice of the testdata
@@ -152,6 +160,36 @@ def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
         atomic_publish(shingles, shingles_path, validate=model_exists)
         return spark.read.parquet(corpus_path)
 
+    def lm(spark: SparkSession, period: str, ctx) -> DataFrame:
+        """Unigram-LM maintenance as a PERIOD-PARTITIONED count
+        ledger. The period's counts derive from the PUBLISHED corpus
+        restricted to the period's id range — never from the in-flight
+        batch — so a replayed period rewrites its ledger partition
+        with byte-identical content: idempotent by construction, no
+        double counts (the delta-fold alternative,
+        ``merge_lm_counts(stored, delta)``, double-counts on replay
+        unless the fold is transactional with the corpus publish).
+        Periods are disjoint id slices by the example's contract. At
+        scale the corpus partitions by ingest period, making this a
+        partition-pruned delta-sized scan; the serving LM folds the
+        (vocab × periods) ledger with one groupBy — the
+        ``merge_lm_counts`` algebra over all partitions at once."""
+        lo, hi = (int(x) for x in period.split(":"))
+        slice_docs = ctx["published"].filter(
+            F.col("doc_id").between(lo, hi - 1)
+        )
+        toked = slice_docs.select("doc_id", F.expr(_toks).alias("t"))
+        delta = unigram_lm_counts(toked, "t", "doc_id")
+        atomic_publish(
+            delta,
+            f"{lm_ledger_path}/period={lo}_{hi}",
+            validate=model_exists,
+        )
+        ledger = spark.read.parquet(lm_ledger_path)
+        return ledger.groupBy("term").agg(
+            F.sum("cnt").cast("bigint").alias("cnt")
+        )
+
     return Pipeline(
         [
             Stage("batch", batch),
@@ -167,6 +205,7 @@ def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
                     ("doc_id unique", unique_key("doc_id")),
                 ),
             ),
+            Stage("lm", lm, deps=("published",), gates=(("non-empty", non_empty),)),
         ]
     )
 

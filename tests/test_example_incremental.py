@@ -66,3 +66,40 @@ def test_incremental_drops_cross_day_twins(spark, tmp_dir):
     assert {r.new_id for r in hits.collect()} == {50000, 50001, 50002}
     # and each twin matched its original
     assert {(r.new_id - 50000) == r.corpus_id for r in hits.collect()} == {True}
+
+
+def test_incremental_lm_ledger_tracks_corpus_and_survives_replay(spark, tmp_dir):
+    """The period-partitioned LM ledger folds to exactly the LM of the
+    published corpus after every period, INCLUDING a replayed one
+    (the replay rewrites its partition with identical content — never
+    double-counts)."""
+    from pyspark.sql import functions as F
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        unigram_lm_counts,
+    )
+
+    pipe = build_pipeline(SF_DIR, f"{tmp_dir}/inc_lm")
+    toks = (
+        "filter(split(trim(regexp_replace(lower(text), '[^a-z]+', ' ')), "
+        "' '), x -> x != '')"
+    )
+
+    def corpus_lm(corpus):
+        toked = corpus.select("doc_id", F.expr(toks).alias("t"))
+        return {
+            r.term: r.cnt
+            for r in unigram_lm_counts(toked, "t", "doc_id").collect()
+        }
+
+    r0 = pipe.run(spark, "0:150")
+    assert {r.term: r.cnt for r in r0.results["lm"].collect()} == corpus_lm(
+        r0.results["published"]
+    )
+    r1 = pipe.run(spark, "150:300")
+    lm1 = {r.term: r.cnt for r in r1.results["lm"].collect()}
+    assert lm1 == corpus_lm(r1.results["published"])
+    # replay of period 0: corpus unchanged, ledger partition rewritten
+    # identically → the folded LM is byte-for-byte the same
+    r2 = pipe.run(spark, "0:150")
+    assert {r.term: r.cnt for r in r2.results["lm"].collect()} == lm1
