@@ -425,6 +425,63 @@ def embedding_near_dup_pairs(
     )
 
 
+def hashed_doc_vectors(
+    toked: DataFrame,
+    dim: int = 256,
+    tokens_col: str = "t",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Feature-hashed TF document vectors (the hashing trick,
+    Weinberger et al. 2009 / MLlib HashingTF, rebuilt as pure column
+    expressions): every token hashes to one of ``dim`` buckets, the
+    per-document bucket counts become a dense L2-normalized
+    ``array<double>``. Model-free embeddings — they turn the
+    embedding-space operators (:func:`semdedup`, :func:`ann_topk_lsh`,
+    :func:`embedding_decontaminate`, the PQ/IVF family) loose on RAW
+    TEXT corpora with no external encoder: bag-of-words cosine is
+    exactly what the hashed vectors' cosine approximates (collisions
+    only ever merge buckets, which biases similarity UP slightly at
+    small ``dim``).
+
+    Returns (id, embedding). Zero-token documents emit no row.
+    Determinism: xxhash64 bucketing is seed-stable across runs,
+    partitionings, and cluster sizes.
+
+    Scale shape: explode is scan-stage; ONE shuffle on (doc, bucket)
+    for the counts; the densify step is a per-doc
+    ``map_from_entries`` + ``transform(sequence(...))`` — per-row
+    work bounded by ``dim``, no UDF, whole-stage codegen throughout.
+    Keep ``dim`` modest (128–1024): the dense row costs 8·dim bytes
+    and downstream ANN folds are O(dim)."""
+    terms = toked.select(
+        F.col(id_col).alias("id"), F.explode(F.col(tokens_col)).alias("term")
+    ).filter(F.col("term") != "")
+    bucket = F.pmod(F.xxhash64(F.lit(seed), F.col("term")), F.lit(dim))
+    counts = (
+        terms.withColumn("bucket", bucket.cast("int"))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = counts.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "cnt"))
+        ).alias("m")
+    )
+    vec = F.expr(
+        f"transform(sequence(0, {dim - 1}), "
+        f"i -> CAST(coalesce(element_at(m, i), 0) AS DOUBLE))"
+    )
+    return (
+        per_doc.withColumn("v", vec)
+        .withColumn("nrm", _norm("v"))
+        .select(
+            F.col("id").alias(id_col),
+            F.expr("transform(v, x -> x / nrm)").alias("embedding"),
+        )
+    )
+
+
 def embedding_decontaminate(
     corpus: DataFrame,
     heldout: DataFrame,

@@ -1295,6 +1295,29 @@ def q18_large_orders(spark, sf_dir):
     )
 
 
+@register("s_text_semdedup")  # rows-only: hashing + k-means not SQL
+def s_text_semdedup(spark, sf_dir):
+    """Text-only semantic dedup: feature-hashed TF vectors
+    (``operators.similarity.hashed_doc_vectors`` — the hashing trick,
+    no external encoder) feed SemDeDup over the DOCUMENTS table, so
+    the embedding-space dedup ladder applies to raw text corpora.
+    Bag-of-words cosine over seed-stable xxhash64 buckets; one
+    (doc, bucket) shuffle to build vectors, then the cluster-blocked
+    cosine verify with its lazy size guard. Twin recall and vector
+    geometry are pytest-asserted (``test_similarity.py``)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        hashed_doc_vectors,
+        semdedup,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.expr(_TOKS).alias("t"))
+    vecs = hashed_doc_vectors(toked, dim=256).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    return semdedup(vecs, n_clusters=8, threshold=0.95, seed=42)
+
+
 # ---------------------------------------------------------------------------
 # Round-4 merged-away originals, re-registered (same names, same
 # oracles) past the window: t_language_share folded into

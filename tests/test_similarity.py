@@ -489,3 +489,47 @@ def test_embedding_decontaminate_flags_near_heldout(spark):
         for r in embedding_decontaminate(corpus, heldout, 0.97).collect()
     }
     assert out == {0: True, 1: True, 2: False, 3: False}
+
+
+def test_hashed_doc_vectors_geometry_and_text_semdedup(spark):
+    """Feature-hashed vectors: identical texts → identical unit
+    vectors (cosine 1), token-disjoint texts → cosine 0 (modulo
+    bucket collisions — dim 512 over 6 tokens makes them vanishingly
+    unlikely), and composing with semdedup finds planted TEXT twins
+    with no external embeddings."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        cosine,
+        hashed_doc_vectors,
+        semdedup,
+    )
+
+    rows = [
+        (0, ["alpha", "beta", "gamma"]),
+        (1, ["alpha", "beta", "gamma"]),     # twin of 0
+        (2, ["delta", "epsilon", "zeta"]),   # disjoint
+        (3, []),                             # empty → no row
+    ]
+    toked = spark.createDataFrame(rows, "doc_id bigint, t array<string>")
+    vecs = hashed_doc_vectors(toked, dim=512)
+    got = {r.doc_id: r.embedding for r in vecs.collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0] == got[1]
+    # unit norm
+    assert abs(sum(x * x for x in got[0]) - 1.0) < 1e-12
+    # disjoint tokens → orthogonal buckets
+    pair = spark.createDataFrame(
+        [(got[0], got[2])], "a array<double>, b array<double>"
+    )
+    assert abs(pair.select(cosine("a", "b").alias("c")).collect()[0].c) < 1e-12
+
+    # text-only semantic dedup: twin 1 drops, everything else survives
+    out = {
+        r.vec_id: r.is_dup
+        for r in semdedup(
+            vecs.withColumnRenamed("doc_id", "vec_id"),
+            n_clusters=2,
+            threshold=0.99,
+            seed=7,
+        ).collect()
+    }
+    assert out == {0: False, 1: True, 2: False}
