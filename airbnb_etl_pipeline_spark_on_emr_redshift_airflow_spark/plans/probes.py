@@ -1318,6 +1318,32 @@ def s_text_semdedup(spark, sf_dir):
     return semdedup(vecs, n_clusters=8, threshold=0.95, seed=42)
 
 
+@register("t_bpe_merges")  # rows-only: iterative argmax, not one SQL
+def t_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (``operators.bpe``): learn the top-20
+    merges from the documents word-frequency table — the subword
+    vocabulary a pretraining pipeline builds before tokenization.
+    One corpus scan makes the word table; every round after is
+    vocabulary-sized (adjacent-pair explode → exact bigint pair sums
+    → 1-row argmax with lexicographic tie-break), so the driver sees
+    O(n_merges) single-row collects and nothing else. Returns the
+    ordered merge list as (rank, a, b) rows — fully deterministic;
+    the classic-example progression and greedy segmentation semantics
+    are pytest-pinned (``test_bpe.py``)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.bpe import (
+        bpe_train,
+        word_table,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    toked = docs.select(F.expr(_TOKS).alias("t"))
+    merges = bpe_train(word_table(toked, "t"), 20)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-4 merged-away originals, re-registered (same names, same
 # oracles) past the window: t_language_share folded into
