@@ -446,14 +446,24 @@ def hashed_doc_vectors(
 
     Returns (id, embedding). Zero-token documents emit no row.
     Determinism: xxhash64 bucketing is seed-stable across runs,
-    partitionings, and cluster sizes.
+    partitionings, and cluster sizes; the scatter + L2 divide are
+    order-independent.
 
     Scale shape: explode is scan-stage; ONE shuffle on (doc, bucket)
-    for the counts; the densify step is a per-doc
-    ``map_from_entries`` + ``transform(sequence(...))`` — per-row
-    work bounded by ``dim``, no UDF, whole-stage codegen throughout.
+    for the counts; the densify step is an Arrow-batched numpy
+    scatter (sparse entries → zeros[dim] → normalize). The tempting
+    pure-expression form — ``map_from_entries`` probed by
+    ``transform(sequence(0, dim-1), i -> element_at(m, i))`` — is
+    O(entries) PER PROBE (Catalyst's map lookup is a linear scan),
+    i.e. O(entries·dim) interpreted work per row: ~10× slower at
+    dim 256. Same placement rationale as ``hyperplane_buckets``.
     Keep ``dim`` modest (128–1024): the dense row costs 8·dim bytes
-    and downstream ANN folds are O(dim)."""
+    and downstream ANN folds are O(dim). Iterative consumers
+    (KMeans in :func:`semdedup`) re-evaluate their input lineage
+    several times — persist/checkpoint the returned frame first."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     terms = toked.select(
         F.col(id_col).alias("id"), F.explode(F.col(tokens_col)).alias("term")
     ).filter(F.col("term") != "")
@@ -464,21 +474,24 @@ def hashed_doc_vectors(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     per_doc = counts.groupBy("id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("bucket", "cnt"))
-        ).alias("m")
+        F.collect_list(F.struct("bucket", "cnt")).alias("entries")
     )
-    vec = F.expr(
-        f"transform(sequence(0, {dim - 1}), "
-        f"i -> CAST(coalesce(element_at(m, i), 0) AS DOUBLE))"
-    )
-    return (
-        per_doc.withColumn("v", vec)
-        .withColumn("nrm", _norm("v"))
-        .select(
-            F.col("id").alias(id_col),
-            F.expr("transform(v, x -> x / nrm)").alias("embedding"),
-        )
+
+    @pandas_udf("array<double>")
+    def densify(entries: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for ent in entries:
+            v = np.zeros(dim, dtype=np.float64)
+            for e in ent:
+                v[int(e["bucket"])] = float(e["cnt"])
+            n = float(np.linalg.norm(v))
+            out.append((v / n if n else v).tolist())
+        return pd.Series(out)
+
+    return per_doc.select(
+        F.col("id").alias(id_col), densify("entries").alias("embedding")
     )
 
 

@@ -1312,10 +1312,16 @@ def s_text_semdedup(spark, sf_dir):
 
     (docs,) = load(spark, sf_dir, "documents")
     toked = docs.select("doc_id", F.expr(_TOKS).alias("t"))
-    vecs = hashed_doc_vectors(toked, dim=256).withColumnRenamed(
-        "doc_id", "vec_id"
+    # checkpoint: KMeans + the pair join re-evaluate their input
+    # lineage several times — materialize the vectors once
+    vecs = (
+        hashed_doc_vectors(toked, dim=256)
+        .withColumnRenamed("doc_id", "vec_id")
+        .localCheckpoint()
     )
-    return semdedup(vecs, n_clusters=8, threshold=0.95, seed=42)
+    # 32 cells: the in-cluster pair count is ~N²/k — the knob that
+    # keeps the exact verify linear-ish as the corpus grows
+    return semdedup(vecs, n_clusters=32, threshold=0.95, seed=42)
 
 
 @register("t_bpe_merges")  # rows-only: iterative argmax, not one SQL
