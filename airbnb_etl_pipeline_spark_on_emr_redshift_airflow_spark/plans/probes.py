@@ -28,7 +28,9 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions.text import (
+    fingerprint_sql,
     lang_detect_sql,
+    quality_score_sql,
     redact_pii_sql,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
@@ -1347,6 +1349,88 @@ def t_bpe_merges(spark, sf_dir):
     return spark.createDataFrame(
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, a string, b string",
+    )
+
+
+@register(
+    "t_data_card",
+    oracle=f"""
+    WITH annotated AS (
+      SELECT source,
+             {fingerprint_sql("text")} AS fp,
+             {quality_score_sql("text")} AS quality,
+             len({_TOKS_DUCK}) AS n_tokens
+      FROM documents
+    ), flagged AS (
+      SELECT source, quality, n_tokens,
+             (COUNT(*) OVER (PARTITION BY fp) > 1) AS is_dup
+      FROM annotated
+    ), tot AS (SELECT COUNT(*) AS n_total FROM flagged)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS DOUBLE) / n_total AS corpus_share,
+           {dec_avg_sql("quality", "avg_quality")},
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_doc_rate
+    FROM flagged CROSS JOIN tot
+    GROUP BY source, n_total
+    """,
+)
+def t_data_card(spark, sf_dir):
+    """Per-source data card (governance rollup a corpus release
+    ships with): document and token counts, corpus share, mean
+    heuristic quality, and the exact-duplicate document rate — the
+    whole report as ONE composed plan over the shared text SQL
+    (fingerprint + quality generated once, used verbatim on both
+    engines). Plan: scan-stage annotation → one fingerprint-keyed
+    window for the dup flag → one source-keyed rollup; the corpus
+    total attaches as a 1-row scalar. Shares and rates divide exact
+    integers; mean quality uses the catalog fixed-point average."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions import (
+        text as T,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        dec_avg,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    annotated = docs.select(
+        "source",
+        F.expr(T.fingerprint_sql("text")).alias("fp"),
+        F.expr(T.quality_score_sql("text")).alias("quality"),
+        F.size(F.expr(_TOKS)).alias("n_tokens"),
+    )
+    flagged = annotated.select(
+        "source",
+        "quality",
+        "n_tokens",
+        (
+            F.count(F.lit(1)).over(Window.partitionBy("fp")) > 1
+        ).alias("is_dup"),
+    )
+    total = flagged.select(F.count(F.lit(1)).alias("n_total"))
+    return (
+        flagged.crossJoin(F.broadcast(total))
+        .groupBy("source", "n_total")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            dec_avg("quality", "avg_quality"),
+            F.sum(F.col("is_dup").cast("int")).alias("__dups"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            (F.col("n_docs").cast("double") / F.col("n_total")).alias(
+                "corpus_share"
+            ),
+            "avg_quality",
+            (F.col("__dups").cast("double") / F.col("n_docs")).alias(
+                "dup_doc_rate"
+            ),
+        )
     )
 
 

@@ -105,6 +105,7 @@ HEADLINE = [
     "d_embedding_decontaminate",
     "q10_returned_items",
     "q18_large_orders",
+    "t_data_card",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.
