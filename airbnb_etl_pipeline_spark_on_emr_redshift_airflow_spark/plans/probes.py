@@ -1434,6 +1434,46 @@ def t_data_card(spark, sf_dir):
     )
 
 
+@register("t_quality_classifier")  # rows-only: L-BFGS fit is not SQL
+def t_quality_classifier(spark, sf_dir):
+    """Classifier-based quality filtering
+    (``operators.quality_model``) — the fastText-style third rung of
+    the quality ladder (heuristic gate → corpus-LM perplexity → a
+    linear model imitating a trusted label; GPT-3's WebText
+    classifier, DCLM, FineWeb-Edu). Features are scan-stage column
+    expressions (plan-tested shuffle-free); here the trusted label is
+    "is the document English" (the curated-language proxy), learned
+    from distributional statistics alone — the marker lexicons are
+    deliberately NOT features. Training input is the labeled frame
+    (hash-sample-sized at scale); scoring is one model.transform
+    scan. Output (doc_id, label, p_keep_q4) with the probability at
+    the catalog's 4-dp fixed point; separability / determinism are
+    pytest-pinned (``test_quality_model.py``)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.quality_model import (
+        quality_features,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    labeled = quality_features(docs).join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").cast("double").alias("label")
+        ),
+        "doc_id",
+    ).localCheckpoint()  # L-BFGS iterates over its input
+    model = train_quality_classifier(labeled)
+    return score_quality(labeled, model).join(
+        labeled.select("doc_id", "label"), "doc_id"
+    ).select(
+        "doc_id",
+        "label",
+        F.floor(F.col("p_keep") * 10000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("p_keep_q4"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-4 merged-away originals, re-registered (same names, same
 # oracles) past the window: t_language_share folded into
