@@ -400,3 +400,154 @@ def budget_select(
         .filter(F.col("cum_measure") <= limit)
         .drop("__bucket", "__bsum", "__offset", "__total")
     )
+
+
+# ---- DSIR: data selection via importance resampling -----------------
+
+
+def _md5_bucket(col: Column, n_buckets: int) -> Column:
+    """Engine-portable hash bucket: the first 4 hex digits of md5 as
+    an integer, mod ``n_buckets``. md5 produces identical bytes in
+    every SQL engine (unlike ``xxhash64``), so bucket assignments —
+    and therefore the whole DSIR weight computation — are
+    oracle-checkable cross-engine. 16 bits of hash is plenty: buckets
+    only need to be uniform, not collision-free (collisions are the
+    POINT of the hashing trick)."""
+    return (
+        F.conv(F.md5(col).substr(1, 4), 16, 10).cast("int") % n_buckets
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    target_col: str,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Hashed n-gram importance weights for data selection (DSIR,
+    Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score every document by how much more
+    likely its token stream is under a bag-of-hashed-ngrams model of
+    the TARGET distribution (rows where ``target_col`` is true — e.g.
+    a trusted high-quality subset) than under the RAW corpus model.
+
+    ``weight(d) = Σ_b count_d[b] · (log p_tgt[b] − log p_raw[b])``
+    over unigram+bigram features hashed into ``n_buckets`` buckets
+    (add-``alpha`` smoothing on both models). Returns one row per doc:
+    ``(id, n_grams, weight_fp, dsir_score)`` where ``weight_fp`` is
+    the ``scale``-fixed-point integer sum (exact, order-independent —
+    the same cross-engine determinism device as the LM scorers) and
+    ``dsir_score = weight_fp / scale / n_grams`` is the
+    length-normalized per-gram log-ratio.
+
+    Scale shape: gram extraction is scan-stage (transform + one
+    explode, no self-join); the (doc, bucket) count table is one hash
+    shuffle; both models are rollups of that table to ≤ ``n_buckets``
+    rows — bounded by a CONSTANT, not by corpus size, so the log-ratio
+    table attaches to the per-doc counts as an AQE-broadcast keyed
+    join (unlike a corpus-derived vocabulary, which must never carry a
+    broadcast hint); the final per-doc sum is the last shuffle.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.col(target_col).cast("boolean").alias("__tgt"),
+        F.explode(
+            F.expr(
+                f"concat({tokens_col}, CASE WHEN size({tokens_col}) < 2 "
+                f"THEN array() ELSE transform("
+                f"sequence(1, size({tokens_col}) - 1), "
+                f"i -> concat(element_at({tokens_col}, i), '_', "
+                f"element_at({tokens_col}, i + 1))) END)"
+            )
+        ).alias("gram"),
+    )
+    db = (
+        grams.withColumn("bucket", _md5_bucket(F.col("gram"), n_buckets))
+        .groupBy("id", "__tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    raw = db.groupBy("bucket").agg(F.sum("cnt").alias("c_raw"))
+    tgt = (
+        db.filter(F.col("__tgt"))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("c_tgt"))
+    )
+    # 1-row totals attach via a bounded crossJoin (≤ n_buckets rows on
+    # the left, exactly 1 on the right).
+    totals = db.agg(
+        F.sum("cnt").alias("t_raw"),
+        F.sum(F.when(F.col("__tgt"), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "t_tgt"
+        ),
+    )
+    a, b = float(alpha), float(alpha) * n_buckets
+    lm = (
+        raw.join(tgt, "bucket", "left")
+        .na.fill({"c_tgt": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.floor(
+                (
+                    F.log(
+                        (F.col("c_tgt").cast("double") + F.lit(a))
+                        / (F.col("t_tgt").cast("double") + F.lit(b))
+                    )
+                    - F.log(
+                        (F.col("c_raw").cast("double") + F.lit(a))
+                        / (F.col("t_raw").cast("double") + F.lit(b))
+                    )
+                )
+                * F.lit(float(scale))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lr_fp"),
+        )
+    )
+    return (
+        db.join(lm, "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_grams"),
+            F.sum(F.col("cnt") * F.col("lr_fp")).cast("bigint").alias(
+                "weight_fp"
+            ),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "weight_fp",
+            (
+                F.col("weight_fp").cast("double")
+                / F.lit(float(scale))
+                / F.col("n_grams")
+            ).alias("dsir_score"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    target_col: str,
+    k: int,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Top-``k`` documents by DSIR importance weight (deterministic
+    greedy form — for the sampled variant, feed ``dsir_score`` into
+    ``weighted_sample_topk`` as the weight). Order is (score desc,
+    id asc): the score is a ratio of exact integers so both engines
+    order identically. TakeOrderedAndProject — per-partition heaps,
+    no global sort."""
+    w = dsir_weights(
+        df, tokens_col, id_col, target_col, n_buckets=n_buckets, alpha=alpha
+    )
+    return w.orderBy(
+        F.col("dsir_score").desc(), F.col(id_col).asc()
+    ).limit(k)

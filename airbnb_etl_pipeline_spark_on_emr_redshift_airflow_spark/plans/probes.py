@@ -1474,6 +1474,163 @@ def t_quality_classifier(spark, sf_dir):
     )
 
 
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions.web import (  # noqa: E402
+    canonicalize_url_sql,
+    registered_domain_sql,
+    url_host_sql,
+)
+
+# Deterministic URL synthesis over the documents table (the testdata
+# carries no URL column; deriving one from (source, doc_id) inside the
+# query keeps the parquet inputs untouched while exercising every
+# canonicalizer rule): mixed-case hosts, default ports 443/80
+# (stripped) vs 8080 (kept), a .co.uk second-level suffix, a cdn.
+# subdomain, leading and trailing tracking params, queryless trailing
+# slashes, and fragments. Shared SQL — runs identically in both
+# engines.
+_URL_SYNTH = (
+    "concat("
+    "CASE WHEN doc_id % 4 = 0 THEN "
+    "concat('https://WWW.', source, '-News.COM:443') "
+    "WHEN doc_id % 4 = 1 THEN concat('http://', source, '-shop.co.uk:80') "
+    "WHEN doc_id % 4 = 2 THEN concat('https://cdn.', source, '-Media.org') "
+    "ELSE concat('https://', source, '-io.net:8080') END, "
+    "'/sec', CAST(doc_id % 7 AS STRING), '/Item', CAST(doc_id AS STRING), "
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "concat('?utm_source=feed&utm_campaign=x&id=', CAST(doc_id AS STRING)) "
+    "WHEN doc_id % 3 = 1 THEN "
+    "concat('/?id=', CAST(doc_id AS STRING), '&gclid=click&ref=rss') "
+    "ELSE '/' END, "
+    "CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END)"
+)
+
+_DOMAIN_CAP = 4
+
+
+def _url_curation_oracle() -> str:
+    canon = canonicalize_url_sql("u", "duckdb")
+    dom = registered_domain_sql(url_host_sql("url_canon"))
+    return f"""
+    WITH urls AS (SELECT doc_id, {_URL_SYNTH} AS u FROM documents),
+         canon AS (SELECT doc_id, {canon} AS url_canon FROM urls),
+         dom AS (SELECT doc_id, url_canon, {dom} AS domain FROM canon),
+         keep AS (SELECT * FROM dom WHERE domain NOT LIKE '%.net'),
+         ranked AS (
+           SELECT doc_id, url_canon, domain,
+                  row_number() OVER (
+                    PARTITION BY domain
+                    ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+                  ) AS sample_rank
+           FROM keep)
+    SELECT doc_id, url_canon, domain,
+           CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM ranked WHERE sample_rank <= {_DOMAIN_CAP}
+    """
+
+
+@register("t_url_curation", oracle=_url_curation_oracle())
+def t_url_curation(spark, sf_dir):
+    """URL-level corpus curation (training-data extension,
+    ``functions.web`` + ``operators.web``) — the RefinedWeb-style
+    front gate of a web-crawl pipeline as one composed plan:
+    canonicalize each document's URL (fragment/tracking-param/default-
+    port/case normalization — scan-stage generated SQL shared verbatim
+    with the oracle, zero shuffles, zero UDFs), extract the registered
+    domain (second-level public suffixes like .co.uk handled), drop
+    blocklisted domains (broadcast anti-join — blocklists are
+    dim-sized), then cap every surviving domain at 4 documents chosen
+    by the engine-portable md5 pseudo-order (one domain-key shuffle;
+    deterministic across cluster layouts). The canonical URL strings
+    themselves are value-hashed, so the whole regexp chain is
+    certified cross-engine."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.web import (
+        blocklist_filter,
+        domain_cap,
+        with_domain,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id",
+        F.expr(canonicalize_url_sql(_URL_SYNTH, "spark")).alias("url_canon"),
+    )
+    dom = with_domain(canon, "url_canon")
+    blocked = dom.filter(F.col("domain").like("%.net")).select("domain")
+    kept = blocklist_filter(dom, "domain", blocked)
+    capped = domain_cap(kept, "domain", _DOMAIN_CAP, ["doc_id"])
+    return capped.select("doc_id", "url_canon", "domain", "sample_rank")
+
+
+_DSIR_B, _DSIR_K = 1024, 100
+
+
+@register(
+    "c_dsir_select",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang = 'en' AS tgt, {_TOKS_DUCK} AS t
+                  FROM documents),
+         uni AS (SELECT doc_id, tgt, unnest(t) AS gram FROM toks),
+         bg AS (SELECT doc_id, tgt, t[i] || '_' || t[i+1] AS gram
+                FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+         grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bg),
+         db AS (SELECT doc_id, tgt,
+                       CAST('0x' || substr(md5(gram), 1, 4) AS INTEGER)
+                         % {_DSIR_B} AS bucket,
+                       count(*) AS cnt
+                FROM grams GROUP BY 1, 2, 3),
+         raw AS (SELECT bucket, SUM(cnt) AS c_raw FROM db GROUP BY 1),
+         tgtc AS (SELECT bucket, SUM(cnt) AS c_tgt FROM db
+                  WHERE tgt GROUP BY 1),
+         tot AS (SELECT SUM(cnt) AS t_raw,
+                        SUM(CASE WHEN tgt THEN cnt ELSE 0 END) AS t_tgt
+                 FROM db),
+         lm AS (SELECT raw.bucket,
+                       CAST(FLOOR((ln((CAST(COALESCE(c_tgt, 0) AS DOUBLE)
+                                       + 1.0)
+                                      / (CAST(t_tgt AS DOUBLE)
+                                         + {float(_DSIR_B)}))
+                                   - ln((CAST(c_raw AS DOUBLE) + 1.0)
+                                        / (CAST(t_raw AS DOUBLE)
+                                           + {float(_DSIR_B)})))
+                                  * 10000 + 0.5) AS BIGINT) AS lr_fp
+                FROM raw LEFT JOIN tgtc USING (bucket) CROSS JOIN tot),
+         wt AS (SELECT db.doc_id,
+                       CAST(SUM(cnt) AS BIGINT) AS n_grams,
+                       CAST(SUM(cnt * lr_fp) AS BIGINT) AS weight_fp
+                FROM db JOIN lm USING (bucket) GROUP BY 1)
+    SELECT doc_id, n_grams, weight_fp,
+           CAST(weight_fp AS DOUBLE) / 10000 / n_grams AS dsir_score
+    FROM wt ORDER BY dsir_score DESC, doc_id LIMIT {_DSIR_K}
+    """,
+)
+def c_dsir_select(spark, sf_dir):
+    """DSIR data selection (``operators.sampling.dsir_select``, Xie et
+    al. 2023): the top 100 documents by hashed-ngram importance weight
+    against an 'is-English' target distribution — the
+    importance-resampling rung of the curation ladder, between the
+    heuristic gates (``t_text_profile``) and the trained classifier
+    (``t_quality_classifier``). Unigram+bigram features hash into 1024
+    md5-portable buckets (so the ENTIRE weight computation, not just
+    row counts, certifies cross-engine); both bag-of-buckets models
+    are rollups of one (doc, bucket) count table; the log-ratio table
+    is bounded by the constant bucket count — the legitimate
+    broadcast-side, unlike a corpus-derived vocabulary; per-doc sums
+    are fixed-point-exact."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        dsir_select,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("tgt"),
+        F.expr(_TOKS).alias("t"),
+    )
+    return dsir_select(
+        toked, "t", "doc_id", "tgt", k=_DSIR_K, n_buckets=_DSIR_B
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-4 merged-away originals, re-registered (same names, same
 # oracles) past the window: t_language_share folded into

@@ -106,6 +106,10 @@ HEADLINE = [
     "q10_returned_items",
     "q18_large_orders",
     "t_data_card",
+    # round-4 additions (cont.): URL-level web curation and DSIR
+    # importance selection
+    "t_url_curation",
+    "c_dsir_select",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.

@@ -335,3 +335,64 @@ def test_budget_select_frac_and_arg_validation(spark):
         budget_select(df, "m", "pri", "id")
     with pytest.raises(ValueError, match="exactly one"):
         budget_select(df, "m", "pri", "id", budget=5, budget_frac=0.5)
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """DSIR: held-out docs drawn from the target's token distribution
+    outscore docs from a disjoint distribution — neither held-out doc
+    appears in the target set itself, so the signal is the hashed-ngram
+    models, not identity."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    target_vocab = "the cat sat on a mat and read a book by the door".split()
+    other_vocab = "zz qq xx vv kk pp ww mm nn tt rr ll".split()
+    rows = []
+    # 8 labeled target docs (cyclic slices of the target stream)
+    for i in range(8):
+        toks = (target_vocab * 3)[i : i + 20]
+        rows.append((i, toks, True))
+    # held-out candidates: 4 target-like, 4 other-like — all unlabeled
+    for i in range(4):
+        rows.append((100 + i, (target_vocab * 3)[i + 5 : i + 25], False))
+        rows.append((200 + i, (other_vocab * 3)[i : i + 20], False))
+    df = spark.createDataFrame(rows, "doc_id bigint, t array<string>, tgt boolean")
+    w = {r.doc_id: r.dsir_score for r in dsir_weights(
+        df, "t", "doc_id", "tgt", n_buckets=256
+    ).collect()}
+    assert min(w[100 + i] for i in range(4)) > max(w[200 + i] for i in range(4))
+    # top-k selection returns the target-like candidates before any
+    # other-like one (the labeled targets score highest of all)
+    sel = [r.doc_id for r in dsir_select(
+        df, "t", "doc_id", "tgt", k=12, n_buckets=256
+    ).collect()]
+    assert set(sel[:12]) >= {100, 101, 102, 103}
+    assert all(d not in sel for d in (200, 201, 202, 203)) or all(
+        sel.index(100 + i) < sel.index(200 + j)
+        for i in range(4)
+        for j in range(4)
+        if 200 + j in sel
+    )
+
+
+def test_dsir_weights_deterministic_and_exact_ints(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        dsir_weights,
+    )
+
+    rows = [
+        (i, f"tok{i % 5} tok{(i + 1) % 5} tok{i % 3}".split(), i % 2 == 0)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, t array<string>, tgt boolean")
+    a = {(r.doc_id, r.n_grams, r.weight_fp) for r in dsir_weights(
+        df, "t", "doc_id", "tgt"
+    ).collect()}
+    b = {(r.doc_id, r.n_grams, r.weight_fp) for r in dsir_weights(
+        df.repartition(7), "t", "doc_id", "tgt"
+    ).collect()}
+    assert a == b  # fixed-point ints: layout-independent to the bit
+    # every doc scored, n_grams = unigrams + bigrams = 2*len - 1
+    assert len(a) == 30 and all(n == 5 for _, n, _ in a)
