@@ -530,6 +530,85 @@ def dsir_weights(
     )
 
 
+def temperature_rebalance(
+    df: DataFrame,
+    group_col: str,
+    key_cols: list[str],
+    alpha: float = 0.5,
+    target_frac: float | None = None,
+    target_total: int | None = None,
+    seed: int = 0,
+    u_col: Column | None = None,
+) -> DataFrame:
+    """Temperature-based group rebalancing (training-data extension —
+    the multilingual-mixture recipe of mT5 / XLM-R): resample so group
+    ``g``'s share moves from its natural ``p_g = n_g / N`` toward the
+    temperature-flattened ``q_g = n_g^alpha / Σ n_j^alpha``
+    (``alpha = 1/T``; ``alpha=1`` keeps the corpus as-is, ``alpha=0``
+    is uniform-over-groups). Head groups (English, web crawl) are
+    downsampled; tail groups keep up to 100% of their rows — the
+    without-replacement cap, so the achieved total can undershoot the
+    target when tails saturate (the standard trade; upsampling is an
+    epoch-level concern, not a row filter).
+
+    Per-group keep rate: ``r_g = min(1, T·q_g / n_g)`` where ``T`` is
+    the row target (``target_total``, or ``floor(target_frac · N)``;
+    exactly one must be given). Rows are kept by the same deterministic
+    hash predicate as every sampler here (``u < r_g`` with
+    ``u = hash_uniform(key_cols, seed)``), so the keep-set is a pure
+    function of (data, alpha, target, seed) — layout- and retry-stable.
+    Pass ``u_col`` to substitute an engine-portable uniform for
+    oracle-checked use.
+
+    Scale shape: group counts are one small aggregate (group
+    cardinality is dim-like by contract — languages / sources, not
+    docs); the 2-row totals attach via bounded broadcast crossJoin; the
+    rate table re-attaches to the corpus as an AQE-broadcast keyed join
+    (no explicit hint — same rule as every corpus-derived small table);
+    the keep predicate is scan-stage. ``alpha=0.5`` uses ``sqrt``
+    (IEEE correctly-rounded in both engines) rather than ``pow`` so
+    the rate doubles are bit-identical cross-engine.
+
+    Output: the kept rows with ``keep_rate`` appended.
+    """
+    if (target_frac is None) == (target_total is None):
+        raise ValueError(
+            "temperature_rebalance: pass exactly one of "
+            "target_frac / target_total"
+        )
+
+    def _powa(c: Column) -> Column:
+        d = c.cast("double")
+        return F.sqrt(d) if alpha == 0.5 else F.pow(d, float(alpha))
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_g"))
+    totals = counts.agg(
+        F.sum("__n_g").cast("bigint").alias("__N"),
+        F.sum(_powa(F.col("__n_g"))).alias("__Z"),
+    )
+    if target_total is not None:
+        tgt = F.lit(int(target_total)).cast("double")
+    else:
+        tgt = F.floor(
+            F.col("__N").cast("double") * F.lit(float(target_frac))
+        ).cast("double")
+    rates = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            group_col,
+            F.least(
+                F.lit(1.0),
+                _powa(F.col("__n_g"))
+                / F.col("__Z")
+                * tgt
+                / F.col("__n_g").cast("double"),
+            ).alias("keep_rate"),
+        )
+    )
+    u = u_col if u_col is not None else hash_uniform(key_cols, seed)
+    return df.join(rates, group_col).filter(u < F.col("keep_rate"))
+
+
 def dsir_select(
     df: DataFrame,
     tokens_col: str,

@@ -1696,3 +1696,58 @@ def j_inner_composite_key(spark, sf_dir):
     return li.join(totals, ["l_orderkey", "l_returnflag"]).select(
         "l_orderkey", "l_linenumber", "l_returnflag", "flag_qty"
     )
+
+
+@register(
+    "c_temperature_rebalance",
+    oracle="""
+    WITH counts AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n_total,
+                        SUM(sqrt(CAST(n_g AS DOUBLE))) AS z FROM counts),
+         rates AS (SELECT lang,
+                          LEAST(1.0,
+                                sqrt(CAST(n_g AS DOUBLE)) / z
+                                * CAST(FLOOR(CAST(n_total AS DOUBLE) * 0.5)
+                                       AS DOUBLE)
+                                / CAST(n_g AS DOUBLE)) AS keep_rate
+                   FROM counts CROSS JOIN tot)
+    SELECT d.doc_id, d.lang,
+           CAST(FLOOR(keep_rate * 1000000 + 0.5) AS BIGINT) AS keep_rate_fp
+    FROM documents d JOIN rates USING (lang)
+    WHERE ((d.doc_id * 2654435761) % 2147483648 + 0.5) / 2147483648
+          < keep_rate
+    """,
+)
+def c_temperature_rebalance(spark, sf_dir):
+    """Temperature-based language rebalancing
+    (``operators.sampling.temperature_rebalance``, the mT5/XLM-R
+    multilingual-mixture recipe): resample the documents table to half
+    its size with per-language shares flattened by ``alpha = 0.5`` —
+    head languages downsampled toward ``sqrt``-share, tail languages
+    kept at up to 100% (the without-replacement cap). The uniform is
+    the engine-portable Knuth multiplicative hash (production uses the
+    xxhash64 ``hash_uniform``); ``alpha=0.5`` rates go through
+    ``sqrt`` (IEEE correctly-rounded in both engines) and are returned
+    fixed-point so the whole rate computation, not just the keep-set,
+    certifies cross-engine. Scale: group counts are one dim-sized
+    aggregate; the rate table re-attaches as an AQE-broadcast keyed
+    join; the keep predicate is scan-stage."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        temperature_rebalance,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648)
+        + F.lit(0.5)
+    ) / F.lit(2147483648.0)
+    kept = temperature_rebalance(
+        docs, "lang", ["doc_id"], alpha=0.5, target_frac=0.5, u_col=u
+    )
+    return kept.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("keep_rate") * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("keep_rate_fp"),
+    )

@@ -396,3 +396,79 @@ def test_dsir_weights_deterministic_and_exact_ints(spark):
     assert a == b  # fixed-point ints: layout-independent to the bit
     # every doc scored, n_grams = unigrams + bigrams = 2*len - 1
     assert len(a) == 30 and all(n == 5 for _, n, _ in a)
+
+
+def test_temperature_rebalance_flattens_shares(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        temperature_rebalance,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    before = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    out = temperature_rebalance(
+        docs, "lang", ["doc_id"], alpha=0.5, target_frac=0.5, seed=3
+    )
+    after = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    n_before = sum(before.values())
+    n_after = sum(after.values())
+    # total lands at/below the target (tails saturate at rate 1.0)
+    assert n_after <= 0.55 * n_before
+    # the head language's SHARE shrinks, the rarest language's grows
+    head = max(before, key=before.get)
+    tail = min(before, key=before.get)
+    assert after[head] / n_after < before[head] / n_before
+    assert after[tail] / n_after > before[tail] / n_before
+    # keep rates are capped at 1: no language gains rows
+    for lang, n in after.items():
+        assert n <= before[lang]
+    # deterministic and layout-independent
+    ids_a = sorted(r.doc_id for r in out.select("doc_id").collect())
+    ids_b = sorted(
+        r.doc_id
+        for r in temperature_rebalance(
+            docs.repartition(17), "lang", ["doc_id"],
+            alpha=0.5, target_frac=0.5, seed=3,
+        ).select("doc_id").collect()
+    )
+    assert ids_a == ids_b
+
+
+def test_temperature_rebalance_alpha_one_keeps_proportions(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        temperature_rebalance,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # alpha=1: q_g == p_g, so every group's rate is the same constant
+    # (target_frac) — shares are preserved
+    out = temperature_rebalance(
+        docs, "lang", ["doc_id"], alpha=1.0, target_frac=0.6, seed=1
+    )
+    rates = {
+        r["lang"]: r["keep_rate"]
+        for r in out.select("lang", "keep_rate").distinct().collect()
+    }
+    for rate in rates.values():
+        assert abs(rate - 0.6) < 1e-9
+
+
+def test_temperature_rebalance_arg_validation(spark):
+    import pytest
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        temperature_rebalance,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with pytest.raises(ValueError, match="exactly one"):
+        temperature_rebalance(docs, "lang", ["doc_id"], alpha=0.5)
+    with pytest.raises(ValueError, match="exactly one"):
+        temperature_rebalance(
+            docs, "lang", ["doc_id"], target_frac=0.5, target_total=10
+        )
