@@ -1,0 +1,129 @@
+"""Lexical retrieval: BM25 scoring over an inverted term index.
+
+Training-data extension (alongside TF-IDF keywords in
+``aggregates.tfidf_topk``): score a dim-sized set of keyword queries
+against the corpus with Okapi BM25 — the standard lexical-retrieval
+primitive a data pipeline uses for topic filtering, targeted corpus
+slicing ("find documents about X"), and hard-negative mining for
+retrieval training sets.
+
+Scale shape (the whole point at 100 TB):
+
+- the (doc, term, tf) table is the inverted index — ONE corpus-wide
+  shuffle, reused by df rollup and query probe alike;
+- the query side is dim-sized by contract (a keyword list, not a
+  corpus) and broadcasts into the index — the corpus never moves to
+  the queries;
+- document length and the 1-row (n_docs, avgdl) scalar attach by
+  keyed join / broadcast scalar;
+- per-term contributions are fixed-point-quantized BEFORE the
+  per-(query, doc) sum, so the sum is an exact integer in any
+  accumulation order (the catalog's cross-engine determinism device);
+- the final top-k is a per-query window — partitioned by query id,
+  never single-partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 4-dp fixed point, the catalog-wide quantization scale.
+_SCALE = 10_000.0
+
+
+def bm25_search(
+    toked: DataFrame,
+    queries: DataFrame,
+    k: int,
+    tokens_col: str = "t",
+    id_col: str = "doc_id",
+    qid_col: str = "query_id",
+    qterms_col: str = "q",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents per query by Okapi BM25.
+
+    ``toked`` is the tokenized corpus (``id_col``, ``tokens_col``:
+    array<string>); ``queries`` is the dim-sized query set
+    (``qid_col``, ``qterms_col``: array<string>). Per query term:
+
+        idf = ln(1 + (N - df + 1/2) / (df + 1/2))
+        w   = idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    summed over the query's distinct terms per document. Returns
+    (``qid_col``, ``id_col``, ``score_q4``, ``rnk`` ≤ k) where
+    ``score_q4 = Σ floor(w·10⁴ + ½)`` — per-term fixed-point before
+    the sum, so the score is an exact integer independent of
+    accumulation order (and hash-checkable cross-engine); ties break
+    on the document id.
+    """
+    terms = toked.select(
+        F.col(id_col).alias("id"), F.explode(F.col(tokens_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = toked.select(
+        F.col(id_col).alias("id"),
+        F.size(F.col(tokens_col)).cast("bigint").alias("dl"),
+    )
+    stats = toked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.col(tokens_col))).cast("bigint").alias("sum_dl"),
+    )
+    # Query terms are DISTINCT per query (a repeated keyword is one
+    # probe, standard BM25-on-query-set semantics).
+    qterms = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.explode(F.array_distinct(F.col(qterms_col))).alias("term"),
+    ).filter(F.col("term") != "")
+
+    # Probe the inverted index: dim-sized query terms broadcast into
+    # the (doc, term, tf) table; df (vocab-rows, corpus-derived — no
+    # hint) and dl (doc-rows — keyed join) attach on their keys; the
+    # two exact totals attach as a 1-row broadcast scalar.
+    probed = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    w_term = (
+        idf
+        * (tf_d * F.lit(k1 + 1.0))
+        / (
+            tf_d
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl").cast("double") / avgdl
+            )
+        )
+    )
+    contrib = F.floor(w_term * F.lit(_SCALE) + F.lit(0.5)).cast("bigint")
+    scored = (
+        probed.select("qid", "id", contrib.alias("w_q4"))
+        .groupBy("qid", "id")
+        .agg(F.sum("w_q4").cast("bigint").alias("score_q4"))
+    )
+    rank = Window.partitionBy("qid").orderBy(
+        F.col("score_q4").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(rank))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("qid").alias(qid_col),
+            F.col("id").alias(id_col),
+            "score_q4",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
