@@ -105,3 +105,84 @@ def scd2_intervals(
         .withColumn("is_current", F.col("effective_to").isNull())
         .drop("__island")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Diff two snapshot versions of the same table into a change feed
+    — the inverse of :func:`apply_cdc` (and the audit step between a
+    versioned publish and its predecessor): one row per key that was
+    inserted, deleted, or updated, with ``op`` ('I'/'D'/'U') and
+    ``changed_cols`` (the updated columns, sorted; empty for I/D).
+
+    ``compare_cols`` defaults to every non-key column shared by both
+    sides. Null-safe: a null→value or value→null transition counts as
+    a change (eqNullSafe), and a key present in both with identical
+    compared values emits nothing.
+
+    Returns the NEW side's payload for I/U rows and the OLD side's for
+    D rows, under the new schema's shared columns.
+
+    Scale shape: one full-outer join co-partitioned on the key — both
+    sides shuffle once on the same key (two 100 TB snapshots diff as a
+    sort-merge join, never a collect); the change classification and
+    column comparison are scan-stage expressions over the joined row.
+    """
+    shared = [c for c in new.columns if c in set(old.columns)]
+    if compare_cols is None:
+        compare_cols = [c for c in shared if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in keys],
+        F.struct(*[F.col(c) for c in shared]).alias("__old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in keys],
+        F.struct(*[F.col(c) for c in shared]).alias("__new"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__ko_{k}") == F.col(f"__kn_{k}")
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+
+    in_old = F.col("__old").isNotNull()
+    in_new = F.col("__new").isNotNull()
+    diffs = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"__old.{c}").eqNullSafe(F.col(f"__new.{c}")),
+                        F.lit(c),
+                    )
+                    for c in compare_cols
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    op = (
+        F.when(~in_old, F.lit("I"))
+        .when(~in_new, F.lit("D"))
+        .when(F.size(diffs) > 0, F.lit("U"))
+    )
+    payload = F.when(in_new, F.col("__new")).otherwise(F.col("__old"))
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .withColumn(
+            "changed_cols",
+            F.when(F.col("op") == "U", diffs).otherwise(
+                F.array().cast("array<string>")
+            ),
+        )
+        .select(
+            *[payload.getField(c).alias(c) for c in shared],
+            "op",
+            "changed_cols",
+        )
+    )

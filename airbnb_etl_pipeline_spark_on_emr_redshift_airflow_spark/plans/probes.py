@@ -1824,3 +1824,78 @@ def r_bm25_search(spark, sf_dir):
         _BM25_QUERIES, "query_id bigint, q array<string>"
     )
     return bm25_search(toked, queries, k=_BM25_K)
+
+
+_DIFF_OLD = (
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+    "WHERE o_orderkey % 7 <> 0"
+)
+_DIFF_NEW = (
+    "SELECT o_orderkey, o_orderstatus, "
+    "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1 "
+    "ELSE o_totalprice END AS o_totalprice "
+    "FROM orders WHERE o_orderkey % 11 <> 0"
+)
+
+
+@register(
+    "u_snapshot_diff",
+    oracle=f"""
+    WITH old_s AS ({_DIFF_OLD}),
+         new_s AS ({_DIFF_NEW}),
+         j AS (SELECT o.o_orderkey AS ko, n.o_orderkey AS kn,
+                      o.o_orderstatus AS os_o, o.o_totalprice AS tp_o,
+                      n.o_orderstatus AS os_n, n.o_totalprice AS tp_n
+               FROM old_s o FULL OUTER JOIN new_s n
+                 ON o.o_orderkey = n.o_orderkey),
+         c AS (SELECT COALESCE(kn, ko) AS o_orderkey,
+                      CASE WHEN ko IS NULL THEN 'I'
+                           WHEN kn IS NULL THEN 'D'
+                           WHEN os_o IS DISTINCT FROM os_n
+                                OR tp_o IS DISTINCT FROM tp_n THEN 'U'
+                      END AS op,
+                      CASE WHEN kn IS NULL THEN os_o ELSE os_n END
+                        AS o_orderstatus,
+                      CASE WHEN kn IS NULL THEN tp_o ELSE tp_n END
+                        AS o_totalprice,
+                      CASE WHEN ko IS NOT NULL AND kn IS NOT NULL THEN
+                        list_sort(list_filter(
+                          [CASE WHEN os_o IS DISTINCT FROM os_n
+                                THEN 'o_orderstatus' END,
+                           CASE WHEN tp_o IS DISTINCT FROM tp_n
+                                THEN 'o_totalprice' END],
+                          x -> x IS NOT NULL))
+                      ELSE [] END AS changed_cols
+               FROM j)
+    SELECT o_orderkey, o_orderstatus, o_totalprice, op,
+           CASE WHEN op = 'U' THEN changed_cols ELSE [] END AS changed_cols
+    FROM c WHERE op IS NOT NULL
+    """,
+)
+def u_snapshot_diff(spark, sf_dir):
+    """Snapshot diff (``operators.merge.snapshot_diff``, the inverse of
+    the CDC fold): two versions of the orders table — rows inserted
+    (key % 7 = 0 appears only in the new version), deleted (key % 11
+    = 0 dropped from it), and updated (key % 5 = 0 has its total
+    bumped) — diffed into an I/D/U change feed with per-row changed
+    column lists. One co-partitioned full-outer join (both snapshots
+    shuffle once on the key — two 100 TB versions diff as sort-merge,
+    no collect); classification and column comparison are scan-stage.
+    The oracle is the textbook FULL OUTER JOIN form."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.merge import (
+        snapshot_diff,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    old = orders.filter("o_orderkey % 7 <> 0").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter("o_orderkey % 11 <> 0").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr(
+            "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1 "
+            "ELSE o_totalprice END"
+        ).alias("o_totalprice"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])

@@ -152,3 +152,72 @@ def test_agg_state_merge_equals_full_recompute(spark):
     assert got == direct
     assert got["a"] == (3, 0.75, 0.25, -3.0, 2.25)
     assert got["b"] == (2, 7.5, 3.75, 0.5, 7.0)
+
+
+def test_snapshot_diff_classifies_i_d_u(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.merge import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "k bigint, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", None), (4, "d", 40.0)],
+        "k bigint, s string, v double",
+    )
+    rows = {r.k: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    # 1 deleted (old payload), 2 updated (new payload), 3 unchanged
+    # (null-safe equal — no row), 4 inserted
+    assert set(rows) == {1, 2, 4}
+    assert rows[1].op == "D" and rows[1].v == 10.0
+    assert rows[2].op == "U" and rows[2].v == 25.0
+    assert rows[2].changed_cols == ["v"]
+    assert rows[4].op == "I" and rows[4].changed_cols == []
+
+
+def test_snapshot_diff_null_transitions_and_compare_subset(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.merge import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, None, 1.0), (2, "x", 2.0)], "k bigint, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, "now", 1.0), (2, None, 99.0)], "k bigint, s string, v double"
+    )
+    rows = {r.k: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    # null -> value and value -> null both count as changes
+    assert rows[1].op == "U" and rows[1].changed_cols == ["s"]
+    assert sorted(rows[2].changed_cols) == ["s", "v"]
+    # restricting compare_cols hides the v change
+    only_s = {
+        r.k: r
+        for r in snapshot_diff(old, new, ["k"], compare_cols=["s"]).collect()
+    }
+    assert only_s[2].changed_cols == ["s"]
+
+
+def test_snapshot_diff_roundtrips_through_apply_cdc(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.merge import (
+        apply_cdc,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k bigint, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", 30.0), (5, "e", 50.0)],
+        "k bigint, s string, v double",
+    )
+    feed = snapshot_diff(old, new, ["k"]).withColumn(
+        "seq", F.lit(1)
+    )
+    rebuilt = apply_cdc(old, feed, ["k"], "seq", "op", delete_op="D")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
