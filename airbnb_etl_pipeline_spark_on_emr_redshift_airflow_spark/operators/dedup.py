@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Shared normalization: lowercase, collapse non-letters to single
@@ -769,5 +769,86 @@ def boilerplate_strip(
             "n_chunks",
             "n_boilerplate",
             "clean_text",
+        )
+    )
+
+
+def repeated_spans(
+    toked: DataFrame,
+    tokens_col: str = "t",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span detection at EVERY token offset —
+    the ExactSubstr dedup direction (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find, per document,
+    the maximal token spans whose every ``n``-gram also appears in ≥
+    ``min_docs - 1`` OTHER documents. The aligned-chunk
+    :func:`boilerplate_strip` misses a shared passage that starts
+    mid-chunk; this operator fingerprints the sliding window at every
+    position, so a verbatim passage is caught wherever it lands.
+    (Lee et al. use a corpus-wide suffix array — inherently
+    sequential; sliding ``n``-gram fingerprints + island merging is
+    the shuffle-friendly equivalent with min-span resolution ``n``.)
+
+    Returns (id, span_start, span_end, n_windows): token positions are
+    1-based inclusive, ``span_end - span_start + 1 >= n``, and
+    ``n_windows`` is the count of duplicated windows merged into the
+    span. Overlapping or touching windows (next start ≤ prev start +
+    n) merge; documents with no duplicated window emit nothing.
+
+    Scale shape: window fingerprints are a scan-stage generate (one
+    explode; the shuffle key is the 32-byte md5, never the token
+    slice); the document-frequency rollup and the probe join are keyed
+    on the fingerprint (corpus-derived — no broadcast hint; a viral
+    span's fan-out is bounded by its occurrence count, AQE skew-split
+    handles the head); island merging is two same-keyed windows over
+    the doc id (lag + running sum — Catalyst reuses one partitioning)
+    plus the final per-span rollup."""
+    size = f"size({tokens_col})"
+    starts = F.expr(
+        f"CASE WHEN {size} < {n} THEN array() "
+        f"ELSE sequence(1, {size} - {n} + 1) END"
+    )
+    grams = toked.select(
+        F.col(id_col).alias("__id"), F.col(tokens_col), F.explode(starts).alias("pos")
+    ).select(
+        "__id",
+        "pos",
+        F.md5(
+            F.array_join(F.slice(F.col(tokens_col), F.col("pos"), n), " ")
+        ).alias("fp"),
+    )
+    freq = grams.groupBy("fp").agg(
+        F.count_distinct(F.col("__id")).alias("doc_freq")
+    )
+    marked = grams.join(
+        freq.filter(F.col("doc_freq") >= min_docs).select("fp"), "fp"
+    ).select("__id", "pos")
+    w = Window.partitionBy("__id").orderBy("pos")
+    islands = marked.withColumn(
+        "__new",
+        F.when(
+            F.col("pos") > F.coalesce(F.lag("pos").over(w), F.lit(-n)) + n, 1
+        ).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        islands.groupBy("__id", "__island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + F.lit(n) - F.lit(1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "span_start",
+            "span_end",
+            "n_windows",
         )
     )

@@ -1899,3 +1899,75 @@ def u_snapshot_diff(spark, sf_dir):
         ).alias("o_totalprice"),
     )
     return snapshot_diff(old, new, ["o_orderkey"])
+
+
+_SPAN_PHRASE = [
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+    "eta", "theta", "iota", "kappa", "lambda", "mu",
+]
+_SPAN_N = 8
+_SPAN_PHRASE_DUCK = "[" + ", ".join(f"'{w}'" for w in _SPAN_PHRASE) + "]"
+
+
+@register(
+    "d_repeated_spans",
+    oracle=f"""
+    WITH toks0 AS (SELECT doc_id, {_TOKS_DUCK} AS t0 FROM documents),
+         toks AS (SELECT doc_id,
+                         CASE WHEN doc_id % 13 = 0
+                              THEN list_concat({_SPAN_PHRASE_DUCK}, t0)
+                              ELSE t0 END AS t
+                  FROM toks0),
+         grams AS (SELECT doc_id, p AS pos,
+                          md5(array_to_string(t[p:p+{_SPAN_N - 1}], ' '))
+                            AS fp
+                   FROM toks,
+                        UNNEST(range(1, len(t) - {_SPAN_N} + 2)) AS u(p)),
+         freq AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS nd
+                                  FROM grams GROUP BY 1)
+                  WHERE nd >= 2),
+         marked AS (SELECT doc_id, pos FROM grams JOIN freq USING (fp)),
+         isl AS (SELECT doc_id, pos,
+                        CASE WHEN pos > COALESCE(lag(pos) OVER w,
+                                                 -{_SPAN_N}) + {_SPAN_N}
+                             THEN 1 ELSE 0 END AS nw
+                 FROM marked
+                 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         isl2 AS (SELECT doc_id, pos,
+                         SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS island
+                  FROM isl)
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {_SPAN_N - 1} AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM isl2 GROUP BY doc_id, island
+    """,
+)
+def d_repeated_spans(spark, sf_dir):
+    """Cross-document repeated-span detection
+    (``operators.dedup.repeated_spans``, the ExactSubstr direction of
+    Lee et al. 2022): every document carrying a 12-token passage also
+    present in another document gets its maximal duplicated span back
+    — planted here by prepending a shared 12-token phrase to every
+    doc_id % 13 == 0 document, which the sliding 8-gram fingerprints
+    must merge into exactly the [1, 12] island (5 windows); any
+    natural cross-document duplicate surfaces too and the oracle
+    mirrors it. Unlike the aligned-chunk ``boilerplate_strip``, a
+    passage is caught at ANY token offset. Fingerprint shuffles carry
+    the 32-byte md5 (never the token slice); island merging is two
+    same-keyed windows + one rollup."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        repeated_spans,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    phrase = F.array(*[F.lit(w) for w in _SPAN_PHRASE])
+    toked = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(phrase, F.expr(_TOKS))
+        )
+        .otherwise(F.expr(_TOKS))
+        .alias("t"),
+    )
+    return repeated_spans(toked, "t", "doc_id", n=_SPAN_N, min_docs=2)

@@ -512,3 +512,71 @@ def test_boilerplate_strip_partial_tail_chunk_not_merged(spark):
     }
     assert out[0].n_boilerplate == 1 and out[0].clean_text == "x y"
     assert out[1].clean_text == ""
+
+
+def test_repeated_spans_catches_mid_document_passage(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        repeated_spans,
+    )
+
+    shared = ["one", "two", "three", "four", "five", "six", "seven", "eight"]
+    docs = spark.createDataFrame(
+        [
+            # shared 8-gram starts at offset 4 in doc 1, offset 1 in
+            # doc 2 — an ALIGNED chunker would miss the doc-1 copy
+            (1, ["aa", "bb", "cc"] + shared + ["dd"]),
+            (2, shared + ["ee", "ff"]),
+            (3, ["gg", "hh", "ii", "jj", "kk", "ll", "mm", "nn", "oo"]),
+        ],
+        "doc_id bigint, t array<string>",
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.n_windows)
+        for r in repeated_spans(docs, n=8).collect()
+    }
+    assert spans[1] == (4, 11, 1)
+    assert spans[2] == (1, 8, 1)
+    assert 3 not in spans
+
+
+def test_repeated_spans_merges_overlapping_windows(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        repeated_spans,
+    )
+
+    shared = [f"w{i}" for i in range(12)]  # 12-token shared passage
+    docs = spark.createDataFrame(
+        [
+            (1, shared + ["x1", "y1"]),
+            (2, ["z2"] + shared),
+        ],
+        "doc_id bigint, t array<string>",
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.n_windows)
+        for r in repeated_spans(docs, n=8).collect()
+    }
+    # 12-token passage = 5 sliding 8-windows, one merged island
+    assert spans[1] == (1, 12, 5)
+    assert spans[2] == (2, 13, 5)
+
+
+def test_repeated_spans_respects_min_docs_and_short_docs(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        repeated_spans,
+    )
+
+    shared = [f"s{i}" for i in range(8)]
+    docs = spark.createDataFrame(
+        [
+            (1, shared),
+            (2, shared),
+            (3, shared),
+            (4, ["short", "doc"]),  # < n tokens: no windows, no crash
+        ],
+        "doc_id bigint, t array<string>",
+    )
+    three = repeated_spans(docs, n=8, min_docs=3)
+    assert {r.doc_id for r in three.collect()} == {1, 2, 3}
+    four = repeated_spans(docs, n=8, min_docs=4)
+    assert four.count() == 0
