@@ -101,7 +101,25 @@ def train_quality_classifier(
         maxIter=max_iter,
         regParam=reg_param,
     )
-    return lr.fit(labeled)
+    model = lr.fit(labeled)
+    # Drop the training summary. It pins the training-prediction
+    # DataFrame AND the SparkSession inside the model object; scoring
+    # serializes the model into the transform UDF's task closure, so a
+    # summary-carrying model ships driver state to every executor —
+    # and fails outright once the session holds any non-serializable
+    # member (observed: java.io.NotSerializableException on the
+    # session's ObservationManager when ``df.observe`` has been used
+    # anywhere in the process). Stripped, the model is what the
+    # contract says: a coefficient vector. ``setSummary`` is
+    # ``private[ml]`` — public in bytecode, reachable via py4j; if a
+    # future Spark renames it, scoring still works (the summary is
+    # then retained, reintroducing only the closure-weight concern).
+    try:
+        empty = labeled.sparkSession._jvm.scala.Option.empty()
+        model._java_obj.setSummary(empty)
+    except Exception:
+        pass
+    return model
 
 
 def score_quality(
