@@ -852,3 +852,59 @@ def repeated_spans(
             "n_windows",
         )
     )
+
+
+def strip_repeated_spans(
+    toked: DataFrame,
+    tokens_col: str = "t",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style span REMOVAL: cut every cross-document
+    repeated span found by :func:`repeated_spans` out of each
+    document's token array (Lee et al. 2022 delete the duplicated
+    bytes rather than dropping whole documents — dropping a boilerplate
+    footer shouldn't cost the unique article above it).
+
+    Returns every input document as (id, clean_tokens, n_tokens,
+    n_removed): documents with no duplicated span pass through with
+    ``n_removed = 0``; a fully-duplicated document comes back with an
+    empty array (callers typically drop those next).
+
+    Scale shape: the span table is doc-frequency-bounded output of
+    :func:`repeated_spans`; spans fold back to one array-of-intervals
+    row per affected doc (groupBy on the id — per-group state bounded
+    by the doc's own span count), attach by a keyed LEFT join (no
+    broadcast hint — span counts are corpus-derived), and the cut is a
+    scan-stage ``filter`` with a position lambda: no explode of the
+    corpus, no shuffle of token payloads beyond the one id-keyed join.
+    """
+    spans = repeated_spans(toked, tokens_col, id_col, n=n, min_docs=min_docs)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("__spans")
+    )
+    joined = toked.join(per_doc, id_col, "left")
+    no_spans = F.col("__spans").isNull()
+    covered = lambda pos: F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda sp: (sp["s"] <= pos) & (pos <= sp["e"]),
+    )
+    clean = F.when(
+        no_spans, F.col(tokens_col)
+    ).otherwise(
+        # filter's 2-arg lambda indexes from 0; spans are 1-based
+        F.filter(F.col(tokens_col), lambda tok, i: ~covered(i + 1))
+    )
+    return joined.select(
+        F.col(id_col),
+        clean.alias("clean_tokens"),
+        F.size(clean).cast("bigint").alias("n_tokens"),
+        (F.size(F.col(tokens_col)) - F.size(clean))
+        .cast("bigint")
+        .alias("n_removed"),
+    )

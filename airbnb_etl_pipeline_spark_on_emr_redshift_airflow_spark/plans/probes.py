@@ -1971,3 +1971,70 @@ def d_repeated_spans(spark, sf_dir):
         .alias("t"),
     )
     return repeated_spans(toked, "t", "doc_id", n=_SPAN_N, min_docs=2)
+
+
+@register(
+    "d_strip_repeated_spans",
+    oracle=f"""
+    WITH toks0 AS (SELECT doc_id, {_TOKS_DUCK} AS t0 FROM documents),
+         toks AS (SELECT doc_id,
+                         CASE WHEN doc_id % 13 = 0
+                              THEN list_concat({_SPAN_PHRASE_DUCK}, t0)
+                              ELSE t0 END AS t
+                  FROM toks0),
+         grams AS (SELECT doc_id, p AS pos,
+                          md5(array_to_string(t[p:p+{_SPAN_N - 1}], ' '))
+                            AS fp
+                   FROM toks,
+                        UNNEST(range(1, len(t) - {_SPAN_N} + 2)) AS u(p)),
+         freq AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS nd
+                                  FROM grams GROUP BY 1)
+                  WHERE nd >= 2),
+         marked AS (SELECT doc_id, pos FROM grams JOIN freq USING (fp)),
+         isl AS (SELECT doc_id, pos,
+                        CASE WHEN pos > COALESCE(lag(pos) OVER w,
+                                                 -{_SPAN_N}) + {_SPAN_N}
+                             THEN 1 ELSE 0 END AS nw
+                 FROM marked
+                 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         isl2 AS (SELECT doc_id, pos,
+                         SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS island
+                  FROM isl),
+         spans AS (SELECT doc_id, MIN(pos) AS s,
+                          MAX(pos) + {_SPAN_N - 1} AS e
+                   FROM isl2 GROUP BY doc_id, island),
+         removed AS (SELECT doc_id, SUM(e - s + 1) AS n_rm
+                     FROM spans GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(len(t.t) - COALESCE(n_rm, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(n_rm, 0) AS BIGINT) AS n_removed
+    FROM toks t LEFT JOIN removed USING (doc_id)
+    """,
+)
+def d_strip_repeated_spans(spark, sf_dir):
+    """Span REMOVAL (``operators.dedup.strip_repeated_spans``): the
+    action half of the ExactSubstr pair — every document comes back
+    with its cross-document repeated spans cut out of the token array
+    (planted 12-token shared phrase on doc_id % 13 == 0 must remove
+    exactly 12 tokens; untouched docs pass through with n_removed 0;
+    merged spans are disjoint, so the oracle certifies the removal
+    arithmetic as span-length sums without unnesting the corpus).
+    The cut itself is a scan-stage position-lambda ``filter`` after
+    one id-keyed join of the doc-frequency-bounded span table."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        strip_repeated_spans,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    phrase = F.array(*[F.lit(w) for w in _SPAN_PHRASE])
+    toked = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(phrase, F.expr(_TOKS))
+        )
+        .otherwise(F.expr(_TOKS))
+        .alias("t"),
+    )
+    stripped = strip_repeated_spans(toked, "t", "doc_id", n=_SPAN_N)
+    return stripped.select("doc_id", "n_tokens", "n_removed")

@@ -110,6 +110,12 @@ HEADLINE = [
     # importance selection
     "t_url_curation",
     "c_dsir_select",
+    # round-4 additions (cont.): temperature rebalancing, BM25
+    # retrieval, every-offset repeated spans, snapshot diff
+    "c_temperature_rebalance",
+    "r_bm25_search",
+    "d_repeated_spans",
+    "u_snapshot_diff",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.

@@ -580,3 +580,31 @@ def test_repeated_spans_respects_min_docs_and_short_docs(spark):
     assert {r.doc_id for r in three.collect()} == {1, 2, 3}
     four = repeated_spans(docs, n=8, min_docs=4)
     assert four.count() == 0
+
+
+def test_strip_repeated_spans_cuts_exactly_the_spans(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        strip_repeated_spans,
+    )
+
+    shared = [f"w{i}" for i in range(12)]
+    docs = spark.createDataFrame(
+        [
+            (1, ["aa", "bb"] + shared + ["cc"]),
+            (2, shared + ["dd", "ee", "ff"]),
+            (3, ["unique", "tokens", "only", "in", "this", "doc",
+                 "plus", "more", "filler"]),
+            (4, shared),  # fully duplicated -> empty
+        ],
+        "doc_id bigint, t array<string>",
+    )
+    out = {r.doc_id: r for r in strip_repeated_spans(docs, n=8).collect()}
+    assert out[1].clean_tokens == ["aa", "bb", "cc"]
+    assert out[1].n_removed == 12
+    assert out[2].clean_tokens == ["dd", "ee", "ff"]
+    # untouched doc passes through whole
+    assert out[3].n_removed == 0 and out[3].n_tokens == 9
+    # fully-duplicated doc comes back empty, not missing
+    assert out[4].clean_tokens == [] and out[4].n_tokens == 0
+    # every input doc is present
+    assert set(out) == {1, 2, 3, 4}
