@@ -186,3 +186,32 @@ def test_ntile_ranks_are_bucket_partitioned(spark):
     data: the executed plan shows the __bucket hash partitioning."""
     plan = _plan(spark, "w_ntile_percentiles")
     assert "__bucket" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["d_repeated_spans", "d_strip_repeated_spans"]
+)
+def test_repeated_spans_stay_keyed(spark, name):
+    """Sliding-fingerprint span detection partitions on the md5
+    fingerprint and the doc id throughout — no global scalar, no
+    single-partition stage anywhere in either direction."""
+    assert "Exchange SinglePartition" not in _plan(spark, name), name
+
+
+def test_bm25_probe_broadcasts_queries_not_corpus(spark):
+    """The dim-sized query-term table (and the 1-row stats scalar)
+    broadcast into the inverted index; the df/dl attachments stay
+    keyed exchanges."""
+    plan = _plan(spark, "r_bm25_search")
+    assert "BroadcastHashJoin" in plan
+    # exactly one single-partition exchange: the 1-row (n_docs,
+    # sum_dl) scalar — the per-query top-k window partitions on qid
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_snapshot_diff_full_outer_copartitioned(spark):
+    """Two snapshot versions diff as one co-partitioned full-outer
+    join — never a collect, never a single partition."""
+    plan = _plan(spark, "u_snapshot_diff")
+    assert "FullOuter" in plan
+    assert "Exchange SinglePartition" not in plan
