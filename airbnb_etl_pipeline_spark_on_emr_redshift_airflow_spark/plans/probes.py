@@ -1631,73 +1631,6 @@ def c_dsir_select(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------------------
-# Round-4 merged-away originals, re-registered (same names, same
-# oracles) past the window: t_language_share folded into
-# n_language_detect (slice-tagged) and j_inner_composite_key into
-# j_windowed_subquery_using, freeing first-50 slots for t_tfidf_topk
-# and u_merge_apply_cdc.
-
-
-@register(
-    "t_language_share",
-    oracle=f"""
-    WITH tagged AS (
-      SELECT {lang_detect_sql("text")} AS comment_language FROM documents
-    )
-    SELECT comment_language, count(*) AS cnt,
-           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents) AS share
-    FROM tagged GROUP BY comment_language
-    """,
-)
-def t_language_share(spark, sf_dir):
-    """The reference's language-share analytical query
-    (``README.md:265-266``: en 72% / fr 13% / …) over the detected
-    labels — classifier N1 composed with A3/A5. Merged into
-    ``n_language_detect``'s 'share' slice for the driver window;
-    re-registered here unchanged."""
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions import (
-        text as T,
-    )
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
-        ratio_to_total,
-    )
-
-    (docs,) = load(spark, sf_dir, "documents")
-    tagged = T.with_language(docs, "text").select("comment_language")
-    return ratio_to_total(tagged, ["comment_language"])
-
-
-@register(
-    "j_inner_composite_key",
-    oracle=f"""
-    WITH order_flag_totals AS (
-      SELECT l_orderkey, l_returnflag,
-             {dec_sum_sql("l_quantity", "flag_qty")}
-      FROM lineitem GROUP BY l_orderkey, l_returnflag
-    )
-    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, t.flag_qty
-    FROM lineitem l
-    JOIN order_flag_totals t
-      ON l.l_orderkey = t.l_orderkey AND l.l_returnflag = t.l_returnflag
-    """,
-)
-def j_inner_composite_key(spark, sf_dir):
-    """J2 — inner equi-join on a composite key (the temp⋈rain
-    DATE+STAID join, ``apps/process_weather.py:92-95``): each line item
-    picks up its (order, returnflag) group total. Both sides hash on
-    the same composite key — one co-partitioned shuffle. Merged into
-    ``j_windowed_subquery_using`` for the driver window; re-registered
-    here unchanged."""
-    (li,) = load(spark, sf_dir, "lineitem")
-    totals = li.groupBy("l_orderkey", "l_returnflag").agg(
-        dec_sum("l_quantity", "flag_qty")
-    )
-    return li.join(totals, ["l_orderkey", "l_returnflag"]).select(
-        "l_orderkey", "l_linenumber", "l_returnflag", "flag_qty"
-    )
-
-
 @register(
     "c_temperature_rebalance",
     oracle="""
@@ -1868,7 +1801,8 @@ _DIFF_NEW = (
                       ELSE [] END AS changed_cols
                FROM j)
     SELECT o_orderkey, o_orderstatus, o_totalprice, op,
-           CASE WHEN op = 'U' THEN changed_cols ELSE [] END AS changed_cols
+           CASE WHEN op = 'U' THEN array_to_string(changed_cols, ',')
+                ELSE '' END AS changed_cols
     FROM c WHERE op IS NOT NULL
     """,
 )
@@ -1898,7 +1832,12 @@ def u_snapshot_diff(spark, sf_dir):
             "ELSE o_totalprice END"
         ).alias("o_totalprice"),
     )
-    return snapshot_diff(old, new, ["o_orderkey"])
+    # the operator returns changed_cols as array<string>; the catalog
+    # flattens it to a CSV string (the driver's canonicalizer hashes
+    # scalars only — the round-1 a_approx_sketches failure class)
+    return snapshot_diff(old, new, ["o_orderkey"]).withColumn(
+        "changed_cols", F.array_join("changed_cols", ",")
+    )
 
 
 _SPAN_PHRASE = [
@@ -2038,3 +1977,70 @@ def d_strip_repeated_spans(spark, sf_dir):
     )
     stripped = strip_repeated_spans(toked, "t", "doc_id", n=_SPAN_N)
     return stripped.select("doc_id", "n_tokens", "n_removed")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 merged-away originals, re-registered (same names, same
+# oracles) past the window: t_language_share folded into
+# n_language_detect (slice-tagged) and j_inner_composite_key into
+# j_windowed_subquery_using, freeing first-50 slots for t_tfidf_topk
+# and u_merge_apply_cdc.
+
+
+@register(
+    "t_language_share",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT {lang_detect_sql("text")} AS comment_language FROM documents
+    )
+    SELECT comment_language, count(*) AS cnt,
+           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents) AS share
+    FROM tagged GROUP BY comment_language
+    """,
+)
+def t_language_share(spark, sf_dir):
+    """The reference's language-share analytical query
+    (``README.md:265-266``: en 72% / fr 13% / …) over the detected
+    labels — classifier N1 composed with A3/A5. Merged into
+    ``n_language_detect``'s 'share' slice for the driver window;
+    re-registered here unchanged."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions import (
+        text as T,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        ratio_to_total,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    tagged = T.with_language(docs, "text").select("comment_language")
+    return ratio_to_total(tagged, ["comment_language"])
+
+
+@register(
+    "j_inner_composite_key",
+    oracle=f"""
+    WITH order_flag_totals AS (
+      SELECT l_orderkey, l_returnflag,
+             {dec_sum_sql("l_quantity", "flag_qty")}
+      FROM lineitem GROUP BY l_orderkey, l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, t.flag_qty
+    FROM lineitem l
+    JOIN order_flag_totals t
+      ON l.l_orderkey = t.l_orderkey AND l.l_returnflag = t.l_returnflag
+    """,
+)
+def j_inner_composite_key(spark, sf_dir):
+    """J2 — inner equi-join on a composite key (the temp⋈rain
+    DATE+STAID join, ``apps/process_weather.py:92-95``): each line item
+    picks up its (order, returnflag) group total. Both sides hash on
+    the same composite key — one co-partitioned shuffle. Merged into
+    ``j_windowed_subquery_using`` for the driver window; re-registered
+    here unchanged."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    totals = li.groupBy("l_orderkey", "l_returnflag").agg(
+        dec_sum("l_quantity", "flag_qty")
+    )
+    return li.join(totals, ["l_orderkey", "l_returnflag"]).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "flag_qty"
+    )

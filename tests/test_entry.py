@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 88
+    assert len(names) == 93
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -51,6 +51,8 @@ def test_oracle_keys_subset_of_queries(spark):
         "q10_returned_items", "q18_large_orders", "s_text_semdedup",
         "t_bpe_merges", "t_data_card", "t_quality_classifier",
         "t_url_curation", "c_dsir_select",
+        "c_temperature_rebalance", "r_bm25_search", "u_snapshot_diff",
+        "d_repeated_spans", "d_strip_repeated_spans",
         "t_language_share", "j_inner_composite_key",
     ]
 
