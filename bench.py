@@ -115,6 +115,7 @@ HEADLINE = [
     "c_temperature_rebalance",
     "r_bm25_search",
     "d_repeated_spans",
+    "d_strip_repeated_spans",
     "u_snapshot_diff",
 ]
 
