@@ -62,6 +62,14 @@ AUDITED = [
     # CONTRACT (benchmark-sized, same exemption as d_decontaminate)
     "d_embedding_decontaminate",
     "e_interval_attribution",
+    # round-4 cont.: spans stay fingerprint/doc-keyed; BM25's one
+    # SinglePartition is the 1-row (n_docs, avgdl) scalar (exempt);
+    # snapshot diff is one co-partitioned full-outer join
+    "d_repeated_spans",
+    "d_strip_repeated_spans",
+    "r_bm25_search",
+    "u_snapshot_diff",
+    "c_temperature_rebalance",
 ]
 
 # Every input corpus-sized → no broadcast hint allowed anywhere in the
@@ -99,6 +107,9 @@ NO_SINGLE_PARTITION = [
     "e_resample_ffill",
     "j_point_in_time",
     "e_interval_attribution",
+    "d_repeated_spans",
+    "d_strip_repeated_spans",
+    "u_snapshot_diff",
     # t_tfidf_topk exempt: its only SinglePartition exchange is the
     # 1-row global doc count broadcast into the IDF (a scalar, same
     # class as e_funnel_steps' per-step frame)
