@@ -630,3 +630,60 @@ def dsir_select(
     return w.orderBy(
         F.col("dsir_score").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    eval_frac: float,
+    seed: int = 0,
+    u_col: Column | None = None,
+) -> DataFrame:
+    """Train/eval split with a duplicate-leakage guard: every member
+    of a duplicate cluster lands in the SAME split, so a near-copy of
+    an eval document can never sit in train (the split-time
+    counterpart of benchmark decontamination — Lee et al. 2022 measure
+    exactly this eval-leakage effect from naive random splits).
+
+    ``clusters`` maps ``id_col`` -> ``cluster_id`` (from any rung of
+    the dedup ladder: exact-fingerprint groups, MinHash connected
+    components, SemDeDup cells). Documents absent from ``clusters``
+    are singletons. The split decision hashes the CLUSTER key — one
+    deterministic uniform per cluster (``u_col`` overrides it for
+    engine-portable oracle use, receiving the coalesced cluster key as
+    its input column) — so membership, not chance, decides the side.
+
+    Returns the input rows plus ``cluster_key`` (the cluster id as a
+    string, or ``id:<doc id>`` for singletons) and ``split``
+    ('train'/'eval').
+
+    Scale shape: one keyed LEFT join of the (slim) cluster map onto
+    the corpus — no hint; cluster maps are corpus-derived — and a
+    scan-stage hash predicate. No shuffle beyond the join.
+    """
+    cmap = clusters.select(
+        F.col(id_col),
+        F.concat(F.lit("c:"), F.col("cluster_id").cast("string")).alias(
+            "__ckey"
+        ),
+    )
+    joined = df.join(cmap, id_col, "left")
+    ckey = F.coalesce(
+        F.col("__ckey"),
+        F.concat(F.lit("id:"), F.col(id_col).cast("string")),
+    )
+    if u_col is None:
+        u = (
+            F.pmod(F.xxhash64(F.lit(seed), ckey), F.lit(_BUCKETS)) + 0.5
+        ) / _BUCKETS
+    else:
+        u = u_col(ckey) if callable(u_col) else u_col
+    return (
+        joined.withColumn("cluster_key", ckey)
+        .withColumn(
+            "split",
+            F.when(u < F.lit(float(eval_frac)), "eval").otherwise("train"),
+        )
+        .drop("__ckey")
+    )

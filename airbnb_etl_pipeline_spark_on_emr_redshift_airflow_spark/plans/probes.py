@@ -1979,6 +1979,66 @@ def d_strip_repeated_spans(spark, sf_dir):
     return stripped.select("doc_id", "n_tokens", "n_removed")
 
 
+@register(
+    "c_cluster_safe_split",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, {fingerprint_sql("text")} AS f
+                FROM documents),
+         cl AS (SELECT f, MIN(doc_id) AS cluster_id, count(*) AS n
+                FROM fp GROUP BY 1),
+         cmap AS (SELECT fp.doc_id,
+                         'c:' || CAST(cluster_id AS VARCHAR) AS ckey0
+                  FROM fp JOIN cl USING (f) WHERE n >= 2),
+         keyed AS (SELECT d.doc_id,
+                          COALESCE(ckey0,
+                                   'id:' || CAST(d.doc_id AS VARCHAR))
+                            AS cluster_key
+                   FROM documents d LEFT JOIN cmap USING (doc_id))
+    SELECT doc_id, cluster_key,
+           CASE WHEN (CAST('0x' || substr(md5(cluster_key), 1, 6)
+                           AS BIGINT) + CAST(1 AS DOUBLE)/2) / 16777216
+                     < CAST(1 AS DOUBLE)/4
+                THEN 'eval' ELSE 'train' END AS split
+    FROM keyed
+    """,
+)
+def c_cluster_safe_split(spark, sf_dir):
+    """Leakage-safe train/eval split
+    (``operators.sampling.cluster_safe_split``): every member of an
+    exact-duplicate cluster (normalized-text fingerprint groups with
+    ≥2 members — the first rung of the dedup ladder; MinHash
+    components or SemDeDup cells plug in identically) lands in the
+    SAME 25%-eval split, so a copy of an eval document can never sit
+    in train. The split hashes the CLUSTER key through the
+    engine-portable md5 uniform (the /2²⁴ denominator is a power of
+    two — every division is IEEE-exact, so the whole assignment
+    hash-checks). One keyed left join + scan-stage predicate."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions.text import (
+        fingerprint,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", fingerprint("text").alias("f"))
+    cl = fp.groupBy("f").agg(
+        F.min("doc_id").alias("cluster_id"), F.count(F.lit(1)).alias("n")
+    )
+    clusters = fp.join(cl.filter("n >= 2"), "f").select(
+        "doc_id", "cluster_id"
+    )
+
+    def u(ckey):
+        return (
+            F.conv(F.md5(ckey).substr(1, 6), 16, 10).cast("bigint")
+            + F.lit(0.5)
+        ) / F.lit(16777216.0)
+
+    out = cluster_safe_split(docs, "doc_id", clusters, 0.25, u_col=u)
+    return out.select("doc_id", "cluster_key", "split")
+
+
 # ---------------------------------------------------------------------------
 # Round-4 merged-away originals, re-registered (same names, same
 # oracles) past the window: t_language_share folded into

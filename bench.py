@@ -117,6 +117,7 @@ HEADLINE = [
     "d_repeated_spans",
     "d_strip_repeated_spans",
     "u_snapshot_diff",
+    "c_cluster_safe_split",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.

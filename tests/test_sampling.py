@@ -472,3 +472,60 @@ def test_temperature_rebalance_arg_validation(spark):
         temperature_rebalance(
             docs, "lang", ["doc_id"], target_frac=0.5, target_total=10
         )
+
+
+def test_cluster_safe_split_keeps_clusters_together(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id bigint, text string"
+    )
+    # clusters: (0,1,2) together, (10,11) together, rest singletons
+    clusters = spark.createDataFrame(
+        [(0, 100), (1, 100), (2, 100), (10, 200), (11, 200)],
+        "doc_id bigint, cluster_id bigint",
+    )
+    out = cluster_safe_split(docs, "doc_id", clusters, 0.3, seed=1)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 200
+    # all cluster members share a side and a key
+    assert len({rows[i].split for i in (0, 1, 2)}) == 1
+    assert len({rows[i].cluster_key for i in (0, 1, 2)}) == 1
+    assert rows[0].cluster_key == "c:100"
+    assert len({rows[i].split for i in (10, 11)}) == 1
+    assert rows[50].cluster_key == "id:50"
+    # both sides populated at ~30/70
+    n_eval = sum(1 for r in rows.values() if r.split == "eval")
+    assert 30 <= n_eval <= 90
+    # deterministic and layout-independent
+    again = {
+        r.doc_id: r.split
+        for r in cluster_safe_split(
+            docs.repartition(7), "doc_id", clusters, 0.3, seed=1
+        ).collect()
+    }
+    assert again == {k: v.split for k, v in rows.items()}
+
+
+def test_cluster_safe_split_with_minhash_clusters(spark):
+    """End-to-end with the real dedup ladder: planted MinHash twins
+    must land on the same side of the split."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        connected_components,
+        minhash_near_dups,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    twins = base.selectExpr("doc_id + 100000 AS doc_id", "text")
+    docs = base.select("doc_id", "text").unionByName(twins)
+    pairs = minhash_near_dups(docs)
+    clusters = connected_components(pairs).select("doc_id", "cluster_id")
+    out = cluster_safe_split(docs, "doc_id", clusters, 0.5, seed=2)
+    sides = {r.doc_id: r.split for r in out.collect()}
+    for r in base.select("doc_id").collect():
+        assert sides[r.doc_id] == sides[r.doc_id + 100000], r.doc_id
