@@ -127,3 +127,116 @@ def bm25_search(
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+def bm25_index(
+    toked: DataFrame,
+    tokens_col: str = "t",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable BM25 index for a corpus (or one ingest
+    batch): ``(tf, dl)`` where ``tf`` is the inverted (id, term, tf)
+    table and ``dl`` the (id, dl) document lengths. Everything else
+    BM25 needs — df, n_docs, avgdl — is a rollup of these two, so the
+    pair IS the index: write both as parquet (partition ``tf`` by a
+    hash of ``term`` for probe locality) and maintain them additively
+    (:func:`merge_bm25_index`) instead of re-scanning 100 TB per day.
+    Same ledger discipline as the unigram/bigram LM tables
+    (``operators.aggregates.unigram_lm_counts``)."""
+    terms = toked.select(
+        F.col(id_col).alias("id"), F.explode(F.col(tokens_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toked.select(
+        F.col(id_col).alias("id"),
+        F.size(F.col(tokens_col)).cast("bigint").alias("dl"),
+    )
+    return tf, dl
+
+
+def merge_bm25_index(
+    a: tuple[DataFrame, DataFrame], b: tuple[DataFrame, DataFrame]
+) -> tuple[DataFrame, DataFrame]:
+    """Merge two BM25 indexes over DISJOINT document sets (the daily
+    ingest case: yesterday's index + today's batch). Because doc sets
+    are disjoint, the merge is a pure union — no aggregation at all:
+    (id, term) keys cannot collide, df/n_docs/avgdl are derived
+    downstream and additivity falls out of the rollup. Exact:
+    ``merge(index(A), index(B)) == index(A ∪ B)`` row-for-row."""
+    return (
+        a[0].unionByName(b[0]),
+        a[1].unionByName(b[1]),
+    )
+
+
+def bm25_search_with(
+    index: tuple[DataFrame, DataFrame],
+    queries: DataFrame,
+    k: int,
+    qid_col: str = "query_id",
+    qterms_col: str = "q",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-``k`` from a persisted index (``(tf, dl)`` from
+    :func:`bm25_index`, typically read back from parquet): identical
+    scoring and plan shape to the fused :func:`bm25_search` — df and
+    the (n_docs, sum_dl) scalar are rollups of the index tables, the
+    dim-sized query terms broadcast into ``tf``, scores are exact
+    fixed-point integers. Fused ≡ indexed equality is pinned by
+    test."""
+    tf, dl = index
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    qterms = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.explode(F.array_distinct(F.col(qterms_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    probed = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    w_term = (
+        idf
+        * (tf_d * F.lit(k1 + 1.0))
+        / (
+            tf_d
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl").cast("double") / avgdl
+            )
+        )
+    )
+    contrib = F.floor(w_term * F.lit(_SCALE) + F.lit(0.5)).cast("bigint")
+    scored = (
+        probed.select("qid", "id", contrib.alias("w_q4"))
+        .groupBy("qid", "id")
+        .agg(F.sum("w_q4").cast("bigint").alias("score_q4"))
+    )
+    rank = Window.partitionBy("qid").orderBy(
+        F.col("score_q4").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(rank))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("qid").alias(qid_col),
+            F.col("id").alias(id_col),
+            "score_q4",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

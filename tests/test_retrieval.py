@@ -66,3 +66,41 @@ def test_bm25_repeated_query_terms_count_once(spark):
     a = sorted(map(tuple, bm25_search(docs, q1, k=5).collect()))
     b = sorted(map(tuple, bm25_search(docs, q2, k=5).collect()))
     assert a == b
+
+
+def test_bm25_index_merge_equals_full_rebuild(spark, tmp_dir):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.retrieval import (
+        bm25_index,
+        bm25_search_with,
+        merge_bm25_index,
+    )
+
+    docs = _corpus(spark)
+    day1 = docs.filter("doc_id <= 3")
+    day2 = docs.filter("doc_id > 3")
+    # persist day-1 index, read back, merge with day-2 batch
+    tf1, dl1 = bm25_index(day1)
+    tf1.write.mode("overwrite").parquet(f"{tmp_dir}/tf1")
+    dl1.write.mode("overwrite").parquet(f"{tmp_dir}/dl1")
+    restored = (
+        spark.read.parquet(f"{tmp_dir}/tf1"),
+        spark.read.parquet(f"{tmp_dir}/dl1"),
+    )
+    merged = merge_bm25_index(restored, bm25_index(day2))
+    full = bm25_index(docs)
+    for m, f in zip(merged, full):
+        assert sorted(map(tuple, m.collect())) == sorted(
+            map(tuple, f.collect())
+        )
+    # and the search over the merged index matches the fused operator
+    queries = spark.createDataFrame(
+        [(1, ["spark"]), (2, ["join", "merge"])],
+        "query_id bigint, q array<string>",
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.retrieval import (
+        bm25_search,
+    )
+
+    a = sorted(map(tuple, bm25_search_with(merged, queries, k=3).collect()))
+    b = sorted(map(tuple, bm25_search(docs, queries, k=3).collect()))
+    assert a == b
