@@ -324,3 +324,110 @@ def test_boilerplate_strip_identity_when_chunks_unique(spark, docs):
     for i, toks in rows:
         assert out[i].n_boilerplate == 0
         assert out[i].clean_text == " ".join(toks)
+
+
+@SLOW
+@given(old=rows, new=rows)
+def test_snapshot_diff_apply_cdc_roundtrip(spark, old, new):
+    """For ANY two snapshots (unique-keyed), applying the diff of
+    (old -> new) onto old reproduces new exactly — diff and fold are
+    inverses."""
+    from pyspark.sql import functions as F
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.merge import (
+        apply_cdc,
+        snapshot_diff,
+    )
+
+    def snap(data):
+        # dedup to unique keys: last tuple per key wins
+        uniq = {}
+        for k, o, p in data:
+            uniq[k] = (k, o, p)
+        vals = list(uniq.values())
+        schema = "k int, ord int, payload int"
+        return (
+            spark.createDataFrame(vals, schema)
+            if vals
+            else spark.createDataFrame([], schema)
+        )
+
+    o, n = snap(old), snap(new)
+    feed = snapshot_diff(o, n, ["k"]).withColumn("seq", F.lit(1))
+    if not feed.head(1):
+        # no changes: snapshots must already be equal
+        assert sorted(map(tuple, o.collect())) == sorted(
+            map(tuple, n.collect())
+        )
+        return
+    rebuilt = apply_cdc(o, feed, ["k"], "seq", "op", delete_op="D")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, n.collect())
+    )
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d"]),
+                min_size=0,
+                max_size=14,
+            ),
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+)
+def test_repeated_spans_invariants(spark, docs):
+    """For ANY corpus: spans are within bounds, at least n long,
+    disjoint and non-adjacent per doc, and every reported span's
+    n-grams genuinely repeat across >= 2 docs."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        repeated_spans,
+    )
+
+    uniq = {}
+    for k, toks in docs:
+        uniq[k] = (k, toks)
+    vals = list(uniq.values())
+    schema = "doc_id int, t array<string>"
+    df = (
+        spark.createDataFrame(vals, schema)
+        if vals
+        else spark.createDataFrame([], schema)
+    )
+    n = 3
+    out = repeated_spans(df, n=n).collect()
+    toks = dict(vals)
+    # ground truth: n-grams by doc
+    from collections import defaultdict
+
+    where = defaultdict(set)
+    for d, ts in vals:
+        for i in range(len(ts) - n + 1):
+            where[tuple(ts[i:i + n])].add(d)
+    dup_positions = defaultdict(set)
+    for d, ts in vals:
+        for i in range(len(ts) - n + 1):
+            if len(where[tuple(ts[i:i + n])]) >= 2:
+                dup_positions[d].add(i + 1)
+    per_doc = defaultdict(list)
+    for r in out:
+        assert 1 <= r.span_start <= r.span_end <= len(toks[r.doc_id])
+        assert r.span_end - r.span_start + 1 >= n
+        per_doc[r.doc_id].append((r.span_start, r.span_end))
+    # spans tile exactly the duplicated window positions
+    for d, spans in per_doc.items():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1  # disjoint, non-mergeable
+        got = {
+            p
+            for s, e in spans
+            for p in range(s, e - n + 2)
+        }
+        assert got == dup_positions[d]
+    assert set(per_doc) == {d for d, ps in dup_positions.items() if ps}
