@@ -687,3 +687,48 @@ def cluster_safe_split(
         )
         .drop("__ckey")
     )
+
+
+def materialize_packs(
+    packed: DataFrame,
+    tokens_col: str,
+    sep_token: str | None = None,
+) -> DataFrame:
+    """Turn :func:`pack_sequences` assignments into the actual packed
+    token arrays — the last hop before training batches: one row per
+    ``pack_id`` with the member documents' tokens concatenated in
+    ``pack_offset`` order, optionally joined by ``sep_token`` (the
+    EOS/document-boundary marker every LM pretraining batch carries).
+
+    Input is the :func:`pack_sequences` output plus the token column.
+    Returns (pack_id, n_docs, n_tokens, tokens).
+
+    Scale shape: one shuffle on ``pack_id``; per-group state is ONE
+    pack's tokens — bounded by ``max_len`` (+ separators) by the
+    packing contract, regardless of corpus size. The offset-ordered
+    concatenation is ``array_sort`` on (offset, tokens) structs +
+    ``flatten`` — pure column expressions, no Python.
+    """
+    sep = (
+        F.array(F.lit(sep_token))
+        if sep_token is not None
+        else F.array().cast("array<string>")
+    )
+    member = F.struct(
+        F.col("pack_offset").alias("o"),
+        F.concat(F.col(tokens_col), sep).alias("tk"),
+    )
+    rolled = (
+        packed.select("pack_id", member.alias("__m"))
+        .groupBy("pack_id")
+        .agg(F.collect_list("__m").alias("__ms"))
+    )
+    toks = F.flatten(
+        F.transform(F.array_sort(F.col("__ms")), lambda m: m["tk"])
+    )
+    return rolled.select(
+        "pack_id",
+        F.size("__ms").cast("bigint").alias("n_docs"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        toks.alias("tokens"),
+    )

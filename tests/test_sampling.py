@@ -529,3 +529,42 @@ def test_cluster_safe_split_with_minhash_clusters(spark):
     sides = {r.doc_id: r.split for r in out.collect()}
     for r in base.select("doc_id").collect():
         assert sides[r.doc_id] == sides[r.doc_id + 100000], r.doc_id
+
+
+def test_materialize_packs_orders_and_bounds(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        materialize_packs,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, [f"d{i}t{j}" for j in range(3 + i % 4)])
+            for i in range(30)
+        ],
+        "doc_id bigint, toks array<string>",
+    )
+    sized = docs.withColumn("n", F.size("toks").cast("bigint"))
+    packed = pack_sequences(
+        sized, "n", max_len=10, key_cols=["doc_id"], n_groups=4
+    )
+    out = materialize_packs(packed, "toks", sep_token="<eos>").collect()
+    assert out
+    total_docs = sum(r.n_docs for r in out)
+    assert total_docs == 30  # every doc lands in exactly one pack
+    by_pack = {r.pack_id: r for r in out}
+    rows = {r.doc_id: r for r in packed.collect()}
+    for r in out:
+        # tokens + separators fit the window bound
+        assert r.n_tokens <= 10 + r.n_docs  # one <eos> per member doc
+        assert r.tokens.count("<eos>") == r.n_docs
+        # members appear in pack_offset order
+        members = sorted(
+            (m for m in rows.values() if m.pack_id == r.pack_id),
+            key=lambda m: m.pack_offset,
+        )
+        want = []
+        for m in members:
+            want += list(m.toks) + ["<eos>"]
+        assert r.tokens == want
+    assert set(by_pack) == {r.pack_id for r in rows.values()}
