@@ -71,6 +71,7 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog impor
     EVENTS_SRC,
     load,
     register,
+    views,
 )
 
 
@@ -2037,6 +2038,75 @@ def c_cluster_safe_split(spark, sf_dir):
 
     out = cluster_safe_split(docs, "doc_id", clusters, 0.25, u_col=u)
     return out.select("doc_id", "cluster_key", "split")
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 20
+"""
+
+
+@register("q16_supplier_relation", oracle=_Q16_SQL)
+def q16_supplier_relation(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship, adapted to the
+    testdata schema — lineitem stands in for partsupp): per
+    (brand, type, size) count of DISTINCT suppliers, excluding one
+    brand, a type family, and a "complaints" supplier set via NOT IN.
+    ONE SQL string runs verbatim on both engines. Plan: both dim
+    filters push into the part scan; NOT IN over the non-null key
+    rewrites to a broadcast null-aware anti join (supplier is
+    dim-sized); the distinct-agg plans as two cascaded aggregates on
+    the (brand, type, size, suppkey) grain — partial map-side first,
+    so the shuffle carries pre-deduped rows; top-20 is
+    TakeOrderedAndProject with the full grain tie-break."""
+    views(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(_Q16_SQL)
+
+
+_Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@register("q21_waiting_supplier", oracle=_Q21_SQL)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting — the
+    hardest classic: correlated EXISTS + NOT EXISTS self-joins;
+    returnflag='R' stands in for the missing receipt/commit dates):
+    suppliers solely responsible for the R-flag on a finished
+    multi-supplier order. ONE SQL string runs verbatim on both
+    engines. Plan: Catalyst rewrites the correlated EXISTS into a
+    LeftSemi and the NOT EXISTS into a LeftAnti on l_orderkey with
+    the <> condition as a join residual — three passes over lineitem
+    co-partitioned on the SAME orderkey hash (one exchange each, no
+    nested-loop anywhere), then the supplier dim broadcasts and the
+    count rolls up on s_name."""
+    views(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(_Q21_SQL)
 
 
 # ---------------------------------------------------------------------------

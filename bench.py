@@ -118,6 +118,8 @@ HEADLINE = [
     "d_strip_repeated_spans",
     "u_snapshot_diff",
     "c_cluster_safe_split",
+    "q16_supplier_relation",
+    "q21_waiting_supplier",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.
