@@ -2109,6 +2109,62 @@ def q21_waiting_supplier(spark, sf_dir):
     return spark.sql(_Q21_SQL)
 
 
+_BFS_HOPS = 3
+
+
+@register(
+    "g_bfs_reachability",
+    oracle=f"""
+    WITH RECURSIVE
+      e AS (SELECT 'o:' || CAST(l_orderkey AS VARCHAR) AS src,
+                   'p:' || CAST(l_partkey AS VARCHAR) AS dst
+            FROM lineitem
+            UNION ALL
+            SELECT 'p:' || CAST(l_partkey AS VARCHAR),
+                   'o:' || CAST(l_orderkey AS VARCHAR)
+            FROM lineitem),
+      seeds AS (SELECT DISTINCT 'o:' || CAST(o_orderkey AS VARCHAR) AS node
+                FROM orders WHERE o_orderkey % 1000 = 0),
+      r AS (SELECT node, 0 AS hops FROM seeds
+            UNION
+            SELECT e.dst, r.hops + 1
+            FROM r JOIN e ON e.src = r.node
+            WHERE r.hops < {_BFS_HOPS})
+    SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+    FROM r GROUP BY node
+    """,
+)
+def g_bfs_reachability(spark, sf_dir):
+    """BFS reachability (``operators.graph.bfs_min_hops``): minimum
+    hop counts from a seed order set over the undirected order–part
+    bipartite graph (lineitem rows are the edges) up to 3 hops — the
+    blast-radius / lineage-traversal ask Spark answers by frontier
+    iteration where engines with recursive CTEs (the DuckDB oracle
+    here, verbatim WITH RECURSIVE) recurse. Each round is one
+    frontier-keyed join + anti-join against the visited set (cost
+    bounded by the edge frontier, never nodes²), localCheckpoint cuts
+    the growing lineage, and BFS's first-visit property IS the MIN
+    the oracle aggregates — certified identical."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.graph import (
+        bfs_min_hops,
+    )
+
+    li, orders = load(spark, sf_dir, "lineitem", "orders")
+    fwd = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = (
+        orders.filter("o_orderkey % 1000 = 0")
+        .select(
+            F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("node")
+        )
+        .distinct()
+    )
+    return bfs_min_hops(edges, seeds, max_hops=_BFS_HOPS)
+
+
 # ---------------------------------------------------------------------------
 # Round-4 merged-away originals, re-registered (same names, same
 # oracles) past the window: t_language_share folded into

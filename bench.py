@@ -120,6 +120,7 @@ HEADLINE = [
     "c_cluster_safe_split",
     "q16_supplier_relation",
     "q21_waiting_supplier",
+    "g_bfs_reachability",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.
