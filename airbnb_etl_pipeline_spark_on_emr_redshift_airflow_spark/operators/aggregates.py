@@ -67,15 +67,23 @@ def ratio_to_total(
 ) -> DataFrame:
     """Per-group count share of the grand total. The reference does
     this with a scalar subquery in the SELECT list (cell 41/47:
-    ``count(*)::decimal / (SELECT count(*) ...)``); here the total
-    comes from an unpartitioned window sum over the (tiny) aggregated
-    result — no second scan of the input.
+    ``count(*)::decimal / (SELECT count(*) ...)``); here the total is
+    a 1-row rollup of the aggregated counts attached by bounded
+    broadcast crossJoin — no second scan of the input, and no
+    single-partition window either, so the shape survives
+    high-cardinality groups (per-token shares over a vocabulary)
+    where the earlier unpartitioned-window form would funnel the
+    whole aggregate through one task.
     """
-    from pyspark.sql import Window
-
     counts = df.groupBy(*group).agg(F.count("*").alias("cnt"))
-    total = F.sum("cnt").over(Window.partitionBy())
-    return counts.withColumn(alias, (F.col("cnt").cast("double") / total))
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            alias, F.col("cnt").cast("double") / F.col("__total").cast("double")
+        )
+        .drop("__total")
+    )
 
 
 def nested_histogram(
