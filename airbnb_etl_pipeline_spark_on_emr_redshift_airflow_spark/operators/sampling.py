@@ -595,7 +595,7 @@ def temperature_rebalance(
     rates = (
         counts.crossJoin(F.broadcast(totals))
         .select(
-            group_col,
+            F.col(group_col).alias("__grp"),
             F.least(
                 F.lit(1.0),
                 _powa(F.col("__n_g"))
@@ -606,7 +606,14 @@ def temperature_rebalance(
         )
     )
     u = u_col if u_col is not None else hash_uniform(key_cols, seed)
-    return df.join(rates, group_col).filter(u < F.col("keep_rate"))
+    # Null-safe group match: groupBy counts nulls as their own group,
+    # so a null-group row must find its rate too (a plain equi-join
+    # would silently drop every null-group row).
+    return (
+        df.join(rates, F.col(group_col).eqNullSafe(F.col("__grp")))
+        .drop("__grp")
+        .filter(u < F.col("keep_rate"))
+    )
 
 
 def dsir_select(
@@ -662,11 +669,19 @@ def cluster_safe_split(
     the corpus — no hint; cluster maps are corpus-derived — and a
     scan-stage hash predicate. No shuffle beyond the join.
     """
-    cmap = clusters.select(
-        F.col(id_col),
-        F.concat(F.lit("c:"), F.col("cluster_id").cast("string")).alias(
-            "__ckey"
-        ),
+    # Resolve overlapping memberships deterministically (a doc listed
+    # under two clusters — e.g. raw pair output — would otherwise
+    # DUPLICATE its corpus row through the join): min cluster wins.
+    # One extra shuffle of the slim map only.
+    cmap = (
+        clusters.groupBy(id_col)
+        .agg(F.min("cluster_id").alias("__cid"))
+        .select(
+            F.col(id_col),
+            F.concat(F.lit("c:"), F.col("__cid").cast("string")).alias(
+                "__ckey"
+            ),
+        )
     )
     joined = df.join(cmap, id_col, "left")
     ckey = F.coalesce(

@@ -568,3 +568,34 @@ def test_materialize_packs_orders_and_bounds(spark):
             want += list(m.toks) + ["<eos>"]
         assert r.tokens == want
     assert set(by_pack) == {r.pack_id for r in rows.values()}
+
+
+def test_temperature_rebalance_null_group_not_dropped(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        temperature_rebalance,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else None) for i in range(60)],
+        "doc_id bigint, lang string",
+    )
+    out = temperature_rebalance(
+        docs, "lang", ["doc_id"], alpha=0.5, target_frac=1.0, seed=0
+    )
+    # the null-lang group participates like any other group
+    assert out.filter(F.col("lang").isNull()).count() > 0
+
+
+def test_cluster_safe_split_overlapping_map_no_duplication(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
+    overlapping = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10)], "doc_id bigint, cluster_id bigint"
+    )
+    out = cluster_safe_split(docs, "doc_id", overlapping, 0.5).collect()
+    assert len(out) == 2  # one row per input doc, min cluster wins
+    keys = {r.doc_id: r.cluster_key for r in out}
+    assert keys == {1: "c:10", 2: "c:10"}
