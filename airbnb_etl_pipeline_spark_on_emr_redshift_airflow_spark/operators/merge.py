@@ -120,9 +120,13 @@ def snapshot_diff(
     ``changed_cols`` (the updated columns, sorted; empty for I/D).
 
     ``compare_cols`` defaults to every non-key column shared by both
-    sides. Null-safe: a null→value or value→null transition counts as
-    a change (eqNullSafe), and a key present in both with identical
-    compared values emits nothing.
+    sides. Null-safe on VALUES: a null→value or value→null transition
+    counts as a change (eqNullSafe), and a key present in both with
+    identical compared values emits nothing. Contract on KEYS: unique
+    and non-null per side (the snapshot invariant ``apply_cdc``
+    maintains) — duplicate keys would fan out through the join, and a
+    null key never equi-matches, so it would misreport as one D plus
+    one I.
 
     Returns the NEW side's payload for I/U rows and the OLD side's for
     D rows, under the new schema's shared columns.
