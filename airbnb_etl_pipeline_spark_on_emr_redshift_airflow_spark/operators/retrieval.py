@@ -240,3 +240,67 @@ def bm25_search_with(
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    topk: int,
+    qid_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    k: int = 60,
+    scale: int = 100_000_000,
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al. 2009) — the standard
+    hybrid-search combiner: each ranking contributes ``1 / (k +
+    rank)`` per document and the fused order is the per-(query, doc)
+    sum. Rank-based, so a lexical BM25 list and a dense cosine list
+    fuse without score calibration.
+
+    Every input DataFrame carries (``qid_col``, ``id_col``,
+    ``rank_col``); contributions are computed as the INTEGER division
+    ``scale DIV (k + rank)`` — pure integer arithmetic end to end, so
+    fused scores are identical on any engine and any accumulation
+    order (no floating point anywhere). Returns (``qid_col``,
+    ``id_col``, ``rrf_fp``, ``n_lists``, ``rnk`` ≤ topk), ties broken
+    on the doc id; ``n_lists`` counts how many rankings carried the
+    doc.
+
+    Scale shape: each ranking is already top-k-per-query sized (query
+    count × k rows — dim-sized by construction), so the union +
+    groupBy + per-query window all operate on frames bounded by the
+    QUERY set, never the corpus.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    tagged = [
+        r.select(
+            F.col(qid_col).alias("qid"),
+            F.col(id_col).alias("id"),
+            F.expr(
+                f"CAST({int(scale)} DIV ({int(k)} + {rank_col}) AS BIGINT)"
+            ).alias("contrib"),
+        )
+        for r in rankings
+    ]
+    unioned = tagged[0]
+    for t in tagged[1:]:
+        unioned = unioned.unionByName(t)
+    fused = unioned.groupBy("qid", "id").agg(
+        F.sum("contrib").cast("bigint").alias("rrf_fp"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("rrf_fp").desc(), F.col("id").asc()
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select(
+            F.col("qid").alias(qid_col),
+            F.col("id").alias(id_col),
+            "rrf_fp",
+            "n_lists",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

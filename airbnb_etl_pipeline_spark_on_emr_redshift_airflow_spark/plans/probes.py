@@ -2165,6 +2165,114 @@ def g_bfs_reachability(spark, sf_dir):
     return bfs_min_hops(edges, seeds, max_hops=_BFS_HOPS)
 
 
+_RRF_QIDS = (7, 42, 99)
+_RRF_K_LEG, _RRF_TOPK, _RRF_K = 20, 10, 60
+_RRF_IDS_SQL = ", ".join(str(i) for i in _RRF_QIDS)
+
+
+@register(
+    "r_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+         q AS (SELECT DISTINCT doc_id AS qid, unnest(t) AS term
+               FROM toks WHERE doc_id IN ({_RRF_IDS_SQL})),
+         terms AS (SELECT doc_id AS id, unnest(t) AS term FROM toks),
+         tf AS (SELECT id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         dl AS (SELECT doc_id AS id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(SUM(len(t)) AS BIGINT) AS sum_dl FROM toks),
+         contrib AS (
+           SELECT q.qid, tf.id,
+                  CAST(FLOOR(
+                    ln(1 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+                            + CAST(1 AS DOUBLE)/2)
+                           / (CAST(df AS DOUBLE) + CAST(1 AS DOUBLE)/2))
+                    * (CAST(tf AS DOUBLE) * (CAST(12 AS DOUBLE)/10 + 1))
+                    / (CAST(tf AS DOUBLE)
+                       + CAST(12 AS DOUBLE)/10
+                         * (CAST(1 AS DOUBLE)/4
+                            + CAST(3 AS DOUBLE)/4 * CAST(dl AS DOUBLE)
+                              / (CAST(sum_dl AS DOUBLE)
+                                 / CAST(n_docs AS DOUBLE))))
+                    * 10000 + CAST(1 AS DOUBLE)/2) AS BIGINT) AS w_q4
+           FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+                JOIN dl USING (id) CROSS JOIN stats),
+         lex_scored AS (SELECT qid, id,
+                               CAST(SUM(w_q4) AS BIGINT) AS score_q4
+                        FROM contrib GROUP BY 1, 2),
+         lex AS (SELECT qid, id,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY score_q4 DESC, id) AS rnk
+                 FROM lex_scored
+                 QUALIFY rnk <= {_RRF_K_LEG}),
+         qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id IN ({_RRF_IDS_SQL})),
+         den_scored AS (
+           SELECT qv.qid, c.vec_id AS id,
+                  (list_dot_product(CAST(c.embedding AS DOUBLE[]), qv.v)
+                   / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(qv.v, qv.v)))) AS cos_sim
+           FROM embeddings c, qv WHERE c.vec_id <> qv.qid),
+         den AS (SELECT qid, id,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY cos_sim DESC, id) AS rnk
+                 FROM den_scored
+                 QUALIFY rnk <= {_RRF_K_LEG}),
+         legs AS (SELECT qid, id, 100000000 // ({_RRF_K} + rnk) AS c
+                  FROM lex WHERE id <> qid
+                  UNION ALL
+                  SELECT qid, id, 100000000 // ({_RRF_K} + rnk) FROM den),
+         fused AS (SELECT qid, id, CAST(SUM(c) AS BIGINT) AS rrf_fp,
+                          CAST(count(*) AS BIGINT) AS n_lists
+                   FROM legs GROUP BY 1, 2)
+    SELECT qid AS query_id, id AS doc_id, rrf_fp, n_lists,
+           CAST(row_number() OVER (PARTITION BY qid
+                                   ORDER BY rrf_fp DESC, id) AS BIGINT) AS rnk
+    FROM fused
+    QUALIFY rnk <= {_RRF_TOPK}
+    """,
+)
+def r_hybrid_rrf(spark, sf_dir):
+    """Hybrid search via reciprocal rank fusion
+    (``operators.retrieval.rrf_fuse``, Cormack et al. 2009): three
+    query documents run BOTH retrieval modalities — their tokens as a
+    BM25 keyword query over the inverted index, their embedding as an
+    exact-cosine dense query — and the two top-20 lists fuse by
+    ``Σ scale DIV (60 + rank)``: pure INTEGER arithmetic, so the
+    fused scores hash-check with no floating point anywhere in the
+    combiner (the legs' own determinism devices are the fixed-point
+    BM25 quantization and the shared IEEE fold order of the cosine).
+    The lexical leg drops the query doc itself (rank gap preserved,
+    mirrored by the oracle); dense excludes self by construction.
+    Fusion frames are query-count × k — dim-sized, never corpus."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.retrieval import (
+        bm25_search,
+        rrf_fuse,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    docs, emb = load(spark, sf_dir, "documents", "embeddings")
+    toked = docs.select("doc_id", F.expr(_TOKS).alias("t"))
+    qdocs = toked.filter(F.col("doc_id").isin(*_RRF_QIDS)).select(
+        F.col("doc_id").alias("query_id"), F.col("t").alias("q")
+    )
+    lex = bm25_search(toked, qdocs, k=_RRF_K_LEG).filter(
+        F.col("doc_id") != F.col("query_id")
+    )
+    den = brute_force_topk(
+        emb, emb.filter(F.col("vec_id").isin(*_RRF_QIDS)), k=_RRF_K_LEG
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("rnk"),
+    )
+    return rrf_fuse([lex, den], topk=_RRF_TOPK, k=_RRF_K)
+
+
 # ---------------------------------------------------------------------------
 # Round-4 merged-away originals, re-registered (same names, same
 # oracles) past the window: t_language_share folded into

@@ -121,6 +121,7 @@ HEADLINE = [
     "q16_supplier_relation",
     "q21_waiting_supplier",
     "g_bfs_reachability",
+    "r_hybrid_rrf",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.

@@ -104,3 +104,43 @@ def test_bm25_index_merge_equals_full_rebuild(spark, tmp_dir):
     a = sorted(map(tuple, bm25_search_with(merged, queries, k=3).collect()))
     b = sorted(map(tuple, bm25_search(docs, queries, k=3).collect()))
     assert a == b
+
+
+def test_rrf_fuse_integer_scores_and_ranking(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)],
+        "query_id bigint, doc_id bigint, rnk bigint",
+    )
+    den = spark.createDataFrame(
+        [(1, 20, 1), (1, 40, 2)],
+        "query_id bigint, doc_id bigint, rnk bigint",
+    )
+    out = {r.doc_id: r for r in rrf_fuse([lex, den], topk=4).collect()}
+    # doc 20 appears in both lists (ranks 2 and 1) and must win
+    assert out[20].rnk == 1 and out[20].n_lists == 2
+    # exact integer RRF: 10^8 // 62 + 10^8 // 61
+    assert out[20].rrf_fp == 100_000_000 // 62 + 100_000_000 // 61
+    assert out[10].rrf_fp == 100_000_000 // 61 and out[10].n_lists == 1
+    # single-list docs rank below the fused doc but keep list order
+    ranked = sorted(out.values(), key=lambda r: r.rnk)
+    assert [r.doc_id for r in ranked] == [20, 10, 40, 30]
+
+
+def test_rrf_fuse_validation_and_topk(spark):
+    import pytest
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([], topk=3)
+    one = spark.createDataFrame(
+        [(1, i, i) for i in range(1, 9)],
+        "query_id bigint, doc_id bigint, rnk bigint",
+    )
+    assert rrf_fuse([one], topk=3).count() == 3
