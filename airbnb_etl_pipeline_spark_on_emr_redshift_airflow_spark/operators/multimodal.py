@@ -134,3 +134,71 @@ def sample_frames(
         F.expr(f"substring(payload, frame_no * {every_n_bytes} + 1, {every_n_bytes})")
         .alias("frame_bytes"),
     )
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, payload binary, width int, height int, "
+    "src_width int, src_height int"
+)
+
+
+def default_resizer(
+    payload: bytes, width: int, height: int
+) -> tuple[bytes, int, int]:
+    """Resize seam. Real deployments inject a codec-backed resizer
+    (Pillow ``Image.resize`` + re-encode); the in-container default
+    is a deterministic fake that preserves the plumbing contract —
+    output payload length scales with the target pixel count
+    (byte-striding the input), source dimensions come from
+    :func:`decode_payload`. Returns (new_payload, src_w, src_h)."""
+    meta = decode_payload(payload)
+    if payload is None:
+        return None, None, None
+    n_out = max(width * height // 256, 1)
+    data = np.frombuffer(payload, dtype=np.uint8)
+    idx = np.linspace(0, len(data) - 1, num=min(n_out, len(data))).astype(
+        np.int64
+    )
+    return data[idx].tobytes(), meta["width"], meta["height"]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], tuple] = default_resizer,
+) -> DataFrame:
+    """Resize binary image payloads to (``width``, ``height``) in
+    Arrow batches — the remaining leg of the decode / feature-extract
+    / resize / frame-sample quartet. ``df`` needs ``doc_id bigint,
+    payload binary``; output is ``RESIZED_SCHEMA`` (new payload plus
+    target and source dimensions). The codec call is injected
+    (``resizer``) exactly like ``extract_features``' decoder — the
+    Spark-side contract (schema, batch iteration, binary round-trip,
+    laziness) is real and tested; the default is a deterministic
+    stand-in since this container has no image codec.
+
+    Scale shape: one ``mapInPandas`` scan — payload bytes stream
+    through Arrow record batches, never the driver; repartition
+    upstream if payload sizes skew batch weights."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_payload, src_w, src_h = [], [], []
+            for p in pdf["payload"]:
+                np_, sw, sh = resizer(p, width, height)
+                out_payload.append(np_)
+                src_w.append(sw)
+                src_h.append(sh)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": out_payload,
+                    "width": width,
+                    "height": height,
+                    "src_width": src_w,
+                    "src_height": src_h,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, RESIZED_SCHEMA)

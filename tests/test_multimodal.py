@@ -56,3 +56,50 @@ def test_sample_frames_stride(spark, docs):
 def test_real_decoder_is_explicit_stub():
     with pytest.raises(NotImplementedError, match="codec"):
         real_decoder(b"...")
+
+
+def test_resize_images_contract(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "short text"), (2, "a much longer document body " * 20)],
+        "doc_id bigint, text string",
+    )
+    with_payload = attach_binary_payload(docs)
+    out = {r.doc_id: r for r in resize_images(with_payload, 64, 48).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert r.width == 64 and r.height == 48
+        assert isinstance(r.payload, (bytes, bytearray))
+        # fake resizer: output length tracks the target pixel budget,
+        # capped by the source size
+        assert 1 <= len(r.payload) <= max(64 * 48 // 256, 1)
+        assert r.src_width is not None and r.src_height is not None
+    # deterministic: same input -> identical bytes
+    again = {
+        r.doc_id: r.payload
+        for r in resize_images(with_payload, 64, 48).collect()
+    }
+    assert {k: bytes(v.payload) for k, v in out.items()} == {
+        k: bytes(v) for k, v in again.items()
+    }
+
+
+def test_resize_images_custom_resizer_injected(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_images,
+    )
+
+    def fixed(payload, w, h):
+        return b"\x00" * 4, 999, 777
+
+    docs = spark.createDataFrame([(5, "abc")], "doc_id bigint, text string")
+    row = resize_images(
+        attach_binary_payload(docs), 8, 8, resizer=fixed
+    ).collect()[0]
+    assert bytes(row.payload) == b"\x00\x00\x00\x00"
+    assert (row.src_width, row.src_height) == (999, 777)
