@@ -783,8 +783,12 @@ def repeated_spans(
     """Cross-document repeated-span detection at EVERY token offset —
     the ExactSubstr dedup direction (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): find, per document,
-    the maximal token spans whose every ``n``-gram also appears in ≥
-    ``min_docs - 1`` OTHER documents. The aligned-chunk
+    the maximal runs of tokens COVERED by duplicated ``n``-gram
+    windows — every token in a span lies inside at least one
+    ``n``-gram that also appears in ≥ ``min_docs - 1`` OTHER
+    documents (two overlapping duplicated windows may bridge an
+    offset that does not itself start a duplicated window — the
+    token-coverage semantics a removal step wants). The aligned-chunk
     :func:`boilerplate_strip` misses a shared passage that starts
     mid-chunk; this operator fingerprints the sliding window at every
     position, so a verbatim passage is caught wherever it lands.

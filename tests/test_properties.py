@@ -5,7 +5,7 @@ Kept to few examples — every example executes real Spark jobs."""
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.joins import (
@@ -381,10 +381,16 @@ def test_snapshot_diff_apply_cdc_roundtrip(spark, old, new):
         max_size=8,
     ),
 )
+# regression: overlapping duplicated windows bridging a non-duplicated
+# offset (d1 windows at 1 and 3 merge across the undupped offset 2)
+@example(docs=[(0, ["a", "a", "b", "a"]), (1, ["a", "b", "a", "a", "b"])])
 def test_repeated_spans_invariants(spark, docs):
     """For ANY corpus: spans are within bounds, at least n long,
-    disjoint and non-adjacent per doc, and every reported span's
-    n-grams genuinely repeat across >= 2 docs."""
+    disjoint and non-adjacent per doc, and equal EXACTLY the maximal
+    runs of tokens covered by cross-document-duplicated n-gram
+    windows (token-coverage semantics: an offset interior to a merged
+    run need not itself start a duplicated window — two overlapping
+    duplicated windows bridge it)."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
         repeated_spans,
     )
@@ -415,19 +421,28 @@ def test_repeated_spans_invariants(spark, docs):
             if len(where[tuple(ts[i:i + n])]) >= 2:
                 dup_positions[d].add(i + 1)
     per_doc = defaultdict(list)
+    n_windows = {}
     for r in out:
         assert 1 <= r.span_start <= r.span_end <= len(toks[r.doc_id])
         assert r.span_end - r.span_start + 1 >= n
         per_doc[r.doc_id].append((r.span_start, r.span_end))
-    # spans tile exactly the duplicated window positions
+        n_windows[(r.doc_id, r.span_start)] = r.n_windows
+    # ground truth: maximal runs of covered token positions
     for d, spans in per_doc.items():
         spans.sort()
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
-            assert s2 > e1 + 1  # disjoint, non-mergeable
-        got = {
-            p
-            for s, e in spans
-            for p in range(s, e - n + 2)
-        }
-        assert got == dup_positions[d]
+            assert s2 > e1 + 1  # disjoint, non-adjacent
+        covered = sorted(
+            {t for p in dup_positions[d] for t in range(p, p + n)}
+        )
+        runs = []
+        for t in covered:
+            if runs and t == runs[-1][1] + 1:
+                runs[-1] = (runs[-1][0], t)
+            else:
+                runs.append((t, t))
+        assert spans == runs
+        for s, e in spans:
+            want = sum(1 for p in dup_positions[d] if s <= p <= e - n + 1)
+            assert n_windows[(d, s)] == want
     assert set(per_doc) == {d for d, ps in dup_positions.items() if ps}
