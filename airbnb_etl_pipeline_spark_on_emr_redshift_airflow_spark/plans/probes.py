@@ -2273,6 +2273,39 @@ def r_hybrid_rrf(spark, sf_dir):
     return rrf_fuse([lex, den], topk=_RRF_TOPK, k=_RRF_K)
 
 
+_Q14_SQL = """
+SELECT CAST(100 AS DOUBLE)
+       * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                       * 10000 + CAST(1 AS DOUBLE)/2)
+                                 AS BIGINT)
+                       ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                             * 10000 + CAST(1 AS DOUBLE)/2)
+                       AS BIGINT)) AS DOUBLE) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+@register("q14_promo_effect", oracle=_Q14_SQL)
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): the conditional-ratio
+    aggregate — promo revenue share of one month's lineitems, ONE SQL
+    string verbatim on both engines. Per-row revenue quantizes to the
+    catalog's 4-dp fixed point BEFORE both sums (numerator and
+    denominator are exact integer folds — the only doubles are two
+    final casts and one division), so the single output row
+    hash-checks. Plan: the month filter pushes into the lineitem
+    scan; the part dim joins on partkey (AQE picks broadcast at small
+    SF); one partial-agg exchange carries two bigint sums to a 1-row
+    result."""
+    views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q14_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Round-4 merged-away originals, re-registered (same names, same
 # oracles) past the window: t_language_share folded into

@@ -122,6 +122,7 @@ HEADLINE = [
     "q21_waiting_supplier",
     "g_bfs_reachability",
     "r_hybrid_rrf",
+    "q14_promo_effect",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.

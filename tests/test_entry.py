@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 98
+    assert len(names) == 99
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -55,7 +55,7 @@ def test_oracle_keys_subset_of_queries(spark):
         "d_repeated_spans", "d_strip_repeated_spans",
         "c_cluster_safe_split",
         "q16_supplier_relation", "q21_waiting_supplier",
-        "g_bfs_reachability", "r_hybrid_rrf",
+        "g_bfs_reachability", "r_hybrid_rrf", "q14_promo_effect",
         "t_language_share", "j_inner_composite_key",
     ]
 
