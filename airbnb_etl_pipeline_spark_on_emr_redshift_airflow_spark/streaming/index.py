@@ -1,0 +1,68 @@
+"""Streaming inverted-index maintenance: a ``foreachBatch`` loop that
+keeps the persisted BM25 index current as document batches arrive.
+
+The batch-side contract (``operators.retrieval.bm25_index`` /
+``merge_bm25_index``) is that the (tf, dl) pair is ADDITIVE over
+disjoint document sets — merge is a pure union. Streamed, that means
+each micro-batch's index rows simply APPEND to the persisted tables:
+no read-modify-write, no snapshot rewrite, no merge job at all. The
+serving side (``bm25_search_with``) derives df / n_docs / avgdl as
+rollups at query time, so appended batches are visible to search the
+moment the files commit.
+
+Delivery semantics: the checkpoint makes the file source exactly-once
+per micro-batch; the append itself is the only side effect, and each
+batch's rows land under distinct task files, so a replayed batch is
+detectable (same content appended twice would double-count — keep the
+checkpoint with the output, the same rule every append-mode Spark sink
+lives by).
+
+Scale notes: per batch the cost is one explode + one (id, term)
+groupBy over the BATCH alone — O(batch tokens), never O(corpus); the
+persisted tf table should be written partitioned by a hash of term
+(``writers`` knob) so query-time probes touch a bounded directory
+subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.retrieval import (
+    bm25_index,
+)
+
+
+def stream_index_maintenance(
+    spark: SparkSession,
+    docs_dir: str,
+    docs_schema: str,
+    index_tf_path: str,
+    index_dl_path: str,
+    checkpoint_dir: str,
+    tokens_col: str = "t",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Tail parquet document batches in ``docs_dir`` (schema:
+    ``id_col bigint, tokens_col array<string>``) and append each
+    micro-batch's (tf, dl) index rows to the persisted tables.
+    ``availableNow`` trigger: index everything new since the last
+    checkpoint, then stop — the daily-ingest cadence. Batches must
+    carry distinct doc ids (the disjointness contract of
+    ``merge_bm25_index``; dedup upstream)."""
+
+    def _append(batch_df, batch_id: int) -> None:
+        tf, dl = bm25_index(batch_df, tokens_col, id_col)
+        tf.write.mode("append").parquet(index_tf_path)
+        dl.write.mode("append").parquet(index_dl_path)
+
+    return (
+        spark.readStream.schema(docs_schema)
+        .format("parquet")
+        .load(docs_dir)
+        .writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,84 @@
+"""Tests: streaming BM25 index maintenance — micro-batch appends must
+equal the one-shot batch index, only NEW files process on a second
+availableNow run, and search over the streamed index matches the fused
+operator."""
+
+from __future__ import annotations
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.retrieval import (
+    bm25_index,
+    bm25_search,
+    bm25_search_with,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.index import (
+    stream_index_maintenance,
+)
+
+DOCS_SCHEMA = "doc_id bigint, t array<string>"
+
+_BATCH1 = [
+    (1, ["spark", "shuffle", "join"]),
+    (2, ["spark", "spark", "table"]),
+]
+_BATCH2 = [
+    (3, ["join", "merge", "table"]),
+    (4, ["unrelated", "words"]),
+]
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(rows, DOCS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _run(spark, docs_dir, tf_path, dl_path, ckpt):
+    q = stream_index_maintenance(
+        spark, docs_dir, DOCS_SCHEMA, tf_path, dl_path, ckpt
+    )
+    q.awaitTermination()
+
+
+def test_streamed_index_equals_batch_rebuild(spark, tmp_dir):
+    docs_dir = f"{tmp_dir}/docs"
+    tf_path, dl_path = f"{tmp_dir}/tf", f"{tmp_dir}/dl"
+    ckpt = f"{tmp_dir}/ckpt"
+
+    _write_docs(spark, docs_dir, _BATCH1)
+    _run(spark, docs_dir, tf_path, dl_path, ckpt)
+    # second run from the same checkpoint: only batch 2 is new
+    _write_docs(spark, docs_dir, _BATCH2)
+    _run(spark, docs_dir, tf_path, dl_path, ckpt)
+
+    all_docs = spark.createDataFrame(_BATCH1 + _BATCH2, DOCS_SCHEMA)
+    want_tf, want_dl = bm25_index(all_docs)
+    got_tf = spark.read.parquet(tf_path)
+    got_dl = spark.read.parquet(dl_path)
+    assert sorted(map(tuple, got_tf.collect())) == sorted(
+        map(tuple, want_tf.collect())
+    )
+    assert sorted(map(tuple, got_dl.collect())) == sorted(
+        map(tuple, want_dl.collect())
+    )
+
+    # search over the streamed index == the fused one-shot operator
+    queries = spark.createDataFrame(
+        [(1, ["spark", "join"])], "query_id bigint, q array<string>"
+    )
+    a = sorted(
+        map(tuple, bm25_search_with((got_tf, got_dl), queries, k=4).collect())
+    )
+    b = sorted(map(tuple, bm25_search(all_docs, queries, k=4).collect()))
+    assert a == b
+
+
+def test_streamed_index_second_run_is_noop_without_new_files(spark, tmp_dir):
+    docs_dir = f"{tmp_dir}/docs"
+    tf_path, dl_path = f"{tmp_dir}/tf", f"{tmp_dir}/dl"
+    ckpt = f"{tmp_dir}/ckpt"
+    _write_docs(spark, docs_dir, _BATCH1)
+    _run(spark, docs_dir, tf_path, dl_path, ckpt)
+    before = sorted(map(tuple, spark.read.parquet(tf_path).collect()))
+    _run(spark, docs_dir, tf_path, dl_path, ckpt)  # nothing new
+    after = sorted(map(tuple, spark.read.parquet(tf_path).collect()))
+    assert before == after
