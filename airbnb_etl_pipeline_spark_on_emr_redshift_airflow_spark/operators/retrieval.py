@@ -304,3 +304,146 @@ def rrf_fuse(
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+def write_bm25_index(
+    spark,
+    index: tuple[DataFrame, DataFrame],
+    path: str,
+    n_term_buckets: int = 64,
+) -> None:
+    """Persist a BM25 index with TERM-BUCKET PARTITION LAYOUT: ``tf``
+    writes under ``{path}/tf/term_bucket=<b>/`` with ``b =
+    pmod(xxhash64(term), n_term_buckets)``, ``dl`` plain under
+    ``{path}/dl``, and the bucket count in ``{path}/meta.json`` (via
+    the Hadoop FileSystem, object-store safe).
+
+    The layout is the point at scale: a query probes only the terms
+    it contains, so a bucketed reader scans ``≤ |query terms|``
+    partition directories out of ``n_term_buckets`` instead of the
+    whole inverted index — partition pruning as index structure, the
+    same trick as the IVF cell layout (``similarity.ivf_write_index``).
+    """
+    import json
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources import (
+        fsutil,
+    )
+
+    tf, dl = index
+    (
+        tf.withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64(F.col("term")), F.lit(int(n_term_buckets))),
+        )
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(f"{path}/tf")
+    )
+    dl.write.mode("overwrite").parquet(f"{path}/dl")
+    fsutil.write_text_atomic(
+        spark, f"{path}/meta.json",
+        json.dumps({"n_term_buckets": int(n_term_buckets)}),
+    )
+
+
+def bm25_search_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    qid_col: str = "query_id",
+    qterms_col: str = "q",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-``k`` against a :func:`write_bm25_index` layout, with
+    TERM-BUCKET PRUNING: the (dim-sized) query terms' buckets are
+    computed driver-side and pushed as a partition filter on the
+    ``tf`` read, so the scan touches only the directories the query
+    terms hash to (``PartitionFilters`` in the plan — the df rollup
+    likewise runs over just those buckets, which is exact because a
+    term's every row lives in its one bucket). The corpus-wide
+    (n_docs, avgdl) scalar comes from ``dl``, which is doc-sized and
+    bucket-independent. Results are identical to the un-bucketed
+    :func:`bm25_search_with` (pinned by test)."""
+    import json
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources import (
+        fsutil,
+    )
+
+    meta = json.loads(fsutil.read_text(spark, f"{path}/meta.json"))
+    n_buckets = int(meta["n_term_buckets"])
+    qterms = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.explode(F.array_distinct(F.col(qterms_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    # dim-sized by contract: the distinct term list (and so the bucket
+    # list) is small enough to compute driver-side and inline as a
+    # partition filter — this is what makes the pruning static.
+    buckets = sorted(
+        {
+            r.b
+            for r in qterms.select(
+                F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+    )
+    tf = spark.read.parquet(f"{path}/tf").filter(
+        F.col("term_bucket").isin(buckets)
+    )
+    dl = spark.read.parquet(f"{path}/dl")
+    # df rollup over the pruned tf is exact for every query term (a
+    # term never spans buckets); the probe join below keeps only
+    # query terms anyway.
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    probed = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    w_term = (
+        idf
+        * (tf_d * F.lit(k1 + 1.0))
+        / (
+            tf_d
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+        )
+    )
+    contrib = F.floor(w_term * F.lit(_SCALE) + F.lit(0.5)).cast("bigint")
+    scored = (
+        probed.select("qid", "id", contrib.alias("w_q4"))
+        .groupBy("qid", "id")
+        .agg(F.sum("w_q4").cast("bigint").alias("score_q4"))
+    )
+    rank = Window.partitionBy("qid").orderBy(
+        F.col("score_q4").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(rank))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("qid").alias(qid_col),
+            F.col("id").alias(id_col),
+            "score_q4",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

@@ -144,3 +144,40 @@ def test_rrf_fuse_validation_and_topk(spark):
         "query_id bigint, doc_id bigint, rnk bigint",
     )
     assert rrf_fuse([one], topk=3).count() == 3
+
+
+def test_bm25_bucketed_index_prunes_and_matches(spark, tmp_dir):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.retrieval import (
+        bm25_index,
+        bm25_search_indexed,
+        bm25_search_with,
+        write_bm25_index,
+    )
+
+    docs = _corpus(spark)
+    write_bm25_index(spark, bm25_index(docs), f"{tmp_dir}/idx", n_term_buckets=16)
+    queries = spark.createDataFrame(
+        [(1, ["spark"]), (2, ["join", "merge"])],
+        "query_id bigint, q array<string>",
+    )
+    pruned = bm25_search_indexed(spark, f"{tmp_dir}/idx", queries, k=3)
+    flat = bm25_search_with(
+        (
+            spark.read.parquet(f"{tmp_dir}/idx/tf").drop("term_bucket"),
+            spark.read.parquet(f"{tmp_dir}/idx/dl"),
+        ),
+        queries,
+        k=3,
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, flat.collect())
+    )
+    # the pruning is real: the tf scan carries a partition filter on
+    # term_bucket (static pruning, not a post-scan filter)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket" in plan
+    assert "PartitionFilters: [" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "term_bucket" in pf.group(1)
