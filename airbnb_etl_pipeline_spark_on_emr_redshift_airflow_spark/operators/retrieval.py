@@ -360,12 +360,15 @@ def bm25_search_indexed(
     b: float = 0.75,
 ) -> DataFrame:
     """BM25 top-``k`` against a :func:`write_bm25_index` layout, with
-    TERM-BUCKET PRUNING: the (dim-sized) query terms' buckets are
-    computed driver-side and pushed as a partition filter on the
-    ``tf`` read, so the scan touches only the directories the query
-    terms hash to (``PartitionFilters`` in the plan — the df rollup
-    likewise runs over just those buckets, which is exact because a
-    term's every row lives in its one bucket). The corpus-wide
+    TERM-BUCKET PRUNING via dynamic partition pruning: the probe join
+    carries ``term_bucket`` (recomputed on the dim-sized query side
+    with the same hash) as a leading join key, so Catalyst inserts a
+    DPP subquery on the broadcast side and the ``tf`` scan touches
+    only the directories the query terms hash to
+    (``PartitionFilters: [... dynamicpruning ...]`` in the plan —
+    same device as the IVF cell layout, no driver-side collect). The
+    df rollup runs over the pruned buckets, which is exact for every
+    probed term (a term's rows never span buckets). The corpus-wide
     (n_docs, avgdl) scalar comes from ``dl``, which is doc-sized and
     bucket-independent. Results are identical to the un-bucketed
     :func:`bm25_search_with` (pinned by test)."""
@@ -380,35 +383,22 @@ def bm25_search_indexed(
     qterms = queries.select(
         F.col(qid_col).alias("qid"),
         F.explode(F.array_distinct(F.col(qterms_col))).alias("term"),
-    ).filter(F.col("term") != "")
-    # dim-sized by contract: the distinct term list (and so the bucket
-    # list) is small enough to compute driver-side and inline as a
-    # partition filter — this is what makes the pruning static.
-    buckets = sorted(
-        {
-            r.b
-            for r in qterms.select(
-                F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).alias("b")
-            )
-            .distinct()
-            .collect()
-        }
+    ).filter(F.col("term") != "").withColumn(
+        "term_bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets))
     )
-    tf = spark.read.parquet(f"{path}/tf").filter(
-        F.col("term_bucket").isin(buckets)
-    )
+    tf = spark.read.parquet(f"{path}/tf")
     dl = spark.read.parquet(f"{path}/dl")
-    # df rollup over the pruned tf is exact for every query term (a
-    # term never spans buckets); the probe join below keeps only
-    # query terms anyway.
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    probe = tf.join(F.broadcast(qterms), ["term_bucket", "term"])
+    # df rollup over the probed (pruned) index slice: exact per term.
+    dfreq = probe.groupBy("term").agg(
+        F.count_distinct(F.col("id")).alias("df")
+    )
     stats = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),
     )
     probed = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(dfreq, "term")
+        probe.join(dfreq, "term")
         .join(dl, "id")
         .crossJoin(F.broadcast(stats))
     )

@@ -172,12 +172,12 @@ def test_bm25_bucketed_index_prunes_and_matches(spark, tmp_dir):
     assert sorted(map(tuple, pruned.collect())) == sorted(
         map(tuple, flat.collect())
     )
-    # the pruning is real: the tf scan carries a partition filter on
-    # term_bucket (static pruning, not a post-scan filter)
+    # the pruning is real: the tf scan carries a DYNAMIC partition
+    # filter on term_bucket (a dynamicpruning subquery from the
+    # broadcast query-term side — not a post-scan filter)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "term_bucket" in plan
-    assert "PartitionFilters: [" in plan
     import re
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert pf and "term_bucket" in pf.group(1)
+    assert pf and "term_bucket" in pf.group(1), plan[:2000]
+    assert "dynamicpruning" in pf.group(1)
