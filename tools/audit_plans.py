@@ -70,6 +70,12 @@ AUDITED = [
     "r_bm25_search",
     "u_snapshot_diff",
     "c_temperature_rebalance",
+    # closing round-4 batch: hybrid fusion (query-bounded frames), the
+    # TPC-H shape probes, and BFS (iterative; audited for the table)
+    "r_hybrid_rrf",
+    "q14_promo_effect",
+    "q16_supplier_relation",
+    "q21_waiting_supplier",
 ]
 
 # Every input corpus-sized → no broadcast hint allowed anywhere in the
