@@ -2306,6 +2306,38 @@ def q14_promo_effect(spark, sf_dir):
     return spark.sql(_Q14_SQL)
 
 
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                           * 10000 + CAST(1 AS DOUBLE)/2)
+                     AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 10 AND l_quantity <= 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity >= 20 AND l_quantity <= 50)
+"""
+
+
+@register("q19_disjunctive_filter", oracle=_Q19_SQL)
+def q19_disjunctive_filter(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue under an OR-of-ANDs
+    predicate; receipt/container columns adapted to the testdata
+    schema): three disjunctive (brand, size, quantity) branches
+    spanning BOTH join sides, ONE SQL string verbatim on both
+    engines. The planning point: Catalyst factors the disjunction's
+    common conjuncts per side (CNF conversion), so a brand/size
+    residual reaches the part scan and a quantity residual reaches
+    the lineitem scan BEFORE the join — the join input shrinks even
+    though no single branch alone is pushable. Revenue quantizes to
+    fixed point before the sum (one exact integer fold)."""
+    views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q19_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Round-4 merged-away originals, re-registered (same names, same
 # oracles) past the window: t_language_share folded into

@@ -123,6 +123,7 @@ HEADLINE = [
     "g_bfs_reachability",
     "r_hybrid_rrf",
     "q14_promo_effect",
+    "q19_disjunctive_filter",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.
