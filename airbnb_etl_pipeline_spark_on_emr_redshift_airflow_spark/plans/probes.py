@@ -2338,6 +2338,35 @@ def q19_disjunctive_filter(spark, sf_dir):
     return spark.sql(_Q19_SQL)
 
 
+_RANGE_FRAME_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(count(*) OVER w AS BIGINT) AS n_orders_30d,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 10000 + CAST(1 AS DOUBLE)/2)
+                     AS BIGINT)) OVER w AS DOUBLE) / 10000 AS spend_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("w_range_interval_frame", oracle=_RANGE_FRAME_SQL)
+def w_range_interval_frame(spark, sf_dir):
+    """Time-interval RANGE window frame — the one frame kind the
+    ROWS-based W family can't express: each order sees every order of
+    the SAME customer within the trailing 30 DAYS by event-time
+    VALUE, not by row count (the realistic trailing-spend metric when
+    events are irregularly spaced; date PEERS are included by RANGE
+    semantics, so ties need no ordering tie-break). ONE SQL string
+    verbatim on both engines; per-row spend quantizes to fixed point
+    before the window sum so the running totals are exact integer
+    folds. Plan: one customer-keyed exchange + sort; the range frame
+    evaluates with a sliding lower bound over the sorted partition —
+    no per-row rescan, no self-join (the pre-window-function way to
+    write this is an O(n·k) range self-join)."""
+    views(spark, sf_dir, "orders")
+    return spark.sql(_RANGE_FRAME_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Round-4 merged-away originals, re-registered (same names, same
 # oracles) past the window: t_language_share folded into

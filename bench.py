@@ -124,6 +124,7 @@ HEADLINE = [
     "r_hybrid_rrf",
     "q14_promo_effect",
     "q19_disjunctive_filter",
+    "w_range_interval_frame",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.

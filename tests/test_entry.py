@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 100
+    assert len(names) == 101
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -56,7 +56,7 @@ def test_oracle_keys_subset_of_queries(spark):
         "c_cluster_safe_split",
         "q16_supplier_relation", "q21_waiting_supplier",
         "g_bfs_reachability", "r_hybrid_rrf", "q14_promo_effect",
-        "q19_disjunctive_filter",
+        "q19_disjunctive_filter", "w_range_interval_frame",
         "t_language_share", "j_inner_composite_key",
     ]
 
