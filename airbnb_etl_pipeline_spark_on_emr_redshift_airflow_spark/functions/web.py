@@ -106,10 +106,13 @@ def canonicalize_url_sql(col_sql: str, dialect: str = "spark") -> str:
     # engines so non-URL strings pass through unchanged.
     pre = f"regexp_extract({u}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)"
     u = f"concat(lower({pre}), substr({u}, length({pre}) + 1))"
-    # 3. default ports
+    # 3. default ports (optional userinfo before the host — 'user:pw@'
+    # contains ':' so the host part alone can't be [^/:?#]+; the
+    # userinfo group is lookaround-free for RE2)
     u = (
         f"regexp_replace({u}, "
-        f"'^(https?://[^/:?#]+):(80|443)([/?#]|$)', '{bref}1{bref}3'{flag})"
+        f"'^(https?://(?:[^/?#]*@)?[^/:?#]+):(80|443)([/?#]|$)', "
+        f"'{bref}1{bref}3'{flag})"
     )
     alts = "|".join(TRACKING_PARAMS)
     # 4a. '&param=value' → ''

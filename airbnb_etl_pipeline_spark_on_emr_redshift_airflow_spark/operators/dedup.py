@@ -820,8 +820,13 @@ def repeated_spans(
     ).select(
         "__id",
         "pos",
+        # to_json, not array_join: a space-join is ambiguous when a
+        # token itself contains the delimiter (['a b','c'] vs
+        # ['a','b c'] both join to 'a b c'), and a false fingerprint
+        # collision here flows into strip_repeated_spans as deleted
+        # legitimate tokens. JSON encoding is injective on the slice.
         F.md5(
-            F.array_join(F.slice(F.col(tokens_col), F.col("pos"), n), " ")
+            F.to_json(F.slice(F.col(tokens_col), F.col("pos"), n))
         ).alias("fp"),
     )
     freq = grams.groupBy("fp").agg(

@@ -151,9 +151,9 @@ def default_resizer(
     output payload length scales with the target pixel count
     (byte-striding the input), source dimensions come from
     :func:`decode_payload`. Returns (new_payload, src_w, src_h)."""
-    meta = decode_payload(payload)
     if payload is None:
         return None, None, None
+    meta = decode_payload(payload)
     n_out = max(width * height // 256, 1)
     data = np.frombuffer(payload, dtype=np.uint8)
     idx = np.linspace(0, len(data) - 1, num=min(n_out, len(data))).astype(

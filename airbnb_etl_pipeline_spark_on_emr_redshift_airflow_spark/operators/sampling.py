@@ -566,8 +566,12 @@ def temperature_rebalance(
     rate table re-attaches to the corpus as an AQE-broadcast keyed join
     (no explicit hint — same rule as every corpus-derived small table);
     the keep predicate is scan-stage. ``alpha=0.5`` uses ``sqrt``
-    (IEEE correctly-rounded in both engines) rather than ``pow`` so
-    the rate doubles are bit-identical cross-engine.
+    (IEEE correctly-rounded in both engines) rather than ``pow``, and
+    each group's weight is quantized to fixed point (1e6) BEFORE the
+    ``Z`` normalizer sums them — an exact integer sum is associative,
+    so ``Z`` (and with it every ``keep_rate`` and the ``u <
+    keep_rate`` boundary) is independent of partition/accumulation
+    order: bit-identical cross-engine and across layouts.
 
     Output: the kept rows with ``keep_rate`` appended.
     """
@@ -577,14 +581,24 @@ def temperature_rebalance(
             "target_frac / target_total"
         )
 
-    def _powa(c: Column) -> Column:
+    def _powa_fp(c: Column) -> Column:
+        # Fixed-point (1e6) per-group weight: sqrt/pow are IEEE
+        # correctly-rounded doubles, but SUMMING raw doubles is
+        # accumulation-order-dependent (partition layout could shift
+        # Z, and with it the u < keep_rate boundary, by 1 ulp).
+        # Quantizing each term to an exact bigint makes Z an integer
+        # sum — associative, so order-independent — and every
+        # downstream double op is a deterministic function of exact
+        # integer inputs. The 1e-6 rate granularity is far below any
+        # sampling-rate tolerance that matters.
         d = c.cast("double")
-        return F.sqrt(d) if alpha == 0.5 else F.pow(d, float(alpha))
+        w = F.sqrt(d) if alpha == 0.5 else F.pow(d, float(alpha))
+        return F.floor(w * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
 
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_g"))
     totals = counts.agg(
         F.sum("__n_g").cast("bigint").alias("__N"),
-        F.sum(_powa(F.col("__n_g"))).alias("__Z"),
+        F.sum(_powa_fp(F.col("__n_g"))).cast("bigint").alias("__Z"),
     )
     if target_total is not None:
         tgt = F.lit(int(target_total)).cast("double")
@@ -598,8 +612,8 @@ def temperature_rebalance(
             F.col(group_col).alias("__grp"),
             F.least(
                 F.lit(1.0),
-                _powa(F.col("__n_g"))
-                / F.col("__Z")
+                _powa_fp(F.col("__n_g")).cast("double")
+                / F.col("__Z").cast("double")
                 * tgt
                 / F.col("__n_g").cast("double"),
             ).alias("keep_rate"),

@@ -1635,12 +1635,15 @@ def c_dsir_select(spark, sf_dir):
 @register(
     "c_temperature_rebalance",
     oracle="""
-    WITH counts AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY 1),
+    WITH counts AS (SELECT lang, count(*) AS n_g,
+                           CAST(FLOOR(sqrt(CAST(n_g AS DOUBLE)) * 1000000
+                                      + 0.5) AS BIGINT) AS w_fp
+                    FROM documents GROUP BY 1),
          tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n_total,
-                        SUM(sqrt(CAST(n_g AS DOUBLE))) AS z FROM counts),
+                        CAST(SUM(w_fp) AS BIGINT) AS z_fp FROM counts),
          rates AS (SELECT lang,
                           LEAST(1.0,
-                                sqrt(CAST(n_g AS DOUBLE)) / z
+                                CAST(w_fp AS DOUBLE) / CAST(z_fp AS DOUBLE)
                                 * CAST(FLOOR(CAST(n_total AS DOUBLE) * 0.5)
                                        AS DOUBLE)
                                 / CAST(n_g AS DOUBLE)) AS keep_rate

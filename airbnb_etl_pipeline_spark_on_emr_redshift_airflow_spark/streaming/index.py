@@ -10,12 +10,17 @@ serving side (``bm25_search_with``) derives df / n_docs / avgdl as
 rollups at query time, so appended batches are visible to search the
 moment the files commit.
 
-Delivery semantics: the checkpoint makes the file source exactly-once
-per micro-batch; the append itself is the only side effect, and each
-batch's rows land under distinct task files, so a replayed batch is
-detectable (same content appended twice would double-count — keep the
-checkpoint with the output, the same rule every append-mode Spark sink
-lives by).
+Delivery semantics: ``foreachBatch`` alone is at-least-once — a batch
+replayed after a failure (partial job commit, or a crash between the
+write and the checkpoint commit) would run again. The sink makes the
+replay IDEMPOTENT the standard way: each micro-batch writes under a
+``batch_id=<id>``-derived subdirectory with ``mode("overwrite")``, and
+Structured Streaming guarantees a replayed batch carries the SAME
+``batch_id``, so the retry rewrites the same directory instead of
+double-appending (double-appended (tf, dl) rows would silently inflate
+tf/df/n_docs/avgdl and corrupt every BM25 score). Read the tables back
+via :func:`read_streamed_index`, which drops the layout's partition
+column.
 
 Scale notes: per batch the cost is one explode + one (id, term)
 groupBy over the BATCH alone — O(batch tokens), never O(corpus); the
@@ -54,8 +59,11 @@ def stream_index_maintenance(
 
     def _append(batch_df, batch_id: int) -> None:
         tf, dl = bm25_index(batch_df, tokens_col, id_col)
-        tf.write.mode("append").parquet(index_tf_path)
-        dl.write.mode("append").parquet(index_dl_path)
+        # Idempotent append: a replayed micro-batch has the same
+        # batch_id, so overwrite of the batch's own subdirectory
+        # rewrites rather than double-appends.
+        tf.write.mode("overwrite").parquet(f"{index_tf_path}/batch_id={batch_id}")
+        dl.write.mode("overwrite").parquet(f"{index_dl_path}/batch_id={batch_id}")
 
     return (
         spark.readStream.schema(docs_schema)
@@ -66,3 +74,16 @@ def stream_index_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_streamed_index(
+    spark: SparkSession, index_tf_path: str, index_dl_path: str
+):
+    """Load the streamed (tf, dl) index tables, hiding the
+    ``batch_id=`` idempotency layout (partition discovery surfaces it
+    as a column; serving code wants the plain ``bm25_index`` schema).
+    Partition pruning on ``batch_id`` still works upstream of the drop
+    if a caller filters first."""
+    tf = spark.read.parquet(index_tf_path).drop("batch_id")
+    dl = spark.read.parquet(index_dl_path).drop("batch_id")
+    return tf, dl

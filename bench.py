@@ -17,14 +17,19 @@ round 2's round-over-round diff mistook for plan regressions. The
 query names are kept stable across rounds so BENCH_r{N}.json diffs
 per query.
 
-The JSON also carries a "scaling" section: the same queries timed at
-the sibling sf0.01 directory and the large/small time ratio per
-query. The data grows 10x between the two points, so a ratio well
-past 10 flags super-linear work (e.g. candidate-pair fan-out growing
-faster than the corpus) — the 100x-scale early warning a single
-measurement point can't see. Ratios below ~3 mean fixed overhead
-(session, planning, task launch) still dominates at sf0.1 — headroom,
-not sub-linearity. Disable with SPARK_GRAFT_BENCH_SCALING=0.
+A "scaling" section — the same queries timed at the sibling sf0.01
+directory plus the large/small time ratio per query — is written to
+the SIDECAR file BENCH_SCALING.json next to this script, NOT to
+stdout: the driver captures only a bounded tail of stdout, and round
+4's inline scaling section grew the one JSON line past that capture
+(BENCH_r04.json recorded "parsed": null). stdout stays the compact
+primary dict. The data grows 10x between the two scaling points, so a
+time ratio well past 10 flags super-linear work (e.g. candidate-pair
+fan-out growing faster than the corpus) — the 100x-scale early
+warning a single measurement point can't see. Ratios below ~3 mean
+fixed overhead (session, planning, task launch) still dominates at
+sf0.1 — headroom, not sub-linearity. Disable with
+SPARK_GRAFT_BENCH_SCALING=0.
 """
 
 from __future__ import annotations
@@ -185,7 +190,9 @@ def main() -> None:
             data_ratio = float(sf) / float(small_sf)
         except ValueError:
             data_ratio = None
-        result["scaling"] = {
+        scaling = {
+            "sf": result["sf"],
+            "queries": timings,
             "small_sf": float(small_sf)
             if small_sf.replace(".", "").isdigit()
             else small_sf,
@@ -199,8 +206,24 @@ def main() -> None:
                 for n in HEADLINE
             },
         }
+        # Sidecar, NOT stdout: the driver's stdout capture is bounded
+        # and the inline form made round 4's bench line unparseable.
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"
+        )
+        with open(sidecar, "w") as fh:
+            json.dump(scaling, fh, indent=1)
 
-    print(json.dumps(result))
+    # Compact separators and a size guard: the driver records only a
+    # bounded tail of stdout (r04's ~5 KB line came back unparsed), so
+    # keep the one line comfortably inside ~2000 chars — degrade
+    # per-query precision before ever exceeding it (full 3-dp timings
+    # always live in the sidecar).
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 1900:
+        result["queries"] = {n: round(t, 2) for n, t in timings.items()}
+        line = json.dumps(result, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -11,6 +11,7 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.retrieval
     bm25_search_with,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.index import (
+    read_streamed_index,
     stream_index_maintenance,
 )
 
@@ -52,8 +53,7 @@ def test_streamed_index_equals_batch_rebuild(spark, tmp_dir):
 
     all_docs = spark.createDataFrame(_BATCH1 + _BATCH2, DOCS_SCHEMA)
     want_tf, want_dl = bm25_index(all_docs)
-    got_tf = spark.read.parquet(tf_path)
-    got_dl = spark.read.parquet(dl_path)
+    got_tf, got_dl = read_streamed_index(spark, tf_path, dl_path)
     assert sorted(map(tuple, got_tf.collect())) == sorted(
         map(tuple, want_tf.collect())
     )
@@ -78,7 +78,43 @@ def test_streamed_index_second_run_is_noop_without_new_files(spark, tmp_dir):
     ckpt = f"{tmp_dir}/ckpt"
     _write_docs(spark, docs_dir, _BATCH1)
     _run(spark, docs_dir, tf_path, dl_path, ckpt)
-    before = sorted(map(tuple, spark.read.parquet(tf_path).collect()))
+    before = sorted(
+        map(tuple, read_streamed_index(spark, tf_path, dl_path)[0].collect())
+    )
     _run(spark, docs_dir, tf_path, dl_path, ckpt)  # nothing new
-    after = sorted(map(tuple, spark.read.parquet(tf_path).collect()))
+    after = sorted(
+        map(tuple, read_streamed_index(spark, tf_path, dl_path)[0].collect())
+    )
     assert before == after
+
+
+def test_streamed_index_replayed_batch_is_idempotent(spark, tmp_dir):
+    """foreachBatch is at-least-once: simulate a replay by deleting the
+    checkpoint's commit marker for batch 0 (as after a crash between
+    the write and the checkpoint commit). The rerun re-executes batch 0
+    with the SAME batch_id; the batch_id=0/overwrite layout must
+    rewrite, not double-append (a blind append would double tf/df and
+    corrupt BM25 scores)."""
+    import os
+
+    docs_dir = f"{tmp_dir}/docs"
+    tf_path, dl_path = f"{tmp_dir}/tf", f"{tmp_dir}/dl"
+    ckpt = f"{tmp_dir}/ckpt"
+    _write_docs(spark, docs_dir, _BATCH1)
+    _run(spark, docs_dir, tf_path, dl_path, ckpt)
+    os.remove(f"{ckpt}/commits/0")
+    # local-FS checksum shadow; a stale CRC makes the commit rewrite
+    # look like a concurrent writer to HDFSMetadataLog
+    crc = f"{ckpt}/commits/.0.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    _run(spark, docs_dir, tf_path, dl_path, ckpt)  # replays batch 0
+
+    want_tf, want_dl = bm25_index(spark.createDataFrame(_BATCH1, DOCS_SCHEMA))
+    got_tf, got_dl = read_streamed_index(spark, tf_path, dl_path)
+    assert sorted(map(tuple, got_tf.collect())) == sorted(
+        map(tuple, want_tf.collect())
+    )
+    assert sorted(map(tuple, got_dl.collect())) == sorted(
+        map(tuple, want_dl.collect())
+    )

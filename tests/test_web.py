@@ -48,6 +48,12 @@ CASES = [
     # slash inside a query value is content — trailing / kept
     ("https://c.io/p?path=/a/", "https://c.io/p?path=/a/", "c.io", "c.io"),
     ("https://b.org:443", "https://b.org", "b.org", "b.org"),
+    # userinfo contains ':' — the default port must still collapse so
+    # the URL dedup-keys with its portless variant
+    ("https://user:pw@d.net:443/x", "https://user:pw@d.net/x",
+     "d.net", "d.net"),
+    ("http://token@d.net:80/x", "http://token@d.net/x",
+     "d.net", "d.net"),
     ("https://localhost/x", "https://localhost/x", "localhost", "localhost"),
     ("not a url", "not a url", "", ""),
 ]
