@@ -46,6 +46,15 @@ def dec_avg(col: Column | str, alias: str) -> Column:
     return (F.sum(_fixed(c)).cast("double") / _SCALE / F.count(c)).alias(alias)
 
 
+def dec_sum_over(col: Column | str, window, alias: str) -> Column:
+    """Windowed :func:`dec_sum`: the same order-independent fixed-point
+    sum as an analytic over ``window`` — lets a per-group total attach
+    to every row in ONE scan (window exchange on the partition key)
+    instead of the groupBy + self-join two-scan shape."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(_fixed(c)).over(window).cast("double") / _SCALE).alias(alias)
+
+
 def dec_sum_sql(expr: str, alias: str) -> str:
     """DuckDB oracle fragment matching :func:`dec_sum` exactly."""
     return (

@@ -1410,7 +1410,12 @@ def t_data_card(spark, sf_dir):
             F.count(F.lit(1)).over(Window.partitionBy("fp")) > 1
         ).alias("is_dup"),
     )
-    total = flagged.select(F.count(F.lit(1)).alias("n_total"))
+    # Corpus total from the RAW scan, not from `flagged`: deriving it
+    # downstream of the annotation would re-run the fingerprint +
+    # quality classifier SQL and the fp-keyed window a second time
+    # (Catalyst does not share common subplans across the crossJoin
+    # branches). A bare count prunes to a zero-column scan.
+    total = docs.select(F.count(F.lit(1)).alias("n_total"))
     return (
         flagged.crossJoin(F.broadcast(total))
         .groupBy("source", "n_total")
