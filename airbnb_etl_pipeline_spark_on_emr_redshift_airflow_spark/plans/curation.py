@@ -81,27 +81,57 @@ def d_decontaminate(spark, sf_dir):
     )
 
 
-@register("c_sample_mix")
-def c_sample_mix(spark, sf_dir):
-    """Deterministic sampling + mixture weighting in one slot, both
-    keyed by ``xxhash64(seed, doc_id)`` so the keep-set is a pure
-    function of (key, seed) — identical across runs, partition counts,
-    and cluster layouts (unlike RNG-based ``df.sample``). 'stratified'
-    slice: per-source rates over the documents table's own source
-    strata (keep all of src0, 40% of src1, drop src2 — the
-    downsample-boilerplate/keep-books recipe). 'mixture' slice:
+@register("c_pack_sequences")
+def c_pack_sequences(spark, sf_dir):
+    """The sampling→packing curation chain in one slot, slice-tagged
+    (absorbs the former ``c_sample_mix`` row — re-registered verbatim
+    past the driver window, like every merged original).
+
+    'pack' slice — sequence packing
+    (``operators.sampling.pack_sequences``): every document sized by
+    whitespace token count, first-fit packed into 256-token context
+    windows across 16 hash groups. The rows prove the contract: each
+    doc appears exactly once, per-pack token totals ≤ 256, offsets are
+    a proper prefix layout, pack_id = group << 32 | local
+    (collision-free), and the whole assignment is deterministic (hash
+    grouping + hash-ordered greedy scan — no RNG, no layout
+    dependence).
+
+    'stratified' / 'mixture' slices — deterministic sampling + mixture
+    weighting, both keyed by ``xxhash64(seed, doc_id)`` so the
+    keep-set is a pure function of (key, seed) — identical across
+    runs, partition counts, and cluster layouts (unlike RNG-based
+    ``df.sample``): per-source rates over the documents table's own
+    source strata (keep all of src0, 40% of src1, drop src2) and a
     ``weighted_mix`` of two disjoint corpus halves at 25%/75%, tagged
-    by source name. Rows-only (DuckDB has no Spark-compatible
-    xxhash64); rate bands + layout-independence unit-tested in
-    ``tests/test_sampling.py``."""
+    by source name in ``bucket``.
+
+    Rows-only (greedy ``applyInPandas`` scan and Spark-compatible
+    xxhash64 are not DuckDB-expressible); pack
+    bound/coverage/determinism and sampling rate-band/layout-
+    independence unit-tested in ``tests/test_sampling.py`` and
+    ``tests/test_example_corpus.py``."""
     (docs,) = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", T.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    packed = pack_sequences(
+        sized, "n_tokens", max_len=256, key_cols=["doc_id"], n_groups=16, seed=0
+    ).select(
+        F.lit("pack").alias("slice"),
+        "doc_id", "n_tokens", "pack_id", "pack_offset",
+        F.lit(None).cast("string").alias("bucket"),
+    )
     strat = stratified_sample(
         docs, "source", {"src0": 1.0, "src1": 0.4, "src2": 0.0},
         ["doc_id"], seed=5,
     ).select(
-        F.lit("stratified").alias("op"),
-        F.col("source").alias("bucket"),
+        F.lit("stratified").alias("slice"),
         "doc_id",
+        F.lit(None).cast("bigint").alias("n_tokens"),
+        F.lit(None).cast("bigint").alias("pack_id"),
+        F.lit(None).cast("bigint").alias("pack_offset"),
+        F.col("source").alias("bucket"),
     )
     mixed = weighted_mix(
         {
@@ -111,31 +141,11 @@ def c_sample_mix(spark, sf_dir):
         ["doc_id"],
         seed=7,
     ).select(
-        F.lit("mixture").alias("op"),
-        F.col("source").alias("bucket"),
+        F.lit("mixture").alias("slice"),
         "doc_id",
+        F.lit(None).cast("bigint").alias("n_tokens"),
+        F.lit(None).cast("bigint").alias("pack_id"),
+        F.lit(None).cast("bigint").alias("pack_offset"),
+        F.col("source").alias("bucket"),
     )
-    return strat.unionByName(mixed)
-
-
-@register("c_pack_sequences")
-def c_pack_sequences(spark, sf_dir):
-    """Sequence packing (``operators.sampling.pack_sequences``): every
-    document sized by whitespace token count, first-fit packed into
-    256-token context windows across 16 hash groups. The returned
-    (doc_id, n_tokens, pack_id, pack_offset) rows prove the contract:
-    each doc appears exactly once, per-pack token totals ≤ 256,
-    offsets are a proper prefix layout, pack_id = group << 32 | local
-    (collision-free), and the whole assignment is deterministic (hash
-    grouping + hash-ordered greedy scan — no RNG, no layout
-    dependence). Rows-only (greedy ``applyInPandas`` scan is not
-    SQL-expressible); bound/coverage/determinism unit-tested in
-    ``tests/test_sampling.py`` and ``tests/test_example_corpus.py``."""
-    (docs,) = load(spark, sf_dir, "documents")
-    sized = docs.select(
-        "doc_id", T.token_count("text").cast("bigint").alias("n_tokens")
-    )
-    packed = pack_sequences(
-        sized, "n_tokens", max_len=256, key_cols=["doc_id"], n_groups=16, seed=0
-    )
-    return packed.select("doc_id", "n_tokens", "pack_id", "pack_offset")
+    return packed.unionByName(strat).unionByName(mixed)

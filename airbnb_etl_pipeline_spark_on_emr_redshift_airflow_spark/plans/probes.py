@@ -938,54 +938,6 @@ def u_intersect_except(spark, sf_dir):
     return align_union(both, only)
 
 
-@register(
-    "t_unigram_lm_score",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
-         terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
-         tf AS (SELECT doc_id, term, count(*) AS tf
-                FROM terms WHERE term <> '' GROUP BY 1, 2),
-         counts AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY 1),
-         tot AS (SELECT SUM(cnt) AS total_tokens, COUNT(*) AS vocab
-                 FROM counts),
-         scored AS (
-           SELECT tf.doc_id,
-                  CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
-                  SUM(CAST(FLOOR(tf.tf * ln(
-                        (CAST(cnt AS DOUBLE) + 0.5)
-                        / (CAST(total_tokens AS DOUBLE)
-                           + 0.5 * CAST(vocab AS DOUBLE)))
-                      * 10000 + 0.5) AS BIGINT)) AS sum_fp
-           FROM tf JOIN counts USING (term) CROSS JOIN tot
-           GROUP BY 1)
-    SELECT doc_id, n_tokens,
-           CAST(sum_fp AS DOUBLE) / 10000 / n_tokens AS avg_logprob,
-           CASE WHEN sum_fp >= -34000 * n_tokens THEN 'high'
-                WHEN sum_fp >= -34100 * n_tokens THEN 'mid'
-                ELSE 'low' END AS tier
-    FROM scored
-    """,
-)
-def t_unigram_lm_score(spark, sf_dir):
-    """Corpus-LM quality scoring (training-data extension,
-    ``operators.aggregates.unigram_lm_score``): an add-½-smoothed
-    unigram LM trained on the corpus itself scores every document by
-    mean token log-probability — the CCNet-style perplexity filter
-    with the LM reduced to the unigram case, so train + score is two
-    rollups of the tf table. The per-term product is 4-dp fixed-point
-    quantized before the per-doc sum (exact integer addition, order-
-    independent) and the high/mid/low tier cut compares that integer
-    sum against thr·10⁴·n_tokens in exact integer space, so no float
-    boundary can flip a tier between engines."""
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
-        unigram_lm_score,
-    )
-
-    (docs,) = load(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", F.expr(_TOKS).alias("t"))
-    return unigram_lm_score(toked, "t", "doc_id")
-
-
 _BP_CHUNK, _BP_FREQ = 4, 2
 
 
@@ -1695,79 +1647,6 @@ def c_temperature_rebalance(spark, sf_dir):
     )
 
 
-_BM25_QUERIES = [
-    (1, ["spark", "join", "merge"]),
-    (2, ["window", "stream", "batch"]),
-    (3, ["vector", "hash", "customer"]),
-]
-_BM25_K = 10
-_BM25_Q_SQL = ", ".join(
-    f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
-)
-
-
-@register(
-    "r_bm25_search",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
-         q(qid, term) AS (VALUES {_BM25_Q_SQL}),
-         terms AS (SELECT doc_id AS id, unnest(t) AS term FROM toks),
-         tf AS (SELECT id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
-         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         dl AS (SELECT doc_id AS id, CAST(len(t) AS BIGINT) AS dl FROM toks),
-         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                          CAST(SUM(len(t)) AS BIGINT) AS sum_dl FROM toks),
-         contrib AS (
-           SELECT q.qid, tf.id,
-                  CAST(FLOOR(
-                    ln(1 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
-                            + CAST(1 AS DOUBLE)/2)
-                           / (CAST(df AS DOUBLE) + CAST(1 AS DOUBLE)/2))
-                    * (CAST(tf AS DOUBLE) * (CAST(12 AS DOUBLE)/10 + 1))
-                    / (CAST(tf AS DOUBLE)
-                       + CAST(12 AS DOUBLE)/10
-                         * (CAST(1 AS DOUBLE)/4
-                            + CAST(3 AS DOUBLE)/4 * CAST(dl AS DOUBLE)
-                              / (CAST(sum_dl AS DOUBLE)
-                                 / CAST(n_docs AS DOUBLE))))
-                    * 10000 + CAST(1 AS DOUBLE)/2) AS BIGINT) AS w_q4
-           FROM tf JOIN q USING (term) JOIN dfreq USING (term)
-                JOIN dl USING (id) CROSS JOIN stats),
-         scored AS (SELECT qid, id, CAST(SUM(w_q4) AS BIGINT) AS score_q4
-                    FROM contrib GROUP BY 1, 2),
-         ranked AS (SELECT qid, id, score_q4,
-                           row_number() OVER (PARTITION BY qid
-                                              ORDER BY score_q4 DESC, id)
-                             AS rnk
-                    FROM scored)
-    SELECT qid AS query_id, id AS doc_id, score_q4,
-           CAST(rnk AS BIGINT) AS rnk
-    FROM ranked WHERE rnk <= {_BM25_K}
-    """,
-)
-def r_bm25_search(spark, sf_dir):
-    """Okapi BM25 retrieval (``operators.retrieval.bm25_search``): the
-    top 10 documents for each of three keyword queries — the lexical
-    rung of the retrieval surface (the ANN family is its dense
-    counterpart), used for topic slicing and hard-negative mining in
-    a training-data pipeline. The (doc, term, tf) inverted index is
-    one corpus shuffle reused by the df rollup and the query probe;
-    dim-sized query terms broadcast INTO the index (the corpus never
-    moves); per-term BM25 weights are fixed-point-quantized before the
-    per-(query, doc) sum so scores are exact integers cross-engine;
-    top-k is a per-query window."""
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.retrieval import (
-        bm25_search,
-    )
-
-    (docs,) = load(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", F.expr(_TOKS).alias("t"))
-    queries = spark.createDataFrame(
-        _BM25_QUERIES, "query_id bigint, q array<string>"
-    )
-    return bm25_search(toked, queries, k=_BM25_K)
-
-
 _DIFF_OLD = (
     "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
     "WHERE o_orderkey % 7 <> 0"
@@ -1849,76 +1728,13 @@ def u_snapshot_diff(spark, sf_dir):
     )
 
 
-_SPAN_PHRASE = [
-    "alpha", "beta", "gamma", "delta", "epsilon", "zeta",
-    "eta", "theta", "iota", "kappa", "lambda", "mu",
-]
-_SPAN_N = 8
-_SPAN_PHRASE_DUCK = "[" + ", ".join(f"'{w}'" for w in _SPAN_PHRASE) + "]"
-
-
-@register(
-    "d_repeated_spans",
-    oracle=f"""
-    WITH toks0 AS (SELECT doc_id, {_TOKS_DUCK} AS t0 FROM documents),
-         toks AS (SELECT doc_id,
-                         CASE WHEN doc_id % 13 = 0
-                              THEN list_concat({_SPAN_PHRASE_DUCK}, t0)
-                              ELSE t0 END AS t
-                  FROM toks0),
-         grams AS (SELECT doc_id, p AS pos,
-                          md5(array_to_string(t[p:p+{_SPAN_N - 1}], ' '))
-                            AS fp
-                   FROM toks,
-                        UNNEST(range(1, len(t) - {_SPAN_N} + 2)) AS u(p)),
-         freq AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS nd
-                                  FROM grams GROUP BY 1)
-                  WHERE nd >= 2),
-         marked AS (SELECT doc_id, pos FROM grams JOIN freq USING (fp)),
-         isl AS (SELECT doc_id, pos,
-                        CASE WHEN pos > COALESCE(lag(pos) OVER w,
-                                                 -{_SPAN_N}) + {_SPAN_N}
-                             THEN 1 ELSE 0 END AS nw
-                 FROM marked
-                 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-         isl2 AS (SELECT doc_id, pos,
-                         SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
-                                       ROWS UNBOUNDED PRECEDING) AS island
-                  FROM isl)
-    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-           CAST(MAX(pos) + {_SPAN_N - 1} AS BIGINT) AS span_end,
-           CAST(count(*) AS BIGINT) AS n_windows
-    FROM isl2 GROUP BY doc_id, island
-    """,
+# Span-dedup constants live beside the rotated-in d_repeated_spans
+# (plans.dedup); d_strip_repeated_spans below shares them.
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.dedup import (  # noqa: E402
+    SPAN_N as _SPAN_N,
+    SPAN_PHRASE as _SPAN_PHRASE,
+    SPAN_PHRASE_DUCK as _SPAN_PHRASE_DUCK,
 )
-def d_repeated_spans(spark, sf_dir):
-    """Cross-document repeated-span detection
-    (``operators.dedup.repeated_spans``, the ExactSubstr direction of
-    Lee et al. 2022): every document carrying a 12-token passage also
-    present in another document gets its maximal duplicated span back
-    — planted here by prepending a shared 12-token phrase to every
-    doc_id % 13 == 0 document, which the sliding 8-gram fingerprints
-    must merge into exactly the [1, 12] island (5 windows); any
-    natural cross-document duplicate surfaces too and the oracle
-    mirrors it. Unlike the aligned-chunk ``boilerplate_strip``, a
-    passage is caught at ANY token offset. Fingerprint shuffles carry
-    the 32-byte md5 (never the token slice); island merging is two
-    same-keyed windows + one rollup."""
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
-        repeated_spans,
-    )
-
-    (docs,) = load(spark, sf_dir, "documents")
-    phrase = F.array(*[F.lit(w) for w in _SPAN_PHRASE])
-    toked = docs.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 13 == 0, F.concat(phrase, F.expr(_TOKS))
-        )
-        .otherwise(F.expr(_TOKS))
-        .alias("t"),
-    )
-    return repeated_spans(toked, "t", "doc_id", n=_SPAN_N, min_docs=2)
 
 
 @register(
@@ -2440,3 +2256,96 @@ def j_inner_composite_key(spark, sf_dir):
     return li.join(totals, ["l_orderkey", "l_returnflag"]).select(
         "l_orderkey", "l_linenumber", "l_returnflag", "flag_qty"
     )
+
+
+@register("d_simhash_near_dup")
+def d_simhash_near_dup(spark, sf_dir):
+    """SimHash-64 near-duplicate pairs at hamming > 0 via signature
+    banding (8 bands of 8 bits ⇒ exhaustive for hamming ≤ 7),
+    verified with exact XOR popcount. Planted twins (one appended
+    word) land mostly at hamming 0-5 on this corpus — all within the
+    banding guarantee. Merged into ``d_minhash_dup_clusters``'s
+    'simhash_pair' slice for the driver window; re-registered here
+    unchanged."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        simhash_near_dups,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.dedup import (
+        _planted_twin_corpus,
+    )
+
+    return simhash_near_dups(
+        _planted_twin_corpus(spark, sf_dir), bands=8, max_hamming=7
+    )
+
+
+@register("c_sample_mix")
+def c_sample_mix(spark, sf_dir):
+    """Deterministic sampling + mixture weighting, both keyed by
+    ``xxhash64(seed, doc_id)`` — identical across runs, partition
+    counts, and cluster layouts. Merged into ``c_pack_sequences``'s
+    'stratified'/'mixture' slices for the driver window; re-registered
+    here unchanged."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        stratified_sample,
+        weighted_mix,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    strat = stratified_sample(
+        docs, "source", {"src0": 1.0, "src1": 0.4, "src2": 0.0},
+        ["doc_id"], seed=5,
+    ).select(
+        F.lit("stratified").alias("op"),
+        F.col("source").alias("bucket"),
+        "doc_id",
+    )
+    mixed = weighted_mix(
+        {
+            "head": (docs.filter("doc_id % 2 = 0").drop("source"), 0.25),
+            "tail": (docs.filter("doc_id % 2 = 1").drop("source"), 0.75),
+        },
+        ["doc_id"],
+        seed=7,
+    ).select(
+        F.lit("mixture").alias("op"),
+        F.col("source").alias("bucket"),
+        "doc_id",
+    )
+    return strat.unionByName(mixed)
+
+
+@register("s_ann_methods")
+def s_ann_methods(spark, sf_dir):
+    """All four ANN strategies side by side, tagged by method — IVF,
+    multi-table hyperplane LSH, PQ (ADC + exact re-rank), and IVF-PQ
+    (residual codes in probed cells). Merged into
+    ``s_near_dup_lsh_blocked``'s method slices for the driver window;
+    re-registered here unchanged."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        ann_topk_lsh,
+        ivf_topk,
+        ivfpq_build,
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    ivf = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=2).select(
+        F.lit("ivf").alias("method"), "*"
+    )
+    lsh = ann_topk_lsh(emb, queries, k=5, n_planes=4, n_tables=8, dim=64).select(
+        F.lit("lsh").alias("method"), "*"
+    )
+    cbs = pq_train(emb, m=4, k_codes=16, dim=64)
+    pq = pq_topk(
+        pq_encode(emb, cbs), cbs, queries, k=5, rerank=30, corpus=emb
+    ).select(F.lit("pq").alias("method"), "*")
+    index, cents, rcbs = ivfpq_build(emb, n_centroids=8, m=4, k_codes=16, dim=64)
+    ivfpq = ivfpq_topk(
+        index, cents, rcbs, queries, k=5, n_probe=3, rerank=30, corpus=emb
+    ).select(F.lit("ivfpq").alias("method"), "*")
+    return ivf.unionByName(lsh).unionByName(pq).unionByName(ivfpq)

@@ -226,3 +226,56 @@ def t_tfidf_topk(spark, sf_dir):
     (docs,) = load(spark, sf_dir, "documents")
     toked = docs.select("doc_id", F.expr(TOKS).alias("t"))
     return tfidf_topk(toked, "t", "doc_id", 3)
+
+
+# --- rotated into the driver window (round 5): t_unigram_lm_score ---
+# The corpus-LM quality scorer moved here from plans.probes so it
+# registers inside the first-50 driver recording window (slot freed by
+# folding c_sample_mix into c_pack_sequences in plans.curation).
+
+@register(
+    "t_unigram_lm_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TOKS_DUCK} AS t FROM documents),
+         terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM terms WHERE term <> '' GROUP BY 1, 2),
+         counts AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY 1),
+         tot AS (SELECT SUM(cnt) AS total_tokens, COUNT(*) AS vocab
+                 FROM counts),
+         scored AS (
+           SELECT tf.doc_id,
+                  CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+                  SUM(CAST(FLOOR(tf.tf * ln(
+                        (CAST(cnt AS DOUBLE) + 0.5)
+                        / (CAST(total_tokens AS DOUBLE)
+                           + 0.5 * CAST(vocab AS DOUBLE)))
+                      * 10000 + 0.5) AS BIGINT)) AS sum_fp
+           FROM tf JOIN counts USING (term) CROSS JOIN tot
+           GROUP BY 1)
+    SELECT doc_id, n_tokens,
+           CAST(sum_fp AS DOUBLE) / 10000 / n_tokens AS avg_logprob,
+           CASE WHEN sum_fp >= -34000 * n_tokens THEN 'high'
+                WHEN sum_fp >= -34100 * n_tokens THEN 'mid'
+                ELSE 'low' END AS tier
+    FROM scored
+    """,
+)
+def t_unigram_lm_score(spark, sf_dir):
+    """Corpus-LM quality scoring (training-data extension,
+    ``operators.aggregates.unigram_lm_score``): an add-½-smoothed
+    unigram LM trained on the corpus itself scores every document by
+    mean token log-probability — the CCNet-style perplexity filter
+    with the LM reduced to the unigram case, so train + score is two
+    rollups of the tf table. The per-term product is 4-dp fixed-point
+    quantized before the per-doc sum (exact integer addition, order-
+    independent) and the high/mid/low tier cut compares that integer
+    sum against thr·10⁴·n_tokens in exact integer space, so no float
+    boundary can flip a tier between engines."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        unigram_lm_score,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.expr(TOKS).alias("t"))
+    return unigram_lm_score(toked, "t", "doc_id")

@@ -104,10 +104,11 @@ def test_minhash_catalog_query_clusters_planted_twins(spark):
     )
     from tests.conftest import SF_DIR
 
-    clusters = {
-        r.doc_id: r.cluster_id
-        for r in d_minhash_dup_clusters(spark, SF_DIR).collect()
-    }
+    out = d_minhash_dup_clusters(spark, SF_DIR).collect()
+    clusters = {r.k1: r.k2 for r in out if r.slice == "cluster"}
+    # the merged 'simhash_pair' slice must also pair every twin
+    sim_pairs = {(r.k1, r.k2) for r in out if r.slice == "simhash_pair"}
+    assert sim_pairs, "simhash slice returned no pairs"
     subset_ids = [
         r.doc_id
         for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")

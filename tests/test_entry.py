@@ -26,9 +26,15 @@ def test_oracle_keys_subset_of_queries(spark):
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
     # j_windowed_subquery_using — both re-registered at the tail).
+    # round-5 rotation: r_bm25_search, t_unigram_lm_score and
+    # d_repeated_spans moved inside the window (d_simhash_near_dup
+    # folded into d_minhash_dup_clusters, c_sample_mix into
+    # c_pack_sequences, s_ann_methods into s_near_dup_lsh_blocked —
+    # all three re-registered verbatim at the tail).
     for must_have in (
-        "d_decontaminate", "c_sample_mix", "c_pack_sequences",
+        "d_decontaminate", "c_pack_sequences",
         "t_tfidf_topk", "u_merge_apply_cdc",
+        "r_bm25_search", "t_unigram_lm_score", "d_repeated_spans",
     ):
         assert must_have in names[:50]
     # new extension queries first, then the cap-probe re-registrations
@@ -46,18 +52,19 @@ def test_oracle_keys_subset_of_queries(spark):
         "s_parquet_scan_prune", "o_topk_sort_limit", "u_intersect_except",
         # round-4 extensions (registered before the re-registrations so
         # they win slots if a future driver records past 50)
-        "t_unigram_lm_score", "t_boilerplate_strip", "c_budget_select",
+        "t_boilerplate_strip", "c_budget_select",
         "s_semdedup", "t_bigram_lm_score", "d_embedding_decontaminate",
         "q10_returned_items", "q18_large_orders", "s_text_semdedup",
         "t_bpe_merges", "t_data_card", "t_quality_classifier",
         "t_url_curation", "c_dsir_select",
-        "c_temperature_rebalance", "r_bm25_search", "u_snapshot_diff",
-        "d_repeated_spans", "d_strip_repeated_spans",
+        "c_temperature_rebalance", "u_snapshot_diff",
+        "d_strip_repeated_spans",
         "c_cluster_safe_split",
         "q16_supplier_relation", "q21_waiting_supplier",
         "g_bfs_reachability", "r_hybrid_rrf", "q14_promo_effect",
         "q19_disjunctive_filter", "w_range_interval_frame",
         "t_language_share", "j_inner_composite_key",
+        "d_simhash_near_dup", "c_sample_mix", "s_ann_methods",
     ]
 
 

@@ -94,12 +94,14 @@ def _analyzed(spark, name):
 # may still CHOOSE broadcast from observed sizes at small SF — that's
 # fine and not a hint). d_decontaminate is exempt: its held-out side
 # is dim-sized by contract. (VERDICT r2 "what's wrong" #1.)
+# s_near_dup_lsh_blocked left this list in round 5: its merged ANN
+# slices broadcast dim-sized query/codebook frames by contract; the
+# corpus-only near-dup leg is checked operator-level below.
 _NO_HINT_QUERIES = [
     "d_ngram_jaccard_pairs",
     "d_minhash_dup_clusters",
     "d_simhash_near_dup",
     "s_embedding_near_dup",
-    "s_near_dup_lsh_blocked",
 ]
 
 
@@ -108,6 +110,27 @@ def test_no_broadcast_hint_over_corpus_frames(spark, name):
     assert "ResolvedHint" not in _analyzed(spark, name), (
         f"{name}: broadcast hint over a corpus-derived frame — let "
         "AQE/thresholds pick the strategy"
+    )
+
+
+def test_lsh_near_dup_operator_has_no_broadcast_hint(spark):
+    """The corpus-scale LSH near-dup leg (every input corpus-sized)
+    must stay hint-free even though its catalog slot now also carries
+    the ANN slices (whose dim-sized query/codebook broadcasts are
+    legitimate)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        embedding_near_dup_pairs_lsh,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
+        load,
+    )
+
+    (emb,) = load(spark, SF_DIR, "embeddings")
+    df = embedding_near_dup_pairs_lsh(
+        emb, threshold=0.35, n_planes=4, n_tables=16, dim=64
+    )
+    assert "ResolvedHint" not in (
+        df._jdf.queryExecution().analyzed().toString()
     )
 
 

@@ -79,13 +79,15 @@ AUDITED = [
 ]
 
 # Every input corpus-sized → no broadcast hint allowed anywhere in the
-# plan (d_decontaminate exempt: held-out side is dim-sized by contract).
+# plan (d_decontaminate exempt: held-out side is dim-sized by contract;
+# s_near_dup_lsh_blocked left the list in round 5 — its merged ANN
+# slices broadcast dim-sized query/codebook frames by contract, and
+# the corpus-only near-dup leg is checked operator-level below).
 NO_HINT = [
     "d_ngram_jaccard_pairs",
     "d_minhash_dup_clusters",
     "d_simhash_near_dup",
     "s_embedding_near_dup",
-    "s_near_dup_lsh_blocked",
 ]
 
 NO_SINGLE_PARTITION = [
@@ -162,6 +164,21 @@ def main() -> None:
     ann = executed("s_ann_methods")
     if "first(qv" in ann or "first(cv" in ann:
         violations.append("s_ann_methods: candidate dedup carries vector columns")
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        embedding_near_dup_pairs_lsh,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
+        load,
+    )
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    lsh_leg = embedding_near_dup_pairs_lsh(
+        emb, threshold=0.35, n_planes=4, n_tables=16, dim=64
+    )
+    if "ResolvedHint" in lsh_leg._jdf.queryExecution().analyzed().toString():
+        violations.append(
+            "embedding_near_dup_pairs_lsh: broadcast hint over corpus frame"
+        )
 
     if violations:
         print("\nPLAN INVARIANT VIOLATIONS:")
