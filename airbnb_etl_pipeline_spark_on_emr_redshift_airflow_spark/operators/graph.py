@@ -28,6 +28,7 @@ def bfs_min_hops(
     src_col: str = "src",
     dst_col: str = "dst",
     node_col: str = "node",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Minimum hop count from any source node, by BFS frontier
     iteration: returns (``node_col``, ``hops``) for every node
@@ -40,6 +41,13 @@ def bfs_min_hops(
     guarantees minimality — no per-node min aggregate over all paths
     (the recursive-CTE oracle does exactly that global MIN; results
     match, the plans differ by design).
+
+    Pass ``stats={}`` to record ``stats["frontier_sizes"]`` — the
+    node count of each round's NEW frontier. Each round's join/anti
+    inputs are the frontier frame (never the visited set), so these
+    sizes ARE the per-round cost profile; the power-law graph test
+    pins that contract. Costs one extra count action per round —
+    leave ``stats`` None in production.
     """
     if max_hops < 0:
         raise ValueError(f"bfs_min_hops: max_hops must be >= 0, got {max_hops}")
@@ -64,6 +72,8 @@ def bfs_min_hops(
         )
         if not nxt.head(1):
             break
+        if stats is not None:
+            stats.setdefault("frontier_sizes", []).append(nxt.count())
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return visited.select(F.col("node").alias(node_col), "hops")

@@ -75,9 +75,10 @@ def build_sf1(spark, base_dir: str, out_dir: str) -> None:
             emb.selectExpr(
                 f"vec_id + {k} * 100000000 AS vec_id",
                 # circular shift by k: element i of the output takes
-                # element (i + k) mod 64 of the input - 1-based SQL
-                f"transform(sequence(0, 63), i -> embedding[(i + {k}) % 64"
-                " + 1]) AS embedding",
+                # element (i + k) mod 64 of the input (Spark's [] is
+                # 0-based, unlike 1-based element_at)
+                f"transform(sequence(0, 63), i -> embedding[(i + {k}) % 64])"
+                " AS embedding",
                 f"label + {k} * 1000 AS label",
             )
         )
