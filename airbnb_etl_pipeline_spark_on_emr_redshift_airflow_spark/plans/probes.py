@@ -2349,3 +2349,39 @@ def s_ann_methods(spark, sf_dir):
         index, cents, rcbs, queries, k=5, n_probe=3, rerank=30, corpus=emb
     ).select(F.lit("ivfpq").alias("method"), "*")
     return ivf.unionByName(lsh).unionByName(pq).unionByName(ivfpq)
+
+
+@register("s_ivf_persisted_index")
+def s_ivf_persisted_index(spark, sf_dir):
+    """ANN over a PERSISTED cell-partitioned IVF index (the serving
+    path, vs the build-in-session ``s_ann_methods``): the assigned
+    corpus lives on disk hive-partitioned by cell with the centroid
+    list beside it, and the search probes ``n_probe`` of the cells —
+    the broadcast probe join drives dynamic partition pruning, so the
+    scan reads ~n_probe/n_cells of the corpus bytes (PartitionFilters
+    in the plan, gated in ``tests/test_similarity.py``). The index is
+    built once per sf_dir under the repo-local workdir (deterministic:
+    fixed KMeans seed) and reread on every later call — re-query cost
+    is O(probe), not O(corpus + train). Rows-only check (learned
+    quantizer); parity of indexed vs fused search is pytest-pinned."""
+    import os as _os
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        ivf_build,
+        ivf_read_index,
+        ivf_search,
+        ivf_write_index,
+    )
+
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = _os.path.join(repo, ".tmp", "catalog_ivf", tag)
+    (emb,) = load(spark, sf_dir, "embeddings")
+    if not _os.path.isdir(_os.path.join(path, "vectors")):
+        assigned, centroids = ivf_build(emb, n_centroids=8, seed=42)
+        ivf_write_index(assigned, centroids, path)
+    stored, cents = ivf_read_index(spark, path)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_search(stored, cents, queries, k=5, n_probe=2)

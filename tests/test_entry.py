@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 101
+    assert len(names) == 102
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -65,6 +65,9 @@ def test_oracle_keys_subset_of_queries(spark):
         "q19_disjunctive_filter", "w_range_interval_frame",
         "t_language_share", "j_inner_composite_key",
         "d_simhash_near_dup", "c_sample_mix", "s_ann_methods",
+        # round-5 extension: the persisted / partition-pruned ANN
+        # serving path (stretch #8)
+        "s_ivf_persisted_index",
     ]
 
 

@@ -533,3 +533,30 @@ def test_hashed_doc_vectors_geometry_and_text_semdedup(spark):
         ).collect()
     }
     assert out == {0: False, 1: True, 2: False}
+
+
+def test_catalog_persisted_ivf_probe_prunes_partitions(spark):
+    """The driver-visible persisted-index probe must actually serve
+    from the cell-partitioned store with dynamic partition pruning in
+    its executed plan, and agree with the fused in-session form."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import (
+        QUERIES,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    df = QUERIES["s_ivf_persisted_index"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    fused = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=2
+        ).collect()
+    }
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in df.collect()}
+    assert got == fused
