@@ -14,7 +14,8 @@ at 51+ (no coverage loss either way). Round-5 rotation:
 ``r_bm25_search`` (plans.retrieval), ``t_unigram_lm_score`` (text)
 and ``d_repeated_spans`` (dedup) are in-window; ``d_simhash_near_dup``
 → ``d_minhash_dup_clusters``, ``c_sample_mix`` → ``c_pack_sequences``
-and ``s_ann_methods`` → ``s_near_dup_lsh_blocked`` are the merges.
+and ``m_binary_frames`` + ``m_feature_extract`` →
+``m_multimodal_pipeline`` are the merges.
 """
 
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import (  # noqa: F401

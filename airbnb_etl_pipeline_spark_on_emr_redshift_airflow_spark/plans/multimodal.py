@@ -18,30 +18,25 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog impor
 )
 
 
-@register(
-    "m_binary_frames",
-    oracle="""
-    WITH src AS (
-      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
-    ), idx AS (
-      SELECT doc_id, n, unnest(range(0, least(n // 64, 7) + 1)) AS frame_no
-      FROM src
-    )
-    SELECT doc_id,
-           CAST(n AS BIGINT) AS n_bytes,
-           'fake/utf8' AS mime,
-           CAST(frame_no AS INT) AS frame_no,
-           GREATEST(LEAST(64, n - frame_no * 64), 0) AS frame_len
-    FROM idx
-    """,
-)
-def m_binary_frames(spark, sf_dir):
-    """Binary payload attach + typed metadata struct + frame sampling
-    in one query: the payload round-trips through ``binary`` (byte
-    lengths and mime tags survive — oracle recomputes via DuckDB's
-    encode/octet_length), then stride-sliced into one row per sampled
-    frame (capped at 8) with the doc metadata carried along — the
-    video frame-sample plumbing shape, all pure column ops."""
+@register("m_multimodal_pipeline")
+def m_multimodal_pipeline(spark, sf_dir):
+    """The multimodal binary plumbing in one driver-window slot,
+    slice-tagged (absorbs the former ``m_binary_frames`` and
+    ``m_feature_extract`` rows — both re-registered verbatim, with
+    their oracles, past the driver window).
+
+    'frames' slice — binary payload attach + typed metadata struct +
+    stride frame sampling (capped at 8 frames/doc): the video
+    frame-sample plumbing shape, pure column ops. 'features' slice —
+    mapInPandas decode + featurize (deterministic fake codec —
+    byte-histogram features; real decoders inject at the
+    ``decode_payload`` seam), the 16-bin vector projected to scalar
+    columns (the driver's canonicalizer hashes scalars only).
+
+    Rows-only here (the mapInPandas featurizer is not
+    SQL-expressible); the frames slice keeps its DuckDB oracle on the
+    re-registered ``m_binary_frames``, and batch/schema semantics are
+    unit-tested in ``tests/test_multimodal.py``."""
     (docs,) = load(spark, sf_dir, "documents")
     with_bin = attach_binary_payload(docs).select(
         "doc_id",
@@ -51,27 +46,28 @@ def m_binary_frames(spark, sf_dir):
     )
     frames = sample_frames(
         with_bin, every_n_bytes=64, max_frames=8, carry=("n_bytes", "mime")
-    )
-    return frames.select(
+    ).select(
+        F.lit("frames").alias("slice"),
         "doc_id",
         "n_bytes",
         "mime",
         "frame_no",
         F.length("frame_bytes").cast("bigint").alias("frame_len"),
+        F.lit(None).cast("string").alias("magic"),
+        *[F.lit(None).cast("bigint").alias(f"f{i:02d}") for i in range(16)],
     )
-
-
-@register("m_feature_extract")
-def m_feature_extract(spark, sf_dir):
-    """mapInPandas decode + featurize (deterministic fake codec —
-    byte-histogram features; real decoders inject at the
-    ``decode_payload`` seam). Rows-only check; batch/schema semantics
-    unit-tested. The 16-bin feature vector is projected to per-bin
-    scalar columns here — the driver's canonicalizer can't hash array
-    cells (the array-returning operator itself is unchanged)."""
-    (docs,) = load(spark, sf_dir, "documents")
     feats = extract_features(attach_binary_payload(docs))
-    bins = [F.col("features")[i].alias(f"f{i:02d}") for i in range(16)]
-    return feats.select("doc_id", "n_bytes", "magic", "width", "height", *bins)
-
-
+    features = feats.select(
+        F.lit("features").alias("slice"),
+        "doc_id",
+        "n_bytes",
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("frame_no"),
+        F.lit(None).cast("bigint").alias("frame_len"),
+        "magic",
+        *[
+            F.col("features")[i].cast("bigint").alias(f"f{i:02d}")
+            for i in range(16)
+        ],
+    )
+    return frames.unionByName(features)

@@ -2315,40 +2315,75 @@ def c_sample_mix(spark, sf_dir):
     return strat.unionByName(mixed)
 
 
-@register("s_ann_methods")
-def s_ann_methods(spark, sf_dir):
-    """All four ANN strategies side by side, tagged by method — IVF,
-    multi-table hyperplane LSH, PQ (ADC + exact re-rank), and IVF-PQ
-    (residual codes in probed cells). Merged into
-    ``s_near_dup_lsh_blocked``'s method slices for the driver window;
-    re-registered here unchanged."""
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
-        ann_topk_lsh,
-        ivf_topk,
-        ivfpq_build,
-        ivfpq_topk,
-        pq_encode,
-        pq_topk,
-        pq_train,
+@register(
+    "m_binary_frames",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ), idx AS (
+      SELECT doc_id, n, unnest(range(0, least(n // 64, 7) + 1)) AS frame_no
+      FROM src
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           'fake/utf8' AS mime,
+           CAST(frame_no AS INT) AS frame_no,
+           GREATEST(LEAST(64, n - frame_no * 64), 0) AS frame_len
+    FROM idx
+    """,
+)
+def m_binary_frames(spark, sf_dir):
+    """Binary payload attach + typed metadata struct + frame sampling
+    in one query: the payload round-trips through ``binary`` (byte
+    lengths and mime tags survive — oracle recomputes via DuckDB's
+    encode/octet_length), then stride-sliced into one row per sampled
+    frame (capped at 8) with the doc metadata carried along — the
+    video frame-sample plumbing shape, all pure column ops. Merged
+    into ``m_multimodal_pipeline``'s 'frames' slice for the driver
+    window; re-registered here unchanged (keeping the oracle)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
     )
 
-    (emb,) = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    ivf = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=2).select(
-        F.lit("ivf").alias("method"), "*"
+    (docs,) = load(spark, sf_dir, "documents")
+    with_bin = attach_binary_payload(docs).select(
+        "doc_id",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+        "payload",
     )
-    lsh = ann_topk_lsh(emb, queries, k=5, n_planes=4, n_tables=8, dim=64).select(
-        F.lit("lsh").alias("method"), "*"
+    frames = sample_frames(
+        with_bin, every_n_bytes=64, max_frames=8, carry=("n_bytes", "mime")
     )
-    cbs = pq_train(emb, m=4, k_codes=16, dim=64)
-    pq = pq_topk(
-        pq_encode(emb, cbs), cbs, queries, k=5, rerank=30, corpus=emb
-    ).select(F.lit("pq").alias("method"), "*")
-    index, cents, rcbs = ivfpq_build(emb, n_centroids=8, m=4, k_codes=16, dim=64)
-    ivfpq = ivfpq_topk(
-        index, cents, rcbs, queries, k=5, n_probe=3, rerank=30, corpus=emb
-    ).select(F.lit("ivfpq").alias("method"), "*")
-    return ivf.unionByName(lsh).unionByName(pq).unionByName(ivfpq)
+    return frames.select(
+        "doc_id",
+        "n_bytes",
+        "mime",
+        "frame_no",
+        F.length("frame_bytes").cast("bigint").alias("frame_len"),
+    )
+
+
+@register("m_feature_extract")
+def m_feature_extract(spark, sf_dir):
+    """mapInPandas decode + featurize (deterministic fake codec —
+    byte-histogram features; real decoders inject at the
+    ``decode_payload`` seam). Rows-only check; batch/schema semantics
+    unit-tested. The 16-bin feature vector is projected to per-bin
+    scalar columns here — the driver's canonicalizer can't hash array
+    cells (the array-returning operator itself is unchanged). Merged
+    into ``m_multimodal_pipeline``'s 'features' slice for the driver
+    window; re-registered here unchanged."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    feats = extract_features(attach_binary_payload(docs))
+    bins = [F.col("features")[i].alias(f"f{i:02d}") for i in range(16)]
+    return feats.select("doc_id", "n_bytes", "magic", "width", "height", *bins)
 
 
 @register("s_ivf_persisted_index")

@@ -89,33 +89,37 @@ def s_embedding_near_dup(spark, sf_dir):
 
 @register("s_near_dup_lsh_blocked")
 def s_near_dup_lsh_blocked(spark, sf_dir):
-    """The full corpus-scale dense-similarity surface in one slot,
-    slice-tagged (absorbs the former ``s_ann_methods`` row — re-
-    registered verbatim past the driver window, like every merged
-    original).
-
-    'near_dup' slice — embedding near-dup pairs blocked on
-    hyperplane-LSH buckets (4 planes × 16 tables) instead of the
-    class label — the corpus-scale form: expected in-bucket
-    population N/2^planes per table, candidate dedup before the
-    exact-cosine verify, ≈0.92 recall at cosine 0.35 and ≈1.0 for
-    true near-dups; k1=id_a, k2=id_b.
-
-    ANN slices, tagged by method — the pruning leg: 'ivf' (KMeans-16
-    coarse quantizer, 2-cell probe — cells adapt to density) and
-    'lsh' multi-table hyperplane buckets (4 planes × 8 tables,
-    OR-amplified — no training pass); the compression leg: 'pq'
-    (per-subspace codebooks, ADC table-lookup scoring, exact cosine
-    re-rank of the shortlist) and 'ivfpq' (residual-encoded codes
-    inside probed cells, per-(query,cell) LUT, re-rank); k1=query_id,
-    k2=neighbor_id plus the rank.
-
-    Rows-only check (random planes / learned quantizers are not
-    oracle-expressible); near-dup recall + no-false-positive vs the
-    exact all-pairs ground truth, and per-method recall floors vs
-    s_knn_bruteforce, unit-tested."""
+    """Embedding near-dup pairs blocked on hyperplane-LSH buckets
+    (4 planes × 16 tables) instead of the class label — the corpus-
+    scale form: expected in-bucket population N/2^planes per table,
+    candidate dedup before the exact-cosine verify, ≈0.92 recall at
+    cosine 0.35 and ≈1.0 for true near-dups. Rows-only check (random
+    planes are not oracle-expressible); recall + no-false-positive
+    semantics vs the exact all-pairs ground truth unit-tested with
+    planted twins."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
         embedding_near_dup_pairs_lsh,
+    )
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs_lsh(
+        emb, threshold=0.35, n_planes=4, n_tables=16, dim=64
+    )
+
+
+@register("s_ann_methods")
+def s_ann_methods(spark, sf_dir):
+    """All four ANN strategies side by side, tagged by method — the
+    pruning leg: IVF (KMeans-16 coarse quantizer, 2-cell probe — cells
+    adapt to density) and multi-table hyperplane LSH (4 planes × 8
+    tables, OR-amplified — no training pass); and the compression leg:
+    PQ (per-subspace codebooks, ADC table-lookup scoring, exact
+    cosine re-rank of the shortlist) and IVF-PQ (residual-encoded
+    codes inside probed cells, per-(query,cell) LUT, re-rank).
+    Rows-only check (learned quantizers / random planes are not
+    oracle-expressible); recall floors vs s_knn_bruteforce asserted in
+    tests for every method."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
         ivf_topk,
         ivfpq_build,
         ivfpq_topk,
@@ -125,44 +129,22 @@ def s_near_dup_lsh_blocked(spark, sf_dir):
     )
 
     (emb,) = load(spark, sf_dir, "embeddings")
-
-    def _tag(df, method, k1, k2, rank=None):
-        return df.select(
-            F.lit(method).alias("slice"),
-            F.col(k1).alias("k1"),
-            F.col(k2).alias("k2"),
-            (F.col(rank) if rank else F.lit(None)).cast("int").alias("rank"),
-        )
-
-    pairs = _tag(
-        embedding_near_dup_pairs_lsh(
-            emb, threshold=0.35, n_planes=4, n_tables=16, dim=64
-        ),
-        "near_dup", "id_a", "id_b",
-    )
     queries = emb.filter(F.col("vec_id") < 10)
-    ivf = _tag(
-        ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=2),
-        "ivf", "query_id", "neighbor_id", "rank",
+    ivf = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=2).select(
+        F.lit("ivf").alias("method"), "*"
     )
-    lsh = _tag(
-        ann_topk_lsh(emb, queries, k=5, n_planes=4, n_tables=8, dim=64),
-        "lsh", "query_id", "neighbor_id", "rank",
+    lsh = ann_topk_lsh(emb, queries, k=5, n_planes=4, n_tables=8, dim=64).select(
+        F.lit("lsh").alias("method"), "*"
     )
     # compression leg — small codebooks (m=4 × 16 codes) keep the
     # training pass cheap at check scale; recall comes from the exact
     # re-rank over the ADC shortlist, not codebook resolution.
     cbs = pq_train(emb, m=4, k_codes=16, dim=64)
-    pq = _tag(
-        pq_topk(pq_encode(emb, cbs), cbs, queries, k=5, rerank=30, corpus=emb),
-        "pq", "query_id", "neighbor_id", "rank",
-    )
+    pq = pq_topk(
+        pq_encode(emb, cbs), cbs, queries, k=5, rerank=30, corpus=emb
+    ).select(F.lit("pq").alias("method"), "*")
     index, cents, rcbs = ivfpq_build(emb, n_centroids=8, m=4, k_codes=16, dim=64)
-    ivfpq = _tag(
-        ivfpq_topk(index, cents, rcbs, queries, k=5, n_probe=3, rerank=30,
-                   corpus=emb),
-        "ivfpq", "query_id", "neighbor_id", "rank",
-    )
-    return pairs.unionByName(ivf).unionByName(lsh).unionByName(pq).unionByName(
-        ivfpq
-    )
+    ivfpq = ivfpq_topk(
+        index, cents, rcbs, queries, k=5, n_probe=3, rerank=30, corpus=emb
+    ).select(F.lit("ivfpq").alias("method"), "*")
+    return ivf.unionByName(lsh).unionByName(pq).unionByName(ivfpq)

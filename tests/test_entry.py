@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 102
+    assert len(names) == 103
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -29,8 +29,9 @@ def test_oracle_keys_subset_of_queries(spark):
     # round-5 rotation: r_bm25_search, t_unigram_lm_score and
     # d_repeated_spans moved inside the window (d_simhash_near_dup
     # folded into d_minhash_dup_clusters, c_sample_mix into
-    # c_pack_sequences, s_ann_methods into s_near_dup_lsh_blocked —
-    # all three re-registered verbatim at the tail).
+    # c_pack_sequences, m_binary_frames + m_feature_extract into
+    # m_multimodal_pipeline — all four originals re-registered
+    # verbatim at the tail, m_binary_frames keeping its oracle).
     for must_have in (
         "d_decontaminate", "c_pack_sequences",
         "t_tfidf_topk", "u_merge_apply_cdc",
@@ -64,7 +65,8 @@ def test_oracle_keys_subset_of_queries(spark):
         "g_bfs_reachability", "r_hybrid_rrf", "q14_promo_effect",
         "q19_disjunctive_filter", "w_range_interval_frame",
         "t_language_share", "j_inner_composite_key",
-        "d_simhash_near_dup", "c_sample_mix", "s_ann_methods",
+        "d_simhash_near_dup", "c_sample_mix",
+        "m_binary_frames", "m_feature_extract",
         # round-5 extension: the persisted / partition-pruned ANN
         # serving path (stretch #8)
         "s_ivf_persisted_index",

@@ -94,14 +94,12 @@ def _analyzed(spark, name):
 # may still CHOOSE broadcast from observed sizes at small SF — that's
 # fine and not a hint). d_decontaminate is exempt: its held-out side
 # is dim-sized by contract. (VERDICT r2 "what's wrong" #1.)
-# s_near_dup_lsh_blocked left this list in round 5: its merged ANN
-# slices broadcast dim-sized query/codebook frames by contract; the
-# corpus-only near-dup leg is checked operator-level below.
 _NO_HINT_QUERIES = [
     "d_ngram_jaccard_pairs",
     "d_minhash_dup_clusters",
     "d_simhash_near_dup",
     "s_embedding_near_dup",
+    "s_near_dup_lsh_blocked",
 ]
 
 
@@ -114,10 +112,9 @@ def test_no_broadcast_hint_over_corpus_frames(spark, name):
 
 
 def test_lsh_near_dup_operator_has_no_broadcast_hint(spark):
-    """The corpus-scale LSH near-dup leg (every input corpus-sized)
-    must stay hint-free even though its catalog slot now also carries
-    the ANN slices (whose dim-sized query/codebook broadcasts are
-    legitimate)."""
+    """The corpus-scale LSH near-dup operator (every input
+    corpus-sized) must stay hint-free — the operator-level twin of the
+    catalog-level no-hint gate above."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
         embedding_near_dup_pairs_lsh,
     )

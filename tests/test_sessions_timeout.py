@@ -11,8 +11,27 @@ import time as _time
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.events import (
     run_to_memory,
 )
+import pytest
+
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.sessions import (
     stream_sessions,
+    tws_available,
+)
+
+# Both stateful APIs must emit identical sessions; the TWS leg needs
+# google.protobuf in the Python workers (absent in this container,
+# present on typical cluster images) so it skips rather than fails.
+APIS = ["classic"] + (
+    ["tws"]
+    if tws_available()
+    else [
+        pytest.param(
+            "tws",
+            marks=pytest.mark.skip(
+                reason="transformWithStateInPandas needs google.protobuf"
+            ),
+        )
+    ]
 )
 
 
@@ -44,7 +63,8 @@ SCHEMA = (
 )
 
 
-def test_timeout_sessions_close_on_watermark(spark, tmp_dir):
+@pytest.mark.parametrize("api", APIS)
+def test_timeout_sessions_close_on_watermark(spark, tmp_dir, api):
     src = f"{tmp_dir}/ev_tws"
     # batch 1: user 1 has one session's worth of events; user 2 one.
     b1 = [
@@ -65,7 +85,7 @@ def test_timeout_sessions_close_on_watermark(spark, tmp_dir):
 
     run_to_memory(
         stream_sessions(
-            spark, src, gap="30 minutes", watermark="1 hour",
+            spark, src, api=api, gap="30 minutes", watermark="1 hour",
             max_files_per_trigger=1,
         ),
         "tws_sessions",
@@ -82,7 +102,8 @@ def test_timeout_sessions_close_on_watermark(spark, tmp_dir):
     assert out[2].n_events == 1 and out[2].total_value == 5.0
 
 
-def test_timeout_sessions_merge_across_batches(spark, tmp_dir):
+@pytest.mark.parametrize("api", APIS)
+def test_timeout_sessions_merge_across_batches(spark, tmp_dir, api):
     """Events for one user split across micro-batches within the gap
     fold into ONE session (state carries); the close emits once."""
     src = f"{tmp_dir}/ev_tws2"
@@ -97,7 +118,7 @@ def test_timeout_sessions_merge_across_batches(spark, tmp_dir):
 
     run_to_memory(
         stream_sessions(
-            spark, src, gap="30 minutes", watermark="1 hour",
+            spark, src, api=api, gap="30 minutes", watermark="1 hour",
             max_files_per_trigger=1,
         ),
         "tws_merge",
@@ -111,7 +132,8 @@ def test_timeout_sessions_merge_across_batches(spark, tmp_dir):
     assert r.session_end == ts("2024-01-01T10:50:00")
 
 
-def test_timeout_sessions_split_within_one_batch(spark, tmp_dir):
+@pytest.mark.parametrize("api", APIS)
+def test_timeout_sessions_split_within_one_batch(spark, tmp_dir, api):
     """A backfill batch carrying several gap-separated runs for ONE
     key must emit one session per run, not a single min/max blob."""
     src = f"{tmp_dir}/ev_tws3"
@@ -130,7 +152,7 @@ def test_timeout_sessions_split_within_one_batch(spark, tmp_dir):
 
     run_to_memory(
         stream_sessions(
-            spark, src, gap="30 minutes", watermark="1 hour",
+            spark, src, api=api, gap="30 minutes", watermark="1 hour",
             max_files_per_trigger=1,
         ),
         "tws_split",
@@ -148,7 +170,8 @@ def test_timeout_sessions_split_within_one_batch(spark, tmp_dir):
     ]
 
 
-def test_timeout_sessions_split_against_stored_state(spark, tmp_dir):
+@pytest.mark.parametrize("api", APIS)
+def test_timeout_sessions_split_against_stored_state(spark, tmp_dir, api):
     """A later batch whose earliest event exceeds state.last + gap
     closes the stored session instead of merging into it."""
     src = f"{tmp_dir}/ev_tws4"
@@ -165,7 +188,7 @@ def test_timeout_sessions_split_against_stored_state(spark, tmp_dir):
 
     run_to_memory(
         stream_sessions(
-            spark, src, gap="30 minutes", watermark="1 hour",
+            spark, src, api=api, gap="30 minutes", watermark="1 hour",
             max_files_per_trigger=1,
         ),
         "tws_state_split",

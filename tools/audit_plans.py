@@ -79,15 +79,13 @@ AUDITED = [
 ]
 
 # Every input corpus-sized → no broadcast hint allowed anywhere in the
-# plan (d_decontaminate exempt: held-out side is dim-sized by contract;
-# s_near_dup_lsh_blocked left the list in round 5 — its merged ANN
-# slices broadcast dim-sized query/codebook frames by contract, and
-# the corpus-only near-dup leg is checked operator-level below).
+# plan (d_decontaminate exempt: held-out side is dim-sized by contract).
 NO_HINT = [
     "d_ngram_jaccard_pairs",
     "d_minhash_dup_clusters",
     "d_simhash_near_dup",
     "s_embedding_near_dup",
+    "s_near_dup_lsh_blocked",
 ]
 
 NO_SINGLE_PARTITION = [

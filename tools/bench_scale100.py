@@ -118,7 +118,9 @@ def main() -> None:
             t = time.perf_counter()
             QUERIES[name](spark, at_dir).count()
             runs.append(time.perf_counter() - t)
-        return round(statistics.median(runs), 3)
+        med = round(statistics.median(runs), 3)
+        print(f"  {name} @ {at_dir}: {med}s", file=sys.stderr)
+        return med
 
     small, bigt, ratio = {}, {}, {}
     for name in CHAINS:
