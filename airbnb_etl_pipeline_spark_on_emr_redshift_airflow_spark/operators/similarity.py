@@ -614,15 +614,34 @@ def semdedup(
     )
 
 
+def adaptive_n_planes(
+    n_rows: int, target_bucket_rows: int = 256, floor: int = 4, cap: int = 16
+) -> int:
+    """Plane count that keeps the expected LSH bucket population
+    (``n_rows / 2^planes``) near ``target_bucket_rows`` as the corpus
+    grows: ``ceil(log2(n / target))`` clamped to [floor, cap]. With a
+    FIXED plane count the bucket count is constant, in-bucket
+    population grows with N, and the bucket self-join is O(N²) — the
+    round-5 scale-decade bench caught exactly that (3.3 s → 86 s at
+    10× data). Log-scaled planes make candidate pairs ≈
+    n_tables × N × target / 2 — linear in N."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return floor
+    return max(floor, min(cap, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
 def embedding_near_dup_pairs_lsh(
     emb: DataFrame,
     threshold: float = 0.92,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     n_tables: int = 16,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_rows: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs blocked by hyperplane-LSH
     buckets — the 100 TB form of :func:`embedding_near_dup_pairs`.
@@ -637,11 +656,23 @@ def embedding_near_dup_pairs_lsh(
     Candidates colliding in several tables are deduped before the
     exact-cosine verify, so each pair's cosine is computed once.
 
+    ``n_planes=None`` sizes the plane count from the corpus
+    (:func:`adaptive_n_planes`): one cheap count, then
+    ``ceil(log2(N / target_bucket_rows))`` — bucket population stays
+    ~constant as N grows, so candidate pairs (and wall-clock) scale
+    LINEARLY instead of quadratically. A fixed ``n_planes`` is a fixed
+    bucket count: fine for a known corpus size, quadratic under
+    growth.
+
     Recall for pairs at cosine s: 1 - (1 - p1(s)^n_planes)^n_tables.
-    Defaults (4 planes × 16 tables) give ≈0.92 recall at s = 0.35 and
-    ≈1.0 at s ≥ 0.9; raise n_planes for bigger corpora (cheaper
-    buckets), raise n_tables to win recall back.
+    At 4 planes × 16 tables that is ≈0.92 recall at s = 0.35 and
+    ≈1.0 at s ≥ 0.9. More planes (bigger corpora) sharpen the bias
+    toward high-cosine pairs: recall at loose thresholds falls while
+    true near-dups (s ≥ 0.9) stay ≈1.0 — raise n_tables to win loose
+    recall back (standard LSH trade).
     """
+    if n_planes is None:
+        n_planes = adaptive_n_planes(emb.count(), target_bucket_rows)
     # Candidate generation stays SLIM — id pairs only. Carrying the
     # vectors through the bucket self-join + dedup would multiply the
     # shuffle by the embedding width (two dense arrays per candidate

@@ -90,7 +90,7 @@ def s_embedding_near_dup(spark, sf_dir):
 @register("s_near_dup_lsh_blocked")
 def s_near_dup_lsh_blocked(spark, sf_dir):
     """Embedding near-dup pairs blocked on hyperplane-LSH buckets
-    (4 planes × 16 tables) instead of the class label — the corpus-
+    (adaptive planes × 16 tables) instead of the class label — the corpus-
     scale form: expected in-bucket population N/2^planes per table,
     candidate dedup before the exact-cosine verify, ≈0.92 recall at
     cosine 0.35 and ≈1.0 for true near-dups. Rows-only check (random
@@ -102,8 +102,12 @@ def s_near_dup_lsh_blocked(spark, sf_dir):
     )
 
     (emb,) = load(spark, sf_dir, "embeddings")
+    # n_planes=None: plane count sized from the corpus (one cheap
+    # count) so bucket population — and with it the candidate-pair
+    # self-join — stays LINEAR in N; a pinned plane count went 26x
+    # super-linear in the round-5 scale-decade bench.
     return embedding_near_dup_pairs_lsh(
-        emb, threshold=0.35, n_planes=4, n_tables=16, dim=64
+        emb, threshold=0.35, n_planes=None, n_tables=16, dim=64
     )
 
 

@@ -560,3 +560,22 @@ def test_catalog_persisted_ivf_probe_prunes_partitions(spark):
     }
     got = {(r.query_id, r.neighbor_id, r.rank) for r in df.collect()}
     assert got == fused
+
+
+def test_adaptive_n_planes_keeps_bucket_population_bounded():
+    """Plane count must grow with log2(N) so expected bucket
+    population (N / 2^planes) stays near the target — the fixed-plane
+    form is quadratic under corpus growth (round-5 scale bench)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        adaptive_n_planes,
+    )
+
+    assert adaptive_n_planes(100) == 4          # floor for tiny corpora
+    assert adaptive_n_planes(2_000) == 4        # 2000/16 = 125 <= 256ish
+    assert adaptive_n_planes(20_000) == 7       # 20000/128 ~ 156
+    assert adaptive_n_planes(2_000_000) == 13
+    assert adaptive_n_planes(10**12) == 16      # capped
+    for n in (10_000, 100_000, 10_000_000):
+        p = adaptive_n_planes(n)
+        if p < 16:  # below the cap the population bound must hold
+            assert n / 2**p <= 256 * 2  # within 2x of target
