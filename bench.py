@@ -130,6 +130,12 @@ HEADLINE = [
     "q14_promo_effect",
     "q19_disjunctive_filter",
     "w_range_interval_frame",
+    # round-5 additions: the merged multimodal window slot and the
+    # persisted / partition-pruned ANN serving path (first run builds
+    # the on-disk index; the median therefore reports the read path,
+    # which is the steady-state cost being benchmarked)
+    "m_multimodal_pipeline",
+    "s_ivf_persisted_index",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.
