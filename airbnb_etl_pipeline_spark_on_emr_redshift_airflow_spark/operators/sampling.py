@@ -761,3 +761,148 @@ def materialize_packs(
         F.size(toks).cast("bigint").alias("n_tokens"),
         toks.alias("tokens"),
     )
+
+
+def unimax_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    key_cols: list[str],
+    total_budget: int,
+    epoch_cap: float = 1.0,
+    seed: int = 0,
+    u_col: Column | None = None,
+) -> DataFrame:
+    """UniMax-style budget-capped group mixture (Chung et al. 2023,
+    "UniMax: Fairer and More Effective Language Sampling"): spend a
+    TOTAL row budget as uniformly as possible across groups, except
+    no group may contribute more than ``epoch_cap`` passes over its
+    own data. Tail groups (small languages) contribute everything up
+    to their cap; head groups split the remaining budget EQUALLY —
+    the waterfill that UniMax showed beats temperature smoothing for
+    multilingual mixtures (no head group starves the mid-tail).
+
+    Allocation is the exact waterfill: with capacities
+    ``c_g = floor(epoch_cap * n_g)``, every group gets
+    ``alloc_g = min(c_g, w)`` where the waterline ``w`` is the
+    largest uniform share spending ≤ the budget. Closed form over
+    the capacity-sorted group table: groups whose cap fits under
+    their positional share keep the cap; the first group whose cap
+    exceeds it starts the waterline region, which splits the leftover
+    budget by integer division. EVERY comparison and the waterline
+    itself are exact integer arithmetic (cross-multiplied
+    inequalities, integer div), so allocations are identical across
+    engines and layouts — the property the DuckDB oracle checks
+    end-to-end.
+
+    Rows are kept by the deterministic hash predicate
+    ``u < alloc_g / n_g`` (``hash_uniform`` over ``key_cols``; pass
+    ``u_col`` for an engine-portable substitute). ``epoch_cap > 1``
+    means groups allocated past one epoch keep ALL rows
+    (``keep_rate`` caps at 1); the returned ``epochs`` column
+    (``alloc_g / n_g``) tells the training loop how many passes to
+    take — upsampling is an epoch-level concern, same contract as
+    :func:`temperature_rebalance`.
+
+    Scale shape: one dim-sized count aggregate; the waterfill is two
+    windows over the GROUP table (dim-sized by contract — languages /
+    sources, never documents); the allocation re-attaches as an
+    AQE-sized keyed join; the keep predicate is scan-stage.
+
+    Output: kept rows + ``keep_rate`` (the filter rate, ≤ 1),
+    ``alloc`` (the group's row allocation) and ``epochs``.
+    """
+    if total_budget <= 0:
+        raise ValueError("unimax_budget_sample: total_budget must be > 0")
+    if epoch_cap <= 0:
+        raise ValueError("unimax_budget_sample: epoch_cap must be > 0")
+    B = F.lit(int(total_budget)).cast("bigint")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_g"))
+    caps = counts.select(
+        F.col(group_col).alias("__grp"),
+        "__n_g",
+        F.floor(F.col("__n_g").cast("double") * F.lit(float(epoch_cap)))
+        .cast("bigint")
+        .alias("__cap"),
+    )
+    # capacity-sorted positional frame (dim-sized; the single-partition
+    # window over it is the same class as temperature's 2-row totals)
+    w_order = Window.orderBy(F.col("__cap").asc(), F.col("__grp").asc())
+    pos = caps.select(
+        "__grp",
+        "__n_g",
+        "__cap",
+        F.row_number().over(w_order).alias("__rn"),
+        F.sum("__cap")
+        .over(w_order.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("__s_before"),
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__g_total"),
+    ).select(
+        "__grp",
+        "__n_g",
+        "__cap",
+        "__rn",
+        F.coalesce(F.col("__s_before"), F.lit(0)).cast("bigint").alias("__sb"),
+        "__g_total",
+    )
+    # group is waterline-bound when its cap exceeds its positional
+    # share: cap * remaining_groups > remaining_budget (exact integers)
+    bound = pos.withColumn(
+        "__bound",
+        (F.col("__cap") * (F.col("__g_total") - F.col("__rn") + 1))
+        > (B - F.col("__sb")),
+    )
+    first = bound.filter(F.col("__bound")).agg(
+        F.min("__rn").alias("__first_rn")
+    )
+    # waterline = integer share of the leftover at the first bound
+    # position (NULL when no group is bound — the budget covers all
+    # caps and every group just takes its cap)
+    line = (
+        bound.crossJoin(F.broadcast(first))
+        .filter(F.col("__rn") == F.col("__first_rn"))
+        .select(
+            F.floor(
+                (B - F.col("__sb"))
+                / (F.col("__g_total") - F.col("__rn") + 1)
+            )
+            .cast("bigint")
+            .alias("__w"),
+            F.col("__first_rn").alias("__w_rn"),
+        )
+    )
+    alloc = (
+        bound.crossJoin(F.broadcast(first))
+        .join(F.broadcast(line), how="left")
+        .select(
+            "__grp",
+            "__n_g",
+            F.when(
+                F.col("__first_rn").isNull()
+                | (F.col("__rn") < F.col("__first_rn")),
+                F.col("__cap"),
+            )
+            .otherwise(F.col("__w"))
+            .cast("bigint")
+            .alias("alloc"),
+        )
+        .select(
+            "__grp",
+            "alloc",
+            F.least(
+                F.lit(1.0),
+                F.col("alloc").cast("double") / F.col("__n_g").cast("double"),
+            ).alias("keep_rate"),
+            (F.col("alloc").cast("double") / F.col("__n_g").cast("double"))
+            .alias("epochs"),
+        )
+    )
+    u = u_col if u_col is not None else hash_uniform(key_cols, seed)
+    return (
+        df.join(alloc, F.col(group_col).eqNullSafe(F.col("__grp")))
+        .drop("__grp")
+        .filter(u < F.col("keep_rate"))
+    )

@@ -2420,3 +2420,81 @@ def s_ivf_persisted_index(spark, sf_dir):
     stored, cents = ivf_read_index(spark, path)
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_search(stored, cents, queries, k=5, n_probe=2)
+
+
+# 200 binds at sf0.01 (500 docs -> head languages waterlined) while
+# sf0.001 (50 docs) exercises the not-binding branch (all caps fit) -
+# the parity suite covers both paths of the waterfill.
+_UNIMAX_B = 200
+
+
+@register(
+    "c_unimax_budget",
+    oracle=f"""
+    WITH counts AS (SELECT lang AS grp, count(*) AS n_g
+                    FROM documents GROUP BY 1),
+         caps AS (SELECT grp, n_g, n_g AS cap FROM counts),
+         pos AS (SELECT grp, n_g, cap,
+                        row_number() OVER w AS rn,
+                        COALESCE(SUM(cap) OVER (ORDER BY cap ASC, grp ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS sb,
+                        COUNT(*) OVER () AS gt
+                 FROM caps WINDOW w AS (ORDER BY cap ASC, grp ASC)),
+         bound AS (SELECT *,
+                          (cap * (gt - rn + 1)) > ({_UNIMAX_B} - sb) AS b
+                   FROM pos),
+         frst AS (SELECT MIN(rn) AS frn FROM bound WHERE b),
+         line AS (SELECT CAST(FLOOR(CAST({_UNIMAX_B} - sb AS DOUBLE)
+                               / (gt - rn + 1)) AS BIGINT) AS w
+                  FROM bound CROSS JOIN frst WHERE rn = frn),
+         alloc AS (SELECT grp, n_g,
+                          CASE WHEN frn IS NULL OR rn < frn THEN cap
+                               ELSE (SELECT w FROM line) END AS alloc
+                   FROM bound CROSS JOIN frst),
+         rates AS (SELECT grp, alloc,
+                          LEAST(CAST(1 AS DOUBLE),
+                                CAST(alloc AS DOUBLE) / CAST(n_g AS DOUBLE))
+                            AS keep_rate
+                   FROM alloc)
+    SELECT d.doc_id, d.lang, r.alloc,
+           CAST(FLOOR(r.keep_rate * 1000000 + 0.5) AS BIGINT)
+             AS keep_rate_fp
+    FROM documents d JOIN rates r ON d.lang = r.grp
+    WHERE ((d.doc_id * 2654435761) % 2147483648 + 0.5) / 2147483648
+          < r.keep_rate
+    """,
+)
+def c_unimax_budget(spark, sf_dir):
+    """UniMax budget-capped language mixture
+    (``operators.sampling.unimax_budget_sample``, Chung et al. 2023):
+    spend a fixed row budget as uniformly as possible across
+    languages — tail languages contribute everything (up to the epoch
+    cap), head languages split the leftover EQUALLY via the exact
+    integer waterfill. The whole allocation (capacity sort, positional
+    shares, waterline, per-group alloc) is integer arithmetic, so the
+    DuckDB oracle reproduces it bit-for-bit and the driver hash-checks
+    allocations AND the kept row set (engine-portable Knuth-hash
+    uniform, fixed-point rates — same devices as
+    ``c_temperature_rebalance``, its smoothing-family sibling)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        unimax_budget_sample,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648)
+        + F.lit(0.5)
+    ) / F.lit(2147483648.0)
+    kept = unimax_budget_sample(
+        docs, "lang", ["doc_id"], total_budget=_UNIMAX_B, epoch_cap=1.0,
+        u_col=u,
+    )
+    return kept.select(
+        "doc_id",
+        "lang",
+        "alloc",
+        F.floor(F.col("keep_rate") * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("keep_rate_fp"),
+    )

@@ -136,6 +136,7 @@ HEADLINE = [
     # which is the steady-state cost being benchmarked)
     "m_multimodal_pipeline",
     "s_ivf_persisted_index",
+    "c_unimax_budget",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.

@@ -599,3 +599,84 @@ def test_cluster_safe_split_overlapping_map_no_duplication(spark):
     assert len(out) == 2  # one row per input doc, min cluster wins
     keys = {r.doc_id: r.cluster_key for r in out}
     assert keys == {1: "c:10", 2: "c:10"}
+
+
+def _unimax_sequential(counts: dict, budget: int, epoch_cap: float = 1.0):
+    """Reference waterfill: the obvious sequential model the operator
+    must match — fill capacity-ascending; the first group whose cap
+    exceeds its positional share starts the equal-split region."""
+    caps = sorted(
+        ((int(n * epoch_cap), g) for g, n in counts.items()),
+    )
+    g_total = len(caps)
+    alloc = {}
+    spent = 0
+    for i, (cap, g) in enumerate(caps):
+        remaining_groups = g_total - i
+        share = (budget - spent) // remaining_groups
+        take = min(cap, share)
+        alloc[g] = take
+        spent += take
+    return alloc
+
+
+def test_unimax_waterfill_allocation_properties(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        unimax_budget_sample,
+    )
+
+    counts = {"en": 700, "fr": 150, "de": 100, "ja": 30, "sw": 20}
+    rows = [
+        (g_i * 10_000 + i, g)
+        for g_i, (g, n) in enumerate(sorted(counts.items()))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    budget = 400
+    out = unimax_budget_sample(
+        df, "lang", ["doc_id"], total_budget=budget, epoch_cap=1.0, seed=3
+    )
+    alloc = {
+        r.lang: r.alloc
+        for r in out.select("lang", "alloc").distinct().collect()
+    }
+    want = _unimax_sequential(counts, budget)
+    # groups with zero allocation keep no rows and so can't be read
+    # back from the output — compare the nonzero allocations
+    assert alloc == {g: a for g, a in want.items() if a > 0}
+    # budget respected; tails full; heads split equally
+    assert sum(want.values()) <= budget
+    assert want["sw"] == 20 and want["ja"] == 30
+    assert want["en"] == want["fr"]  # waterlined heads get equal share
+    assert want["de"] == 100  # cap under the line -> full
+    # kept fraction tracks alloc/n per group (hash predicate)
+    kept = {r.lang: r.cnt for r in out.groupBy("lang").agg(
+        F.count("*").alias("cnt")).collect()}
+    for g, a in alloc.items():
+        assert abs(kept[g] - a) <= max(10, 0.3 * a), (g, kept[g], a)
+
+
+def test_unimax_epoch_cap_over_one_keeps_all_and_reports_epochs(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        unimax_budget_sample,
+    )
+
+    rows = [(i, "big" if i < 400 else "tiny") for i in range(440)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    # epoch_cap=3: the tiny group may be allocated up to 3 epochs; the
+    # budget splits equally, so tiny's alloc (120) exceeds its 40 rows
+    out = unimax_budget_sample(
+        df, "lang", ["doc_id"], total_budget=240, epoch_cap=3.0, seed=1
+    )
+    tiny = out.filter("lang = 'tiny'")
+    assert tiny.count() == 40  # keep_rate caps at 1 -> all rows kept
+    ep = tiny.select("epochs").distinct().collect()
+    assert len(ep) == 1 and ep[0].epochs == 3.0
+    import pytest
+
+    with pytest.raises(ValueError, match="total_budget"):
+        unimax_budget_sample(df, "lang", ["doc_id"], total_budget=0)
+    with pytest.raises(ValueError, match="epoch_cap"):
+        unimax_budget_sample(
+            df, "lang", ["doc_id"], total_budget=10, epoch_cap=0
+        )
