@@ -1,0 +1,92 @@
+"""Mergeable distinct-count ledgers (Apache DataSketches HLL via
+Spark's ``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``).
+
+The incremental-analytics discipline the engine already applies to
+counts (``incremental_agg_state``) and BM25 (tf/dl tables), extended
+to DISTINCT counts — the one aggregate that is NOT naively additive:
+``distinct(day1) + distinct(day2) != distinct(day1 ∪ day2)``. An HLL
+sketch IS additive under union, so a per-(period, dimension) ledger of
+sketch rows supports any later rollup window — distinct users last
+7/30/90 days, per source, per event type — by unioning ledger rows,
+never rescanning the corpus.
+
+Scale shape: building a ledger is one groupBy over the period's data
+(map-side partial sketches — DataSketches aggregates merge on the
+combine side, so the shuffle carries one sketch per (group, partition),
+kilobytes each, not raw values). Merging ledgers shuffles only
+ledger-sized frames (periods × dimensions). Estimates are a pure
+projection. The ~0.8%-at-lgK=12 standard error is the price for
+replacing a full-corpus distinct scan with a KB-sized ledger row; the
+exact path (``count_distinct``) stays available where the corpus scan
+is acceptable.
+
+Determinism: DataSketches HLL is deterministic for a given input SET,
+and the union operation is commutative/associative over sketches, so
+ledger estimates are layout- and merge-order-independent (pinned by
+``tests/test_sketches.py``: split-merge == direct-build, bit-exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# DataSketches lgConfigK: 2^12 registers ≈ 0.8% relative standard
+# error at ~4 KB per sketch — the size/accuracy point that keeps a
+# (365 days × 1000 sources) ledger around a gigabyte.
+DEFAULT_LGK = 12
+
+
+def hll_ledger(
+    df: DataFrame,
+    keys: list[str],
+    distinct_cols: list[str],
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """One ledger row per ``keys`` group: an HLL sketch per tracked
+    column (binary, named ``<col>__hll``) plus the exact additive
+    ``n_rows``. Ledgers over DISJOINT row sets merge losslessly with
+    :func:`merge_hll_ledgers`; overlapping sets merge with set-union
+    semantics (the point: a re-delivered day replaces nothing and
+    double-counts nothing in the distinct estimate)."""
+    aggs = [
+        F.hll_sketch_agg(F.col(c), lgk).alias(f"{c}__hll")
+        for c in distinct_cols
+    ]
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"), *aggs
+    )
+
+
+def merge_hll_ledgers(
+    ledgers: list[DataFrame], keys: list[str], lgk: int = DEFAULT_LGK
+) -> DataFrame:
+    """Union ledger frames and fold per-key: sketches via
+    ``hll_union_agg``, row counts additively. The result is again a
+    ledger (same schema), so merging is associative — daily → monthly
+    → yearly rollups compose. Cost is ledger-sized, never
+    corpus-sized."""
+    out = ledgers[0]
+    for led in ledgers[1:]:
+        out = out.unionByName(led)
+    sketch_cols = [c for c in out.columns if c.endswith("__hll")]
+    aggs = [
+        F.hll_union_agg(F.col(c), True).alias(c) for c in sketch_cols
+    ]
+    return out.groupBy(*keys).agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"), *aggs
+    )
+
+
+def ledger_estimates(ledger: DataFrame, keys: list[str]) -> DataFrame:
+    """Project a ledger to per-key distinct-count estimates (bigint
+    ``<col>_distinct`` per tracked column) plus ``n_rows`` — the
+    serving-side view; sketch binaries never leave the ledger."""
+    sketch_cols = [c for c in ledger.columns if c.endswith("__hll")]
+    ests = [
+        F.hll_sketch_estimate(F.col(c))
+        .cast("bigint")
+        .alias(c.removesuffix("__hll") + "_distinct")
+        for c in sketch_cols
+    ]
+    return ledger.select(*keys, "n_rows", *ests)

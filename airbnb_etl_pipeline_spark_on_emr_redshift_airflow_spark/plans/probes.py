@@ -2498,3 +2498,59 @@ def c_unimax_budget(spark, sf_dir):
         .cast("bigint")
         .alias("keep_rate_fp"),
     )
+
+
+@register("a_hll_ledger")
+def a_hll_ledger(spark, sf_dir):
+    """Mergeable distinct-count ledger (``operators.sketches``,
+    DataSketches HLL): per-event-type sketch rows built from two
+    DISJOINT halves of the events table, merged with
+    ``hll_union_agg``, served as estimates — distinct counts become
+    additive ledger maintenance instead of a corpus rescan (the one
+    aggregate ``incremental_agg_state`` could not fold). The query
+    carries its own invariants: the merged estimate must match the
+    single-pass build exactly (``merge_ok`` — union is deterministic
+    and associative) and track the exact distinct within the lgK=12
+    error envelope (``est_ok``). Rows-only (DataSketches binary
+    sketches have no DuckDB equivalent); split-merge equivalence,
+    order-independence and re-delivery (set-union) semantics in
+    ``tests/test_sketches.py``."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sketches import (
+        hll_ledger,
+        ledger_estimates,
+        merge_hll_ledgers,
+    )
+
+    (ev,) = load(spark, sf_dir, "events")
+    ev = ev.select("event_id", "event_type", "user_id")
+    halves = [
+        hll_ledger(ev.filter(f"event_id % 2 = {p}"), ["event_type"], ["user_id"])
+        for p in (0, 1)
+    ]
+    merged = ledger_estimates(
+        merge_hll_ledgers(halves, ["event_type"]), ["event_type"]
+    )
+    direct = ledger_estimates(
+        hll_ledger(ev, ["event_type"], ["user_id"]), ["event_type"]
+    ).select(
+        F.col("event_type").alias("__t"),
+        F.col("user_id_distinct").alias("__direct"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("__exact")
+    )
+    return (
+        merged.join(direct, merged.event_type == F.col("__t"))
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "user_id_distinct",
+            F.col("__exact").alias("exact_distinct"),
+            (F.col("user_id_distinct") == F.col("__direct")).alias("merge_ok"),
+            (
+                F.abs(F.col("user_id_distinct") - F.col("__exact"))
+                <= F.greatest(F.lit(3), F.col("__exact") * F.lit(0.05))
+            ).alias("est_ok"),
+        )
+    )

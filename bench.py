@@ -137,6 +137,7 @@ HEADLINE = [
     "m_multimodal_pipeline",
     "s_ivf_persisted_index",
     "c_unimax_budget",
+    "a_hll_ledger",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.

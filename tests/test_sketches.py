@@ -1,0 +1,98 @@
+"""Mergeable HLL distinct-count ledgers: split-merge must equal the
+direct build bit-for-bit, estimates must track exact distincts, and
+merge must be order-independent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sketches import (
+    hll_ledger,
+    ledger_estimates,
+    merge_hll_ledgers,
+)
+from tests.conftest import SF_DIR
+
+
+def _events(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
+        load,
+    )
+
+    (ev,) = load(spark, SF_DIR, "events")
+    return ev.select("event_id", "event_type", "user_id")
+
+
+def _est_rows(df, keys):
+    return sorted(map(tuple, ledger_estimates(df, keys).collect()))
+
+
+def test_split_merge_equals_direct_build(spark):
+    ev = _events(spark)
+    direct = hll_ledger(ev, ["event_type"], ["user_id"])
+    halves = [
+        hll_ledger(ev.filter(f"event_id % 2 = {p}"), ["event_type"], ["user_id"])
+        for p in (0, 1)
+    ]
+    merged = merge_hll_ledgers(halves, ["event_type"])
+    assert _est_rows(merged, ["event_type"]) == _est_rows(
+        direct, ["event_type"]
+    )
+
+
+def test_merge_is_order_independent_and_associative(spark):
+    ev = _events(spark)
+    thirds = [
+        hll_ledger(ev.filter(f"event_id % 3 = {p}"), ["event_type"], ["user_id"])
+        for p in (0, 1, 2)
+    ]
+    a = merge_hll_ledgers(thirds, ["event_type"])
+    b = merge_hll_ledgers(list(reversed(thirds)), ["event_type"])
+    # associativity: merge(merge(0,1), 2)
+    c = merge_hll_ledgers(
+        [merge_hll_ledgers(thirds[:2], ["event_type"]), thirds[2]],
+        ["event_type"],
+    )
+    ra, rb, rc = (_est_rows(x, ["event_type"]) for x in (a, b, c))
+    assert ra == rb == rc
+
+
+def test_estimates_track_exact_distincts_and_rows_are_additive(spark):
+    ev = _events(spark)
+    led = hll_ledger(ev, ["event_type"], ["user_id"])
+    est = {
+        r.event_type: (r.n_rows, r.user_id_distinct)
+        for r in ledger_estimates(led, ["event_type"]).collect()
+    }
+    exact = {
+        r.event_type: (r.n, r.d)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("d"),
+        )
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t, (n, d) in exact.items():
+        assert est[t][0] == n  # exact additive row count
+        # lgK=12 -> ~0.8% standard error; allow 5% + small-count slack
+        assert abs(est[t][1] - d) <= max(3, 0.05 * d), (t, est[t][1], d)
+
+
+def test_overlapping_ledgers_have_set_union_semantics(spark):
+    """A re-delivered (duplicated) slice must not inflate the distinct
+    estimate — union semantics, the property raw additive counts
+    lack."""
+    ev = _events(spark)
+    led = hll_ledger(ev, ["event_type"], ["user_id"])
+    doubled = merge_hll_ledgers([led, led], ["event_type"])
+    one = {
+        r.event_type: r.user_id_distinct
+        for r in ledger_estimates(led, ["event_type"]).collect()
+    }
+    two = {
+        r.event_type: r.user_id_distinct
+        for r in ledger_estimates(doubled, ["event_type"]).collect()
+    }
+    assert one == two  # distinct estimate unchanged by re-delivery
