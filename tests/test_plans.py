@@ -235,3 +235,46 @@ def test_snapshot_diff_full_outer_copartitioned(spark):
     plan = _plan(spark, "u_snapshot_diff")
     assert "FullOuter" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Spark's InjectRuntimeFilter must add a bloom-filter semi-join
+    reduction on the fact side of a selective dim join: the fact scan
+    pre-filters on might_contain(bloom(o_orderkey)) built from the
+    filtered orders side, so shuffled fact rows that cannot match
+    never leave the scan stage. At 100 TB this fires with DEFAULT
+    thresholds (application side >= 10 GB scan, creation side <=
+    10 MB); the test lowers only the application-side size gate to
+    simulate that condition at test SF, and pins both the injection
+    and result parity with the filter disabled."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:1500]
+        with_bloom = j.count()
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        no_bloom = li.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+        assert with_bloom == no_bloom
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        for k, v in saved.items():
+            spark.conf.set(k, v)
