@@ -90,3 +90,41 @@ def ledger_estimates(ledger: DataFrame, keys: list[str]) -> DataFrame:
         for c in sketch_cols
     ]
     return ledger.select(*keys, "n_rows", *ests)
+
+
+def rolling_distinct(
+    ledger: DataFrame,
+    partition_keys: list[str],
+    order_key: str,
+    window_rows: int,
+) -> DataFrame:
+    """Rolling distinct counts over a period-keyed ledger: for each
+    row, union the trailing ``window_rows`` periods' sketches with a
+    windowed ``hll_union_agg`` and estimate — the classic
+    "distinct users, trailing 7/30/90 days, per segment" family
+    without ever rescanning raw data. The window operates on the
+    LEDGER (periods × dimensions rows, KB sketches), so a year of
+    daily rolling distincts costs one window pass over ~365 rows per
+    segment. ``window_rows`` counts ledger rows (periods) including
+    the current one."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*partition_keys)
+        .orderBy(order_key)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    sketch_cols = [c for c in ledger.columns if c.endswith("__hll")]
+    out = ledger.select(
+        *partition_keys,
+        order_key,
+        "n_rows",
+        F.sum("n_rows").over(w).cast("bigint").alias("rolling_rows"),
+        *[
+            F.hll_sketch_estimate(F.hll_union_agg(F.col(c), True).over(w))
+            .cast("bigint")
+            .alias(c.removesuffix("__hll") + "_rolling_distinct")
+            for c in sketch_cols
+        ],
+    )
+    return out

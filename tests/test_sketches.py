@@ -96,3 +96,33 @@ def test_overlapping_ledgers_have_set_union_semantics(spark):
         for r in ledger_estimates(doubled, ["event_type"]).collect()
     }
     assert one == two  # distinct estimate unchanged by re-delivery
+
+
+def test_rolling_distinct_matches_direct_window_build(spark):
+    """Trailing-3-period rolling distinct from daily ledger rows must
+    equal building a sketch over the raw union of those periods."""
+    ev = _events(spark).withColumn(
+        "period", (F.col("event_id") % 5).cast("int")
+    )
+    daily = hll_ledger(ev, ["event_type", "period"], ["user_id"])
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sketches import (
+        rolling_distinct,
+    )
+
+    got = {
+        (r.event_type, r.period): (r.rolling_rows, r.user_id_rolling_distinct)
+        for r in rolling_distinct(
+            daily, ["event_type"], "period", window_rows=3
+        ).collect()
+    }
+    for (et, p), (rows, dist) in got.items():
+        lo = max(0, p - 2)
+        raw = ev.filter(
+            (F.col("event_type") == et)
+            & (F.col("period") >= lo)
+            & (F.col("period") <= p)
+        )
+        direct = hll_ledger(raw, ["event_type"], ["user_id"])
+        want = ledger_estimates(direct, ["event_type"]).collect()[0]
+        assert rows == want.n_rows
+        assert dist == want.user_id_distinct, (et, p)
