@@ -74,3 +74,146 @@ def exact_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         "(column, n_rows, n_nulls, exact_distinct, min_value, max_value)"
     )
     return wide.selectExpr(stack)
+
+
+def drift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    numeric_cols: list[str] | None = None,
+    cat_cols: list[str] | None = None,
+    n_buckets: int = 10,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots as the
+    Population Stability Index per column — the monitoring gate a
+    production data pipeline runs before promoting a new snapshot
+    (PSI < 0.1 stable, 0.1-0.2 moderate, > 0.2 investigate — the
+    conventional credit-scoring bands).
+
+    Numeric columns bucket on ``n_buckets`` equal-width bins between
+    the REFERENCE min/max (shared edges — cross-engine exact
+    arithmetic, unlike engine-specific quantile sketches; out-of-range
+    current values clamp to the edge bins, which is itself a drift
+    signal). Categorical columns use the value itself as the bin.
+    Laplace-smoothed shares (+1 per bin) keep ``ln`` finite for empty
+    bins. Per-bin PSI terms are quantized to 1e-6 fixed point BEFORE
+    the per-column sum (exact integer addition — the catalog's
+    order-independence device), so ``psi_fp`` is bit-identical across
+    engines and layouts and a DuckDB oracle can hash-check the whole
+    report.
+
+    Scale shape: one scan per snapshot per column family (bucket
+    assignment is scan-stage arithmetic); bin-count aggregates are
+    (columns × bins)-sized; the ref⋈cur bin join and the per-column
+    rollup touch only that dim-sized frame. Min/max for the edges is
+    one cheap pre-aggregate on the reference.
+
+    Output: (column, n_ref, n_cur, psi_fp, psi, drift) — ``psi_fp`` =
+    floor(psi·1e6 + 0.5) summed from per-bin integer terms.
+    """
+    numeric_cols = numeric_cols or []
+    cat_cols = cat_cols or []
+    if not numeric_cols and not cat_cols:
+        raise ValueError("drift_report: pass numeric_cols and/or cat_cols")
+
+    def _bins(df: DataFrame, edges_row, side: str) -> DataFrame:
+        # ONE scan for all columns: per row, an array of (column, bin)
+        # structs exploded to bin rows — not a union of per-column
+        # scans (C columns would re-read the snapshot C times).
+        entries = []
+        for c in numeric_cols:
+            lo, hi = edges_row[f"__min_{c}"], edges_row[f"__max_{c}"]
+            if hi == lo:
+                bucket = F.lit(0)
+            else:
+                bucket = F.least(
+                    F.lit(n_buckets - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col(c).cast("double") - F.lit(lo))
+                            * F.lit(float(n_buckets))
+                            / (F.lit(hi) - F.lit(lo))
+                        ).cast("int"),
+                    ),
+                )
+            entries.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    bucket.cast("string").alias("bin"),
+                )
+            )
+        for c in cat_cols:
+            entries.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.coalesce(F.col(c).cast("string"), F.lit("__null__"))
+                    .alias("bin"),
+                )
+            )
+        return (
+            df.select(F.explode(F.array(*entries)).alias("__e"))
+            .select("__e.column", "__e.bin")
+            .groupBy("column", "bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(f"c_{side}"))
+        )
+
+    if numeric_cols:
+        edge_aggs = []
+        for c in numeric_cols:
+            edge_aggs += [
+                F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+            ]
+        edges_row = ref.agg(*edge_aggs).first()
+    else:
+        edges_row = {}
+
+    rb = _bins(ref, edges_row, "ref")
+    cb = _bins(cur, edges_row, "cur")
+    # lazy localCheckpoint: `totals` and the PSI rollup both consume
+    # the bin frame — without it the two snapshot scans behind rb/cb
+    # run twice (Catalyst shares no common subplan across the join
+    # branches). The checkpointed frame is (columns × bins) rows.
+    joined = (
+        rb.join(cb, ["column", "bin"], "full_outer")
+        .select(
+            "column",
+            "bin",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = joined.groupBy("column").agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_cur").cast("bigint").alias("n_cur"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+    )
+    # Laplace-smoothed shares; per-bin term quantized to exact integers
+    # before the sum. All inputs to the doubles are exact integers, so
+    # every IEEE op is deterministic in both engines.
+    p = (F.col("c_ref") + 1).cast("double") / (
+        F.col("n_ref") + F.col("n_bins")
+    ).cast("double")
+    q = (F.col("c_cur") + 1).cast("double") / (
+        F.col("n_cur") + F.col("n_bins")
+    ).cast("double")
+    term_fp = F.floor((q - p) * F.log(q / p) * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return (
+        joined.join(F.broadcast(totals), "column")
+        .groupBy("column", "n_ref", "n_cur")
+        .agg(F.sum(term_fp).cast("bigint").alias("psi_fp"))
+        .select(
+            "column",
+            "n_ref",
+            "n_cur",
+            "psi_fp",
+            (F.col("psi_fp").cast("double") / F.lit(1_000_000.0)).alias("psi"),
+            (
+                F.col("psi_fp") > F.lit(int(threshold * 1_000_000))
+            ).alias("drift"),
+        )
+    )

@@ -2554,3 +2554,112 @@ def a_hll_ledger(spark, sf_dir):
             ).alias("est_ok"),
         )
     )
+
+
+@register(
+    "a_drift_report",
+    oracle="""
+    WITH ref AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+         cur AS (SELECT o_totalprice
+                        * CASE WHEN o_custkey % 3 = 0
+                               THEN CAST(5 AS DOUBLE) / 2 ELSE 1 END
+                          AS o_totalprice,
+                        CASE WHEN o_custkey % 3 = 0 THEN '1-URGENT'
+                             ELSE o_orderpriority END AS o_orderpriority
+                 FROM orders WHERE o_orderkey % 2 = 1),
+         edges AS (SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+                          CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+                   FROM ref),
+         rbins AS (
+           SELECT 'o_totalprice' AS col,
+                  CAST(LEAST(9, GREATEST(0,
+                    CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - lo)
+                               * CAST(10 AS DOUBLE) / (hi - lo)) AS INT)))
+                    AS VARCHAR) AS bin,
+                  count(*) AS c_ref
+           FROM ref CROSS JOIN edges GROUP BY 1, 2
+           UNION ALL
+           SELECT 'o_orderpriority',
+                  COALESCE(CAST(o_orderpriority AS VARCHAR), '__null__'),
+                  count(*)
+           FROM ref GROUP BY 1, 2),
+         cbins AS (
+           SELECT 'o_totalprice' AS col,
+                  CAST(LEAST(9, GREATEST(0,
+                    CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - lo)
+                               * CAST(10 AS DOUBLE) / (hi - lo)) AS INT)))
+                    AS VARCHAR) AS bin,
+                  count(*) AS c_cur
+           FROM cur CROSS JOIN edges GROUP BY 1, 2
+           UNION ALL
+           SELECT 'o_orderpriority',
+                  COALESCE(CAST(o_orderpriority AS VARCHAR), '__null__'),
+                  count(*)
+           FROM cur GROUP BY 1, 2),
+         j AS (SELECT COALESCE(r.col, c.col) AS col,
+                      COALESCE(r.bin, c.bin) AS bin,
+                      COALESCE(c_ref, 0) AS c_ref,
+                      COALESCE(c_cur, 0) AS c_cur
+               FROM rbins r FULL OUTER JOIN cbins c
+                 ON r.col = c.col AND r.bin = c.bin),
+         tot AS (SELECT col, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+                        CAST(SUM(c_cur) AS BIGINT) AS n_cur,
+                        CAST(COUNT(*) AS BIGINT) AS n_bins
+                 FROM j GROUP BY 1),
+         terms AS (
+           SELECT j.col, n_ref, n_cur,
+                  CAST(FLOOR((CAST(c_cur + 1 AS DOUBLE)
+                                / CAST(n_cur + n_bins AS DOUBLE)
+                              - CAST(c_ref + 1 AS DOUBLE)
+                                / CAST(n_ref + n_bins AS DOUBLE))
+                             * ln((CAST(c_cur + 1 AS DOUBLE)
+                                   / CAST(n_cur + n_bins AS DOUBLE))
+                                  / (CAST(c_ref + 1 AS DOUBLE)
+                                     / CAST(n_ref + n_bins AS DOUBLE)))
+                             * 1000000 + 0.5) AS BIGINT) AS t
+           FROM j JOIN tot USING (col))
+    SELECT col AS "column", n_ref, n_cur,
+           CAST(SUM(t) AS BIGINT) AS psi_fp,
+           CAST(SUM(t) AS DOUBLE) / 1000000 AS psi,
+           SUM(t) > 200000 AS drift
+    FROM terms GROUP BY 1, 2, 3
+    """,
+)
+def a_drift_report(spark, sf_dir):
+    """Snapshot-to-snapshot distribution drift
+    (``operators.profile.drift_report``): Population Stability Index
+    per column between the even-orderkey reference and an odd-orderkey
+    "new snapshot" with PLANTED drift — every third customer's prices
+    scaled 2.5× (numeric shift into higher bins) and the same
+    customers' priority rewritten to 1-URGENT (categorical shift).
+    Equal-width bins on the REFERENCE min/max (cross-engine exact,
+    unlike quantile sketches), Laplace smoothing, per-bin terms
+    quantized to exact integers before the per-column sum — so the
+    whole report, not just row counts, hash-checks against DuckDB.
+    The planted drift must flag o_totalprice and o_orderpriority at
+    the conventional 0.2 gate."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.profile import (
+        drift_report,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    ref = orders.filter("o_orderkey % 2 = 0")
+    cur = orders.filter("o_orderkey % 2 = 1").select(
+        (
+            F.col("o_totalprice")
+            * F.when(F.col("o_custkey") % 3 == 0, F.lit(2.5)).otherwise(
+                F.lit(1.0)
+            )
+        ).alias("o_totalprice"),
+        F.when(F.col("o_custkey") % 3 == 0, F.lit("1-URGENT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    return drift_report(
+        ref,
+        cur,
+        numeric_cols=["o_totalprice"],
+        cat_cols=["o_orderpriority"],
+        n_buckets=10,
+        threshold=0.2,
+    )

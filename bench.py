@@ -138,6 +138,7 @@ HEADLINE = [
     "s_ivf_persisted_index",
     "c_unimax_budget",
     "a_hll_ledger",
+    "a_drift_report",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.

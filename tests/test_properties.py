@@ -446,3 +446,33 @@ def test_repeated_spans_invariants(spark, docs):
             want = sum(1 for p in dup_positions[d] if s <= p <= e - n + 1)
             assert n_windows[(d, s)] == want
     assert set(per_doc) == {d for d, ps in dup_positions.items() if ps}
+
+
+def test_drift_report_self_comparison_is_stable(spark):
+    """PSI of a snapshot against itself must be ~0 (only Laplace
+    smoothing noise) and never flag; disjoint halves of the same
+    distribution stay under the gate; validation errors are loud."""
+    import pytest
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.profile import (
+        drift_report,
+    )
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    same = drift_report(
+        orders, orders, numeric_cols=["o_totalprice"],
+        cat_cols=["o_orderpriority"],
+    ).collect()
+    assert all(r.psi_fp == 0 and not r.drift for r in same)
+
+    halves = drift_report(
+        orders.filter("o_orderkey % 2 = 0"),
+        orders.filter("o_orderkey % 2 = 1"),
+        numeric_cols=["o_totalprice"],
+    ).collect()
+    assert all(not r.drift for r in halves)
+    assert all(abs(r.psi) < 0.1 for r in halves)
+
+    with pytest.raises(ValueError, match="numeric_cols"):
+        drift_report(orders, orders)
