@@ -1,0 +1,95 @@
+"""Streaming HLL-ledger maintenance: micro-batch ledgers folded at
+read time must equal the one-shot batch ledger; only NEW files process
+on a second availableNow run; a replayed batch must not double
+n_rows."""
+
+from __future__ import annotations
+
+import os
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sketches import (
+    hll_ledger,
+    ledger_estimates,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.ledger import (
+    read_streamed_ledger,
+    stream_ledger_maintenance,
+)
+
+SCHEMA = "event_id bigint, event_type string, user_id bigint"
+
+_BATCH1 = [(1, "click", 10), (2, "click", 11), (3, "view", 10)]
+_BATCH2 = [(4, "click", 10), (5, "view", 12), (6, "view", 12)]
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _run(spark, src, led, ckpt):
+    q = stream_ledger_maintenance(
+        spark, src, SCHEMA, led, ["event_type"], ["user_id"], ckpt
+    )
+    q.awaitTermination()
+
+
+def _est(spark, led_df):
+    return sorted(
+        map(tuple, ledger_estimates(led_df, ["event_type"]).collect())
+    )
+
+
+def test_streamed_ledger_equals_batch_build(spark, tmp_dir):
+    src, led, ckpt = (
+        f"{tmp_dir}/ev",
+        f"{tmp_dir}/ledger",
+        f"{tmp_dir}/ckpt",
+    )
+    _write(spark, src, _BATCH1)
+    _run(spark, src, led, ckpt)
+    _write(spark, src, _BATCH2)
+    _run(spark, src, led, ckpt)  # only batch 2 is new
+
+    got = _est(spark, read_streamed_ledger(spark, led, ["event_type"]))
+    want = _est(
+        spark,
+        hll_ledger(
+            spark.createDataFrame(_BATCH1 + _BATCH2, SCHEMA),
+            ["event_type"],
+            ["user_id"],
+        ),
+    )
+    assert got == want
+
+
+def test_streamed_ledger_replayed_batch_keeps_exact_row_counts(
+    spark, tmp_dir
+):
+    """Distinct estimates would survive a duplicated batch anyway
+    (set-union semantics), but n_rows is raw-additive — the
+    batch_id=/overwrite layout must keep it exact under replay."""
+    src, led, ckpt = (
+        f"{tmp_dir}/ev",
+        f"{tmp_dir}/ledger",
+        f"{tmp_dir}/ckpt",
+    )
+    _write(spark, src, _BATCH1)
+    _run(spark, src, led, ckpt)
+    os.remove(f"{ckpt}/commits/0")
+    crc = f"{ckpt}/commits/.0.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    _run(spark, src, led, ckpt)  # replays batch 0 with the same id
+
+    got = _est(spark, read_streamed_ledger(spark, led, ["event_type"]))
+    want = _est(
+        spark,
+        hll_ledger(
+            spark.createDataFrame(_BATCH1, SCHEMA),
+            ["event_type"],
+            ["user_id"],
+        ),
+    )
+    assert got == want  # n_rows exact AND estimates unchanged

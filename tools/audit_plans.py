@@ -76,6 +76,16 @@ AUDITED = [
     "q14_promo_effect",
     "q16_supplier_relation",
     "q21_waiting_supplier",
+    # round-5: merged window slots + the new ledger/report/serving ops
+    # (unimax/drift/budget carry dim-sized single-partition frames by
+    # design — audited for the table, exempt from the gate like
+    # t_tfidf_topk's scalar)
+    "d_minhash_dup_clusters",
+    "m_multimodal_pipeline",
+    "s_ivf_persisted_index",
+    "c_unimax_budget",
+    "a_hll_ledger",
+    "a_drift_report",
 ]
 
 # Every input corpus-sized → no broadcast hint allowed anywhere in the
