@@ -16,6 +16,7 @@ from graphlib import TopologicalSorter
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -115,5 +116,40 @@ def no_nulls(*cols: str) -> Callable[[DataFrame], bool]:
     def check(df: DataFrame) -> bool:
         pred = " OR ".join(f"{c} IS NULL" for c in cols)
         return df.filter(pred).limit(1).count() == 0
+
+    return check
+
+
+def no_drift(
+    ref_path: str,
+    numeric_cols: list[str] | None = None,
+    cat_cols: list[str] | None = None,
+    threshold: float = 0.2,
+) -> Callable[[DataFrame], bool]:
+    """Distribution-drift gate: the stage result's PSI against the
+    last PUBLISHED snapshot at ``ref_path`` must stay under
+    ``threshold`` on every monitored column
+    (``operators.profile.drift_report``). First publish (no reference
+    yet) passes vacuously — there is nothing to drift from. The gate
+    that catches a corrupted delivery (unit change, truncated feed,
+    swapped column) BEFORE it is promoted, the step the reference's
+    row-count checks cannot see."""
+
+    def check(df: DataFrame) -> bool:
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.profile import (
+            drift_report,
+        )
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.gating import (
+            model_exists,
+        )
+
+        if not model_exists(ref_path):
+            return True
+        ref = df.sparkSession.read.parquet(ref_path)
+        report = drift_report(
+            ref, df, numeric_cols=numeric_cols, cat_cols=cat_cols,
+            threshold=threshold,
+        )
+        return report.filter(F.col("drift")).limit(1).count() == 0
 
     return check

@@ -197,3 +197,35 @@ def test_versioned_publish_pointer_rollback_prune(spark, tmp_dir):
     # never prunes the pointed-at version
     assert versioned_publish(df_of("d"), root, keep=1) == 4
     assert read_latest(spark, root).collect()[0].tag == "d"
+
+
+def test_no_drift_gate_blocks_corrupted_delivery(spark, tmp_dir):
+    """The pre-publish drift gate: a candidate snapshot matching the
+    published distribution passes; a unit-change corruption (prices
+    x100) is blocked; the first publish (no reference) passes
+    vacuously."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.pipeline import (
+        no_drift,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.gating import (
+        atomic_publish,
+    )
+    from tests.conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    ref_path = f"{tmp_dir}/orders_model"
+    gate = no_drift(
+        ref_path, numeric_cols=["o_totalprice"], cat_cols=["o_orderstatus"]
+    )
+    # no published reference yet -> vacuous pass
+    assert gate(orders)
+    atomic_publish(orders, ref_path)
+    # same distribution (disjoint half) -> pass
+    assert gate(orders.filter("o_orderkey % 2 = 1"))
+    # unit-change corruption -> blocked
+    corrupted = orders.withColumn(
+        "o_totalprice", F.col("o_totalprice") * 100
+    )
+    assert not gate(corrupted)
