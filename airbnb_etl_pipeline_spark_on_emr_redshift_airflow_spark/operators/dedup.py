@@ -917,3 +917,83 @@ def strip_repeated_spans(
         .cast("bigint")
         .alias("n_removed"),
     )
+
+
+def link_records_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_text: str,
+    right_id: str,
+    right_text: str,
+    max_dist: int = 1,
+    best_match: bool = False,
+) -> DataFrame:
+    """Cross-TABLE record linkage by Levenshtein distance with the
+    same pigeonhole piece blocking as
+    :func:`edit_distance_pairs_blocked` — the two-source form of
+    entity resolution (matching a vendor feed's names/ids against the
+    master table), where the single-table operator dedups within one.
+
+    Each side's key splits into ``max_dist + 1`` contiguous pieces;
+    only (piece_idx, piece) collisions become candidates, so the
+    cross join is bounded by shared-piece fan-out, never |L|x|R|. For
+    equal-length strings the blocking is lossless (pigeonhole over
+    substitutions); mixed lengths are recall-oriented like any LSH.
+    Candidates dedup as slim id pairs before the verify re-attaches
+    both strings — the exchange never carries text.
+
+    ``best_match=True`` keeps one row per left id: the minimum
+    distance, tie-broken by right id (deterministic cross-engine).
+
+    Returns (left_id, right_id, dist) with ``dist <= max_dist``.
+    """
+    k = max_dist + 1
+
+    def _pieces(df: DataFrame, id_col: str, text_col: str, side: str):
+        base = df.select(
+            F.col(id_col).alias(f"__id_{side}"),
+            F.col(text_col).alias(f"__t_{side}"),
+        )
+        structs = []
+        for i in range(k):
+            piece = F.expr(
+                f"substring(__t_{side}, {i} * length(__t_{side}) div {k} + 1, "
+                f"({i + 1}) * length(__t_{side}) div {k} "
+                f"- {i} * length(__t_{side}) div {k})"
+            )
+            structs.append(
+                F.struct(F.lit(i).alias("piece_idx"), piece.alias("piece"))
+            )
+        return base, base.select(
+            f"__id_{side}", F.explode(F.array(*structs)).alias("bk")
+        ).select(f"__id_{side}", "bk.piece_idx", "bk.piece")
+
+    lbase, lblocked = _pieces(left, left_id, left_text, "l")
+    rbase, rblocked = _pieces(right, right_id, right_text, "r")
+    cands = (
+        lblocked.join(rblocked, ["piece_idx", "piece"])
+        .select("__id_l", "__id_r")
+        .distinct()
+    )
+    out = (
+        cands.join(lbase, "__id_l")
+        .join(rbase, "__id_r")
+        .withColumn("dist", F.levenshtein("__t_l", "__t_r").cast("bigint"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("__id_l").alias(left_id),
+            F.col("__id_r").alias(right_id),
+            "dist",
+        )
+    )
+    if best_match:
+        w = Window.partitionBy(left_id).orderBy(
+            F.col("dist").asc(), F.col(right_id).asc()
+        )
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return out

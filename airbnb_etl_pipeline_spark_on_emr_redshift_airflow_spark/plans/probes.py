@@ -2663,3 +2663,56 @@ def a_drift_report(spark, sf_dir):
         n_buckets=10,
         threshold=0.2,
     )
+
+
+_LINK_KEY = "lpad(CAST(c_custkey * 7919 AS VARCHAR), 8, '0')"
+_LINK_KEY_SPARK = "lpad(CAST(c_custkey * 7919 AS STRING), 8, '0')"
+
+
+@register(
+    "j_record_linkage",
+    oracle=f"""
+    WITH lft AS (SELECT c_custkey AS left_id, {_LINK_KEY} AS lkey
+                 FROM customer WHERE c_custkey % 10 = 0),
+         rgt AS (SELECT c_custkey + 10000000 AS right_id,
+                        CASE WHEN c_custkey % 3 = 0
+                             THEN concat('9', substring({_LINK_KEY}, 2))
+                             ELSE {_LINK_KEY} END AS rkey
+                 FROM customer WHERE c_custkey % 10 = 0)
+    SELECT left_id, right_id,
+           CAST(levenshtein(lkey, rkey) AS BIGINT) AS dist
+    FROM lft, rgt
+    WHERE levenshtein(lkey, rkey) <= 1
+    """,
+)
+def j_record_linkage(spark, sf_dir):
+    """Cross-table record linkage
+    (``operators.dedup.link_records_blocked``): a "vendor feed" of
+    customer keys — every third key corrupted by one substitution —
+    matched against the master table by Levenshtein ≤ 1 with
+    pigeonhole piece blocking. The ORACLE is the quadratic ground
+    truth (DuckDB cross join + levenshtein), so a hash match certifies
+    the blocking's RECALL, not just its precision: keys are padded to
+    a fixed width, where the pigeonhole guarantee makes the blocking
+    lossless (the templated-key caveat in the operator docstring is
+    exactly why the probe keys are hash-diverse numerics, not the
+    constant-prefix TPC-H names). Candidates dedup as slim id pairs;
+    the exchange never carries key text."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        link_records_blocked,
+    )
+
+    (customer,) = load(spark, sf_dir, "customer")
+    subset = customer.filter("c_custkey % 10 = 0")
+    left = subset.selectExpr(
+        "c_custkey AS left_id", f"{_LINK_KEY_SPARK} AS lkey"
+    )
+    right = subset.selectExpr(
+        "c_custkey + 10000000 AS right_id",
+        f"CASE WHEN c_custkey % 3 = 0 "
+        f"THEN concat('9', substring({_LINK_KEY_SPARK}, 2)) "
+        f"ELSE {_LINK_KEY_SPARK} END AS rkey",
+    )
+    return link_records_blocked(
+        left, right, "left_id", "lkey", "right_id", "rkey", max_dist=1
+    )

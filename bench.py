@@ -139,6 +139,7 @@ HEADLINE = [
     "c_unimax_budget",
     "a_hll_ledger",
     "a_drift_report",
+    "j_record_linkage",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.

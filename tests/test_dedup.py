@@ -609,3 +609,33 @@ def test_strip_repeated_spans_cuts_exactly_the_spans(spark):
     assert out[4].clean_tokens == [] and out[4].n_tokens == 0
     # every input doc is present
     assert set(out) == {1, 2, 3, 4}
+
+
+def test_link_records_best_match_and_typo_recall(spark):
+    """Cross-table linkage: every corrupted feed key must link back to
+    its master row; best_match keeps exactly one deterministic row per
+    left id (min dist, right-id tie-break)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        link_records_blocked,
+    )
+
+    master = spark.createDataFrame(
+        [(i, f"{i * 7919:08d}") for i in range(1, 40)], "mid bigint, mkey string"
+    )
+    feed = spark.createDataFrame(
+        [
+            (100 + i, ("9" + f"{i * 7919:08d}"[1:]) if i % 3 == 0 else f"{i * 7919:08d}")
+            for i in range(1, 40)
+        ],
+        "fid bigint, fkey string",
+    )
+    out = link_records_blocked(
+        master, feed, "mid", "mkey", "fid", "fkey", max_dist=1,
+        best_match=True,
+    )
+    rows = {r.mid: (r.fid, r.dist) for r in out.collect()}
+    assert len(rows) == 39  # one best match per master row
+    for i in range(1, 40):
+        fid, dist = rows[i]
+        assert fid == 100 + i  # its own feed twin wins
+        assert dist == (1 if i % 3 == 0 and f"{i*7919:08d}"[0] != "9" else 0)

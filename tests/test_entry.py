@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 106
+    assert len(names) == 107
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -76,6 +76,9 @@ def test_oracle_keys_subset_of_queries(spark):
         "a_hll_ledger",
         # round-5 extension: PSI snapshot-drift report (oracle-checked)
         "a_drift_report",
+        # round-5 extension: cross-table record linkage, quadratic
+        # ground-truth oracle certifies blocking recall
+        "j_record_linkage",
     ]
 
 
