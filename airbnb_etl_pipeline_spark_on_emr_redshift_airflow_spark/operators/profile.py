@@ -98,9 +98,15 @@ def drift_report(
     Laplace-smoothed shares (+1 per bin) keep ``ln`` finite for empty
     bins. Per-bin PSI terms are quantized to 1e-6 fixed point BEFORE
     the per-column sum (exact integer addition — the catalog's
-    order-independence device), so ``psi_fp`` is bit-identical across
-    engines and layouts and a DuckDB oracle can hash-check the whole
-    report.
+    order-independence device), so ``psi_fp`` is LAYOUT-independent
+    (no float-sum reorder can change it) and in practice matches a
+    DuckDB oracle hash-for-hash. Residual cross-engine risk, as with
+    the LM/BM25 oracles: IEEE-754 does not require ``ln`` to be
+    correctly rounded, so JVM ``Math.log`` and DuckDB ``ln`` could in
+    principle differ by 1 ulp and flip a term that lands exactly on
+    the floor(x·1e6 + 0.5) boundary — same class as the pow-vs-sqrt
+    note on :func:`temperature_rebalance`; never observed across the
+    parity suites.
 
     Scale shape: one scan per snapshot per column family (bucket
     assignment is scan-stage arithmetic); bin-count aggregates are

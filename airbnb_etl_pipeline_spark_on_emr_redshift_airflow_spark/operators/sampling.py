@@ -865,9 +865,12 @@ def unimax_budget_sample(
         bound.crossJoin(F.broadcast(first))
         .filter(F.col("__rn") == F.col("__first_rn"))
         .select(
-            F.floor(
-                (B - F.col("__sb"))
-                / (F.col("__g_total") - F.col("__rn") + 1)
+            # true bigint division (`div`), not double `/` + floor: the
+            # quotient stays exact for budgets past 2^53 (B - __sb >= 0
+            # here, so truncation == floor)
+            F.expr(
+                f"(CAST({int(total_budget)} AS BIGINT) - __sb)"
+                " div (__g_total - __rn + 1)"
             )
             .cast("bigint")
             .alias("__w"),

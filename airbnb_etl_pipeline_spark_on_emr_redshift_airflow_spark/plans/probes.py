@@ -2395,10 +2395,15 @@ def s_ivf_persisted_index(spark, sf_dir):
     the broadcast probe join drives dynamic partition pruning, so the
     scan reads ~n_probe/n_cells of the corpus bytes (PartitionFilters
     in the plan, gated in ``tests/test_similarity.py``). The index is
-    built once per sf_dir under the repo-local workdir (deterministic:
-    fixed KMeans seed) and reread on every later call — re-query cost
-    is O(probe), not O(corpus + train). Rows-only check (learned
-    quantizer); parity of indexed vs fused search is pytest-pinned."""
+    built once per CORPUS CONTENT under the repo-local workdir
+    (deterministic: fixed KMeans seed) and reread on every later call
+    — re-query cost is O(probe), not O(corpus + train). The cache key
+    is a fingerprint of the source parquet's file listing (path +
+    sizes + mtimes), not the sf_dir basename, so a regenerated corpus
+    or two sf roots sharing a basename can never serve a stale or
+    foreign index. Rows-only check (learned quantizer); parity of
+    indexed vs fused search is pytest-pinned."""
+    import hashlib as _hashlib
     import os as _os
 
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
@@ -2411,8 +2416,14 @@ def s_ivf_persisted_index(spark, sf_dir):
     repo = _os.path.dirname(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
-    tag = _os.path.basename(sf_dir.rstrip("/"))
-    path = _os.path.join(repo, ".tmp", "catalog_ivf", tag)
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    ent = [_os.path.abspath(src)]
+    for root, _dirs, files in sorted(_os.walk(src)):
+        for f in sorted(files):
+            st = _os.stat(_os.path.join(root, f))
+            ent.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    fp = _hashlib.md5("|".join(ent).encode()).hexdigest()[:16]
+    path = _os.path.join(repo, ".tmp", "catalog_ivf", fp)
     (emb,) = load(spark, sf_dir, "embeddings")
     if not _os.path.isdir(_os.path.join(path, "vectors")):
         assigned, centroids = ivf_build(emb, n_centroids=8, seed=42)
@@ -2445,8 +2456,8 @@ _UNIMAX_B = 200
                           (cap * (gt - rn + 1)) > ({_UNIMAX_B} - sb) AS b
                    FROM pos),
          frst AS (SELECT MIN(rn) AS frn FROM bound WHERE b),
-         line AS (SELECT CAST(FLOOR(CAST({_UNIMAX_B} - sb AS DOUBLE)
-                               / (gt - rn + 1)) AS BIGINT) AS w
+         line AS (SELECT CAST(({_UNIMAX_B} - sb) // (gt - rn + 1)
+                              AS BIGINT) AS w
                   FROM bound CROSS JOIN frst WHERE rn = frn),
          alloc AS (SELECT grp, n_g,
                           CASE WHEN frn IS NULL OR rn < frn THEN cap

@@ -1,8 +1,10 @@
 """Catalog: lexical retrieval over ``documents`` — the BM25 rung of
 the retrieval surface (training-data extension; the ANN family in
 ``plans.similarity`` is its dense counterpart). Rotated into the
-first-50 driver recording window in round 5 (slot freed by folding
-s_ann_methods into s_near_dup_lsh_blocked); the RRF hybrid probe
+first-50 driver recording window in round 5 (slots freed by the
+d_simhash_near_dup, c_sample_mix and m_binary_frames +
+m_feature_extract slice-merges — see ``plans/__init__`` ordering and
+``tests/test_entry.py``); the RRF hybrid probe
 (``r_hybrid_rrf``) composes this with the dense leg in
 ``plans.probes``.
 """

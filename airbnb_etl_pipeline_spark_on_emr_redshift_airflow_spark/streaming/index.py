@@ -77,13 +77,21 @@ def stream_index_maintenance(
 
 
 def read_streamed_index(
-    spark: SparkSession, index_tf_path: str, index_dl_path: str
+    spark: SparkSession,
+    index_tf_path: str,
+    index_dl_path: str,
+    batch_predicate: str | None = None,
 ):
     """Load the streamed (tf, dl) index tables, hiding the
     ``batch_id=`` idempotency layout (partition discovery surfaces it
     as a column; serving code wants the plain ``bm25_index`` schema).
-    Partition pruning on ``batch_id`` still works upstream of the drop
-    if a caller filters first."""
-    tf = spark.read.parquet(index_tf_path).drop("batch_id")
-    dl = spark.read.parquet(index_dl_path).drop("batch_id")
-    return tf, dl
+    Because ``batch_id`` is dropped here, callers can never filter on
+    it after this returns — ``batch_predicate`` (a SQL boolean over
+    ``batch_id``, e.g. ``"batch_id >= 7"``) applies BEFORE the drop so
+    partition pruning skips the excluded batch directories entirely."""
+    tf = spark.read.parquet(index_tf_path)
+    dl = spark.read.parquet(index_dl_path)
+    if batch_predicate is not None:
+        tf = tf.filter(batch_predicate)
+        dl = dl.filter(batch_predicate)
+    return tf.drop("batch_id"), dl.drop("batch_id")
