@@ -31,6 +31,15 @@ _NORM = "trim(regexp_replace(lower(text), '[^a-z]+', ' '))"
 
 
 def normalized_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the normalized token array. Reuse contract: a frame that
+    ALREADY carries ``__tokens`` (a pre-tokenized, typically
+    lazily-checkpointed corpus) is returned as-is — callers that
+    materialize tokenization once share it across every signature
+    family (MinHash shingles, verify arrays, SimHash bit votes)
+    instead of re-running normalize+split per chain; see
+    ``plans.dedup.d_minhash_dup_clusters``."""
+    if "__tokens" in docs.columns:
+        return docs
     norm = _NORM.replace("text", text_col)
     return docs.withColumn("__tokens", F.split(F.expr(norm), " "))
 
@@ -187,14 +196,39 @@ def jaccard_pairs(
 
 
 def minhash_signatures(docs: DataFrame, k: int = 32, n: int = 3) -> DataFrame:
-    """k-permutation MinHash signature per doc: one groupBy over the
-    exploded shingles computes all k mins in a single shuffle
-    (``min(xxhash64(seed_j, shingle))`` per j)."""
-    sh = word_shingles(docs, n)
-    aggs = [
-        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}") for j in range(k)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    """k-permutation MinHash signature per doc
+    (``min(xxhash64(seed_j, shingle))`` per j over the doc's distinct
+    shingles) as a pure SCAN-STAGE array fold: the distinct-shingle
+    array builds per row and one ``aggregate`` lambda accumulates all
+    k mins — ZERO shuffle, where the former explode + k-column groupBy
+    exchanged every (doc, shingle) row (the dominant wire cost of
+    fingerprinting at corpus scale). A lambda-bound ``j`` from
+    ``sequence`` hashes identically to the integer literal the
+    exploded form used, so signatures are bit-identical and persisted
+    indexes (:func:`minhash_index_build`) stay seed-stable. Docs with
+    no shingle (< n tokens) drop, matching explode semantics — keeping
+    them would hand every short doc one shared degenerate signature
+    and a quadratic bucket."""
+    toked = normalized_tokens(docs)
+    shingles = f"""
+        CASE WHEN size(__tokens) >= {n} THEN
+          array_distinct(transform(
+            sequence(1, size(__tokens) - {n - 1}),
+            i -> concat_ws(' ', slice(__tokens, i, {n}))
+          ))
+        ELSE array() END
+        """
+    sig_sql = f"""
+    aggregate({shingles}, array_repeat(cast(9223372036854775807 as bigint), {k}),
+              (acc, s) -> zip_with(acc, sequence(0, {k - 1}),
+                                   (a, j) -> least(a, xxhash64(j, s))))
+    """
+    sigarr = toked.filter(
+        F.size("__tokens") >= n
+    ).select("doc_id", F.expr(sig_sql).alias("__sig"))
+    return sigarr.select(
+        "doc_id", *[F.col("__sig")[j].alias(f"h{j}") for j in range(k)]
+    )
 
 
 def minhash_lsh_candidates(
@@ -539,26 +573,42 @@ def decontaminate(
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per doc: per-token xxhash64, bit-majority vote
-    across tokens — 64 conditional sums in one aggregate pass, then the
-    signature reassembled with bit arithmetic. Pure JVM expressions."""
-    toked = normalized_tokens(docs)
-    tokens = toked.select(
-        "doc_id", F.explode("__tokens").alias("tok")
-    ).withColumn("th", F.xxhash64("tok"))
-    bit_aggs = [
-        F.sum(
-            F.when(F.expr(f"(th >> {i}) & 1") == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    votes = tokens.groupBy("doc_id").agg(*bit_aggs)
-    sig = None
-    for i in range(64):
-        term = F.when(F.col(f"b{i}") > 0, F.expr(f"cast(1 as bigint) << {i}")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return votes.select("doc_id", sig.alias("simhash"))
+    across tokens (duplicates counted, as a bag). Computed as a pure
+    SCAN-STAGE array fold — the token array hashes once per doc, each
+    bit's set-count is an ``aggregate`` lambda over that hash array,
+    and the signature reassembles with bit arithmetic in the same
+    projection. ZERO shuffle: the former explode + 64-column groupBy
+    moved a corpus-token-sized exchange (the dominant cost of the
+    signature at scale) that a per-row fold never needs. Majority is
+    ``2·set_count > n_tokens`` ≡ the ±1 vote sum being positive, so
+    signatures are bit-identical to the exploded form (pinned by the
+    planted-twin hamming tests)."""
+    toked = normalized_tokens(docs).withColumn(
+        "__sh_th", F.expr("transform(__tokens, t -> xxhash64(t))")
+    )
+    # One fold, not 64 per-bit aggregates: the vote array accumulates
+    # all 64 set-bit counts in a single pass (the 64-term expression
+    # tree quadrupled driver-side analysis/codegen time for the same
+    # executor work).
+    sig_sql = """
+    aggregate(
+      zip_with(
+        aggregate(__sh_th, array_repeat(cast(0 as bigint), 64),
+                  (acc, h) -> zip_with(acc, sequence(0, 63),
+                                       (a, i) -> a + ((h >> i) & 1))),
+        sequence(0, 63),
+        (v, i) -> if(v * 2 > size(__sh_th),
+                     shiftleft(cast(1 as bigint), i),
+                     cast(0 as bigint))),
+      cast(0 as bigint), (a, x) -> a | x)
+    """
+    # explode-form parity: a doc with no tokens produced no vote rows
+    # (split never yields an empty array for non-null text, so this
+    # only guards degenerate inputs)
+    return (
+        toked.filter(F.size("__sh_th") > 0)
+        .select("doc_id", F.expr(sig_sql).alias("simhash"))
+    )
 
 
 def simhash_dup_buckets(docs: DataFrame) -> DataFrame:
