@@ -978,6 +978,7 @@ def link_records_blocked(
     right_text: str,
     max_dist: int = 1,
     best_match: bool = False,
+    max_block_rows: int | None = 100_000,
 ) -> DataFrame:
     """Cross-TABLE record linkage by Levenshtein distance with the
     same pigeonhole piece blocking as
@@ -993,12 +994,55 @@ def link_records_blocked(
     Candidates dedup as slim id pairs before the verify re-attaches
     both strings — the exchange never carries text.
 
+    Piece blocks have the fixed-bucket failure mode every blocking
+    scheme has (the adaptive-plane LSH lesson): a templated key with a
+    constant region — every vendor id sharing the prefix ``"CUST-"``
+    — puts BOTH whole tables in one block and the candidate join goes
+    |L|×|R| silently. ``max_block_rows`` is the lazy per-block
+    population guard (the ``embedding_near_dup_pairs`` idiom): a
+    no-sort count window over (piece_idx, piece) on EACH side — it
+    rides the candidate join's own exchange, costs no extra action —
+    and ``assert_true`` fails the job loudly, naming the hot block and
+    the remedy, before the quadratic join launches. ``None`` disables.
+
     ``best_match=True`` keeps one row per left id: the minimum
     distance, tie-broken by right id (deterministic cross-engine).
 
     Returns (left_id, right_id, dist) with ``dist <= max_dist``.
     """
     k = max_dist + 1
+
+    def _block_guard(blocked: DataFrame, side: str) -> DataFrame:
+        if max_block_rows is None:
+            return blocked
+        n_in_block = F.count(F.lit(1)).over(
+            Window.partitionBy("piece_idx", "piece")
+        )
+        guard = F.assert_true(
+            F.col("__block_n") <= max_block_rows,
+            F.concat_ws(
+                "",
+                F.lit(f"link_records_blocked: {side} block (piece_idx="),
+                F.col("piece_idx").cast("string"),
+                F.lit(", piece='"),
+                F.col("piece"),
+                F.lit("') holds "),
+                F.col("__block_n").cast("string"),
+                F.lit(
+                    f" rows (> max_block_rows={max_block_rows}); the "
+                    "cross-table candidate join is O(|block_l|x|"
+                    "block_r|) — keys with a shared constant region "
+                    "block on it; strip the template prefix / pick a "
+                    "hash-diverse key column, or raise max_block_rows "
+                    "explicitly."
+                ),
+            ),
+        )
+        return (
+            blocked.withColumn("__block_n", n_in_block)
+            .filter(guard.isNull())
+            .drop("__block_n")
+        )
 
     def _pieces(df: DataFrame, id_col: str, text_col: str, side: str):
         base = df.select(
@@ -1021,6 +1065,8 @@ def link_records_blocked(
 
     lbase, lblocked = _pieces(left, left_id, left_text, "l")
     rbase, rblocked = _pieces(right, right_id, right_text, "r")
+    lblocked = _block_guard(lblocked, "left")
+    rblocked = _block_guard(rblocked, "right")
     cands = (
         lblocked.join(rblocked, ["piece_idx", "piece"])
         .select("__id_l", "__id_r")

@@ -639,3 +639,39 @@ def test_link_records_best_match_and_typo_recall(spark):
         fid, dist = rows[i]
         assert fid == 100 + i  # its own feed twin wins
         assert dist == (1 if i % 3 == 0 and f"{i*7919:08d}"[0] != "9" else 0)
+
+
+def test_link_records_block_guard_trips_on_templated_keys(spark):
+    """The per-block population guard: templated keys with a constant
+    prefix collapse one piece into a single block — the guard must fail
+    loudly (naming the block) instead of launching the |L|x|R| join,
+    and max_block_rows=None must restore the unguarded behavior."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        link_records_blocked,
+    )
+
+    # every key shares the constant half "CUSTOMER" -> piece 0 is one
+    # giant block on both sides
+    master = spark.createDataFrame(
+        [(i, f"CUSTOMER{i:08d}") for i in range(1, 60)],
+        "mid bigint, mkey string",
+    )
+    feed = spark.createDataFrame(
+        [(100 + i, f"CUSTOMER{i:08d}") for i in range(1, 60)],
+        "fid bigint, fkey string",
+    )
+    guarded = link_records_blocked(
+        master, feed, "mid", "mkey", "fid", "fkey", max_dist=1,
+        max_block_rows=50,
+    )
+    with pytest.raises(SparkRuntimeException, match="link_records_blocked"):
+        guarded.count()
+    # disabled guard: same candidates, job completes
+    out = link_records_blocked(
+        master, feed, "mid", "mkey", "fid", "fkey", max_dist=1,
+        max_block_rows=None,
+    )
+    assert out.filter("dist = 0").count() == 59
