@@ -641,7 +641,7 @@ def embedding_near_dup_pairs_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    target_bucket_rows: int = 256,
+    target_bucket_rows: int = 160,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs blocked by hyperplane-LSH
     buckets — the 100 TB form of :func:`embedding_near_dup_pairs`.
@@ -658,11 +658,12 @@ def embedding_near_dup_pairs_lsh(
 
     ``n_planes=None`` sizes the plane count from the corpus
     (:func:`adaptive_n_planes`): one cheap count, then
-    ``ceil(log2(N / target_bucket_rows))`` — bucket population stays
-    ~constant as N grows, so candidate pairs (and wall-clock) scale
-    LINEARLY instead of quadratically. A fixed ``n_planes`` is a fixed
-    bucket count: fine for a known corpus size, quadratic under
-    growth.
+    ``ceil(log2(N / target_bucket_rows))`` planes for recall, and the
+    sign patterns hash-mod onto EXACTLY ``ceil(N / target)`` buckets —
+    population is pinned at the target for every N (no power-of-2
+    wobble), so candidate pairs (and wall-clock) scale LINEARLY
+    instead of quadratically. A fixed ``n_planes`` is a fixed bucket
+    count: fine for a known corpus size, quadratic under growth.
 
     Recall for pairs at cosine s: 1 - (1 - p1(s)^n_planes)^n_tables.
     At 4 planes × 16 tables that is ≈0.92 recall at s = 0.35 and
@@ -671,8 +672,23 @@ def embedding_near_dup_pairs_lsh(
     true near-dups (s ≥ 0.9) stay ≈1.0 — raise n_tables to win loose
     recall back (standard LSH trade).
     """
+    n_buckets = None
     if n_planes is None:
-        n_planes = adaptive_n_planes(emb.count(), target_bucket_rows)
+        n_rows = emb.count()
+        n_planes = adaptive_n_planes(n_rows, target_bucket_rows)
+        # Power-of-2 granularity smoothing (round 6): 2^ceil(log2(...))
+        # lets the realized bucket population wobble anywhere in
+        # (target/2, target] depending on where N lands between powers
+        # of two, so the candidate-pair count — N·pop/2 per table —
+        # drifts up to 2x off linear between scale decades (the r6
+        # scale bench read 12.6x inherent pairs for 10x data). Mapping
+        # the sign patterns onto EXACTLY ceil(N/target) buckets via a
+        # per-table hash-mod pins the population at the target for
+        # every N: candidates become exactly linear. Merging patterns
+        # can only add false-positive candidates (the exact-cosine
+        # verify removes them); recall is set by n_planes alone, which
+        # is unchanged.
+        n_buckets = max(1, -(-n_rows // target_bucket_rows))
     # Candidate generation stays SLIM — id pairs only. Carrying the
     # vectors through the bucket self-join + dedup would multiply the
     # shuffle by the embedding width (two dense arrays per candidate
@@ -683,6 +699,13 @@ def embedding_near_dup_pairs_lsh(
         emb, n_planes=n_planes, n_tables=n_tables, dim=dim, seed=seed,
         vec_col=vec_col,
     ).select("table_id", "bucket", F.col(id_col).alias("id"))
+    if n_buckets is not None and n_buckets < 2 ** n_planes:
+        # table_id in the hash → each table merges a DIFFERENT random
+        # pattern subset, preserving the OR-amplification independence
+        b = b.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("table_id", "bucket"), F.lit(n_buckets)),
+        )
     # Pair generation is the fan-out stage: a narrow input can carry a
     # quadratic output, so its parallelism must be pinned to cluster
     # width, not inherited from the input layout. Two places AQE's

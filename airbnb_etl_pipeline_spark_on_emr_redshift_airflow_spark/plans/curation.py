@@ -27,9 +27,17 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling 
     stratified_sample,
     weighted_mix,
 )
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+    dec_sum,
+    dec_sum_sql,
+)
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
     load,
     register,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.text import (
+    TOKS as _TOKS,
+    TOKS_DUCK as _TOKS_DUCK,
 )
 
 # First 13 normalized words of a doc — the fragment embedded into a
@@ -39,6 +47,144 @@ _FRAG13 = (
     "array_join(slice(split(trim(regexp_replace(lower(text), "
     "'[^a-z]+', ' ')), ' '), 1, 13), ' ')"
 )
+
+
+
+
+# --- rotated into the driver window (round 6) ---
+# Two window slots freed by moving the rows-only a_approx_sketches and
+# s_ann_methods past the window (both re-registered verbatim in
+# plans.probes; their families keep window representation via exact
+# siblings). The slots record two oracle-checked flagships: the DSIR
+# importance selection and the TPC-H Q5 snowflake-join showcase --
+# registering here (before d_decontaminate) keeps d_decontaminate and
+# c_pack_sequences at window positions 49/50.
+
+_DSIR_B, _DSIR_K = 1024, 100
+
+
+@register(
+    "c_dsir_select",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang = 'en' AS tgt, {_TOKS_DUCK} AS t
+                  FROM documents),
+         uni AS (SELECT doc_id, tgt, unnest(t) AS gram FROM toks),
+         bg AS (SELECT doc_id, tgt, t[i] || '_' || t[i+1] AS gram
+                FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+         grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bg),
+         db AS (SELECT doc_id, tgt,
+                       CAST('0x' || substr(md5(gram), 1, 4) AS INTEGER)
+                         % {_DSIR_B} AS bucket,
+                       count(*) AS cnt
+                FROM grams GROUP BY 1, 2, 3),
+         raw AS (SELECT bucket, SUM(cnt) AS c_raw FROM db GROUP BY 1),
+         tgtc AS (SELECT bucket, SUM(cnt) AS c_tgt FROM db
+                  WHERE tgt GROUP BY 1),
+         tot AS (SELECT SUM(cnt) AS t_raw,
+                        SUM(CASE WHEN tgt THEN cnt ELSE 0 END) AS t_tgt
+                 FROM db),
+         lm AS (SELECT raw.bucket,
+                       CAST(FLOOR((ln((CAST(COALESCE(c_tgt, 0) AS DOUBLE)
+                                       + 1.0)
+                                      / (CAST(t_tgt AS DOUBLE)
+                                         + {float(_DSIR_B)}))
+                                   - ln((CAST(c_raw AS DOUBLE) + 1.0)
+                                        / (CAST(t_raw AS DOUBLE)
+                                           + {float(_DSIR_B)})))
+                                  * 10000 + 0.5) AS BIGINT) AS lr_fp
+                FROM raw LEFT JOIN tgtc USING (bucket) CROSS JOIN tot),
+         wt AS (SELECT db.doc_id,
+                       CAST(SUM(cnt) AS BIGINT) AS n_grams,
+                       CAST(SUM(cnt * lr_fp) AS BIGINT) AS weight_fp
+                FROM db JOIN lm USING (bucket) GROUP BY 1)
+    SELECT doc_id, n_grams, weight_fp,
+           CAST(weight_fp AS DOUBLE) / 10000 / n_grams AS dsir_score
+    FROM wt ORDER BY dsir_score DESC, doc_id LIMIT {_DSIR_K}
+    """,
+)
+def c_dsir_select(spark, sf_dir):
+    """DSIR data selection (``operators.sampling.dsir_select``, Xie et
+    al. 2023): the top 100 documents by hashed-ngram importance weight
+    against an 'is-English' target distribution — the
+    importance-resampling rung of the curation ladder, between the
+    heuristic gates (``t_text_profile``) and the trained classifier
+    (``t_quality_classifier``). Unigram+bigram features hash into 1024
+    md5-portable buckets (so the ENTIRE weight computation, not just
+    row counts, certifies cross-engine); both bag-of-buckets models
+    are rollups of one (doc, bucket) count table; the log-ratio table
+    is bounded by the constant bucket count — the legitimate
+    broadcast-side, unlike a corpus-derived vocabulary; per-doc sums
+    are fixed-point-exact."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        dsir_select,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("tgt"),
+        F.expr(_TOKS).alias("t"),
+    )
+    return dsir_select(
+        toked, "t", "doc_id", "tgt", k=_DSIR_K, n_buckets=_DSIR_B
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           {dec_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): six-way snowflake join
+    with a region filter that prunes through nation into supplier, a
+    date band on orders, and the LOCAL constraint (customer and
+    supplier share a nation) expressed in the supplier join condition.
+    The deepest join-planning exercise in the catalog: region/nation
+    broadcast down the snowflake chain, the customer⋈orders⋈lineitem
+    spine shuffles on its keys, and AQE picks broadcast for whichever
+    filtered side collapses. Fixed-point revenue sum for the oracle
+    hash."""
+    cust, orders, li, supp, nation, region = load(
+        spark, sf_dir,
+        "customer", "orders", "lineitem", "supplier", "nation", "region",
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
 
 
 @register("d_decontaminate")

@@ -804,63 +804,6 @@ def q3_shipping_priority(spark, sf_dir):
 
 
 @register(
-    "q5_local_supplier_volume",
-    oracle=f"""
-    SELECT n_name,
-           {dec_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-    JOIN nation ON s_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    WHERE r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o_orderdate < TIMESTAMP '1998-01-01'
-    GROUP BY 1
-    ORDER BY revenue DESC, n_name
-    """,
-)
-def q5_local_supplier_volume(spark, sf_dir):
-    """TPC-H Q5 shape (local supplier volume): six-way snowflake join
-    with a region filter that prunes through nation into supplier, a
-    date band on orders, and the LOCAL constraint (customer and
-    supplier share a nation) expressed in the supplier join condition.
-    The deepest join-planning exercise in the catalog: region/nation
-    broadcast down the snowflake chain, the customer⋈orders⋈lineitem
-    spine shuffles on its keys, and AQE picks broadcast for whichever
-    filtered side collapses. Fixed-point revenue sum for the oracle
-    hash."""
-    cust, orders, li, supp, nation, region = load(
-        spark, sf_dir,
-        "customer", "orders", "lineitem", "supplier", "nation", "region",
-    )
-    return (
-        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .filter(
-            (F.col("o_orderdate") >= "1996-01-01")
-            & (F.col("o_orderdate") < "1998-01-01")
-        )
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(
-            supp,
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
-        .filter(F.col("r_name") == "ASIA")
-        .groupBy("n_name")
-        .agg(
-            dec_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
-            )
-        )
-        .orderBy(F.col("revenue").desc(), F.col("n_name"))
-    )
-
-
-@register(
     "s_parquet_scan_prune",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity
@@ -1517,76 +1460,6 @@ def t_url_curation(spark, sf_dir):
     kept = blocklist_filter(dom, "domain", blocked)
     capped = domain_cap(kept, "domain", _DOMAIN_CAP, ["doc_id"])
     return capped.select("doc_id", "url_canon", "domain", "sample_rank")
-
-
-_DSIR_B, _DSIR_K = 1024, 100
-
-
-@register(
-    "c_dsir_select",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, lang = 'en' AS tgt, {_TOKS_DUCK} AS t
-                  FROM documents),
-         uni AS (SELECT doc_id, tgt, unnest(t) AS gram FROM toks),
-         bg AS (SELECT doc_id, tgt, t[i] || '_' || t[i+1] AS gram
-                FROM toks, UNNEST(range(1, len(t))) AS u(i)),
-         grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bg),
-         db AS (SELECT doc_id, tgt,
-                       CAST('0x' || substr(md5(gram), 1, 4) AS INTEGER)
-                         % {_DSIR_B} AS bucket,
-                       count(*) AS cnt
-                FROM grams GROUP BY 1, 2, 3),
-         raw AS (SELECT bucket, SUM(cnt) AS c_raw FROM db GROUP BY 1),
-         tgtc AS (SELECT bucket, SUM(cnt) AS c_tgt FROM db
-                  WHERE tgt GROUP BY 1),
-         tot AS (SELECT SUM(cnt) AS t_raw,
-                        SUM(CASE WHEN tgt THEN cnt ELSE 0 END) AS t_tgt
-                 FROM db),
-         lm AS (SELECT raw.bucket,
-                       CAST(FLOOR((ln((CAST(COALESCE(c_tgt, 0) AS DOUBLE)
-                                       + 1.0)
-                                      / (CAST(t_tgt AS DOUBLE)
-                                         + {float(_DSIR_B)}))
-                                   - ln((CAST(c_raw AS DOUBLE) + 1.0)
-                                        / (CAST(t_raw AS DOUBLE)
-                                           + {float(_DSIR_B)})))
-                                  * 10000 + 0.5) AS BIGINT) AS lr_fp
-                FROM raw LEFT JOIN tgtc USING (bucket) CROSS JOIN tot),
-         wt AS (SELECT db.doc_id,
-                       CAST(SUM(cnt) AS BIGINT) AS n_grams,
-                       CAST(SUM(cnt * lr_fp) AS BIGINT) AS weight_fp
-                FROM db JOIN lm USING (bucket) GROUP BY 1)
-    SELECT doc_id, n_grams, weight_fp,
-           CAST(weight_fp AS DOUBLE) / 10000 / n_grams AS dsir_score
-    FROM wt ORDER BY dsir_score DESC, doc_id LIMIT {_DSIR_K}
-    """,
-)
-def c_dsir_select(spark, sf_dir):
-    """DSIR data selection (``operators.sampling.dsir_select``, Xie et
-    al. 2023): the top 100 documents by hashed-ngram importance weight
-    against an 'is-English' target distribution — the
-    importance-resampling rung of the curation ladder, between the
-    heuristic gates (``t_text_profile``) and the trained classifier
-    (``t_quality_classifier``). Unigram+bigram features hash into 1024
-    md5-portable buckets (so the ENTIRE weight computation, not just
-    row counts, certifies cross-engine); both bag-of-buckets models
-    are rollups of one (doc, bucket) count table; the log-ratio table
-    is bounded by the constant bucket count — the legitimate
-    broadcast-side, unlike a corpus-derived vocabulary; per-doc sums
-    are fixed-point-exact."""
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
-        dsir_select,
-    )
-
-    (docs,) = load(spark, sf_dir, "documents")
-    toked = docs.select(
-        "doc_id",
-        (F.col("lang") == "en").alias("tgt"),
-        F.expr(_TOKS).alias("t"),
-    )
-    return dsir_select(
-        toked, "t", "doc_id", "tgt", k=_DSIR_K, n_buckets=_DSIR_B
-    )
 
 
 @register(
@@ -2727,3 +2600,77 @@ def j_record_linkage(spark, sf_dir):
     return link_records_blocked(
         left, right, "left_id", "lkey", "right_id", "rkey", max_dist=1
     )
+
+
+# --- round-6 window rotation re-registrations (verbatim) ---
+# a_approx_sketches and s_ann_methods moved here from
+# plans.aggregates / plans.similarity to free two driver-window slots
+# for the oracle-checked c_dsir_select and q5_local_supplier_volume
+# (now in plans.curation). Same names, same semantics; their
+# correctness stories (sketch error-bound tests, per-method ANN
+# recall-floor tests) are unchanged.
+
+
+@register("a_approx_sketches")
+def a_approx_sketches(spark, sf_dir):
+    """Approximate aggregates (scale path: sketches instead of exact
+    distinct at 100 TB). No SQL oracle — HLL/quantile sketches are
+    engine-specific; tests assert error bounds vs exact values.
+    Output is unpivoted to scalar (stat, value) rows — array columns
+    are not hashable by the driver's canonicalizer."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias(
+            "q"
+        ),
+    )
+    return wide.selectExpr(
+        "stack(4, 'approx_distinct_parts', CAST(approx_parts AS DOUBLE), "
+        "'price_p50', q[0], 'price_p95', q[1], 'price_p99', q[2]) "
+        "AS (stat, value)"
+    )
+
+
+@register("s_ann_methods")
+def s_ann_methods(spark, sf_dir):
+    """All four ANN strategies side by side, tagged by method — the
+    pruning leg: IVF (KMeans-16 coarse quantizer, 2-cell probe — cells
+    adapt to density) and multi-table hyperplane LSH (4 planes × 8
+    tables, OR-amplified — no training pass); and the compression leg:
+    PQ (per-subspace codebooks, ADC table-lookup scoring, exact
+    cosine re-rank of the shortlist) and IVF-PQ (residual-encoded
+    codes inside probed cells, per-(query,cell) LUT, re-rank).
+    Rows-only check (learned quantizers / random planes are not
+    oracle-expressible); recall floors vs s_knn_bruteforce asserted in
+    tests for every method."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        ann_topk_lsh,
+        ivf_topk,
+        ivfpq_build,
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    ivf = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=2).select(
+        F.lit("ivf").alias("method"), "*"
+    )
+    lsh = ann_topk_lsh(emb, queries, k=5, n_planes=4, n_tables=8, dim=64).select(
+        F.lit("lsh").alias("method"), "*"
+    )
+    # compression leg — small codebooks (m=4 × 16 codes) keep the
+    # training pass cheap at check scale; recall comes from the exact
+    # re-rank over the ADC shortlist, not codebook resolution.
+    cbs = pq_train(emb, m=4, k_codes=16, dim=64)
+    pq = pq_topk(
+        pq_encode(emb, cbs), cbs, queries, k=5, rerank=30, corpus=emb
+    ).select(F.lit("pq").alias("method"), "*")
+    index, cents, rcbs = ivfpq_build(emb, n_centroids=8, m=4, k_codes=16, dim=64)
+    ivfpq = ivfpq_topk(
+        index, cents, rcbs, queries, k=5, n_probe=3, rerank=30, corpus=emb
+    ).select(F.lit("ivfpq").alias("method"), "*")
+    return ivf.unionByName(lsh).unionByName(pq).unionByName(ivfpq)

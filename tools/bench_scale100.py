@@ -25,6 +25,21 @@ blow up on the planted cross-replica duplication:
   across replicas (expected cosine ~ N(0, 1/64), far under the 0.35
   near-dup threshold). label += k * 1000: 10x labels of constant
   size, the realistic growth mode for label-blocked forms.
+- lineitem/orders: l_orderkey/o_orderkey/l_partkey += k * 1e8 — the
+  order-part bipartite graph becomes 10 disjoint copies (no
+  cross-replica edge), and 1e8 % 1000 == 0 keeps the BFS seed filter
+  (o_orderkey % 1000 = 0) selecting 10x seeds. 10x nodes, 10x seeds,
+  identical per-replica topology: the linear growth mode for graphs.
+- events: user_id/event_id += k * 1e8 — sessions/attribution join on
+  user_id, so replicas never pair; 10x users at constant per-user
+  activity, the realistic event-stream growth mode.
+- customer: c_custkey += k * max(c_custkey) — a CONTIGUOUS id range,
+  deliberately not a sparse 1e8 offset: the linkage probe derives its
+  match key from c_custkey arithmetic, and a huge sparse offset would
+  pin the key's leading digits per replica (constant blocking pieces
+  -> one giant block per replica, a replication artifact, not the
+  operator's behavior). Contiguous growth keeps key-piece entropy at
+  the base corpus's per-digit diversity.
 
 Ratios are large/small medians of N_RUNS. PASS_RATIO = 13 (linear 10x
 + fixed-overhead headroom); anything past it is flagged super_linear.
@@ -38,6 +53,8 @@ import statistics
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CHAINS = [
@@ -46,6 +63,17 @@ CHAINS = [
     "d_repeated_spans",
     "r_bm25_search",
     "s_semdedup",
+    # round 6: every remaining heavy chain (the r5 sweep caught a real
+    # quadratic in its first five targets; these have the same
+    # candidate-set / block-population growth risks)
+    "g_bfs_reachability",
+    "j_record_linkage",
+    "r_hybrid_rrf",
+    "c_dsir_select",
+    "t_bigram_lm_score",
+    "t_boilerplate_strip",
+    "d_strip_repeated_spans",
+    "e_interval_attribution",
 ]
 N_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
 PASS_RATIO = 13.0
@@ -55,14 +83,29 @@ REPLICAS = 10
 TAGS = ["qa", "qb", "qc", "qd", "qe", "qf", "qg", "qh", "qi", "qj"]
 
 
+def _write_replicated(parts, out_path: str) -> None:
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    allp.repartition(32).write.mode("overwrite").parquet(out_path)
+
+
 def build_sf1(spark, base_dir: str, out_dir: str) -> None:
     docs = spark.read.parquet(f"{base_dir}/documents.parquet")
     emb = spark.read.parquet(f"{base_dir}/embeddings.parquet")
-    doc_parts = []
-    emb_parts = []
+    li = spark.read.parquet(f"{base_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{base_dir}/orders.parquet")
+    events = spark.read.parquet(f"{base_dir}/events.parquet")
+    cust = spark.read.parquet(f"{base_dir}/customer.parquet")
+    max_c = cust.agg({"c_custkey": "max"}).first()[0]
+    # contiguous customer offset must keep the %10 subset proportion
+    c_off = ((max_c + 9) // 10) * 10
+    parts = {t: [] for t in
+             ("documents", "embeddings", "lineitem", "orders", "events",
+              "customer")}
     for k in range(REPLICAS):
         tag = TAGS[k]
-        doc_parts.append(
+        parts["documents"].append(
             docs.selectExpr(
                 f"doc_id + {k} * 100000000 AS doc_id",
                 f"regexp_replace(text, '([a-z]+)', '{tag}$1') AS text",
@@ -71,7 +114,7 @@ def build_sf1(spark, base_dir: str, out_dir: str) -> None:
                 "n_chars",
             )
         )
-        emb_parts.append(
+        parts["embeddings"].append(
             emb.selectExpr(
                 f"vec_id + {k} * 100000000 AS vec_id",
                 # circular shift by k: element i of the output takes
@@ -82,18 +125,24 @@ def build_sf1(spark, base_dir: str, out_dir: str) -> None:
                 f"label + {k} * 1000 AS label",
             )
         )
-    all_docs = doc_parts[0]
-    for p in doc_parts[1:]:
-        all_docs = all_docs.unionByName(p)
-    all_emb = emb_parts[0]
-    for p in emb_parts[1:]:
-        all_emb = all_emb.unionByName(p)
-    all_docs.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}/documents.parquet"
-    )
-    all_emb.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}/embeddings.parquet"
-    )
+        parts["lineitem"].append(
+            li.withColumn("l_orderkey", F.expr(f"l_orderkey + {k} * 100000000"))
+            .withColumn("l_partkey", F.expr(f"l_partkey + {k} * 100000000"))
+        )
+        parts["orders"].append(
+            orders.withColumn(
+                "o_orderkey", F.expr(f"o_orderkey + {k} * 100000000")
+            )
+        )
+        parts["events"].append(
+            events.withColumn("event_id", F.expr(f"event_id + {k} * 100000000"))
+            .withColumn("user_id", F.expr(f"user_id + {k} * 100000000"))
+        )
+        parts["customer"].append(
+            cust.withColumn("c_custkey", F.expr(f"c_custkey + {k} * {c_off}"))
+        )
+    for t, ps in parts.items():
+        _write_replicated(ps, f"{out_dir}/{t}.parquet")
 
 
 def main() -> None:
@@ -107,7 +156,11 @@ def main() -> None:
     )
 
     spark = get_spark("scale100")
-    if not os.path.isdir(os.path.join(big, "documents.parquet")):
+    tables = ("documents", "embeddings", "lineitem", "orders", "events",
+              "customer")
+    if not all(
+        os.path.isdir(os.path.join(big, f"{t}.parquet")) for t in tables
+    ):
         build_sf1(spark, base, big)
     n_small = spark.read.parquet(f"{base}/documents.parquet").count()
     n_big = spark.read.parquet(f"{big}/documents.parquet").count()
