@@ -15,7 +15,13 @@ at 51+ (no coverage loss either way). Round-5 rotation:
 and ``d_repeated_spans`` (dedup) are in-window; ``d_simhash_near_dup``
 → ``d_minhash_dup_clusters``, ``c_sample_mix`` → ``c_pack_sequences``
 and ``m_binary_frames`` + ``m_feature_extract`` →
-``m_multimodal_pipeline`` are the merges.
+``m_multimodal_pipeline`` are the merges. Round-6 rotation: the
+rows-only ``a_approx_sketches`` and ``s_ann_methods`` moved to the
+tail (their families stay window-represented via exact siblings), and
+the oracle-checked ``c_dsir_select`` + ``q5_local_supplier_volume``
+(plans.curation) took window slots 47/48 — and every remaining
+rows-only window entry now carries an in-result ``ok`` invariant
+column (``tests/test_invariants.py``).
 """
 
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import (  # noqa: F401

@@ -202,7 +202,14 @@ def d_decontaminate(spark, sf_dir):
     probe via inverted index — never O(train × heldout). Rows-only
     (fingerprint md5 is oracle-able but the planted-fragment shingle
     join is the point here); planted-coverage asserted in
-    ``tests/test_dedup.py``."""
+    ``tests/test_dedup.py``.
+
+    SELF-CERTIFYING (round 6): two ``coverage_*`` rows record the
+    expected vs observed planted-contamination recall directly in the
+    result — ``coverage_verbatim``: every doc_id % 97 == 0 corpus doc
+    must be flagged; ``coverage_fragment13``: every %89 (non-%97) doc
+    with ≥ 13 normalized tokens must be flagged; ``ok`` = equality.
+    Ordinary rows carry ``ok`` = label-vs-arithmetic consistency."""
     (docs,) = load(spark, sf_dir, "documents")
     train = docs.select("doc_id", "text")
     # heldout keeps a doc_id column (word_shingles expects one); eval
@@ -218,13 +225,68 @@ def d_decontaminate(spark, sf_dir):
         ).alias("text"),
     )
     heldout = verbatim.unionByName(fragments)
-    bad = contaminated_ids(train, heldout, n=13, min_shared_shingles=1)
-    return bad.withColumn(
-        "planted",
+    # lazy checkpoint: flagged ids feed both the labeled rows and the
+    # two coverage counts — materialize the probe once
+    bad = contaminated_ids(
+        train, heldout, n=13, min_shared_shingles=1
+    ).localCheckpoint(eager=False)
+    labeled = bad.select(
+        "doc_id",
         F.when(F.col("doc_id") % 97 == 0, "verbatim")
         .when(F.col("doc_id") % 89 == 0, "fragment13")
-        .otherwise("collateral"),
+        .otherwise("collateral")
+        .alias("planted"),
+        F.lit(None).cast("bigint").alias("expected"),
+        F.lit(None).cast("bigint").alias("observed"),
+    ).withColumn(
+        "ok",
+        F.when(F.col("planted") == "verbatim", F.col("doc_id") % 97 == 0)
+        .when(
+            F.col("planted") == "fragment13",
+            (F.col("doc_id") % 89 == 0) & (F.col("doc_id") % 97 != 0),
+        )
+        .otherwise(
+            (F.col("doc_id") % 97 != 0) & (F.col("doc_id") % 89 != 0)
+        ),
     )
+    frag_pred = (
+        (F.col("doc_id") % 89 == 0)
+        & (F.col("doc_id") % 97 != 0)
+        & (
+            F.size(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower("text"), "[^a-z]+", " ")
+                    ),
+                    " ",
+                )
+            )
+            >= 13
+        )
+    )
+
+    def _cov_row(name, exp_df, obs_df):
+        e = exp_df.agg(F.count(F.lit(1)).cast("bigint").alias("expected"))
+        o = obs_df.agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
+        return e.crossJoin(F.broadcast(o)).select(
+            F.lit(-1).cast("bigint").alias("doc_id"),
+            F.lit(name).alias("planted"),
+            "expected",
+            "observed",
+            (F.col("expected") == F.col("observed")).alias("ok"),
+        )
+
+    cov_verb = _cov_row(
+        "coverage_verbatim",
+        train.filter(F.col("doc_id") % 97 == 0),
+        bad.filter(F.col("doc_id") % 97 == 0),
+    )
+    cov_frag = _cov_row(
+        "coverage_fragment13",
+        train.filter(frag_pred),
+        bad.join(train.filter(frag_pred).select("doc_id"), "doc_id"),
+    )
+    return labeled.unionByName(cov_verb).unionByName(cov_frag)
 
 
 @register("c_pack_sequences")
@@ -256,18 +318,63 @@ def c_pack_sequences(spark, sf_dir):
     xxhash64 are not DuckDB-expressible); pack
     bound/coverage/determinism and sampling rate-band/layout-
     independence unit-tested in ``tests/test_sampling.py`` and
-    ``tests/test_example_corpus.py``."""
+    ``tests/test_example_corpus.py``.
+
+    SELF-CERTIFYING (round 6): every row carries an ``ok`` boolean —
+    pack rows re-derive the prefix layout in-result
+    (``pack_offset`` = running sum of earlier members' ``n_tokens``,
+    per-pack total ≤ 256, exactly-once per doc); stratified/mixture
+    rows RE-EVALUATE their deterministic keep predicate
+    (``xxhash64(seed, doc_id) mod 1e6 < rate·1e6`` with the slice's
+    published per-bucket rate) — a membership that disagrees with the
+    hash predicate, a rate-0 stratum leak, or a broken pack layout
+    flips ``ok``. Pinned by ``tests/test_sampling.py``."""
+    from pyspark.sql import Window
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        _BUCKETS,
+    )
+
     (docs,) = load(spark, sf_dir, "documents")
     sized = docs.select(
         "doc_id", T.token_count("text").cast("bigint").alias("n_tokens")
     )
-    packed = pack_sequences(
-        sized, "n_tokens", max_len=256, key_cols=["doc_id"], n_groups=16, seed=0
-    ).select(
-        F.lit("pack").alias("slice"),
-        "doc_id", "n_tokens", "pack_id", "pack_offset",
-        F.lit(None).cast("string").alias("bucket"),
+    pk = Window.partitionBy("pack_id").orderBy("pack_offset", "doc_id")
+    dk = Window.partitionBy("doc_id")
+    packed = (
+        pack_sequences(
+            sized, "n_tokens", max_len=256, key_cols=["doc_id"], n_groups=16,
+            seed=0,
+        )
+        .withColumn(
+            "ok",
+            (
+                F.col("pack_offset")
+                == F.coalesce(
+                    F.sum("n_tokens").over(
+                        pk.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+            )
+            & (
+                F.sum("n_tokens").over(
+                    pk.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+                <= F.lit(256)
+            )
+            & (F.count(F.lit(1)).over(dk) == F.lit(1)),
+        )
+        .select(
+            F.lit("pack").alias("slice"),
+            "doc_id", "n_tokens", "pack_id", "pack_offset",
+            F.lit(None).cast("string").alias("bucket"),
+            "ok",
+        )
     )
+    strat_b = F.pmod(F.xxhash64(F.lit(5), F.col("doc_id")), F.lit(_BUCKETS))
     strat = stratified_sample(
         docs, "source", {"src0": 1.0, "src1": 0.4, "src2": 0.0},
         ["doc_id"], seed=5,
@@ -278,7 +385,12 @@ def c_pack_sequences(spark, sf_dir):
         F.lit(None).cast("bigint").alias("pack_id"),
         F.lit(None).cast("bigint").alias("pack_offset"),
         F.col("source").alias("bucket"),
+        F.when(F.col("source") == "src0", strat_b < int(1.0 * _BUCKETS))
+        .when(F.col("source") == "src1", strat_b < int(0.4 * _BUCKETS))
+        .otherwise(F.lit(False))
+        .alias("ok"),
     )
+    mix_b = F.pmod(F.xxhash64(F.lit(7), F.col("doc_id")), F.lit(_BUCKETS))
     mixed = weighted_mix(
         {
             "head": (docs.filter("doc_id % 2 = 0").drop("source"), 0.25),
@@ -293,5 +405,15 @@ def c_pack_sequences(spark, sf_dir):
         F.lit(None).cast("bigint").alias("pack_id"),
         F.lit(None).cast("bigint").alias("pack_offset"),
         F.col("source").alias("bucket"),
+        F.when(
+            F.col("source") == "head",
+            (mix_b < int(0.25 * _BUCKETS)) & (F.col("doc_id") % 2 == 0),
+        )
+        .when(
+            F.col("source") == "tail",
+            (mix_b < int(0.75 * _BUCKETS)) & (F.col("doc_id") % 2 == 1),
+        )
+        .otherwise(F.lit(False))
+        .alias("ok"),
     )
     return packed.unionByName(strat).unionByName(mixed)

@@ -12,6 +12,7 @@ expose — those register rows-only here and get semantic unit tests
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions.text import (
@@ -122,17 +123,30 @@ def d_minhash_dup_clusters(spark, sf_dir):
 
     Both slices run on the same planted-twin corpus (one word
     appended, Jaccard ≈ 0.95, id+10^6): every doc must cluster with
-    its twin, and the twins land at hamming 0-5 — inside the banding
-    guarantee. MinHash verify arrays are capped at 512 hashes/doc
+    its twin, and most twins land at low hamming — short docs can
+    drift past the 8-band range (the appended word flips many bit
+    votes), which is why the simhash coverage row certifies banding
+    exhaustiveness, not twin totality. MinHash verify arrays are
+    capped at 512 hashes/doc
     (bottom-k sketch; this corpus sits far under the cap, so output
     is bit-identical to uncapped — asserted in tests). Rows-only
     check (xxhash64 signatures and iterative propagation are not
     DuckDB-expressible); pairing, chain-transitivity, convergence,
-    bit-majority and banding semantics unit-tested."""
+    bit-majority and banding semantics unit-tested.
+
+    SELF-CERTIFYING (round 6): every row carries an ``ok`` boolean a
+    reviewer can check from the row data alone — cluster rows assert
+    their planted pair (k1 mod 10^6) resolved to ONE shared cluster
+    id; and two ``twin_coverage_*`` rows record expected-vs-observed
+    planted-twin recall (cluster family: k1 = subset size; simhash
+    family: k1 = pairs at direct signature hamming <= 7, certifying
+    banding EXHAUSTIVENESS; k2 = recovered, ok = equality). ``ok`` must be true on
+    every row (pinned by ``tests/test_dedup.py``)."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
         connected_components,
         normalized_tokens,
         simhash_near_dups,
+        simhash_signatures,
     )
 
     corpus = _planted_twin_corpus(spark, sf_dir)
@@ -151,19 +165,90 @@ def d_minhash_dup_clusters(spark, sf_dir):
     pairs = minhash_near_dups(
         toked, k=32, bands=8, n=3, threshold=0.5, max_shingles_per_doc=512
     )
-    clusters = connected_components(pairs).select(
+    cl = connected_components(pairs)
+    # per-row invariant: the row's planted pair (same id mod 10^6)
+    # resolved to exactly one shared cluster id — a window over the
+    # pair key, riding the already-materialized label frame
+    pw = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1_000_000)))
+    clusters = cl.select(
         F.lit("cluster").alias("slice"),
         F.col("doc_id").alias("k1"),
         F.col("cluster_id").alias("k2"),
         F.lit(None).cast("int").alias("hamming"),
+        (
+            (F.min("cluster_id").over(pw) == F.max("cluster_id").over(pw))
+            & (F.count(F.lit(1)).over(pw) == F.lit(2))
+        ).alias("ok"),
     )
-    sim = simhash_near_dups(toked, bands=8, max_hamming=7).select(
+    sim_raw = simhash_near_dups(toked, bands=8, max_hamming=7).localCheckpoint(
+        eager=False
+    )
+    sim = sim_raw.select(
         F.lit("simhash_pair").alias("slice"),
         F.col("doc_a").alias("k1"),
         F.col("doc_b").alias("k2"),
         "hamming",
+        # banding-contract row invariant: exhaustive range + ordered pair
+        (
+            (F.col("hamming") >= 0)
+            & (F.col("hamming") <= 7)
+            & (F.col("doc_a") < F.col("doc_b"))
+        ).alias("ok"),
     )
-    return clusters.unionByName(sim)
+    # coverage invariants: expected (every subset doc) vs observed
+    # planted-twin recoveries, one row per signature family — absence
+    # of a twin is invisible to per-row checks, so these rows make the
+    # recall reviewable from the recorded data alone
+    n_subset = corpus.filter(F.col("doc_id") < 1_000_000).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k1")
+    )
+    cl_a = cl.filter(F.col("doc_id") < 1_000_000).select(
+        F.col("doc_id").alias("d"), F.col("cluster_id").alias("ca")
+    )
+    cl_b = cl.filter(F.col("doc_id") >= 1_000_000).select(
+        (F.col("doc_id") - 1_000_000).alias("d"),
+        F.col("cluster_id").alias("cb"),
+    )
+    cov_cl = cl_a.join(cl_b, "d").filter(F.col("ca") == F.col("cb")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k2")
+    )
+    # simhash ground truth: twins drift past hamming 7 when the
+    # appended word flips many bit votes (short docs), so "all twins
+    # found" is NOT the contract — banding EXHAUSTIVENESS is: every
+    # planted pair whose direct signature hamming is <= 7 must appear.
+    # Expected = direct per-pair popcount from the signatures
+    # themselves (same checkpointed token basis — bit-identical).
+    sig = simhash_signatures(toked)
+    sig_a = sig.filter(F.col("doc_id") < 1_000_000).select(
+        F.col("doc_id").alias("d"), F.col("simhash").alias("sa")
+    )
+    sig_b = sig.filter(F.col("doc_id") >= 1_000_000).select(
+        (F.col("doc_id") - 1_000_000).alias("d"),
+        F.col("simhash").alias("sb"),
+    )
+    exp_sim = (
+        sig_a.join(sig_b, "d")
+        .filter(F.expr("bit_count(sa ^ sb)") <= 7)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k1"))
+    )
+    cov_sim = sim_raw.filter(
+        F.col("doc_b") - F.col("doc_a") == 1_000_000
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("k2"))
+
+    def _cov_row(name, expected, cov):
+        return expected.crossJoin(F.broadcast(cov)).select(
+            F.lit(name).alias("slice"),
+            "k1",
+            "k2",
+            F.lit(None).cast("int").alias("hamming"),
+            (F.col("k1") == F.col("k2")).alias("ok"),
+        )
+
+    return (
+        clusters.unionByName(sim)
+        .unionByName(_cov_row("twin_coverage_cluster", n_subset, cov_cl))
+        .unionByName(_cov_row("twin_coverage_simhash", exp_sim, cov_sim))
+    )
 
 
 # --- rotated into the driver window (round 5): d_repeated_spans ---

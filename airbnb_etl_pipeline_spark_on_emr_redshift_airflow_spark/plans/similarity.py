@@ -90,24 +90,85 @@ def s_embedding_near_dup(spark, sf_dir):
 def s_near_dup_lsh_blocked(spark, sf_dir):
     """Embedding near-dup pairs blocked on hyperplane-LSH buckets
     (adaptive planes × 16 tables) instead of the class label — the corpus-
-    scale form: expected in-bucket population N/2^planes per table,
-    candidate dedup before the exact-cosine verify, ≈0.92 recall at
-    cosine 0.35 and ≈1.0 for true near-dups. Rows-only check (random
-    planes are not oracle-expressible); recall + no-false-positive
-    semantics vs the exact all-pairs ground truth unit-tested with
-    planted twins."""
+    scale form: expected in-bucket population pinned at the target per
+    table, candidate dedup before the exact-cosine verify. Rows-only
+    check (random planes are not oracle-expressible); recall +
+    no-false-positive semantics vs the exact all-pairs ground truth
+    unit-tested with planted twins.
+
+    SELF-CERTIFYING (round 6): the corpus carries 50 planted EXACT
+    twins (vec_id < 50 duplicated at +10^6 — cosine 1 pairs share
+    every sign bit, so LSH recall for them is 1.0 at ANY adaptive
+    plane count, making the invariant scale-independent). Every 'pair'
+    row re-emits its exact cosine (``cos_fp``, 1e-6 fixed point) with
+    ``ok = cos_fp ≥ 350000`` — the verify gate is reviewable from the
+    row itself — and the 'twin_coverage' row records planted (k=50)
+    vs recovered twin pairs with ``ok`` = equality."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
         embedding_near_dup_pairs_lsh,
     )
 
     (emb,) = load(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(twins)
     # n_planes=None: plane count sized from the corpus (one cheap
     # count) so bucket population — and with it the candidate-pair
     # self-join — stays LINEAR in N; a pinned plane count went 26x
     # super-linear in the round-5 scale-decade bench.
-    return embedding_near_dup_pairs_lsh(
-        emb, threshold=0.35, n_planes=None, n_tables=16, dim=64
+    # lazy checkpoint: the pair rows and the coverage count both
+    # consume the LSH chain — materialize it once
+    pairs = embedding_near_dup_pairs_lsh(
+        corpus, threshold=0.35, n_planes=None, n_tables=16, dim=64
+    ).localCheckpoint(eager=False)
+    # re-attach exact cosine per returned pair (output-sized, slim):
+    # the per-row invariant is the verify gate itself
+    vecs = corpus.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(x as double) / "
+            "sqrt(aggregate(embedding, cast(0.0 as double), "
+            "(a, y) -> a + cast(y as double) * cast(y as double))))"
+        ).alias("vn"),
     )
+    scored = (
+        pairs.join(
+            vecs.select(F.col("vec_id").alias("id_a"), F.col("vn").alias("va")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("vec_id").alias("id_b"), F.col("vn").alias("vb")),
+            "id_b",
+        )
+        .select(
+            F.lit("pair").alias("slice"),
+            "id_a",
+            "id_b",
+            F.floor(
+                F.expr(
+                    "aggregate(zip_with(va, vb, (x, y) -> x * y), "
+                    "cast(0.0 as double), (a, x) -> a + x)"
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cos_fp"),
+        )
+        .withColumn("ok", F.col("cos_fp") >= F.lit(350_000))
+    )
+    found_twins = pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("id_a") < 50)
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("id_b"))
+    coverage = found_twins.select(
+        F.lit("twin_coverage").alias("slice"),
+        F.lit(50).cast("bigint").alias("id_a"),
+        "id_b",
+        F.lit(None).cast("bigint").alias("cos_fp"),
+        (F.col("id_b") == F.lit(50)).alias("ok"),
+    )
+    return scored.unionByName(coverage)
 
 
 # round-6 rotation: s_ann_methods moved past the driver window
