@@ -24,6 +24,13 @@ minhash_index_build`), and each day's pipeline is:
   (partition the corpus by ingest day, the index by band_id ×
   bh-range); the fold algebra is unchanged.
 
+Two period-partitioned ledgers ride the same cadence downstream of
+the publish: the unigram-LM count ledger (``lm``) and the HLL
+distinct-count ledger (``ledger`` — KB-sized sketch rows per source,
+folded to corpus-wide distinct docs/langs without rescanning; the
+round-6 addition closing the incremental-analytics loop counts →
+BM25 → LM → distinct).
+
 Signatures are seed-stable, so a batch fingerprinted today joins
 index rows written months ago. The cadence is naturally idempotent:
 re-running a day whose documents already shipped finds every batch
@@ -79,6 +86,7 @@ def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
     buckets_path = f"{workdir}/index/buckets"
     shingles_path = f"{workdir}/index/shingles"
     lm_ledger_path = f"{workdir}/lm_ledger"
+    hll_ledger_path = f"{workdir}/hll_ledger"
     _toks = (
         "filter(split(trim(regexp_replace(lower(text), '[^a-z]+', ' ')), "
         "' '), x -> x != '')"
@@ -190,6 +198,41 @@ def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
             F.sum("cnt").cast("bigint").alias("cnt")
         )
 
+    def ledger(spark: SparkSession, period: str, ctx) -> DataFrame:
+        """Distinct-count maintenance as a PERIOD-PARTITIONED HLL
+        ledger (``operators.sketches``) — the same idempotent cadence
+        as the LM stage: the period's sketch rows derive from the
+        PUBLISHED corpus restricted to the period's id range, so a
+        replayed period rewrites its partition with byte-identical
+        sketches (HLL is deterministic for a given input set) and the
+        fold never double-counts. Each partition holds one KB-sized
+        row per source (doc_id + lang sketches, exact n_rows); the
+        serving rollup folds the (periods × sources) ledger with one
+        ledger-sized groupBy — distinct docs/langs per source over the
+        whole corpus history without rescanning it. At scale this is
+        the 'distinct users per segment' ledger: periods are days,
+        rollups are 7/30-day ``rolling_distinct`` windows over ledger
+        rows, never raw data."""
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sketches import (
+            hll_ledger,
+            ledger_estimates,
+            merge_hll_ledgers,
+        )
+
+        lo, hi = (int(x) for x in period.split(":"))
+        slice_docs = ctx["published"].filter(
+            F.col("doc_id").between(lo, hi - 1)
+        )
+        delta = hll_ledger(slice_docs, ["source"], ["doc_id", "lang"])
+        atomic_publish(
+            delta,
+            f"{hll_ledger_path}/period={lo}_{hi}",
+            validate=model_exists,
+        )
+        full = spark.read.parquet(hll_ledger_path).drop("period")
+        folded = merge_hll_ledgers([full], ["source"])
+        return ledger_estimates(folded, ["source"])
+
     return Pipeline(
         [
             Stage("batch", batch),
@@ -206,6 +249,12 @@ def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
                 ),
             ),
             Stage("lm", lm, deps=("published",), gates=(("non-empty", non_empty),)),
+            Stage(
+                "ledger",
+                ledger,
+                deps=("published",),
+                gates=(("non-empty", non_empty),),
+            ),
         ]
     )
 

@@ -103,3 +103,49 @@ def test_incremental_lm_ledger_tracks_corpus_and_survives_replay(spark, tmp_dir)
     # identically → the folded LM is byte-for-byte the same
     r2 = pipe.run(spark, "0:150")
     assert {r.term: r.cnt for r in r2.results["lm"].collect()} == lm1
+
+
+def test_incremental_hll_ledger_folds_to_direct_and_survives_replay(
+    spark, tmp_dir
+):
+    """The period-partitioned HLL ledger must fold to EXACTLY the
+    direct (one-shot) ledger over the published corpus after every
+    period — split-build-then-union and direct-build are bit-exact for
+    DataSketches HLL — and a replayed period rewrites its partition
+    with identical sketches, so estimates never move."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sketches import (
+        hll_ledger,
+        ledger_estimates,
+    )
+
+    pipe = build_pipeline(SF_DIR, f"{tmp_dir}/inc_hll")
+
+    def direct(corpus):
+        led = hll_ledger(corpus, ["source"], ["doc_id", "lang"])
+        return {
+            r.source: (r.n_rows, r.doc_id_distinct, r.lang_distinct)
+            for r in ledger_estimates(led, ["source"]).collect()
+        }
+
+    r0 = pipe.run(spark, "0:150")
+    got0 = {
+        r.source: (r.n_rows, r.doc_id_distinct, r.lang_distinct)
+        for r in r0.results["ledger"].collect()
+    }
+    assert got0 == direct(r0.results["published"])
+
+    r1 = pipe.run(spark, "150:300")
+    got1 = {
+        r.source: (r.n_rows, r.doc_id_distinct, r.lang_distinct)
+        for r in r1.results["ledger"].collect()
+    }
+    assert got1 == direct(r1.results["published"])
+
+    # replay of period 0: corpus unchanged, the period's ledger
+    # partition rewrites byte-identically -> the fold is unchanged
+    r2 = pipe.run(spark, "0:150")
+    got2 = {
+        r.source: (r.n_rows, r.doc_id_distinct, r.lang_distinct)
+        for r in r2.results["ledger"].collect()
+    }
+    assert got2 == got1
