@@ -266,9 +266,20 @@ def d_decontaminate(spark, sf_dir):
     )
 
     def _cov_row(name, exp_df, obs_df):
-        e = exp_df.agg(F.count(F.lit(1)).cast("bigint").alias("expected"))
-        o = obs_df.agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
-        return e.crossJoin(F.broadcast(o)).select(
+        # literal-key groups, not global aggs: no Exchange
+        # SinglePartition (family plan gate), no broadcast hint needed
+        one = F.lit(1).alias("__one")
+        e = (
+            exp_df.groupBy(one)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("expected"))
+            .drop("__one")
+        )
+        o = (
+            obs_df.groupBy(one)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
+            .drop("__one")
+        )
+        return e.crossJoin(o).select(
             F.lit(-1).cast("bigint").alias("doc_id"),
             F.lit(name).alias("planted"),
             "expected",

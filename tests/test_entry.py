@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 107
+    assert len(names) == 104
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -56,7 +56,10 @@ def test_oracle_keys_subset_of_queries(spark):
         "j_point_in_time", "a_grouped_quantiles",
         "c_weighted_sample",
         "q3_shipping_priority",
-        "s_parquet_scan_prune", "o_topk_sort_limit", "u_intersect_except",
+        # (the three round-3 cap probes s_parquet_scan_prune /
+        # o_topk_sort_limit / u_intersect_except retired in round 6 —
+        # cap confirmed, coverage lives in the merged window entries,
+        # plan gates keep exercising the unregistered helpers)
         # round-4 extensions (registered before the re-registrations so
         # they win slots if a future driver records past 50)
         "t_boilerplate_strip", "c_budget_select",
@@ -116,6 +119,10 @@ def test_coverage_doc_names_match_catalog():
     column_names = {
         "o_orderdate", "o_custkey", "o_orderkey", "o_orderpriority",
         "o_totalprice", "c_custkey", "c_acctbal", "l_quantity",
+        # round-6 retired cap probes: documented in COVERAGE.md as
+        # unregistered plan-gate helpers, deliberately not in the
+        # catalog anymore
+        "s_parquet_scan_prune", "o_topk_sort_limit", "u_intersect_except",
     }
     families = ("q1_", "a_", "p_", "j_", "w_", "n_", "t_", "d_", "s_",
                 "e_", "m_", "u_", "o_", "f_")

@@ -10,17 +10,31 @@ import io
 import pytest
 
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import QUERIES
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.probes import (
+    o_topk_sort_limit,
+    s_parquet_scan_prune,
+)
 from tests.conftest import SF_DIR
 
 
+def _df(spark, name):
+    # retired cap probes live on as unregistered plan-gate helpers
+    retired = {
+        "s_parquet_scan_prune": s_parquet_scan_prune,
+        "o_topk_sort_limit": o_topk_sort_limit,
+    }
+    fn = retired.get(name) or QUERIES[name]
+    return fn(spark, SF_DIR)
+
+
 def _plan(spark, name):
-    return QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    return _df(spark, name)._jdf.queryExecution().executedPlan().toString()
 
 
 def _formatted(spark, name):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        QUERIES[name](spark, SF_DIR).explain("formatted")
+        _df(spark, name).explain("formatted")
     return buf.getvalue()
 
 
