@@ -202,3 +202,69 @@ def resize_images(
             )
 
     return df.select("doc_id", "payload").mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def pillow_available() -> bool:
+    """True when Pillow can actually decode/encode images here — the
+    runtime gate for the real-codec legs below, mirroring
+    ``streaming.sessions.tws_available``: the injection seams
+    (``decoder=`` / ``resizer=``) exist either way; the codec-backed
+    implementations only run where the dependency does, and the
+    deterministic fakes remain the default everywhere else.
+    ``tests/test_multimodal.py`` parameterizes over both legs and
+    skip-marks the Pillow one where absent (this build container has
+    no image libraries)."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def pillow_decoder(payload: bytes) -> dict:
+    """Real-codec decoder for the :func:`extract_features` seam:
+    Pillow decode, true dimensions, 16-bin luminance histogram as the
+    feature vector (same output contract as the deterministic fake —
+    magic/width/height/hist — so the downstream schema and tests are
+    identical across codecs). Only call where
+    :func:`pillow_available`."""
+    import io
+
+    from PIL import Image
+
+    if payload is None:
+        return {"magic": None, "width": None, "height": None, "hist": None}
+    magic = payload[:4].hex()
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    w, h = img.size
+    counts = np.bincount(
+        np.asarray(img, dtype=np.uint8).ravel() >> 4, minlength=16
+    )
+    total = float(counts.sum()) if counts.sum() else 1.0
+    return {
+        "magic": magic,
+        "width": int(w),
+        "height": int(h),
+        "hist": [c / total for c in counts.tolist()],
+    }
+
+
+def pillow_resizer(
+    payload: bytes, width: int, height: int
+) -> tuple[bytes, int, int]:
+    """Real-codec resizer for the :func:`resize_images` seam: Pillow
+    decode → ``Image.resize`` → PNG re-encode. Same return contract as
+    :func:`default_resizer` ((new_payload, src_w, src_h)), so the
+    mapInPandas plumbing, schema and batch shape are shared verbatim
+    between codecs. Only call where :func:`pillow_available`."""
+    import io
+
+    from PIL import Image
+
+    if payload is None:
+        return None, None, None
+    img = Image.open(io.BytesIO(payload))
+    src_w, src_h = img.size
+    out = io.BytesIO()
+    img.resize((width, height)).save(out, format="PNG")
+    return out.getvalue(), src_w, src_h

@@ -103,3 +103,116 @@ def test_resize_images_custom_resizer_injected(spark):
     ).collect()[0]
     assert bytes(row.payload) == b"\x00\x00\x00\x00"
     assert (row.src_width, row.src_height) == (999, 777)
+
+
+def _codec_params():
+    """Both codec legs for the decode/resize seams: the deterministic
+    fake always runs; the Pillow leg runs only where the library
+    exists (absent in this build container — skip-marked, the
+    tws_available pattern)."""
+    import pytest
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.multimodal import (
+        pillow_available,
+    )
+
+    return [
+        pytest.param("fake", id="fake-codec"),
+        pytest.param(
+            "pillow",
+            id="pillow-codec",
+            marks=pytest.mark.skipif(
+                not pillow_available(), reason="Pillow not installed"
+            ),
+        ),
+    ]
+
+
+import pytest as _pytest  # noqa: E402
+
+
+@_pytest.mark.parametrize("codec", _codec_params())
+def test_extract_features_both_codecs(spark, codec):
+    """The featurize seam must produce the same schema and per-doc
+    exactly-once contract under either codec; feature vectors are
+    16-bin unit-sum histograms in both."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.multimodal import (
+        decode_payload,
+        extract_features,
+        pillow_decoder,
+    )
+
+    if codec == "fake":
+        decoder = decode_payload
+        rows = [(1, b"hello multimodal world"), (2, b"abc")]
+    else:
+        import io
+
+        from PIL import Image
+
+        decoder = pillow_decoder
+
+        def png(w, h, val):
+            img = Image.new("L", (w, h), val)
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+
+        rows = [(1, png(8, 6, 200)), (2, png(3, 3, 10))]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r.doc_id: r for r in extract_features(df, decoder=decoder).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert len(r.features) == 16
+        assert abs(sum(r.features) - 1.0) < 1e-9
+        assert r.magic is not None
+    if codec == "pillow":
+        assert (out[1].width, out[1].height) == (8, 6)
+        assert (out[2].width, out[2].height) == (3, 3)
+
+
+@_pytest.mark.parametrize("codec", _codec_params())
+def test_resize_images_both_codecs(spark, codec):
+    """The resize seam round-trips binary payloads through mapInPandas
+    under either codec, reporting true source dimensions on the Pillow
+    leg and the fake's derived ones otherwise."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.multimodal import (
+        default_resizer,
+        pillow_resizer,
+        resize_images,
+    )
+
+    if codec == "fake":
+        resizer = default_resizer
+        rows = [(1, bytes(range(200))), (2, b"xyz" * 50)]
+    else:
+        import io
+
+        from PIL import Image
+
+        resizer = pillow_resizer
+
+        def png(w, h, val):
+            img = Image.new("L", (w, h), val)
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+
+        rows = [(1, png(16, 12, 128)), (2, png(5, 4, 30))]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {
+        r.doc_id: r
+        for r in resize_images(df, 4, 4, resizer=resizer).collect()
+    }
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert r.width == 4 and r.height == 4
+        assert r.payload is not None and len(r.payload) > 0
+    if codec == "pillow":
+        import io
+
+        from PIL import Image
+
+        assert (out[1].src_width, out[1].src_height) == (16, 12)
+        resized = Image.open(io.BytesIO(out[1].payload))
+        assert resized.size == (4, 4)
