@@ -979,20 +979,39 @@ def link_records_blocked(
     max_dist: int = 1,
     best_match: bool = False,
     max_block_rows: int | None = 100_000,
+    method: str = "pieces",
 ) -> DataFrame:
-    """Cross-TABLE record linkage by Levenshtein distance with the
-    same pigeonhole piece blocking as
-    :func:`edit_distance_pairs_blocked` — the two-source form of
-    entity resolution (matching a vendor feed's names/ids against the
-    master table), where the single-table operator dedups within one.
+    """Cross-TABLE record linkage by Levenshtein distance — the
+    two-source form of entity resolution (matching a vendor feed's
+    names/ids against the master table), where
+    :func:`edit_distance_pairs_blocked` dedups within one. Two
+    lossless blocking schemes, picked by ``method``:
 
-    Each side's key splits into ``max_dist + 1`` contiguous pieces;
-    only (piece_idx, piece) collisions become candidates, so the
-    cross join is bounded by shared-piece fan-out, never |L|x|R|. For
-    equal-length strings the blocking is lossless (pigeonhole over
+    ``"pieces"`` (default): each side's key splits into
+    ``max_dist + 1`` contiguous pieces; only (piece_idx, piece)
+    collisions become candidates. Cheap (2 block rows per key at
+    d=1), lossless for equal-length keys (pigeonhole over
     substitutions); mixed lengths are recall-oriented like any LSH.
+    Its scale ceiling: the block-id space is positional — 10^(L/k)
+    for digit keys — so once the table outgrows it, candidates grow
+    as O(|L|·|R| / keyspace), quadratic with a big constant divisor.
+
+    ``"deletion"``: FastSS/SymSpell-style deletion neighborhoods —
+    each key expands to every variant reachable by ≤ ``max_dist``
+    character deletions (L+1 variants at d=1, built as scan-stage
+    array expressions and hashed to slim 8-byte block keys); two keys
+    within Levenshtein ``max_dist`` ALWAYS share a variant (for any
+    edit mix — substitutions delete the edited position on both
+    sides, insert/delete align directly), so recall is guaranteed for
+    all lengths, not just equal ones. Block keyspace ≈ the key-string
+    entropy at length L−d (~10^7 for 8-digit keys vs pieces' 10^4):
+    the scheme that stays near-linear when tables reach the size
+    where pieces saturate. Cost: (L+1)× block rows instead of 2×.
+
     Candidates dedup as slim id pairs before the verify re-attaches
-    both strings — the exchange never carries text.
+    both strings — the exchange never carries text — and the exact
+    ``levenshtein`` verify makes false candidates (hash collisions,
+    2d-apart variant sharers) harmless in both schemes.
 
     Piece blocks have the fixed-bucket failure mode every blocking
     scheme has (the adaptive-plane LSH lesson): a templated key with a
@@ -1063,8 +1082,40 @@ def link_records_blocked(
             f"__id_{side}", F.explode(F.array(*structs)).alias("bk")
         ).select(f"__id_{side}", "bk.piece_idx", "bk.piece")
 
-    lbase, lblocked = _pieces(left, left_id, left_text, "l")
-    rbase, rblocked = _pieces(right, right_id, right_text, "r")
+    def _deletions(df: DataFrame, id_col: str, text_col: str, side: str):
+        base = df.select(
+            F.col(id_col).alias(f"__id_{side}"),
+            F.col(text_col).alias(f"__t_{side}"),
+        )
+        # radius-d deletion neighborhood, built by iterating the
+        # single-deletion expansion d times (scan-stage array ops)
+        var = f"array(__t_{side})"
+        for _ in range(max_dist):
+            var = f"""
+            array_distinct(array_union({var},
+              flatten(transform({var}, v ->
+                transform(sequence(1, greatest(length(v), 1)), i ->
+                  concat(substring(v, 1, i - 1),
+                         substring(v, i + 1, length(v) - i)))))))
+            """
+        blocked = base.select(
+            f"__id_{side}",
+            F.explode(F.expr(var)).alias("__variant"),
+        ).select(
+            f"__id_{side}",
+            # slim 8-byte block key; hash collisions only add
+            # verified-away candidates
+            F.lit(0).alias("piece_idx"),
+            F.xxhash64("__variant").cast("string").alias("piece"),
+        )
+        return base, blocked
+
+    if method == "deletion":
+        lbase, lblocked = _deletions(left, left_id, left_text, "l")
+        rbase, rblocked = _deletions(right, right_id, right_text, "r")
+    else:
+        lbase, lblocked = _pieces(left, left_id, left_text, "l")
+        rbase, rblocked = _pieces(right, right_id, right_text, "r")
     lblocked = _block_guard(lblocked, "left")
     rblocked = _block_guard(rblocked, "right")
     cands = (

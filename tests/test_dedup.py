@@ -675,3 +675,80 @@ def test_link_records_block_guard_trips_on_templated_keys(spark):
         max_block_rows=None,
     )
     assert out.filter("dist = 0").count() == 59
+
+
+def test_link_records_deletion_blocking_full_recall_mixed_lengths(spark):
+    """Deletion-neighborhood linkage must recover substitution,
+    insertion AND deletion corruptions (pieces blocking only
+    guarantees equal-length substitutions) — verified against the
+    quadratic ground truth."""
+    from pyspark.sql import functions as F
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        link_records_blocked,
+    )
+
+    master = spark.createDataFrame(
+        [(i, f"{i * 7919:08d}") for i in range(1, 60)],
+        "mid bigint, mkey string",
+    )
+
+    def corrupt(i, key):
+        if i % 3 == 0:
+            return "9" + key[1:]          # substitution
+        if i % 3 == 1:
+            return key[:4] + "x" + key[4:]  # insertion (length L+1)
+        return key[:3] + key[4:]           # deletion (length L-1)
+
+    feed = spark.createDataFrame(
+        [(100 + i, corrupt(i, f"{i * 7919:08d}")) for i in range(1, 60)],
+        "fid bigint, fkey string",
+    )
+    got = {
+        (r.mid, r.fid): r.dist
+        for r in link_records_blocked(
+            master, feed, "mid", "mkey", "fid", "fkey",
+            max_dist=1, method="deletion",
+        ).collect()
+    }
+    # quadratic ground truth
+    exact = {
+        (r.mid, r.fid): r.dist
+        for r in master.crossJoin(feed)
+        .withColumn("dist", F.levenshtein("mkey", "fkey").cast("bigint"))
+        .filter("dist <= 1")
+        .collect()
+    }
+    assert got == exact
+    # every feed row links back to its master twin
+    assert all((i, 100 + i) in got for i in range(1, 60))
+
+
+def test_link_records_methods_agree_on_equal_length(spark):
+    """On fixed-width keys (pieces' lossless regime) both blocking
+    schemes must produce the identical verified pair set."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        link_records_blocked,
+    )
+
+    master = spark.createDataFrame(
+        [(i, f"{i * 6007:07d}") for i in range(1, 50)],
+        "mid bigint, mkey string",
+    )
+    feed = spark.createDataFrame(
+        [
+            (100 + i, ("8" + f"{i * 6007:07d}"[1:]) if i % 2 == 0 else f"{i * 6007:07d}")
+            for i in range(1, 50)
+        ],
+        "fid bigint, fkey string",
+    )
+    out = {}
+    for m in ("pieces", "deletion"):
+        out[m] = {
+            (r.mid, r.fid, r.dist)
+            for r in link_records_blocked(
+                master, feed, "mid", "mkey", "fid", "fkey",
+                max_dist=1, method=m,
+            ).collect()
+        }
+    assert out["pieces"] == out["deletion"]
