@@ -66,18 +66,30 @@ def bottomk_ledger(
         *keys,
         F.col(id_col).alias("__id"),
         _priority(id_col, priority).alias("__pri"),
-    ).dropDuplicates([*keys, "__id"])
-    w = Window.partitionBy(*keys).orderBy("__pri", "__id")
-    topk = slim.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= k
     )
-    n = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-    led = topk.groupBy(*keys).agg(
+    # ONE exchange on keys serves everything: the pre-dedup row count
+    # (unordered full-partition window), the first-occurrence dedup
+    # (duplicate ids sort adjacent under (pri, id), so lag != id keeps
+    # exactly one), the rank filter, and the final groupBy — filter
+    # and groupBy ride the window's hash partitioning, so no second
+    # corpus scan and no count-side self-join.
+    w_all = Window.partitionBy(*keys)
+    w_ord = Window.partitionBy(*keys).orderBy("__pri", "__id")
+    ranked = (
+        slim.withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .withColumn("__prev", F.lag("__id").over(w_ord))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("__id")))
+        .withColumn("__rn", F.row_number().over(w_ord))
+        .filter(F.col("__rn") <= k)
+    )
+    return ranked.groupBy(*keys).agg(
         F.array_sort(
-            F.collect_list(F.struct(F.col("__pri").alias("pri"), F.col("__id").alias("id")))
-        ).alias("sample")
+            F.collect_list(
+                F.struct(F.col("__pri").alias("pri"), F.col("__id").alias("id"))
+            )
+        ).alias("sample"),
+        F.max("__n").cast("bigint").alias("n_rows"),
     )
-    return led.join(n, keys)
 
 
 def merge_bottomk_ledgers(
@@ -102,13 +114,17 @@ def merge_bottomk_ledgers(
 
 def ledger_sample(ledger: DataFrame, keys: list[str]) -> DataFrame:
     """Explode a ledger to sample rows (one row per kept id, with its
-    sample rank) — the serving view for "show me a stable uniform
-    sample per segment". Deterministic: the same corpus state always
-    yields the same rows in the same ranks."""
+    sample rank and the group's additive ``n_rows``) — the serving
+    view for "show me a stable uniform sample per segment".
+    Deterministic: the same corpus state always yields the same rows
+    in the same ranks."""
     return ledger.select(
         *keys,
+        "n_rows",
         F.posexplode("sample").alias("rank", "s"),
-    ).select(*keys, (F.col("rank") + 1).alias("rank"), "s.pri", "s.id")
+    ).select(
+        *keys, (F.col("rank") + 1).alias("rank"), "s.pri", "s.id", "n_rows"
+    )
 
 
 def ledger_distinct_estimate(

@@ -2580,6 +2580,152 @@ def j_record_linkage(spark, sf_dir):
     )
 
 
+ORACLE_QUANTILE_LEDGER = """
+WITH binned AS (
+  SELECT o_orderpriority,
+         LEAST(39, GREATEST(0,
+           CAST(FLOOR((CAST(o_totalprice AS DOUBLE)
+                       - CAST(1000.0 AS DOUBLE))
+                      * CAST(40.0 AS DOUBLE)
+                      / CAST(499000.0 AS DOUBLE)) AS INT))) AS bin
+  FROM orders),
+counts AS (
+  SELECT o_orderpriority, bin, CAST(count(*) AS BIGINT) AS c
+  FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT o_orderpriority, bin, c,
+         SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cm,
+         SUM(c) OVER (PARTITION BY o_orderpriority) AS n_rows
+  FROM counts),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.25), (0.50), (0.95)) t(q)),
+hit AS (
+  SELECT o_orderpriority, q, n_rows, bin, c, cm,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority, q ORDER BY bin) AS rn
+  FROM cum CROSS JOIN qs
+  WHERE CAST(cm AS DOUBLE) >= q * CAST(n_rows AS DOUBLE)),
+vals AS (
+  SELECT o_orderpriority, q, CAST(n_rows AS BIGINT) AS n_rows,
+         CAST(1000.0 AS DOUBLE)
+         + (CAST(499000.0 AS DOUBLE) / CAST(40 AS DOUBLE))
+           * (CAST(bin AS DOUBLE)
+              + (q * CAST(n_rows AS DOUBLE)
+                 - CAST(cm - c AS DOUBLE)) / CAST(c AS DOUBLE)) AS v
+  FROM hit WHERE rn = 1)
+SELECT o_orderpriority, n_rows,
+       MAX(CASE WHEN q = CAST(0.25 AS DOUBLE) THEN v END) AS q25,
+       MAX(CASE WHEN q = CAST(0.50 AS DOUBLE) THEN v END) AS q50,
+       MAX(CASE WHEN q = CAST(0.95 AS DOUBLE) THEN v END) AS q95
+FROM vals GROUP BY 1, 2
+"""
+
+
+@register("a_quantile_ledger", oracle=ORACLE_QUANTILE_LEDGER)
+def a_quantile_ledger(spark, sf_dir):
+    """Mergeable histogram ledger → exact-arithmetic quantiles
+    (``operators.histogram``): per-priority bin vectors built from two
+    DISJOINT halves of orders, merged element-wise (integer adds), and
+    served as interpolated p25/p50/p95 — the additive-state ledger
+    family (counts, HLL distinct) extended to quantiles, the other
+    aggregate that is not naively additive. Unlike the HLL row this
+    carries a FULL value-hash oracle: bin counts are exact bigints and
+    the interpolation uses only +,-,*,/ (correctly rounded in
+    IEEE-754, bit-identical cross-engine — no log/pow in sight), so
+    DuckDB recomputes the identical doubles from the raw table while
+    Spark serves them from the merged ledger, proving build, merge and
+    quantile math in one check. Split-merge bit-exactness, order
+    independence, and the one-bin-width error bound vs exact
+    percentile() are pinned in ``tests/test_histogram.py``."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.histogram import (
+        histogram_ledger,
+        ledger_quantiles,
+        merge_histogram_ledgers,
+    )
+
+    (o,) = load(spark, sf_dir, "orders")
+    lo, hi, nb = 1000.0, 500000.0, 40
+    halves = [
+        histogram_ledger(
+            o.filter(f"o_orderkey % 2 = {p}"),
+            ["o_orderpriority"],
+            "o_totalprice",
+            lo,
+            hi,
+            nb,
+        )
+        for p in (0, 1)
+    ]
+    led = merge_histogram_ledgers(halves, ["o_orderpriority"])
+    return ledger_quantiles(
+        led, ["o_orderpriority"], lo, hi, [0.25, 0.5, 0.95]
+    )
+
+
+ORACLE_BOTTOMK_SAMPLE = """
+WITH d AS (SELECT DISTINCT event_type, CAST(user_id AS BIGINT) AS uid
+           FROM events),
+r AS (SELECT event_type, uid,
+             (uid * 2654435761) % 4294967296 AS pri,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY (uid * 2654435761) % 4294967296, uid) AS rank
+      FROM d),
+n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1)
+SELECT r.event_type, CAST(rank AS INT) AS rank,
+       CAST(pri AS BIGINT) AS pri, uid AS user_id, n_rows
+FROM r JOIN n ON r.event_type = n.event_type WHERE rank <= 32
+"""
+
+
+@register("c_bottomk_sample", oracle=ORACLE_BOTTOMK_SAMPLE)
+def c_bottomk_sample(spark, sf_dir):
+    """Mergeable bottom-k priority sample (``operators.bottomk``, KMV
+    style): per-event-type ledgers built from two DISJOINT halves of
+    events, merged with set-union-over-(priority, id) semantics, and
+    served as rank-stable sample rows — the "living inspection sample
+    per segment" a 100 TB corpus maintains incrementally instead of
+    re-sampling. The probe hands the ledger a Knuth multiplicative
+    hash priority expressible in ANSI SQL, so DuckDB replays the
+    EXACT sample through plain row_number semantics — a full
+    value-hash oracle over both the merge algebra and the sampling
+    order (production callers keep the seed-stable xxhash64 default).
+    Split-merge bit-exactness, re-delivery idempotence and the KMV
+    distinct-estimate envelope are pinned in ``tests/test_bottomk.py``."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.bottomk import (
+        bottomk_ledger,
+        ledger_sample,
+        merge_bottomk_ledgers,
+    )
+
+    (ev,) = load(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_id",
+        "event_type",
+        F.col("user_id").cast("bigint").alias("uid"),
+    )
+    pri = F.expr("(uid * 2654435761) % 4294967296")
+    halves = [
+        bottomk_ledger(
+            ev.filter(f"event_id % 2 = {p}"),
+            ["event_type"],
+            "uid",
+            32,
+            priority=F.expr("(uid * 2654435761) % 4294967296"),
+        )
+        for p in (0, 1)
+    ]
+    led = merge_bottomk_ledgers(halves, ["event_type"], 32)
+    return ledger_sample(led, ["event_type"]).select(
+        "event_type",
+        "rank",
+        "pri",
+        F.col("id").alias("user_id"),
+        "n_rows",
+    )
+
+
 # --- round-6 window rotation re-registrations (verbatim) ---
 # a_approx_sketches and s_ann_methods moved here from
 # plans.aggregates / plans.similarity to free two driver-window slots
