@@ -2726,6 +2726,80 @@ def c_bottomk_sample(spark, sf_dir):
     )
 
 
+_Q17_SQL = """
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(FLOOR((l.l_extendedprice) * 10000 + 0.5) AS BIGINT))
+            AS DOUBLE) / 10000 AS sum_revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand IN ('Brand#4', 'Brand#2')
+  AND l.l_quantity < CAST(0.2 AS DOUBLE) *
+      (SELECT AVG(l2.l_quantity) FROM lineitem l2
+       WHERE l2.l_partkey = p.p_partkey)
+GROUP BY p.p_brand
+"""
+
+
+@register("q17_small_qty_revenue", oracle=_Q17_SQL)
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity revenue; textbook CORRELATED
+    scalar subquery with an aggregate — the decorrelation classic):
+    revenue from lineitems whose quantity is below 20% of their
+    part's average. ONE SQL string runs verbatim on both engines.
+    Plan: Catalyst decorrelates the per-part AVG into a separate
+    aggregate over lineitem joined back on l_partkey (no nested-loop,
+    no per-row subquery execution — pinned in tests/test_plans.py);
+    the brand filter pushes into the part scan and the part dim
+    broadcasts. Determinism: l_quantity is integral, so the per-part
+    AVG sums exactly in any order and the 0.2x threshold compare is
+    bit-identical cross-engine; revenue uses the 4-dp fixed-point sum
+    (dec_sum discipline)."""
+    views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q17_SQL)
+
+
+_Q22_SQL = """
+WITH pos AS (
+  SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM customer
+  WHERE c_acctbal > CAST(0 AS DOUBLE)
+    AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+SELECT c.c_nationkey AS cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100 AS totacctbal
+FROM customer c CROSS JOIN pos
+WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) * pos.cnt > pos.sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_nationkey
+"""
+
+
+@register("q22_idle_customers", oracle=_Q22_SQL)
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): above-average-
+    balance customers in a nation list with no urgent orders (the
+    synthetic orders table gives every customer SOME order, so the
+    classic no-orders NOT EXISTS keeps its anti-join shape against
+    the urgent subset instead). ONE SQL string runs verbatim on both
+    engines. Plan: the positive-balance stats CTE collapses to a
+    single broadcast row (the bounded stats-row crossJoin contract),
+    NOT EXISTS becomes a LeftAnti against the filtered orders scan,
+    and the nation IN-list pushes into the customer scan.
+    Determinism: the avg-balance threshold is compared in EXACT
+    integer cents (acctbal_cents * count > sum_cents) — no float
+    division anywhere near the predicate — and the output total uses
+    the same fixed-point discipline."""
+    views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q22_SQL)
+
+
 # --- round-6 window rotation re-registrations (verbatim) ---
 # a_approx_sketches and s_ann_methods moved here from
 # plans.aggregates / plans.similarity to free two driver-window slots

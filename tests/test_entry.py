@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 106
+    assert len(names) == 108
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -92,6 +92,11 @@ def test_oracle_keys_subset_of_queries(spark):
         # histogram quantiles and bottom-k priority samples, both with
         # full value-hash oracles (bit-exact cross-engine arithmetic)
         "a_quantile_ledger", "c_bottomk_sample",
+        # round-6 extensions: the two classic TPC-H correlated-
+        # subquery shapes the probe set lacked — Q17 (correlated
+        # scalar-agg decorrelation) and Q22 (stats-row threshold +
+        # NOT EXISTS anti-join), both verbatim-shared SQL
+        "q17_small_qty_revenue", "q22_idle_customers",
         # round-6 rotation re-registrations (windows slots freed for
         # c_dsir_select / q5_local_supplier_volume)
         "a_approx_sketches", "s_ann_methods",

@@ -292,3 +292,26 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
         )
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_q17_correlated_avg_decorrelates_to_joins(spark):
+    """The Q17 textbook correlated scalar-AVG subquery must
+    decorrelate into an aggregate joined back on l_partkey — hash
+    joins only, never a per-row subquery (BroadcastNestedLoopJoin /
+    CartesianProduct would mean decorrelation regressed)."""
+    plan = _formatted(spark, "q17_small_qty_revenue")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 2
+
+
+def test_q22_anti_join_and_bounded_stats_row(spark):
+    """Q22's NOT EXISTS must plan as a LeftAnti join, and the only
+    nested-loop joins allowed are the 1-row positive-balance stats
+    broadcast (the bounded stats-row contract) — the customer×orders
+    sides themselves must never cartesian."""
+    plan = _formatted(spark, "q22_idle_customers")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # stats-row cross join is a broadcast of ONE aggregated row
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
