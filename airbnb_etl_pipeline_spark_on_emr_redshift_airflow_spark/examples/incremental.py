@@ -24,12 +24,15 @@ minhash_index_build`), and each day's pipeline is:
   (partition the corpus by ingest day, the index by band_id ×
   bh-range); the fold algebra is unchanged.
 
-Two period-partitioned ledgers ride the same cadence downstream of
-the publish: the unigram-LM count ledger (``lm``) and the HLL
+Three period-partitioned ledgers ride the same cadence downstream of
+the publish: the unigram-LM count ledger (``lm``), the HLL
 distinct-count ledger (``ledger`` — KB-sized sketch rows per source,
-folded to corpus-wide distinct docs/langs without rescanning; the
-round-6 addition closing the incremental-analytics loop counts →
-BM25 → LM → distinct).
+folded to corpus-wide distinct docs/langs without rescanning), and
+the profile ledger (``profile`` — histogram bin vectors + bottom-k
+inspection samples per source, folded to corpus-wide length
+quantiles and a living sample). Together they close the
+incremental-analytics loop: counts → BM25 → LM → distinct →
+quantiles/samples — every serving aggregate maintained O(batch)/day.
 
 Signatures are seed-stable, so a batch fingerprinted today joins
 index rows written months ago. The cadence is naturally idempotent:
@@ -87,6 +90,7 @@ def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
     shingles_path = f"{workdir}/index/shingles"
     lm_ledger_path = f"{workdir}/lm_ledger"
     hll_ledger_path = f"{workdir}/hll_ledger"
+    profile_ledger_path = f"{workdir}/profile_ledger"
     _toks = (
         "filter(split(trim(regexp_replace(lower(text), '[^a-z]+', ' ')), "
         "' '), x -> x != '')"
@@ -233,6 +237,73 @@ def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
         folded = merge_hll_ledgers([full], ["source"])
         return ledger_estimates(folded, ["source"])
 
+    def profile(spark: SparkSession, period: str, ctx) -> DataFrame:
+        """Distribution + inspection-sample maintenance as a PERIOD-
+        PARTITIONED profile ledger (``operators.histogram`` +
+        ``operators.bottomk``) — the same idempotent cadence as the
+        LM/HLL stages: the period's row derives from the PUBLISHED
+        corpus restricted to the period's id range, so a replayed
+        period rewrites its partition deterministically and the fold
+        never double-counts. Each partition holds one row per source:
+        a 40-bin doc-length histogram vector (exact bigint counts)
+        plus the 16 lowest-priority doc ids (the living sample). The
+        serving rollup folds ledger-sized frames only — corpus-wide
+        length p50/p95 and a rank-stable per-source sample over the
+        whole history without rescanning it."""
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.bottomk import (
+            bottomk_ledger,
+            ledger_distinct_estimate,
+            merge_bottomk_ledgers,
+        )
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.histogram import (
+            histogram_ledger,
+            ledger_quantiles,
+            merge_histogram_ledgers,
+        )
+
+        lo, hi = (int(x) for x in period.split(":"))
+        slice_docs = ctx["published"].filter(
+            F.col("doc_id").between(lo, hi - 1)
+        )
+        hist = histogram_ledger(
+            slice_docs.withColumn(
+                "len_chars", F.length("text").cast("double")
+            ),
+            ["source"],
+            "len_chars",
+            0.0,
+            1000.0,
+            40,
+        )
+        samp = bottomk_ledger(slice_docs, ["source"], "doc_id", 16)
+        delta = hist.join(samp.select("source", "sample"), "source")
+        atomic_publish(
+            delta,
+            f"{profile_ledger_path}/period={lo}_{hi}",
+            validate=model_exists,
+        )
+        full = spark.read.parquet(profile_ledger_path).drop("period")
+        hq = ledger_quantiles(
+            merge_histogram_ledgers(
+                [full.select("source", "bins", "n_rows", "n_null", "vmin", "vmax")],
+                ["source"],
+            ),
+            ["source"],
+            0.0,
+            1000.0,
+            [0.5, 0.95],
+        )
+        sk = ledger_distinct_estimate(
+            merge_bottomk_ledgers(
+                [full.select("source", "sample", "n_rows")], ["source"], 16
+            ),
+            ["source"],
+            16,
+        )
+        return hq.join(
+            sk.select("source", "sample_size", "distinct_est"), "source"
+        )
+
     return Pipeline(
         [
             Stage("batch", batch),
@@ -252,6 +323,12 @@ def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
             Stage(
                 "ledger",
                 ledger,
+                deps=("published",),
+                gates=(("non-empty", non_empty),),
+            ),
+            Stage(
+                "profile",
+                profile,
                 deps=("published",),
                 gates=(("non-empty", non_empty),),
             ),

@@ -149,3 +149,70 @@ def test_incremental_hll_ledger_folds_to_direct_and_survives_replay(
         for r in r2.results["ledger"].collect()
     }
     assert got2 == got1
+
+
+def test_incremental_profile_ledger_folds_to_direct_and_survives_replay(
+    spark, tmp_dir
+):
+    """The period-partitioned profile ledger (histogram + bottom-k)
+    must fold to EXACTLY the direct one-shot build over the published
+    corpus after every period — bin counts are exact integers and the
+    periods partition doc_id space, so split-build-then-merge and
+    direct-build are bit-exact for the quantiles AND the sample — and
+    a replayed period rewrites its partition deterministically, so
+    the serving view never moves."""
+    from pyspark.sql import functions as F
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.bottomk import (
+        bottomk_ledger,
+        ledger_distinct_estimate,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.histogram import (
+        histogram_ledger,
+        ledger_quantiles,
+    )
+
+    pipe = build_pipeline(SF_DIR, f"{tmp_dir}/inc_prof")
+
+    def direct(corpus):
+        hist = histogram_ledger(
+            corpus.withColumn("len_chars", F.length("text").cast("double")),
+            ["source"],
+            "len_chars",
+            0.0,
+            1000.0,
+            40,
+        )
+        hq = {
+            r.source: (r.n_rows, r.q50, r.q95)
+            for r in ledger_quantiles(
+                hist, ["source"], 0.0, 1000.0, [0.5, 0.95]
+            ).collect()
+        }
+        sk = {
+            r.source: (r.sample_size, r.distinct_est)
+            for r in ledger_distinct_estimate(
+                bottomk_ledger(corpus, ["source"], "doc_id", 16),
+                ["source"],
+                16,
+            ).collect()
+        }
+        return {s: hq[s] + sk[s] for s in hq}
+
+    def served(run):
+        return {
+            r.source: (r.n_rows, r.q50, r.q95, r.sample_size, r.distinct_est)
+            for r in run.results["profile"].collect()
+        }
+
+    r0 = pipe.run(spark, "0:150")
+    assert served(r0) == direct(r0.results["published"])
+
+    r1 = pipe.run(spark, "150:300")
+    got1 = served(r1)
+    assert got1 == direct(r1.results["published"])
+
+    # replay of period 0: corpus unchanged, the period's partition
+    # rewrites deterministically -> the fold is unchanged
+    r2 = pipe.run(spark, "0:150")
+    assert served(r2) == got1
