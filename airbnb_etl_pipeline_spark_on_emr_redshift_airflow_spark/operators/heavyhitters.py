@@ -1,0 +1,202 @@
+"""Mergeable heavy-hitters (top-k frequency) ledgers with sound
+count bounds.
+
+Fifth member of the additive-state ledger family (counts →
+``operators.aggregates.incremental_agg_state``, distinct →
+``operators.sketches.hll_ledger``, quantiles →
+``operators.histogram.histogram_ledger``, samples →
+``operators.bottomk.bottomk_ledger``): the most-frequent items per
+group, maintainable per period and composable into any later window
+without rescanning raw data — "top domains per language this
+quarter" over a 100 TB corpus becomes a fold over KB-sized ledger
+rows.
+
+Unlike Misra-Gries / SpaceSaving, whose merge result depends on the
+order partial summaries are combined (no deterministic value for an
+oracle to check), each period's ledger here stores its EXACT top-k
+``(item, cnt)`` pairs plus two scalars about everything it dropped:
+``other_max`` (the largest dropped count — an upper bound on any
+absent item) and ``other_mass`` (the total dropped count). The merge
+is the classic threshold-algorithm bound fold: for an item seen in
+any period's top, ``lb`` = sum of counts where present, and
+``ub = lb + Σ other_max(periods not containing it)`` — every
+quantity an integer sum, fully deterministic, so the whole algebra
+is value-hash checkable against ANSI SQL (``a_heavy_hitters_ledger``
+probe) rather than "approximately right".
+
+Guarantees (pinned in ``tests/test_heavyhitters.py``):
+
+- build: ``top`` counts are exact; any item with true count >
+  ``other_max`` is guaranteed present (if it had been dropped its
+  count would be ≤ ``other_max``).
+- merge: ``lb ≤ true count ≤ ub`` for every reported item; any item
+  with true total > merged ``other_max`` is present in the merged
+  top. Nested merges stay sound (bounds can only loosen).
+
+Scale shape: the build is a word-count — ONE exchange on
+``(keys, item)`` for the exact counts, then one keys-sized exchange
+that serves the rank filter and the ledger assembly (the groupBy
+rides the window's partitioning). The merge never touches the
+corpus: it folds frames bounded by (#periods × k) rows per group.
+Reference parity: the reference's analytics notebook computes
+"top reviewers / busiest listings" shapes with full group-by +
+ORDER BY LIMIT over the raw tables each run (notebook cells 35-51);
+this ledger form is the incremental-maintenance equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_K = 16
+
+
+def heavyhitters_ledger(
+    df: DataFrame, keys: list[str], item_col: str, k: int = DEFAULT_K
+) -> DataFrame:
+    """One ledger row per ``keys`` group: ``top`` — the k most
+    frequent items as ``(rn, item, cnt)`` structs (count desc, item
+    asc tie-break, so ties are deterministic) — plus ``other_max``
+    (largest dropped count, 0 if nothing dropped), ``other_mass``
+    (total dropped count) and the additive ``n_rows``."""
+    cnts = df.groupBy(*keys, F.col(item_col).alias("item")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy(*keys).orderBy(F.desc("cnt"), F.asc("item"))
+    ranked = cnts.withColumn("__rn", F.row_number().over(w))
+    # the groupBy rides the window's hash partitioning on keys — no
+    # extra exchange; struct leads with rn so array_sort orders the
+    # top by rank without a comparator lambda
+    return ranked.groupBy(*keys).agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("__rn") <= k,
+                    F.struct(
+                        F.col("__rn").alias("rn"),
+                        F.col("item"),
+                        F.col("cnt"),
+                    ),
+                )
+            )
+        ).alias("top"),
+        F.coalesce(
+            F.max(F.when(F.col("__rn") > k, F.col("cnt"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("other_max"),
+        F.coalesce(
+            F.sum(F.when(F.col("__rn") > k, F.col("cnt"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("other_mass"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+    )
+
+
+def _merged_items(ledgers: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Internal bound fold shared by :func:`merge_heavyhitters_ledgers`
+    and :func:`ledger_topk_bounds`: one row per (keys, item) seen in
+    any period's top, with ``lb``/``ub`` and the per-group totals."""
+    u = ledgers[0]
+    for led in ledgers[1:]:
+        u = u.unionByName(led)
+    per_key = u.groupBy(*keys).agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("other_max").cast("bigint").alias("tot_omax"),
+        F.sum("other_mass").cast("bigint").alias("tot_omass"),
+    )
+    ex = u.select(
+        *keys,
+        F.col("other_max").alias("__row_omax"),
+        F.explode("top").alias("t"),
+    ).select(*keys, "t.item", "t.cnt", "__row_omax")
+    items = ex.groupBy(*keys, "item").agg(
+        F.sum("cnt").cast("bigint").alias("lb"),
+        # Σ other_max over the periods whose top CONTAINS the item;
+        # ub subtracts it from the all-periods total, charging the
+        # item only for periods where it might hide below the cut
+        F.sum("__row_omax").cast("bigint").alias("__cover"),
+    )
+    # per_key is one row per group — ledger-sized; AQE broadcasts it
+    return items.join(per_key, keys).withColumn(
+        "ub", (F.col("lb") + F.col("tot_omax") - F.col("__cover")).cast("bigint")
+    )
+
+
+def merge_heavyhitters_ledgers(
+    ledgers: list[DataFrame], keys: list[str], k: int = DEFAULT_K
+) -> DataFrame:
+    """Fold period ledgers into one ledger frame with the SAME schema
+    as :func:`heavyhitters_ledger` (re-mergeable). Stored counts are
+    the lower bounds; ``other_max`` becomes the largest upper bound a
+    dropped or never-seen item could reach, and ``other_mass``
+    accumulates everything truncated — so nested merges keep the
+    presence guarantee (true > other_max ⇒ in top) while bounds can
+    only loosen, never lie."""
+    m = _merged_items(ledgers, keys)
+    w = Window.partitionBy(*keys).orderBy(F.desc("lb"), F.asc("item"))
+    ranked = m.withColumn("__rn", F.row_number().over(w))
+    return ranked.groupBy(*keys).agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("__rn") <= k,
+                    F.struct(
+                        F.col("__rn").alias("rn"),
+                        F.col("item"),
+                        F.col("lb").alias("cnt"),
+                    ),
+                )
+            )
+        ).alias("top"),
+        F.greatest(
+            F.coalesce(
+                F.max(F.when(F.col("__rn") > k, F.col("ub"))), F.lit(0)
+            ),
+            F.max("tot_omax"),
+        )
+        .cast("bigint")
+        .alias("other_max"),
+        (
+            F.max("tot_omass")
+            + F.coalesce(
+                F.sum(F.when(F.col("__rn") > k, F.col("lb"))), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("other_mass"),
+        F.max("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
+def ledger_topk(ledger: DataFrame, keys: list[str]) -> DataFrame:
+    """Explode a ledger to serving rows: one row per kept item with
+    its rank, count (exact for a built ledger, lower bound for a
+    merged one) and the group's additive ``n_rows``."""
+    return ledger.select(
+        *keys, "n_rows", F.explode("top").alias("t")
+    ).select(
+        *keys,
+        F.col("t.rn").alias("rank"),
+        F.col("t.item").alias("item"),
+        F.col("t.cnt").alias("cnt"),
+        "n_rows",
+    )
+
+
+def ledger_topk_bounds(
+    ledgers: list[DataFrame], keys: list[str], k: int = DEFAULT_K
+) -> DataFrame:
+    """Serving view across periods WITH bounds: the top-k items per
+    group by lower bound, each carrying ``lb ≤ true ≤ ub``. The
+    deterministic integer algebra here is what the catalog probe
+    value-hashes against DuckDB."""
+    m = _merged_items(ledgers, keys)
+    w = Window.partitionBy(*keys).orderBy(F.desc("lb"), F.asc("item"))
+    return (
+        m.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*keys, "rank", "item", "lb", "ub", "n_rows")
+    )

@@ -2800,6 +2800,173 @@ def q22_idle_customers(spark, sf_dir):
     return spark.sql(_Q22_SQL)
 
 
+_Q13_SQL = """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority NOT LIKE '1%'
+  GROUP BY c.c_custkey)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+
+@register("q13_customer_distribution", oracle=_Q13_SQL)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): the one
+    classic query built on an OUTER join with a JOIN-SIDE predicate —
+    the filter (`o_orderpriority NOT LIKE '1%'`, standing in for the
+    reference schema's comment NOT LIKE) must sit in the ON clause so
+    customers whose every order is excluded still surface with
+    c_count = 0; pushing it to WHERE would silently turn the join
+    inner and drop them. COUNT(o_orderkey) (null-skipping) not
+    COUNT(*) for the same reason. Two-level aggregate: per-customer
+    counts, then the histogram of counts. ONE SQL string runs
+    verbatim on both engines — all-bigint output, no float anywhere.
+    Plan: orders scan takes the NOT LIKE pushdown, shuffled hash
+    outer join on custkey (customer × orders both large at scale —
+    no broadcast), the second aggregate folds the customer-sized
+    frame onto the tiny count keyspace."""
+    views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q13_SQL)
+
+
+_Q20_SQL = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE '%gear%')
+      AND l.l_shipdate >= TIMESTAMP '1999-01-01'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING 16 * SUM(CAST(FLOOR(l.l_quantity + CAST(0.5 AS DOUBLE))
+                         AS BIGINT)) >
+           (SELECT SUM(CAST(FLOOR(l2.l_quantity + CAST(0.5 AS DOUBLE))
+                            AS BIGINT))
+            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey))
+  AND s.s_nationkey IN (SELECT n_nationkey FROM nation
+                        WHERE n_name IN ('NATION_1', 'NATION_2',
+                                         'NATION_3', 'NATION_4'))
+"""
+
+
+@register("q20_part_promotion", oracle=_Q20_SQL)
+def q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): NESTED semi-joins
+    — a supplier IN-list whose subquery itself contains a part
+    IN-list AND a correlated scalar-agg threshold (the testdata has
+    no partsupp table, so availability becomes trade dominance:
+    suppliers whose recent shipments of a promoted part exceed a
+    1/16 share of that part's all-time volume — the multiplier is
+    tuned so the answer is non-empty at every parity scale). The
+    shape stacks the
+    catalog's two hardest subquery rewrites inside one query:
+    Catalyst must turn both IN-lists into semi-joins (part dim
+    broadcast into the lineitem scan; the grouped subquery semi'd
+    into supplier) AND decorrelate the per-part total into an
+    aggregate-join (the Q17 rewrite) under the HAVING. Determinism:
+    quantities floor to bigints and the share threshold is the
+    integer cross-multiply `16 * recent > total` — no float division.
+    ONE SQL string runs verbatim on both engines."""
+    views(spark, sf_dir, "supplier", "lineitem", "part", "nation")
+    return spark.sql(_Q20_SQL)
+
+
+ORACLE_HEAVY_HITTERS = """
+WITH base AS (
+  SELECT event_type, CAST(user_id AS BIGINT) AS item,
+         CAST(event_id % 2 AS INT) AS half
+  FROM events),
+cnts AS (
+  SELECT event_type, half, item, CAST(count(*) AS BIGINT) AS cnt
+  FROM base GROUP BY 1, 2, 3),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, half
+                               ORDER BY cnt DESC, item) AS rn
+  FROM cnts),
+oth AS (
+  SELECT event_type, half,
+         COALESCE(MAX(CASE WHEN rn > 16 THEN cnt END), 0) AS omax
+  FROM rk GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, SUM(omax) AS tot_omax FROM oth GROUP BY 1),
+n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+  FROM base GROUP BY 1),
+items AS (
+  SELECT t.event_type, t.item,
+         CAST(SUM(t.cnt) AS BIGINT) AS lb,
+         CAST(SUM(o.omax) AS BIGINT) AS cover
+  FROM rk t
+  JOIN oth o ON t.event_type = o.event_type AND t.half = o.half
+  WHERE t.rn <= 16
+  GROUP BY 1, 2),
+merged AS (
+  SELECT i.event_type, i.item, i.lb,
+         CAST(i.lb + tt.tot_omax - i.cover AS BIGINT) AS ub,
+         n.n_rows,
+         ROW_NUMBER() OVER (PARTITION BY i.event_type
+                            ORDER BY i.lb DESC, i.item) AS rank
+  FROM items i
+  JOIN tot tt ON i.event_type = tt.event_type
+  JOIN n ON i.event_type = n.event_type)
+SELECT event_type, CAST(rank AS INT) AS rank, item AS user_id,
+       lb, ub, n_rows
+FROM merged WHERE rank <= 16
+"""
+
+
+@register("a_heavy_hitters_ledger", oracle=ORACLE_HEAVY_HITTERS)
+def a_heavy_hitters_ledger(spark, sf_dir):
+    """Mergeable heavy-hitters ledger (``operators.heavyhitters``):
+    per-event-type top-16 users with SOUND count bounds, built from
+    two DISJOINT halves of events and folded with the
+    threshold-algorithm merge — the fifth additive-state ledger
+    (counts, HLL distinct, histogram quantiles, bottom-k samples,
+    now top-k frequencies). Each period ledger stores its exact
+    top-k plus ``other_max``/``other_mass`` scalars about what it
+    dropped; the merge reports ``lb = Σ counts where present`` and
+    ``ub = lb + Σ other_max(periods not containing the item)``.
+    Unlike Misra-Gries, whose merged counters depend on combine
+    order, every quantity here is a deterministic integer sum — so
+    this carries a FULL value-hash oracle: DuckDB replays the
+    per-half build and the bound fold from the raw table and must
+    reproduce the identical bigints. Build exactness, presence
+    guarantee (true > other_max ⇒ in top), bound soundness
+    (lb ≤ true ≤ ub) and nested-merge soundness are pinned in
+    ``tests/test_heavyhitters.py``. 100 TB shape: the build is a
+    word-count (one (keys, item) exchange); the merge folds
+    KB-sized ledger rows, never the corpus."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.heavyhitters import (
+        heavyhitters_ledger,
+        ledger_topk_bounds,
+    )
+
+    (ev,) = load(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_id", "event_type", F.col("user_id").cast("bigint").alias("uid")
+    )
+    halves = [
+        heavyhitters_ledger(
+            ev.filter(f"event_id % 2 = {p}"), ["event_type"], "uid", k=16
+        )
+        for p in (0, 1)
+    ]
+    return ledger_topk_bounds(halves, ["event_type"], k=16).select(
+        "event_type",
+        "rank",
+        F.col("item").alias("user_id"),
+        "lb",
+        "ub",
+        "n_rows",
+    )
+
+
 # --- round-6 window rotation re-registrations (verbatim) ---
 # a_approx_sketches and s_ann_methods moved here from
 # plans.aggregates / plans.similarity to free two driver-window slots

@@ -145,6 +145,21 @@ HEADLINE = [
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.
 N_RUNS = 3
 
+# Round-6 additions, timed in the BENCH_SCALING.json sidecar only:
+# the stdout line sits at ~1.94 KB with the 73 stable headline names
+# and the driver's capture is bounded — growing the headline would
+# push even the 1-dp degrade stage past the guard, so new queries
+# accrue here until a rotation frees stdout budget.
+SIDECAR_ONLY = [
+    "a_quantile_ledger",
+    "c_bottomk_sample",
+    "q17_small_qty_revenue",
+    "q22_idle_customers",
+    "a_heavy_hitters_ledger",
+    "q13_customer_distribution",
+    "q20_part_promotion",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -162,9 +177,9 @@ def main() -> None:
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", N_RUNS))
 
-    def time_set(at_dir: str) -> dict[str, float]:
+    def time_set(at_dir: str, names: list[str] = HEADLINE) -> dict[str, float]:
         out: dict[str, float] = {}
-        for name in HEADLINE:
+        for name in names:
             fn = QUERIES[name]
             runs = []
             for _ in range(n_runs):
@@ -195,6 +210,8 @@ def main() -> None:
         and os.path.abspath(small_dir) != os.path.abspath(sf_dir.rstrip("/"))
     ):
         small = time_set(small_dir)
+        extra = time_set(sf_dir, SIDECAR_ONLY)
+        extra_small = time_set(small_dir, SIDECAR_ONLY)
         small_sf = small_dir.rstrip("/").rsplit("sf", 1)[-1]
         try:
             data_ratio = float(sf) / float(small_sf)
@@ -214,6 +231,18 @@ def main() -> None:
             "time_ratio": {
                 n: (round(timings[n] / small[n], 2) if small[n] > 0 else None)
                 for n in HEADLINE
+            },
+            # round-6 queries outside the stdout headline (see
+            # SIDECAR_ONLY): same median timings + scaling ratios
+            "sidecar_queries": extra,
+            "sidecar_small_queries": extra_small,
+            "sidecar_time_ratio": {
+                n: (
+                    round(extra[n] / extra_small[n], 2)
+                    if extra_small[n] > 0
+                    else None
+                )
+                for n in SIDECAR_ONLY
             },
         }
         # Sidecar, NOT stdout: the driver's stdout capture is bounded

@@ -1,0 +1,120 @@
+"""Heavy-hitters ledgers: build exactness, presence guarantee, merge
+bound soundness (lb <= true <= ub), nested-merge soundness, and
+determinism under repartitioning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.heavyhitters import (
+    heavyhitters_ledger,
+    ledger_topk,
+    ledger_topk_bounds,
+    merge_heavyhitters_ledgers,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # Zipf-ish: item = user % (1 + user % 23) folds many users onto
+    # small ids -> genuine heavy hitters plus a long tail; two groups
+    rows = [
+        (i, "g%d" % (i % 2), (i * 7919) % (1 + (i * 7919) % 23))
+        for i in range(4000)
+    ]
+    return spark.createDataFrame(rows, "row_id bigint, grp string, item bigint")
+
+
+def _exact(df):
+    return {
+        (r["grp"], r["item"]): r["c"]
+        for r in df.groupBy("grp", "item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .collect()
+    }
+
+
+def test_build_exact_when_k_covers_all(spark, skewed):
+    led = heavyhitters_ledger(skewed, ["grp"], "item", k=100)
+    rows = ledger_topk(led, ["grp"]).collect()
+    exact = _exact(skewed)
+    assert {(r["grp"], r["item"]): r["cnt"] for r in rows} == exact
+    for r in led.collect():
+        assert r["other_max"] == 0 and r["other_mass"] == 0
+        assert r["n_rows"] == sum(
+            c for (g, _), c in exact.items() if g == r["grp"]
+        )
+
+
+def test_build_presence_guarantee_and_exact_top(spark, skewed):
+    k = 5
+    led = heavyhitters_ledger(skewed, ["grp"], "item", k=k)
+    exact = _exact(skewed)
+    tops = {
+        (r["grp"], r["item"]): r["cnt"]
+        for r in ledger_topk(led, ["grp"]).collect()
+    }
+    omax = {r["grp"]: r["other_max"] for r in led.collect()}
+    # kept counts are exact; any item with true > other_max is kept
+    for key, cnt in tops.items():
+        assert cnt == exact[key]
+    for (g, item), cnt in exact.items():
+        if cnt > omax[g]:
+            assert (g, item) in tops
+
+
+def test_merge_bounds_sound(spark, skewed):
+    k = 5
+    parts = [skewed.filter(f"row_id % 3 = {p}") for p in range(3)]
+    leds = [heavyhitters_ledger(p, ["grp"], "item", k=k) for p in parts]
+    exact = _exact(skewed)
+    served = ledger_topk_bounds(leds, ["grp"], k=k).collect()
+    assert served, "merge produced no rows"
+    for r in served:
+        true = exact[(r["grp"], r["item"])]
+        assert r["lb"] <= true <= r["ub"], (r, true)
+    # presence guarantee on the merged LEDGER form
+    merged = merge_heavyhitters_ledgers(leds, ["grp"], k=k)
+    tops = {
+        (r["grp"], r["item"]) for r in ledger_topk(merged, ["grp"]).collect()
+    }
+    omax = {r["grp"]: r["other_max"] for r in merged.collect()}
+    nrows = {r["grp"]: r["n_rows"] for r in merged.collect()}
+    for (g, item), cnt in exact.items():
+        if cnt > omax[g]:
+            assert (g, item) in tops
+    assert nrows == {
+        g: sum(c for (gg, _), c in exact.items() if gg == g)
+        for g in ("g0", "g1")
+    }
+
+
+def test_nested_merge_stays_sound(spark, skewed):
+    k = 5
+    parts = [skewed.filter(f"row_id % 4 = {p}") for p in range(4)]
+    leds = [heavyhitters_ledger(p, ["grp"], "item", k=k) for p in parts]
+    ab = merge_heavyhitters_ledgers(leds[:2], ["grp"], k=k)
+    nested = merge_heavyhitters_ledgers([ab] + leds[2:], ["grp"], k=k)
+    exact = _exact(skewed)
+    omax = {r["grp"]: r["other_max"] for r in nested.collect()}
+    tops = {
+        (r["grp"], r["item"]): r["cnt"]
+        for r in ledger_topk(nested, ["grp"]).collect()
+    }
+    # nested lb can only be <= true; presence still guaranteed past
+    # the (possibly looser) other_max
+    for key, cnt in tops.items():
+        assert cnt <= exact[key]
+    for (g, item), cnt in exact.items():
+        if cnt > omax[g]:
+            assert (g, item) in tops
+
+
+def test_deterministic_under_repartition(spark, skewed):
+    k = 7
+    a = heavyhitters_ledger(skewed.repartition(13), ["grp"], "item", k=k)
+    b = heavyhitters_ledger(skewed.repartition(3, "item"), ["grp"], "item", k=k)
+    ra = sorted(map(tuple, ledger_topk(a, ["grp"]).collect()))
+    rb = sorted(map(tuple, ledger_topk(b, ["grp"]).collect()))
+    assert ra == rb
