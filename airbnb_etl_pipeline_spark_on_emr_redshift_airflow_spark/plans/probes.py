@@ -2877,6 +2877,113 @@ def q20_part_promotion(spark, sf_dir):
     return spark.sql(_Q20_SQL)
 
 
+_Q2_SQL = """
+SELECT p.p_partkey, s.s_suppkey, s.s_name,
+       l.l_extendedprice AS min_price
+FROM part p, lineitem l, supplier s, nation n
+WHERE l.l_partkey = p.p_partkey
+  AND l.l_suppkey = s.s_suppkey
+  AND s.s_nationkey = n.n_nationkey
+  AND n.n_regionkey IN (0, 1)
+  AND p.p_size <= 5
+  AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                           FROM lineitem l2
+                           WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@register("q2_min_cost_supplier", oracle=_Q2_SQL)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated
+    MIN-equality subquery — for each small part traded in a region
+    pair, the supplier(s) whose line price EQUALS the part's global
+    minimum (the testdata has no partsupp, so supply cost becomes
+    the line's extended price). Catalyst decorrelates the per-part
+    MIN into an aggregate joined back on l_partkey and the equality
+    becomes a join predicate — same rewrite family as Q17/Q20 but
+    with an EQUALITY (not threshold) correlation, which many naive
+    rewrites get wrong around duplicate minima: BOTH engines must
+    return every line at the min, not one arbitrary winner.
+    Determinism: stored doubles compared by equality with NO
+    arithmetic on either side — MIN selects an existing value, so
+    the comparison is bit-exact cross-engine. ONE SQL string runs
+    verbatim on both engines; dims (part-filtered, supplier,
+    nation) broadcast into the lineitem scan."""
+    views(spark, sf_dir, "part", "lineitem", "supplier", "nation")
+    return spark.sql(_Q2_SQL)
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM(CAST(FLOOR(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                        * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+           AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_rev AS DOUBLE) / 100 AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_SQL)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): a grouped revenue view
+    consumed TWICE — once as the join input, once under a scalar
+    MAX — selecting the supplier(s) whose quarterly revenue equals
+    the global maximum. The plan point: lineitem is scanned ONCE —
+    the supplier-dim-sized revenue frame is lazily localCheckpointed
+    (the ``n_language_detect`` idiom) so both consumers read one
+    materialization. The verbatim CTE SQL form scans the fact table
+    twice: per-consumer column pruning splits the two revenue
+    subtrees past Spark's exchange-reuse canonicalization, which is
+    why the Spark side is DataFrame ops and the SQL string is the
+    oracle. The MAX side collapses to
+    a broadcast 1-row frame crossJoined as a literal (the bounded
+    stats-row contract, as in q22). Determinism: revenue folds
+    through the fixed-point cents pattern (floor-scale to bigint
+    BEFORE the sum), so the max-equality compares exact integers and
+    ties keep every winner — the /100 display division is a single
+    exact double op after the predicate."""
+    supplier, li = load(spark, sf_dir, "supplier", "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * 100
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("total_rev")
+        )
+        # dim-sized (one row per active supplier); checkpoint lazily
+        # so the quarterly fact scan + aggregate run exactly once for
+        # the two consumers below
+        .localCheckpoint(eager=False)
+    )
+    mx = rev.agg(F.max("total_rev").alias("__max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("__max_rev"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_rev").cast("double") / 100).alias("total_revenue"),
+        )
+    )
+
+
 ORACLE_HEAVY_HITTERS = """
 WITH base AS (
   SELECT event_type, CAST(user_id AS BIGINT) AS item,

@@ -158,6 +158,8 @@ SIDECAR_ONLY = [
     "a_heavy_hitters_ledger",
     "q13_customer_distribution",
     "q20_part_promotion",
+    "q2_min_cost_supplier",
+    "q15_top_supplier",
 ]
 
 

@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 111
+    assert len(names) == 113
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -100,6 +100,9 @@ def test_oracle_keys_subset_of_queries(spark):
         # round-6 extensions: the outer-join histogram and the
         # nested-semi + correlated-threshold TPC-H planning shapes
         "q13_customer_distribution", "q20_part_promotion",
+        # round-6 extensions: correlated MIN-equality and the
+        # reused-CTE scalar-max planning shapes
+        "q2_min_cost_supplier", "q15_top_supplier",
         # round-6 extension: mergeable heavy-hitters ledger with sound
         # count bounds (full value-hash oracle — integer bound algebra)
         "a_heavy_hitters_ledger",
