@@ -24,15 +24,18 @@ minhash_index_build`), and each day's pipeline is:
   (partition the corpus by ingest day, the index by band_id ×
   bh-range); the fold algebra is unchanged.
 
-Three period-partitioned ledgers ride the same cadence downstream of
+Four period-partitioned ledgers ride the same cadence downstream of
 the publish: the unigram-LM count ledger (``lm``), the HLL
 distinct-count ledger (``ledger`` — KB-sized sketch rows per source,
-folded to corpus-wide distinct docs/langs without rescanning), and
-the profile ledger (``profile`` — histogram bin vectors + bottom-k
+folded to corpus-wide distinct docs/langs without rescanning), the
+profile ledger (``profile`` — histogram bin vectors + bottom-k
 inspection samples per source, folded to corpus-wide length
-quantiles and a living sample). Together they close the
-incremental-analytics loop: counts → BM25 → LM → distinct →
-quantiles/samples — every serving aggregate maintained O(batch)/day.
+quantiles and a living sample), and the heavy-hitters ledger
+(``hitters`` — exact per-period top tokens with dropped-mass
+scalars, folded to corpus-wide top-16 with sound lb/ub count
+bounds). Together they close the incremental-analytics loop:
+counts → BM25 → LM → distinct → quantiles/samples → top-k —
+every serving aggregate maintained O(batch)/day.
 
 Signatures are seed-stable, so a batch fingerprinted today joins
 index rows written months ago. The cadence is naturally idempotent:
@@ -91,6 +94,7 @@ def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
     lm_ledger_path = f"{workdir}/lm_ledger"
     hll_ledger_path = f"{workdir}/hll_ledger"
     profile_ledger_path = f"{workdir}/profile_ledger"
+    hitters_ledger_path = f"{workdir}/hitters_ledger"
     _toks = (
         "filter(split(trim(regexp_replace(lower(text), '[^a-z]+', ' ')), "
         "' '), x -> x != '')"
@@ -304,6 +308,42 @@ def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
             sk.select("source", "sample_size", "distinct_est"), "source"
         )
 
+    def hitters(spark: SparkSession, period: str, ctx) -> DataFrame:
+        """Top-token maintenance as a PERIOD-PARTITIONED heavy-hitters
+        ledger (``operators.heavyhitters``) — the vocabulary-drift /
+        boilerplate-watch view: per source, the 16 most frequent
+        tokens with SOUND count bounds. Same idempotent cadence as
+        the LM/HLL/profile stages: the period's ledger row derives
+        from the PUBLISHED corpus restricted to the period's id
+        range, so a replayed period rewrites its partition
+        deterministically and the fold never double-counts. Each
+        partition row stores the period's EXACT top-16 plus
+        ``other_max``/``other_mass``; serving folds the (periods ×
+        sources) ledger with the threshold-algorithm merge —
+        ``lb ≤ true ≤ ub`` per token, KB-sized rows, never a corpus
+        rescan. The per-period build is a word-count (one
+        (source, token) exchange over the delta slice only)."""
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.heavyhitters import (
+            heavyhitters_ledger,
+            ledger_topk_bounds,
+        )
+
+        lo, hi = (int(x) for x in period.split(":"))
+        slice_docs = ctx["published"].filter(
+            F.col("doc_id").between(lo, hi - 1)
+        )
+        toks = slice_docs.select(
+            "source", F.explode(F.expr(_toks)).alias("tok")
+        )
+        delta = heavyhitters_ledger(toks, ["source"], "tok", k=16)
+        atomic_publish(
+            delta,
+            f"{hitters_ledger_path}/period={lo}_{hi}",
+            validate=model_exists,
+        )
+        full = spark.read.parquet(hitters_ledger_path).drop("period")
+        return ledger_topk_bounds([full], ["source"], k=16)
+
     return Pipeline(
         [
             Stage("batch", batch),
@@ -329,6 +369,12 @@ def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
             Stage(
                 "profile",
                 profile,
+                deps=("published",),
+                gates=(("non-empty", non_empty),),
+            ),
+            Stage(
+                "hitters",
+                hitters,
                 deps=("published",),
                 gates=(("non-empty", non_empty),),
             ),

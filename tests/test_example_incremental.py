@@ -216,3 +216,77 @@ def test_incremental_profile_ledger_folds_to_direct_and_survives_replay(
     # rewrites deterministically -> the fold is unchanged
     r2 = pipe.run(spark, "0:150")
     assert served(r2) == got1
+
+
+def test_incremental_hitters_ledger_bounds_and_survives_replay(spark, tmp_dir):
+    """The period-partitioned heavy-hitters ledger must serve sound
+    bounds after every period — lb <= true corpus count <= ub for
+    every served token (true counts recomputed exactly from the
+    published corpus) — keep the presence guarantee on the merged
+    ledger form (true > other_max => token served), and a replayed
+    period must rewrite its partition deterministically so the
+    serving view never moves."""
+    from pyspark.sql import functions as F
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.heavyhitters import (
+        ledger_topk,
+        merge_heavyhitters_ledgers,
+    )
+
+    pipe = build_pipeline(SF_DIR, f"{tmp_dir}/inc_hh")
+    toks_expr = (
+        "filter(split(trim(regexp_replace(lower(text), '[^a-z]+', ' ')), "
+        "' '), x -> x != '')"
+    )
+
+    def exact(corpus):
+        return {
+            (r["source"], r["tok"]): r["c"]
+            for r in corpus.select(
+                "source", F.explode(F.expr(toks_expr)).alias("tok")
+            )
+            .groupBy("source", "tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .collect()
+        }
+
+    def served(run):
+        return {
+            (r["source"], r["item"]): (r["rank"], r["lb"], r["ub"])
+            for r in run.results["hitters"].collect()
+        }
+
+    r0 = pipe.run(spark, "0:150")
+    true0 = exact(r0.results["published"])
+    got0 = served(r0)
+    assert got0
+    for (src, tok), (_, lb, ub) in got0.items():
+        assert lb <= true0[(src, tok)] <= ub, (src, tok, lb, ub)
+    # single period: the ledger IS the exact top — lb == ub == true
+    assert all(lb == ub for (_, lb, ub) in got0.values())
+
+    r1 = pipe.run(spark, "150:300")
+    true1 = exact(r1.results["published"])
+    got1 = served(r1)
+    for (src, tok), (_, lb, ub) in got1.items():
+        assert lb <= true1[(src, tok)] <= ub, (src, tok, lb, ub)
+
+    # presence guarantee on the merged LEDGER form: any token whose
+    # true corpus count beats the merged other_max must be served
+    full = spark.read.parquet(f"{tmp_dir}/inc_hh/hitters_ledger").drop(
+        "period"
+    )
+    merged = merge_heavyhitters_ledgers([full], ["source"], k=16)
+    omax = {r["source"]: r["other_max"] for r in merged.collect()}
+    tops = {
+        (r["source"], r["item"])
+        for r in ledger_topk(merged, ["source"]).collect()
+    }
+    for (src, tok), cnt in true1.items():
+        if cnt > omax[src]:
+            assert (src, tok) in tops, (src, tok, cnt, omax[src])
+
+    # replay of period 0: partition rewrites deterministically, the
+    # fold is unchanged
+    r2 = pipe.run(spark, "0:150")
+    assert served(r2) == got1
