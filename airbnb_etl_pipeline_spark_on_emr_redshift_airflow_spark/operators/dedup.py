@@ -623,7 +623,10 @@ def simhash_dup_buckets(docs: DataFrame) -> DataFrame:
 
 
 def simhash_near_dups(
-    docs: DataFrame, bands: int = 4, max_hamming: int = 3
+    docs: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 3,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs at hamming distance > 0 via
     signature banding: the 64-bit signature splits into ``bands``
@@ -640,9 +643,14 @@ def simhash_near_dups(
 
     Returns (doc_a, doc_b, hamming). One bucket shuffle + one verify
     join on candidate ids.
+
+    ``signatures``: a precomputed :func:`simhash_signatures` frame
+    (doc_id, simhash) — pass it when the caller also consumes the
+    signatures (e.g. an exhaustiveness invariant) so the bit-vote
+    fold runs once per corpus scan instead of once per consumer.
     """
     width = 64 // bands
-    sig = simhash_signatures(docs)
+    sig = simhash_signatures(docs) if signatures is None else signatures
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),

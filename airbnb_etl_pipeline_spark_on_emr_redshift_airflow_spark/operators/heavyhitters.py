@@ -31,7 +31,10 @@ Guarantees (pinned in ``tests/test_heavyhitters.py``):
   count would be ≤ ``other_max``).
 - merge: ``lb ≤ true count ≤ ub`` for every reported item; any item
   with true total > merged ``other_max`` is present in the merged
-  top. Nested merges stay sound (bounds can only loosen).
+  top. Nested merges stay sound for BOTH claims — the struct's
+  per-item ``ub`` field survives truncating merges, so a re-merge
+  sums recorded ubs (not lbs) on the upper side (bounds can only
+  loosen, never lie).
 
 Scale shape: the build is a word-count — ONE exchange on
 ``(keys, item)`` for the exact counts, then one keys-sized exchange
@@ -56,10 +59,14 @@ def heavyhitters_ledger(
     df: DataFrame, keys: list[str], item_col: str, k: int = DEFAULT_K
 ) -> DataFrame:
     """One ledger row per ``keys`` group: ``top`` — the k most
-    frequent items as ``(rn, item, cnt)`` structs (count desc, item
-    asc tie-break, so ties are deterministic) — plus ``other_max``
-    (largest dropped count, 0 if nothing dropped), ``other_mass``
-    (total dropped count) and the additive ``n_rows``."""
+    frequent items as ``(rn, item, cnt, ub)`` structs (count desc,
+    item asc tie-break, so ties are deterministic; for a built ledger
+    ``ub == cnt`` — counts are exact) — plus ``other_max`` (largest
+    dropped count, 0 if nothing dropped), ``other_mass`` (total
+    dropped count) and the additive ``n_rows``. The per-item ``ub``
+    field exists so MERGED ledgers stay inductively sound: after a
+    truncating merge the stored cnt is a lower bound, and the upper
+    bound must come from the inputs' recorded ubs, not their lbs."""
     cnts = df.groupBy(*keys, F.col(item_col).alias("item")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
@@ -77,6 +84,7 @@ def heavyhitters_ledger(
                         F.col("__rn").alias("rn"),
                         F.col("item"),
                         F.col("cnt"),
+                        F.col("cnt").alias("ub"),
                     ),
                 )
             )
@@ -98,7 +106,12 @@ def heavyhitters_ledger(
 def _merged_items(ledgers: list[DataFrame], keys: list[str]) -> DataFrame:
     """Internal bound fold shared by :func:`merge_heavyhitters_ledgers`
     and :func:`ledger_topk_bounds`: one row per (keys, item) seen in
-    any period's top, with ``lb``/``ub`` and the per-group totals."""
+    any input row's top, with ``lb``/``ub`` and the per-group totals.
+    Inductively sound over nested merges: ``lb`` sums the inputs'
+    recorded counts (lower bounds), ``ub`` sums the inputs' recorded
+    PER-ITEM ubs where present plus ``other_max`` where absent — a
+    merged input's lost slack lives in its ub field, so it is never
+    silently dropped."""
     u = ledgers[0]
     for led in ledgers[1:]:
         u = u.unionByName(led)
@@ -111,17 +124,21 @@ def _merged_items(ledgers: list[DataFrame], keys: list[str]) -> DataFrame:
         *keys,
         F.col("other_max").alias("__row_omax"),
         F.explode("top").alias("t"),
-    ).select(*keys, "t.item", "t.cnt", "__row_omax")
+    ).select(*keys, "t.item", "t.cnt", "t.ub", "__row_omax")
     items = ex.groupBy(*keys, "item").agg(
         F.sum("cnt").cast("bigint").alias("lb"),
-        # Σ other_max over the periods whose top CONTAINS the item;
-        # ub subtracts it from the all-periods total, charging the
-        # item only for periods where it might hide below the cut
+        F.sum("ub").cast("bigint").alias("__sum_ub"),
+        # Σ other_max over the input rows whose top CONTAINS the item;
+        # ub subtracts it from the all-rows total, charging the item
+        # only for rows where it might hide below the cut
         F.sum("__row_omax").cast("bigint").alias("__cover"),
     )
     # per_key is one row per group — ledger-sized; AQE broadcasts it
     return items.join(per_key, keys).withColumn(
-        "ub", (F.col("lb") + F.col("tot_omax") - F.col("__cover")).cast("bigint")
+        "ub",
+        (F.col("__sum_ub") + F.col("tot_omax") - F.col("__cover")).cast(
+            "bigint"
+        ),
     )
 
 
@@ -130,11 +147,13 @@ def merge_heavyhitters_ledgers(
 ) -> DataFrame:
     """Fold period ledgers into one ledger frame with the SAME schema
     as :func:`heavyhitters_ledger` (re-mergeable). Stored counts are
-    the lower bounds; ``other_max`` becomes the largest upper bound a
-    dropped or never-seen item could reach, and ``other_mass``
-    accumulates everything truncated — so nested merges keep the
-    presence guarantee (true > other_max ⇒ in top) while bounds can
-    only loosen, never lie."""
+    the lower bounds and the struct's ``ub`` field carries each
+    item's true upper bound; ``other_max`` becomes the largest upper
+    bound a dropped or never-seen item could reach, and
+    ``other_mass`` accumulates everything truncated — so nested
+    merges keep BOTH guarantees (presence: true > other_max ⇒ in
+    top; bounds: lb ≤ true ≤ ub) while bounds can only loosen,
+    never lie."""
     m = _merged_items(ledgers, keys)
     w = Window.partitionBy(*keys).orderBy(F.desc("lb"), F.asc("item"))
     ranked = m.withColumn("__rn", F.row_number().over(w))
@@ -147,6 +166,7 @@ def merge_heavyhitters_ledgers(
                         F.col("__rn").alias("rn"),
                         F.col("item"),
                         F.col("lb").alias("cnt"),
+                        F.col("ub"),
                     ),
                 )
             )

@@ -180,9 +180,13 @@ def d_minhash_dup_clusters(spark, sf_dir):
             & (F.count(F.lit(1)).over(pw) == F.lit(2))
         ).alias("ok"),
     )
-    sim_raw = simhash_near_dups(toked, bands=8, max_hamming=7).localCheckpoint(
-        eager=False
-    )
+    # ONE signature fold for both consumers (pair banding + the
+    # exhaustiveness invariant below) — the bit-vote aggregate is the
+    # dominant per-doc cost of the simhash slice
+    sig = simhash_signatures(toked).localCheckpoint(eager=False)
+    sim_raw = simhash_near_dups(
+        toked, bands=8, max_hamming=7, signatures=sig
+    ).localCheckpoint(eager=False)
     sim = sim_raw.select(
         F.lit("simhash_pair").alias("slice"),
         F.col("doc_a").alias("k1"),
@@ -228,9 +232,9 @@ def d_minhash_dup_clusters(spark, sf_dir):
     # appended word flips many bit votes (short docs), so "all twins
     # found" is NOT the contract — banding EXHAUSTIVENESS is: every
     # planted pair whose direct signature hamming is <= 7 must appear.
-    # Expected = direct per-pair popcount from the signatures
-    # themselves (same checkpointed token basis — bit-identical).
-    sig = simhash_signatures(toked)
+    # Expected = direct per-pair popcount from the SAME checkpointed
+    # signature frame the banding consumed — bit-identical, zero
+    # recompute.
     sig_a = sig.filter(F.col("doc_id") < 1_000_000).select(
         F.col("doc_id").alias("d"), F.col("simhash").alias("sa")
     )

@@ -109,6 +109,13 @@ def test_nested_merge_stays_sound(spark, skewed):
     for (g, item), cnt in exact.items():
         if cnt > omax[g]:
             assert (g, item) in tops
+    # ub soundness must survive the truncating intermediate merge:
+    # the struct's per-item ub field carries the slack an lb-only
+    # re-merge would silently drop
+    served = ledger_topk_bounds([ab] + leds[2:], ["grp"], k=k).collect()
+    for r in served:
+        true = exact[(r["grp"], r["item"])]
+        assert r["lb"] <= true <= r["ub"], (r, true)
 
 
 def test_deterministic_under_repartition(spark, skewed):
