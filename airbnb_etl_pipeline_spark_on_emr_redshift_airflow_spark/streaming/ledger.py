@@ -1,5 +1,6 @@
-"""Streaming HLL-ledger maintenance: keep the mergeable distinct-count
-ledger (``operators.sketches``) current as event batches arrive.
+"""Streaming ledger maintenance: keep the mergeable distinct-count
+ledger (``operators.sketches``) and the heavy-hitters top-k ledger
+(``operators.heavyhitters``) current as event batches arrive.
 
 Composition of two proven patterns in this engine:
 
@@ -72,3 +73,64 @@ def read_streamed_ledger(
     fold drops it (sketches union across batches)."""
     raw = spark.read.parquet(ledger_path).drop("batch_id")
     return merge_hll_ledgers([raw], keys)
+
+
+def stream_hitters_maintenance(
+    spark: SparkSession,
+    events_dir: str,
+    events_schema: str,
+    ledger_path: str,
+    keys: list[str],
+    item_col: str,
+    checkpoint_dir: str,
+    k: int = 16,
+) -> StreamingQuery:
+    """Streaming heavy-hitters maintenance — the same two patterns as
+    the HLL stream, for the top-k ledger (``operators.heavyhitters``):
+    each micro-batch lands its EXACT per-batch top-k rows (plus the
+    dropped-mass scalars) under ``ledger_path/batch_id=<id>`` with
+    ``mode("overwrite")``. Idempotency is load-bearing twice over
+    here: every stored quantity (cnt, other_max, other_mass, n_rows)
+    is a raw additive count, so a replayed at-least-once batch landing
+    as an append would inflate ALL of them; rewriting its own
+    ``batch_id=`` directory keeps the fold exact. Per batch the cost
+    is a word-count over the batch alone; the serving fold
+    (:func:`read_streamed_hitters`) is O(batches × k) per key, never
+    O(events)."""
+
+    def _append(batch_df, batch_id: int) -> None:
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.heavyhitters import (
+            heavyhitters_ledger,
+        )
+
+        led = heavyhitters_ledger(batch_df, keys, item_col, k=k)
+        led.write.mode("overwrite").parquet(
+            f"{ledger_path}/batch_id={batch_id}"
+        )
+
+    return (
+        spark.readStream.schema(events_schema)
+        .format("parquet")
+        .load(events_dir)
+        .writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_streamed_hitters(
+    spark: SparkSession, ledger_path: str, keys: list[str], k: int = 16
+) -> DataFrame:
+    """Serve the streamed top-k with sound bounds: fold the per-batch
+    ledger rows with the threshold-algorithm merge —
+    ``lb ≤ true ≤ ub`` per served item and any item whose true total
+    beats the folded ``other_max`` is guaranteed present (the batch
+    cut means a one-shot exact top-k is NOT recoverable, unlike the
+    additive HLL fold — bounds are the honest serving contract)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.heavyhitters import (
+        ledger_topk_bounds,
+    )
+
+    raw = spark.read.parquet(ledger_path).drop("batch_id")
+    return ledger_topk_bounds([raw], keys, k=k)

@@ -93,3 +93,62 @@ def test_streamed_ledger_replayed_batch_keeps_exact_row_counts(
         ),
     )
     assert got == want  # n_rows exact AND estimates unchanged
+
+
+def test_streamed_hitters_bounds_sound_and_replay_exact(spark, tmp_dir):
+    """Streamed heavy-hitters: the served fold must bound the true
+    all-batches counts (lb <= true <= ub — a one-shot exact top-k is
+    not recoverable across the per-batch cut, so bounds ARE the
+    contract), and a replayed batch must not inflate any of the raw
+    additive fields (cnt/other_max/other_mass/n_rows)."""
+    from pyspark.sql import functions as F
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.ledger import (
+        read_streamed_hitters,
+        stream_hitters_maintenance,
+    )
+
+    src, led, ckpt = (
+        f"{tmp_dir}/hh_ev",
+        f"{tmp_dir}/hh_ledger",
+        f"{tmp_dir}/hh_ckpt",
+    )
+
+    def _run_hh():
+        q = stream_hitters_maintenance(
+            spark, src, SCHEMA, led, ["event_type"], "user_id", ckpt, k=2
+        )
+        q.awaitTermination()
+
+    _write(spark, src, _BATCH1)
+    _run_hh()
+    _write(spark, src, _BATCH2)
+    _run_hh()  # only batch 2 is new
+
+    served = read_streamed_hitters(spark, led, ["event_type"], k=2).collect()
+    exact = {
+        (r["event_type"], r["user_id"]): r["c"]
+        for r in spark.createDataFrame(_BATCH1 + _BATCH2, SCHEMA)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .collect()
+    }
+    assert served
+    for r in served:
+        true = exact[(r["event_type"], r["item"])]
+        assert r["lb"] <= true <= r["ub"], (r, true)
+
+    # replay batch 0: served rows must be unchanged (batch_id layout)
+    before = sorted(map(tuple, served))
+    os.remove(f"{ckpt}/commits/1")
+    crc = f"{ckpt}/commits/.1.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    _run_hh()  # replays batch 1 with the same id
+    after = sorted(
+        map(
+            tuple,
+            read_streamed_hitters(spark, led, ["event_type"], k=2).collect(),
+        )
+    )
+    assert after == before
