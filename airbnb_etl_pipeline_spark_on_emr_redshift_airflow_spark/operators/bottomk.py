@@ -150,3 +150,53 @@ def ledger_distinct_estimate(
         size.alias("sample_size"),
         est.cast("bigint").alias("distinct_est"),
     )
+
+
+def ledger_jaccard(
+    ledger: DataFrame, key: str, k: int = DEFAULT_K
+) -> DataFrame:
+    """Pairwise segment-overlap estimates served from the bottom-k
+    ledger ALONE — the set capability HLL lacks (sketch union exists,
+    intersection doesn't): because every group hashes ids with the
+    same priority function, the bottom-k of a UNION of two groups is
+    computable from their two samples, and the classic KMV Jaccard
+    estimator is ``|U ∩ S_A ∩ S_B| / |U|`` where ``U`` is the k
+    smallest of the combined samples. One row per unordered group
+    pair with the intersection/union sample sizes and a 1e-6
+    fixed-point Jaccard estimate (exact when both groups hold fewer
+    than k distinct ids — the samples ARE the sets there).
+
+    Deterministic integer/array arithmetic end to end, so a probe can
+    value-hash it cross-engine when the priority is ANSI-expressible.
+    Scale shape: the ledger is one row per segment; the pair join is
+    a broadcast over the segment-count frame (dim-sized by contract —
+    segments, not rows), and every array op is bounded by k."""
+    a = ledger.select(
+        F.col(key).alias("key_a"), F.col("sample").alias("sa")
+    )
+    b = ledger.select(
+        F.col(key).alias("key_b"), F.col("sample").alias("sb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+    u = F.expr(f"slice(array_sort(array_distinct(concat(sa, sb))), 1, {k})")
+    return (
+        pairs.withColumn("__u", u)
+        .select(
+            "key_a",
+            "key_b",
+            F.size(
+                F.expr("array_intersect(array_intersect(__u, sa), sb)")
+            )
+            .cast("bigint")
+            .alias("inter_size"),
+            F.size("__u").cast("bigint").alias("union_size"),
+        )
+        .withColumn(
+            "jaccard_fp",
+            F.floor(
+                F.col("inter_size")
+                * F.lit(1_000_000)
+                / F.col("union_size").cast("double")
+            ).cast("bigint"),
+        )
+    )

@@ -3074,6 +3074,96 @@ def a_heavy_hitters_ledger(spark, sf_dir):
     )
 
 
+ORACLE_SEGMENT_OVERLAP = """
+WITH d AS (
+  SELECT DISTINCT event_type,
+         CAST(user_id AS BIGINT) * 1000
+           + CAST(dayofyear(ts) AS BIGINT) AS did
+  FROM events),
+r AS (
+  SELECT event_type, did,
+         (did * 2654435761) % 4294967296 AS pri,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY (did * 2654435761) % 4294967296, did) AS rn
+  FROM d),
+s AS (SELECT event_type, pri, did FROM r WHERE rn <= 32),
+p AS (
+  SELECT a.event_type AS key_a, b.event_type AS key_b
+  FROM (SELECT DISTINCT event_type FROM d) a,
+       (SELECT DISTINCT event_type FROM d) b
+  WHERE a.event_type < b.event_type),
+uni AS (
+  SELECT key_a, key_b, pri, did,
+         ROW_NUMBER() OVER (PARTITION BY key_a, key_b
+                            ORDER BY pri, did) AS urn
+  FROM (SELECT DISTINCT p.key_a, p.key_b, s.pri, s.did
+        FROM p JOIN s ON s.event_type = p.key_a
+                      OR s.event_type = p.key_b)),
+uk AS (SELECT * FROM uni WHERE urn <= 32),
+stats AS (
+  SELECT u.key_a, u.key_b,
+         CAST(SUM(CASE WHEN sa.did IS NOT NULL AND sb.did IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS inter_size,
+         CAST(COUNT(*) AS BIGINT) AS union_size
+  FROM uk u
+  LEFT JOIN s sa ON sa.event_type = u.key_a
+                AND sa.pri = u.pri AND sa.did = u.did
+  LEFT JOIN s sb ON sb.event_type = u.key_b
+                AND sb.pri = u.pri AND sb.did = u.did
+  GROUP BY 1, 2)
+SELECT key_a, key_b, inter_size, union_size,
+       CAST(FLOOR(CAST(inter_size * 1000000 AS DOUBLE)
+                  / CAST(union_size AS DOUBLE)) AS BIGINT) AS jaccard_fp
+FROM stats
+"""
+
+
+@register("a_segment_overlap", oracle=ORACLE_SEGMENT_OVERLAP)
+def a_segment_overlap(spark, sf_dir):
+    """Pairwise segment-overlap (Jaccard) estimates served from
+    bottom-k ledgers ALONE (``operators.bottomk.ledger_jaccard``) —
+    the set capability HLL cannot provide (sketch union exists,
+    intersection does not): because every segment hashes its items
+    with the same priority, the bottom-k of any segment UNION is
+    computable from the per-segment samples, and
+    ``|U ∩ S_A ∩ S_B| / |U|`` estimates the true Jaccard. Items are
+    active (user, day-of-year) pairs, so event types genuinely
+    differ in overlap. The probe hands the ledger the same ANSI
+    Knuth-hash priority as ``c_bottomk_sample``, so DuckDB replays
+    the EXACT samples and the whole estimate — intersection/union
+    sizes and the 1e-6 fixed-point Jaccard — value-hashes
+    cross-engine (the /union division is two exact-integer-valued
+    doubles; a 1-ulp floor flip would need the numerator within
+    half-an-ulp of a multiple of the denominator, impossible for
+    integers this small). Estimator-vs-true error envelope and
+    exactness under k ≥ |set| are pinned in ``tests/test_bottomk``.
+    100 TB shape: serving touches ONE ledger row per segment —
+    the pair join is a broadcast over the segment-count frame,
+    every array op bounded by k."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.bottomk import (
+        bottomk_ledger,
+        ledger_jaccard,
+    )
+
+    (ev,) = load(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_type",
+        (
+            F.col("user_id").cast("bigint") * 1000
+            + F.dayofyear("ts").cast("bigint")
+        ).alias("did"),
+    )
+    led = bottomk_ledger(
+        ev,
+        ["event_type"],
+        "did",
+        32,
+        priority=F.expr("(did * 2654435761) % 4294967296"),
+    )
+    return ledger_jaccard(led, "event_type", k=32)
+
+
 # --- round-6 window rotation re-registrations (verbatim) ---
 # a_approx_sketches and s_ann_methods moved here from
 # plans.aggregates / plans.similarity to free two driver-window slots

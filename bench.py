@@ -160,6 +160,7 @@ SIDECAR_ONLY = [
     "q20_part_promotion",
     "q2_min_cost_supplier",
     "q15_top_supplier",
+    "a_segment_overlap",
 ]
 
 

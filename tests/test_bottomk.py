@@ -138,3 +138,59 @@ def test_sql_expressible_priority_replays_identically(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_ledger_jaccard_exact_when_k_covers_sets(spark):
+    """k >= |set| for every group: the samples ARE the distinct sets,
+    so the KMV estimate must equal the true Jaccard exactly."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.bottomk import (
+        ledger_jaccard,
+    )
+
+    rows = (
+        [("a", i) for i in range(20)]
+        + [("b", i) for i in range(10, 30)]  # J(a,b) = 10/30
+        + [("c", i) for i in range(100, 120)]  # J(a,c) = 0
+    )
+    df = spark.createDataFrame(rows, "grp string, item bigint")
+    led = bottomk_ledger(df, ["grp"], "item", k=64)
+    got = {
+        (r.key_a, r.key_b): (r.inter_size, r.union_size, r.jaccard_fp)
+        for r in ledger_jaccard(led, "grp", k=64).collect()
+    }
+    assert got[("a", "b")] == (10, 30, 333333)
+    assert got[("a", "c")] == (0, 40, 0)
+    assert got[("b", "c")] == (0, 40, 0)
+
+
+def test_ledger_jaccard_estimate_tracks_true_overlap(spark):
+    """Sampled regime (k << |set|): the KMV estimate must land within
+    a generous envelope of the true Jaccard for planted overlaps of
+    0, ~1/3 and 1, and be deterministic under repartitioning."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.bottomk import (
+        ledger_jaccard,
+    )
+
+    n = 3000
+    rows = (
+        [("full", i) for i in range(n)]
+        + [("same", i) for i in range(n)]  # J = 1
+        + [("third", i) for i in range(n // 2, 2 * n - n // 2)]  # J ~ 1/3
+        + [("none", i) for i in range(10 * n, 11 * n)]  # J = 0
+    )
+    df = spark.createDataFrame(rows, "grp string, item bigint")
+    led = bottomk_ledger(df, ["grp"], "item", k=64)
+    got = {
+        (r.key_a, r.key_b): r.jaccard_fp / 1e6
+        for r in ledger_jaccard(led, "grp", k=64).collect()
+    }
+    assert got[("full", "same")] == 1.0
+    assert got[("full", "none")] == 0.0
+    # true J(full, third) = overlap / union = (n/2) / (2.5n) = 0.2
+    assert abs(got[("full", "third")] - 0.2) < 0.15
+    led2 = bottomk_ledger(df.repartition(7, "item"), ["grp"], "item", k=64)
+    got2 = {
+        (r.key_a, r.key_b): r.jaccard_fp / 1e6
+        for r in ledger_jaccard(led2, "grp", k=64).collect()
+    }
+    assert got == got2
