@@ -77,3 +77,81 @@ def bfs_min_hops(
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return visited.select(F.col("node").alias(node_col), "hops")
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 2,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**9,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic PageRank over integer fixed-point ranks — the
+    second iterative-graph operator beside :func:`bfs_min_hops`.
+
+    Float PageRank cannot be value-hash-checked: double sums depend
+    on partition combine order. Here every quantity is a bigint —
+    ranks start at ``scale`` per node, each edge carries
+    ``rank div out_degree`` (true integer division), and the update
+    is ``(scale·(den-num)) div den + (num·Σcontrib) div den`` — so
+    the result is bit-identical across partitionings AND expressible
+    in ANSI SQL as unrolled iterations (the catalog probe's oracle).
+    For symmetric (both-direction) edge sets every node has
+    out-degree ≥ 1, so no dangling-mass correction is needed and
+    total rank is conserved up to the per-node floor truncation
+    (< iterations × n_nodes ulps of ``1/scale``).
+
+    Scale shape: per iteration ONE contribution join keyed on the
+    edge source (rank and degree frames are node-keyed; AQE picks
+    the strategy) and one ``dst`` aggregation — the classic
+    two-exchange PageRank round. The edges/nodes/degree frames
+    checkpoint once and the rank frame checkpoints per round (the
+    :func:`bfs_min_hops` lineage-cut discipline): without the cuts
+    every iteration replays the whole prior lineage and the plan
+    grows with the iteration count. No driver-side state beyond the
+    loop counter."""
+    e = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .unionByName(e.select(F.col("__dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e.groupBy("__src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__out_deg")
+    ).localCheckpoint()
+    base = (scale * (damping_den - damping_num)) // damping_den
+    r = nodes.withColumn("rank_fp", F.lit(scale).cast("bigint"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(r, e["__src"] == r["node"])
+            .join(deg, "__src")
+            .select(
+                "__dst",
+                F.expr("rank_fp div __out_deg").alias("__c"),
+            )
+        )
+        agg = contrib.groupBy("__dst").agg(
+            F.sum("__c").cast("bigint").alias("__s")
+        )
+        r = (
+            nodes.join(agg, nodes["node"] == agg["__dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * coalesce(__s, 0L))"
+                        f" div {damping_den}"
+                    )
+                )
+                .cast("bigint")
+                .alias("rank_fp"),
+            )
+            .localCheckpoint()
+        )
+    return r

@@ -3164,6 +3164,83 @@ def a_segment_overlap(spark, sf_dir):
     return ledger_jaccard(led, "event_type", k=32)
 
 
+ORACLE_PAGERANK = """
+WITH base AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+  FROM lineitem WHERE l_partkey % 50 = 0),
+edges AS (
+  SELECT p AS src, s + 10000000 AS dst FROM base
+  UNION ALL
+  SELECT s + 10000000 AS src, p AS dst FROM base),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION SELECT DISTINCT dst FROM edges),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg
+        FROM edges GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_fp FROM nodes),
+c1 AS (
+  SELECT e.dst, CAST(SUM(r.rank_fp // d.out_deg) AS BIGINT) AS s
+  FROM edges e
+  JOIN r0 r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY 1),
+r1 AS (
+  SELECT n.node,
+         CAST(150000000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT)
+           AS rank_fp
+  FROM nodes n LEFT JOIN c1 ON c1.dst = n.node),
+c2 AS (
+  SELECT e.dst, CAST(SUM(r.rank_fp // d.out_deg) AS BIGINT) AS s
+  FROM edges e
+  JOIN r1 r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY 1),
+r2 AS (
+  SELECT n.node,
+         CAST(150000000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT)
+           AS rank_fp
+  FROM nodes n LEFT JOIN c2 ON c2.dst = n.node)
+SELECT node, rank_fp FROM r2
+"""
+
+
+@register("g_pagerank_fixed", oracle=ORACLE_PAGERANK)
+def g_pagerank_fixed(spark, sf_dir):
+    """Deterministic fixed-point PageRank
+    (``operators.graph.pagerank_fixed_point``) over the symmetric
+    part↔supplier trade graph (a deterministic 1-in-50 part subset
+    bounds the subgraph; supplier ids offset by 10^7 to disjoint the
+    node spaces) — the second iterative-graph shape beside BFS, and
+    the one float arithmetic would make UNCHECKABLE: double-sum
+    PageRank depends on partition combine order, while this integer
+    form (rank div out_degree contributions, (85·Σ) div 100 damping)
+    is bit-identical across partitionings, so DuckDB replays BOTH
+    iterations as unrolled CTEs and the full rank vector
+    value-hashes cross-engine. Symmetric edges give every node
+    out-degree ≥ 1 — no dangling-mass term, total rank conserved up
+    to floor truncation. Two exchanges per round (contribution join
+    keyed on edge source + dst aggregation); mass-conservation,
+    hub-dominance and repartition-determinism are pinned in
+    ``tests/test_graph.py``."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    (li,) = load(spark, sf_dir, "lineitem")
+    base = (
+        li.filter("l_partkey % 50 = 0")
+        .select(
+            F.col("l_partkey").alias("p"),
+            (F.col("l_suppkey") + 10_000_000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = base.selectExpr("p AS src", "s AS dst").unionByName(
+        base.selectExpr("s AS src", "p AS dst")
+    )
+    return pagerank_fixed_point(edges, iterations=2)
+
+
 # --- round-6 window rotation re-registrations (verbatim) ---
 # a_approx_sketches and s_ann_methods moved here from
 # plans.aggregates / plans.similarity to free two driver-window slots

@@ -161,6 +161,7 @@ SIDECAR_ONLY = [
     "q2_min_cost_supplier",
     "q15_top_supplier",
     "a_segment_overlap",
+    "g_pagerank_fixed",
 ]
 
 

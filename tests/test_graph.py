@@ -140,3 +140,32 @@ def test_bfs_power_law_graph_matches_recursive_cte(spark):
         sum(1 for h in want.values() if h == k) for k in range(1, 8)
     ]
     assert stats["frontier_sizes"] == per_hop
+
+
+def test_pagerank_fixed_point_properties(spark):
+    """Fixed-point PageRank: total rank conserved up to floor
+    truncation on a symmetric graph, the hub of a star dominates the
+    leaves, and the rank vector is bit-identical under
+    repartitioning (the reason the operator is integer, not float)."""
+    from pyspark.sql import functions as F
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    # star: hub 0 <-> leaves 1..8 (symmetric)
+    rows = [(0, i) for i in range(1, 9)] + [(i, 0) for i in range(1, 9)]
+    edges = spark.createDataFrame(rows, "src bigint, dst bigint")
+    r = pagerank_fixed_point(edges, iterations=3)
+    ranks = {row["node"]: row["rank_fp"] for row in r.collect()}
+    n, scale = 9, 10**9
+    total = sum(ranks.values())
+    # each of the 3 rounds floors twice per node: conservative slack
+    assert n * scale - 6 * n <= total <= n * scale
+    hub, leaves = ranks[0], [ranks[i] for i in range(1, 9)]
+    assert all(hub > lv for lv in leaves)
+    assert len(set(leaves)) == 1  # symmetry -> identical leaf ranks
+    r2 = pagerank_fixed_point(edges.repartition(7, "dst"), iterations=3)
+    assert sorted(map(tuple, r2.collect())) == sorted(
+        map(tuple, r.collect())
+    )
