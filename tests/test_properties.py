@@ -476,3 +476,54 @@ def test_drift_report_self_comparison_is_stable(spark):
 
     with pytest.raises(ValueError, match="numeric_cols"):
         drift_report(orders, orders)
+
+
+hh_items = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),    # group
+        st.integers(min_value=0, max_value=12),   # item (small domain
+                                                  # forces eviction ties)
+        st.integers(min_value=0, max_value=3),    # period
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SLOW
+@given(data=hh_items, k=st.integers(min_value=1, max_value=4))
+@example(data=[(0, i % 5, i % 3) for i in range(40)], k=2)
+def test_heavyhitters_merge_bounds_sound_model(spark, data, k):
+    """Model check over random multisets split into arbitrary periods:
+    for EVERY item served by the merged fold, lb <= true <= ub, and
+    any item whose true count beats the merged other_max is present
+    in the merged ledger top."""
+    from collections import Counter
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.heavyhitters import (
+        heavyhitters_ledger,
+        ledger_topk,
+        ledger_topk_bounds,
+        merge_heavyhitters_ledgers,
+    )
+
+    df = spark.createDataFrame(data, "grp int, item int, period int")
+    leds = [
+        heavyhitters_ledger(
+            df.filter(f"period = {p}"), ["grp"], "item", k=k
+        )
+        for p in sorted({p for _, _, p in data})
+    ]
+    true = Counter((g, i) for g, i, _ in data)
+    for r in ledger_topk_bounds(leds, ["grp"], k=k).collect():
+        t = true[(r["grp"], r["item"])]
+        assert r["lb"] <= t <= r["ub"], (dict(r.asDict()), t)
+    merged = merge_heavyhitters_ledgers(leds, ["grp"], k=k)
+    omax = {r["grp"]: r["other_max"] for r in merged.collect()}
+    tops = {
+        (r["grp"], r["item"])
+        for r in ledger_topk(merged, ["grp"]).collect()
+    }
+    for (g, i), t in true.items():
+        if t > omax.get(g, 0):
+            assert (g, i) in tops, ((g, i), t, omax.get(g))
