@@ -3241,6 +3241,103 @@ def g_pagerank_fixed(spark, sf_dir):
     return pagerank_fixed_point(edges, iterations=2)
 
 
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume_cents) AS DOUBLE) / 100 AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l.l_shipdate) AS l_year,
+         CAST(FLOOR(l.l_extendedprice
+                    * (CAST(1 AS DOUBLE) - l.l_discount) * 100
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS volume_cents
+  FROM supplier s, lineitem l, orders o, customer c,
+       nation n1, nation n2
+  WHERE s.s_suppkey = l.l_suppkey
+    AND o.o_orderkey = l.l_orderkey
+    AND c.c_custkey = o.o_custkey
+    AND s.s_nationkey = n1.n_nationkey
+    AND c.c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1999-01-01') shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_volume_shipping", oracle=_Q7_SQL)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): the 6-table join with a
+    DISJUNCTIVE cross-nation predicate — revenue shipped between two
+    nations in either direction, split by year. The planning point:
+    the OR over (n1, n2) name pairs cannot collapse to two
+    independent IN-lists (that would admit same-nation flows), so
+    Catalyst must keep the pair predicate above both nation joins
+    while still pushing the date range into the lineitem scan and
+    broadcasting both nation dims; the fact-fact joins
+    (lineitem⋈orders⋈customer) stay keyed exchanges at scale.
+    Determinism: per-line volume floors to cents BEFORE the sum
+    (bigint fold), year() of a UTC timestamp is exact in both
+    engines, and the /100 display division is one exact double op.
+    ONE SQL string runs verbatim on both engines."""
+    views(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer",
+        "nation",
+    )
+    return spark.sql(_Q7_SQL)
+
+
+_Q8_SQL = """
+SELECT o_year,
+       SUM(CASE WHEN nation = 'NATION_7' THEN volume_cents
+                ELSE 0 END) AS nation_cents,
+       SUM(volume_cents) AS total_cents,
+       CAST(SUM(CASE WHEN nation = 'NATION_7' THEN volume_cents
+                     ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(volume_cents) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o.o_orderdate) AS o_year,
+         CAST(FLOOR(l.l_extendedprice
+                    * (CAST(1 AS DOUBLE) - l.l_discount) * 100
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS volume_cents,
+         n2.n_name AS nation
+  FROM part p, supplier s, lineitem l, orders o, customer c,
+       nation n1, nation n2, region r
+  WHERE p.p_partkey = l.l_partkey
+    AND s.s_suppkey = l.l_suppkey
+    AND l.l_orderkey = o.o_orderkey
+    AND o.o_custkey = c.c_custkey
+    AND c.c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = r.r_regionkey
+    AND r.r_name = 'ASIA'
+    AND s.s_nationkey = n2.n_nationkey
+    AND p.p_type = 'PROMO') all_nations
+GROUP BY o_year
+"""
+
+
+@register("q8_market_share", oracle=_Q8_SQL)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): the catalog's widest
+    join — 8 table instances (nation twice: customer-side region
+    gate, supplier-side share attribution) feeding a CASE-inside-SUM
+    share per order year. Planning points: the region filter prunes
+    through TWO dim hops (region → n1 → customer) before touching
+    the facts, the p_type filter pushes into the part scan and
+    semi-reduces lineitem via the join, and every dim broadcasts
+    while lineitem⋈orders⋈customer remain keyed exchanges at scale.
+    Determinism: the share is a division of two exact-integer-valued
+    cent sums emitted ALONGSIDE their numerator/denominator bigints
+    — IEEE division of exactly-representable integers is correctly
+    rounded, bit-identical cross-engine. ONE SQL string runs
+    verbatim on both engines."""
+    views(
+        spark, sf_dir, "part", "supplier", "lineitem", "orders",
+        "customer", "nation", "region",
+    )
+    return spark.sql(_Q8_SQL)
+
+
 # --- round-6 window rotation re-registrations (verbatim) ---
 # a_approx_sketches and s_ann_methods moved here from
 # plans.aggregates / plans.similarity to free two driver-window slots

@@ -162,6 +162,8 @@ SIDECAR_ONLY = [
     "q15_top_supplier",
     "a_segment_overlap",
     "g_pagerank_fixed",
+    "q7_volume_shipping",
+    "q8_market_share",
 ]
 
 

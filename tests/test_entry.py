@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 115
+    assert len(names) == 117
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -112,6 +112,10 @@ def test_oracle_keys_subset_of_queries(spark):
         # round-6 extension: deterministic fixed-point PageRank
         # (integer rank algebra -> unrolled-CTE value-hash oracle)
         "g_pagerank_fixed",
+        # round-6 extensions: the two widest TPC-H join showcases —
+        # Q7 disjunctive cross-nation pairs, Q8 dual-nation market
+        # share through a region gate (verbatim-shared SQL)
+        "q7_volume_shipping", "q8_market_share",
         # round-6 rotation re-registrations (windows slots freed for
         # c_dsir_select / q5_local_supplier_volume)
         "a_approx_sketches", "s_ann_methods",
