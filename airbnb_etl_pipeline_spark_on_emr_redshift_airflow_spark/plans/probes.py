@@ -3338,6 +3338,105 @@ def q8_market_share(spark, sf_dir):
     return spark.sql(_Q8_SQL)
 
 
+_Q4_SQL = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("q4_priority_check", oracle=_Q4_SQL)
+def q4_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking): the plain correlated
+    EXISTS — orders in a quarter having at least one line shipped
+    AFTER the order date (standing in for the reference schema's
+    commitdate < receiptdate lateness test). The planning point: the
+    EXISTS must become a LEFT SEMI join carrying BOTH the orderkey
+    equality and the non-equi date conjunct (l_shipdate >
+    o_orderdate references the OUTER row, so the semi-join condition
+    is mixed equi + range — a shape a naive IN-rewrite loses); the
+    quarter range pushes into the orders scan. All-bigint output.
+    ONE SQL string runs verbatim on both engines."""
+    views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q4_SQL)
+
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100
+                           + CAST(0.5 AS DOUBLE)) AS BIGINT))
+            AS DOUBLE) / 100 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= CAST(0.05 AS DOUBLE)
+  AND l_discount <= CAST(0.07 AS DOUBLE)
+  AND l_quantity < CAST(24 AS DOUBLE)
+"""
+
+
+@register("q6_forecast_revenue", oracle=_Q6_SQL)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change): the pure
+    scan-and-aggregate — three range predicates, no join, one global
+    sum. The planning point is PUSHDOWN: all three predicates reach
+    the parquet scan as PushedFilters and the projection prunes to
+    the three referenced columns, so the query reads a fraction of
+    the table bytes; the single-row result is the bounded stats-row
+    contract (a 1-row global aggregate, not a data-path
+    single-partition stage). Determinism: discount literals parse to
+    identical doubles in both engines and compare against STORED
+    doubles (no arithmetic); revenue floors per row to cents before
+    the bigint sum. ONE SQL string runs verbatim on both engines."""
+    views(spark, sf_dir, "lineitem")
+    return spark.sql(_Q6_SQL)
+
+
+_Q9_SQL = """
+SELECT nation, o_year,
+       CAST(SUM(amount_cents) AS DOUBLE) / 100 AS sum_profit
+FROM (
+  SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+         CAST(FLOOR((l.l_extendedprice
+                     * (CAST(1 AS DOUBLE) - l.l_discount)
+                     - p.p_retailprice * CAST(0.1 AS DOUBLE)
+                       * l.l_quantity) * 100
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS amount_cents
+  FROM part p, supplier s, lineitem l, orders o, nation n
+  WHERE s.s_suppkey = l.l_suppkey
+    AND p.p_partkey = l.l_partkey
+    AND o.o_orderkey = l.l_orderkey
+    AND s.s_nationkey = n.n_nationkey
+    AND p.p_name LIKE '%blue%') profit
+GROUP BY nation, o_year
+"""
+
+
+@register("q9_product_profit", oracle=_Q9_SQL)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): profit per supplier
+    nation per year over every order line of the matching parts (the
+    testdata has no partsupp, so supply cost becomes a 10% carrying
+    cost on the part's retail price — the join topology and the
+    profit-expression shape are unchanged). Planning: the p_name
+    LIKE pushes into the part scan and the broadcast part join
+    semi-reduces lineitem before orders attach; nation/supplier
+    broadcast; the lone exchange is the (nation, year) aggregate.
+    Determinism: the profit expression is per-row double arithmetic
+    (correctly rounded, identical cross-engine) floored to cents
+    BEFORE the bigint sum — the same per-row fixed-point discipline
+    as Q17/Q7/Q8. ONE SQL string runs verbatim on both engines."""
+    views(
+        spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation"
+    )
+    return spark.sql(_Q9_SQL)
+
+
 # --- round-6 window rotation re-registrations (verbatim) ---
 # a_approx_sketches and s_ann_methods moved here from
 # plans.aggregates / plans.similarity to free two driver-window slots

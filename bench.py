@@ -164,6 +164,9 @@ SIDECAR_ONLY = [
     "g_pagerank_fixed",
     "q7_volume_shipping",
     "q8_market_share",
+    "q4_priority_check",
+    "q6_forecast_revenue",
+    "q9_product_profit",
 ]
 
 

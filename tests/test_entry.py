@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 117
+    assert len(names) == 120
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -116,6 +116,12 @@ def test_oracle_keys_subset_of_queries(spark):
         # Q7 disjunctive cross-nation pairs, Q8 dual-nation market
         # share through a region gate (verbatim-shared SQL)
         "q7_volume_shipping", "q8_market_share",
+        # round-6 extensions: TPC-H canon completion — EXISTS with a
+        # mixed equi+range semi (Q4), the pushdown scan-agg (Q6), the
+        # profit rollup (Q9; retail carrying cost stands in for the
+        # absent partsupp). Q11/Q12 are the two shapes the testdata
+        # schema cannot express (partsupp / shipmode+commit dates).
+        "q4_priority_check", "q6_forecast_revenue", "q9_product_profit",
         # round-6 rotation re-registrations (windows slots freed for
         # c_dsir_select / q5_local_supplier_volume)
         "a_approx_sketches", "s_ann_methods",
