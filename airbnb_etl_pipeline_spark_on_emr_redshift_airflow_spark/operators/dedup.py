@@ -510,6 +510,65 @@ def connected_components(
     return labels
 
 
+def connected_components_incremental(
+    stored: DataFrame,
+    new_pairs: DataFrame,
+    max_iter: int = 20,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Fold a day's near-duplicate pairs into PERSISTED cluster labels
+    without re-resolving history — the cluster-level counterpart of
+    the incremental MinHash index (new docs probe a stored signature
+    index; new PAIRS probe stored labels).
+
+    A full re-run is O(all pairs ever) every day. Here only the
+    components TOUCHED by today's pairs can change, and a stored
+    component is equivalent to its STAR (member → cluster_id edges,
+    diameter ≤ 2), so the recompute runs
+    :func:`connected_components` over ``star(affected) ∪ new_pairs``
+    — a subgraph sized by today's batch and the clusters it touches,
+    never the corpus. Untouched labels pass through via one
+    left-anti join (callers that keep labels cluster-partitioned can
+    skip even that and rewrite only affected partitions).
+
+    Semantics match the one-shot resolver exactly: cluster_id is the
+    min doc id of the merged component (min over a union commutes
+    with min over stars), new-corpus nodes appear via their pairs,
+    and bridge pairs merge any number of old components —
+    ``incremental == full recompute`` is pinned property-style in
+    ``tests/test_dedup.py``.
+
+    ``stored``: (doc_id, cluster_id) from a previous
+    :func:`connected_components` / this function. ``new_pairs``:
+    today's verified duplicate pairs (any pair-finder in this
+    module)."""
+    batch_nodes = (
+        new_pairs.select(F.col(a_col).alias("doc_id"))
+        .unionByName(new_pairs.select(F.col(b_col).alias("doc_id")))
+        .distinct()
+    )
+    touched = (
+        stored.join(batch_nodes, "doc_id")
+        .select("cluster_id")
+        .distinct()
+    )
+    # members of every touched component (cluster_id-keyed join —
+    # batch-plus-affected sized, AQE broadcasts the touched set)
+    affected = stored.join(touched, "cluster_id")
+    star = affected.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(a_col), F.col("cluster_id").alias(b_col)
+    )
+    sub = new_pairs.select(a_col, b_col).unionByName(star)
+    relabeled = connected_components(
+        sub, max_iter=max_iter, a_col=a_col, b_col=b_col
+    )
+    keep = stored.join(touched, "cluster_id", "left_anti").select(
+        "doc_id", "cluster_id"
+    )
+    return keep.unionByName(relabeled.select("doc_id", "cluster_id"))
+
+
 def dedup_by_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Full near-dedup: pairs → connected components → keep only each
     cluster's canonical (min-id) doc plus all unpaired docs."""

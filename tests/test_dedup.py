@@ -752,3 +752,43 @@ def test_link_records_methods_agree_on_equal_length(spark):
             ).collect()
         }
     assert out["pieces"] == out["deletion"]
+
+
+def test_connected_components_incremental_equals_full_recompute(spark):
+    """Folding a day's pairs into stored labels must equal the
+    one-shot resolve over all pairs — across every interesting case:
+    a bridge pair merging two old components, a pair extending one
+    component with a new node, a brand-new component of unseen nodes,
+    a pair touching an old singleton, and untouched components that
+    must pass through byte-identically."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    def cc(pairs_rows):
+        df = spark.createDataFrame(pairs_rows, "doc_a bigint, doc_b bigint")
+        return connected_components(df)
+
+    def labels_of(df):
+        return sorted((r.doc_id, r.cluster_id) for r in df.collect())
+
+    # day 1: components {1,2,3}, {10,11}, {20,21}, untouched {30,31},
+    # and singleton {40} (a node with a self-evident cluster)
+    day1 = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)]
+    stored = cc(day1).unionByName(
+        spark.createDataFrame([(40, 40)], "doc_id bigint, cluster_id bigint")
+    )
+    # day 2: bridge {1..3}+{10,11}; extend {20,21} with new 22;
+    # brand-new {50,51}; touch singleton 40 with new 41
+    day2 = [(3, 10), (21, 22), (50, 51), (40, 41)]
+    got = connected_components_incremental(
+        stored, spark.createDataFrame(day2, "doc_a bigint, doc_b bigint")
+    )
+    want = cc(day1 + day2).unionByName(
+        spark.createDataFrame([], "doc_id bigint, cluster_id bigint")
+    )
+    assert labels_of(got) == labels_of(want)
+    # untouched component passes through
+    as_map = dict(labels_of(got))
+    assert as_map[30] == 30 and as_map[31] == 30

@@ -74,6 +74,12 @@ CHAINS = [
     "t_boilerplate_strip",
     "d_strip_repeated_spans",
     "e_interval_attribution",
+    # round 6 additions with their own growth surfaces: the iterative
+    # PageRank (node/edge set grows with the corpus; per-round cost
+    # must track it linearly) and the heavy-hitters ledger (the
+    # (keys, item) exchange is the word-count shape at corpus scale)
+    "g_pagerank_fixed",
+    "a_heavy_hitters_ledger",
 ]
 N_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
 PASS_RATIO = 13.0
