@@ -86,6 +86,28 @@ AUDITED = [
     "c_unimax_budget",
     "a_hll_ledger",
     "a_drift_report",
+    # round-6: the ledger-family additions (quantile/bottom-k/heavy-
+    # hitters/segment-overlap — overlap's pair join is an explicit
+    # broadcast over the segment-count frame, bounded by contract),
+    # record linkage, and the new TPC-H planning shapes (q22/q15/q6
+    # carry 1-row stats frames — exempt like t_tfidf_topk's scalar)
+    "j_record_linkage",
+    "a_quantile_ledger",
+    "c_bottomk_sample",
+    "a_heavy_hitters_ledger",
+    "a_segment_overlap",
+    "g_pagerank_fixed",
+    "q13_customer_distribution",
+    "q20_part_promotion",
+    "q2_min_cost_supplier",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q22_idle_customers",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q4_priority_check",
+    "q6_forecast_revenue",
+    "q9_product_profit",
 ]
 
 # Every input corpus-sized → no broadcast hint allowed anywhere in the
@@ -129,6 +151,21 @@ NO_SINGLE_PARTITION = [
     # t_tfidf_topk exempt: its only SinglePartition exchange is the
     # 1-row global doc count broadcast into the IDF (a scalar, same
     # class as e_funnel_steps' per-step frame)
+    # round-6 ledger family: builds and folds stay keys-keyed end to
+    # end (q22/q15/q6's 1-row stats aggregates are exempt scalars)
+    "a_quantile_ledger",
+    "c_bottomk_sample",
+    "a_heavy_hitters_ledger",
+    "a_segment_overlap",
+    "g_pagerank_fixed",
+    "j_record_linkage",
+    "q13_customer_distribution",
+    "q20_part_promotion",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q4_priority_check",
 ]
 
 
