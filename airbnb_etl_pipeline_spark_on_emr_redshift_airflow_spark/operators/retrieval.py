@@ -437,3 +437,91 @@ def bm25_search_indexed(
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    qid_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversity re-rank — the serving-side complement of the fusion
+    stack (BM25 → dense → RRF → this): from each query's candidate
+    list, greedily select k documents maximizing
+    ``lam·relevance − (1−lam)·max_cosine_to_selected``, so
+    near-duplicate hits stop crowding out coverage. ``lam=1``
+    degenerates to plain top-k by score (pinned in tests).
+
+    Relevance scores are used as given — normalize upstream if the
+    lists mix scales (RRF's integer scores are already comparable).
+
+    Determinism: the greedy loop runs SEQUENTIALLY inside one
+    applyInPandas group per query (float64 numpy; ties broken by
+    smallest doc id), so the selection is independent of
+    partitioning — unlike any distributed float reduction over the
+    same math. Scale shape: groups are candidate lists (topk-sized
+    by construction, NEVER the corpus — feed this search output, not
+    documents); one exchange on the query id, O(k·n) dot products
+    per group on L2-normalized vectors.
+
+    Returns (qid, id, mmr_rank 1..k, relevance, max_sim_prior —
+    the candidate's similarity to the already-selected set at pick
+    time; -1.0 for the first pick — and mmr_value, the greedy
+    objective at pick time). ``mmr_value`` is NON-INCREASING by rank
+    within a query (the candidate pool only shrinks and max_sim only
+    grows), which is the in-result invariant the catalog probe
+    checks."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{qid_col} bigint, {id_col} bigint, mmr_rank int, "
+        f"relevance double, max_sim_prior double, mmr_value double"
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf[qid_col].iloc[0]
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(vecs, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        vecs = vecs / nrm[:, None]
+        n = len(ids)
+        picked: list[int] = []
+        max_sim = np.full(n, -1.0)
+        avail = np.ones(n, dtype=bool)
+        rows = []
+        for rank in range(1, min(k, n) + 1):
+            if picked:
+                val = lam * rel - (1.0 - lam) * max_sim
+            else:
+                val = rel.copy()
+            val[~avail] = -np.inf
+            # deterministic argmax: best value, then smallest doc id
+            best_val = val.max()
+            tie = np.flatnonzero(val == best_val)
+            j = tie[np.argmin(ids[tie])]
+            rows.append(
+                (qid, ids[j], rank, float(rel[j]), float(max_sim[j]),
+                 float(val[j]))
+            )
+            avail[j] = False
+            picked.append(j)
+            sims = vecs @ vecs[j]
+            max_sim = np.maximum(max_sim, sims)
+        return pd.DataFrame(
+            rows,
+            columns=[qid_col, id_col, "mmr_rank", "relevance",
+                     "max_sim_prior", "mmr_value"],
+        )
+
+    return (
+        candidates.select(qid_col, id_col, score_col, vec_col)
+        .groupBy(qid_col)
+        .applyInPandas(_mmr, out_schema)
+    )

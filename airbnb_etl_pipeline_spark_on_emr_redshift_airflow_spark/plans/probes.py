@@ -3437,6 +3437,82 @@ def q9_product_profit(spark, sf_dir):
     return spark.sql(_Q9_SQL)
 
 
+@register("r_mmr_rerank")
+def r_mmr_rerank(spark, sf_dir):
+    """MMR diversity re-rank over the brute-force candidate lists
+    (``operators.retrieval.mmr_rerank``, Carbonell & Goldstein 1998)
+    — the serving-side stage after fusion: top-20 exact-cosine
+    candidates per query re-ranked to 8 with ``lam=0.6``. Rows-only
+    (sequential greedy selection is not SQL-expressible); the
+    displacement semantics (a planted near-duplicate of the top hit
+    is pushed out by an orthogonal candidate) and the lam=1
+    degeneration to plain top-k are pinned in
+    ``tests/test_retrieval.py``.
+
+    SELF-CERTIFYING: each row carries ``ok`` =
+    (a) rank 1 is the query's maximum-relevance candidate, AND
+    (b) ``mmr_value`` is non-increasing with rank — a structural
+    invariant of the greedy objective (the pool only shrinks and the
+    similarity penalty only grows), checkable from the recorded rows
+    alone. 100 TB shape: MMR touches candidate LISTS (query × 20
+    rows), never the corpus; one query-keyed exchange."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        as_double,
+        brute_force_topk,
+        cosine,
+    )
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    # candidate ids from the exact searcher; relevance (cosine)
+    # recomputed on the slim candidate frame (query × 20 rows), the
+    # query vectors broadcast back on
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    cands = (
+        brute_force_topk(emb, queries, k=20)
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            cosine("qv", as_double("embedding")).alias("score"),
+            "embedding",
+        )
+    )
+    sel = mmr_rerank(cands, k=8, lam=0.6)
+    qw = Window.partitionBy("query_id")
+    ow = Window.partitionBy("query_id").orderBy("mmr_rank")
+    return sel.select(
+        "query_id",
+        "doc_id",
+        "mmr_rank",
+        F.floor(F.col("relevance") * 1_000_000 + 0.5)
+        .cast("bigint")
+        .alias("rel_fp"),
+        F.floor(F.col("mmr_value") * 1_000_000 + 0.5)
+        .cast("bigint")
+        .alias("value_fp"),
+        (
+            (
+                (F.col("mmr_rank") > 1)
+                | (F.col("relevance") == F.max("relevance").over(qw))
+            )
+            & (
+                F.lag("mmr_value").over(ow).isNull()
+                | (F.lag("mmr_value").over(ow) >= F.col("mmr_value"))
+            )
+        ).alias("ok"),
+    )
+
+
 # --- round-6 window rotation re-registrations (verbatim) ---
 # a_approx_sketches and s_ann_methods moved here from
 # plans.aggregates / plans.similarity to free two driver-window slots

@@ -167,6 +167,7 @@ SIDECAR_ONLY = [
     "q4_priority_check",
     "q6_forecast_revenue",
     "q9_product_profit",
+    "r_mmr_rerank",
 ]
 
 

@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 120
+    assert len(names) == 121
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -122,6 +122,9 @@ def test_oracle_keys_subset_of_queries(spark):
         # absent partsupp). Q11/Q12 are the two shapes the testdata
         # schema cannot express (partsupp / shipmode+commit dates).
         "q4_priority_check", "q6_forecast_revenue", "q9_product_profit",
+        # round-6 extension: MMR diversity re-rank (rows-only with the
+        # greedy-value monotonicity + rank-1-max-relevance invariants)
+        "r_mmr_rerank",
         # round-6 rotation re-registrations (windows slots freed for
         # c_dsir_select / q5_local_supplier_volume)
         "a_approx_sketches", "s_ann_methods",

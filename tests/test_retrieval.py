@@ -181,3 +181,62 @@ def test_bm25_bucketed_index_prunes_and_matches(spark, tmp_dir):
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "term_bucket" in pf.group(1), plan[:2000]
     assert "dynamicpruning" in pf.group(1)
+
+
+def test_mmr_rerank_diversifies_and_degenerates_to_topk(spark):
+    """lam=1 must equal plain top-k by score; at lam=0.5 a
+    near-duplicate of the top hit is displaced by an orthogonal doc;
+    selection is deterministic under repartitioning."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+
+    rows = [
+        (1, 10, 1.00, [1.0, 0.0, 0.0, 0.0]),
+        (1, 11, 0.99, [1.0, 0.0, 0.0, 0.0]),   # near-dup of 10
+        (1, 12, 0.90, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        (1, 13, 0.10, [0.0, 0.0, 1.0, 0.0]),
+        (2, 20, 0.50, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id bigint, doc_id bigint, score double, "
+        "embedding array<double>",
+    )
+    plain = mmr_rerank(df, k=2, lam=1.0)
+    got1 = {
+        (r.query_id, r.mmr_rank): r.doc_id for r in plain.collect()
+    }
+    assert got1[(1, 1)] == 10 and got1[(1, 2)] == 11  # pure score order
+    assert got1[(2, 1)] == 20
+
+    div = mmr_rerank(df, k=2, lam=0.5)
+    got2 = {
+        (r.query_id, r.mmr_rank): r.doc_id for r in div.collect()
+    }
+    # 11's MMR value: 0.5*0.99 - 0.5*1.0 < 0.5*0.90 - 0.5*0.0 -> 12 wins
+    assert got2[(1, 1)] == 10 and got2[(1, 2)] == 12
+    # first pick reports no prior similarity; second reports its sim
+    prior = {
+        (r.query_id, r.mmr_rank): r.max_sim_prior for r in div.collect()
+    }
+    assert prior[(1, 1)] == -1.0
+    assert abs(prior[(1, 2)] - 0.0) < 1e-12
+
+    re = mmr_rerank(df.repartition(5, "doc_id"), k=2, lam=0.5)
+    assert sorted(map(tuple, re.collect())) == sorted(
+        map(tuple, div.collect())
+    )
+
+
+def test_mmr_catalog_probe_invariants_all_ok(spark):
+    """Every row of the r_mmr_rerank catalog probe must carry a true
+    `ok` (rank-1 max-relevance + non-increasing greedy value)."""
+    import __spark_entry__ as entry
+
+    from tests.conftest import SF_DIR
+
+    df = entry.queries()["r_mmr_rerank"](spark, SF_DIR)
+    rows = df.collect()
+    assert rows
+    assert all(r.ok for r in rows)
