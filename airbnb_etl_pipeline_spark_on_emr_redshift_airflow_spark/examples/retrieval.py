@@ -25,6 +25,11 @@ retrieval/embedding training sets:
   (``rrf_fuse``, integer-exact combiner), minus the query doc and
   its positives (anti-join), re-ranked: similar-but-not-duplicate
   documents in either modality — textbook hard negatives.
+- **diversification** (round 6) — MMR re-rank of the mined set
+  (``mmr_rerank``): the contrastive batch wants coverage of the
+  confusion region, not five copies of the same near-miss, so the
+  final negatives greedily trade RRF relevance against
+  max-cosine-to-selected.
 - **publish** — atomic temp→final.
 
 Every stage is deterministic (hash-derived, no RNG); a re-run
@@ -162,9 +167,37 @@ def build_pipeline(
             .select("query_id", "doc_id", "rrf_fp", "n_lists", "neg_rank")
         )
 
+    def diversified(spark: SparkSession, period: str, ctx):
+        """MMR re-rank of the mined negatives (round 6): a fused list
+        often stacks several near-identical hard negatives; the
+        contrastive batch wants COVERAGE of the confusion region, so
+        the final set greedily trades relevance (the integer RRF
+        score) against max-cosine-to-already-picked
+        (``mmr_rerank``, lam=0.7). Deterministic — the greedy loop is
+        sequential per query group — and candidate-list sized (never
+        the corpus)."""
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.retrieval import (
+            mmr_rerank,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cands = ctx["mined"].join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("rrf_fp").cast("double").alias("score"),
+            "embedding",
+        )
+        return mmr_rerank(cands, k=k_negatives, lam=0.7)
+
     def published(spark: SparkSession, period: str, ctx):
+        out = ctx["diversified"].select(
+            "query_id", "doc_id", "mmr_rank", "relevance", "max_sim_prior"
+        )
         atomic_publish(
-            ctx["mined"], f"{workdir}/hard_negatives", validate=model_exists
+            out, f"{workdir}/hard_negatives", validate=model_exists
         )
         return spark.read.parquet(f"{workdir}/hard_negatives")
 
@@ -181,10 +214,11 @@ def build_pipeline(
                   gates=(("pk unique", unique_key("query_id")),)),
             Stage("positives", positives, deps=("ingest", "queries")),
             Stage("mined", mined, deps=("index", "queries", "positives")),
+            Stage("diversified", diversified, deps=("mined",)),
             Stage(
                 "published",
                 published,
-                deps=("mined",),
+                deps=("diversified",),
                 gates=(
                     ("non-empty", non_empty),
                     ("pk not null", no_nulls("query_id")),

@@ -15,7 +15,8 @@ from tests.conftest import SF_DIR
 def test_retrieval_end_to_end(spark, tmp_dir):
     run = build_pipeline(SF_DIR, f"{tmp_dir}/run1").run(spark, "epoch-0")
     assert run.executed == [
-        "ingest", "index", "queries", "positives", "mined", "published",
+        "ingest", "index", "queries", "positives", "mined",
+        "diversified", "published",
     ]
     out = run.results["published"]
     rows = out.collect()
@@ -29,17 +30,36 @@ def test_retrieval_end_to_end(spark, tmp_dir):
         assert (r.query_id, r.doc_id) not in positives
         assert r.query_id != r.doc_id
 
-    # ranks are a proper 1..k prefix per query
+    # MMR ranks are a proper 1..k prefix per query and the published
+    # set is a subset of the mined candidates
     per_q = {}
     for r in rows:
-        per_q.setdefault(r.query_id, []).append(r.neg_rank)
+        per_q.setdefault(r.query_id, []).append(r.mmr_rank)
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    mined_pairs = {
+        (r.query_id, r.doc_id) for r in run.results["mined"].collect()
+    }
+    assert all((r.query_id, r.doc_id) in mined_pairs for r in rows)
+    # rank-1 keeps the fused order's winner (MMR's first pick is the
+    # max-relevance candidate); later picks carry their similarity to
+    # the already-selected set
+    mined_top = {}
+    for m in run.results["mined"].collect():
+        cur = mined_top.get(m.query_id)
+        if cur is None or (m.rrf_fp, -m.doc_id) > (cur[1], -cur[0]):
+            mined_top[m.query_id] = (m.doc_id, m.rrf_fp)
+    for r in rows:
+        if r.mmr_rank == 1:
+            assert r.doc_id == mined_top[r.query_id][0]
+            assert r.max_sim_prior == -1.0
 
     # hybrid evidence: at least one mined negative was carried by both
     # retrieval legs somewhere (n_lists == 2), and every row names how
     # many legs carried it
-    assert all(r.n_lists in (1, 2) for r in rows)
+    assert all(
+        m.n_lists in (1, 2) for m in run.results["mined"].collect()
+    )
 
     # the published index pair reproduces the fused operator's search
     # (merge over disjoint day batches == full rebuild)
