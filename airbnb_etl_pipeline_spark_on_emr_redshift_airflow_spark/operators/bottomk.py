@@ -16,9 +16,10 @@ smallest normalized priority estimates the group's distinct count as
 Where ``operators.sampling`` answers "give me a sample of THIS
 frame", this module answers the 100 TB curation question "keep a
 living inspection/eval sample per segment as the corpus grows" — a
-re-delivered batch changes nothing (set-union semantics over
-(priority, id)), and serving explodes KB-sized ledger rows, never
-touching the corpus.
+re-delivered batch leaves the SAMPLE unchanged (set-union semantics
+over (priority, id)); the additive ``n_rows`` sidecar, by contrast,
+assumes DISJOINT periods (see ``merge_bottomk_ledgers``) — and
+serving explodes KB-sized ledger rows, never touching the corpus.
 
 Scale shape: the build shuffles only slim (keys, priority, id[,
 payload]) tuples — one exchange, rank-filtered to ≤ k per group
@@ -100,7 +101,17 @@ def merge_bottomk_ledgers(
     re-delivered periods collapse), sort by priority and keep the k
     smallest. Associative and order-independent, so daily → monthly →
     yearly rollups compose; the fold never carries more than
-    (#ledgers × k) structs per key."""
+    (#ledgers × k) structs per key.
+
+    Idempotence scope: only the SAMPLE is replay-idempotent — a
+    re-delivered or overlapping period collapses in the set-union but
+    its ``n_rows`` is summed AGAIN, double-counting the additive
+    sidecar (and with it ``ledger_distinct_estimate``'s ``n_rows``
+    passthrough). ``n_rows`` additivity therefore requires disjoint
+    periods; the period-partition overwrite cadence in
+    ``examples/incremental.py`` guarantees exactly that (a replayed
+    batch REPLACES its partition rather than appending a duplicate
+    ledger row). Pinned in ``tests/test_bottomk.py``."""
     out = ledgers[0]
     for led in ledgers[1:]:
         out = out.unionByName(led)
@@ -128,19 +139,31 @@ def ledger_sample(ledger: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def ledger_distinct_estimate(
-    ledger: DataFrame, keys: list[str], k: int = DEFAULT_K
+    ledger: DataFrame,
+    keys: list[str],
+    k: int = DEFAULT_K,
+    pri_lo: int = -(2**63),
+    pri_hi: int = 2**63,
 ) -> DataFrame:
     """KMV distinct-count estimate per key from the kth smallest
-    priority: normalize priorities to (0, 1) over the signed-bigint
-    hash range, then ``est = (k - 1) / u_k``. Groups with fewer than k
-    distinct ids report their exact sample size (the sample IS the
-    distinct set there). Cross-checked against HLL and exact counts in
+    priority: normalize priorities to (0, 1) over the priority range
+    ``[pri_lo, pri_hi)``, then ``est = (k - 1) / u_k``. Groups with
+    fewer than k distinct ids report their exact sample size (the
+    sample IS the distinct set there). Cross-checked against HLL and
+    exact counts in ``tests/test_bottomk.py``.
+
+    The default range is the full signed int64 domain — valid ONLY
+    for the default ``xxhash64`` priority of ``bottomk_ledger``. A
+    ledger built with a custom priority (e.g. the ANSI Knuth hash in
+    [0, 2^32) the catalog probes use for cross-engine replay) MUST
+    pass its actual range, or ``u_k`` sits near 0.5 and the estimate
+    silently degenerates to ``~2(k-1)``; pinned in
     ``tests/test_bottomk.py``."""
     size = F.size("sample")
     u_k = (
         F.element_at(F.col("sample"), size).getField("pri").cast("double")
-        + F.lit(float(2**63))
-    ) / F.lit(float(2**64))
+        - F.lit(float(pri_lo))
+    ) / F.lit(float(pri_hi) - float(pri_lo))
     est = F.when(size < k, size.cast("double")).otherwise(
         (F.lit(float(k - 1))) / u_k
     )

@@ -471,10 +471,19 @@ def mmr_rerank(
     Returns (qid, id, mmr_rank 1..k, relevance, max_sim_prior —
     the candidate's similarity to the already-selected set at pick
     time; -1.0 for the first pick — and mmr_value, the greedy
-    objective at pick time). ``mmr_value`` is NON-INCREASING by rank
-    within a query (the candidate pool only shrinks and max_sim only
-    grows), which is the in-result invariant the catalog probe
-    checks."""
+    objective at pick time). The objective is the SAME formula at
+    every rank, ``lam·rel − (1−lam)·max(max_sim, 0)`` — classic MMR
+    treats the max over the empty selected set as 0, and the penalty
+    is clamped at 0 so an anti-correlated candidate earns no bonus
+    (without the clamp, a negative inter-candidate cosine below
+    −top_relevance would push the rank-2 value above the rank-1
+    value). With the clamp, ``mmr_value`` is structurally
+    NON-INCREASING by rank within a query: each candidate's value
+    only falls over rounds (max(max_sim,0) is monotone in the
+    only-growing max_sim) and the pool only shrinks, so each round's
+    argmax is ≤ the previous round's. That is the in-result
+    invariant the catalog probe checks; the anti-correlated
+    adversarial case is pinned in ``tests/test_retrieval.py``."""
     import numpy as np
     import pandas as pd
 
@@ -492,15 +501,14 @@ def mmr_rerank(
         nrm[nrm == 0.0] = 1.0
         vecs = vecs / nrm[:, None]
         n = len(ids)
-        picked: list[int] = []
         max_sim = np.full(n, -1.0)
         avail = np.ones(n, dtype=bool)
         rows = []
         for rank in range(1, min(k, n) + 1):
-            if picked:
-                val = lam * rel - (1.0 - lam) * max_sim
-            else:
-                val = rel.copy()
+            # unified objective at every rank: empty-set max-sim is 0
+            # (max_sim starts at -1, clamped up), and the penalty is
+            # clamped at 0 so the value chain is monotone by rank
+            val = lam * rel - (1.0 - lam) * np.maximum(max_sim, 0.0)
             val[~avail] = -np.inf
             # deterministic argmax: best value, then smallest doc id
             best_val = val.max()
@@ -511,7 +519,6 @@ def mmr_rerank(
                  float(val[j]))
             )
             avail[j] = False
-            picked.append(j)
             sims = vecs @ vecs[j]
             max_sim = np.maximum(max_sim, sims)
         return pd.DataFrame(

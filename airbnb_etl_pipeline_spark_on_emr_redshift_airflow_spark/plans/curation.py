@@ -267,24 +267,29 @@ def d_decontaminate(spark, sf_dir):
 
     def _cov_row(name, exp_df, obs_df):
         # literal-key groups, not global aggs: no Exchange
-        # SinglePartition (family plan gate), no broadcast hint needed
+        # SinglePartition (family plan gate), no broadcast hint
+        # needed. Observed LEFT-joins onto expected (coalesced to 0):
+        # an empty observed frame has a zero-row grouped count, and
+        # the old cross join silently dropped the coverage row —
+        # failing open in exactly the total-failure case.
         one = F.lit(1).alias("__one")
-        e = (
-            exp_df.groupBy(one)
-            .agg(F.count(F.lit(1)).cast("bigint").alias("expected"))
-            .drop("__one")
+        e = exp_df.groupBy(one).agg(
+            F.count(F.lit(1)).cast("bigint").alias("expected")
         )
-        o = (
-            obs_df.groupBy(one)
-            .agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
-            .drop("__one")
+        o = obs_df.groupBy(one).agg(
+            F.count(F.lit(1)).cast("bigint").alias("observed")
         )
-        return e.crossJoin(o).select(
+        return e.join(o, "__one", "left").select(
             F.lit(-1).cast("bigint").alias("doc_id"),
             F.lit(name).alias("planted"),
             "expected",
-            "observed",
-            (F.col("expected") == F.col("observed")).alias("ok"),
+            F.coalesce(F.col("observed"), F.lit(0))
+            .cast("bigint")
+            .alias("observed"),
+            (
+                F.col("expected")
+                == F.coalesce(F.col("observed"), F.lit(0))
+            ).alias("ok"),
         )
 
     cov_verb = _cov_row(

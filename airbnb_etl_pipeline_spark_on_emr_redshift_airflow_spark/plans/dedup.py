@@ -212,7 +212,6 @@ def d_minhash_dup_clusters(spark, sf_dir):
         corpus.filter(F.col("doc_id") < 1_000_000)
         .groupBy(one)
         .agg(F.count(F.lit(1)).cast("bigint").alias("k1"))
-        .drop("__one")
     )
     cl_a = cl.filter(F.col("doc_id") < 1_000_000).select(
         F.col("doc_id").alias("d"), F.col("cluster_id").alias("ca")
@@ -226,7 +225,6 @@ def d_minhash_dup_clusters(spark, sf_dir):
         .filter(F.col("ca") == F.col("cb"))
         .groupBy(one)
         .agg(F.count(F.lit(1)).cast("bigint").alias("k2"))
-        .drop("__one")
     )
     # simhash ground truth: twins drift past hamming 7 when the
     # appended word flips many bit votes (short docs), so "all twins
@@ -247,22 +245,26 @@ def d_minhash_dup_clusters(spark, sf_dir):
         .filter(F.expr("bit_count(sa ^ sb)") <= 7)
         .groupBy(one)
         .agg(F.count(F.lit(1)).cast("bigint").alias("k1"))
-        .drop("__one")
     )
     cov_sim = (
         sim_raw.filter(F.col("doc_b") - F.col("doc_a") == 1_000_000)
         .groupBy(one)
         .agg(F.count(F.lit(1)).cast("bigint").alias("k2"))
-        .drop("__one")
     )
 
     def _cov_row(name, expected, cov):
-        return expected.crossJoin(cov).select(
+        # LEFT join (on the literal key), not a cross join: an empty
+        # OBSERVED frame has a zero-row grouped count, and a cross
+        # join would silently drop the coverage row — failing open in
+        # exactly the total-recall-collapse case. Anchoring on the
+        # expected row and coalescing observed to 0 keeps the row
+        # present with ok=false (presence pinned in tests).
+        return expected.join(cov, "__one", "left").select(
             F.lit(name).alias("slice"),
             "k1",
-            "k2",
+            F.coalesce(F.col("k2"), F.lit(0)).cast("bigint").alias("k2"),
             F.lit(None).cast("int").alias("hamming"),
-            (F.col("k1") == F.col("k2")).alias("ok"),
+            (F.col("k1") == F.coalesce(F.col("k2"), F.lit(0))).alias("ok"),
         )
 
     return (

@@ -3452,10 +3452,14 @@ def r_mmr_rerank(spark, sf_dir):
     SELF-CERTIFYING: each row carries ``ok`` =
     (a) rank 1 is the query's maximum-relevance candidate, AND
     (b) ``mmr_value`` is non-increasing with rank — a structural
-    invariant of the greedy objective (the pool only shrinks and the
-    similarity penalty only grows), checkable from the recorded rows
-    alone. 100 TB shape: MMR touches candidate LISTS (query × 20
-    rows), never the corpus; one query-keyed exchange."""
+    invariant because the recorded objective is the SAME formula at
+    every rank, ``lam·rel − (1−lam)·max(max_sim, 0)`` (empty-set
+    max-sim = 0, penalty clamped at 0): the pool only shrinks and
+    the clamped penalty only grows, so the chain cannot rise even
+    with anti-correlated candidates and no self-match (adversarial
+    case pinned in ``tests/test_retrieval.py``). 100 TB shape: MMR
+    touches candidate LISTS (query × 20 rows), never the corpus;
+    one query-keyed exchange."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.retrieval import (
         mmr_rerank,
     )

@@ -159,21 +159,31 @@ def s_near_dup_lsh_blocked(spark, sf_dir):
         .withColumn("ok", F.col("cos_fp") >= F.lit(350_000))
     )
     # literal-key group, not a global agg: keeps the plan free of
-    # Exchange SinglePartition (the family-wide plan gate)
+    # Exchange SinglePartition (the family-wide plan gate). The
+    # observed count is LEFT-JOINED onto a 1-row literal anchor and
+    # coalesced to 0: if recall collapses entirely the filter yields
+    # an empty frame whose grouped count has ZERO rows, and a bare
+    # projection of it would silently drop the twin_coverage row —
+    # failing open in exactly the total-failure case. The anchor
+    # guarantees the row exists with ok=false instead
+    # (presence pinned in tests/test_similarity.py).
     found_twins = (
         pairs.filter(
             (F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("id_a") < 50)
         )
         .groupBy(F.lit(1).alias("__one"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("id_b"))
-        .drop("__one")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("found"))
     )
-    coverage = found_twins.select(
-        F.lit("twin_coverage").alias("slice"),
-        F.lit(50).cast("bigint").alias("id_a"),
-        "id_b",
-        F.lit(None).cast("bigint").alias("cos_fp"),
-        (F.col("id_b") == F.lit(50)).alias("ok"),
+    anchor = spark.range(1).select(F.lit(1).alias("__one"))
+    coverage = (
+        anchor.join(found_twins, "__one", "left")
+        .select(
+            F.lit("twin_coverage").alias("slice"),
+            F.lit(50).cast("bigint").alias("id_a"),
+            F.coalesce(F.col("found"), F.lit(0)).cast("bigint").alias("id_b"),
+            F.lit(None).cast("bigint").alias("cos_fp"),
+            (F.coalesce(F.col("found"), F.lit(0)) == F.lit(50)).alias("ok"),
+        )
     )
     return scored.unionByName(coverage)
 

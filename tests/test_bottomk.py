@@ -89,6 +89,44 @@ def test_distinct_estimate_tracks_exact(spark):
             )
 
 
+def test_distinct_estimate_custom_priority_needs_range(spark):
+    """A ledger built with the Knuth hash in [0, 2^32) fed to the
+    DEFAULT full-int64 normalization puts u_k ~ 0.5 and degenerates
+    the estimate to ~2(k-1); passing the priority's actual range
+    restores a sane KMV estimate (round-7 ADVICE fix)."""
+    ev = _events(spark).withColumn("eid", F.expr("CAST(event_id AS BIGINT)"))
+    pri = F.expr("(eid * 2654435761) % 4294967296")
+    k = 16
+    led = bottomk_ledger(ev, ["event_type"], "eid", k, priority=pri)
+    exact = {
+        r.event_type: r.d
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("eid").alias("d"))
+        .collect()
+    }
+    big = [t for t, d in exact.items() if d >= k]
+    assert big, "test needs at least one group with >= k distinct ids"
+    degen = {
+        r.event_type: r.distinct_est
+        for r in ledger_distinct_estimate(led, ["event_type"], k).collect()
+    }
+    ranged = {
+        r.event_type: r.distinct_est
+        for r in ledger_distinct_estimate(
+            led, ["event_type"], k, pri_lo=0, pri_hi=2**32
+        ).collect()
+    }
+    for t in big:
+        # default range: silently ~2(k-1) regardless of true count
+        assert abs(degen[t] - 2 * (k - 1)) <= 2, (t, degen[t])
+        # correct range: within KMV error of the truth
+        assert abs(ranged[t] - exact[t]) <= max(5, 0.6 * exact[t]), (
+            t,
+            ranged[t],
+            exact[t],
+        )
+
+
 def test_sample_serving_is_rank_stable_and_deterministic(spark):
     ev = _events(spark)
     a = ledger_sample(

@@ -46,3 +46,15 @@ def test_decontaminate_coverage_rows_present(spark):
     rows = entrymod.queries()["d_decontaminate"](spark, SF_DIR).collect()
     planted = {r["planted"] for r in rows}
     assert {"coverage_verbatim", "coverage_fragment13"} <= planted
+
+
+def test_lsh_blocked_twin_coverage_row_present(spark):
+    """The twin_coverage certification must FAIL CLOSED: the row is
+    anchored on a literal 1-row frame and left-joins the observed
+    count, so it exists (with ok=false) even if recall collapses to
+    zero — the round-7 fix for the groupBy-over-empty-frame fail-open
+    seam (same pattern fixed in plans.dedup / plans.curation)."""
+    rows = entrymod.queries()["s_near_dup_lsh_blocked"](spark, SF_DIR).collect()
+    cov = [r for r in rows if r["slice"] == "twin_coverage"]
+    assert len(cov) == 1, f"expected exactly one twin_coverage row: {cov}"
+    assert cov[0]["ok"] and cov[0]["id_b"] == 50

@@ -229,6 +229,41 @@ def test_mmr_rerank_diversifies_and_degenerates_to_topk(spark):
     )
 
 
+def test_mmr_monotone_value_with_anticorrelated_no_selfmatch(spark):
+    """Adversarial case for the monotone-`mmr_value` invariant: no
+    self-match in the pool (top relevance < 1) plus a strongly
+    anti-correlated candidate. Under the old two-formula objective
+    (rank 1 = raw relevance, rank ≥ 2 unclamped penalty) the rank-2
+    value 0.5·0.5 − 0.5·(−1) = 0.75 would EXCEED the rank-1 value
+    0.6 and flip `ok` false on correct output; the unified clamped
+    objective keeps the chain non-increasing."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+
+    rows = [
+        (1, 10, 0.60, [1.0, 0.0]),
+        (1, 11, 0.50, [-1.0, 0.0]),  # cosine to 10 = -1
+        (1, 12, 0.40, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id bigint, doc_id bigint, score double, "
+        "embedding array<double>",
+    )
+    out = sorted(
+        mmr_rerank(df, k=3, lam=0.5).collect(),
+        key=lambda r: r.mmr_rank,
+    )
+    vals = [r.mmr_value for r in out]
+    assert vals == sorted(vals, reverse=True), vals
+    # rank 1 records the unified objective lam*rel, not raw rel
+    assert abs(vals[0] - 0.5 * 0.60) < 1e-12
+    # anti-correlated 11 earns no bonus: its penalty clamps to 0,
+    # value 0.25 ≥ 12's 0.20 -> selection order 10, 11, 12
+    assert [r.doc_id for r in out] == [10, 11, 12]
+
+
 def test_mmr_catalog_probe_invariants_all_ok(spark):
     """Every row of the r_mmr_rerank catalog probe must carry a true
     `ok` (rank-1 max-relevance + non-increasing greedy value)."""

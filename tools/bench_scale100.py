@@ -25,11 +25,21 @@ blow up on the planted cross-replica duplication:
   across replicas (expected cosine ~ N(0, 1/64), far under the 0.35
   near-dup threshold). label += k * 1000: 10x labels of constant
   size, the realistic growth mode for label-blocked forms.
-- lineitem/orders: l_orderkey/o_orderkey/l_partkey += k * 1e8 — the
-  order-part bipartite graph becomes 10 disjoint copies (no
-  cross-replica edge), and 1e8 % 1000 == 0 keeps the BFS seed filter
-  (o_orderkey % 1000 = 0) selecting 10x seeds. 10x nodes, 10x seeds,
-  identical per-replica topology: the linear growth mode for graphs.
+- lineitem/orders: l_orderkey/o_orderkey/l_partkey/l_suppkey +=
+  k * 1e8 — BOTH graph probes become 10 disjoint copies: the
+  order-part bipartite graph (BFS) has no cross-replica edge, and
+  the part-supplier trade graph (PageRank) keeps supplier node
+  spaces disjoint too — without the l_suppkey offset all replicas
+  would share supplier nodes, supplier hubs would get 10x degree,
+  and the PageRank scaling chain would measure hub concentration
+  instead of the intended identical-per-replica linear growth
+  (round-7 ADVICE fix; the probe's +1e7 supplier-node offset stays
+  below the k*1e8 replica stride, so node spaces remain disjoint).
+  1e8 % 1000 == 0 keeps the BFS seed filter (o_orderkey % 1000 = 0)
+  selecting 10x seeds and 1e8 % 50 == 0 keeps the PageRank part
+  subset (l_partkey % 50 = 0) at the base proportion. 10x nodes,
+  10x seeds, identical per-replica topology: the linear growth mode
+  for graphs.
 - events: user_id/event_id += k * 1e8 — sessions/attribution join on
   user_id, so replicas never pair; 10x users at constant per-user
   activity, the realistic event-stream growth mode.
@@ -134,6 +144,7 @@ def build_sf1(spark, base_dir: str, out_dir: str) -> None:
         parts["lineitem"].append(
             li.withColumn("l_orderkey", F.expr(f"l_orderkey + {k} * 100000000"))
             .withColumn("l_partkey", F.expr(f"l_partkey + {k} * 100000000"))
+            .withColumn("l_suppkey", F.expr(f"l_suppkey + {k} * 100000000"))
         )
         parts["orders"].append(
             orders.withColumn(
