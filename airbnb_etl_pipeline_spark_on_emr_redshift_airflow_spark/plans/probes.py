@@ -3629,3 +3629,107 @@ def s_ann_methods(spark, sf_dir):
         .drop("__bf_n")
         .withColumn("ok", F.col("recall_fp") >= floors)
     )
+
+
+_Q11_SQL = """
+WITH supply AS (
+  SELECT l.l_partkey,
+         CAST(FLOOR(l.l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           * CAST(l.l_quantity AS BIGINT) AS value_cents
+  FROM lineitem l, supplier s, nation n
+  WHERE l.l_suppkey = s.s_suppkey
+    AND s.s_nationkey = n.n_nationkey
+    AND n.n_name = 'NATION_1')
+SELECT l_partkey, SUM(value_cents) AS part_value_cents
+FROM supply
+GROUP BY l_partkey
+HAVING SUM(value_cents) * 1000 > (SELECT SUM(value_cents) FROM supply)
+"""
+
+
+@register("q11_important_stock", oracle=_Q11_SQL)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification): per-part
+    supply value within one nation, keeping only parts whose value
+    exceeds a FRACTION OF THE GLOBAL TOTAL — the one canon shape the
+    catalog lacked, a GROUP BY with a HAVING predicate against a
+    global scalar aggregate (reference notebook's ratio-to-total
+    analyses, cells 35-51, generalize the same way). The testdata has
+    no partsupp, so supply value becomes line value (price cents x
+    quantity) of the nation's shipped lines — the grouped-vs-global
+    topology is unchanged. Plan: the nation filter broadcasts through
+    supplier into the ONE lineitem scan, which is lazily
+    localCheckpointed (the ``q15_top_supplier`` idiom) so the
+    per-part aggregate and the global total both read a single
+    materialization; the total collapses to a broadcast 1-row stats
+    frame crossJoined as a literal — no second fact scan, no
+    Exchange SinglePartition on the grouped side. Determinism: value
+    folds to exact bigints BEFORE summing (floor-scale cents x
+    integral quantity), and the HAVING compares ``sum*1000 > total``
+    in pure integer arithmetic — no float fraction, no rounding
+    boundary to disagree on. Oracle: verbatim CTE SQL with a scalar
+    subquery; Spark side is DataFrame ops so the fact scan is shared
+    (per-consumer pruning splits CTE subtrees past exchange reuse)."""
+    li, supplier, nation = load(spark, sf_dir, "lineitem", "supplier", "nation")
+    nat_supp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_1")),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey")
+    supply = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "l_partkey",
+            (
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+                * F.col("l_quantity").cast("bigint")
+            ).alias("value_cents"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    per_part = supply.groupBy("l_partkey").agg(
+        F.sum("value_cents").alias("part_value_cents")
+    )
+    total = supply.agg(F.sum("value_cents").alias("__total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value_cents") * 1000 > F.col("__total_cents"))
+        .select("l_partkey", "part_value_cents")
+    )
+
+
+_Q12_SQL = """
+SELECT l.l_returnflag AS ship_class,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem l, orders o
+WHERE o.o_orderkey = l.l_orderkey
+  AND l.l_returnflag IN ('A', 'N')
+  AND l.l_shipdate > o.o_orderdate
+  AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l.l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY l.l_returnflag
+"""
+
+
+@register("q12_shipping_priority_class", oracle=_Q12_SQL)
+def q12_shipping_priority_class(spark, sf_dir):
+    """TPC-H Q12 shape (shipping modes / order priority): the
+    lineitem JOIN orders fact-fact join folded into TWO complementary
+    CASE-conditional counts per group — critical- vs normal-priority
+    lines per return-flag class (the testdata carries no l_shipmode /
+    commit/receipt dates, so the mode list becomes a returnflag list
+    and the late-delivery col-col predicate becomes shipped-after-
+    order ``l_shipdate > o_orderdate`` — same join topology, same
+    conditional-agg shape, same pushdown surfaces). Planning: the
+    returnflag IN-list and the shipdate year-range push into the
+    lineitem parquet scan (the col-col predicate evaluates post-join);
+    the orderkey equi-join is the one keyed exchange at scale; the
+    CASE branches fold map-side into a 2-row aggregate. Determinism:
+    pure integer counts of disjoint CASE branches — nothing to round.
+    ONE SQL string runs verbatim on both engines."""
+    views(spark, sf_dir, "lineitem", "orders")
+    return spark.sql(_Q12_SQL)

@@ -168,6 +168,9 @@ SIDECAR_ONLY = [
     "q6_forecast_revenue",
     "q9_product_profit",
     "r_mmr_rerank",
+    # round-7 additions
+    "q11_important_stock",
+    "q12_shipping_priority_class",
 ]
 
 

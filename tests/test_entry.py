@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 121
+    assert len(names) == 123
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -119,8 +119,7 @@ def test_oracle_keys_subset_of_queries(spark):
         # round-6 extensions: TPC-H canon completion — EXISTS with a
         # mixed equi+range semi (Q4), the pushdown scan-agg (Q6), the
         # profit rollup (Q9; retail carrying cost stands in for the
-        # absent partsupp). Q11/Q12 are the two shapes the testdata
-        # schema cannot express (partsupp / shipmode+commit dates).
+        # absent partsupp).
         "q4_priority_check", "q6_forecast_revenue", "q9_product_profit",
         # round-6 extension: MMR diversity re-rank (rows-only with the
         # greedy-value monotonicity + rank-1-max-relevance invariants)
@@ -128,6 +127,13 @@ def test_oracle_keys_subset_of_queries(spark):
         # round-6 rotation re-registrations (windows slots freed for
         # c_dsir_select / q5_local_supplier_volume)
         "a_approx_sketches", "s_ann_methods",
+        # round-7 extensions: TPC-H canon complete at 22 of 22 shapes —
+        # Q11 re-expressed as line value per part vs global-total
+        # HAVING (the grouped-vs-global-scalar plan the catalog
+        # lacked), Q12 as returnflag-classed conditional counts
+        # (shipmode/commit dates absent from the schema; join topology
+        # and CASE-agg shape preserved)
+        "q11_important_stock", "q12_shipping_priority_class",
     ]
 
 
