@@ -1,6 +1,9 @@
-"""Streaming ledger maintenance: keep the mergeable distinct-count
-ledger (``operators.sketches``) and the heavy-hitters top-k ledger
-(``operators.heavyhitters``) current as event batches arrive.
+"""Streaming ledger maintenance: keep every member of the mergeable
+ledger family current as event batches arrive — counts/sum/min/max
+state (``operators.aggregates.agg_state``), distinct
+(``operators.sketches``), quantile histograms
+(``operators.histogram``), bottom-k samples (``operators.bottomk``)
+and heavy-hitters top-k (``operators.heavyhitters``).
 
 Composition of two proven patterns in this engine:
 
@@ -134,3 +137,190 @@ def read_streamed_hitters(
 
     raw = spark.read.parquet(ledger_path).drop("batch_id")
     return ledger_topk_bounds([raw], keys, k=k)
+
+
+def stream_histogram_maintenance(
+    spark: SparkSession,
+    events_dir: str,
+    events_schema: str,
+    ledger_path: str,
+    keys: list[str],
+    col: str,
+    lo: float,
+    hi: float,
+    checkpoint_dir: str,
+    n_bins: int = 40,
+) -> StreamingQuery:
+    """Streaming histogram-ledger maintenance — closes the ledger
+    family's streaming gap for the QUANTILE member
+    (``operators.histogram``): each micro-batch bins its own rows over
+    the PRE-ANCHORED edges (the anchoring discipline is what makes
+    per-batch vectors commensurable — edges never move after the
+    reference anchor, exactly like the PSI drift report) and lands one
+    length-``n_bins`` bigint vector per key under
+    ``ledger_path/batch_id=<id>`` with ``mode("overwrite")``. Every
+    stored field (bins, n_rows, n_null) except vmin/vmax is a raw
+    additive count, so at-least-once replay landing as an append would
+    inflate all of them — the idempotent ``batch_id=`` overwrite is
+    load-bearing, same recipe as the HLL and heavy-hitters streams
+    above. Unlike heavy-hitters there is NO batch-cut information
+    loss: bin vectors are exactly additive, so the served fold equals
+    the one-shot batch build bit for bit (pinned in
+    ``tests/test_stream_ledger.py``). Per batch the cost is one
+    map-side-combinable groupBy over the batch alone."""
+
+    def _append(batch_df, batch_id: int) -> None:
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.histogram import (
+            histogram_ledger,
+        )
+
+        led = histogram_ledger(batch_df, keys, col, lo, hi, n_bins=n_bins)
+        led.write.mode("overwrite").parquet(
+            f"{ledger_path}/batch_id={batch_id}"
+        )
+
+    return (
+        spark.readStream.schema(events_schema)
+        .format("parquet")
+        .load(events_dir)
+        .writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_streamed_histogram(
+    spark: SparkSession, ledger_path: str, keys: list[str]
+) -> DataFrame:
+    """Fold the per-batch histogram rows into one ledger row per key —
+    ``zip_with`` integer adds over the fixed anchored bins, additive
+    sidecars, min/max folds. The result is a normal histogram ledger:
+    feed it straight to ``operators.histogram.ledger_quantiles`` for
+    quantile serving that never rescans events."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.histogram import (
+        merge_histogram_ledgers,
+    )
+
+    raw = spark.read.parquet(ledger_path).drop("batch_id")
+    return merge_histogram_ledgers([raw], keys)
+
+
+def stream_bottomk_maintenance(
+    spark: SparkSession,
+    events_dir: str,
+    events_schema: str,
+    ledger_path: str,
+    keys: list[str],
+    id_col: str,
+    checkpoint_dir: str,
+    k: int = 64,
+) -> StreamingQuery:
+    """Streaming bottom-k sample maintenance — the last ledger-family
+    member to gain a stream leg (``operators.bottomk``): each
+    micro-batch computes its own bottom-k (priority, id) sample per
+    key and lands it under ``ledger_path/batch_id=<id>`` with
+    ``mode("overwrite")``. The sample itself is replay-PROOF twice
+    over (priorities are deterministic hashes, and the merge is a
+    set-union over (priority, id) — a duplicated batch's structs
+    collapse), but the additive ``n_rows`` sidecar requires disjoint
+    periods (module contract, see ``merge_bottomk_ledgers``) — the
+    ``batch_id=`` overwrite layout is precisely what guarantees that
+    disjointness under at-least-once replay. No batch-cut loss: the
+    bottom-k of a union IS the bottom-k of the merged per-batch
+    bottom-k sets, so the served sample equals the one-shot batch
+    build exactly (pinned in ``tests/test_stream_ledger.py``). Per
+    batch the cost is one slim-projection exchange over the batch."""
+
+    def _append(batch_df, batch_id: int) -> None:
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.bottomk import (
+            bottomk_ledger,
+        )
+
+        led = bottomk_ledger(batch_df, keys, id_col, k=k)
+        led.write.mode("overwrite").parquet(
+            f"{ledger_path}/batch_id={batch_id}"
+        )
+
+    return (
+        spark.readStream.schema(events_schema)
+        .format("parquet")
+        .load(events_dir)
+        .writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_streamed_bottomk(
+    spark: SparkSession, ledger_path: str, keys: list[str], k: int = 64
+) -> DataFrame:
+    """Fold the per-batch sample rows into one bottom-k ledger row per
+    key (set-union, sort, slice k). The result is a normal bottom-k
+    ledger: serve it with ``ledger_sample`` /
+    ``ledger_distinct_estimate`` / ``ledger_jaccard``."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.bottomk import (
+        merge_bottomk_ledgers,
+    )
+
+    raw = spark.read.parquet(ledger_path).drop("batch_id")
+    return merge_bottomk_ledgers([raw], keys, k=k)
+
+
+def stream_aggstate_maintenance(
+    spark: SparkSession,
+    events_dir: str,
+    events_schema: str,
+    state_path: str,
+    keys: list[str],
+    measure: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming counts/sum/min/max state maintenance — the FIRST
+    ledger-family member (``operators.aggregates.agg_state``, the
+    incremental-rollup state) gains the same stream leg as the other
+    four, completing streaming maintenance for the whole family:
+    counts/sum (here), distinct (HLL), quantiles (histogram), samples
+    (bottom-k), top-k (heavy-hitters). Each micro-batch lands its own
+    partial state rows under ``state_path/batch_id=<id>`` with
+    ``mode("overwrite")``; every stored field except min/max is raw
+    additive (and the fixed-point sum is order-independent integer
+    arithmetic), so the idempotent layout carries replay exactness as
+    usual. No batch-cut loss: ``merge(state(A), state(B)) ==
+    state(A ∪ B)`` exactly, so the served fold equals the one-shot
+    batch state (pinned in ``tests/test_stream_ledger.py``)."""
+
+    def _append(batch_df, batch_id: int) -> None:
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+            agg_state,
+        )
+
+        st = agg_state(batch_df, keys, measure)
+        st.write.mode("overwrite").parquet(
+            f"{state_path}/batch_id={batch_id}"
+        )
+
+    return (
+        spark.readStream.schema(events_schema)
+        .format("parquet")
+        .load(events_dir)
+        .writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_streamed_aggstate(
+    spark: SparkSession, state_path: str, keys: list[str]
+) -> DataFrame:
+    """Fold the per-batch state rows into one state row per key — a
+    normal ``agg_state`` table: resolve it with
+    ``operators.aggregates.finalize_agg_state`` for serving."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        merge_agg_states,
+    )
+
+    raw = spark.read.parquet(state_path).drop("batch_id")
+    return merge_agg_states(keys, raw)

@@ -152,3 +152,172 @@ def test_streamed_hitters_bounds_sound_and_replay_exact(spark, tmp_dir):
         )
     )
     assert after == before
+
+
+def _replay_last_batch(ckpt, batch_id):
+    os.remove(f"{ckpt}/commits/{batch_id}")
+    crc = f"{ckpt}/commits/.{batch_id}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_streamed_histogram_equals_batch_build_and_replay_exact(
+    spark, tmp_dir
+):
+    """Streamed histogram ledger: bin vectors are exactly additive, so
+    the served fold must equal the one-shot batch build bit for bit —
+    including the raw-additive n_rows/n_null under an at-least-once
+    replay (batch_id overwrite layout)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.histogram import (
+        histogram_ledger,
+        ledger_quantiles,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.ledger import (
+        read_streamed_histogram,
+        stream_histogram_maintenance,
+    )
+
+    src, led, ckpt = (
+        f"{tmp_dir}/hg_ev",
+        f"{tmp_dir}/hg_ledger",
+        f"{tmp_dir}/hg_ckpt",
+    )
+
+    def _run_hg():
+        q = stream_histogram_maintenance(
+            spark, src, SCHEMA, led, ["event_type"], "user_id",
+            0.0, 16.0, ckpt, n_bins=8,
+        )
+        q.awaitTermination()
+
+    _write(spark, src, _BATCH1)
+    _run_hg()
+    _write(spark, src, _BATCH2)
+    _run_hg()  # only batch 2 is new
+
+    folded = read_streamed_histogram(spark, led, ["event_type"])
+    want_led = histogram_ledger(
+        spark.createDataFrame(_BATCH1 + _BATCH2, SCHEMA),
+        ["event_type"], "user_id", 0.0, 16.0, n_bins=8,
+    )
+    got = sorted(map(tuple, folded.collect()))
+    want = sorted(map(tuple, want_led.collect()))
+    assert got == want  # bins, n_rows, n_null, vmin, vmax — all exact
+
+    # quantiles served from the streamed fold match the one-shot build
+    qgot = sorted(map(tuple, ledger_quantiles(
+        folded, ["event_type"], 0.0, 16.0, [0.5]).collect()))
+    qwant = sorted(map(tuple, ledger_quantiles(
+        want_led, ["event_type"], 0.0, 16.0, [0.5]).collect()))
+    assert qgot == qwant
+
+    # replay batch 1: the fold must be unchanged (overwrite layout)
+    _replay_last_batch(ckpt, 1)
+    _run_hg()
+    after = sorted(map(tuple, read_streamed_histogram(
+        spark, led, ["event_type"]).collect()))
+    assert after == want
+
+
+def test_streamed_bottomk_equals_batch_build_and_replay_exact(
+    spark, tmp_dir
+):
+    """Streamed bottom-k sample: the bottom-k of a union IS the
+    bottom-k of the merged per-batch bottom-k sets, so the served
+    sample must equal the one-shot build; n_rows stays exact under
+    replay because batch_id overwrite keeps periods disjoint."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.bottomk import (
+        bottomk_ledger,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.ledger import (
+        read_streamed_bottomk,
+        stream_bottomk_maintenance,
+    )
+
+    src, led, ckpt = (
+        f"{tmp_dir}/bk_ev",
+        f"{tmp_dir}/bk_ledger",
+        f"{tmp_dir}/bk_ckpt",
+    )
+
+    def _run_bk():
+        q = stream_bottomk_maintenance(
+            spark, src, SCHEMA, led, ["event_type"], "user_id", ckpt, k=2
+        )
+        q.awaitTermination()
+
+    _write(spark, src, _BATCH1)
+    _run_bk()
+    _write(spark, src, _BATCH2)
+    _run_bk()  # only batch 2 is new
+
+    got = sorted(map(tuple, read_streamed_bottomk(
+        spark, led, ["event_type"], k=2).collect()))
+    want = sorted(map(tuple, bottomk_ledger(
+        spark.createDataFrame(_BATCH1 + _BATCH2, SCHEMA),
+        ["event_type"], "user_id", k=2,
+    ).collect()))
+    assert got == want  # sample AND n_rows — one-shot equivalence
+
+    # replay batch 1: sample is set-union-proof, n_rows must not double
+    _replay_last_batch(ckpt, 1)
+    _run_bk()
+    after = sorted(map(tuple, read_streamed_bottomk(
+        spark, led, ["event_type"], k=2).collect()))
+    assert after == want
+
+
+def test_streamed_aggstate_equals_batch_build_and_replay_exact(
+    spark, tmp_dir
+):
+    """Streamed counts/sum/min/max state: merge(state(A), state(B)) ==
+    state(A ∪ B) exactly, so the served fold must equal the one-shot
+    state — and survive an at-least-once replay unchanged."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        agg_state,
+        finalize_agg_state,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.ledger import (
+        read_streamed_aggstate,
+        stream_aggstate_maintenance,
+    )
+
+    src, led, ckpt = (
+        f"{tmp_dir}/as_ev",
+        f"{tmp_dir}/as_state",
+        f"{tmp_dir}/as_ckpt",
+    )
+
+    def _run_as():
+        q = stream_aggstate_maintenance(
+            spark, src, SCHEMA, led, ["event_type"], "user_id", ckpt
+        )
+        q.awaitTermination()
+
+    _write(spark, src, _BATCH1)
+    _run_as()
+    _write(spark, src, _BATCH2)
+    _run_as()  # only batch 2 is new
+
+    folded = read_streamed_aggstate(spark, led, ["event_type"])
+    want_state = agg_state(
+        spark.createDataFrame(_BATCH1 + _BATCH2, SCHEMA),
+        ["event_type"], "user_id",
+    )
+    got = sorted(map(tuple, folded.collect()))
+    want = sorted(map(tuple, want_state.collect()))
+    assert got == want
+
+    # finalized serving view matches the one-shot build too
+    fgot = sorted(map(tuple, finalize_agg_state(
+        folded, ["event_type"], "user_id").collect()))
+    fwant = sorted(map(tuple, finalize_agg_state(
+        want_state, ["event_type"], "user_id").collect()))
+    assert fgot == fwant
+
+    # replay batch 1: raw-additive cnt/sum must not inflate
+    _replay_last_batch(ckpt, 1)
+    _run_as()
+    after = sorted(map(tuple, read_streamed_aggstate(
+        spark, led, ["event_type"]).collect()))
+    assert after == want
