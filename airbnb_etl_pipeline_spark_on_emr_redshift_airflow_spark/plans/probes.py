@@ -724,7 +724,7 @@ def a_grouped_quantiles(spark, sf_dir):
     oracle="""
     SELECT doc_id, source, n_chars FROM (
       SELECT doc_id, source, n_chars,
-             pow(((doc_id * 2654435761) % 2147483648 + 0.5)
+             pow((((doc_id % 2147483648) * 2654435761) % 2147483648 + 0.5)
                    / 2147483648,
                  1000.0 / n_chars) AS priority
       FROM documents WHERE n_chars > 0
@@ -746,7 +746,7 @@ def c_weighted_sample(spark, sf_dir):
     per-partition heaps, no corpus shuffle, no global sort."""
     (docs,) = load(spark, sf_dir, "documents")
     u = (
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648)
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(2147483648)
         + F.lit(0.5)
     ) / F.lit(2147483648.0)
     weighted = docs.withColumn("w", F.col("n_chars") / F.lit(1000.0))
@@ -1459,7 +1459,7 @@ def t_url_curation(spark, sf_dir):
     SELECT d.doc_id, d.lang,
            CAST(FLOOR(keep_rate * 1000000 + 0.5) AS BIGINT) AS keep_rate_fp
     FROM documents d JOIN rates USING (lang)
-    WHERE ((d.doc_id * 2654435761) % 2147483648 + 0.5) / 2147483648
+    WHERE (((d.doc_id % 2147483648) * 2654435761) % 2147483648 + 0.5) / 2147483648
           < keep_rate
     """,
 )
@@ -1483,7 +1483,7 @@ def c_temperature_rebalance(spark, sf_dir):
 
     (docs,) = load(spark, sf_dir, "documents")
     u = (
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648)
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(2147483648)
         + F.lit(0.5)
     ) / F.lit(2147483648.0)
     kept = temperature_rebalance(
@@ -2323,7 +2323,7 @@ _UNIMAX_B = 200
            CAST(FLOOR(r.keep_rate * 1000000 + 0.5) AS BIGINT)
              AS keep_rate_fp
     FROM documents d JOIN rates r ON d.lang = r.grp
-    WHERE ((d.doc_id * 2654435761) % 2147483648 + 0.5) / 2147483648
+    WHERE (((d.doc_id % 2147483648) * 2654435761) % 2147483648 + 0.5) / 2147483648
           < r.keep_rate
     """,
 )
@@ -2345,7 +2345,7 @@ def c_unimax_budget(spark, sf_dir):
 
     (docs,) = load(spark, sf_dir, "documents")
     u = (
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648)
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(2147483648)
         + F.lit(0.5)
     ) / F.lit(2147483648.0)
     kept = unimax_budget_sample(
@@ -2666,10 +2666,10 @@ ORACLE_BOTTOMK_SAMPLE = """
 WITH d AS (SELECT DISTINCT event_type, CAST(user_id AS BIGINT) AS uid
            FROM events),
 r AS (SELECT event_type, uid,
-             (uid * 2654435761) % 4294967296 AS pri,
+             ((uid % 2147483648) * 2654435761) % 4294967296 AS pri,
              ROW_NUMBER() OVER (
                PARTITION BY event_type
-               ORDER BY (uid * 2654435761) % 4294967296, uid) AS rank
+               ORDER BY ((uid % 2147483648) * 2654435761) % 4294967296, uid) AS rank
       FROM d),
 n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
       FROM events GROUP BY 1)
@@ -2691,6 +2691,12 @@ def c_bottomk_sample(spark, sf_dir):
     EXACT sample through plain row_number semantics — a full
     value-hash oracle over both the merge algebra and the sampling
     order (production callers keep the seed-stable xxhash64 default).
+    The id folds mod 2^31 BEFORE the multiply: both engines run ANSI
+    bigint arithmetic, and the guard caps the intermediate at
+    2^31·2654435761 < 2^63 for ANY id domain — without it the product
+    overflows (loudly, ANSI mode) once ids pass ~3.4e9, exactly the
+    regime the 100 TB form lives in (caught by the scale-decade bench
+    at 10× ids, round 7).
     Split-merge bit-exactness, re-delivery idempotence and the KMV
     distinct-estimate envelope are pinned in ``tests/test_bottomk.py``."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.bottomk import (
@@ -2705,14 +2711,14 @@ def c_bottomk_sample(spark, sf_dir):
         "event_type",
         F.col("user_id").cast("bigint").alias("uid"),
     )
-    pri = F.expr("(uid * 2654435761) % 4294967296")
+    pri = F.expr("((uid % 2147483648) * 2654435761) % 4294967296")
     halves = [
         bottomk_ledger(
             ev.filter(f"event_id % 2 = {p}"),
             ["event_type"],
             "uid",
             32,
-            priority=F.expr("(uid * 2654435761) % 4294967296"),
+            priority=F.expr("((uid % 2147483648) * 2654435761) % 4294967296"),
         )
         for p in (0, 1)
     ]
@@ -3082,10 +3088,10 @@ WITH d AS (
   FROM events),
 r AS (
   SELECT event_type, did,
-         (did * 2654435761) % 4294967296 AS pri,
+         ((did % 2147483648) * 2654435761) % 4294967296 AS pri,
          ROW_NUMBER() OVER (
            PARTITION BY event_type
-           ORDER BY (did * 2654435761) % 4294967296, did) AS rn
+           ORDER BY ((did % 2147483648) * 2654435761) % 4294967296, did) AS rn
   FROM d),
 s AS (SELECT event_type, pri, did FROM r WHERE rn <= 32),
 p AS (
@@ -3130,7 +3136,10 @@ def a_segment_overlap(spark, sf_dir):
     ``|U ∩ S_A ∩ S_B| / |U|`` estimates the true Jaccard. Items are
     active (user, day-of-year) pairs, so event types genuinely
     differ in overlap. The probe hands the ledger the same ANSI
-    Knuth-hash priority as ``c_bottomk_sample``, so DuckDB replays
+    Knuth-hash priority as ``c_bottomk_sample`` (mod-2^31 folded
+    before the multiply — ``did`` reaches ~1e12 here at decade scale,
+    and the unguarded product overflowed int64 under ANSI mode the
+    first time the scale bench replicated ids), so DuckDB replays
     the EXACT samples and the whole estimate — intersection/union
     sizes and the 1e-6 fixed-point Jaccard — value-hashes
     cross-engine (the /union division is two exact-integer-valued
@@ -3159,7 +3168,7 @@ def a_segment_overlap(spark, sf_dir):
         ["event_type"],
         "did",
         32,
-        priority=F.expr("(did * 2654435761) % 4294967296"),
+        priority=F.expr("((did % 2147483648) * 2654435761) % 4294967296"),
     )
     return ledger_jaccard(led, "event_type", k=32)
 

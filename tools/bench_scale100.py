@@ -90,6 +90,17 @@ CHAINS = [
     # (keys, item) exchange is the word-count shape at corpus scale)
     "g_pagerank_fixed",
     "a_heavy_hitters_ledger",
+    # round 7: the remaining round-6 ledger/rerank chains (VERDICT r6
+    # gap #3) — the quantile ledger's bin-vector exchange over orders,
+    # the bottom-k sample's slim-projection window over events, the
+    # KMV segment-overlap pair stage (dim-sized by contract, must stay
+    # that way as events grow), and MMR's per-query greedy groups
+    # (candidate-list-sized; 10x labels must mean 10x groups, not
+    # bigger groups)
+    "a_quantile_ledger",
+    "c_bottomk_sample",
+    "a_segment_overlap",
+    "r_mmr_rerank",
 ]
 N_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
 PASS_RATIO = 13.0
