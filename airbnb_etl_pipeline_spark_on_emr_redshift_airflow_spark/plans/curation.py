@@ -433,3 +433,169 @@ def c_pack_sequences(spark, sf_dir):
         .alias("ok"),
     )
     return packed.unionByName(strat).unionByName(mixed)
+
+ORACLE_HEAVY_HITTERS = """
+WITH base AS (
+  SELECT event_type, CAST(user_id AS BIGINT) AS item,
+         CAST(event_id % 2 AS INT) AS half
+  FROM events),
+cnts AS (
+  SELECT event_type, half, item, CAST(count(*) AS BIGINT) AS cnt
+  FROM base GROUP BY 1, 2, 3),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, half
+                               ORDER BY cnt DESC, item) AS rn
+  FROM cnts),
+oth AS (
+  SELECT event_type, half,
+         COALESCE(MAX(CASE WHEN rn > 16 THEN cnt END), 0) AS omax
+  FROM rk GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, SUM(omax) AS tot_omax FROM oth GROUP BY 1),
+n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+  FROM base GROUP BY 1),
+items AS (
+  SELECT t.event_type, t.item,
+         CAST(SUM(t.cnt) AS BIGINT) AS lb,
+         CAST(SUM(o.omax) AS BIGINT) AS cover
+  FROM rk t
+  JOIN oth o ON t.event_type = o.event_type AND t.half = o.half
+  WHERE t.rn <= 16
+  GROUP BY 1, 2),
+merged AS (
+  SELECT i.event_type, i.item, i.lb,
+         CAST(i.lb + tt.tot_omax - i.cover AS BIGINT) AS ub,
+         n.n_rows,
+         ROW_NUMBER() OVER (PARTITION BY i.event_type
+                            ORDER BY i.lb DESC, i.item) AS rank
+  FROM items i
+  JOIN tot tt ON i.event_type = tt.event_type
+  JOIN n ON i.event_type = n.event_type)
+SELECT event_type, CAST(rank AS INT) AS rank, item AS user_id,
+       lb, ub, n_rows
+FROM merged WHERE rank <= 16
+"""
+
+
+@register("a_heavy_hitters_ledger", oracle=ORACLE_HEAVY_HITTERS)
+def a_heavy_hitters_ledger(spark, sf_dir):
+    """Mergeable heavy-hitters ledger (``operators.heavyhitters``):
+    per-event-type top-16 users with SOUND count bounds, built from
+    two DISJOINT halves of events and folded with the
+    threshold-algorithm merge — the fifth additive-state ledger
+    (counts, HLL distinct, histogram quantiles, bottom-k samples,
+    now top-k frequencies). Each period ledger stores its exact
+    top-k plus ``other_max``/``other_mass`` scalars about what it
+    dropped; the merge reports ``lb = Σ counts where present`` and
+    ``ub = lb + Σ other_max(periods not containing the item)``.
+    Unlike Misra-Gries, whose merged counters depend on combine
+    order, every quantity here is a deterministic integer sum — so
+    this carries a FULL value-hash oracle: DuckDB replays the
+    per-half build and the bound fold from the raw table and must
+    reproduce the identical bigints. Build exactness, presence
+    guarantee (true > other_max ⇒ in top), bound soundness
+    (lb ≤ true ≤ ub) and nested-merge soundness are pinned in
+    ``tests/test_heavyhitters.py``. 100 TB shape: the build is a
+    word-count (one (keys, item) exchange); the merge folds
+    KB-sized ledger rows, never the corpus."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.heavyhitters import (
+        heavyhitters_ledger,
+        ledger_topk_bounds,
+    )
+
+    (ev,) = load(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_id", "event_type", F.col("user_id").cast("bigint").alias("uid")
+    )
+    halves = [
+        heavyhitters_ledger(
+            ev.filter(f"event_id % 2 = {p}"), ["event_type"], "uid", k=16
+        )
+        for p in (0, 1)
+    ]
+    return ledger_topk_bounds(halves, ["event_type"], k=16).select(
+        "event_type",
+        "rank",
+        F.col("item").alias("user_id"),
+        "lb",
+        "ub",
+        "n_rows",
+    )
+
+
+ORACLE_PAGERANK = """
+WITH base AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+  FROM lineitem WHERE l_partkey % 50 = 0),
+edges AS (
+  SELECT p AS src, s + 10000000 AS dst FROM base
+  UNION ALL
+  SELECT s + 10000000 AS src, p AS dst FROM base),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION SELECT DISTINCT dst FROM edges),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg
+        FROM edges GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_fp FROM nodes),
+c1 AS (
+  SELECT e.dst, CAST(SUM(r.rank_fp // d.out_deg) AS BIGINT) AS s
+  FROM edges e
+  JOIN r0 r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY 1),
+r1 AS (
+  SELECT n.node,
+         CAST(150000000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT)
+           AS rank_fp
+  FROM nodes n LEFT JOIN c1 ON c1.dst = n.node),
+c2 AS (
+  SELECT e.dst, CAST(SUM(r.rank_fp // d.out_deg) AS BIGINT) AS s
+  FROM edges e
+  JOIN r1 r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY 1),
+r2 AS (
+  SELECT n.node,
+         CAST(150000000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT)
+           AS rank_fp
+  FROM nodes n LEFT JOIN c2 ON c2.dst = n.node)
+SELECT node, rank_fp FROM r2
+"""
+
+
+@register("g_pagerank_fixed", oracle=ORACLE_PAGERANK)
+def g_pagerank_fixed(spark, sf_dir):
+    """Deterministic fixed-point PageRank
+    (``operators.graph.pagerank_fixed_point``) over the symmetric
+    part↔supplier trade graph (a deterministic 1-in-50 part subset
+    bounds the subgraph; supplier ids offset by 10^7 to disjoint the
+    node spaces) — the second iterative-graph shape beside BFS, and
+    the one float arithmetic would make UNCHECKABLE: double-sum
+    PageRank depends on partition combine order, while this integer
+    form (rank div out_degree contributions, (85·Σ) div 100 damping)
+    is bit-identical across partitionings, so DuckDB replays BOTH
+    iterations as unrolled CTEs and the full rank vector
+    value-hashes cross-engine. Symmetric edges give every node
+    out-degree ≥ 1 — no dangling-mass term, total rank conserved up
+    to floor truncation. Two exchanges per round (contribution join
+    keyed on edge source + dst aggregation); mass-conservation,
+    hub-dominance and repartition-determinism are pinned in
+    ``tests/test_graph.py``."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    (li,) = load(spark, sf_dir, "lineitem")
+    base = (
+        li.filter("l_partkey % 50 = 0")
+        .select(
+            F.col("l_partkey").alias("p"),
+            (F.col("l_suppkey") + 10_000_000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = base.selectExpr("p AS src", "s AS dst").unionByName(
+        base.selectExpr("s AS src", "p AS dst")
+    )
+    return pagerank_fixed_point(edges, iterations=2)

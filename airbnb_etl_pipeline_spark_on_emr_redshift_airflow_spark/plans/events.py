@@ -104,31 +104,23 @@ def e_session_window(spark, sf_dir):
 
 
 @register(
-    "e_watermark_dedup",
+    "e_watermark_json",
     oracle=f"""
-    SELECT DISTINCT event_id, ts, user_id, event_type, value
+    SELECT 'dedup' AS slice, event_id, ts, user_id, event_type, value,
+           CAST(NULL AS BIGINT) AS n_events, CAST(NULL AS BIGINT) AS min_k,
+           CAST(NULL AS BIGINT) AS max_k, CAST(NULL AS BIGINT) AS sum_k
     FROM (
-      SELECT event_id, ts, user_id, event_type, value FROM {EVENTS_SRC}
-      UNION ALL
-      SELECT event_id, ts, user_id, event_type, value FROM {EVENTS_SRC}
-    ) doubled
-    """,
-)
-def e_watermark_dedup(spark, sf_dir):
-    """Watermarked exactly-once dedup (re-delivered rows collapse to
-    one — the reference's late-data repair, ``README.md:210-213``).
-    Batch analog: the input is doubled, the operator must return each
-    event exactly once."""
-    (events,) = load(spark, sf_dir, "events")
-    slim = events.select("event_id", "ts", "user_id", "event_type", "value")
-    doubled = slim.unionByName(slim)
-    return watermark_dedup(doubled)
-
-
-@register(
-    "e_json_extraction",
-    oracle=f"""
-    SELECT event_type,
+      SELECT DISTINCT event_id, ts, user_id, event_type, value
+      FROM (
+        SELECT event_id, ts, user_id, event_type, value FROM {EVENTS_SRC}
+        UNION ALL
+        SELECT event_id, ts, user_id, event_type, value FROM {EVENTS_SRC}
+      ) doubled
+    )
+    UNION ALL
+    SELECT 'json' AS slice, CAST(NULL AS BIGINT) AS event_id,
+           CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS BIGINT) AS user_id,
+           event_type, CAST(NULL AS DOUBLE) AS value,
            count(*) AS n_events,
            CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
            CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
@@ -136,13 +128,36 @@ def e_watermark_dedup(spark, sf_dir):
     FROM {EVENTS_SRC} GROUP BY event_type
     """,
 )
-def e_json_extraction(spark, sf_dir):
-    """JSON property extraction from the ``props`` string column
-    (surface extension per SURVEY.md §2.8 — the reference has no JSON
-    functions) + integer aggregates over the extracted field."""
+def e_watermark_json(spark, sf_dir):
+    """Round-7 slice-merge of ``e_watermark_dedup`` + ``e_json_extraction``
+    (both re-registered verbatim past the window in ``plans.probes``),
+    freeing a first-50 slot for ``a_heavy_hitters_ledger`` per the
+    established rotation discipline. 'dedup' slice: watermarked
+    exactly-once dedup — the input is doubled and the operator must
+    return each event exactly once (the reference's late-data repair,
+    ``README.md:210-213``). 'json' slice: JSON property extraction
+    from the ``props`` string column + integer aggregates over the
+    extracted field (SURVEY.md §2.8 surface extension). Both slices
+    read the SAME events scan; the union null-pads each side's
+    exclusive columns with typed NULLs (the established merge shape,
+    cf. ``n_language_detect``)."""
     (events,) = load(spark, sf_dir, "events")
+    slim = events.select("event_id", "ts", "user_id", "event_type", "value")
+    doubled = slim.unionByName(slim)
+    dedup = watermark_dedup(doubled).select(
+        F.lit("dedup").alias("slice"),
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.lit(None).cast("bigint").alias("n_events"),
+        F.lit(None).cast("bigint").alias("min_k"),
+        F.lit(None).cast("bigint").alias("max_k"),
+        F.lit(None).cast("bigint").alias("sum_k"),
+    )
     k = F.get_json_object("props", "$.k").cast("bigint")
-    return (
+    jagg = (
         events.withColumn("k", k)
         .groupBy("event_type")
         .agg(
@@ -151,5 +166,17 @@ def e_json_extraction(spark, sf_dir):
             F.max("k").alias("max_k"),
             F.sum("k").alias("sum_k"),
         )
+        .select(
+            F.lit("json").alias("slice"),
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit(None).cast("bigint").alias("user_id"),
+            "event_type",
+            F.lit(None).cast("double").alias("value"),
+            "n_events",
+            "min_k",
+            "max_k",
+            "sum_k",
+        )
     )
-
+    return dedup.unionByName(jagg)

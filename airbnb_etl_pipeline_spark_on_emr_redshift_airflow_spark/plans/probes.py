@@ -2990,94 +2990,9 @@ def q15_top_supplier(spark, sf_dir):
     )
 
 
-ORACLE_HEAVY_HITTERS = """
-WITH base AS (
-  SELECT event_type, CAST(user_id AS BIGINT) AS item,
-         CAST(event_id % 2 AS INT) AS half
-  FROM events),
-cnts AS (
-  SELECT event_type, half, item, CAST(count(*) AS BIGINT) AS cnt
-  FROM base GROUP BY 1, 2, 3),
-rk AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, half
-                               ORDER BY cnt DESC, item) AS rn
-  FROM cnts),
-oth AS (
-  SELECT event_type, half,
-         COALESCE(MAX(CASE WHEN rn > 16 THEN cnt END), 0) AS omax
-  FROM rk GROUP BY 1, 2),
-tot AS (
-  SELECT event_type, SUM(omax) AS tot_omax FROM oth GROUP BY 1),
-n AS (
-  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
-  FROM base GROUP BY 1),
-items AS (
-  SELECT t.event_type, t.item,
-         CAST(SUM(t.cnt) AS BIGINT) AS lb,
-         CAST(SUM(o.omax) AS BIGINT) AS cover
-  FROM rk t
-  JOIN oth o ON t.event_type = o.event_type AND t.half = o.half
-  WHERE t.rn <= 16
-  GROUP BY 1, 2),
-merged AS (
-  SELECT i.event_type, i.item, i.lb,
-         CAST(i.lb + tt.tot_omax - i.cover AS BIGINT) AS ub,
-         n.n_rows,
-         ROW_NUMBER() OVER (PARTITION BY i.event_type
-                            ORDER BY i.lb DESC, i.item) AS rank
-  FROM items i
-  JOIN tot tt ON i.event_type = tt.event_type
-  JOIN n ON i.event_type = n.event_type)
-SELECT event_type, CAST(rank AS INT) AS rank, item AS user_id,
-       lb, ub, n_rows
-FROM merged WHERE rank <= 16
-"""
-
-
-@register("a_heavy_hitters_ledger", oracle=ORACLE_HEAVY_HITTERS)
-def a_heavy_hitters_ledger(spark, sf_dir):
-    """Mergeable heavy-hitters ledger (``operators.heavyhitters``):
-    per-event-type top-16 users with SOUND count bounds, built from
-    two DISJOINT halves of events and folded with the
-    threshold-algorithm merge — the fifth additive-state ledger
-    (counts, HLL distinct, histogram quantiles, bottom-k samples,
-    now top-k frequencies). Each period ledger stores its exact
-    top-k plus ``other_max``/``other_mass`` scalars about what it
-    dropped; the merge reports ``lb = Σ counts where present`` and
-    ``ub = lb + Σ other_max(periods not containing the item)``.
-    Unlike Misra-Gries, whose merged counters depend on combine
-    order, every quantity here is a deterministic integer sum — so
-    this carries a FULL value-hash oracle: DuckDB replays the
-    per-half build and the bound fold from the raw table and must
-    reproduce the identical bigints. Build exactness, presence
-    guarantee (true > other_max ⇒ in top), bound soundness
-    (lb ≤ true ≤ ub) and nested-merge soundness are pinned in
-    ``tests/test_heavyhitters.py``. 100 TB shape: the build is a
-    word-count (one (keys, item) exchange); the merge folds
-    KB-sized ledger rows, never the corpus."""
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.heavyhitters import (
-        heavyhitters_ledger,
-        ledger_topk_bounds,
-    )
-
-    (ev,) = load(spark, sf_dir, "events")
-    ev = ev.select(
-        "event_id", "event_type", F.col("user_id").cast("bigint").alias("uid")
-    )
-    halves = [
-        heavyhitters_ledger(
-            ev.filter(f"event_id % 2 = {p}"), ["event_type"], "uid", k=16
-        )
-        for p in (0, 1)
-    ]
-    return ledger_topk_bounds(halves, ["event_type"], k=16).select(
-        "event_type",
-        "rank",
-        F.col("item").alias("user_id"),
-        "lb",
-        "ub",
-        "n_rows",
-    )
+# a_heavy_hitters_ledger rotated INTO the driver window round 7 —
+# now registered in plans.curation (slot freed by the
+# e_watermark_dedup + e_json_extraction slice-merge).
 
 
 ORACLE_SEGMENT_OVERLAP = """
@@ -3173,81 +3088,9 @@ def a_segment_overlap(spark, sf_dir):
     return ledger_jaccard(led, "event_type", k=32)
 
 
-ORACLE_PAGERANK = """
-WITH base AS (
-  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
-  FROM lineitem WHERE l_partkey % 50 = 0),
-edges AS (
-  SELECT p AS src, s + 10000000 AS dst FROM base
-  UNION ALL
-  SELECT s + 10000000 AS src, p AS dst FROM base),
-nodes AS (
-  SELECT DISTINCT src AS node FROM edges
-  UNION SELECT DISTINCT dst FROM edges),
-deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg
-        FROM edges GROUP BY 1),
-r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_fp FROM nodes),
-c1 AS (
-  SELECT e.dst, CAST(SUM(r.rank_fp // d.out_deg) AS BIGINT) AS s
-  FROM edges e
-  JOIN r0 r ON r.node = e.src
-  JOIN deg d ON d.src = e.src
-  GROUP BY 1),
-r1 AS (
-  SELECT n.node,
-         CAST(150000000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT)
-           AS rank_fp
-  FROM nodes n LEFT JOIN c1 ON c1.dst = n.node),
-c2 AS (
-  SELECT e.dst, CAST(SUM(r.rank_fp // d.out_deg) AS BIGINT) AS s
-  FROM edges e
-  JOIN r1 r ON r.node = e.src
-  JOIN deg d ON d.src = e.src
-  GROUP BY 1),
-r2 AS (
-  SELECT n.node,
-         CAST(150000000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT)
-           AS rank_fp
-  FROM nodes n LEFT JOIN c2 ON c2.dst = n.node)
-SELECT node, rank_fp FROM r2
-"""
-
-
-@register("g_pagerank_fixed", oracle=ORACLE_PAGERANK)
-def g_pagerank_fixed(spark, sf_dir):
-    """Deterministic fixed-point PageRank
-    (``operators.graph.pagerank_fixed_point``) over the symmetric
-    part↔supplier trade graph (a deterministic 1-in-50 part subset
-    bounds the subgraph; supplier ids offset by 10^7 to disjoint the
-    node spaces) — the second iterative-graph shape beside BFS, and
-    the one float arithmetic would make UNCHECKABLE: double-sum
-    PageRank depends on partition combine order, while this integer
-    form (rank div out_degree contributions, (85·Σ) div 100 damping)
-    is bit-identical across partitionings, so DuckDB replays BOTH
-    iterations as unrolled CTEs and the full rank vector
-    value-hashes cross-engine. Symmetric edges give every node
-    out-degree ≥ 1 — no dangling-mass term, total rank conserved up
-    to floor truncation. Two exchanges per round (contribution join
-    keyed on edge source + dst aggregation); mass-conservation,
-    hub-dominance and repartition-determinism are pinned in
-    ``tests/test_graph.py``."""
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.graph import (
-        pagerank_fixed_point,
-    )
-
-    (li,) = load(spark, sf_dir, "lineitem")
-    base = (
-        li.filter("l_partkey % 50 = 0")
-        .select(
-            F.col("l_partkey").alias("p"),
-            (F.col("l_suppkey") + 10_000_000).alias("s"),
-        )
-        .distinct()
-    )
-    edges = base.selectExpr("p AS src", "s AS dst").unionByName(
-        base.selectExpr("s AS src", "p AS dst")
-    )
-    return pagerank_fixed_point(edges, iterations=2)
+# g_pagerank_fixed rotated INTO the driver window round 7 — now
+# registered in plans.curation (slot freed by the
+# p_project_rename_cast + p_derived_date_parts slice-merge).
 
 
 _Q7_SQL = """
@@ -3742,3 +3585,124 @@ def q12_shipping_priority_class(spark, sf_dir):
     ONE SQL string runs verbatim on both engines."""
     views(spark, sf_dir, "lineitem", "orders")
     return spark.sql(_Q12_SQL)
+
+# ---------------------------------------------------------------------------
+# Round-7 merged-away originals, re-registered (same names, same
+# oracles) past the window: e_watermark_dedup + e_json_extraction
+# folded into e_watermark_json (plans.events) and
+# p_project_rename_cast + p_derived_date_parts into p_project_dates
+# (plans.relational), freeing first-50 slots for the round-6
+# flagships a_heavy_hitters_ledger and g_pagerank_fixed
+# (plans.curation).
+
+
+@register(
+    "e_watermark_dedup",
+    oracle=f"""
+    SELECT DISTINCT event_id, ts, user_id, event_type, value
+    FROM (
+      SELECT event_id, ts, user_id, event_type, value FROM {EVENTS_SRC}
+      UNION ALL
+      SELECT event_id, ts, user_id, event_type, value FROM {EVENTS_SRC}
+    ) doubled
+    """,
+)
+def e_watermark_dedup(spark, sf_dir):
+    """Watermarked exactly-once dedup (re-delivered rows collapse to
+    one — the reference's late-data repair, ``README.md:210-213``).
+    Batch analog: the input is doubled, the operator must return each
+    event exactly once. Merged into ``e_watermark_json`` for the
+    driver window; re-registered here unchanged."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.events import (
+        watermark_dedup,
+    )
+
+    (events,) = load(spark, sf_dir, "events")
+    slim = events.select("event_id", "ts", "user_id", "event_type", "value")
+    doubled = slim.unionByName(slim)
+    return watermark_dedup(doubled)
+
+
+@register(
+    "e_json_extraction",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM {EVENTS_SRC} GROUP BY event_type
+    """,
+)
+def e_json_extraction(spark, sf_dir):
+    """JSON property extraction from the ``props`` string column
+    (surface extension per SURVEY.md §2.8 — the reference has no JSON
+    functions) + integer aggregates over the extracted field."""
+    (events,) = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+@register(
+    "p_project_rename_cast",
+    oracle="""
+    SELECT p_partkey AS part_id,
+           lower(p_name) AS name_norm,
+           CAST(p_size AS BIGINT) AS size_l,
+           CAST(CAST(p_retailprice / 10 AS DECIMAL(18,4)) AS DOUBLE) AS price_tenth,
+           CAST(NULL AS DOUBLE) AS discount_rate
+    FROM part
+    """,
+)
+def p_project_rename_cast(spark, sf_dir):
+    """P1-P5 + F7 + F11: rename, normalize, cast, arithmetic rescale
+    (the reference's ``TG/10`` at ``apps/process_weather.py:91``), and
+    a typed-null pad (``apps/process_listings_hosts.py:90-95``).
+    Merged into ``p_project_dates`` for the driver window;
+    re-registered here unchanged."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.relational import (
+        with_typed_nulls,
+    )
+
+    (part,) = load(spark, sf_dir, "part")
+    projected = part.select(
+        F.col("p_partkey").alias("part_id"),
+        F.lower("p_name").alias("name_norm"),
+        F.col("p_size").cast("bigint").alias("size_l"),
+        (F.col("p_retailprice") / 10).cast("decimal(18,4)").cast("double").alias(
+            "price_tenth"
+        ),
+    )
+    return with_typed_nulls(projected, {"discount_rate": "double"})
+
+
+@register(
+    "p_derived_date_parts",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def p_derived_date_parts(spark, sf_dir):
+    """P6/F5: year/month derivation — the reference's partition-key
+    columns (``apps/preprocess_data.py:92,102,112``) — then a count per
+    derived part."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .withColumn("order_month", F.month("o_orderdate"))
+        .groupBy("order_year", "order_month")
+        .agg(F.count("*").alias("n_orders"))
+    )

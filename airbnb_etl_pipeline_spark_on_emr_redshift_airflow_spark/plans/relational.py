@@ -22,22 +22,48 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog impor
 
 
 @register(
-    "p_project_rename_cast",
+    "p_project_dates",
     oracle="""
-    SELECT p_partkey AS part_id,
+    SELECT 'proj' AS slice,
+           p_partkey AS part_id,
            lower(p_name) AS name_norm,
            CAST(p_size AS BIGINT) AS size_l,
            CAST(CAST(p_retailprice / 10 AS DECIMAL(18,4)) AS DOUBLE) AS price_tenth,
-           CAST(NULL AS DOUBLE) AS discount_rate
+           CAST(NULL AS DOUBLE) AS discount_rate,
+           CAST(NULL AS INT) AS order_year,
+           CAST(NULL AS INT) AS order_month,
+           CAST(NULL AS BIGINT) AS n_orders
     FROM part
+    UNION ALL
+    SELECT 'dates' AS slice,
+           CAST(NULL AS BIGINT) AS part_id,
+           CAST(NULL AS VARCHAR) AS name_norm,
+           CAST(NULL AS BIGINT) AS size_l,
+           CAST(NULL AS DOUBLE) AS price_tenth,
+           CAST(NULL AS DOUBLE) AS discount_rate,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 7, 8
     """,
 )
-def p_project_rename_cast(spark, sf_dir):
-    """P1-P5 + F7 + F11: rename, normalize, cast, arithmetic rescale
-    (the reference's ``TG/10`` at ``apps/process_weather.py:91``), and
-    a typed-null pad (``apps/process_listings_hosts.py:90-95``)."""
+def p_project_dates(spark, sf_dir):
+    """Round-7 slice-merge of ``p_project_rename_cast`` +
+    ``p_derived_date_parts`` (both re-registered verbatim past the
+    window in ``plans.probes``), freeing a first-50 slot for
+    ``g_pagerank_fixed`` per the established rotation discipline.
+    'proj' slice — P1-P5 + F7 + F11: rename, normalize, cast,
+    arithmetic rescale (the reference's ``TG/10`` at
+    ``apps/process_weather.py:91``) and a typed-null pad
+    (``apps/process_listings_hosts.py:90-95``). 'dates' slice —
+    P6/F5: year/month derivation (the reference's partition-key
+    columns, ``apps/preprocess_data.py:92,102,112``) + a count per
+    derived part. Disjoint tables (part / orders), so the union is
+    two independent scan-stage legs null-padded to a common schema."""
     (part,) = load(spark, sf_dir, "part")
     projected = part.select(
+        F.lit("proj").alias("slice"),
         F.col("p_partkey").alias("part_id"),
         F.lower("p_name").alias("name_norm"),
         F.col("p_size").cast("bigint").alias("size_l"),
@@ -45,7 +71,34 @@ def p_project_rename_cast(spark, sf_dir):
             "price_tenth"
         ),
     )
-    return with_typed_nulls(projected, {"discount_rate": "double"})
+    proj = with_typed_nulls(
+        projected,
+        {
+            "discount_rate": "double",
+            "order_year": "int",
+            "order_month": "int",
+            "n_orders": "bigint",
+        },
+    )
+    (orders,) = load(spark, sf_dir, "orders")
+    dates = (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .withColumn("order_month", F.month("o_orderdate"))
+        .groupBy("order_year", "order_month")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.lit("dates").alias("slice"),
+            F.lit(None).cast("bigint").alias("part_id"),
+            F.lit(None).cast("string").alias("name_norm"),
+            F.lit(None).cast("bigint").alias("size_l"),
+            F.lit(None).cast("double").alias("price_tenth"),
+            F.lit(None).cast("double").alias("discount_rate"),
+            "order_year",
+            "order_month",
+            "n_orders",
+        )
+    )
+    return proj.unionByName(dates)
 
 
 @register(
@@ -78,29 +131,6 @@ def p_filter_predicates(spark, sf_dir):
         & (F.col("o_orderdate") > F.lit("1996-06-01 00:00:00").cast("timestamp"))
         & F.col("o_custkey").isNotNull()
     ).select("o_orderkey", "o_orderstatus", "o_totalprice")
-
-
-@register(
-    "p_derived_date_parts",
-    oracle="""
-    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
-           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
-           count(*) AS n_orders
-    FROM orders
-    GROUP BY 1, 2
-    """,
-)
-def p_derived_date_parts(spark, sf_dir):
-    """P6/F5: year/month derivation — the reference's partition-key
-    columns (``apps/preprocess_data.py:92,102,112``) — then a count per
-    derived part."""
-    (orders,) = load(spark, sf_dir, "orders")
-    return (
-        orders.withColumn("order_year", F.year("o_orderdate"))
-        .withColumn("order_month", F.month("o_orderdate"))
-        .groupBy("order_year", "order_month")
-        .agg(F.count("*").alias("n_orders"))
-    )
 
 
 @register(

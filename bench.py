@@ -107,7 +107,6 @@ HEADLINE = [
     "s_semdedup",
     "c_budget_select",
     "t_bigram_lm_score",
-    "d_embedding_decontaminate",
     "q10_returned_items",
     "q18_large_orders",
     "t_data_card",
@@ -122,14 +121,10 @@ HEADLINE = [
     "d_repeated_spans",
     "d_strip_repeated_spans",
     "u_snapshot_diff",
-    "c_cluster_safe_split",
     "q16_supplier_relation",
     "q21_waiting_supplier",
     "g_bfs_reachability",
     "r_hybrid_rrf",
-    "q14_promo_effect",
-    "q19_disjunctive_filter",
-    "w_range_interval_frame",
     # round-5 additions: the merged multimodal window slot and the
     # persisted / partition-pruned ANN serving path (first run builds
     # the on-disk index; the median therefore reports the read path,
@@ -140,6 +135,20 @@ HEADLINE = [
     "a_hll_ledger",
     "a_drift_report",
     "j_record_linkage",
+    # round-7 rotation: the 5 cheapest near-duplicate slices
+    # (w_range_interval_frame 0.10 s, c_cluster_safe_split 0.19,
+    # q19_disjunctive_filter 0.25, q14_promo_effect 0.27,
+    # d_embedding_decontaminate 0.31 — every family keeps headline
+    # representation via a pricier sibling) moved to the sidecar so
+    # the driver-visible total tracks the chains that matter at
+    # scale: the full mergeable-ledger family and fixed-point
+    # PageRank. Headline stays under the ~1.95 KB stdout guard (the
+    # five new names are 17 chars shorter than the five retired).
+    "a_quantile_ledger",
+    "c_bottomk_sample",
+    "a_heavy_hitters_ledger",
+    "a_segment_overlap",
+    "g_pagerank_fixed",
 ]
 
 # Median-of-N per query; raise via SPARK_GRAFT_BENCH_RUNS.
@@ -151,17 +160,12 @@ N_RUNS = 3
 # push even the 1-dp degrade stage past the guard, so new queries
 # accrue here until a rotation frees stdout budget.
 SIDECAR_ONLY = [
-    "a_quantile_ledger",
-    "c_bottomk_sample",
     "q17_small_qty_revenue",
     "q22_idle_customers",
-    "a_heavy_hitters_ledger",
     "q13_customer_distribution",
     "q20_part_promotion",
     "q2_min_cost_supplier",
     "q15_top_supplier",
-    "a_segment_overlap",
-    "g_pagerank_fixed",
     "q7_volume_shipping",
     "q8_market_share",
     "q4_priority_check",
@@ -171,6 +175,14 @@ SIDECAR_ONLY = [
     # round-7 additions
     "q11_important_stock",
     "q12_shipping_priority_class",
+    # round-7 headline retirees (the five cheapest near-duplicate
+    # slices, swapped for the ledger family + PageRank — still timed
+    # here every round so a regression stays visible)
+    "w_range_interval_frame",
+    "c_cluster_safe_split",
+    "q19_disjunctive_filter",
+    "q14_promo_effect",
+    "d_embedding_decontaminate",
 ]
 
 

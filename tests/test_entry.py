@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 123
+    assert len(names) == 125
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -37,11 +37,20 @@ def test_oracle_keys_subset_of_queries(spark):
     # the tail); the oracle-checked c_dsir_select and
     # q5_local_supplier_volume took the freed slots (window positions
     # 47/48, keeping d_decontaminate/c_pack_sequences at 49/50).
+    # round-7 rotation: e_watermark_dedup + e_json_extraction folded
+    # into e_watermark_json and p_project_rename_cast +
+    # p_derived_date_parts into p_project_dates (all four originals
+    # re-registered verbatim at the tail); the freed slots record the
+    # round-6 flagships a_heavy_hitters_ledger (full bound-algebra
+    # oracle) and g_pagerank_fixed (full rank-vector oracle) at window
+    # positions 49/50.
     for must_have in (
         "d_decontaminate", "c_pack_sequences",
         "t_tfidf_topk", "u_merge_apply_cdc",
         "r_bm25_search", "t_unigram_lm_score", "d_repeated_spans",
         "c_dsir_select", "q5_local_supplier_volume",
+        "e_watermark_json", "p_project_dates",
+        "a_heavy_hitters_ledger", "g_pagerank_fixed",
     ):
         assert must_have in names[:50]
     # new extension queries first, then the cap-probe re-registrations
@@ -103,15 +112,11 @@ def test_oracle_keys_subset_of_queries(spark):
         # round-6 extensions: correlated MIN-equality and the
         # reused-CTE scalar-max planning shapes
         "q2_min_cost_supplier", "q15_top_supplier",
-        # round-6 extension: mergeable heavy-hitters ledger with sound
-        # count bounds (full value-hash oracle — integer bound algebra)
-        "a_heavy_hitters_ledger",
         # round-6 extension: KMV segment-overlap estimates served from
-        # bottom-k ledgers alone (full value-hash oracle)
+        # bottom-k ledgers alone (full value-hash oracle); its siblings
+        # a_heavy_hitters_ledger and g_pagerank_fixed rotated INTO the
+        # window in round 7 (registered in plans.curation)
         "a_segment_overlap",
-        # round-6 extension: deterministic fixed-point PageRank
-        # (integer rank algebra -> unrolled-CTE value-hash oracle)
-        "g_pagerank_fixed",
         # round-6 extensions: the two widest TPC-H join showcases —
         # Q7 disjunctive cross-nation pairs, Q8 dual-nation market
         # share through a region gate (verbatim-shared SQL)
@@ -134,6 +139,10 @@ def test_oracle_keys_subset_of_queries(spark):
         # (shipmode/commit dates absent from the schema; join topology
         # and CASE-agg shape preserved)
         "q11_important_stock", "q12_shipping_priority_class",
+        # round-7 rotation re-registrations (window slots freed for
+        # a_heavy_hitters_ledger / g_pagerank_fixed)
+        "e_watermark_dedup", "e_json_extraction",
+        "p_project_rename_cast", "p_derived_date_parts",
     ]
 
 

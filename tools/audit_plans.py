@@ -108,6 +108,13 @@ AUDITED = [
     "q4_priority_check",
     "q6_forecast_revenue",
     "q9_product_profit",
+    # round-7: the canon-completing TPC-H shapes (q11's global total is
+    # a 1-row stats frame — exempt like q15's scalar) and the two
+    # rotation slice-merges
+    "q11_important_stock",
+    "q12_shipping_priority_class",
+    "e_watermark_json",
+    "p_project_dates",
 ]
 
 # Every input corpus-sized → no broadcast hint allowed anywhere in the
