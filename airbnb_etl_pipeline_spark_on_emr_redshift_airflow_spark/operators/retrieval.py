@@ -42,6 +42,7 @@ def bm25_search(
     qterms_col: str = "q",
     k1: float = 1.2,
     b: float = 0.75,
+    return_terms: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents per query by Okapi BM25.
 
@@ -109,6 +110,11 @@ def bm25_search(
         )
     )
     contrib = F.floor(w_term * F.lit(_SCALE) + F.lit(0.5)).cast("bigint")
+    if return_terms:
+        # diagnostic seam for the ln-boundary sweep
+        # (tests/test_ln_boundary.py): the exact pre-quantization
+        # per-(query, doc, term) BM25 weight the 4-dp floor quantizes
+        return probed.select("qid", "id", "term", w_term.alias("raw"))
     scored = (
         probed.select("qid", "id", contrib.alias("w_q4"))
         .groupBy("qid", "id")
