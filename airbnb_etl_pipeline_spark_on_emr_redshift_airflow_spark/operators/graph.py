@@ -87,6 +87,7 @@ def pagerank_fixed_point(
     scale: int = 10**9,
     src_col: str = "src",
     dst_col: str = "dst",
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic PageRank over integer fixed-point ranks — the
     second iterative-graph operator beside :func:`bfs_min_hops`.
@@ -125,7 +126,36 @@ def pagerank_fixed_point(
         F.count(F.lit(1)).cast("bigint").alias("__out_deg")
     ).localCheckpoint()
     base = (scale * (damping_den - damping_num)) // damping_den
-    r = nodes.withColumn("rank_fp", F.lit(scale).cast("bigint"))
+    if init_ranks is None:
+        r = nodes.withColumn("rank_fp", F.lit(scale).cast("bigint"))
+    else:
+        # WARM START (round 7, VERDICT r6 stretch #9): resume
+        # iteration from a persisted ``(node, rank_fp)`` table — the
+        # previous period's checkpoint. Because every update is exact
+        # integer algebra, resuming is a PURE continuation: on an
+        # unchanged graph, ``cold(k1) → warm(k2)`` is bit-identical to
+        # ``cold(k1 + k2)`` (pinned in tests/test_graph.py). On a
+        # GROWN graph, nodes absent from the checkpoint start at the
+        # uniform ``scale`` init and existing nodes keep their learned
+        # mass, so a few warm rounds re-converge the neighborhood the
+        # delta touched instead of re-ranking the whole graph from
+        # scratch — the incremental-maintenance path
+        # examples/incremental.py runs per period. One keyed left
+        # join; the loop below is unchanged.
+        r = (
+            nodes.join(
+                init_ranks.select("node", F.col("rank_fp").alias("__init")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("__init"), F.lit(scale))
+                .cast("bigint")
+                .alias("rank_fp"),
+            )
+            .localCheckpoint()
+        )
     for _ in range(iterations):
         contrib = (
             e.join(r, e["__src"] == r["node"])

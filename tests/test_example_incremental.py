@@ -290,3 +290,50 @@ def test_incremental_hitters_ledger_bounds_and_survives_replay(spark, tmp_dir):
     # fold is unchanged
     r2 = pipe.run(spark, "0:150")
     assert served(r2) == got1
+
+
+def test_incremental_pagerank_warm_start_and_replay(spark, tmp_dir):
+    """The pagerank stage resumes from the newest predecessor
+    checkpoint (hi <= lo), equals a directly-computed warm-start over
+    the same published graph, and a replayed period rewrites its
+    partition identically (it never warm-starts from its own
+    output)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    wd = f"{tmp_dir}/inc_pr"
+    pipe = build_pipeline(SF_DIR, wd)
+    pipe.run(spark, "0:200")
+    run1 = pipe.run(spark, "200:350")
+    got = sorted(map(tuple, run1.results["pagerank"].collect()))
+
+    # direct recompute: same graph off the published corpus, warm-
+    # started from period 0's checkpoint
+    docs = spark.read.parquet(f"{wd}/corpus")
+    src_node = -(F.pmod(F.xxhash64("source"), F.lit(2**40)) + F.lit(1))
+    edges = docs.select(
+        F.col("doc_id").cast("bigint").alias("src"),
+        src_node.cast("bigint").alias("dst"),
+    ).unionByName(
+        docs.select(
+            src_node.cast("bigint").alias("src"),
+            F.col("doc_id").cast("bigint").alias("dst"),
+        )
+    )
+    init = spark.read.parquet(f"{wd}/pagerank_ranks/period=0_200")
+    want = sorted(map(tuple, pagerank_fixed_point(
+        edges, iterations=2, init_ranks=init).collect()))
+    assert got == want
+
+    # source hub nodes (negative ids) outrank their doc leaves
+    ranks = {n: r for n, r in got}
+    hub_min = min(r for n, r in got if n < 0)
+    doc_max = max(r for n, r in got if n >= 0)
+    assert hub_min > doc_max
+
+    # replay: published corpus is unchanged, the predecessor is still
+    # period 0 (never the period's own output) — identical partition
+    run2 = pipe.run(spark, "200:350")
+    again = sorted(map(tuple, run2.results["pagerank"].collect()))
+    assert again == got

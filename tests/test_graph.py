@@ -169,3 +169,35 @@ def test_pagerank_fixed_point_properties(spark):
     assert sorted(map(tuple, r2.collect())) == sorted(
         map(tuple, r.collect())
     )
+
+
+def test_pagerank_warm_start_resumes_exactly_and_handles_growth(spark):
+    """Warm start is a PURE continuation of the integer algebra:
+    cold(k1) -> warm(k2) must be bit-identical to cold(k1 + k2) on an
+    unchanged graph (the incremental-maintenance contract,
+    examples/incremental.py). On a grown graph, checkpoint-absent
+    nodes start at the uniform init and present nodes keep their
+    learned mass."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    rows = [(0, i) for i in range(1, 9)] + [(i, 0) for i in range(1, 9)]
+    edges = spark.createDataFrame(rows, "src bigint, dst bigint")
+
+    cold4 = pagerank_fixed_point(edges, iterations=4)
+    cold2 = pagerank_fixed_point(edges, iterations=2)
+    warm = pagerank_fixed_point(edges, iterations=2, init_ranks=cold2)
+    assert sorted(map(tuple, warm.collect())) == sorted(
+        map(tuple, cold4.collect())
+    )
+
+    # grown graph: add a new leaf 9 <-> hub; warm-start from cold2
+    grown = spark.createDataFrame(
+        rows + [(0, 9), (9, 0)], "src bigint, dst bigint"
+    )
+    wg = pagerank_fixed_point(grown, iterations=2, init_ranks=cold2)
+    ranks = {r["node"]: r["rank_fp"] for r in wg.collect()}
+    assert 9 in ranks  # checkpoint-absent node participates
+    # hub still dominates; all 10 nodes ranked
+    assert len(ranks) == 10 and all(ranks[0] > ranks[i] for i in range(1, 10))
