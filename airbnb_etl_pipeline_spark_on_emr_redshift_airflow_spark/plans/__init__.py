@@ -21,7 +21,14 @@ tail (their families stay window-represented via exact siblings), and
 the oracle-checked ``c_dsir_select`` + ``q5_local_supplier_volume``
 (plans.curation) took window slots 47/48 — and every remaining
 rows-only window entry now carries an in-result ``ok`` invariant
-column (``tests/test_invariants.py``).
+column (``tests/test_invariants.py``). Round-7 rotation:
+``e_watermark_dedup`` + ``e_json_extraction`` folded into
+``e_watermark_json`` (plans.events) and ``p_project_rename_cast`` +
+``p_derived_date_parts`` into ``p_project_dates`` (plans.relational)
+— all four originals re-registered verbatim at the tail — and the
+freed slots record the round-6 oracle-checked flagships
+``a_heavy_hitters_ledger`` and ``g_pagerank_fixed`` (plans.curation)
+at window positions 49/50.
 """
 
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import (  # noqa: F401
