@@ -56,7 +56,11 @@ DEFAULT_K = 16
 
 
 def heavyhitters_ledger(
-    df: DataFrame, keys: list[str], item_col: str, k: int = DEFAULT_K
+    df: DataFrame,
+    keys: list[str],
+    item_col: str,
+    k: int = DEFAULT_K,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One ledger row per ``keys`` group: ``top`` — the k most
     frequent items as ``(rn, item, cnt, ub)`` structs (count desc,
@@ -66,9 +70,28 @@ def heavyhitters_ledger(
     dropped count) and the additive ``n_rows``. The per-item ``ub``
     field exists so MERGED ledgers stay inductively sound: after a
     truncating merge the stored cnt is a lower bound, and the upper
-    bound must come from the inputs' recorded ubs, not their lbs."""
+    bound must come from the inputs' recorded ubs, not their lbs.
+
+    WEIGHTED form (round 7): pass ``weight_col`` to rank items by an
+    additive measure instead of frequency — "top-revenue parts per
+    flag" instead of "most frequent parts". ``cnt`` becomes
+    ``Σ weight`` per item and ``n_rows`` the group's total mass; the
+    ENTIRE downstream algebra (merge, presence guarantee, lb/ub
+    bounds) is weight-agnostic because it only ever adds and compares
+    the stored bigints. Soundness requires NONNEGATIVE integer
+    weights (quantize money to cents etc. upstream — the catalog's
+    fixed-point discipline): a negative weight would let a dropped
+    item exceed ``other_max``, and float weights would reintroduce
+    the combine-order nondeterminism the integer algebra exists to
+    kill. Weighted guarantees pinned in ``tests/test_heavyhitters``;
+    full value-hash oracle: ``a_weighted_hitters``."""
+    measure = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(F.col(weight_col))
+    )
     cnts = df.groupBy(*keys, F.col(item_col).alias("item")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+        measure.cast("bigint").alias("cnt")
     )
     w = Window.partitionBy(*keys).orderBy(F.desc("cnt"), F.asc("item"))
     ranked = cnts.withColumn("__rn", F.row_number().over(w))

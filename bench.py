@@ -175,6 +175,8 @@ SIDECAR_ONLY = [
     # round-7 additions
     "q11_important_stock",
     "q12_shipping_priority_class",
+    # round-7 extension
+    "a_weighted_hitters",
     # round-7 headline retirees (the five cheapest near-duplicate
     # slices, swapped for the ledger family + PageRank — still timed
     # here every round so a regression stays visible)

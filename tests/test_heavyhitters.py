@@ -125,3 +125,47 @@ def test_deterministic_under_repartition(spark, skewed):
     ra = sorted(map(tuple, ledger_topk(a, ["grp"]).collect()))
     rb = sorted(map(tuple, ledger_topk(b, ["grp"]).collect()))
     assert ra == rb
+
+
+def test_weighted_build_and_merge_bounds_sound(spark, skewed):
+    """Weighted form: cnt = Σ weight per item; build exact, merged
+    lb <= true <= ub, presence past other_max — the same algebra the
+    unweighted tests pin, over an additive measure."""
+    k = 5
+    w = skewed.withColumn("wgt", (F.col("row_id") % 17 + 1).cast("bigint"))
+    true = {
+        (r["grp"], r["item"]): r["s"]
+        for r in w.groupBy("grp", "item")
+        .agg(F.sum("wgt").cast("bigint").alias("s"))
+        .collect()
+    }
+
+    # build exactness when k covers everything
+    full = heavyhitters_ledger(w, ["grp"], "item", k=100, weight_col="wgt")
+    got = {
+        (r["grp"], r["item"]): r["cnt"]
+        for r in ledger_topk(full, ["grp"]).collect()
+    }
+    assert got == true
+
+    # split on row parity, merge, check bounds + presence
+    leds = [
+        heavyhitters_ledger(
+            w.filter(f"row_id % 2 = {p}"), ["grp"], "item",
+            k=k, weight_col="wgt",
+        )
+        for p in (0, 1)
+    ]
+    served = ledger_topk_bounds(leds, ["grp"], k=k).collect()
+    assert served
+    for r in served:
+        t = true[(r["grp"], r["item"])]
+        assert r["lb"] <= t <= r["ub"], (r, t)
+    merged = merge_heavyhitters_ledgers(leds, ["grp"], k=k)
+    omax = {r["grp"]: r["other_max"] for r in merged.collect()}
+    in_top = {
+        (r["grp"], r["item"]) for r in ledger_topk(merged, ["grp"]).collect()
+    }
+    for (g, item), t in true.items():
+        if t > omax[g]:
+            assert (g, item) in in_top, ((g, item), t, omax[g])
