@@ -87,6 +87,7 @@ def stream_hitters_maintenance(
     item_col: str,
     checkpoint_dir: str,
     k: int = 16,
+    weight_col: str | None = None,
 ) -> StreamingQuery:
     """Streaming heavy-hitters maintenance — the same two patterns as
     the HLL stream, for the top-k ledger (``operators.heavyhitters``):
@@ -106,7 +107,9 @@ def stream_hitters_maintenance(
             heavyhitters_ledger,
         )
 
-        led = heavyhitters_ledger(batch_df, keys, item_col, k=k)
+        led = heavyhitters_ledger(
+            batch_df, keys, item_col, k=k, weight_col=weight_col
+        )
         led.write.mode("overwrite").parquet(
             f"{ledger_path}/batch_id={batch_id}"
         )

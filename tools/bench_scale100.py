@@ -101,6 +101,10 @@ CHAINS = [
     "c_bottomk_sample",
     "a_segment_overlap",
     "r_mmr_rerank",
+    # round 7: weighted heavy-hitters (per-item cent sums ride the
+    # same (keys, item) word-count exchange — must scale like its
+    # unweighted sibling)
+    "a_weighted_hitters",
 ]
 N_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
 PASS_RATIO = 13.0
