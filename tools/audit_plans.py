@@ -115,6 +115,7 @@ AUDITED = [
     "q12_shipping_priority_class",
     "e_watermark_json",
     "p_project_dates",
+    "a_weighted_hitters",
 ]
 
 # Every input corpus-sized → no broadcast hint allowed anywhere in the
@@ -163,6 +164,7 @@ NO_SINGLE_PARTITION = [
     "a_quantile_ledger",
     "c_bottomk_sample",
     "a_heavy_hitters_ledger",
+    "a_weighted_hitters",
     "a_segment_overlap",
     "g_pagerank_fixed",
     "j_record_linkage",
