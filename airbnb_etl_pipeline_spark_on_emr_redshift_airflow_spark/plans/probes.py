@@ -3812,3 +3812,80 @@ def a_weighted_hitters(spark, sf_dir):
         "ub",
         "n_rows",
     )
+
+
+ORACLE_WINDOWED_QUANTILES = """
+WITH binned AS (
+  SELECT CAST(ts AS DATE) AS window_start, event_type,
+         LEAST(39, GREATEST(0,
+           CAST(FLOOR(CAST(value AS DOUBLE)
+                      * CAST(40.0 AS DOUBLE)
+                      / CAST(500.0 AS DOUBLE)) AS INT))) AS bin
+  FROM events),
+counts AS (
+  SELECT window_start, event_type, bin, CAST(count(*) AS BIGINT) AS c
+  FROM binned GROUP BY 1, 2, 3),
+cum AS (
+  SELECT window_start, event_type, bin, c,
+         SUM(c) OVER (PARTITION BY window_start, event_type
+                      ORDER BY bin) AS cm,
+         SUM(c) OVER (PARTITION BY window_start, event_type) AS n_rows
+  FROM counts),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.50), (0.95)) t(q)),
+hit AS (
+  SELECT window_start, event_type, q, n_rows, bin, c, cm,
+         ROW_NUMBER() OVER (
+           PARTITION BY window_start, event_type, q ORDER BY bin) AS rn
+  FROM cum CROSS JOIN qs
+  WHERE CAST(cm AS DOUBLE) >= q * CAST(n_rows AS DOUBLE)),
+vals AS (
+  SELECT window_start, event_type, q, CAST(n_rows AS BIGINT) AS n_rows,
+         (CAST(500.0 AS DOUBLE) / CAST(40 AS DOUBLE))
+           * (CAST(bin AS DOUBLE)
+              + (q * CAST(n_rows AS DOUBLE)
+                 - CAST(cm - c AS DOUBLE)) / CAST(c AS DOUBLE)) AS v
+  FROM hit WHERE rn = 1)
+SELECT window_start, event_type, n_rows,
+       MAX(CASE WHEN q = CAST(0.50 AS DOUBLE) THEN v END) AS q50,
+       MAX(CASE WHEN q = CAST(0.95 AS DOUBLE) THEN v END) AS q95
+FROM vals GROUP BY 1, 2, 3
+"""
+
+
+@register("e_windowed_quantiles", oracle=ORACLE_WINDOWED_QUANTILES)
+def e_windowed_quantiles(spark, sf_dir):
+    """Event-time windowed quantiles served from the histogram ledger
+    (round 7): per-day, per-event-type p50/p95 of the event value —
+    the latency/size-percentile dashboard every event pipeline wants,
+    composed from two existing proven pieces instead of a quantile
+    sketch: event-time day windowing (a DATE cast — canonical across
+    engines where ``date_trunc('day')`` returns TIMESTAMP in Spark
+    but DATE in DuckDB) keys ``operators.histogram``'s anchored bin
+    vectors, so each (window, type) group is ONE mergeable ledger row
+    and late data folds in with integer adds — at 100 TB the windowed
+    ledger build is a single map-side-combinable groupBy whose
+    exchange carries one 40-long bigint vector per group×partition,
+    and re-serving any coarser rollup (weekly p95s) folds the daily
+    rows without touching events again. Full value-hash oracle (same
+    device as ``a_quantile_ledger``): exact bigint bins + pure
+    +,-,*,/ interpolation — bit-identical cross-engine, no sketch
+    nondeterminism. Edges anchored to [0, 500) (clamped edge bins —
+    out-of-anchor values are themselves a drift signal)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.histogram import (
+        histogram_ledger,
+        ledger_quantiles,
+    )
+
+    (ev,) = load(spark, sf_dir, "events")
+    binned = ev.select(
+        F.col("ts").cast("date").alias("window_start"),
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+    )
+    led = histogram_ledger(
+        binned, ["window_start", "event_type"], "v", 0.0, 500.0, 40
+    )
+    return ledger_quantiles(
+        led, ["window_start", "event_type"], 0.0, 500.0, [0.5, 0.95]
+    )

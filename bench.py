@@ -175,8 +175,9 @@ SIDECAR_ONLY = [
     # round-7 additions
     "q11_important_stock",
     "q12_shipping_priority_class",
-    # round-7 extension
+    # round-7 extensions
     "a_weighted_hitters",
+    "e_windowed_quantiles",
     # round-7 headline retirees (the five cheapest near-duplicate
     # slices, swapped for the ledger family + PageRank — still timed
     # here every round so a regression stays visible)

@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 126
+    assert len(names) == 127
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -147,6 +147,10 @@ def test_oracle_keys_subset_of_queries(spark):
         # ranked by an additive measure (exact revenue cents) with the
         # same sound lb/ub bound algebra, full value-hash oracle
         "a_weighted_hitters",
+        # round-7 extension: event-time windowed quantiles served from
+        # per-(day, type) histogram ledger rows (full value-hash
+        # oracle — exact bins + pure-arithmetic interpolation)
+        "e_windowed_quantiles",
     ]
 
 
