@@ -116,6 +116,7 @@ AUDITED = [
     "e_watermark_json",
     "p_project_dates",
     "a_weighted_hitters",
+    "e_windowed_quantiles",
 ]
 
 # Every input corpus-sized → no broadcast hint allowed anywhere in the
@@ -165,6 +166,7 @@ NO_SINGLE_PARTITION = [
     "c_bottomk_sample",
     "a_heavy_hitters_ledger",
     "a_weighted_hitters",
+    "e_windowed_quantiles",
     "a_segment_overlap",
     "g_pagerank_fixed",
     "j_record_linkage",
