@@ -527,3 +527,56 @@ def test_heavyhitters_merge_bounds_sound_model(spark, data, k):
     for (g, i), t in true.items():
         if t > omax.get(g, 0):
             assert (g, i) in tops, ((g, i), t, omax.get(g))
+
+
+whh_items = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),    # grp
+        st.integers(min_value=0, max_value=7),    # item
+        st.integers(min_value=0, max_value=3),    # period
+        st.integers(min_value=0, max_value=20),   # weight (incl. 0)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SLOW
+@given(data=whh_items, k=st.integers(min_value=1, max_value=4))
+@example(data=[(0, i % 5, i % 3, i % 7) for i in range(40)], k=2)
+def test_weighted_heavyhitters_bounds_sound_model(spark, data, k):
+    """Weighted model check: the same soundness claims over random
+    NONNEGATIVE integer weights (including zero-weight rows) split
+    into arbitrary periods — lb <= true weighted total <= ub for every
+    served item; presence past the merged other_max."""
+    from collections import Counter
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.heavyhitters import (
+        heavyhitters_ledger,
+        ledger_topk,
+        ledger_topk_bounds,
+        merge_heavyhitters_ledgers,
+    )
+
+    df = spark.createDataFrame(data, "grp int, item int, period int, w int")
+    leds = [
+        heavyhitters_ledger(
+            df.filter(f"period = {p}"), ["grp"], "item", k=k, weight_col="w"
+        )
+        for p in sorted({p for _, _, p, _ in data})
+    ]
+    true = Counter()
+    for g, i, _, w in data:
+        true[(g, i)] += w
+    for r in ledger_topk_bounds(leds, ["grp"], k=k).collect():
+        t = true[(r["grp"], r["item"])]
+        assert r["lb"] <= t <= r["ub"], (dict(r.asDict()), t)
+    merged = merge_heavyhitters_ledgers(leds, ["grp"], k=k)
+    omax = {r["grp"]: r["other_max"] for r in merged.collect()}
+    tops = {
+        (r["grp"], r["item"])
+        for r in ledger_topk(merged, ["grp"]).collect()
+    }
+    for (g, i), t in true.items():
+        if t > omax.get(g, 0):
+            assert (g, i) in tops, ((g, i), t, omax.get(g))
