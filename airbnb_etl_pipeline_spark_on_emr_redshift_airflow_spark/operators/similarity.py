@@ -875,6 +875,69 @@ def hyperplane_buckets(
     )
 
 
+
+def hyperplane_probe_buckets(
+    emb: DataFrame,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    n_probes: int = 1,
+) -> DataFrame:
+    """Query-side multi-probe bucketing: per (vector, table), the base
+    sign-pattern bucket PLUS the ``n_probes - 1`` buckets reached by
+    flipping the single lowest-|dot| plane bits, in margin order — the
+    step-wise 1-bit probing sequence of multi-probe LSH (Lv et al.,
+    VLDB 2007). The planes, seeding, bit packing and Arrow-batched
+    matmul are IDENTICAL to :func:`hyperplane_buckets` (same seed ⇒
+    probing is compatible with any index built by it); the first probe
+    per table IS the base bucket, so the emitted set is a strict
+    superset of the single-probe rows. One output row per
+    (vector, table, probe); requires ``1 ≤ n_probes ≤ n_planes + 1``
+    (there are only n_planes single-bit flips)."""
+    if not 1 <= n_probes <= n_planes + 1:
+        raise ValueError(
+            f"hyperplane_probe_buckets: need 1 <= n_probes <= "
+            f"n_planes + 1, got n_probes={n_probes} n_planes={n_planes}"
+        )
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_tables, n_planes, dim)
+    flat = planes.reshape(n_tables * n_planes, dim)
+    weights = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("array<int>")
+    def probe_ids(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = _stack_batch(v, "hyperplane_probe_buckets")
+        if mat.shape[1] != flat.shape[1]:
+            raise ValueError(
+                f"hyperplane_probe_buckets: embedding dim {mat.shape[1]} "
+                f"!= configured dim {flat.shape[1]}"
+            )
+        dots = (mat @ flat.T).reshape(len(mat), n_tables, n_planes)
+        bits = dots >= 0
+        base = (bits @ weights).astype(np.int64)  # (n, T)
+        out = np.empty((len(mat), n_tables, n_probes), dtype=np.int64)
+        out[:, :, 0] = base
+        if n_probes > 1:
+            # planes ranked by |margin| ascending: the cheapest flips
+            order = np.argsort(np.abs(dots), axis=2)  # (n, T, P)
+            for j in range(1, n_probes):
+                out[:, :, j] = base ^ weights[order[:, :, j - 1]]
+        return pd.Series(list(out.reshape(len(mat), -1).astype("int32")))
+
+    return (
+        emb.withColumn("__probes", probe_ids(F.col(vec_col)))
+        .select("*", F.posexplode("__probes").alias("__pos", "bucket"))
+        .withColumn(
+            "table_id", (F.col("__pos") / F.lit(n_probes)).cast("int")
+        )
+        .drop("__probes", "__pos")
+    )
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -884,18 +947,32 @@ def ann_topk_lsh(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates are corpus vectors sharing any
     (table, bucket) with the query, deduped, then exact-cosine ranked.
     The corpus-side scan shrinks by ~2^n_planes per table — the scale
     path when the corpus no longer fits a broadcast cross-join; tune
-    (n_planes, n_tables) for the recall/cost point."""
+    (n_planes, n_tables) for the recall/cost point.
+
+    MULTI-PROBE (round 7, ``n_probes`` > 1 — Lv et al. 2007): each
+    QUERY additionally probes the buckets reached by flipping its
+    lowest-|margin| sign bits, the table's most likely misses (a
+    near-boundary plane dot is exactly where a true neighbor lands on
+    the other side). Recall per table rises without touching the
+    CORPUS side — the index stays one row per (vector, table), only
+    the dim-sized query frame fans out ×n_probes — so at 100 TB the
+    same recall costs fewer tables, i.e. fewer stored index copies
+    and a proportionally smaller probe join. Candidate sets are
+    supersets of the single-probe sets by construction, so recall@k
+    is monotone in ``n_probes`` (pinned in ``tests/test_similarity``
+    together with the superset property)."""
     cb = hyperplane_buckets(corpus, n_planes, n_tables, dim, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), "table_id", "bucket"
     )
-    qb = hyperplane_buckets(queries, n_planes, n_tables, dim, vec_col=vec_col).select(
-        F.col(id_col).alias("query_id"), "table_id", "bucket"
-    )
+    qb = hyperplane_probe_buckets(
+        queries, n_planes, n_tables, dim, vec_col=vec_col, n_probes=n_probes
+    ).select(F.col(id_col).alias("query_id"), "table_id", "bucket")
     # Dedup SLIM (a pair colliding in several tables scores once): the
     # dropDuplicates exchange carries bare id pairs, not the two dense
     # vectors — otherwise shuffle bytes multiply by ~2x dim. Vectors

@@ -579,3 +579,59 @@ def test_adaptive_n_planes_keeps_bucket_population_bounded():
         p = adaptive_n_planes(n)
         if p < 16:  # below the cap the population bound must hold
             assert n / 2**p <= 256 * 2  # within 2x of target
+
+
+def test_multiprobe_lsh_superset_and_monotone_recall(spark):
+    """Multi-probe query bucketing emits a strict superset of the
+    single-probe rows (probe 0 IS the base bucket), so ann_topk_lsh
+    recall@k is monotone in n_probes; multi-probe must also beat or
+    match single-probe recall vs exact brute force on real data."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        ann_topk_lsh,
+        brute_force_topk,
+        hyperplane_buckets,
+        hyperplane_probe_buckets,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    single = {
+        (r["vec_id"], r["table_id"], r["bucket"])
+        for r in hyperplane_buckets(queries, 4, 4, 64).select(
+            "vec_id", "table_id", "bucket").collect()
+    }
+    multi = {
+        (r["vec_id"], r["table_id"], r["bucket"])
+        for r in hyperplane_probe_buckets(
+            queries, 4, 4, 64, n_probes=3
+        ).select("vec_id", "table_id", "bucket").collect()
+    }
+    assert single <= multi
+    # 3 probes over 4 tables: at most 12 distinct (vec, table, bucket)
+    assert len(multi) <= 3 * len(single)
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(n_probes):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_topk_lsh(
+                emb, queries, k=5, n_planes=4, n_tables=4,
+                n_probes=n_probes,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1  # candidate superset ⇒ monotone recall
+    assert r3 >= 0.5, f"multi-probe recall collapsed: {r3}"
+
+    # bounds validation
+    import pytest
+
+    with pytest.raises(ValueError, match="n_probes"):
+        hyperplane_probe_buckets(queries, 4, 4, 64, n_probes=6).collect()
