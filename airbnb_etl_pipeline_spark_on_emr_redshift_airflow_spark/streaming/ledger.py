@@ -153,6 +153,7 @@ def stream_histogram_maintenance(
     hi: float,
     checkpoint_dir: str,
     n_bins: int = 40,
+    prepare=None,
 ) -> StreamingQuery:
     """Streaming histogram-ledger maintenance — closes the ledger
     family's streaming gap for the QUANTILE member
@@ -170,13 +171,26 @@ def stream_histogram_maintenance(
     loss: bin vectors are exactly additive, so the served fold equals
     the one-shot batch build bit for bit (pinned in
     ``tests/test_stream_ledger.py``). Per batch the cost is one
-    map-side-combinable groupBy over the batch alone."""
+    map-side-combinable groupBy over the batch alone.
+
+    ``prepare`` (optional) is a DataFrame→DataFrame transform applied
+    to each micro-batch BEFORE the ledger build — the seam for
+    event-time windowed maintenance: derive the window key in-batch
+    (e.g. ``lambda b: b.withColumn("window_start",
+    F.col("ts").cast("date"))``) and pass it in ``keys``, and the
+    stream maintains the per-(window, dims) quantile ledger the
+    ``e_windowed_quantiles`` catalog query serves — late events fold
+    into their window's anchored bins with integer adds, so the
+    streamed fold still equals the one-shot windowed build exactly
+    (pinned in ``tests/test_stream_ledger.py``)."""
 
     def _append(batch_df, batch_id: int) -> None:
         from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.histogram import (
             histogram_ledger,
         )
 
+        if prepare is not None:
+            batch_df = prepare(batch_df)
         led = histogram_ledger(batch_df, keys, col, lo, hi, n_bins=n_bins)
         led.write.mode("overwrite").parquet(
             f"{ledger_path}/batch_id={batch_id}"

@@ -140,3 +140,41 @@ def test_out_of_range_values_clamp_to_edge_bins(spark):
     assert led.bins[0] == 1  # -50 clamped low
     assert led.bins[9] == 1  # 9999 clamped high
     assert led.bins[5] == 1  # 50 in its natural bin
+
+
+def test_daily_ledgers_fold_to_weekly_without_rescan(spark):
+    """The windowed-quantile serving claim (e_windowed_quantiles):
+    quantiles for a COARSER window served by folding the finer
+    ledger rows must equal a direct build at the coarser grain —
+    merging is associative over the anchored bins, so rollups never
+    rescan the raw events."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.histogram import (
+        histogram_ledger,
+        ledger_quantiles,
+        merge_histogram_ledgers,
+    )
+
+    rows = [
+        (dt.date(2024, 1, 1 + (i % 14)), "t%d" % (i % 2), float(i % 97))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "day date, typ string, v double")
+    wk = F.weekofyear("day").alias("week")
+
+    daily = histogram_ledger(df, ["day", "typ"], "v", 0.0, 100.0, 20)
+    weekly_folded = merge_histogram_ledgers(
+        [daily.withColumn("week", wk)], ["week", "typ"]
+    )
+    weekly_direct = histogram_ledger(
+        df.withColumn("week", wk), ["week", "typ"], "v", 0.0, 100.0, 20
+    )
+    got = sorted(map(tuple, ledger_quantiles(
+        weekly_folded, ["week", "typ"], 0.0, 100.0, [0.5, 0.95]).collect()))
+    want = sorted(map(tuple, ledger_quantiles(
+        weekly_direct, ["week", "typ"], 0.0, 100.0, [0.5, 0.95]).collect()))
+    assert got == want
+    assert len(got) == 4  # 2 ISO weeks (Jan 1 2024 is a Monday) x 2 types

@@ -321,3 +321,52 @@ def test_streamed_aggstate_equals_batch_build_and_replay_exact(
     after = sorted(map(tuple, read_streamed_aggstate(
         spark, led, ["event_type"]).collect()))
     assert after == want
+
+
+def test_streamed_windowed_histogram_equals_batch_build(spark, tmp_dir):
+    """Event-time windowed quantile maintenance: the prepare seam
+    derives the window key in-batch, and the streamed fold of
+    per-(window, type) bin vectors equals the one-shot windowed
+    build — including a late event landing in an old window on a
+    later batch (integer adds into anchored bins)."""
+    from pyspark.sql import functions as F
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.histogram import (
+        histogram_ledger,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.ledger import (
+        read_streamed_histogram,
+        stream_histogram_maintenance,
+    )
+
+    schema = "event_id bigint, day string, event_type string, value double"
+    b1 = [(1, "2024-01-01", "click", 10.0), (2, "2024-01-01", "view", 50.0),
+          (3, "2024-01-02", "click", 90.0)]
+    # batch 2 carries a LATE event for the 01-01 window
+    b2 = [(4, "2024-01-02", "view", 70.0), (5, "2024-01-01", "click", 30.0)]
+    src, led, ckpt = f"{tmp_dir}/wh_ev", f"{tmp_dir}/wh_led", f"{tmp_dir}/wh_ck"
+
+    def _write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    def _prepare(b):
+        return b.withColumn("window_start", F.to_date("day"))
+
+    def _run():
+        q = stream_histogram_maintenance(
+            spark, src, schema, led, ["window_start", "event_type"],
+            "value", 0.0, 100.0, ckpt, n_bins=10, prepare=_prepare,
+        )
+        q.awaitTermination()
+
+    _write(b1); _run()
+    _write(b2); _run()
+
+    got = sorted(map(tuple, read_streamed_histogram(
+        spark, led, ["window_start", "event_type"]).collect()))
+    want = sorted(map(tuple, histogram_ledger(
+        _prepare(spark.createDataFrame(b1 + b2, schema)),
+        ["window_start", "event_type"], "value", 0.0, 100.0, n_bins=10,
+    ).collect()))
+    assert got == want
