@@ -643,9 +643,19 @@ def embedding_near_dup_pairs_lsh(
     vec_col: str = "embedding",
     target_bucket_rows: int = 160,
     max_bucket_rows: int | None = 4096,
+    max_planes: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs blocked by hyperplane-LSH
     buckets — the 100 TB form of :func:`embedding_near_dup_pairs`.
+
+    ``max_planes`` caps the adaptive plane count (recall at loose
+    thresholds falls with every added plane — the standard LSH trade).
+    Past ``N ≈ 2^max_planes × target_bucket_rows`` rows (~10 M at the
+    defaults) the per-table pattern space is exhausted: the hash-mod
+    can only merge patterns, never split them, so bucket populations
+    grow past the target and the ``max_bucket_rows`` guard eventually
+    fires. At that corpus size raise ``max_planes`` (and ``n_tables``
+    to buy the recall back) — the guard's error is the loud signal.
 
     The label-blocked variant is small-scale only: with L coarse
     labels the in-bucket self-join is O((N/L)²) pairs. Here the
@@ -713,7 +723,9 @@ def embedding_near_dup_pairs_lsh(
     n_buckets = None
     if n_planes is None:
         n_rows = emb.count()
-        n_planes = adaptive_n_planes(n_rows, target_bucket_rows)
+        n_planes = adaptive_n_planes(
+            n_rows, target_bucket_rows, cap=max_planes
+        )
         # Power-of-2 granularity smoothing (round 6): 2^ceil(log2(...))
         # lets the realized bucket population wobble anywhere in
         # (target/2, target] depending on where N lands between powers
