@@ -3421,7 +3421,13 @@ def s_ann_methods(spark, sf_dir):
     a harsher denominator than the unit tests' set-overlap floors;
     deterministic seeds put observed recall at 0.34-0.72 across the
     parity scales). A reviewer can verify the recall claim from the
-    recorded rows alone."""
+    recorded rows alone. Round 7 adds the ``lsh_mp`` method — the same
+    LSH index searched with 3-probe query-directed probing
+    (``n_probes=3``, Lv et al. 2007): its candidates are a SUPERSET of
+    ``lsh``'s by construction, so its ``ok`` additionally certifies
+    the structural claim recall(lsh_mp) ≥ recall(lsh) — the
+    fewer-tables-same-recall trade multi-probe buys at scale, visible
+    from the recorded rows."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
         ann_topk_lsh,
         brute_force_topk,
@@ -3441,6 +3447,9 @@ def s_ann_methods(spark, sf_dir):
     lsh = ann_topk_lsh(emb, queries, k=5, n_planes=4, n_tables=8, dim=64).select(
         F.lit("lsh").alias("method"), "*"
     )
+    lsh_mp = ann_topk_lsh(
+        emb, queries, k=5, n_planes=4, n_tables=8, dim=64, n_probes=3
+    ).select(F.lit("lsh_mp").alias("method"), "*")
     # compression leg — small codebooks (m=4 × 16 codes) keep the
     # training pass cheap at check scale; recall comes from the exact
     # re-rank over the ADC shortlist, not codebook resolution.
@@ -3452,7 +3461,12 @@ def s_ann_methods(spark, sf_dir):
     ivfpq = ivfpq_topk(
         index, cents, rcbs, queries, k=5, n_probe=3, rerank=30, corpus=emb
     ).select(F.lit("ivfpq").alias("method"), "*")
-    methods = ivf.unionByName(lsh).unionByName(pq).unionByName(ivfpq)
+    methods = (
+        ivf.unionByName(lsh)
+        .unionByName(lsh_mp)
+        .unionByName(pq)
+        .unionByName(ivfpq)
+    )
     # in-query exact ground truth: the recall denominator and per-row
     # hit flag come from the same data the methods searched
     bf = brute_force_topk(emb, queries, k=5).select(
@@ -3461,11 +3475,11 @@ def s_ann_methods(spark, sf_dir):
     bf_total = bf.agg(F.count(F.lit(1)).cast("bigint").alias("__bf_n"))
     mw = Window.partitionBy("method")
     floors = (
-        F.when(F.col("method") == "lsh", F.lit(500_000))
+        F.when(F.col("method").isin("lsh", "lsh_mp"), F.lit(500_000))
         .when(F.col("method") == "ivfpq", F.lit(250_000))
         .otherwise(F.lit(300_000))
     )
-    return (
+    scored = (
         methods.join(bf, ["query_id", "neighbor_id"], "left")
         .withColumn("bf_hit", F.coalesce(F.col("__bf"), F.lit(False)))
         .drop("__bf")
@@ -3479,7 +3493,24 @@ def s_ann_methods(spark, sf_dir):
             ).cast("bigint"),
         )
         .drop("__bf_n")
-        .withColumn("ok", F.col("recall_fp") >= floors)
+        .localCheckpoint(eager=False)
+    )
+    # single-probe LSH recall as a 1-row broadcast scalar: lsh_mp's ok
+    # additionally certifies the superset-monotonicity claim
+    lsh_base = scored.filter(F.col("method") == "lsh").agg(
+        F.max("recall_fp").alias("__lsh_fp")
+    )
+    return (
+        scored.crossJoin(F.broadcast(lsh_base))
+        .withColumn(
+            "ok",
+            F.when(
+                F.col("method") == "lsh_mp",
+                (F.col("recall_fp") >= floors)
+                & (F.col("recall_fp") >= F.col("__lsh_fp")),
+            ).otherwise(F.col("recall_fp") >= floors),
+        )
+        .drop("__lsh_fp")
     )
 
 
