@@ -385,13 +385,24 @@ def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
                 F.col("doc_id").cast("bigint").alias("dst"),
             )
         )
+        import re as _re
+
         prev = None
         best_hi = None
         if _os.path.isdir(pagerank_ranks_path):
             for d in _os.listdir(pagerank_ranks_path):
-                if not d.startswith("period="):
+                # Strict match: atomic_publish leaves `__staging` behind
+                # when staged validation fails and `__old` after a crash
+                # mid-swap — both start with "period=" but are NOT
+                # committed partitions. A loose int() parse here would
+                # turn one failed publish into a permanent ValueError on
+                # every later period, defeating replay idempotence.
+                m = _re.fullmatch(r"period=(\d+)_(\d+)", d)
+                if m is None or not model_exists(
+                    f"{pagerank_ranks_path}/{d}"
+                ):
                     continue
-                plo, phi = (int(x) for x in d.split("=")[1].split("_"))
+                phi = int(m.group(2))
                 if phi <= lo and (best_hi is None or phi > best_hi):
                     best_hi, prev = phi, f"{pagerank_ranks_path}/{d}"
         init = spark.read.parquet(prev) if prev else None

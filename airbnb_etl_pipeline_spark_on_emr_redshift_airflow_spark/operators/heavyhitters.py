@@ -85,14 +85,41 @@ def heavyhitters_ledger(
     the combine-order nondeterminism the integer algebra exists to
     kill. Weighted guarantees pinned in ``tests/test_heavyhitters``;
     full value-hash oracle: ``a_weighted_hitters``."""
+    # Loud guard on the weighted form (same philosophy as
+    # link_records_blocked's max_block_rows): an all-NULL-weight item
+    # would yield cnt NULL flowing into the ledger struct and merge
+    # arithmetic as NULL — coalesce to 0; a NEGATIVE summed weight
+    # breaks lb/ub soundness (a dropped item can exceed other_max) —
+    # fail the job naming the offending item instead of emitting an
+    # unsound ledger.
     measure = (
         F.count(F.lit(1))
         if weight_col is None
-        else F.sum(F.col(weight_col))
+        else F.coalesce(F.sum(F.col(weight_col)), F.lit(0))
     )
     cnts = df.groupBy(*keys, F.col(item_col).alias("item")).agg(
         measure.cast("bigint").alias("cnt")
     )
+    if weight_col is not None:
+        guard = F.assert_true(
+            F.col("cnt") >= 0,
+            F.concat_ws(
+                "",
+                F.lit("heavyhitters_ledger: item '"),
+                F.col("item").cast("string"),
+                F.lit("' summed weight "),
+                F.col("cnt").cast("string"),
+                F.lit(
+                    f" < 0 (weight_col={weight_col!r} must be "
+                    "nonnegative — negative weights break the "
+                    "ledger's lb/ub bound soundness)"
+                ),
+            ),
+        )
+        # filter form (like embedding_near_dup_pairs): a guard in a
+        # FILTER can't be pruned by Catalyst; it passes every row
+        # (assert_true is NULL on success) or fails the job.
+        cnts = cnts.filter(guard.isNull())
     w = Window.partitionBy(*keys).orderBy(F.desc("cnt"), F.asc("item"))
     ranked = cnts.withColumn("__rn", F.row_number().over(w))
     # the groupBy rides the window's hash partitioning on keys — no

@@ -3852,7 +3852,8 @@ WITH binned AS (
            CAST(FLOOR(CAST(value AS DOUBLE)
                       * CAST(40.0 AS DOUBLE)
                       / CAST(500.0 AS DOUBLE)) AS INT))) AS bin
-  FROM events),
+  FROM events
+  WHERE value IS NOT NULL),
 counts AS (
   SELECT window_start, event_type, bin, CAST(count(*) AS BIGINT) AS c
   FROM binned GROUP BY 1, 2, 3),

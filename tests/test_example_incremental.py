@@ -337,3 +337,19 @@ def test_incremental_pagerank_warm_start_and_replay(spark, tmp_dir):
     run2 = pipe.run(spark, "200:350")
     again = sorted(map(tuple, run2.results["pagerank"].collect()))
     assert again == got
+
+    # leftover junk from failed/crashed publishes must be SKIPPED by
+    # the warm-start predecessor scan, not int()-parsed: a
+    # `__staging` dir (failed validation), an `__old` dir (crash
+    # mid-swap), and an uncommitted period dir (no _SUCCESS) all
+    # start with "period=" — round-7 ADVICE found a loose parse here
+    # that turned one failed publish into a permanent ValueError.
+    import os
+
+    os.makedirs(f"{wd}/pagerank_ranks/period=0_200__staging")
+    os.makedirs(f"{wd}/pagerank_ranks/period=0_200__old")
+    # uncommitted dir (no _SUCCESS) whose hi ties the real
+    # predecessor's — must lose to the committed period=0_200
+    os.makedirs(f"{wd}/pagerank_ranks/period=50_200")
+    run3 = pipe.run(spark, "200:350")
+    assert sorted(map(tuple, run3.results["pagerank"].collect())) == got

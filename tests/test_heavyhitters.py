@@ -169,3 +169,28 @@ def test_weighted_build_and_merge_bounds_sound(spark, skewed):
     for (g, item), t in true.items():
         if t > omax[g]:
             assert (g, item) in in_top, ((g, item), t, omax[g])
+
+
+def test_weighted_null_weights_coalesce_and_negative_fails(spark):
+    """Round-7 ADVICE: an all-NULL-weight item must yield cnt 0 (not
+    a NULL that flows through the ledger struct and merge
+    arithmetic), and a negative summed weight must fail the job
+    loudly (it would silently break lb/ub bound soundness)."""
+    import pyspark.sql.utils  # noqa: F401 — exception surface
+    import pytest
+
+    rows = [("g", "a", 5), ("g", "a", None), ("g", "b", None)]
+    df = spark.createDataFrame(rows, "grp string, item string, wgt long")
+    led = heavyhitters_ledger(df, ["grp"], "item", k=4, weight_col="wgt")
+    got = {
+        r["item"]: r["cnt"] for r in ledger_topk(led, ["grp"]).collect()
+    }
+    assert got == {"a": 5, "b": 0}
+
+    neg = spark.createDataFrame(
+        [("g", "a", 3), ("g", "a", -7)],
+        "grp string, item string, wgt long",
+    )
+    bad = heavyhitters_ledger(neg, ["grp"], "item", k=4, weight_col="wgt")
+    with pytest.raises(Exception, match="nonnegative"):
+        bad.collect()
