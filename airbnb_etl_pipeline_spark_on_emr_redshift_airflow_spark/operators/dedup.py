@@ -195,6 +195,100 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (AllPairs /
+    PPJoin candidate bound, Bayardo et al. 2007; Xiao et al. 2008) —
+    same output as :func:`jaccard_pairs` with no cap, but the
+    inverted index holds only each doc's *prefix* under a global
+    rarest-first token order, so hot shingles never enter the
+    candidate join at all (they sort to the suffix of every doc).
+
+    Soundness: order shingles globally by (document frequency asc,
+    shingle asc). For J(x,y) ≥ t the overlap obeys |x∩y| ≥ t·|x∪y| ≥
+    t·max(|x|,|y|), so with per-doc overlap bound α_d = ⌈t·|d|⌉ and
+    prefix length p_d = |d| − α_d + 1, two qualifying docs MUST share
+    a token inside both prefixes (pigeonhole on the shared order: if
+    the first p_x of x miss all of y, at most |x| − p_x = α_x − 1 <
+    α ≤ |x∩y| elements remain — contradiction). A length filter
+    (t·|x| ≤ |y| ≤ |x|/t) prunes candidates before the verify.
+
+    Why this beats ``max_shingle_df`` at 100 TB: the cap variant's
+    candidate *discovery* silently misses pairs whose overlap is
+    exclusively hot shingles; prefix filtering is EXACT — pruning
+    comes from ordering, not dropping. Cost shape: one df-count
+    exchange over (doc, shingle), one doc-keyed exchange to assemble
+    the ordered arrays, a prefix-token self-join (index size
+    Σ(1−t)·|d| rows — for t=0.5, half the full inverted index and
+    the surviving tokens are the RARE half), then the standard
+    bounded array_intersect verify. Pinned equal to the exact
+    quadratic form in ``tests/test_dedup.py``; full value-hash
+    oracle: ``d_jaccard_prefix_filter``."""
+    sh = word_shingles(docs, n, text_col)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = sh.join(dfreq, "shingle")
+    arrs = (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__df", "shingle"))
+            ).alias("__toks")
+        )
+        .withColumn("__s", F.size("__toks"))
+    )
+    plen = (
+        F.col("__s")
+        - F.ceil(F.lit(threshold) * F.col("__s")).cast("int")
+        + F.lit(1)
+    )
+    pref = arrs.select(
+        "doc_id",
+        "__s",
+        F.explode(F.slice("__toks", F.lit(1), plen)).alias("__t"),
+    ).select("doc_id", "__s", F.col("__t.shingle").alias("shingle"))
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("__s").alias("__sa"),
+        "shingle",
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("__s").alias("__sb"),
+        "shingle",
+    )
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("__sb") >= F.ceil(F.lit(threshold) * F.col("__sa")))
+            & (F.col("__sa") >= F.ceil(F.lit(threshold) * F.col("__sb")))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arrsh = shingle_hash_arrays(docs, n, text_col)
+    va = arrsh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
+    )
+    vb = arrsh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")
+    )
+    return (
+        cands.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size("sa") + F.size("sb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_signatures(docs: DataFrame, k: int = 32, n: int = 3) -> DataFrame:
     """k-permutation MinHash signature per doc
     (``min(xxhash64(seed_j, shingle))`` per j over the doc's distinct

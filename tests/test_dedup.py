@@ -222,6 +222,51 @@ def test_jaccard_pairs_hot_shingle_cap(spark):
     assert capped[(1, 2)] == exact[(1, 2)]
 
 
+def test_jaccard_prefix_equals_exact(spark, docs):
+    """Prefix filtering is EXACT: identical (pair, jaccard) output to
+    the full inverted-index form at every threshold, including on a
+    corpus with a universal hot shingle (the case the df-cap variant
+    provably misses — hot tokens sort to the suffix and never enter
+    the prefix index, yet the pair survives because a rare shingle
+    lands in both prefixes)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+    )
+
+    for t in (0.9, 0.5, 0.2):
+        exact = sorted(
+            map(tuple, jaccard_pairs(docs, n=3, threshold=t).collect())
+        )
+        pref = sorted(
+            map(tuple, jaccard_pairs_prefix(docs, n=3, threshold=t).collect())
+        )
+        assert pref == exact, (t, pref, exact)
+
+    # adversarial: overlap is MOSTLY one hot shingle; a df-cap of 2
+    # drops the (1,3)/(2,3) pairs from discovery, prefix filtering
+    # keeps every qualifying pair with its exact score
+    hot = "alpha beta gamma"
+    adv = spark.createDataFrame(
+        [
+            (1, hot + " one two three four five"),
+            (2, hot + " one two three four six"),
+            (3, hot + " seven eight nine ten eleven"),
+        ],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        map(tuple, jaccard_pairs(adv, n=3, threshold=0.05).collect())
+    )
+    got = sorted(
+        map(tuple, jaccard_pairs_prefix(adv, n=3, threshold=0.05).collect())
+    )
+    assert got == want and {(a, b) for a, b, _ in got} == {
+        (1, 2),
+        (1, 3),
+        (2, 3),
+    }
+
+
 def test_decontaminate_drops_eval_overlap(spark):
     """Exact copies AND docs embedding a 13-gram eval passage must be
     dropped; clean docs survive."""

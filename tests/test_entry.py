@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 127
+    assert len(names) == 128
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -151,6 +151,11 @@ def test_oracle_keys_subset_of_queries(spark):
         # per-(day, type) histogram ledger rows (full value-hash
         # oracle — exact bins + pure-arithmetic interpolation)
         "e_windowed_quantiles",
+        # round-8 extension: exact Jaccard self-join via AllPairs/
+        # PPJoin prefix filtering (full value-hash oracle on the
+        # planted-twin corpus) — hot shingles never enter the
+        # candidate join, result stays exact
+        "d_jaccard_prefix_filter",
     ]
 
 
