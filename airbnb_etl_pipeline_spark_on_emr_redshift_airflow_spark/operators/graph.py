@@ -185,3 +185,100 @@ def pagerank_fixed_point(
             .localCheckpoint()
         )
     return r
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node EXACT triangle counts over an undirected simple graph
+    (input edges may carry duplicates, self-loops, or both directions
+    — canonicalized first). Returns one row per node that appears in
+    any edge: (``node``, ``degree``, ``n_triangles``, ``ccf_fp``) —
+    ``ccf_fp`` is the local clustering coefficient
+    ``2·T / (d·(d−1))`` in fixed-point millionths (exact integer
+    ``div``, cross-engine deterministic; 0 for degree < 2).
+
+    Algorithm: degree-ordered orientation (Schank & Wagner 2005; the
+    MapReduce form in Suri & Vassilvitskii 2011): orient every edge
+    from the endpoint that is smaller under the total order
+    ``π = (degree, node)`` to the larger. Every triangle {x,y,z} with
+    π(x) < π(y) < π(z) then materializes EXACTLY once, as the wedge
+    (x→y, x→z) closed by the oriented edge (y→z) — no per-triangle
+    dedup, no double counting.
+
+    Why this survives 100 TB where naive wedge counting dies: without
+    orientation a hub of degree d spawns d² wedges (a power-law
+    graph's top hub alone can exceed the rest of the graph); with
+    degree ordering every node's OUT-degree is bounded by O(√m), so
+    the wedge join is Σ out_deg² ≤ m^{3/2} worst case and ~linear on
+    bounded-degree graphs. Cost shape: canonicalize (1 exchange),
+    degree count (1), two degree-attach joins (dim-sized degree frame
+    — AQE broadcasts it on real graphs), the u-keyed wedge self-join,
+    and the (v,w)-keyed closing join. All keyed joins, no Python.
+    Oracle: ``g_triangle_count`` replays an id-ordered enumeration in
+    ANSI SQL — per-node counts are orientation-independent, so the
+    two strategies must agree row for row."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("__db"))
+    ed = e.join(da, "a").join(db, "b")
+    fwd = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("__db")).otherwise(F.col("__da")).alias("__dv"),
+    )
+    w1 = oriented.select(
+        "u", F.col("v").alias("v1"), F.col("__dv").alias("__d1")
+    )
+    w2 = oriented.select(
+        "u", F.col("v").alias("v2"), F.col("__dv").alias("__d2")
+    )
+    wedges = w1.join(w2, "u").filter(
+        (F.col("__d1") < F.col("__d2"))
+        | ((F.col("__d1") == F.col("__d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    roles = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v1").alias("node")))
+        .unionAll(tri.select(F.col("v2").alias("node")))
+    )
+    cnt = roles.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__t")
+    )
+    return deg.join(cnt, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("__t"), F.lit(0)).cast("bigint").alias(
+            "n_triangles"
+        ),
+        F.when(
+            F.col("degree") >= 2,
+            F.expr(
+                "(2 * coalesce(__t, 0L) * 1000000)"
+                " div (degree * (degree - 1))"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("ccf_fp"),
+    )

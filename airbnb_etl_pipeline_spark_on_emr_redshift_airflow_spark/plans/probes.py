@@ -3986,3 +3986,81 @@ def d_jaccard_prefix_filter(spark, sf_dir):
 
     corpus = _planted_twin_corpus(spark, sf_dir)
     return jaccard_pairs_prefix(corpus, n=3, threshold=0.5)
+
+
+# ----- per-node triangle counting (round 8) ---------------------------
+
+ORACLE_TRIANGLE_COUNT = """
+WITH lines AS (
+  SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+inst AS (
+  SELECT LEAST(a.l_partkey, b.l_partkey) AS a,
+         GREATEST(a.l_partkey, b.l_partkey) AS b
+  FROM lines a JOIN lines b
+    ON a.l_orderkey = b.l_orderkey
+   AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_partkey <> b.l_partkey),
+e AS (SELECT DISTINCT a, b FROM inst),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+  GROUP BY 1),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+roles AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y AS node FROM tri
+  UNION ALL SELECT z AS node FROM tri),
+cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM roles GROUP BY 1)
+SELECT d.node AS l_partkey, d.degree,
+       COALESCE(c.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN (2 * COALESCE(c.n_triangles, 0) * 1000000)
+                 // (d.degree * (d.degree - 1))
+            ELSE 0 END AS ccf_fp
+FROM deg d LEFT JOIN cnt c ON c.node = d.node
+"""
+
+
+@register("g_triangle_count", oracle=ORACLE_TRIANGLE_COUNT)
+def g_triangle_count(spark, sf_dir):
+    """Per-node EXACT triangle counts + local clustering coefficient
+    over the bought-together graph (``operators.graph.
+    triangle_counts``): parts on ADJACENT line numbers of the same
+    order are linked — the classic market-basket co-occurrence graph,
+    built with ONE keyed self-join whose edge count stays LINEAR in
+    lineitem (each line contributes ≤ 1 edge instance; the all-pairs-
+    within-order form would be quadratic in basket size and saturate
+    the small supplier/part domains). Spark counts triangles via
+    degree-ordered orientation (out-degree bounded by O(√m), so the
+    wedge join never explodes on hubs); the DuckDB oracle replays an
+    id-ordered enumeration — per-node triangle counts are
+    orientation-independent, so every (node, degree, n_triangles,
+    ccf_fp) row value-hashes cross-engine (ccf in exact fixed-point
+    millionths, integer div). 100 TB shape: both graph builds are
+    keyed exchanges; degree attach is a dim-sized broadcast; wedge
+    work is Σ out_deg² — ~linear on this bounded-degree graph (decade
+    chain in tools/bench_scale100.py)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    (li,) = load(spark, sf_dir, "lineitem")
+    lines = li.select("l_orderkey", "l_linenumber", "l_partkey")
+    nxt = lines.select(
+        "l_orderkey",
+        (F.col("l_linenumber") - 1).alias("l_linenumber"),
+        F.col("l_partkey").alias("p2"),
+    )
+    inst = (
+        lines.join(nxt, ["l_orderkey", "l_linenumber"])
+        .filter(F.col("l_partkey") != F.col("p2"))
+        .select(
+            F.col("l_partkey").alias("src"), F.col("p2").alias("dst")
+        )
+    )
+    return triangle_counts(inst).withColumnRenamed("node", "l_partkey")

@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 128
+    assert len(names) == 129
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -156,6 +156,11 @@ def test_oracle_keys_subset_of_queries(spark):
         # planted-twin corpus) — hot shingles never enter the
         # candidate join, result stays exact
         "d_jaccard_prefix_filter",
+        # round-8 extension: per-node triangle counts + clustering
+        # coefficient via degree-ordered orientation over the
+        # bought-together graph (full value-hash oracle — the DuckDB
+        # side replays an id-ordered enumeration)
+        "g_triangle_count",
     ]
 
 

@@ -201,3 +201,88 @@ def test_pagerank_warm_start_resumes_exactly_and_handles_growth(spark):
     assert 9 in ranks  # checkpoint-absent node participates
     # hub still dominates; all 10 nodes ranked
     assert len(ranks) == 10 and all(ranks[0] > ranks[i] for i in range(1, 10))
+
+
+def test_triangle_counts_k4_and_star(spark):
+    """K4: every node has degree 3, sits in C(3,2)=3 triangles, ccf
+    exactly 1 (fixed-point 1000000). Star: hub of any degree, zero
+    triangles everywhere, ccf 0 — the orientation must not let the
+    hub's d² wedges manufacture counts."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src bigint, dst bigint",
+    )
+    got = {r["node"]: r for r in triangle_counts(k4).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    for n, r in got.items():
+        assert (r["degree"], r["n_triangles"], r["ccf_fp"]) == (3, 3, 1000000)
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "src bigint, dst bigint"
+    )
+    srows = triangle_counts(star).collect()
+    assert all(r["n_triangles"] == 0 and r["ccf_fp"] == 0 for r in srows)
+    assert {r["node"]: r["degree"] for r in srows}[0] == 8
+
+
+def test_triangle_counts_canonicalizes_input(spark):
+    """Duplicates, self-loops and both-direction edges collapse to the
+    same simple graph: one triangle {1,2,3} plus a pendant 4."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 1), (3, 4), (3, 4)],
+        "src bigint, dst bigint",
+    )
+    got = {r["node"]: r for r in triangle_counts(messy).collect()}
+    assert {n: r["n_triangles"] for n, r in got.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 0,
+    }
+    assert {n: r["degree"] for n, r in got.items()} == {1: 2, 2: 2, 3: 3, 4: 1}
+    # node 3: d=3, T=1 -> ccf = 2/(3*2) = 1/3 -> 333333 in millionths
+    assert got[3]["ccf_fp"] == 333333
+
+
+def test_triangle_counts_matches_bruteforce_random(spark):
+    """Degree-ordered orientation must agree with an id-ordered brute
+    force on a deterministic pseudo-random graph (hash-derived edges:
+    multi-edges, skewed degrees)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    n = 60
+    rows = []
+    for i in range(600):
+        a = (i * i * 31 + i * 17) % n
+        b = (i * 13 + 7) % n
+        rows.append((a, b))
+    edges = spark.createDataFrame(rows, "src bigint, dst bigint")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"])
+        for r in triangle_counts(edges).collect()
+    }
+
+    simple = {(min(a, b), max(a, b)) for a, b in rows if a != b}
+    adj = {}
+    for a, b in simple:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # straightforward per-node count: triangles containing v
+    tri = {v: 0 for v in adj}
+    for v in adj:
+        nb = sorted(adj[v])
+        t = 0
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                if (min(nb[i], nb[j]), max(nb[i], nb[j])) in simple:
+                    t += 1
+        tri[v] = t
+    want = {v: (len(adj[v]), tri[v]) for v in adj}
+    assert got == want
