@@ -1,0 +1,189 @@
+"""File-level zone maps (min/max skipping statistics) and
+manifest-pruned reads — the data-skipping layer over plain parquet.
+
+The reference's only pruning device is hive partitioning
+(year/month/city directories); parquet row-group stats prune WITHIN a
+scan, but the scan still *plans* every file. At 100 TB what matters is
+never touching most files at all: a **zone-map manifest** — one tiny
+row per data file holding min/max/null-count per indexed column — lets
+the reader intersect a conjunction of range predicates against file
+bounding boxes and hand Spark only the files that can match, exactly
+the planning model of Iceberg/Delta manifests and the zone maps of
+Netezza / Snowflake micro-partitions (Dageville et al., SIGMOD'16).
+
+Composes with :func:`operators.layout.zorder_layout`: Z-ordered files
+have tight bounding boxes in EVERY clustered dimension, so the same
+manifest prunes on any conjunction of dims (a lexicographic sort is
+tight only in its leading column).
+
+Scale/consistency notes:
+- The manifest BUILD is one distributed scan (``input_file_name()``
+  groupBy — map-side combinable, one exchange carrying a few rows per
+  file×partition). Incremental maintenance reads ONLY new files.
+- Pruning itself is a METADATA-plane operation: the manifest is
+  file-count-sized (~100 K rows for 100 TB at 1 GB files), so
+  collecting the surviving file list to the driver is the same cost
+  class as Iceberg's manifest planning — deliberately driver-side,
+  NOT a data-plane collect.
+- Zone semantics are null-safe for the range predicates served here:
+  a file whose indexed column is all-NULL has NULL min/max and can
+  never satisfy ``col BETWEEN lo AND hi`` (NULL-rejecting), so the
+  ``coalesce(..., false)`` keep-condition skips it soundly; rows with
+  NULL in a *kept* file are dropped by the residual filter.
+- A stale manifest is a correctness hazard (a new file invisible to
+  the manifest would be silently un-scanned), so :func:`pruned_read`
+  verifies the manifest's file set against the actual listing by
+  default and fails loudly on drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+Predicate = tuple[str, float | int | None, float | int | None]
+
+
+def list_data_files(spark: SparkSession, root: str) -> list[str]:
+    """URIs of the data files under ``root`` (recursive; skips
+    ``_SUCCESS``/hidden/dot files), in the same ``file://...`` form
+    ``input_file_name()`` emits — a pure FileSystem-metadata call."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out: list[str] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        out.append(st.getPath().toUri().toString())
+    return sorted(out)
+
+
+def build_zone_manifest(
+    scan: DataFrame, cols: list[str]
+) -> DataFrame:
+    """One manifest row per data file of ``scan`` (which must be a
+    file-backed read — ``spark.read.parquet(...)``): ``file``,
+    ``n_rows``, and ``<col>__min`` / ``<col>__max`` / ``<col>__nulls``
+    for each indexed column. One distributed pass; the exchange
+    carries per-(file, partition) partial rows only."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.sum(F.col(c).isNull().cast("bigint"))
+            .cast("bigint")
+            .alias(f"{c}__nulls"),
+        ]
+    return scan.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+
+
+def update_zone_manifest(
+    spark: SparkSession,
+    root: str,
+    manifest: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Incrementally reconcile ``manifest`` with the files actually
+    under ``root``: stats for NEW files are computed by reading ONLY
+    those files (O(new data), never O(table)); rows for files that
+    disappeared (compaction, retention delete) are dropped. Returns a
+    manifest identical to a from-scratch :func:`build_zone_manifest`
+    over the current listing (pinned in tests)."""
+    actual = set(list_data_files(spark, root))
+    known = {r["file"] for r in manifest.select("file").collect()}
+    new = sorted(actual - known)
+    gone = known - actual
+    out = manifest
+    if gone:
+        out = out.filter(~F.col("file").isin(*gone))
+    if new:
+        out = out.unionByName(
+            build_zone_manifest(spark.read.parquet(*new), cols)
+        )
+    return out
+
+
+def zone_keep_condition(predicates: list[Predicate]):
+    """Boolean keep-condition over manifest rows for a conjunction of
+    closed-interval predicates ``(col, lo, hi)`` (``None`` = that side
+    unbounded). A file is kept iff its [min, max] box intersects every
+    interval; all-NULL zones (NULL min/max) are skipped — sound
+    because the served predicates are NULL-rejecting."""
+    cond = F.lit(True)
+    for c, lo, hi in predicates:
+        if lo is not None:
+            cond = cond & F.coalesce(
+                F.col(f"{c}__max") >= F.lit(lo), F.lit(False)
+            )
+        if hi is not None:
+            cond = cond & F.coalesce(
+                F.col(f"{c}__min") <= F.lit(hi), F.lit(False)
+            )
+        if lo is None and hi is None:
+            # col IS NOT NULL-style presence predicate: needs at least
+            # one non-null value in the zone
+            cond = cond & (
+                F.coalesce(F.col(f"{c}__nulls"), F.lit(0))
+                < F.col("n_rows")
+            )
+    return cond
+
+
+def pruned_read(
+    spark: SparkSession,
+    root: str,
+    manifest: DataFrame,
+    predicates: list[Predicate],
+    verify: bool = True,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Read ``root`` scanning ONLY the files whose zone boxes can
+    satisfy the conjunction of ``predicates``, then apply the exact
+    residual filter — semantically identical to a full scan + filter
+    (pinned in tests and by the ``l_zone_pruned_agg`` oracle), but
+    the skipped files are never even planned.
+
+    ``verify=True`` (default) checks the manifest covers exactly the
+    files actually present and raises on drift — a stale manifest
+    would silently drop unindexed files from results, the one failure
+    mode a zone-map layer must fail CLOSED on. Pass ``stats={}`` to
+    record ``files_total`` / ``files_read``."""
+    rows = manifest.select(
+        "file", zone_keep_condition(predicates).alias("__keep")
+    ).collect()
+    known = {r["file"] for r in rows}
+    if verify:
+        actual = set(list_data_files(spark, root))
+        if actual != known:
+            missing = sorted(actual - known)[:3]
+            extra = sorted(known - actual)[:3]
+            raise ValueError(
+                "pruned_read: manifest is stale for "
+                f"{root}: {len(actual - known)} unindexed file(s) "
+                f"(e.g. {missing}), {len(known - actual)} vanished "
+                f"file(s) (e.g. {extra}); run update_zone_manifest "
+                "first — reading through a stale manifest would "
+                "silently drop data."
+            )
+    keep = sorted(r["file"] for r in rows if r["__keep"])
+    if stats is not None:
+        stats["files_total"] = len(known)
+        stats["files_read"] = len(keep)
+    if not keep:
+        schema = spark.read.parquet(root).schema
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.parquet(*keep)
+    for c, lo, hi in predicates:
+        if lo is not None:
+            df = df.filter(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(c) <= F.lit(hi))
+        if lo is None and hi is None:
+            df = df.filter(F.col(c).isNotNull())
+    return df

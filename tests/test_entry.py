@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 129
+    assert len(names) == 130
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -161,6 +161,11 @@ def test_oracle_keys_subset_of_queries(spark):
         # bought-together graph (full value-hash oracle — the DuckDB
         # side replays an id-ordered enumeration)
         "g_triangle_count",
+        # round-8 extension: zone-map manifest pruned scan over a
+        # Z-ordered persisted copy (full value-hash oracle — pruning
+        # must be invisible to semantics; skipping ratio + fail-closed
+        # staleness pinned in tests/test_skipping.py)
+        "l_zone_pruned_agg",
     ]
 
 

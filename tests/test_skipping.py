@@ -1,0 +1,182 @@
+"""Tests: zone-map manifest + manifest-pruned reads (sources.skipping)
+— semantic equality with a full scan, real file skipping on a
+Z-ordered layout, incremental maintenance, and the fail-closed
+staleness guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.layout import (
+    zorder_layout,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
+    build_zone_manifest,
+    list_data_files,
+    pruned_read,
+    update_zone_manifest,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def zgrid(spark, tmp_path_factory):
+    tmp_dir = str(tmp_path_factory.mktemp("zones"))
+    """A 64×64 (x, y) grid written Z-ordered into 16 files, plus its
+    manifest."""
+    path = f"{tmp_dir}/zones_grid"
+    grid = (
+        spark.range(64 * 64)
+        .select(
+            (F.col("id") % 64).cast("double").alias("x"),
+            (F.col("id") / 64).cast("long").cast("double").alias("y"),
+            F.col("id").alias("payload"),
+        )
+    )
+    out = zorder_layout(grid, [("x", 0, 64), ("y", 0, 64)], bits=6,
+                        num_partitions=16)
+    out.write.mode("overwrite").parquet(path)
+    mf = build_zone_manifest(
+        spark.read.parquet(path), ["x", "y"]
+    ).localCheckpoint()
+    return path, mf
+
+
+def test_pruned_read_equals_full_scan_filter(spark, zgrid):
+    path, mf = zgrid
+    preds = [("x", 10.0, 20.0), ("y", 30.0, 40.0)]
+    stats: dict = {}
+    got = pruned_read(spark, path, mf, preds, stats=stats)
+    want = (
+        spark.read.parquet(path)
+        .filter("x >= 10.0 AND x <= 20.0 AND y >= 30.0 AND y <= 40.0")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # Z-ordered layout: a small box in BOTH dims must skip most files
+    assert stats["files_total"] == 16
+    assert 0 < stats["files_read"] < stats["files_total"] / 2, stats
+
+
+def test_pruned_read_open_intervals_and_empty(spark, zgrid):
+    path, mf = zgrid
+    # one-sided interval
+    got = pruned_read(spark, path, mf, [("x", 60.0, None)])
+    want = spark.read.parquet(path).filter("x >= 60.0")
+    assert got.count() == want.count() > 0
+    # disjoint predicate: zero files kept, empty result, schema intact
+    stats: dict = {}
+    empty = pruned_read(spark, path, mf, [("x", 1000.0, None)], stats=stats)
+    assert stats["files_read"] == 0
+    assert empty.count() == 0
+    assert empty.columns == spark.read.parquet(path).columns
+
+
+def test_all_null_zone_skipped_soundly(spark, tmp_dir):
+    """A file whose indexed column is entirely NULL has NULL min/max —
+    it must be SKIPPED (range predicates are NULL-rejecting) and the
+    result must still equal the full-scan filter."""
+    path = f"{tmp_dir}/zones_nulls"
+    a = spark.range(100).select(
+        F.col("id").cast("double").alias("v"), F.col("id").alias("k")
+    )
+    b = spark.range(100, 200).select(
+        F.lit(None).cast("double").alias("v"), F.col("id").alias("k")
+    )
+    a.coalesce(1).write.mode("overwrite").parquet(path)
+    b.coalesce(1).write.mode("append").parquet(path)
+    mf = build_zone_manifest(spark.read.parquet(path), ["v"])
+    stats: dict = {}
+    got = pruned_read(spark, path, mf, [("v", 10.0, 20.0)], stats=stats)
+    want = spark.read.parquet(path).filter("v >= 10.0 AND v <= 20.0")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert stats["files_read"] < stats["files_total"]
+    # presence predicate (lo=hi=None): all-null zone also skipped
+    stats2: dict = {}
+    present = pruned_read(spark, path, mf, [("v", None, None)],
+                          stats=stats2)
+    assert present.count() == 100
+    assert stats2["files_read"] < stats2["files_total"]
+
+
+def test_update_zone_manifest_incremental_equals_rebuild(spark, tmp_dir):
+    path = f"{tmp_dir}/zones_inc"
+    spark.range(100).select(
+        F.col("id").cast("double").alias("v")
+    ).coalesce(2).write.mode("overwrite").parquet(path)
+    mf0 = build_zone_manifest(spark.read.parquet(path), ["v"])
+    # append a batch -> incremental update reads only the new files
+    spark.range(500, 600).select(
+        F.col("id").cast("double").alias("v")
+    ).coalesce(1).write.mode("append").parquet(path)
+    mf1 = update_zone_manifest(spark, path, mf0, ["v"])
+    rebuilt = build_zone_manifest(spark.read.parquet(path), ["v"])
+    assert sorted(map(tuple, mf1.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    # and the updated manifest serves pruned reads over the new data
+    got = pruned_read(spark, path, mf1, [("v", 550.0, 560.0)])
+    assert got.count() == 11
+
+
+def test_stale_manifest_fails_closed(spark, tmp_dir):
+    path = f"{tmp_dir}/zones_stale"
+    spark.range(100).select(
+        F.col("id").cast("double").alias("v")
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    mf = build_zone_manifest(
+        spark.read.parquet(path), ["v"]
+    ).localCheckpoint()
+    spark.range(100, 200).select(
+        F.col("id").cast("double").alias("v")
+    ).coalesce(1).write.mode("append").parquet(path)
+    with pytest.raises(ValueError, match="stale"):
+        pruned_read(spark, path, mf, [("v", 0.0, 10.0)])
+    # verify=False documents the escape hatch (results then reflect
+    # only the indexed files)
+    got = pruned_read(spark, path, mf, [("v", 0.0, 500.0)], verify=False)
+    assert got.count() == 100
+
+
+def test_manifest_build_one_row_per_file(spark, zgrid):
+    path, mf = zgrid
+    files = list_data_files(spark, path)
+    assert sorted(r["file"] for r in mf.select("file").collect()) == files
+    assert mf.count() == 16
+    total = mf.agg(F.sum("n_rows")).head()[0]
+    assert total == 64 * 64
+
+
+def test_zone_pruning_on_real_events(spark, tmp_dir):
+    """End-to-end on the testdata events table: Z-order by (value,
+    user_id), prune on a conjunction of both dims, equal the plain
+    filtered scan."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
+        load,
+    )
+
+    (ev,) = load(spark, SF_DIR, "events")
+    max_uid = ev.agg(F.max("user_id")).head()[0]
+    path = f"{tmp_dir}/zones_events"
+    zorder_layout(
+        ev,
+        [("value", 0, 500), ("user_id", 0, float(max_uid) + 1)],
+        bits=8,
+        num_partitions=8,
+    ).write.mode("overwrite").parquet(path)
+    mf = build_zone_manifest(spark.read.parquet(path), ["value", "user_id"])
+    preds = [("value", 100.0, 200.0), ("user_id", 1, max_uid // 4)]
+    stats: dict = {}
+    got = pruned_read(spark, path, mf, preds, stats=stats)
+    want = spark.read.parquet(path).filter(
+        f"value >= 100.0 AND value <= 200.0 AND user_id >= 1 "
+        f"AND user_id <= {max_uid // 4}"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert stats["files_read"] < stats["files_total"], stats
