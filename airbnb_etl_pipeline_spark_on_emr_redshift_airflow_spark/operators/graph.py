@@ -218,6 +218,12 @@ def triangle_counts(
     Oracle: ``g_triangle_count`` replays an id-ordered enumeration in
     ANSI SQL — per-node counts are orientation-independent, so the
     two strategies must agree row for row."""
+    # The canonical edge set feeds FIVE consumers (degree count, two
+    # degree attaches, both wedge sides via `oriented`, the closing
+    # join); without a lineage cut Spark replays the whole
+    # canonicalize-distinct subtree per consumer (~100 exchanges at
+    # catalog scale for what should be ~10) — same discipline as the
+    # shared-tokenize checkpoint in d_minhash_dup_clusters.
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -225,6 +231,7 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -242,7 +249,7 @@ def triangle_counts(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(fwd, F.col("__db")).otherwise(F.col("__da")).alias("__dv"),
-    )
+    ).localCheckpoint(eager=False)
     w1 = oriented.select(
         "u", F.col("v").alias("v1"), F.col("__dv").alias("__d1")
     )

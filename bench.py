@@ -186,6 +186,10 @@ SIDECAR_ONLY = [
     "q19_disjunctive_filter",
     "q14_promo_effect",
     "d_embedding_decontaminate",
+    # round-8 extensions
+    "d_jaccard_prefix_filter",
+    "g_triangle_count",
+    "l_zone_pruned_agg",
 ]
 
 

@@ -110,6 +110,7 @@ def _analyzed(spark, name):
 # is dim-sized by contract. (VERDICT r2 "what's wrong" #1.)
 _NO_HINT_QUERIES = [
     "d_ngram_jaccard_pairs",
+    "d_jaccard_prefix_filter",
     "d_minhash_dup_clusters",
     "d_simhash_near_dup",
     "s_embedding_near_dup",
@@ -160,6 +161,7 @@ def test_ann_lsh_dedup_exchange_is_slim(spark):
     [
         "d_exact_dedup",
         "d_ngram_jaccard_pairs",
+        "d_jaccard_prefix_filter",
         "d_minhash_dup_clusters",
         "d_simhash_near_dup",
         "s_near_dup_lsh_blocked",
@@ -169,6 +171,8 @@ def test_ann_lsh_dedup_exchange_is_slim(spark):
         "c_pack_sequences",
         "c_chunk_documents",
         "t_vocab_topk",
+        "g_triangle_count",
+        "l_zone_pruned_agg",
     ],
 )
 def test_dedup_similarity_curation_never_single_partition(spark, name):

@@ -117,12 +117,21 @@ AUDITED = [
     "p_project_dates",
     "a_weighted_hitters",
     "e_windowed_quantiles",
+    # round-8: prefix-filtered Jaccard (corpus-sized both sides — also
+    # hint/SinglePartition-gated below), triangle counting (degree
+    # frame is dim-sized; AQE may broadcast it, no hint pins it), and
+    # the zone-map pruned scan (metadata-plane prune + one keyed agg
+    # exchange)
+    "d_jaccard_prefix_filter",
+    "g_triangle_count",
+    "l_zone_pruned_agg",
 ]
 
 # Every input corpus-sized → no broadcast hint allowed anywhere in the
 # plan (d_decontaminate exempt: held-out side is dim-sized by contract).
 NO_HINT = [
     "d_ngram_jaccard_pairs",
+    "d_jaccard_prefix_filter",
     "d_minhash_dup_clusters",
     "d_simhash_near_dup",
     "s_embedding_near_dup",
@@ -177,6 +186,10 @@ NO_SINGLE_PARTITION = [
     "q8_market_share",
     "q9_product_profit",
     "q4_priority_check",
+    # round-8: everything stays keyed end to end
+    "d_jaccard_prefix_filter",
+    "g_triangle_count",
+    "l_zone_pruned_agg",
 ]
 
 

@@ -105,6 +105,18 @@ CHAINS = [
     # same (keys, item) word-count exchange — must scale like its
     # unweighted sibling)
     "a_weighted_hitters",
+    # round 8: prefix-filtered Jaccard (candidate-pair fan-out is the
+    # growth surface — the prefix index must grow with Σ(1−t)·|d|,
+    # pairs only within shared-vocabulary replicas), triangle counting
+    # (wedge join is Σ out_deg²; the replicated graphs are disjoint so
+    # growth must be linear), and the zone-map pruned serving path
+    # (metadata prune + kept-file scan; the build is fingerprint-cached
+    # after the first run, so the median times SERVING, which is the
+    # contract — at 10x data the predicate box selects one replica's
+    # users, so the kept-bytes term, not the full scan, must dominate)
+    "d_jaccard_prefix_filter",
+    "g_triangle_count",
+    "l_zone_pruned_agg",
 ]
 N_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
 PASS_RATIO = 13.0
