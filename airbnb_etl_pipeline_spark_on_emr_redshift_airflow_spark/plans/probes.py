@@ -4124,7 +4124,7 @@ def l_zone_pruned_agg(spark, sf_dir):
     base = _os.path.join(repo, ".tmp", "catalog_zones", fp)
     data_path = _os.path.join(base, "data")
     mf_path = _os.path.join(base, "manifest")
-    if not _os.path.exists(_os.path.join(mf_path, "_SUCCESS")):
+    if not _os.path.exists(_os.path.join(data_path, "_SUCCESS")):
         (ev,) = load(spark, sf_dir, "events")
         max_uid = ev.agg(F.max("user_id")).head()[0]
         zorder_layout(
@@ -4133,6 +4133,7 @@ def l_zone_pruned_agg(spark, sf_dir):
             bits=8,
             num_partitions=16,
         ).write.mode("overwrite").parquet(data_path)
+    if not _os.path.exists(_os.path.join(mf_path, "_SUCCESS")):
         build_zone_manifest(
             spark.read.parquet(data_path), ["value", "user_id"]
         ).coalesce(1).write.mode("overwrite").parquet(mf_path)
@@ -4147,3 +4148,76 @@ def l_zone_pruned_agg(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         dec_sum("value", "sum_value"),
     )
+
+
+# ----- file-level bloom point lookup (round 8) ------------------------
+
+ORACLE_BLOOM_LOOKUP = """
+SELECT event_id, event_type, user_id, value
+FROM events WHERE event_id IN (7, 123, 911)
+"""
+
+
+@register("l_bloom_point_lookup", oracle=ORACLE_BLOOM_LOOKUP)
+def l_bloom_point_lookup(spark, sf_dir):
+    """File-level BLOOM-FILTER point lookup (round 8,
+    ``sources.skipping.build_bloom_manifest`` / ``bloom_pruned_read``)
+    — the skipping device zone maps can't be: the persisted events
+    copy is Z-ordered by (value, user_id), so ``event_id`` is
+    UNCLUSTERED and every file's [min, max] box spans the whole id
+    domain; the per-(file, column) bloom bitset (k seeded xxhash64
+    bits, n_bits-wide words) still answers an IN-list membership from
+    the manifest alone. No false negatives by construction (a present
+    value's bits are always set — pinned over a 200-key sweep in
+    ``tests/test_skipping.py``), false positives only cost an extra
+    file read; the oracle is the plain full-scan IN-filter, which is
+    exactly what "pruning is invisible to semantics" means. Shares
+    the fingerprint-keyed persisted copy with ``l_zone_pruned_agg``
+    (one layout serving both range-conjunction and point-lookup
+    skipping — the Delta/Iceberg file-stats model over plain
+    parquet). 100 TB shape: build is explode + bit_or partial aggs
+    (map-side-combinable, ≤ n_bits/64 rows per file×col per
+    partition); the probe hashes its literals with the SAME seeded
+    expressions over the file-count-sized manifest frame."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.layout import (
+        zorder_layout,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
+        bloom_pruned_read,
+        build_bloom_manifest,
+        build_zone_manifest,
+    )
+
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    src = _os.path.join(sf_dir, "events.parquet")
+    ent = [_os.path.abspath(src)]
+    for root, _dirs, files in sorted(_os.walk(src)):
+        for f in sorted(files):
+            st = _os.stat(_os.path.join(root, f))
+            ent.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    fp = _hashlib.md5("|".join(ent).encode()).hexdigest()[:16]
+    base = _os.path.join(repo, ".tmp", "catalog_zones", fp)
+    data_path = _os.path.join(base, "data")
+    bloom_path = _os.path.join(base, "bloom")
+    if not _os.path.exists(_os.path.join(data_path, "_SUCCESS")):
+        (ev,) = load(spark, sf_dir, "events")
+        max_uid = ev.agg(F.max("user_id")).head()[0]
+        zorder_layout(
+            ev.select("event_id", "user_id", "event_type", "value"),
+            [("value", 0, 500), ("user_id", 0, float(max_uid) + 1)],
+            bits=8,
+            num_partitions=16,
+        ).write.mode("overwrite").parquet(data_path)
+    if not _os.path.exists(_os.path.join(bloom_path, "_SUCCESS")):
+        build_bloom_manifest(
+            spark.read.parquet(data_path), ["event_id"]
+        ).coalesce(1).write.mode("overwrite").parquet(bloom_path)
+    mf = spark.read.parquet(bloom_path)
+    return bloom_pruned_read(
+        spark, data_path, mf, "event_id", [7, 123, 911]
+    ).select("event_id", "event_type", "user_id", "value")

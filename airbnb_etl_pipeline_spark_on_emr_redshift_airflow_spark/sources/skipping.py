@@ -187,3 +187,151 @@ def pruned_read(
         if lo is None and hi is None:
             df = df.filter(F.col(c).isNotNull())
     return df
+
+
+# ----- file-level Bloom filters (point-lookup skipping) ---------------
+#
+# Zone maps answer RANGE conjunctions and need the layout to cluster
+# the indexed column (a file's [min, max] box over an unclustered
+# high-cardinality key spans the whole domain — nothing prunes). A
+# per-file BLOOM FILTER prunes equality/IN-list predicates on exactly
+# those columns: k seeded xxhash64 bit positions per value, one
+# n_bits-wide bitset per (file, column), membership answered from the
+# manifest alone. No false negatives ever (a present value's bits are
+# all set — correctness is unconditional); false positives only cost
+# an extra file read. Same metadata-plane planning model as the zone
+# path: the manifest is file-count-sized, the probe condition runs as
+# Spark expressions over it (the literal hashes with the SAME
+# xxhash64 the build used), and the kept-file list collects to the
+# driver — Delta/Iceberg's file-level bloom stats over plain parquet.
+
+
+def _bloom_positions(col_expr: str, n_bits: int, k: int) -> str:
+    """SQL fragment: the k seeded bit positions of ``col_expr``
+    (empty array for NULL — equality predicates are NULL-rejecting,
+    so NULLs must not set bits). Hashes the STRING form: Spark's
+    xxhash64 is Catalyst-TYPE-sensitive (an int and a bigint of the
+    same value hash differently), and the probe side hashes literals
+    whose type need not match the column's — the cast pins one hash
+    domain for both."""
+    return (
+        f"CASE WHEN {col_expr} IS NULL THEN array() ELSE "
+        f"transform(sequence(0, {k - 1}), "
+        f"j -> pmod(xxhash64(j, CAST({col_expr} AS STRING)), {n_bits}))"
+        " END"
+    )
+
+
+def build_bloom_manifest(
+    scan: DataFrame, cols: list[str], n_bits: int = 4096, k: int = 5
+) -> DataFrame:
+    """One row per (data file, indexed column) of ``scan``:
+    ``file``, ``col``, ``n_bits``, ``k`` and the bitset ``bloom``
+    (``n_bits/64`` bigint words). Build is distributed and
+    map-side-combinable: explode k positions per (row, col), fold
+    per-(file, col, word) with ``bit_or`` (the partial-agg shape —
+    the exchange carries at most ``n_bits/64`` rows per file×col per
+    partition), assemble the word array from the at-most-64-entry
+    map. ``n_bits`` must be a multiple of 64."""
+    if n_bits % 64:
+        raise ValueError(f"build_bloom_manifest: n_bits={n_bits} not /64")
+    n_words = n_bits // 64
+    pos_structs = ", ".join(
+        f"transform({_bloom_positions(c, n_bits, k)},"
+        f" p -> struct('{c}' AS col, p AS pos))"
+        for c in cols
+    )
+    ex = scan.select(
+        F.input_file_name().alias("file"),
+        F.explode(F.expr(f"flatten(array({pos_structs}))")).alias("t"),
+    ).select("file", "t.col", "t.pos")
+    words = ex.groupBy(
+        "file", "col", F.expr("pos div 64").alias("word")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))"
+        ).alias("bits")
+    )
+    return (
+        words.groupBy("file", "col")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("__m")
+        )
+        .select(
+            "file",
+            "col",
+            F.lit(n_bits).alias("n_bits"),
+            F.lit(k).alias("k"),
+            F.expr(
+                f"transform(sequence(0, {n_words - 1}),"
+                " w -> coalesce(__m[CAST(w AS BIGINT)], 0L))"
+            ).alias("bloom"),
+        )
+    )
+
+
+def bloom_pruned_read(
+    spark: SparkSession,
+    root: str,
+    manifest: DataFrame,
+    col: str,
+    values: list,
+    verify: bool = True,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Read ``root`` scanning only the files whose bloom bitset for
+    ``col`` CAN contain at least one of ``values`` (an IN-list /
+    equality point lookup), then apply the exact residual filter.
+    Never a false negative — a file holding a value always has all k
+    bits set, so semantics equal the full scan + filter (pinned in
+    tests and the ``l_bloom_point_lookup`` oracle). The probe hashes
+    the literals with the SAME seeded xxhash64 expressions the build
+    used, evaluated over the manifest frame — no Python reimplementation
+    of the hash to drift. ``verify``/``stats`` as in
+    :func:`pruned_read`."""
+    mf = manifest.filter(F.col("col") == col)
+    rows = mf.select("file", "n_bits", "k", "bloom").collect()
+    if rows:
+        n_bits, k = rows[0]["n_bits"], rows[0]["k"]
+        tests = []
+        for v in values:
+            # int/str keys only: a float's SQL-literal string form need
+            # not match the column value's CAST AS STRING rendering
+            if not isinstance(v, (int, str)) or isinstance(v, bool):
+                raise TypeError(
+                    f"bloom_pruned_read: point-lookup values must be "
+                    f"int or str, got {type(v).__name__}"
+                )
+            lit = f"'{v}'" if isinstance(v, str) else f"{v}L"
+            tests.append(
+                f"forall({_bloom_positions(lit, n_bits, k)}, "
+                "p -> (shiftright(element_at(bloom, CAST(p div 64 AS INT)"
+                " + 1), CAST(p % 64 AS INT)) & 1L) = 1L)"
+            )
+        keep_rows = mf.select(
+            "file", F.expr(" OR ".join(tests)).alias("__keep")
+        ).collect()
+    else:
+        keep_rows = []
+    known = {r["file"] for r in keep_rows}
+    if verify:
+        actual = set(list_data_files(spark, root))
+        if actual != known:
+            raise ValueError(
+                f"bloom_pruned_read: manifest is stale for {root}: "
+                f"{len(actual - known)} unindexed / "
+                f"{len(known - actual)} vanished file(s); run the "
+                "manifest build over the current listing first."
+            )
+    keep = sorted(r["file"] for r in keep_rows if r["__keep"])
+    if stats is not None:
+        stats["files_total"] = len(known)
+        stats["files_read"] = len(keep)
+    if not keep:
+        schema = spark.read.parquet(root).schema
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.parquet(*keep)
+    return df.filter(F.col(col).isin(*values))

@@ -190,6 +190,7 @@ SIDECAR_ONLY = [
     "d_jaccard_prefix_filter",
     "g_triangle_count",
     "l_zone_pruned_agg",
+    "l_bloom_point_lookup",
 ]
 
 

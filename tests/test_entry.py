@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 130
+    assert len(names) == 131
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -166,6 +166,10 @@ def test_oracle_keys_subset_of_queries(spark):
         # must be invisible to semantics; skipping ratio + fail-closed
         # staleness pinned in tests/test_skipping.py)
         "l_zone_pruned_agg",
+        # round-8 extension: file-level bloom-filter point lookup over
+        # the same persisted copy (full value-hash oracle; no false
+        # negatives pinned in tests/test_skipping.py)
+        "l_bloom_point_lookup",
     ]
 
 

@@ -22,9 +22,9 @@ from tests.conftest import SF_DIR
 
 @pytest.fixture(scope="module")
 def zgrid(spark, tmp_path_factory):
-    tmp_dir = str(tmp_path_factory.mktemp("zones"))
     """A 64×64 (x, y) grid written Z-ordered into 16 files, plus its
     manifest."""
+    tmp_dir = str(tmp_path_factory.mktemp("zones"))
     path = f"{tmp_dir}/zones_grid"
     grid = (
         spark.range(64 * 64)
@@ -180,3 +180,66 @@ def test_zone_pruning_on_real_events(spark, tmp_dir):
         map(tuple, want.collect())
     )
     assert stats["files_read"] < stats["files_total"], stats
+
+
+def test_bloom_no_false_negatives_and_prunes(spark, tmp_path_factory):
+    """Every present key must be found (no false negatives — the
+    correctness half of the contract); an absent key prunes to zero
+    files; string keys work; stale manifests fail closed."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
+        bloom_pruned_read,
+        build_bloom_manifest,
+    )
+
+    path = str(tmp_path_factory.mktemp("bloom")) + "/data"
+    spark.range(10000).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("u"), (F.col("id") % 97).cast("string")).alias("tag"),
+    ).repartition(16).write.mode("overwrite").parquet(path)
+    mf = build_bloom_manifest(
+        spark.read.parquet(path), ["event_id", "tag"]
+    ).localCheckpoint()
+
+    # 200-key presence sweep: zero false negatives
+    keys = [(i * 53) % 10000 for i in range(200)]
+    got = bloom_pruned_read(spark, path, mf, "event_id", keys)
+    assert got.count() == len(set(keys))
+    # result equals the plain filtered scan
+    want = spark.read.parquet(path).filter(
+        F.col("event_id").isin(*keys)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # absent key: zero files planned, empty result, schema intact
+    stats: dict = {}
+    empty = bloom_pruned_read(
+        spark, path, mf, "event_id", [123456789], stats=stats
+    )
+    assert stats["files_read"] == 0 and empty.count() == 0
+    assert empty.columns == ["event_id", "tag"]
+
+    # string column lookups
+    s = bloom_pruned_read(spark, path, mf, "tag", ["u7", "u42"])
+    assert s.count() == spark.read.parquet(path).filter(
+        "tag IN ('u7','u42')"
+    ).count()
+
+    # small IN-list actually prunes (fp rate < 1 at this fill)
+    st2: dict = {}
+    bloom_pruned_read(spark, path, mf, "event_id", [42], stats=st2)
+    assert 0 < st2["files_read"] < st2["files_total"], st2
+
+    # stale manifest fails closed
+    spark.range(10000, 10100).select(
+        F.col("id").alias("event_id"), F.lit("new").alias("tag")
+    ).coalesce(1).write.mode("append").parquet(path)
+    with pytest.raises(ValueError, match="stale"):
+        bloom_pruned_read(spark, path, mf, "event_id", [42])
+
+    # float keys rejected loudly (string-form hash domain)
+    with pytest.raises(TypeError, match="int or str"):
+        bloom_pruned_read(
+            spark, path, mf, "event_id", [1.5], verify=False
+        )

@@ -125,6 +125,7 @@ AUDITED = [
     "d_jaccard_prefix_filter",
     "g_triangle_count",
     "l_zone_pruned_agg",
+    "l_bloom_point_lookup",
 ]
 
 # Every input corpus-sized → no broadcast hint allowed anywhere in the
@@ -190,6 +191,7 @@ NO_SINGLE_PARTITION = [
     "d_jaccard_prefix_filter",
     "g_triangle_count",
     "l_zone_pruned_agg",
+    "l_bloom_point_lookup",
 ]
 
 
