@@ -4221,3 +4221,75 @@ def l_bloom_point_lookup(spark, sf_dir):
     return bloom_pruned_read(
         spark, data_path, mf, "event_id", [7, 123, 911]
     ).select("event_id", "event_type", "user_id", "value")
+
+
+# ----- k-core extraction (round 8) ------------------------------------
+
+
+@register("g_kcore_extract")
+def g_kcore_extract(spark, sf_dir):
+    """k-CORE extraction over the bought-together graph
+    (``operators.graph.k_core``): iterative peeling to the unique
+    maximal subgraph where every part co-occurs with ≥ k=16 other (the synthetic baskets are near-regular, so the peel trims the sparse tail rather than collapsing — cascade behavior is pinned in the unit tests)
+    parts — the dense-cluster / always-bought-together seed extractor
+    (the same peel powers spam-farm and community-core detection).
+    Rows-only (the peel is an iterative fixpoint — not ANSI-SQL-
+    expressible), but SELF-CERTIFYING: the probe re-derives each
+    surviving node's degree WITHIN the returned core by re-joining
+    the edge set against the core's own node list — an in-query
+    recomputation independent of the peel loop's bookkeeping — and
+    ``ok`` asserts the recount equals the reported ``core_degree``
+    AND clears k (the defining k-core property, checkable from the
+    row data alone). Maximality (no peeled node could rejoin) is
+    pinned against brute force in ``tests/test_graph.py``. 100 TB
+    shape: each peel round costs one degree count + one semi-join
+    over the SURVIVING edges (monotonically shrinking), with
+    per-round localCheckpoint lineage cuts."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.graph import (
+        k_core,
+    )
+
+    (li,) = load(spark, sf_dir, "lineitem")
+    lines = li.select("l_orderkey", "l_linenumber", "l_partkey")
+    nxt = lines.select(
+        "l_orderkey",
+        (F.col("l_linenumber") - 1).alias("l_linenumber"),
+        F.col("l_partkey").alias("p2"),
+    )
+    inst = (
+        lines.join(nxt, ["l_orderkey", "l_linenumber"])
+        .filter(F.col("l_partkey") != F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    )
+    k = 16
+    core = k_core(inst, k).localCheckpoint(eager=False)
+    # independent recount: canonical edges restricted to core nodes
+    e = (
+        inst.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = core.select(F.col("node").alias("a"))
+    in_core = e.join(nodes, "a", "left_semi").join(
+        core.select(F.col("node").alias("b")), "b", "left_semi"
+    )
+    recount = (
+        in_core.select(F.col("a").alias("node"))
+        .unionAll(in_core.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__re"))
+    )
+    return (
+        core.join(recount, "node", "left")
+        .select(
+            F.col("node").alias("l_partkey"),
+            "core_degree",
+            (
+                (F.coalesce(F.col("__re"), F.lit(0)) == F.col("core_degree"))
+                & (F.col("core_degree") >= k)
+            ).alias("ok"),
+        )
+    )

@@ -191,6 +191,7 @@ SIDECAR_ONLY = [
     "g_triangle_count",
     "l_zone_pruned_agg",
     "l_bloom_point_lookup",
+    "g_kcore_extract",
 ]
 
 

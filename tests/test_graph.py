@@ -286,3 +286,47 @@ def test_triangle_counts_matches_bruteforce_random(spark):
         tri[v] = t
     want = {v: (len(adj[v]), tri[v]) for v in adj}
     assert got == want
+
+
+def test_k_core_known_and_bruteforce(spark):
+    """K5 plus a pendant chain: the 4-core is exactly the K5; higher k
+    empties. Then a pseudo-random graph vs a Python brute-force peel —
+    node set AND within-core degrees must match (soundness and
+    MAXIMALITY)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.graph import (
+        k_core,
+    )
+
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    edges = spark.createDataFrame(k5 + chain, "src bigint, dst bigint")
+    got = {r["node"]: r["core_degree"] for r in k_core(edges, 4).collect()}
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+    assert k_core(edges, 5).count() == 0
+    # the 1-core keeps everything (no isolated nodes in an edge list)
+    assert k_core(edges, 1).count() == 8
+
+    def brute(pairs, k):
+        simple = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+        while True:
+            deg = {}
+            for a, b in simple:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            weak = {n for n, d in deg.items() if d < k}
+            if not weak:
+                return deg
+            simple = {
+                (a, b) for a, b in simple
+                if a not in weak and b not in weak
+            }
+
+    n = 50
+    rows = [((i * i * 29 + 11) % n, (i * 7 + 3) % n) for i in range(400)]
+    redges = spark.createDataFrame(rows, "src bigint, dst bigint")
+    for k in (2, 4, 6):
+        got = {
+            r["node"]: r["core_degree"]
+            for r in k_core(redges, k).collect()
+        }
+        assert got == brute(rows, k), k

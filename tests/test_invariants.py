@@ -23,6 +23,9 @@ SELF_CERTIFYING = [
     "d_decontaminate",
     "c_pack_sequences",
     "s_ann_methods",
+    # round 8: ok = independent in-core degree recount == reported
+    # core_degree AND >= k
+    "g_kcore_extract",
 ]
 
 

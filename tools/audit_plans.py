@@ -126,6 +126,7 @@ AUDITED = [
     "g_triangle_count",
     "l_zone_pruned_agg",
     "l_bloom_point_lookup",
+    "g_kcore_extract",
 ]
 
 # Every input corpus-sized → no broadcast hint allowed anywhere in the
@@ -192,6 +193,7 @@ NO_SINGLE_PARTITION = [
     "g_triangle_count",
     "l_zone_pruned_agg",
     "l_bloom_point_lookup",
+    "g_kcore_extract",
 ]
 
 
