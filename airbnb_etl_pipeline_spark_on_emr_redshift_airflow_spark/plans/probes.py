@@ -4293,3 +4293,84 @@ def g_kcore_extract(spark, sf_dir):
             ).alias("ok"),
         )
     )
+
+
+# ----- dedup survivor selection policy (round 8) -----------------------
+
+ORACLE_CLUSTER_BEST_PICK = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         concat(text, ' ', repeat('!', 120)) AS text
+  FROM documents WHERE doc_id % 20 = 0),
+fp AS (
+  SELECT doc_id, length(text) AS n_len,
+         md5(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')))
+           AS cluster_fp
+  FROM corpus),
+r AS (
+  SELECT cluster_fp, doc_id, n_len,
+         row_number() OVER (PARTITION BY cluster_fp
+                            ORDER BY n_len ASC, doc_id ASC) AS rn,
+         CAST(count(*) OVER (PARTITION BY cluster_fp) AS BIGINT)
+           AS n_members
+  FROM fp)
+SELECT cluster_fp, doc_id AS keep_doc_id, n_len AS keep_len, n_members
+FROM r WHERE rn = 1
+"""
+
+
+@register("d_cluster_best_pick", oracle=ORACLE_CLUSTER_BEST_PICK)
+def d_cluster_best_pick(spark, sf_dir):
+    """Dedup SURVIVOR-SELECTION POLICY (round 8): real pipelines keep
+    the best cluster member, not the min-id one — here clusters are
+    LETTERS-NORMALIZED fingerprint classes (same word content
+    regardless of punctuation/noise junk), and the survivor is the
+    LEAST-NOISE member: argmin(raw length, tie doc_id asc) — all
+    members share identical letter content, so the shortest carries
+    the least non-letter junk. Runs on a planted noisy-twin corpus
+    (each subset doc gets a copy with 120 chars of '!' appended at
+    id+10^6): every class has exactly 2 members and the clean
+    original must win every pick, all value-hash-checked against the
+    DuckDB replay. (The oracle's normalizer passes DuckDB's 'g' flag
+    explicitly — Spark's regexp_replace is always global, DuckDB's is
+    first-match-only by default; the shared-SQL oracles elsewhere
+    stay flagless because the synthetic text is whitespace-clean, but
+    THIS probe plants a multi-run noise suffix, the exact case where
+    the defaults diverge.) 100 TB shape: one fingerprint window
+    exchange — identical cost to min-id exact dedup; the policy is
+    free."""
+    (docs,) = load(spark, sf_dir, "documents")
+    subset = docs.select("doc_id", "text").filter("doc_id % 20 = 0")
+    twins = subset.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" "), F.expr("repeat('!', 120)")
+        ).alias("text"),
+    )
+    corpus = subset.unionByName(twins)
+    fp = corpus.select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_len"),
+        F.expr(
+            "md5(trim(regexp_replace(lower(text), '[^a-z]+', ' ')))"
+        ).alias("cluster_fp"),
+    )
+    w = Window.partitionBy("cluster_fp").orderBy(
+        F.asc("n_len"), F.asc("doc_id")
+    )
+    cw = Window.partitionBy("cluster_fp")
+    return (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count(F.lit(1)).over(cw).cast("bigint")
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_fp",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_len").alias("keep_len"),
+            "n_members",
+        )
+    )

@@ -192,6 +192,7 @@ SIDECAR_ONLY = [
     "l_zone_pruned_agg",
     "l_bloom_point_lookup",
     "g_kcore_extract",
+    "d_cluster_best_pick",
 ]
 
 

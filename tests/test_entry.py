@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 132
+    assert len(names) == 133
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -174,6 +174,10 @@ def test_oracle_keys_subset_of_queries(spark):
         # fixpoint — with an independent in-result degree recount as
         # the self-certifying ok; maximality pinned vs brute force)
         "g_kcore_extract",
+        # round-8 extension: dedup survivor-selection policy — the
+        # least-noise member of each letters-normalized cluster wins
+        # (full value-hash oracle on the noisy-twin corpus)
+        "d_cluster_best_pick",
     ]
 
 

@@ -127,6 +127,7 @@ AUDITED = [
     "l_zone_pruned_agg",
     "l_bloom_point_lookup",
     "g_kcore_extract",
+    "d_cluster_best_pick",
 ]
 
 # Every input corpus-sized → no broadcast hint allowed anywhere in the
@@ -194,6 +195,7 @@ NO_SINGLE_PARTITION = [
     "l_zone_pruned_agg",
     "l_bloom_point_lookup",
     "g_kcore_extract",
+    "d_cluster_best_pick",
 ]
 
 
