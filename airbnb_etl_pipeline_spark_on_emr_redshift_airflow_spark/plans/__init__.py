@@ -28,7 +28,14 @@ column (``tests/test_invariants.py``). Round-7 rotation:
 — all four originals re-registered verbatim at the tail — and the
 freed slots record the round-6 oracle-checked flagships
 ``a_heavy_hitters_ledger`` and ``g_pagerank_fixed`` (plans.curation)
-at window positions 49/50.
+at window positions 49/50. Round-8 rotation: ``w_moving_frames`` +
+``w_rank_lag_lead`` folded into ``w_frames_ranks`` (plans.windows) and
+``e_tumbling_sliding`` + ``e_session_window`` into ``e_time_windows``
+(plans.events) — all four originals re-registered verbatim at the
+tail — and the freed slots record the round-8 oracle-checked
+flagships ``l_zone_pruned_agg`` (plans.curation, zone-map pruned
+scan) and ``d_jaccard_prefix_filter`` (plans.dedup, AllPairs prefix
+filtering).
 """
 
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import (  # noqa: F401

@@ -599,3 +599,85 @@ def g_pagerank_fixed(spark, sf_dir):
         base.selectExpr("s AS src", "p AS dst")
     )
     return pagerank_fixed_point(edges, iterations=2)
+# ----- zone-map manifest pruned scan (round 8) ------------------------
+
+ORACLE_ZONE_PRUNED = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {dec_sum_sql("value", "sum_value")}
+FROM events
+WHERE value >= CAST(100 AS DOUBLE) AND value <= CAST(200 AS DOUBLE)
+  AND user_id >= 0 AND user_id <= 99
+GROUP BY 1
+"""
+
+
+@register("l_zone_pruned_agg", oracle=ORACLE_ZONE_PRUNED)
+def l_zone_pruned_agg(spark, sf_dir):
+    """Zone-map manifest pruned scan end to end (round 8,
+    ``sources.skipping`` + ``operators.layout.zorder_layout``): the
+    events table is Z-ordered by (value, user_id) into a persisted
+    copy with a file-level min/max manifest beside it (built once per
+    CORPUS CONTENT — cache keyed on the source parquet's file
+    listing fingerprint, the ``s_ivf_persisted_index`` discipline);
+    the query then serves a conjunction of range predicates on BOTH
+    dimensions through :func:`pruned_read` — only files whose zone
+    boxes intersect the predicate box are even planned (the
+    Iceberg/Snowflake metadata-pruning model over plain parquet) —
+    and aggregates the survivors. The oracle is the plain full-scan
+    filter + agg: pruning must be INVISIBLE to semantics, which is
+    exactly what the value-hash certifies. The skipping RATIO (reads
+    a minority of files; stale manifests fail closed; all-NULL zones
+    skip soundly) is pinned in ``tests/test_skipping.py``. 100 TB
+    shape: manifest build is one map-side-combinable pass, pruning is
+    a metadata-plane operation over a file-count-sized frame, and the
+    Z-order layout keeps every file's bounding box tight in ALL
+    clustered dims so conjunctions multiply their selectivities."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.layout import (
+        zorder_layout,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
+        build_zone_manifest,
+        pruned_read,
+    )
+
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    src = _os.path.join(sf_dir, "events.parquet")
+    ent = [_os.path.abspath(src)]
+    for root, _dirs, files in sorted(_os.walk(src)):
+        for f in sorted(files):
+            st = _os.stat(_os.path.join(root, f))
+            ent.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    fp = _hashlib.md5("|".join(ent).encode()).hexdigest()[:16]
+    base = _os.path.join(repo, ".tmp", "catalog_zones", fp)
+    data_path = _os.path.join(base, "data")
+    mf_path = _os.path.join(base, "manifest")
+    if not _os.path.exists(_os.path.join(data_path, "_SUCCESS")):
+        (ev,) = load(spark, sf_dir, "events")
+        max_uid = ev.agg(F.max("user_id")).head()[0]
+        zorder_layout(
+            ev.select("event_id", "user_id", "event_type", "value"),
+            [("value", 0, 500), ("user_id", 0, float(max_uid) + 1)],
+            bits=8,
+            num_partitions=16,
+        ).write.mode("overwrite").parquet(data_path)
+    if not _os.path.exists(_os.path.join(mf_path, "_SUCCESS")):
+        build_zone_manifest(
+            spark.read.parquet(data_path), ["value", "user_id"]
+        ).coalesce(1).write.mode("overwrite").parquet(mf_path)
+    mf = spark.read.parquet(mf_path)
+    pruned = pruned_read(
+        spark,
+        data_path,
+        mf,
+        [("value", 100.0, 200.0), ("user_id", 0, 99)],
+    )
+    return pruned.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        dec_sum("value", "sum_value"),
+    )

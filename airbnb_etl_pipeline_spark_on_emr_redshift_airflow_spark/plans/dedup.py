@@ -355,3 +355,66 @@ def d_repeated_spans(spark, sf_dir):
     return repeated_spans(toked, "t", "doc_id", n=SPAN_N, min_docs=2)
 
 
+# ----- prefix-filtered Jaccard self-join (round 8) --------------------
+
+ORACLE_JACCARD_PREFIX = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, concat(text, ' mutated') AS text
+  FROM documents WHERE doc_id % 20 = 0),
+toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ')),
+                      ' ') AS t
+  FROM corpus),
+idx AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM idx),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+      >= CAST(0.5 AS DOUBLE)
+"""
+
+
+@register("d_jaccard_prefix_filter", oracle=ORACLE_JACCARD_PREFIX)
+def d_jaccard_prefix_filter(spark, sf_dir):
+    """EXACT Jaccard near-dup self-join at a real threshold (0.5) via
+    PREFIX FILTERING (AllPairs/PPJoin candidate bound —
+    ``operators.dedup.jaccard_pairs_prefix``): shingles order globally
+    rarest-first, each doc indexes only its first |d| − ⌈t·|d|⌉ + 1
+    tokens, candidates must collide inside both prefixes and pass the
+    t·|x| ≤ |y| ≤ |x|/t length filter before the bounded
+    array_intersect verify. The 100 TB story vs the existing
+    ``d_ngram_jaccard_pairs`` (full inverted index, optional
+    ``max_shingle_df`` cap): hot shingles sort to every doc's SUFFIX
+    and never enter the candidate join — pruning by ordering keeps
+    the result EXACT, where the df-cap variant can miss pairs whose
+    overlap is exclusively hot shingles. Runs on the planted-twin
+    corpus (the shared fuzzy-dedup fixture — the synthetic corpus has
+    no natural near-dups at t=0.5); the oracle replays the twin
+    construction and the full quadratic-free inverted index in
+    DuckDB, so every (pair, jaccard) value-hashes cross-engine
+    (integer set sizes → the double divides bit-identically).
+    Equality with the unfiltered exact form is pinned in
+    ``tests/test_dedup.py``."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.dedup import (
+        _planted_twin_corpus,
+    )
+
+    corpus = _planted_twin_corpus(spark, sf_dir)
+    return jaccard_pairs_prefix(corpus, n=3, threshold=0.5)

@@ -3923,71 +3923,6 @@ def e_windowed_quantiles(spark, sf_dir):
     )
 
 
-# ----- prefix-filtered Jaccard self-join (round 8) --------------------
-
-ORACLE_JACCARD_PREFIX = """
-WITH corpus AS (
-  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, concat(text, ' mutated') AS text
-  FROM documents WHERE doc_id % 20 = 0),
-toks AS (
-  SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ')),
-                      ' ') AS t
-  FROM corpus),
-idx AS (
-  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
-sh AS (
-  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
-  FROM idx),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
-SELECT doc_a, doc_b,
-       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
-      >= CAST(0.5 AS DOUBLE)
-"""
-
-
-@register("d_jaccard_prefix_filter", oracle=ORACLE_JACCARD_PREFIX)
-def d_jaccard_prefix_filter(spark, sf_dir):
-    """EXACT Jaccard near-dup self-join at a real threshold (0.5) via
-    PREFIX FILTERING (AllPairs/PPJoin candidate bound —
-    ``operators.dedup.jaccard_pairs_prefix``): shingles order globally
-    rarest-first, each doc indexes only its first |d| − ⌈t·|d|⌉ + 1
-    tokens, candidates must collide inside both prefixes and pass the
-    t·|x| ≤ |y| ≤ |x|/t length filter before the bounded
-    array_intersect verify. The 100 TB story vs the existing
-    ``d_ngram_jaccard_pairs`` (full inverted index, optional
-    ``max_shingle_df`` cap): hot shingles sort to every doc's SUFFIX
-    and never enter the candidate join — pruning by ordering keeps
-    the result EXACT, where the df-cap variant can miss pairs whose
-    overlap is exclusively hot shingles. Runs on the planted-twin
-    corpus (the shared fuzzy-dedup fixture — the synthetic corpus has
-    no natural near-dups at t=0.5); the oracle replays the twin
-    construction and the full quadratic-free inverted index in
-    DuckDB, so every (pair, jaccard) value-hashes cross-engine
-    (integer set sizes → the double divides bit-identically).
-    Equality with the unfiltered exact form is pinned in
-    ``tests/test_dedup.py``."""
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
-        jaccard_pairs_prefix,
-    )
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.dedup import (
-        _planted_twin_corpus,
-    )
-
-    corpus = _planted_twin_corpus(spark, sf_dir)
-    return jaccard_pairs_prefix(corpus, n=3, threshold=0.5)
-
-
 # ----- per-node triangle counting (round 8) ---------------------------
 
 ORACLE_TRIANGLE_COUNT = """
@@ -4064,90 +3999,6 @@ def g_triangle_count(spark, sf_dir):
         )
     )
     return triangle_counts(inst).withColumnRenamed("node", "l_partkey")
-
-
-# ----- zone-map manifest pruned scan (round 8) ------------------------
-
-ORACLE_ZONE_PRUNED = f"""
-SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n_events,
-       {dec_sum_sql("value", "sum_value")}
-FROM events
-WHERE value >= CAST(100 AS DOUBLE) AND value <= CAST(200 AS DOUBLE)
-  AND user_id >= 0 AND user_id <= 99
-GROUP BY 1
-"""
-
-
-@register("l_zone_pruned_agg", oracle=ORACLE_ZONE_PRUNED)
-def l_zone_pruned_agg(spark, sf_dir):
-    """Zone-map manifest pruned scan end to end (round 8,
-    ``sources.skipping`` + ``operators.layout.zorder_layout``): the
-    events table is Z-ordered by (value, user_id) into a persisted
-    copy with a file-level min/max manifest beside it (built once per
-    CORPUS CONTENT — cache keyed on the source parquet's file
-    listing fingerprint, the ``s_ivf_persisted_index`` discipline);
-    the query then serves a conjunction of range predicates on BOTH
-    dimensions through :func:`pruned_read` — only files whose zone
-    boxes intersect the predicate box are even planned (the
-    Iceberg/Snowflake metadata-pruning model over plain parquet) —
-    and aggregates the survivors. The oracle is the plain full-scan
-    filter + agg: pruning must be INVISIBLE to semantics, which is
-    exactly what the value-hash certifies. The skipping RATIO (reads
-    a minority of files; stale manifests fail closed; all-NULL zones
-    skip soundly) is pinned in ``tests/test_skipping.py``. 100 TB
-    shape: manifest build is one map-side-combinable pass, pruning is
-    a metadata-plane operation over a file-count-sized frame, and the
-    Z-order layout keeps every file's bounding box tight in ALL
-    clustered dims so conjunctions multiply their selectivities."""
-    import hashlib as _hashlib
-    import os as _os
-
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.layout import (
-        zorder_layout,
-    )
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
-        build_zone_manifest,
-        pruned_read,
-    )
-
-    repo = _os.path.dirname(
-        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    )
-    src = _os.path.join(sf_dir, "events.parquet")
-    ent = [_os.path.abspath(src)]
-    for root, _dirs, files in sorted(_os.walk(src)):
-        for f in sorted(files):
-            st = _os.stat(_os.path.join(root, f))
-            ent.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-    fp = _hashlib.md5("|".join(ent).encode()).hexdigest()[:16]
-    base = _os.path.join(repo, ".tmp", "catalog_zones", fp)
-    data_path = _os.path.join(base, "data")
-    mf_path = _os.path.join(base, "manifest")
-    if not _os.path.exists(_os.path.join(data_path, "_SUCCESS")):
-        (ev,) = load(spark, sf_dir, "events")
-        max_uid = ev.agg(F.max("user_id")).head()[0]
-        zorder_layout(
-            ev.select("event_id", "user_id", "event_type", "value"),
-            [("value", 0, 500), ("user_id", 0, float(max_uid) + 1)],
-            bits=8,
-            num_partitions=16,
-        ).write.mode("overwrite").parquet(data_path)
-    if not _os.path.exists(_os.path.join(mf_path, "_SUCCESS")):
-        build_zone_manifest(
-            spark.read.parquet(data_path), ["value", "user_id"]
-        ).coalesce(1).write.mode("overwrite").parquet(mf_path)
-    mf = spark.read.parquet(mf_path)
-    pruned = pruned_read(
-        spark,
-        data_path,
-        mf,
-        [("value", 100.0, 200.0), ("user_id", 0, 99)],
-    )
-    return pruned.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        dec_sum("value", "sum_value"),
-    )
 
 
 # ----- file-level bloom point lookup (round 8) ------------------------
@@ -4374,3 +4225,209 @@ def d_cluster_best_pick(spark, sf_dir):
             "n_members",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 merged-away originals, re-registered (same names, same
+# oracles) past the window: w_moving_frames + w_rank_lag_lead folded
+# into w_frames_ranks (plans.windows) and e_tumbling_sliding +
+# e_session_window into e_time_windows (plans.events), freeing
+# first-50 slots for the round-8 flagships l_zone_pruned_agg
+# (plans.curation) and d_jaccard_prefix_filter (plans.dedup).
+
+
+@register(
+    "w_moving_frames",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(l_extendedprice)
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+             AS moving_avg_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS moving_qty
+    FROM lineitem
+    """,
+)
+def w_moving_frames(spark, sf_dir):
+    """W4 + W5 — both bounded moving frames in one pass (the 8-row
+    moving average and the 4-row moving sum per supplier over ship
+    order; one Window operator after a single exchange). Merged into
+    ``w_frames_ranks`` for the driver window; re-registered here
+    unchanged."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.windows import (
+        moving_agg,
+    )
+
+    DEC = "decimal(18,4)"
+    (li,) = load(spark, sf_dir, "lineitem")
+    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    avg_frame = moving_agg(
+        li,
+        partition=["l_suppkey"],
+        order=order,
+        preceding=7,
+        aggs={
+            "__sum_price": F.sum(F.col("l_extendedprice").cast(DEC)),
+            "__cnt_price": F.count("l_extendedprice"),
+        },
+    )
+    both = moving_agg(
+        avg_frame,
+        partition=["l_suppkey"],
+        order=order,
+        preceding=3,
+        aggs={"__sum_qty": F.sum(F.col("l_quantity").cast(DEC))},
+    )
+    return both.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("__sum_price").cast("double") / F.col("__cnt_price")).alias(
+            "moving_avg_price"
+        ),
+        F.col("__sum_qty").cast("double").alias("moving_qty"),
+    )
+
+
+@register(
+    "w_rank_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           rank()       OVER w2 AS rnk,
+           dense_rank() OVER w2 AS drnk,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS lifetime_spend,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           (lead(o_orderdate) OVER w IS NULL) AS is_current
+    FROM orders
+    WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderpriority)
+    """,
+)
+def w_rank_lag_lead(spark, sf_dir):
+    """row_number/rank/dense_rank (deliberate ties), lag/lead, running
+    lifetime spend and the SCD2 versioning idiom in one pass. Merged
+    into ``w_frames_ranks`` for the driver window; re-registered here
+    unchanged."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.windows import (
+        scd2_versions,
+    )
+
+    DEC = "decimal(18,4)"
+    (orders,) = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    versioned = scd2_versions(
+        orders, ["o_custkey"], "o_orderdate", order_tiebreak=["o_orderkey"]
+    )
+    return versioned.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w2).alias("rnk"),
+        F.dense_rank().over(w2).alias("drnk"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(wcum).cast("double").alias(
+            "lifetime_spend"
+        ),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+@register(
+    "e_tumbling_sliding",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS w0, event_type, value
+      FROM {EVENTS_SRC}
+    ), expanded AS (
+      SELECT w0 AS window_start, event_type, value FROM bucketed
+      UNION ALL
+      SELECT w0 - INTERVAL '30 minutes' AS window_start, event_type, value
+      FROM bucketed
+    )
+    SELECT 'tumbling' AS kind,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           {dec_sum_sql("value", "total_value")}
+    FROM {EVENTS_SRC} GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS kind, window_start, event_type,
+           count(*) AS n_events,
+           {dec_sum_sql("value", "total_value")}
+    FROM expanded GROUP BY 2, 3
+    """,
+)
+def e_tumbling_sliding(spark, sf_dir):
+    """Tumbling 1-hour ∪ sliding 1-hour/30-min-hop windows per event
+    type, tagged by kind. Merged into ``e_time_windows`` for the
+    driver window; re-registered here unchanged."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.events import (
+        sliding_agg,
+        tumbling_agg,
+    )
+
+    (events,) = load(spark, sf_dir, "events")
+    tumbling = tumbling_agg(events, "1 hour").select(
+        F.lit("tumbling").alias("kind"), "*"
+    )
+    sliding = sliding_agg(events, "1 hour", "30 minutes").select(
+        F.lit("sliding").alias("kind"), "*"
+    )
+    return tumbling.unionByName(sliding)
+
+
+@register(
+    "e_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM {EVENTS_SRC}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), assigned AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id,
+           count(*) AS n_events,
+           {dec_sum_sql("value", "total_value")}
+    FROM assigned GROUP BY user_id, sid
+    """,
+)
+def e_session_window(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) per user via
+    ``session_window``. Merged into ``e_time_windows`` for the driver
+    window; re-registered here unchanged."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.events import (
+        session_agg,
+    )
+
+    (events,) = load(spark, sf_dir, "events")
+    return session_agg(events, "30 minutes")

@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 133
+    assert len(names) == 135
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -51,6 +51,8 @@ def test_oracle_keys_subset_of_queries(spark):
         "c_dsir_select", "q5_local_supplier_volume",
         "e_watermark_json", "p_project_dates",
         "a_heavy_hitters_ledger", "g_pagerank_fixed",
+        "w_frames_ranks", "e_time_windows",
+        "l_zone_pruned_agg", "d_jaccard_prefix_filter",
     ):
         assert must_have in names[:50]
     # new extension queries first, then the cap-probe re-registrations
@@ -151,24 +153,17 @@ def test_oracle_keys_subset_of_queries(spark):
         # per-(day, type) histogram ledger rows (full value-hash
         # oracle — exact bins + pure-arithmetic interpolation)
         "e_windowed_quantiles",
-        # round-8 extension: exact Jaccard self-join via AllPairs/
-        # PPJoin prefix filtering (full value-hash oracle on the
-        # planted-twin corpus) — hot shingles never enter the
-        # candidate join, result stays exact
-        "d_jaccard_prefix_filter",
         # round-8 extension: per-node triangle counts + clustering
         # coefficient via degree-ordered orientation over the
         # bought-together graph (full value-hash oracle — the DuckDB
         # side replays an id-ordered enumeration)
         "g_triangle_count",
-        # round-8 extension: zone-map manifest pruned scan over a
-        # Z-ordered persisted copy (full value-hash oracle — pruning
-        # must be invisible to semantics; skipping ratio + fail-closed
-        # staleness pinned in tests/test_skipping.py)
-        "l_zone_pruned_agg",
         # round-8 extension: file-level bloom-filter point lookup over
-        # the same persisted copy (full value-hash oracle; no false
-        # negatives pinned in tests/test_skipping.py)
+        # the zone-probe's persisted copy (full value-hash oracle; no
+        # false negatives pinned in tests/test_skipping.py); its
+        # siblings l_zone_pruned_agg (plans.curation) and
+        # d_jaccard_prefix_filter (plans.dedup) rotated INTO the
+        # window in round 8
         "l_bloom_point_lookup",
         # round-8 extension: k-core extraction (rows-only — iterative
         # fixpoint — with an independent in-result degree recount as
@@ -178,6 +173,10 @@ def test_oracle_keys_subset_of_queries(spark):
         # least-noise member of each letters-normalized cluster wins
         # (full value-hash oracle on the noisy-twin corpus)
         "d_cluster_best_pick",
+        # round-8 rotation re-registrations (window slots freed for
+        # l_zone_pruned_agg / d_jaccard_prefix_filter)
+        "w_moving_frames", "w_rank_lag_lead",
+        "e_tumbling_sliding", "e_session_window",
     ]
 
 

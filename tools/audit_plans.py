@@ -128,6 +128,11 @@ AUDITED = [
     "l_bloom_point_lookup",
     "g_kcore_extract",
     "d_cluster_best_pick",
+    # round-8 rotation merged slots (each slice keeps its original
+    # single-exchange window plan; disjoint tables, no cross-slice
+    # exchange)
+    "w_frames_ranks",
+    "e_time_windows",
 ]
 
 # Every input corpus-sized → no broadcast hint allowed anywhere in the

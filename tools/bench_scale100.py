@@ -117,6 +117,9 @@ CHAINS = [
     "d_jaccard_prefix_filter",
     "g_triangle_count",
     "l_zone_pruned_agg",
+    # round 8: the iterative peel (round count and per-round edge set
+    # both grow with the corpus; must stay ~linear like BFS/PageRank)
+    "g_kcore_extract",
 ]
 N_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
 PASS_RATIO = 13.0
