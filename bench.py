@@ -193,6 +193,11 @@ SIDECAR_ONLY = [
     "l_bloom_point_lookup",
     "g_kcore_extract",
     "d_cluster_best_pick",
+    # round-8 rotation merged window slots (their constituent slices
+    # stay headline-timed under the original names re-registered at
+    # the tail; the merged forms time here)
+    "w_frames_ranks",
+    "e_time_windows",
 ]
 
 

@@ -243,3 +243,43 @@ def test_bloom_no_false_negatives_and_prunes(spark, tmp_path_factory):
         bloom_pruned_read(
             spark, path, mf, "event_id", [1.5], verify=False
         )
+
+
+def test_compaction_then_manifest_reconcile(spark, tmp_path_factory):
+    """The small-files → compaction lifecycle: after compact_output
+    rewrites the directory (every old file gone, new files appear),
+    update_zone_manifest reconciles to exactly the fresh listing —
+    dropped rows for vanished files, stats computed for the new ones
+    — and pruned reads keep serving the same answers."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.io import (
+        compact_output,
+    )
+
+    path = str(tmp_path_factory.mktemp("compact")) + "/data"
+    df = spark.range(1000).select(F.col("id").cast("double").alias("v"))
+    df.repartition(32).write.mode("overwrite").parquet(path)
+    mf0 = build_zone_manifest(
+        spark.read.parquet(path), ["v"]
+    ).localCheckpoint()
+    assert mf0.count() == 32
+    want = sorted(
+        map(tuple, pruned_read(spark, path, mf0, [("v", 100.0, 200.0)]).collect())
+    )
+
+    # materialize before rewriting the path being read (an in-place
+    # compaction must stage its input; production would atomic-publish)
+    staged = spark.read.parquet(path).localCheckpoint()
+    compact_output(staged, path, target_rows_per_file=500)
+    # old manifest is now stale for the rewritten dir — fails closed
+    with pytest.raises(ValueError, match="stale"):
+        pruned_read(spark, path, mf0, [("v", 100.0, 200.0)])
+    mf1 = update_zone_manifest(spark, path, mf0, ["v"]).localCheckpoint()
+    assert mf1.count() == 2  # 1000 rows / 500-per-file target
+    got = sorted(
+        map(tuple, pruned_read(spark, path, mf1, [("v", 100.0, 200.0)]).collect())
+    )
+    assert got == want
+    rebuilt = build_zone_manifest(spark.read.parquet(path), ["v"])
+    assert sorted(map(tuple, mf1.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
