@@ -4431,3 +4431,95 @@ def e_session_window(spark, sf_dir):
 
     (events,) = load(spark, sf_dir, "events")
     return session_agg(events, "30 minutes")
+
+
+# ----- per-source length winsorize gate (round 8) ----------------------
+
+ORACLE_OUTLIER_FILTER = """
+WITH binned AS (
+  SELECT source,
+         LEAST(39, GREATEST(0,
+           CAST(FLOOR(CAST(n_chars AS DOUBLE)
+                      * CAST(40.0 AS DOUBLE)
+                      / CAST(600.0 AS DOUBLE)) AS INT))) AS bin
+  FROM documents WHERE n_chars IS NOT NULL),
+counts AS (
+  SELECT source, bin, CAST(count(*) AS BIGINT) AS c
+  FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT source, bin, c,
+         SUM(c) OVER (PARTITION BY source ORDER BY bin) AS cm,
+         SUM(c) OVER (PARTITION BY source) AS n_rows
+  FROM counts),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.05), (0.95)) t(q)),
+hit AS (
+  SELECT source, q, n_rows, bin, c, cm,
+         ROW_NUMBER() OVER (PARTITION BY source, q ORDER BY bin) AS rn
+  FROM cum CROSS JOIN qs
+  WHERE CAST(cm AS DOUBLE) >= q * CAST(n_rows AS DOUBLE)),
+vals AS (
+  SELECT source, q,
+         (CAST(600.0 AS DOUBLE) / CAST(40 AS DOUBLE))
+           * (CAST(bin AS DOUBLE)
+              + (q * CAST(n_rows AS DOUBLE)
+                 - CAST(cm - c AS DOUBLE)) / CAST(c AS DOUBLE)) AS v
+  FROM hit WHERE rn = 1),
+cuts AS (
+  SELECT source,
+         MAX(CASE WHEN q = CAST(0.05 AS DOUBLE) THEN v END) AS lo_cut,
+         MAX(CASE WHEN q = CAST(0.95 AS DOUBLE) THEN v END) AS hi_cut
+  FROM vals GROUP BY 1)
+SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+       c.lo_cut, c.hi_cut
+FROM documents d JOIN cuts c ON c.source = d.source
+WHERE CAST(d.n_chars AS DOUBLE) >= c.lo_cut
+  AND CAST(d.n_chars AS DOUBLE) <= c.hi_cut
+"""
+
+
+@register("c_outlier_filter", oracle=ORACLE_OUTLIER_FILTER)
+def c_outlier_filter(spark, sf_dir):
+    """Per-source length WINSORIZE gate (round 8) — the curation step
+    that drops length outliers RELATIVE TO THEIR SOURCE (a p95 cut on
+    a source of tweets and a source of books are different absolute
+    lengths; one global cut over a mixed corpus silently biases the
+    mixture): per-source p05/p95 served from the histogram ledger
+    (``operators.histogram`` — the anchored bin vectors already proven
+    by ``a_quantile_ledger``), broadcast-joined back (the cuts frame
+    is source-count-sized) and applied as a scan-stage range filter.
+    Full value-hash oracle: exact bigint bins + pure-arithmetic
+    interpolation make the cut values bit-identical cross-engine, so
+    the KEPT ROW SET (and the cuts each row was judged against)
+    hash-checks. 100 TB shape: one map-side-combinable ledger
+    exchange + one dim-sized join — the corpus is scanned twice
+    (ledger build, filter) and shuffled never; at petabyte scale the
+    second scan is cheaper than materializing a corpus-sized
+    projection."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.histogram import (
+        histogram_ledger,
+        ledger_quantiles,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    binned = docs.select(
+        "source", F.col("n_chars").cast("double").alias("v")
+    )
+    led = histogram_ledger(binned, ["source"], "v", 0.0, 600.0, 40)
+    cuts = ledger_quantiles(led, ["source"], 0.0, 600.0, [0.05, 0.95]).select(
+        "source",
+        F.col("q05").alias("lo_cut"),
+        F.col("q95").alias("hi_cut"),
+    )
+    v = F.col("n_chars").cast("double")
+    return (
+        docs.join(cuts, "source")
+        .filter((v >= F.col("lo_cut")) & (v <= F.col("hi_cut")))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            "lo_cut",
+            "hi_cut",
+        )
+    )

@@ -198,6 +198,7 @@ SIDECAR_ONLY = [
     # the tail; the merged forms time here)
     "w_frames_ranks",
     "e_time_windows",
+    "c_outlier_filter",
 ]
 
 

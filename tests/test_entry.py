@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 135
+    assert len(names) == 136
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -177,6 +177,10 @@ def test_oracle_keys_subset_of_queries(spark):
         # l_zone_pruned_agg / d_jaccard_prefix_filter)
         "w_moving_frames", "w_rank_lag_lead",
         "e_tumbling_sliding", "e_session_window",
+        # round-8 extension: per-source length winsorize gate served
+        # from the histogram ledger (full value-hash oracle — kept
+        # row set AND the cuts each row was judged against)
+        "c_outlier_filter",
     ]
 
 

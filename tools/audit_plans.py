@@ -133,6 +133,7 @@ AUDITED = [
     # exchange)
     "w_frames_ranks",
     "e_time_windows",
+    "c_outlier_filter",
 ]
 
 # Every input corpus-sized → no broadcast hint allowed anywhere in the
@@ -201,6 +202,7 @@ NO_SINGLE_PARTITION = [
     "l_bloom_point_lookup",
     "g_kcore_extract",
     "d_cluster_best_pick",
+    "c_outlier_filter",
 ]
 
 
