@@ -335,3 +335,60 @@ def bloom_pruned_read(
     else:
         df = spark.read.parquet(*keep)
     return df.filter(F.col(col).isin(*values))
+
+
+# ----- streaming maintenance --------------------------------------------
+
+
+def stream_sink_with_manifest(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: str,
+    data_path: str,
+    manifest_path: str,
+    cols: list[str],
+    checkpoint_dir: str,
+):
+    """Continuously ingest parquet batches from ``source_dir`` into a
+    zone-mapped table: each micro-batch lands under
+    ``data_path/batch_id=<id>`` (idempotent overwrite — the ledger
+    family's replay discipline: a replayed batch rewrites its own
+    partition, never double-appends) and the zone manifest at
+    ``manifest_path`` is RECONCILED to the new listing before the
+    batch completes — :func:`update_zone_manifest` reads only the
+    files the batch just wrote, so manifest maintenance is O(batch),
+    never O(table). Readers therefore always see a manifest that
+    passes :func:`pruned_read`'s fail-closed staleness check.
+    ``availableNow`` trigger: drain everything new since the last
+    checkpoint, then stop (the periodic-ingest cadence)."""
+
+    def _sink(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{data_path}/batch_id={batch_id}"
+        )
+        import os as _os
+
+        if _os.path.exists(_os.path.join(manifest_path, "_SUCCESS")):
+            prev = spark.read.parquet(manifest_path)
+        else:
+            prev = build_zone_manifest(
+                spark.read.parquet(f"{data_path}/batch_id={batch_id}"),
+                cols,
+            ).limit(0)
+        # materialize before overwriting the path being read from
+        mf = update_zone_manifest(spark, data_path, prev, cols)
+        mf.localCheckpoint().coalesce(1).write.mode("overwrite").parquet(
+            manifest_path
+        )
+        spark.catalog.refreshByPath(manifest_path)
+
+    return (
+        spark.readStream.schema(source_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -283,3 +283,57 @@ def test_compaction_then_manifest_reconcile(spark, tmp_path_factory):
     assert sorted(map(tuple, mf1.collect())) == sorted(
         map(tuple, rebuilt.collect())
     )
+
+
+def test_stream_sink_maintains_manifest(spark, tmp_path_factory):
+    """Streaming ingest keeps the zone manifest reconciled per batch:
+    after the stream drains, the manifest equals a from-scratch
+    rebuild over the landed files, pruned reads pass the fail-closed
+    staleness check and match the full-scan filter, and a REPLAY
+    (fresh checkpoint over the same source) converges to the same
+    state — batch partitions rewrite idempotently."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
+        stream_sink_with_manifest,
+    )
+
+    base = str(tmp_path_factory.mktemp("stream_zones"))
+    src = f"{base}/src"
+    data = f"{base}/data"
+    mf_path = f"{base}/manifest"
+    for i in range(3):
+        spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").cast("double").alias("v")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_sink_with_manifest(
+        spark, src, "v double", data, mf_path, ["v"],
+        f"{base}/ckpt",
+    )
+    q.awaitTermination(120)
+    mf = spark.read.parquet(mf_path)
+    rebuilt = build_zone_manifest(spark.read.parquet(data), ["v"])
+    assert sorted(map(tuple, mf.select(rebuilt.columns).collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    got = pruned_read(spark, data, mf, [("v", 150.0, 250.0)])
+    want = spark.read.parquet(data).filter("v >= 150.0 AND v <= 250.0")
+    assert sorted(r["v"] for r in got.select("v").collect()) == sorted(
+        r["v"] for r in want.select("v").collect()
+    )
+    assert got.count() == 101
+
+    # replay with a fresh checkpoint: batch partitions rewrite, the
+    # manifest reconciles (old file rows dropped, new added) — same
+    # served state
+    q2 = stream_sink_with_manifest(
+        spark, src, "v double", data, mf_path, ["v"],
+        f"{base}/ckpt2",
+    )
+    q2.awaitTermination(120)
+    mf2 = spark.read.parquet(mf_path)
+    again = pruned_read(spark, data, mf2, [("v", 150.0, 250.0)])
+    assert again.count() == 101
+    rebuilt2 = build_zone_manifest(spark.read.parquet(data), ["v"])
+    assert sorted(
+        map(tuple, mf2.select(rebuilt2.columns).collect())
+    ) == sorted(map(tuple, rebuilt2.collect()))
