@@ -41,7 +41,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-Predicate = tuple[str, float | int | None, float | int | None]
+# (col, lo, hi) closed interval; bounds may be numeric OR string (zone
+# min/max order is the column's natural order either way — a string
+# range like ("event_type", "click", "click") serves equality pruning
+# on a layout sorted/clustered by that column).
+Bound = float | int | str | None
+Predicate = tuple[str, Bound, Bound]
 
 
 def list_data_files(spark: SparkSession, root: str) -> list[str]:

@@ -337,3 +337,30 @@ def test_stream_sink_maintains_manifest(spark, tmp_path_factory):
     assert sorted(
         map(tuple, mf2.select(rebuilt2.columns).collect())
     ) == sorted(map(tuple, rebuilt2.collect()))
+
+
+def test_zone_pruning_on_string_column(spark, tmp_path_factory):
+    """Zone min/max order is the column's natural order for strings
+    too: on a layout sorted by a low-cardinality string column, an
+    equality interval (v, v) prunes to the files holding that value."""
+    path = str(tmp_path_factory.mktemp("zstr")) + "/data"
+    df = spark.range(4000).select(
+        F.element_at(
+            F.array(*[F.lit(x) for x in ["click", "purchase", "signup", "view"]]),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("etype"),
+        F.col("id").alias("k"),
+    )
+    df.repartitionByRange(8, "etype", "k").sortWithinPartitions(
+        "etype", "k"
+    ).write.mode("overwrite").parquet(path)
+    mf = build_zone_manifest(spark.read.parquet(path), ["etype"])
+    stats: dict = {}
+    got = pruned_read(spark, path, mf, [("etype", "purchase", "purchase")],
+                      stats=stats)
+    want = spark.read.parquet(path).filter("etype = 'purchase'")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() == 1000
+    assert stats["files_read"] < stats["files_total"], stats
