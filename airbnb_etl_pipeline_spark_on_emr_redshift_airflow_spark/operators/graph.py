@@ -88,9 +88,23 @@ def pagerank_fixed_point(
     src_col: str = "src",
     dst_col: str = "dst",
     init_ranks: DataFrame | None = None,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic PageRank over integer fixed-point ranks — the
     second iterative-graph operator beside :func:`bfs_min_hops`.
+
+    PERSONALIZED form (round 8): pass ``teleport`` — a ``node``
+    column of seed nodes — and the (1−d) restart mass teleports to
+    the SEEDS instead of uniformly: each seed's per-round base term is
+    ``(scale·n_nodes·(den−num)) div (den·n_seeds)`` and non-seeds get
+    0, so total restart mass matches the uniform form and the whole
+    computation stays exact bigint algebra (the probe's oracle
+    replays it as unrolled SQL). Seeds are intersected with the
+    graph's node set first — a seed absent from the graph would
+    silently leak restart mass otherwise. Ranks then measure
+    proximity-weighted importance RELATIVE to the seed set (the
+    related-entity / topic-sensitive ranking primitive, Haveliwala
+    2002).
 
     Float PageRank cannot be value-hash-checked: double sums depend
     on partition combine order. Here every quantity is a bigint —
@@ -126,8 +140,41 @@ def pagerank_fixed_point(
         F.count(F.lit(1)).cast("bigint").alias("__out_deg")
     ).localCheckpoint()
     base = (scale * (damping_den - damping_num)) // damping_den
+    if teleport is not None:
+        seeds = (
+            teleport.select("node")
+            .distinct()
+            .join(nodes, "node", "left_semi")
+            .localCheckpoint()
+        )
+        n_nodes, n_seeds = nodes.count(), seeds.count()
+        if n_seeds == 0:
+            raise ValueError(
+                "pagerank_fixed_point: teleport set shares no node "
+                "with the graph — all restart mass would be lost"
+            )
+        seed_base = (scale * n_nodes * (damping_den - damping_num)) // (
+            damping_den * n_seeds
+        )
+        nodes = (
+            nodes.join(
+                seeds.withColumn("__is_seed", F.lit(True)), "node", "left"
+            )
+            .select(
+                "node",
+                F.coalesce("__is_seed", F.lit(False)).alias("__seed"),
+            )
+            .localCheckpoint()
+        )
+        base_col = F.when(F.col("__seed"), F.lit(seed_base)).otherwise(
+            F.lit(0)
+        )
+    else:
+        base_col = F.lit(base)
     if init_ranks is None:
-        r = nodes.withColumn("rank_fp", F.lit(scale).cast("bigint"))
+        r = nodes.select("node").withColumn(
+            "rank_fp", F.lit(scale).cast("bigint")
+        )
     else:
         # WARM START (round 7, VERDICT r6 stretch #9): resume
         # iteration from a persisted ``(node, rank_fp)`` table — the
@@ -173,7 +220,7 @@ def pagerank_fixed_point(
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    base_col
                     + F.expr(
                         f"({damping_num} * coalesce(__s, 0L))"
                         f" div {damping_den}"
@@ -184,7 +231,7 @@ def pagerank_fixed_point(
             )
             .localCheckpoint()
         )
-    return r
+    return r.select("node", "rank_fp")
 
 
 def triangle_counts(

@@ -4523,3 +4523,93 @@ def c_outlier_filter(spark, sf_dir):
             "hi_cut",
         )
     )
+
+
+# ----- personalized PageRank (round 8) ---------------------------------
+
+ORACLE_PPR = """
+WITH base AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+  FROM lineitem WHERE l_partkey % 50 = 0),
+edges AS (
+  SELECT p AS src, s + 10000000 AS dst FROM base
+  UNION ALL
+  SELECT s + 10000000 AS src, p AS dst FROM base),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION SELECT DISTINCT dst FROM edges),
+seeds AS (SELECT DISTINCT p AS node FROM base WHERE p % 200 = 0),
+k AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+             (SELECT CAST(count(*) AS BIGINT) FROM seeds) AS n_seeds),
+sb AS (SELECT (1000000000 * n_nodes * 15) // (100 * n_seeds) AS b FROM k),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg
+        FROM edges GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_fp FROM nodes),
+c1 AS (
+  SELECT e.dst, CAST(SUM(r.rank_fp // d.out_deg) AS BIGINT) AS s
+  FROM edges e
+  JOIN r0 r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY 1),
+r1 AS (
+  SELECT n.node,
+         CAST(CASE WHEN sd.node IS NOT NULL THEN (SELECT b FROM sb)
+                   ELSE 0 END
+              + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS rank_fp
+  FROM nodes n
+  LEFT JOIN seeds sd ON sd.node = n.node
+  LEFT JOIN c1 ON c1.dst = n.node),
+c2 AS (
+  SELECT e.dst, CAST(SUM(r.rank_fp // d.out_deg) AS BIGINT) AS s
+  FROM edges e
+  JOIN r1 r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY 1),
+r2 AS (
+  SELECT n.node,
+         CAST(CASE WHEN sd.node IS NOT NULL THEN (SELECT b FROM sb)
+                   ELSE 0 END
+              + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS rank_fp
+  FROM nodes n
+  LEFT JOIN seeds sd ON sd.node = n.node
+  LEFT JOIN c2 ON c2.dst = n.node)
+SELECT node, rank_fp FROM r2
+"""
+
+
+@register("g_personalized_pagerank", oracle=ORACLE_PPR)
+def g_personalized_pagerank(spark, sf_dir):
+    """PERSONALIZED PageRank (round 8,
+    ``operators.graph.pagerank_fixed_point(teleport=...)``) over the
+    same part↔supplier trade graph as ``g_pagerank_fixed``, with the
+    (1−d) restart mass teleporting to a seed subset of part nodes
+    (``p % 200 = 0``) instead of uniformly — the related-entity /
+    topic-sensitive ranking primitive (Haveliwala 2002): ranks
+    measure importance RELATIVE to the seeds. Exactness device
+    unchanged: each seed's per-round base is
+    ``(scale·n_nodes·15) div (100·n_seeds)`` — pure bigint algebra,
+    bit-identical across partitionings, so DuckDB replays BOTH
+    iterations as unrolled CTEs (with the seed-conditional base) and
+    the full rank vector value-hashes cross-engine.
+    Teleport-to-all ≡ uniform, mass conservation, seed dominance and
+    off-graph seed handling are pinned in ``tests/test_graph.py``.
+    100 TB shape identical to the uniform form: two exchanges per
+    round + one dim-sized seed marker join at init."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    (li,) = load(spark, sf_dir, "lineitem")
+    base = (
+        li.filter("l_partkey % 50 = 0")
+        .select(
+            F.col("l_partkey").alias("p"),
+            (F.col("l_suppkey") + 10_000_000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = base.selectExpr("p AS src", "s AS dst").unionByName(
+        base.selectExpr("s AS src", "p AS dst")
+    )
+    seeds = base.filter("p % 200 = 0").select(F.col("p").alias("node"))
+    return pagerank_fixed_point(edges, iterations=2, teleport=seeds)

@@ -199,6 +199,7 @@ SIDECAR_ONLY = [
     "w_frames_ranks",
     "e_time_windows",
     "c_outlier_filter",
+    "g_personalized_pagerank",
 ]
 
 

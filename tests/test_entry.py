@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 136
+    assert len(names) == 137
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -181,6 +181,10 @@ def test_oracle_keys_subset_of_queries(spark):
         # from the histogram ledger (full value-hash oracle — kept
         # row set AND the cuts each row was judged against)
         "c_outlier_filter",
+        # round-8 extension: personalized PageRank — restart mass
+        # teleports to a seed set, full rank-vector unrolled-CTE
+        # oracle (seed-conditional integer base)
+        "g_personalized_pagerank",
     ]
 
 

@@ -330,3 +330,60 @@ def test_k_core_known_and_bruteforce(spark):
             for r in k_core(redges, k).collect()
         }
         assert got == brute(rows, k), k
+
+
+def test_personalized_pagerank_teleport(spark):
+    """Personalized teleport: restart mass goes to the seeds only —
+    (a) teleport to ALL nodes is bit-identical to the uniform form
+    (the seed_base formula collapses to the uniform base), (b) total
+    mass is conserved up to floor truncation, (c) a seed outranks the
+    symmetric non-seed it mirrors, (d) seeds absent from the graph
+    are intersected away and an all-absent set fails loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    # two symmetric lobes sharing a bridge: 1-2-3 === 0 === 4-5-6
+    lobes = [(0, 1), (1, 2), (2, 3), (0, 4), (4, 5), (5, 6)]
+    rows = lobes + [(b, a) for a, b in lobes]
+    edges = spark.createDataFrame(rows, "src bigint, dst bigint")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(7)], "node bigint"
+    )
+
+    uni = pagerank_fixed_point(edges, iterations=3)
+    tele_all = pagerank_fixed_point(edges, iterations=3, teleport=nodes)
+    assert sorted(map(tuple, tele_all.collect())) == sorted(
+        map(tuple, uni.collect())
+    )
+
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    ppr = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixed_point(
+            edges, iterations=3, teleport=seeds
+        ).collect()
+    }
+    n, scale = 7, 10**9
+    total = sum(ppr.values())
+    assert n * scale - 12 * n <= total <= n * scale
+    # seed lobe dominates its mirror image
+    assert ppr[1] > ppr[4] and ppr[2] > ppr[5] and ppr[3] > ppr[6]
+    # seed holds the restart mass: outranks everything
+    assert ppr[1] == max(ppr.values())
+
+    # off-graph seeds are intersected away; all-absent fails loudly
+    mixed = spark.createDataFrame([(1,), (99,)], "node bigint")
+    ppr2 = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixed_point(
+            edges, iterations=3, teleport=mixed
+        ).collect()
+    }
+    assert ppr2 == ppr
+    absent = spark.createDataFrame([(99,)], "node bigint")
+    with _pytest.raises(ValueError, match="teleport"):
+        pagerank_fixed_point(edges, iterations=1, teleport=absent)

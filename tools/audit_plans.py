@@ -134,6 +134,7 @@ AUDITED = [
     "w_frames_ranks",
     "e_time_windows",
     "c_outlier_filter",
+    "g_personalized_pagerank",
 ]
 
 # Every input corpus-sized → no broadcast hint allowed anywhere in the
@@ -203,6 +204,7 @@ NO_SINGLE_PARTITION = [
     "g_kcore_extract",
     "d_cluster_best_pick",
     "c_outlier_filter",
+    "g_personalized_pagerank",
 ]
 
 
