@@ -296,6 +296,10 @@ def bloom_pruned_read(
     used, evaluated over the manifest frame — no Python reimplementation
     of the hash to drift. ``verify``/``stats`` as in
     :func:`pruned_read`."""
+    if not values:
+        raise ValueError(
+            "bloom_pruned_read: empty IN-list — nothing to look up"
+        )
     mf = manifest.filter(F.col("col") == col)
     rows = mf.select("file", "n_bits", "k", "bloom").collect()
     if rows:
