@@ -96,6 +96,7 @@ def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
     profile_ledger_path = f"{workdir}/profile_ledger"
     hitters_ledger_path = f"{workdir}/hitters_ledger"
     pagerank_ranks_path = f"{workdir}/pagerank_ranks"
+    corpus_manifest_path = f"{workdir}/corpus_manifest"
     _toks = (
         "filter(split(trim(regexp_replace(lower(text), '[^a-z]+', ' ')), "
         "' '), x -> x != '')"
@@ -414,6 +415,42 @@ def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
         )
         return spark.read.parquet(f"{pagerank_ranks_path}/period={lo}_{hi}")
 
+    def manifest(spark: SparkSession, period: str, ctx) -> DataFrame:
+        """Zone-map manifest over the PUBLISHED corpus, reconciled per
+        period (``sources.skipping``) — the skipping layer as one more
+        incrementally-maintained serving artifact beside the ledgers:
+        readers range-query the corpus (by ``doc_id`` range or
+        ``source``) through
+        :func:`pruned_read`, whose fail-closed staleness check this
+        stage keeps satisfied. The corpus publish is an atomic
+        directory swap (every file is new each period), so the
+        reconcile degenerates to a rebuild here — on a
+        partition-appending corpus layout (ingest-day partitions, the
+        100 TB form) the same call reads only the new files. Replay
+        idempotence: a replayed period republishes the same corpus
+        CONTENT under fresh part names (atomic_publish), and the
+        reconcile follows — identical stats per file, fresh file ids —
+        so pruned reads keep serving the same answers (pinned)."""
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
+            build_zone_manifest,
+            update_zone_manifest,
+        )
+
+        _ = ctx["published"]
+        if model_exists(corpus_manifest_path):
+            prev = spark.read.parquet(corpus_manifest_path)
+        else:
+            prev = build_zone_manifest(
+                spark.read.parquet(corpus_path), ["doc_id", "source"]
+            ).limit(0)
+        mf = update_zone_manifest(
+            spark, corpus_path, prev, ["doc_id", "source"]
+        ).localCheckpoint()
+        atomic_publish(
+            mf.coalesce(1), corpus_manifest_path, validate=model_exists
+        )
+        return spark.read.parquet(corpus_manifest_path)
+
     return Pipeline(
         [
             Stage("batch", batch),
@@ -451,6 +488,12 @@ def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
             Stage(
                 "pagerank",
                 pagerank,
+                deps=("published",),
+                gates=(("non-empty", non_empty),),
+            ),
+            Stage(
+                "manifest",
+                manifest,
                 deps=("published",),
                 gates=(("non-empty", non_empty),),
             ),

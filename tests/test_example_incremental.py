@@ -353,3 +353,43 @@ def test_incremental_pagerank_warm_start_and_replay(spark, tmp_dir):
     os.makedirs(f"{wd}/pagerank_ranks/period=50_200")
     run3 = pipe.run(spark, "200:350")
     assert sorted(map(tuple, run3.results["pagerank"].collect())) == got
+
+
+def test_incremental_corpus_manifest_serves_pruned_reads(spark, tmp_dir):
+    """The manifest stage keeps a zone manifest reconciled with the
+    published corpus across periods and replays: pruned reads pass
+    the fail-closed staleness check and equal the full-scan filter,
+    and a replayed period leaves the manifest serving identically."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
+        pruned_read,
+    )
+
+    wd = f"{tmp_dir}/inc_mf"
+    pipe = build_pipeline(SF_DIR, wd)
+    pipe.run(spark, "0:200")
+    r2 = pipe.run(spark, "200:350")
+    assert r2.results["manifest"].count() >= 1
+
+    mf = spark.read.parquet(f"{wd}/corpus_manifest")
+    got = pruned_read(
+        spark, f"{wd}/corpus", mf, [("doc_id", 50, 250)]
+    ).select("doc_id")
+    want = spark.read.parquet(f"{wd}/corpus").filter(
+        "doc_id >= 50 AND doc_id <= 250"
+    ).select("doc_id")
+    want_ids = sorted(r[0] for r in want.collect())
+    assert sorted(r[0] for r in got.collect()) == want_ids
+
+    # replay: corpus content unchanged but atomic_publish writes fresh
+    # UUID part names — the manifest reconciles to the new listing
+    # with IDENTICAL stats (equality modulo the file column) and keeps
+    # passing the staleness check
+    stats_cols = [c for c in mf.columns if c != "file"]
+    before = sorted(map(tuple, mf.select(stats_cols).collect()))
+    pipe.run(spark, "200:350")
+    mf2 = spark.read.parquet(f"{wd}/corpus_manifest")
+    assert sorted(map(tuple, mf2.select(stats_cols).collect())) == before
+    again = pruned_read(
+        spark, f"{wd}/corpus", mf2, [("doc_id", 50, 250)]
+    )
+    assert again.count() == len(want_ids)
