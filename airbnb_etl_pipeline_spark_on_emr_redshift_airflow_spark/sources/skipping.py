@@ -401,3 +401,42 @@ def stream_sink_with_manifest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def update_bloom_manifest(
+    spark: SparkSession,
+    root: str,
+    manifest: DataFrame,
+    cols: list[str],
+    n_bits: int = 4096,
+    k: int = 5,
+) -> DataFrame:
+    """Incrementally reconcile a bloom manifest with the files under
+    ``root`` — the :func:`update_zone_manifest` counterpart for the
+    point-lookup bitsets: rows for vanished files drop, bitsets for
+    NEW files are built by reading only those files. ``n_bits``/``k``
+    must match the original build (asserted against the surviving
+    rows — mixing hash geometries would silently break membership)."""
+    actual = set(list_data_files(spark, root))
+    known_rows = manifest.select("file", "n_bits", "k").collect()
+    known = {r["file"] for r in known_rows}
+    for r in known_rows:
+        if r["file"] in actual and (r["n_bits"] != n_bits or r["k"] != k):
+            raise ValueError(
+                "update_bloom_manifest: existing manifest built with "
+                f"n_bits={r['n_bits']}, k={r['k']} but update asked "
+                f"for n_bits={n_bits}, k={k} — bitsets with mixed "
+                "hash geometry cannot answer membership"
+            )
+    new = sorted(actual - known)
+    gone = known - actual
+    out = manifest
+    if gone:
+        out = out.filter(~F.col("file").isin(*gone))
+    if new:
+        out = out.unionByName(
+            build_bloom_manifest(
+                spark.read.parquet(*new), cols, n_bits=n_bits, k=k
+            )
+        )
+    return out

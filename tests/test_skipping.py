@@ -364,3 +364,34 @@ def test_zone_pruning_on_string_column(spark, tmp_path_factory):
     )
     assert got.count() == 1000
     assert stats["files_read"] < stats["files_total"], stats
+
+
+def test_update_bloom_manifest_incremental_equals_rebuild(spark, tmp_path_factory):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
+        bloom_pruned_read,
+        build_bloom_manifest,
+        update_bloom_manifest,
+    )
+
+    path = str(tmp_path_factory.mktemp("bloom_inc")) + "/data"
+    spark.range(1000).select(
+        F.col("id").alias("event_id")
+    ).coalesce(2).write.mode("overwrite").parquet(path)
+    mf0 = build_bloom_manifest(
+        spark.read.parquet(path), ["event_id"]
+    ).localCheckpoint()
+    spark.range(5000, 5100).select(
+        F.col("id").alias("event_id")
+    ).coalesce(1).write.mode("append").parquet(path)
+    mf1 = update_bloom_manifest(spark, path, mf0, ["event_id"])
+    rebuilt = build_bloom_manifest(spark.read.parquet(path), ["event_id"])
+    assert sorted(map(tuple, mf1.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    # serves lookups over the new batch; still zero false negatives
+    got = bloom_pruned_read(spark, path, mf1, "event_id", [5042, 7])
+    assert got.count() == 2
+
+    # mixed hash geometry is rejected loudly
+    with pytest.raises(ValueError, match="hash geometry"):
+        update_bloom_manifest(spark, path, mf1, ["event_id"], n_bits=2048)
