@@ -395,3 +395,30 @@ def test_update_bloom_manifest_incremental_equals_rebuild(spark, tmp_path_factor
     # mixed hash geometry is rejected loudly
     with pytest.raises(ValueError, match="hash geometry"):
         update_bloom_manifest(spark, path, mf1, ["event_id"], n_bits=2048)
+
+
+def test_zone_pruning_randomized_boxes_always_exact(spark, zgrid):
+    """Seeded sweep: 12 random predicate boxes (including degenerate,
+    inverted-to-empty and out-of-domain ones) — pruned_read must equal
+    the full-scan filter on every one (soundness cannot depend on the
+    box being 'reasonable')."""
+    import random
+
+    path, mf = zgrid
+    rng = random.Random(8)
+    full = spark.read.parquet(path)
+    for i in range(12):
+        xlo = rng.uniform(-10, 70)
+        xhi = xlo + rng.uniform(-5, 30)
+        ylo = rng.uniform(-10, 70)
+        yhi = ylo + rng.uniform(-5, 30)
+        got = pruned_read(
+            spark, path, mf, [("x", xlo, xhi), ("y", ylo, yhi)]
+        )
+        want = full.filter(
+            (F.col("x") >= xlo) & (F.col("x") <= xhi)
+            & (F.col("y") >= ylo) & (F.col("y") <= yhi)
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), (i, xlo, xhi, ylo, yhi)
