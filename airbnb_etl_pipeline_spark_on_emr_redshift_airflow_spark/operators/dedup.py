@@ -226,6 +226,21 @@ def jaccard_pairs_prefix(
     bounded array_intersect verify. Pinned equal to the exact
     quadratic form in ``tests/test_dedup.py``; full value-hash
     oracle: ``d_jaccard_prefix_filter``."""
+    from fractions import Fraction
+
+    # t as an exact rational (decimal-literal reading of the float:
+    # 0.07 -> 7/100, not the binary 0.07000...0001): float
+    # F.ceil(t * s) rounds UP on cases like 0.07*100 =
+    # 7.000000000000001 -> 8, silently shortening the prefix and
+    # tightening the length filter by one — which can DROP a
+    # genuinely qualifying pair. ceil(num*s/den) in bigint integer
+    # arithmetic ((num*s + den - 1) div den) is exact for every t.
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+
+    def _ceil_t(col):
+        return F.expr(f"({num}L * {col} + {den - 1}L) div {den}L")
+
     sh = word_shingles(docs, n, text_col)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     ranked = sh.join(dfreq, "shingle")
@@ -238,11 +253,7 @@ def jaccard_pairs_prefix(
         )
         .withColumn("__s", F.size("__toks"))
     )
-    plen = (
-        F.col("__s")
-        - F.ceil(F.lit(threshold) * F.col("__s")).cast("int")
-        + F.lit(1)
-    )
+    plen = (F.col("__s") - _ceil_t("__s").cast("int") + F.lit(1))
     pref = arrs.select(
         "doc_id",
         "__s",
@@ -262,8 +273,8 @@ def jaccard_pairs_prefix(
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(
-            (F.col("__sb") >= F.ceil(F.lit(threshold) * F.col("__sa")))
-            & (F.col("__sa") >= F.ceil(F.lit(threshold) * F.col("__sb")))
+            (F.col("__sb") >= _ceil_t("__sa"))
+            & (F.col("__sa") >= _ceil_t("__sb"))
         )
         .select("doc_a", "doc_b")
         .distinct()

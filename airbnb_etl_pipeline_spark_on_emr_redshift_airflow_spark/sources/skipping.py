@@ -1,5 +1,6 @@
-"""File-level zone maps (min/max skipping statistics) and
-manifest-pruned reads — the data-skipping layer over plain parquet.
+"""File-level zone maps (min/max skipping statistics), file-level
+Bloom filters, and manifest-pruned reads — the data-skipping layer
+over plain parquet.
 
 The reference's only pruning device is hive partitioning
 (year/month/city directories); parquet row-group stats prune WITHIN a
@@ -34,6 +35,11 @@ Scale/consistency notes:
   the manifest would be silently un-scanned), so :func:`pruned_read`
   verifies the manifest's file set against the actual listing by
   default and fails loudly on drift.
+- Kept files are read with ``.option("basePath", root)`` so hive
+  partition columns (e.g. the ``batch_id=`` layout
+  :func:`stream_sink_with_manifest` writes) survive pruning — the
+  pruned schema is identical to the full-scan schema on partitioned
+  and unpartitioned roots alike.
 """
 
 from __future__ import annotations
@@ -139,6 +145,53 @@ def zone_keep_condition(predicates: list[Predicate]):
     return cond
 
 
+def _verify_listing(
+    spark: SparkSession, root: str, known: set[str], what: str
+) -> None:
+    """Fail-closed staleness check: the manifest must cover exactly
+    the files actually present — reading through a stale manifest
+    would silently drop data (the one failure mode a skipping layer
+    must fail CLOSED on)."""
+    actual = set(list_data_files(spark, root))
+    if actual != known:
+        missing = sorted(actual - known)[:3]
+        extra = sorted(known - actual)[:3]
+        raise ValueError(
+            f"{what}: manifest is stale for {root}: "
+            f"{len(actual - known)} unindexed file(s) (e.g. {missing}), "
+            f"{len(known - actual)} vanished file(s) (e.g. {extra}); "
+            "update the manifest first — reading through a stale "
+            "manifest would silently drop data."
+        )
+
+
+def _read_kept(
+    spark: SparkSession, root: str, keep: list[str]
+) -> DataFrame:
+    """Plan ONLY the kept leaf files. ``basePath=root`` makes Spark
+    derive hive partition columns relative to the table root, so a
+    pruned read of a partitioned layout (``batch_id=.../part-*``)
+    keeps the same schema as the full scan; the zero-files branch
+    takes its schema from the same root read, so both branches agree
+    on partitioned and plain roots alike."""
+    if not keep:
+        return spark.createDataFrame([], spark.read.parquet(root).schema)
+    return spark.read.option("basePath", root).parquet(*keep)
+
+
+def _apply_range_residual(
+    df: DataFrame, predicates: list[Predicate]
+) -> DataFrame:
+    for c, lo, hi in predicates:
+        if lo is not None:
+            df = df.filter(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(c) <= F.lit(hi))
+        if lo is None and hi is None:
+            df = df.filter(F.col(c).isNotNull())
+    return df
+
+
 def pruned_read(
     spark: SparkSession,
     root: str,
@@ -158,40 +211,15 @@ def pruned_read(
     would silently drop unindexed files from results, the one failure
     mode a zone-map layer must fail CLOSED on. Pass ``stats={}`` to
     record ``files_total`` / ``files_read``."""
-    rows = manifest.select(
-        "file", zone_keep_condition(predicates).alias("__keep")
-    ).collect()
-    known = {r["file"] for r in rows}
-    if verify:
-        actual = set(list_data_files(spark, root))
-        if actual != known:
-            missing = sorted(actual - known)[:3]
-            extra = sorted(known - actual)[:3]
-            raise ValueError(
-                "pruned_read: manifest is stale for "
-                f"{root}: {len(actual - known)} unindexed file(s) "
-                f"(e.g. {missing}), {len(known - actual)} vanished "
-                f"file(s) (e.g. {extra}); run update_zone_manifest "
-                "first — reading through a stale manifest would "
-                "silently drop data."
-            )
-    keep = sorted(r["file"] for r in rows if r["__keep"])
-    if stats is not None:
-        stats["files_total"] = len(known)
-        stats["files_read"] = len(keep)
-    if not keep:
-        schema = spark.read.parquet(root).schema
-        df = spark.createDataFrame([], schema)
-    else:
-        df = spark.read.parquet(*keep)
-    for c, lo, hi in predicates:
-        if lo is not None:
-            df = df.filter(F.col(c) >= F.lit(lo))
-        if hi is not None:
-            df = df.filter(F.col(c) <= F.lit(hi))
-        if lo is None and hi is None:
-            df = df.filter(F.col(c).isNotNull())
-    return df
+    return combined_pruned_read(
+        spark,
+        root,
+        zone_manifest=manifest,
+        range_predicates=predicates,
+        verify=verify,
+        stats=stats,
+        _what="pruned_read",
+    )
 
 
 # ----- file-level Bloom filters (point-lookup skipping) ---------------
@@ -209,6 +237,25 @@ def pruned_read(
 # Spark expressions over it (the literal hashes with the SAME
 # xxhash64 the build used), and the kept-file list collects to the
 # driver — Delta/Iceberg's file-level bloom stats over plain parquet.
+
+# column types whose CAST AS STRING rendering is guaranteed to match
+# the probe literal's string form — the hash-domain contract that
+# makes "no false negatives" unconditional. A double column would
+# render 7 as '7.0' while an int probe hashes '7': silent false
+# negatives, so any other type is rejected at BUILD time.
+_INTEGRAL_TYPES = frozenset({"tinyint", "smallint", "int", "bigint"})
+_BLOOMABLE_TYPES = _INTEGRAL_TYPES | {"string"}
+
+
+def _sql_str_lit(v: str) -> str:
+    """A string key as a Spark-SQL expression that cannot be broken
+    or altered by its content: hex-encode the UTF-8 bytes and decode
+    in-engine. Quotes, backslashes, and newlines in the key never
+    touch the SQL parser (and the result is independent of parser
+    escaping modes like ``spark.sql.parser.escapedStringLiterals``);
+    the decoded value is a plain STRING, so it hashes in the same
+    domain as the build side's CAST AS STRING."""
+    return f"decode(unhex('{v.encode('utf-8').hex().upper()}'), 'UTF-8')"
 
 
 def _bloom_positions(col_expr: str, n_bits: int, k: int) -> str:
@@ -231,15 +278,32 @@ def build_bloom_manifest(
     scan: DataFrame, cols: list[str], n_bits: int = 4096, k: int = 5
 ) -> DataFrame:
     """One row per (data file, indexed column) of ``scan``:
-    ``file``, ``col``, ``n_bits``, ``k`` and the bitset ``bloom``
+    ``file``, ``col``, ``col_type`` (the indexed column's Spark type,
+    recorded so the probe can verify its literals live in the same
+    hash domain), ``n_bits``, ``k`` and the bitset ``bloom``
     (``n_bits/64`` bigint words). Build is distributed and
     map-side-combinable: explode k positions per (row, col), fold
     per-(file, col, word) with ``bit_or`` (the partial-agg shape —
     the exchange carries at most ``n_bits/64`` rows per file×col per
     partition), assemble the word array from the at-most-64-entry
-    map. ``n_bits`` must be a multiple of 64."""
+    map. ``n_bits`` must be a multiple of 64. Only integral and
+    string columns are indexable: any other type's CAST AS STRING
+    need not match a probe literal's form, which would break the
+    no-false-negatives contract."""
     if n_bits % 64:
         raise ValueError(f"build_bloom_manifest: n_bits={n_bits} not /64")
+    dtypes = dict(scan.dtypes)
+    col_types: dict[str, str] = {}
+    for c in cols:
+        t = dtypes.get(c)
+        if t not in _BLOOMABLE_TYPES:
+            raise TypeError(
+                f"build_bloom_manifest: column {c!r} has type {t!r}; "
+                f"only {sorted(_BLOOMABLE_TYPES)} are bloom-indexable "
+                "(other types' CAST AS STRING rendering need not match "
+                "a probe literal — silent false negatives)"
+            )
+        col_types[c] = t
     n_words = n_bits // 64
     pos_structs = ", ".join(
         f"transform({_bloom_positions(c, n_bits, k)},"
@@ -257,6 +321,9 @@ def build_bloom_manifest(
             "bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))"
         ).alias("bits")
     )
+    type_map = F.create_map(
+        *[x for c, t in col_types.items() for x in (F.lit(c), F.lit(t))]
+    )
     return (
         words.groupBy("file", "col")
         .agg(
@@ -267,6 +334,7 @@ def build_bloom_manifest(
         .select(
             "file",
             "col",
+            type_map[F.col("col")].alias("col_type"),
             F.lit(n_bits).alias("n_bits"),
             F.lit(k).alias("k"),
             F.expr(
@@ -275,6 +343,106 @@ def build_bloom_manifest(
             ).alias("bloom"),
         )
     )
+
+
+def _bloom_probe_tests(
+    col: str, col_type: str, values: list, n_bits: int, k: int
+) -> str:
+    """The OR-of-memberships probe expression over manifest rows for
+    one IN-list. Validates both sides of the hash-domain contract:
+    probe VALUES must be int or str (a float literal's string form
+    need not match CAST AS STRING), and the indexed COLUMN's recorded
+    type must agree with the literal kind (probing a string column
+    with int keys — or vice versa — hashes a different rendering and
+    would produce silent false negatives)."""
+    tests = []
+    for v in values:
+        if not isinstance(v, (int, str)) or isinstance(v, bool):
+            raise TypeError(
+                f"bloom probe: point-lookup values must be "
+                f"int or str, got {type(v).__name__}"
+            )
+        if isinstance(v, int) and col_type not in _INTEGRAL_TYPES:
+            raise TypeError(
+                f"bloom probe: int key {v!r} against column {col!r} of "
+                f"type {col_type!r} — the build hashed the column's "
+                "CAST AS STRING form, which does not match an integer "
+                "literal's; probe with the column's own type"
+            )
+        if isinstance(v, str) and col_type != "string":
+            raise TypeError(
+                f"bloom probe: str key {v!r} against column {col!r} of "
+                f"type {col_type!r} — hash domains differ; probe with "
+                "the column's own type"
+            )
+        lit = _sql_str_lit(v) if isinstance(v, str) else f"{v}L"
+        tests.append(
+            f"forall({_bloom_positions(lit, n_bits, k)}, "
+            "p -> (shiftright(element_at(bloom, CAST(p div 64 AS INT)"
+            " + 1), CAST(p % 64 AS INT)) & 1L) = 1L)"
+        )
+    return " OR ".join(tests)
+
+
+def _bloom_keep_sets(
+    manifest: DataFrame, in_predicates: list[tuple[str, list]]
+) -> tuple[set[str], set[str]]:
+    """(known_files, kept_files) for a conjunction of IN-list
+    predicates against a bloom manifest — ONE collect total, and only
+    of (file, per-col keep booleans): the bitsets stay distributed
+    (the membership test runs as Spark expressions over the manifest
+    frame; collecting the bloom column itself would ship ~n_bits/8
+    bytes × files of dead weight to the driver)."""
+    for col, values in in_predicates:
+        if not values:
+            raise ValueError(
+                f"bloom probe: empty IN-list for {col!r} — nothing to "
+                "look up"
+            )
+    # one tiny geometry collect per indexed col (scalars only)
+    geo_rows = (
+        manifest.groupBy("col")
+        .agg(
+            F.first("col_type").alias("col_type"),
+            F.first("n_bits").alias("n_bits"),
+            F.first("k").alias("k"),
+        )
+        .collect()
+    )
+    geo = {r["col"]: r for r in geo_rows}
+    probe_cols = [c for c, _ in in_predicates]
+    for c in probe_cols:
+        if c not in geo:
+            raise ValueError(
+                f"bloom probe: column {c!r} is not bloom-indexed "
+                f"(manifest covers {sorted(geo)})"
+            )
+    # per-file: indexed by every probed col AND every probed col's
+    # membership test passes. Pivot the per-(file, col) rows to one
+    # row per file carrying each probed col's keep boolean.
+    per_col = []
+    for c, values in in_predicates:
+        g = geo[c]
+        per_col.append(
+            manifest.filter(F.col("col") == c).select(
+                "file",
+                F.expr(
+                    _bloom_probe_tests(
+                        c, g["col_type"], values, g["n_bits"], g["k"]
+                    )
+                ).alias(f"__keep_{c}"),
+            )
+        )
+    joined = per_col[0]
+    for other in per_col[1:]:
+        joined = joined.join(other, "file", "inner")
+    keep_cond = F.lit(True)
+    for c in probe_cols:
+        keep_cond = keep_cond & F.col(f"__keep_{c}")
+    rows = joined.select("file", keep_cond.alias("__keep")).collect()
+    known = {r["file"] for r in rows}
+    kept = {r["file"] for r in rows if r["__keep"]}
+    return known, kept
 
 
 def bloom_pruned_read(
@@ -293,57 +461,93 @@ def bloom_pruned_read(
     bits set, so semantics equal the full scan + filter (pinned in
     tests and the ``l_bloom_point_lookup`` oracle). The probe hashes
     the literals with the SAME seeded xxhash64 expressions the build
-    used, evaluated over the manifest frame — no Python reimplementation
-    of the hash to drift. ``verify``/``stats`` as in
+    used, evaluated over the manifest frame — no Python
+    reimplementation of the hash to drift, and no bitset ever
+    collected to the driver. ``verify``/``stats`` as in
     :func:`pruned_read`."""
-    if not values:
-        raise ValueError(
-            "bloom_pruned_read: empty IN-list — nothing to look up"
-        )
-    mf = manifest.filter(F.col("col") == col)
-    rows = mf.select("file", "n_bits", "k", "bloom").collect()
-    if rows:
-        n_bits, k = rows[0]["n_bits"], rows[0]["k"]
-        tests = []
-        for v in values:
-            # int/str keys only: a float's SQL-literal string form need
-            # not match the column value's CAST AS STRING rendering
-            if not isinstance(v, (int, str)) or isinstance(v, bool):
-                raise TypeError(
-                    f"bloom_pruned_read: point-lookup values must be "
-                    f"int or str, got {type(v).__name__}"
-                )
-            lit = f"'{v}'" if isinstance(v, str) else f"{v}L"
-            tests.append(
-                f"forall({_bloom_positions(lit, n_bits, k)}, "
-                "p -> (shiftright(element_at(bloom, CAST(p div 64 AS INT)"
-                " + 1), CAST(p % 64 AS INT)) & 1L) = 1L)"
-            )
-        keep_rows = mf.select(
-            "file", F.expr(" OR ".join(tests)).alias("__keep")
+    return combined_pruned_read(
+        spark,
+        root,
+        bloom_manifest=manifest,
+        in_predicates=[(col, values)],
+        verify=verify,
+        stats=stats,
+        _what="bloom_pruned_read",
+    )
+
+
+def combined_pruned_read(
+    spark: SparkSession,
+    root: str,
+    zone_manifest: DataFrame | None = None,
+    bloom_manifest: DataFrame | None = None,
+    range_predicates: list[Predicate] | None = None,
+    in_predicates: list[tuple[str, list]] | None = None,
+    verify: bool = True,
+    stats: dict | None = None,
+    _what: str = "combined_pruned_read",
+) -> DataFrame:
+    """ONE metadata-plane read that stacks BOTH skipping devices: the
+    zone manifest prunes the range conjunction, the bloom manifest
+    prunes the IN-lists, and the file sets INTERSECT — the common
+    query shape (date range + id IN-list) skips multiplicatively
+    instead of picking one index. Result is semantically identical to
+    the full scan + all filters (each keep-set is individually sound
+    and superset-of-matching, so their intersection still covers
+    every matching file; pinned in tests with value equality and
+    ``files_read ≤ min(zone_only, bloom_only)``).
+
+    Either manifest may be omitted (degenerates to the single-index
+    readers — :func:`pruned_read` and :func:`bloom_pruned_read` are
+    thin wrappers over this). ``stats={}`` records ``files_total``,
+    ``files_read`` and, when both indexes participate,
+    ``files_zone_kept`` / ``files_bloom_kept``."""
+    range_predicates = list(range_predicates or [])
+    in_predicates = list(in_predicates or [])
+    if zone_manifest is None and bloom_manifest is None:
+        raise ValueError(f"{_what}: need at least one manifest")
+    if zone_manifest is not None and not range_predicates:
+        raise ValueError(f"{_what}: zone manifest given but no "
+                         "range_predicates")
+    if bloom_manifest is not None and not in_predicates:
+        raise ValueError(f"{_what}: bloom manifest given but no "
+                         "in_predicates")
+    known: set[str] | None = None
+    keep: set[str] | None = None
+    if zone_manifest is not None:
+        zrows = zone_manifest.select(
+            "file", zone_keep_condition(range_predicates).alias("__keep")
         ).collect()
-    else:
-        keep_rows = []
-    known = {r["file"] for r in keep_rows}
-    if verify:
-        actual = set(list_data_files(spark, root))
-        if actual != known:
+        zknown = {r["file"] for r in zrows}
+        zkeep = {r["file"] for r in zrows if r["__keep"]}
+        known, keep = zknown, zkeep
+        if stats is not None and bloom_manifest is not None:
+            stats["files_zone_kept"] = len(zkeep)
+    if bloom_manifest is not None:
+        bknown, bkeep = _bloom_keep_sets(bloom_manifest, in_predicates)
+        if known is not None and bknown != known:
             raise ValueError(
-                f"bloom_pruned_read: manifest is stale for {root}: "
-                f"{len(actual - known)} unindexed / "
-                f"{len(known - actual)} vanished file(s); run the "
-                "manifest build over the current listing first."
+                f"{_what}: zone and bloom manifests disagree on the "
+                f"file set for {root} ({len(known ^ bknown)} file(s) "
+                "differ) — reconcile both manifests to the same "
+                "listing first."
             )
-    keep = sorted(r["file"] for r in keep_rows if r["__keep"])
+        known = bknown if known is None else known
+        keep = bkeep if keep is None else (keep & bkeep)
+        if stats is not None and zone_manifest is not None:
+            stats["files_bloom_kept"] = len(bkeep)
+    assert known is not None and keep is not None
+    if verify:
+        _verify_listing(spark, root, known, _what)
+    keep_list = sorted(keep)
     if stats is not None:
         stats["files_total"] = len(known)
-        stats["files_read"] = len(keep)
-    if not keep:
-        schema = spark.read.parquet(root).schema
-        df = spark.createDataFrame([], schema)
-    else:
-        df = spark.read.parquet(*keep)
-    return df.filter(F.col(col).isin(*values))
+        stats["files_read"] = len(keep_list)
+    df = _read_kept(spark, root, keep_list)
+    df = _apply_range_residual(df, range_predicates)
+    for c, values in in_predicates:
+        df = df.filter(F.col(c).isin(*values))
+    return df
 
 
 # ----- streaming maintenance --------------------------------------------
@@ -357,19 +561,32 @@ def stream_sink_with_manifest(
     manifest_path: str,
     cols: list[str],
     checkpoint_dir: str,
+    bloom_manifest_path: str | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_n_bits: int = 4096,
+    bloom_k: int = 5,
 ):
     """Continuously ingest parquet batches from ``source_dir`` into a
-    zone-mapped table: each micro-batch lands under
-    ``data_path/batch_id=<id>`` (idempotent overwrite — the ledger
-    family's replay discipline: a replayed batch rewrites its own
-    partition, never double-appends) and the zone manifest at
+    zone-mapped (and optionally bloom-indexed) table: each micro-batch
+    lands under ``data_path/batch_id=<id>`` (idempotent overwrite —
+    the ledger family's replay discipline: a replayed batch rewrites
+    its own partition, never double-appends) and the zone manifest at
     ``manifest_path`` is RECONCILED to the new listing before the
     batch completes — :func:`update_zone_manifest` reads only the
     files the batch just wrote, so manifest maintenance is O(batch),
-    never O(table). Readers therefore always see a manifest that
-    passes :func:`pruned_read`'s fail-closed staleness check.
+    never O(table). When ``bloom_manifest_path`` is given the bloom
+    manifest is maintained with the SAME discipline
+    (:func:`update_bloom_manifest` — O(batch), idempotent replay,
+    loud mixed-geometry guard), so a streamed table's point-lookup
+    index never goes stale either. Readers therefore always see
+    manifests that pass the fail-closed staleness checks.
     ``availableNow`` trigger: drain everything new since the last
     checkpoint, then stop (the periodic-ingest cadence)."""
+    if (bloom_manifest_path is None) != (bloom_cols is None):
+        raise ValueError(
+            "stream_sink_with_manifest: bloom_manifest_path and "
+            "bloom_cols must be given together"
+        )
 
     def _sink(batch_df, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(
@@ -377,12 +594,12 @@ def stream_sink_with_manifest(
         )
         import os as _os
 
+        batch_dir = f"{data_path}/batch_id={batch_id}"
         if _os.path.exists(_os.path.join(manifest_path, "_SUCCESS")):
             prev = spark.read.parquet(manifest_path)
         else:
             prev = build_zone_manifest(
-                spark.read.parquet(f"{data_path}/batch_id={batch_id}"),
-                cols,
+                spark.read.parquet(batch_dir), cols
             ).limit(0)
         # materialize before overwriting the path being read from
         mf = update_zone_manifest(spark, data_path, prev, cols)
@@ -390,6 +607,26 @@ def stream_sink_with_manifest(
             manifest_path
         )
         spark.catalog.refreshByPath(manifest_path)
+        if bloom_manifest_path is not None:
+            if _os.path.exists(
+                _os.path.join(bloom_manifest_path, "_SUCCESS")
+            ):
+                bprev = spark.read.parquet(bloom_manifest_path)
+            else:
+                bprev = build_bloom_manifest(
+                    spark.read.parquet(batch_dir),
+                    bloom_cols,
+                    n_bits=bloom_n_bits,
+                    k=bloom_k,
+                ).limit(0)
+            bmf = update_bloom_manifest(
+                spark, data_path, bprev, bloom_cols,
+                n_bits=bloom_n_bits, k=bloom_k,
+            )
+            bmf.localCheckpoint().coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(bloom_manifest_path)
+            spark.catalog.refreshByPath(bloom_manifest_path)
 
     return (
         spark.readStream.schema(source_schema)

@@ -267,6 +267,42 @@ def test_jaccard_prefix_equals_exact(spark, docs):
     }
 
 
+def test_jaccard_prefix_float_hostile_threshold(spark):
+    """t = 0.07 with a 100-shingle doc is the float-ceil trap:
+    0.07 * 100 = 7.000000000000001 in doubles, so a float F.ceil
+    rounds the overlap bound up to 8 — shortening doc 1's prefix from
+    94 to 93 tokens AND tightening the length filter to |y| >= 8.
+    The planted pair sits exactly on the boundary: doc 2 is a 9-word
+    run of doc 1 (7 shingles, all shared), J = 7/100 = 0.07 exactly,
+    and under the rarest-first order doc 1's shared tokens occupy
+    positions 94-100 — so the buggy prefix contains NO shared token
+    and the buggy length filter rejects |y| = 7. The exact bigint
+    rational bound ((num*s + den - 1) div den with t = 7/100) must
+    keep the pair, matching the quadratic form."""
+    from itertools import product
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+    )
+
+    words = ["".join(w) for w in product("abcdefghij", repeat=3)][:102]
+    rows = [
+        (1, " ".join(words)),              # 100 distinct shingles
+        (2, " ".join(words[:9])),          # 7 shingles, all inside doc 1
+        (3, " ".join("".join(w) for w in product("qrstu", repeat=3))[:200]),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(
+        map(tuple, jaccard_pairs(docs, n=3, threshold=0.07).collect())
+    )
+    got = sorted(
+        map(tuple, jaccard_pairs_prefix(docs, n=3, threshold=0.07).collect())
+    )
+    assert got == want
+    assert {(a, b) for a, b, _ in got} == {(1, 2)}
+    assert abs(got[0][2] - 0.07) < 1e-12
+
+
 def test_decontaminate_drops_eval_overlap(spark):
     """Exact copies AND docs embedding a 13-gram eval passage must be
     dropped; clean docs survive."""

@@ -422,3 +422,195 @@ def test_zone_pruning_randomized_boxes_always_exact(spark, zgrid):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         ), (i, xlo, xhi, ylo, yhi)
+
+
+def test_pruned_read_keeps_partition_columns(spark, tmp_path_factory):
+    """On a hive-partitioned root (the ``batch_id=`` layout
+    stream_sink_with_manifest writes), a pruned read must return the
+    SAME schema as the full scan — partition columns survive via
+    basePath — and the zero-files branch must agree too."""
+    path = str(tmp_path_factory.mktemp("zpart")) + "/data"
+    for b in range(3):
+        spark.range(b * 100, (b + 1) * 100).select(
+            F.col("id").cast("double").alias("v")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/batch_id={b}"
+        )
+    full = spark.read.parquet(path)
+    assert "batch_id" in full.columns
+    mf = build_zone_manifest(full, ["v"]).localCheckpoint()
+    got = pruned_read(spark, path, mf, [("v", 120.0, 180.0)])
+    assert got.columns == full.columns  # batch_id present, same order
+    want = full.filter("v >= 120.0 AND v <= 180.0")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert {r["batch_id"] for r in got.collect()} == {1}
+    # zero-files branch: identical schema
+    empty = pruned_read(spark, path, mf, [("v", 1e6, None)])
+    assert empty.columns == full.columns and empty.count() == 0
+
+
+def test_combined_zone_bloom_read_multiplicative(spark, tmp_path_factory):
+    """The composed reader stacks BOTH indexes: files_read under
+    zone∧bloom ≤ min(zone-only, bloom-only), with value equality to
+    the full scan + both filters (the date-range + IN-list shape)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
+        bloom_pruned_read,
+        build_bloom_manifest,
+        combined_pruned_read,
+    )
+
+    path = str(tmp_path_factory.mktemp("combo")) + "/data"
+    # range-clustered v (zone-friendly), unclustered id (bloom-friendly)
+    df = spark.range(20000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    df.repartitionByRange(16, "v").sortWithinPartitions("v").write.mode(
+        "overwrite"
+    ).parquet(path)
+    full = spark.read.parquet(path)
+    zmf = build_zone_manifest(full, ["v"]).localCheckpoint()
+    bmf = build_bloom_manifest(full, ["event_id"]).localCheckpoint()
+
+    keys = [7, 4242, 13013, 19999]
+    preds = [("v", 100.0, 300.0)]
+    sz: dict = {}
+    pruned_read(spark, path, zmf, preds, stats=sz)
+    sb: dict = {}
+    bloom_pruned_read(spark, path, bmf, "event_id", keys, stats=sb)
+    sc: dict = {}
+    got = combined_pruned_read(
+        spark, path, zone_manifest=zmf, bloom_manifest=bmf,
+        range_predicates=preds, in_predicates=[("event_id", keys)],
+        stats=sc,
+    )
+    want = full.filter("v >= 100.0 AND v <= 300.0").filter(
+        F.col("event_id").isin(*keys)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert sc["files_read"] <= min(sz["files_read"], sb["files_read"])
+    assert sc["files_zone_kept"] == sz["files_read"]
+    assert sc["files_bloom_kept"] == sb["files_read"]
+    # and the intersection genuinely prunes below total
+    assert sc["files_read"] < sc["files_total"]
+
+
+def test_bloom_type_guards(spark, tmp_path_factory):
+    """Hash-domain contract enforced on BOTH sides: building over a
+    non-integral/non-string column raises; probing an indexed column
+    with the wrong literal kind raises (silent false negatives are
+    the alternative)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
+        bloom_pruned_read,
+        build_bloom_manifest,
+    )
+
+    path = str(tmp_path_factory.mktemp("btype")) + "/data"
+    spark.range(100).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("d"),
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("s"),
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    full = spark.read.parquet(path)
+    with pytest.raises(TypeError, match="bloom-indexable"):
+        build_bloom_manifest(full, ["d"])
+    mf = build_bloom_manifest(full, ["k", "s"]).localCheckpoint()
+    # wrong literal kind against each column type
+    with pytest.raises(TypeError, match="hash domain|CAST AS STRING"):
+        bloom_pruned_read(spark, path, mf, "k", ["7"])
+    with pytest.raises(TypeError, match="hash domain|CAST AS STRING"):
+        bloom_pruned_read(spark, path, mf, "s", [7])
+    # right kinds still work
+    assert bloom_pruned_read(spark, path, mf, "k", [7]).count() == 1
+    assert bloom_pruned_read(spark, path, mf, "s", ["s7"]).count() == 1
+
+
+def test_bloom_string_keys_with_quotes_and_backslashes(spark, tmp_path_factory):
+    """Adversarial string keys (quotes, backslashes) must neither
+    break the probe expression nor alter it — escaped literal, exact
+    lookups."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
+        bloom_pruned_read,
+        build_bloom_manifest,
+    )
+
+    path = str(tmp_path_factory.mktemp("besc")) + "/data"
+    weird = ["o'brien", 'say "hi"', "back\\slash", "plain"]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weird)], "k bigint, tag string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    mf = build_bloom_manifest(
+        spark.read.parquet(path), ["tag"]
+    ).localCheckpoint()
+    for w in weird:
+        got = bloom_pruned_read(spark, path, mf, "tag", [w])
+        assert [r["tag"] for r in got.collect()] == [w], w
+
+
+def test_stream_sink_maintains_bloom_manifest(spark, tmp_path_factory):
+    """Streaming ingest keeps the BLOOM manifest reconciled per batch
+    with the zone discipline: after the drain, bloom manifest ==
+    from-scratch rebuild, point lookups pass fail-closed staleness
+    and match the full scan, composed zone∧bloom reads work over the
+    partitioned layout, and a REPLAY converges."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
+        bloom_pruned_read,
+        build_bloom_manifest,
+        combined_pruned_read,
+        stream_sink_with_manifest,
+    )
+
+    base = str(tmp_path_factory.mktemp("stream_bloom"))
+    src = f"{base}/src"
+    data = f"{base}/data"
+    mf_path = f"{base}/manifest"
+    bmf_path = f"{base}/bloom"
+    for i in range(3):
+        spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").alias("event_id"),
+            F.col("id").cast("double").alias("v"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_sink_with_manifest(
+        spark, src, "event_id bigint, v double", data, mf_path, ["v"],
+        f"{base}/ckpt",
+        bloom_manifest_path=bmf_path, bloom_cols=["event_id"],
+    )
+    q.awaitTermination(120)
+    bmf = spark.read.parquet(bmf_path)
+    rebuilt = build_bloom_manifest(spark.read.parquet(data), ["event_id"])
+    assert sorted(
+        map(tuple, bmf.select(rebuilt.columns).collect())
+    ) == sorted(map(tuple, rebuilt.collect()))
+    got = bloom_pruned_read(spark, data, bmf, "event_id", [42, 242])
+    assert sorted(r["event_id"] for r in got.collect()) == [42, 242]
+    # composed read over the streamed (partitioned) layout
+    zmf = spark.read.parquet(mf_path)
+    combo = combined_pruned_read(
+        spark, data, zone_manifest=zmf, bloom_manifest=bmf,
+        range_predicates=[("v", 200.0, 299.0)],
+        in_predicates=[("event_id", [242, 7])],
+    )
+    assert [r["event_id"] for r in combo.collect()] == [242]
+    assert "batch_id" in combo.columns
+
+    # replay with a fresh checkpoint converges to the same state
+    q2 = stream_sink_with_manifest(
+        spark, src, "event_id bigint, v double", data, mf_path, ["v"],
+        f"{base}/ckpt2",
+        bloom_manifest_path=bmf_path, bloom_cols=["event_id"],
+    )
+    q2.awaitTermination(120)
+    bmf2 = spark.read.parquet(bmf_path)
+    rebuilt2 = build_bloom_manifest(spark.read.parquet(data), ["event_id"])
+    assert sorted(
+        map(tuple, bmf2.select(rebuilt2.columns).collect())
+    ) == sorted(map(tuple, rebuilt2.collect()))
+    assert bloom_pruned_read(
+        spark, data, bmf2, "event_id", [42, 242]
+    ).count() == 2
