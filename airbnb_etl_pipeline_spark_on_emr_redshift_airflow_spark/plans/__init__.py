@@ -35,7 +35,18 @@ at window positions 49/50. Round-8 rotation: ``w_moving_frames`` +
 tail — and the freed slots record the round-8 oracle-checked
 flagships ``l_zone_pruned_agg`` (plans.curation, zone-map pruned
 scan) and ``d_jaccard_prefix_filter`` (plans.dedup, AllPairs prefix
-filtering).
+filtering). Round-9 rotation: the window is now 50/50 oracle-checked
+— ``d_decontaminate`` gained a full value-hash oracle in place, the
+rows-only ``d_minhash_dup_clusters`` / ``s_near_dup_lsh_blocked`` /
+``m_multimodal_pipeline`` / ``c_pack_sequences`` moved past the
+window (re-registered verbatim at the tail, self-certifying ``ok``
+columns intact; every family keeps an oracle-checked window
+representative), ``j_range_join`` + ``j_asof_join`` slice-merged into
+``j_range_asof`` (originals re-registered at the tail), and the freed
+slots record the round-8 flagships ``g_triangle_count``,
+``l_bloom_point_lookup``, ``g_personalized_pagerank`` (plans.curation),
+``d_cluster_best_pick`` (plans.dedup) and the returning oracle-checked
+``m_binary_frames`` (plans.multimodal).
 """
 
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import (  # noqa: F401

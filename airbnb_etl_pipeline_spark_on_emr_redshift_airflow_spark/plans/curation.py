@@ -187,7 +187,64 @@ def q5_local_supplier_volume(spark, sf_dir):
     )
 
 
-@register("d_decontaminate")
+@register(
+    "d_decontaminate",
+    oracle=f"""
+    WITH train AS (SELECT doc_id, text FROM documents),
+    rawtoks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z]+',
+                                              ' ', 'g')), ' ') AS rt
+      FROM train),
+    held AS (
+      SELECT text FROM train WHERE doc_id % 97 = 0
+      UNION ALL
+      SELECT 'benchmark question: ' || array_to_string(rt[1:13], ' ')
+             || ' answer unknown'
+      FROM rawtoks WHERE doc_id % 89 = 0),
+    tfp AS (SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                     AS fp
+            FROM train),
+    hfp AS (SELECT DISTINCT
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                     AS fp
+            FROM held),
+    exact AS (SELECT DISTINCT doc_id FROM tfp
+              WHERE fp IN (SELECT fp FROM hfp)),
+    ttoks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM train),
+    tsh AS (SELECT DISTINCT doc_id, array_to_string(t[p:p+12], ' ') AS sh
+            FROM ttoks, UNNEST(range(1, len(t) - 11)) AS u(p)),
+    htoks AS (SELECT {_TOKS_DUCK} AS t FROM held),
+    hsh AS (SELECT DISTINCT array_to_string(t[p:p+12], ' ') AS sh
+            FROM htoks, UNNEST(range(1, len(t) - 11)) AS u(p)),
+    fuzzy AS (SELECT DISTINCT doc_id FROM tsh JOIN hsh USING (sh)),
+    bad AS (SELECT doc_id FROM exact UNION SELECT doc_id FROM fuzzy),
+    fragdocs AS (SELECT doc_id FROM rawtoks
+                 WHERE doc_id % 89 = 0 AND doc_id % 97 <> 0
+                   AND len(rt) >= 13)
+    SELECT doc_id,
+           CASE WHEN doc_id % 97 = 0 THEN 'verbatim'
+                WHEN doc_id % 89 = 0 THEN 'fragment13'
+                ELSE 'collateral' END AS planted,
+           CAST(NULL AS BIGINT) AS expected,
+           CAST(NULL AS BIGINT) AS observed,
+           TRUE AS ok
+    FROM bad
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), 'coverage_verbatim',
+           (SELECT count(*) FROM train WHERE doc_id % 97 = 0),
+           (SELECT count(*) FROM bad WHERE doc_id % 97 = 0),
+           (SELECT count(*) FROM train WHERE doc_id % 97 = 0)
+             = (SELECT count(*) FROM bad WHERE doc_id % 97 = 0)
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), 'coverage_fragment13',
+           (SELECT count(*) FROM fragdocs),
+           (SELECT count(*) FROM bad JOIN fragdocs USING (doc_id)),
+           (SELECT count(*) FROM fragdocs)
+             = (SELECT count(*) FROM bad JOIN fragdocs USING (doc_id))
+    """,
+)
 def d_decontaminate(spark, sf_dir):
     """Benchmark decontamination (``operators.dedup.contaminated_ids``
     / ``decontaminate``): the held-out eval set is built FROM the
@@ -199,10 +256,11 @@ def d_decontaminate(spark, sf_dir):
     13 words have no complete shingle and are legitimately missed).
     Returns the contaminated train ids labeled by planting mechanism.
     Scale shape: held-out side is dim-sized and broadcast; shingle
-    probe via inverted index — never O(train × heldout). Rows-only
-    (fingerprint md5 is oracle-able but the planted-fragment shingle
-    join is the point here); planted-coverage asserted in
-    ``tests/test_dedup.py``.
+    probe via inverted index — never O(train × heldout). FULL
+    value-hash oracle (round 9): DuckDB replays both probes — the md5
+    normalized-text fingerprint match AND the 13-gram inverted-index
+    shingle join — plus the planting labels and both coverage counts;
+    planted-coverage additionally asserted in ``tests/test_dedup.py``.
 
     SELF-CERTIFYING (round 6): two ``coverage_*`` rows record the
     expected vs observed planted-contamination recall directly in the
@@ -304,135 +362,6 @@ def d_decontaminate(spark, sf_dir):
     )
     return labeled.unionByName(cov_verb).unionByName(cov_frag)
 
-
-@register("c_pack_sequences")
-def c_pack_sequences(spark, sf_dir):
-    """The sampling→packing curation chain in one slot, slice-tagged
-    (absorbs the former ``c_sample_mix`` row — re-registered verbatim
-    past the driver window, like every merged original).
-
-    'pack' slice — sequence packing
-    (``operators.sampling.pack_sequences``): every document sized by
-    whitespace token count, first-fit packed into 256-token context
-    windows across 16 hash groups. The rows prove the contract: each
-    doc appears exactly once, per-pack token totals ≤ 256, offsets are
-    a proper prefix layout, pack_id = group << 32 | local
-    (collision-free), and the whole assignment is deterministic (hash
-    grouping + hash-ordered greedy scan — no RNG, no layout
-    dependence).
-
-    'stratified' / 'mixture' slices — deterministic sampling + mixture
-    weighting, both keyed by ``xxhash64(seed, doc_id)`` so the
-    keep-set is a pure function of (key, seed) — identical across
-    runs, partition counts, and cluster layouts (unlike RNG-based
-    ``df.sample``): per-source rates over the documents table's own
-    source strata (keep all of src0, 40% of src1, drop src2) and a
-    ``weighted_mix`` of two disjoint corpus halves at 25%/75%, tagged
-    by source name in ``bucket``.
-
-    Rows-only (greedy ``applyInPandas`` scan and Spark-compatible
-    xxhash64 are not DuckDB-expressible); pack
-    bound/coverage/determinism and sampling rate-band/layout-
-    independence unit-tested in ``tests/test_sampling.py`` and
-    ``tests/test_example_corpus.py``.
-
-    SELF-CERTIFYING (round 6): every row carries an ``ok`` boolean —
-    pack rows re-derive the prefix layout in-result
-    (``pack_offset`` = running sum of earlier members' ``n_tokens``,
-    per-pack total ≤ 256, exactly-once per doc); stratified/mixture
-    rows RE-EVALUATE their deterministic keep predicate
-    (``xxhash64(seed, doc_id) mod 1e6 < rate·1e6`` with the slice's
-    published per-bucket rate) — a membership that disagrees with the
-    hash predicate, a rate-0 stratum leak, or a broken pack layout
-    flips ``ok``. Pinned by ``tests/test_sampling.py``."""
-    from pyspark.sql import Window
-
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
-        _BUCKETS,
-    )
-
-    (docs,) = load(spark, sf_dir, "documents")
-    sized = docs.select(
-        "doc_id", T.token_count("text").cast("bigint").alias("n_tokens")
-    )
-    pk = Window.partitionBy("pack_id").orderBy("pack_offset", "doc_id")
-    dk = Window.partitionBy("doc_id")
-    packed = (
-        pack_sequences(
-            sized, "n_tokens", max_len=256, key_cols=["doc_id"], n_groups=16,
-            seed=0,
-        )
-        .withColumn(
-            "ok",
-            (
-                F.col("pack_offset")
-                == F.coalesce(
-                    F.sum("n_tokens").over(
-                        pk.rowsBetween(Window.unboundedPreceding, -1)
-                    ),
-                    F.lit(0),
-                )
-            )
-            & (
-                F.sum("n_tokens").over(
-                    pk.rowsBetween(
-                        Window.unboundedPreceding, Window.unboundedFollowing
-                    )
-                )
-                <= F.lit(256)
-            )
-            & (F.count(F.lit(1)).over(dk) == F.lit(1)),
-        )
-        .select(
-            F.lit("pack").alias("slice"),
-            "doc_id", "n_tokens", "pack_id", "pack_offset",
-            F.lit(None).cast("string").alias("bucket"),
-            "ok",
-        )
-    )
-    strat_b = F.pmod(F.xxhash64(F.lit(5), F.col("doc_id")), F.lit(_BUCKETS))
-    strat = stratified_sample(
-        docs, "source", {"src0": 1.0, "src1": 0.4, "src2": 0.0},
-        ["doc_id"], seed=5,
-    ).select(
-        F.lit("stratified").alias("slice"),
-        "doc_id",
-        F.lit(None).cast("bigint").alias("n_tokens"),
-        F.lit(None).cast("bigint").alias("pack_id"),
-        F.lit(None).cast("bigint").alias("pack_offset"),
-        F.col("source").alias("bucket"),
-        F.when(F.col("source") == "src0", strat_b < int(1.0 * _BUCKETS))
-        .when(F.col("source") == "src1", strat_b < int(0.4 * _BUCKETS))
-        .otherwise(F.lit(False))
-        .alias("ok"),
-    )
-    mix_b = F.pmod(F.xxhash64(F.lit(7), F.col("doc_id")), F.lit(_BUCKETS))
-    mixed = weighted_mix(
-        {
-            "head": (docs.filter("doc_id % 2 = 0").drop("source"), 0.25),
-            "tail": (docs.filter("doc_id % 2 = 1").drop("source"), 0.75),
-        },
-        ["doc_id"],
-        seed=7,
-    ).select(
-        F.lit("mixture").alias("slice"),
-        "doc_id",
-        F.lit(None).cast("bigint").alias("n_tokens"),
-        F.lit(None).cast("bigint").alias("pack_id"),
-        F.lit(None).cast("bigint").alias("pack_offset"),
-        F.col("source").alias("bucket"),
-        F.when(
-            F.col("source") == "head",
-            (mix_b < int(0.25 * _BUCKETS)) & (F.col("doc_id") % 2 == 0),
-        )
-        .when(
-            F.col("source") == "tail",
-            (mix_b < int(0.75 * _BUCKETS)) & (F.col("doc_id") % 2 == 1),
-        )
-        .otherwise(F.lit(False))
-        .alias("ok"),
-    )
-    return packed.unionByName(strat).unionByName(mixed)
 
 ORACLE_HEAVY_HITTERS = """
 WITH base AS (
@@ -681,3 +610,246 @@ def l_zone_pruned_agg(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         dec_sum("value", "sum_value"),
     )
+
+
+# --- rotated into the driver window (round 9) ---
+# Three more round-8 oracle-checked flagships move inside the first
+# 50 (slots freed by moving the rows-only d_minhash_dup_clusters,
+# s_near_dup_lsh_blocked, m_multimodal_pipeline and c_pack_sequences
+# past the window and by the j_range_join + j_asof_join slice-merge
+# into j_range_asof — every original re-registered verbatim in
+# plans.probes).
+
+ORACLE_TRIANGLE_COUNT = """
+WITH lines AS (
+  SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+inst AS (
+  SELECT LEAST(a.l_partkey, b.l_partkey) AS a,
+         GREATEST(a.l_partkey, b.l_partkey) AS b
+  FROM lines a JOIN lines b
+    ON a.l_orderkey = b.l_orderkey
+   AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_partkey <> b.l_partkey),
+e AS (SELECT DISTINCT a, b FROM inst),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+  GROUP BY 1),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+roles AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y AS node FROM tri
+  UNION ALL SELECT z AS node FROM tri),
+cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM roles GROUP BY 1)
+SELECT d.node AS l_partkey, d.degree,
+       COALESCE(c.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN (2 * COALESCE(c.n_triangles, 0) * 1000000)
+                 // (d.degree * (d.degree - 1))
+            ELSE 0 END AS ccf_fp
+FROM deg d LEFT JOIN cnt c ON c.node = d.node
+"""
+
+
+@register("g_triangle_count", oracle=ORACLE_TRIANGLE_COUNT)
+def g_triangle_count(spark, sf_dir):
+    """Per-node EXACT triangle counts + local clustering coefficient
+    over the bought-together graph (``operators.graph.
+    triangle_counts``): parts on ADJACENT line numbers of the same
+    order are linked — the classic market-basket co-occurrence graph,
+    built with ONE keyed self-join whose edge count stays LINEAR in
+    lineitem (each line contributes ≤ 1 edge instance; the all-pairs-
+    within-order form would be quadratic in basket size and saturate
+    the small supplier/part domains). Spark counts triangles via
+    degree-ordered orientation (out-degree bounded by O(√m), so the
+    wedge join never explodes on hubs); the DuckDB oracle replays an
+    id-ordered enumeration — per-node triangle counts are
+    orientation-independent, so every (node, degree, n_triangles,
+    ccf_fp) row value-hashes cross-engine (ccf in exact fixed-point
+    millionths, integer div). 100 TB shape: both graph builds are
+    keyed exchanges; degree attach is a dim-sized broadcast; wedge
+    work is Σ out_deg² — ~linear on this bounded-degree graph (decade
+    chain in tools/bench_scale100.py)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    (li,) = load(spark, sf_dir, "lineitem")
+    lines = li.select("l_orderkey", "l_linenumber", "l_partkey")
+    nxt = lines.select(
+        "l_orderkey",
+        (F.col("l_linenumber") - 1).alias("l_linenumber"),
+        F.col("l_partkey").alias("p2"),
+    )
+    inst = (
+        lines.join(nxt, ["l_orderkey", "l_linenumber"])
+        .filter(F.col("l_partkey") != F.col("p2"))
+        .select(
+            F.col("l_partkey").alias("src"), F.col("p2").alias("dst")
+        )
+    )
+    return triangle_counts(inst).withColumnRenamed("node", "l_partkey")
+
+
+ORACLE_BLOOM_LOOKUP = """
+SELECT event_id, event_type, user_id, value
+FROM events WHERE event_id IN (7, 123, 911)
+"""
+
+
+@register("l_bloom_point_lookup", oracle=ORACLE_BLOOM_LOOKUP)
+def l_bloom_point_lookup(spark, sf_dir):
+    """File-level BLOOM-FILTER point lookup (round 8,
+    ``sources.skipping.build_bloom_manifest`` / ``bloom_pruned_read``)
+    — the skipping device zone maps can't be: the persisted events
+    copy is Z-ordered by (value, user_id), so ``event_id`` is
+    UNCLUSTERED and every file's [min, max] box spans the whole id
+    domain; the per-(file, column) bloom bitset (k seeded xxhash64
+    bits, n_bits-wide words) still answers an IN-list membership from
+    the manifest alone. No false negatives by construction (a present
+    value's bits are always set — pinned over a 200-key sweep in
+    ``tests/test_skipping.py``), false positives only cost an extra
+    file read; the oracle is the plain full-scan IN-filter, which is
+    exactly what "pruning is invisible to semantics" means. Shares
+    the fingerprint-keyed persisted copy with ``l_zone_pruned_agg``
+    (one layout serving both range-conjunction and point-lookup
+    skipping — the Delta/Iceberg file-stats model over plain
+    parquet). 100 TB shape: build is explode + bit_or partial aggs
+    (map-side-combinable, ≤ n_bits/64 rows per file×col per
+    partition); the probe hashes its literals with the SAME seeded
+    expressions over the file-count-sized manifest frame."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.layout import (
+        zorder_layout,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
+        bloom_pruned_read,
+        build_bloom_manifest,
+        build_zone_manifest,
+    )
+
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    src = _os.path.join(sf_dir, "events.parquet")
+    ent = [_os.path.abspath(src)]
+    for root, _dirs, files in sorted(_os.walk(src)):
+        for f in sorted(files):
+            st = _os.stat(_os.path.join(root, f))
+            ent.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    fp = _hashlib.md5("|".join(ent).encode()).hexdigest()[:16]
+    base = _os.path.join(repo, ".tmp", "catalog_zones", fp)
+    data_path = _os.path.join(base, "data")
+    bloom_path = _os.path.join(base, "bloom")
+    if not _os.path.exists(_os.path.join(data_path, "_SUCCESS")):
+        (ev,) = load(spark, sf_dir, "events")
+        max_uid = ev.agg(F.max("user_id")).head()[0]
+        zorder_layout(
+            ev.select("event_id", "user_id", "event_type", "value"),
+            [("value", 0, 500), ("user_id", 0, float(max_uid) + 1)],
+            bits=8,
+            num_partitions=16,
+        ).write.mode("overwrite").parquet(data_path)
+    if not _os.path.exists(_os.path.join(bloom_path, "_SUCCESS")):
+        build_bloom_manifest(
+            spark.read.parquet(data_path), ["event_id"]
+        ).coalesce(1).write.mode("overwrite").parquet(bloom_path)
+    mf = spark.read.parquet(bloom_path)
+    return bloom_pruned_read(
+        spark, data_path, mf, "event_id", [7, 123, 911]
+    ).select("event_id", "event_type", "user_id", "value")
+
+
+ORACLE_PPR = """
+WITH base AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+  FROM lineitem WHERE l_partkey % 50 = 0),
+edges AS (
+  SELECT p AS src, s + 10000000 AS dst FROM base
+  UNION ALL
+  SELECT s + 10000000 AS src, p AS dst FROM base),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION SELECT DISTINCT dst FROM edges),
+seeds AS (SELECT DISTINCT p AS node FROM base WHERE p % 200 = 0),
+k AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+             (SELECT CAST(count(*) AS BIGINT) FROM seeds) AS n_seeds),
+sb AS (SELECT (1000000000 * n_nodes * 15) // (100 * n_seeds) AS b FROM k),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg
+        FROM edges GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_fp FROM nodes),
+c1 AS (
+  SELECT e.dst, CAST(SUM(r.rank_fp // d.out_deg) AS BIGINT) AS s
+  FROM edges e
+  JOIN r0 r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY 1),
+r1 AS (
+  SELECT n.node,
+         CAST(CASE WHEN sd.node IS NOT NULL THEN (SELECT b FROM sb)
+                   ELSE 0 END
+              + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS rank_fp
+  FROM nodes n
+  LEFT JOIN seeds sd ON sd.node = n.node
+  LEFT JOIN c1 ON c1.dst = n.node),
+c2 AS (
+  SELECT e.dst, CAST(SUM(r.rank_fp // d.out_deg) AS BIGINT) AS s
+  FROM edges e
+  JOIN r1 r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY 1),
+r2 AS (
+  SELECT n.node,
+         CAST(CASE WHEN sd.node IS NOT NULL THEN (SELECT b FROM sb)
+                   ELSE 0 END
+              + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS rank_fp
+  FROM nodes n
+  LEFT JOIN seeds sd ON sd.node = n.node
+  LEFT JOIN c2 ON c2.dst = n.node)
+SELECT node, rank_fp FROM r2
+"""
+
+
+@register("g_personalized_pagerank", oracle=ORACLE_PPR)
+def g_personalized_pagerank(spark, sf_dir):
+    """PERSONALIZED PageRank (round 8,
+    ``operators.graph.pagerank_fixed_point(teleport=...)``) over the
+    same part↔supplier trade graph as ``g_pagerank_fixed``, with the
+    (1−d) restart mass teleporting to a seed subset of part nodes
+    (``p % 200 = 0``) instead of uniformly — the related-entity /
+    topic-sensitive ranking primitive (Haveliwala 2002): ranks
+    measure importance RELATIVE to the seeds. Exactness device
+    unchanged: each seed's per-round base is
+    ``(scale·n_nodes·15) div (100·n_seeds)`` — pure bigint algebra,
+    bit-identical across partitionings, so DuckDB replays BOTH
+    iterations as unrolled CTEs (with the seed-conditional base) and
+    the full rank vector value-hashes cross-engine.
+    Teleport-to-all ≡ uniform, mass conservation, seed dominance and
+    off-graph seed handling are pinned in ``tests/test_graph.py``.
+    100 TB shape identical to the uniform form: two exchanges per
+    round + one dim-sized seed marker join at init."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    (li,) = load(spark, sf_dir, "lineitem")
+    base = (
+        li.filter("l_partkey % 50 = 0")
+        .select(
+            F.col("l_partkey").alias("p"),
+            (F.col("l_suppkey") + 10_000_000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = base.selectExpr("p AS src", "s AS dst").unionByName(
+        base.selectExpr("s AS src", "p AS dst")
+    )
+    seeds = base.filter("p % 200 = 0").select(F.col("p").alias("node"))
+    return pagerank_fixed_point(edges, iterations=2, teleport=seeds)

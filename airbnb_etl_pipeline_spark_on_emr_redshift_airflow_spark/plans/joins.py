@@ -203,34 +203,27 @@ def j_delta_scalar_subquery(spark, sf_dir):
 
 
 @register(
-    "j_range_join",
+    "j_range_asof",
     oracle="""
-    SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderdate
+    SELECT 'range' AS slice,
+           l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderdate,
+           CAST(NULL AS BIGINT) AS event_id,
+           CAST(NULL AS BIGINT) AS user_id,
+           CAST(NULL AS TIMESTAMP) AS ts,
+           CAST(NULL AS TIMESTAMP) AS last_purchase_ts,
+           CAST(NULL AS DOUBLE) AS last_purchase_value
     FROM lineitem l
     JOIN orders o
       ON l.l_orderkey = o.o_orderkey
      AND l.l_shipdate BETWEEN o.o_orderdate
                           AND o.o_orderdate + INTERVAL 90 DAY
-    """,
-)
-def j_range_join(spark, sf_dir):
-    """Range-join extension: equi key carries the shuffle, the date
-    range applies as a join-time predicate (ships within 90 days of
-    order). The reference approximates ranges with window frames +
-    equi-join (SURVEY.md §2.3 note)."""
-    li, orders = load(spark, sf_dir, "lineitem", "orders")
-    pred = F.col("l_shipdate").between(
-        F.col("o_orderdate"), F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
-    )
-    return range_join(li, orders, ("l_orderkey", "o_orderkey"), pred).select(
-        "l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate"
-    )
-
-
-@register(
-    "j_asof_join",
-    oracle="""
-    SELECT c.event_id, c.user_id, c.ts,
+    UNION ALL
+    SELECT 'asof' AS slice,
+           CAST(NULL AS BIGINT) AS l_orderkey,
+           CAST(NULL AS INT) AS l_linenumber,
+           CAST(NULL AS DATE) AS l_shipdate,
+           CAST(NULL AS DATE) AS o_orderdate,
+           c.event_id, c.user_id, c.ts,
            p.ts AS last_purchase_ts, p.value AS last_purchase_value
     FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
           FROM events WHERE event_type = 'click') c
@@ -239,13 +232,36 @@ def j_range_join(spark, sf_dir):
       ON c.user_id = p.user_id AND c.ts >= p.ts
     """,
 )
-def j_asof_join(spark, sf_dir):
-    """As-of join extension: each click is matched to the same user's
-    most recent prior (or simultaneous) purchase. Spark lacks native
-    ASOF; ours is the union+window pattern (one shuffle on user_id —
-    see ``operators.joins.asof_join``). Oracle: DuckDB's native
-    ASOF JOIN."""
-    (events,) = load(spark, sf_dir, "events")
+def j_range_asof(spark, sf_dir):
+    """Round-9 slice-merge of ``j_range_join`` + ``j_asof_join`` (both
+    re-registered verbatim past the window in ``plans.probes``),
+    freeing a first-50 slot for a round-8 oracle-checked flagship per
+    the established rotation discipline.
+
+    'range' slice — range-join extension: equi key carries the
+    shuffle, the date range applies as a join-time predicate (ships
+    within 90 days of order); the reference approximates ranges with
+    window frames + equi-join (SURVEY.md §2.3 note). 'asof' slice —
+    as-of join extension: each click matched to the same user's most
+    recent prior (or simultaneous) purchase; Spark lacks native ASOF,
+    ours is the union+window pattern (one shuffle on user_id — see
+    ``operators.joins.asof_join``), the oracle is DuckDB's native
+    ASOF JOIN. Disjoint tables (lineitem⋈orders / events self-pair):
+    two independent legs null-padded to a common schema — no extra
+    exchange beyond the originals'."""
+    li, orders, events = load(spark, sf_dir, "lineitem", "orders", "events")
+    pred = F.col("l_shipdate").between(
+        F.col("o_orderdate"), F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    rng = range_join(li, orders, ("l_orderkey", "o_orderkey"), pred).select(
+        F.lit("range").alias("slice"),
+        "l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("timestamp").alias("last_purchase_ts"),
+        F.lit(None).cast("double").alias("last_purchase_value"),
+    )
     clicks = events.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
@@ -255,10 +271,19 @@ def j_asof_join(spark, sf_dir):
         F.col("ts").alias("last_purchase_ts"),
         F.col("value").alias("last_purchase_value"),
     )
-    return asof_join(
+    asf = asof_join(
         clicks,
         purchases,
         on="user_id",
         ts="ts",
         right_payload=["last_purchase_ts", "last_purchase_value"],
-    ).select("event_id", "user_id", "ts", "last_purchase_ts", "last_purchase_value")
+    ).select(
+        F.lit("asof").alias("slice"),
+        F.lit(None).cast("bigint").alias("l_orderkey"),
+        F.lit(None).cast("int").alias("l_linenumber"),
+        F.lit(None).cast("date").alias("l_shipdate"),
+        F.lit(None).cast("date").alias("o_orderdate"),
+        "event_id", "user_id", "ts", "last_purchase_ts",
+        "last_purchase_value",
+    )
+    return rng.unionByName(asf)

@@ -18,37 +18,41 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog impor
 )
 
 
-@register("m_multimodal_pipeline")
-def m_multimodal_pipeline(spark, sf_dir):
-    """The multimodal binary plumbing in one driver-window slot,
-    slice-tagged (absorbs the former ``m_binary_frames`` and
-    ``m_feature_extract`` rows — both re-registered verbatim, with
-    their oracles, past the driver window).
-
-    'frames' slice — binary payload attach + typed metadata struct +
-    stride frame sampling (capped at 8 frames/doc): the video
-    frame-sample plumbing shape, pure column ops. 'features' slice —
-    mapInPandas decode + featurize (deterministic fake codec —
-    byte-histogram features; real decoders inject at the
-    ``decode_payload`` seam), the 16-bin vector projected to scalar
-    columns (the driver's canonicalizer hashes scalars only).
-
-    Rows-only here (the mapInPandas featurizer is not
-    SQL-expressible); the frames slice keeps its DuckDB oracle on the
-    re-registered ``m_binary_frames``, and batch/schema semantics are
-    unit-tested in ``tests/test_multimodal.py``.
-
-    SELF-CERTIFYING (round 6): every row carries an ``ok`` boolean
-    checkable from the recorded data — frames rows assert the stride
-    arithmetic (``frame_len = min(64, n_bytes − 64·frame_no)``), the
-    exact per-doc frame count (``min(8, ⌊n_bytes/64⌋+1)``) and the
-    contiguous 0-based frame numbering; features rows assert
-    EXACTLY-ONCE per doc plus the decode round-trip
-    (``width = n_bytes mod 640``, ``height = n_bytes mod 480`` — the
-    fake codec's documented arithmetic, so a dropped or duplicated
-    Arrow batch flips ``ok``). Pinned by ``tests/test_multimodal.py``.
-    """
-    from pyspark.sql import Window
+# --- rotated into the driver window (round 9): m_binary_frames ---
+# The oracle-checked frames slice returns to the window so the
+# multimodal family keeps an oracle-checked representative; the
+# rows-only m_multimodal_pipeline (mapInPandas featurizer) moved past
+# the window, re-registered verbatim in plans.probes.
+@register(
+    "m_binary_frames",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ), idx AS (
+      SELECT doc_id, n, unnest(range(0, least(n // 64, 7) + 1)) AS frame_no
+      FROM src
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           'fake/utf8' AS mime,
+           CAST(frame_no AS INT) AS frame_no,
+           GREATEST(LEAST(64, n - frame_no * 64), 0) AS frame_len
+    FROM idx
+    """,
+)
+def m_binary_frames(spark, sf_dir):
+    """Binary payload attach + typed metadata struct + frame sampling
+    in one query: the payload round-trips through ``binary`` (byte
+    lengths and mime tags survive — oracle recomputes via DuckDB's
+    encode/octet_length), then stride-sliced into one row per sampled
+    frame (capped at 8) with the doc metadata carried along — the
+    video frame-sample plumbing shape, all pure column ops. Merged
+    into ``m_multimodal_pipeline``'s 'frames' slice for the driver
+    window; re-registered here unchanged (keeping the oracle)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
 
     (docs,) = load(spark, sf_dir, "documents")
     with_bin = attach_binary_payload(docs).select(
@@ -57,72 +61,13 @@ def m_multimodal_pipeline(spark, sf_dir):
         F.col("meta.mime").alias("mime"),
         "payload",
     )
-    fw = Window.partitionBy("doc_id")
-    frames = (
-        sample_frames(
-            with_bin, every_n_bytes=64, max_frames=8, carry=("n_bytes", "mime")
-        )
-        .select(
-            "doc_id",
-            "n_bytes",
-            "mime",
-            "frame_no",
-            F.length("frame_bytes").cast("bigint").alias("frame_len"),
-        )
-        .withColumn(
-            "ok",
-            (
-                F.col("frame_len")
-                == F.least(F.lit(64), F.col("n_bytes") - 64 * F.col("frame_no"))
-            )
-            & (
-                F.count(F.lit(1)).over(fw)
-                == F.least(
-                    F.lit(8), F.floor(F.col("n_bytes") / 64) + F.lit(1)
-                )
-            )
-            & (F.min("frame_no").over(fw) == F.lit(0))
-            & (
-                F.max("frame_no").over(fw)
-                == F.count(F.lit(1)).over(fw) - F.lit(1)
-            ),
-        )
-        .select(
-            F.lit("frames").alias("slice"),
-            "doc_id",
-            "n_bytes",
-            "mime",
-            "frame_no",
-            "frame_len",
-            F.lit(None).cast("string").alias("magic"),
-            F.lit(None).cast("bigint").alias("width"),
-            F.lit(None).cast("bigint").alias("height"),
-            *[F.lit(None).cast("bigint").alias(f"f{i:02d}") for i in range(16)],
-            "ok",
-        )
+    frames = sample_frames(
+        with_bin, every_n_bytes=64, max_frames=8, carry=("n_bytes", "mime")
     )
-    feats = extract_features(attach_binary_payload(docs))
-    xw = Window.partitionBy("doc_id")
-    features = feats.withColumn(
-        "ok",
-        (F.count(F.lit(1)).over(xw) == F.lit(1))
-        & (F.col("width") == F.col("n_bytes") % 640)
-        & (F.col("height") == F.col("n_bytes") % 480)
-        & (F.col("n_bytes") > 0),
-    ).select(
-        F.lit("features").alias("slice"),
+    return frames.select(
         "doc_id",
-        F.col("n_bytes").cast("bigint").alias("n_bytes"),
-        F.lit(None).cast("string").alias("mime"),
-        F.lit(None).cast("int").alias("frame_no"),
-        F.lit(None).cast("bigint").alias("frame_len"),
-        "magic",
-        F.col("width").cast("bigint").alias("width"),
-        F.col("height").cast("bigint").alias("height"),
-        *[
-            F.col("features")[i].cast("bigint").alias(f"f{i:02d}")
-            for i in range(16)
-        ],
-        "ok",
+        "n_bytes",
+        "mime",
+        "frame_no",
+        F.length("frame_bytes").cast("bigint").alias("frame_len"),
     )
-    return frames.unionByName(features)

@@ -200,12 +200,38 @@ SIDECAR_ONLY = [
     "e_time_windows",
     "c_outlier_filter",
     "g_personalized_pagerank",
+    # round-9 rotation merged window slot (j_range_join + j_asof_join
+    # stay headline-timed under their tail re-registrations)
+    "j_range_asof",
 ]
+
+
+def is_contended(load1: float, cpus: int) -> bool:
+    """True when the 1-minute load average says another heavy process
+    is live on the host. Measured BEFORE this bench's own Spark
+    session exists, an idle machine reads near zero; round 8's first
+    bench run recorded 132.9 s (8x inflation on cheap queries) purely
+    from a co-tenant, and only a manual re-run caught it. Threshold:
+    a quarter of the cores busy — far above background jitter, far
+    below a competing 32-thread Spark job."""
+    return load1 >= max(2.0, cpus / 4)
+
+
+def read_load1() -> float | None:
+    """1-minute load average; None where /proc is unavailable."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Sample load BEFORE the Spark session spins up: after it, the
+    # bench's own executors dominate the reading.
+    load1 = read_load1()
 
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import QUERIES
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.session import (
@@ -241,6 +267,20 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
+    if load1 is not None and is_contended(load1, cpus):
+        # Loud, machine-readable flag INSIDE the headline line: a
+        # co-tenant was running when this bench started, so every
+        # timing above is suspect — re-run on an idle host before
+        # recording (codifies the round-8 132.9 s near-miss).
+        result["contended"] = True
+        result["loadavg1"] = load1
+        print(
+            f"bench: WARNING pre-run loadavg1={load1} on {cpus} cpus — "
+            "another heavy process is live; timings are inflated, "
+            "re-run idle",
+            file=sys.stderr,
+        )
 
     small_dir = os.environ.get(
         "SPARK_GRAFT_BENCH_SCALING_DIR",

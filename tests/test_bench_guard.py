@@ -1,0 +1,34 @@
+"""Tests: the contended-bench guard (bench.is_contended) — the
+round-8 incident (a co-tenant inflated the first bench run 8x and
+only a manual re-run caught it) codified as code, not tribal
+knowledge."""
+
+from __future__ import annotations
+
+import bench
+
+
+def test_idle_host_not_contended():
+    assert not bench.is_contended(0.0, 32)
+    assert not bench.is_contended(1.9, 32)
+    # just under a quarter of the cores
+    assert not bench.is_contended(7.9, 32)
+
+
+def test_busy_host_contended():
+    # a competing 32-thread Spark job reads ~32
+    assert bench.is_contended(32.0, 32)
+    assert bench.is_contended(8.0, 32)
+
+
+def test_small_host_floor():
+    # the 2.0 floor keeps tiny-cpu hosts from flagging background
+    # jitter, but a genuinely busy 4-cpu host still flags
+    assert not bench.is_contended(1.5, 4)
+    assert bench.is_contended(2.0, 4)
+
+
+def test_read_load1_parses_proc():
+    v = bench.read_load1()
+    # linux container: must parse; value is a non-negative float
+    assert v is None or v >= 0.0
