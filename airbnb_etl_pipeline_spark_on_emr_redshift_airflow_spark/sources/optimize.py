@@ -1,0 +1,193 @@
+"""One-call table OPTIMIZE lifecycle: compaction + Z-order
+re-clustering + zone/bloom manifest rebuild + versioned pointer flip,
+composed so a reader can NEVER observe a stale-manifest or
+half-compacted state.
+
+The pieces exist separately — :func:`sources.io.compact_output`
+(small-files compaction), :func:`operators.layout.zorder_layout`
+(multi-dim clustering), :func:`sources.skipping.build_zone_manifest` /
+:func:`build_bloom_manifest` (skipping indexes), and
+:func:`sources.gating.versioned_publish` (pointer-flip publish). This
+module is the lifecycle contract tying them together, modeled on
+Delta/Iceberg OPTIMIZE + snapshot commit:
+
+- every optimize writes a COMPLETE immutable version directory
+  ``root/v=N/{data, zones, bloom}`` — the manifests are built from
+  the exact files just written, so within a version they can never
+  drift from the data;
+- the version is committed by a ``_SUCCESS`` marker and then the
+  one-line ``root/LATEST`` pointer flips LAST (atomic replace).
+  A crash anywhere earlier leaves the pointer on the previous
+  version: readers keep serving consistent (data, manifests) and the
+  orphaned partial directory is invisible to version discovery and
+  harmlessly overwritten by the next optimize;
+- old versions stay intact until pruned (in-flight readers that
+  resolved ``v=K`` keep reading ``v=K``); the pointed-at version is
+  never pruned; rollback is :func:`sources.gating.rollback_version`'s
+  pointer rewrite.
+
+Scale notes: the rewrite is one range exchange (Z-order sampling) +
+the write; manifest builds are one distributed pass each over the
+fresh files; the pointer flip is metadata-only. Readers pay zero
+verification listings (``verify=False`` is sound here and only here:
+version directories are immutable once committed, so the manifest's
+file set is correct by construction — the fail-closed listing check
+exists for mutable roots where writers append behind the manifest's
+back).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources import fsutil
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.gating import (
+    read_version_pointer,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
+    Predicate,
+    build_bloom_manifest,
+    build_zone_manifest,
+    combined_pruned_read,
+)
+
+
+def _committed_versions(spark: SparkSession, root: str) -> list[int]:
+    return sorted(
+        int(name.split("=", 1)[1])
+        for name in fsutil.list_subdirs(spark, root, "v=*")
+        if fsutil.exists(spark, f"{root}/{name}/_SUCCESS")
+    )
+
+
+def optimize_table(
+    df: DataFrame,
+    root: str,
+    zorder_dims: list[tuple[str, float, float]],
+    bloom_cols: list[str] | None = None,
+    target_rows_per_file: int = 1_000_000,
+    zorder_bits: int = 8,
+    bloom_n_bits: int = 4096,
+    bloom_k: int = 5,
+    keep: int = 3,
+) -> int:
+    """OPTIMIZE ``df`` into a new committed version under ``root`` and
+    flip the pointer: Z-order re-cluster on ``zorder_dims``, compact
+    to ``target_rows_per_file``, rebuild the zone manifest over the
+    Z-order columns and (optionally) the bloom manifest over
+    ``bloom_cols``, commit, flip. Returns the new version number.
+
+    Call it with the CURRENT table content (e.g.
+    ``read_optimized_data(spark, root)`` unioned with a fresh batch,
+    or any curated frame) — the version directory is rebuilt whole,
+    which is what OPTIMIZE means: the steady-state ingest path is the
+    O(batch) ``stream_sink_with_manifest`` / ``update_*_manifest``
+    family; this is the periodic re-layout that restores clustering
+    and file sizes after many small appends."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.layout import (
+        zorder_layout,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.io import (
+        compact_output,
+    )
+
+    spark = df.sparkSession
+    root = root.rstrip("/")
+    fsutil.mkdirs(spark, root)
+    versions = _committed_versions(spark, root)
+    n = (versions[-1] + 1) if versions else 1
+    vdir = f"{root}/v={n}"
+    # a crashed earlier attempt may have left an uncommitted partial
+    # dir with this number — remove it so the rebuild starts clean
+    if fsutil.exists(spark, vdir):
+        fsutil.delete(spark, vdir)
+
+    # 1. re-cluster + compact the data files: the Z-order range
+    #    exchange is sized to the target file count EXPLICITLY —
+    #    explicit repartition counts are exempt from AQE partition
+    #    coalescing, so the layout lands as ceil(rows/target) files
+    #    (one count action; callers optimizing a known table can
+    #    afford it — this is the periodic re-layout, not the hot path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // max(1, target_rows_per_file)))
+    clustered = zorder_layout(
+        df, zorder_dims, bits=zorder_bits, num_partitions=n_files
+    )
+    compact_output(
+        clustered, f"{vdir}/data", target_rows_per_file, total_rows=n_rows
+    )
+
+    # 2. manifests over exactly the files just written (never stale
+    #    by construction: the version dir is immutable after commit)
+    fresh = spark.read.parquet(f"{vdir}/data")
+    zone_cols = [c for c, _lo, _hi in zorder_dims]
+    build_zone_manifest(fresh, zone_cols).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{vdir}/zones")
+    if bloom_cols:
+        build_bloom_manifest(
+            fresh, bloom_cols, n_bits=bloom_n_bits, k=bloom_k
+        ).coalesce(1).write.mode("overwrite").parquet(f"{vdir}/bloom")
+
+    # 3. commit marker, THEN the externally visible pointer flip —
+    #    strictly last, so readers only ever resolve complete versions
+    fsutil.write_text_atomic(spark, f"{vdir}/_SUCCESS", "")
+    fsutil.write_text_atomic(spark, f"{root}/LATEST", str(n))
+
+    # 4. prune old versions (never the pointed-at one)
+    pointed = read_version_pointer(root, spark)
+    for old in versions[: max(0, len(versions) - (keep - 1))]:
+        if old != pointed:
+            fsutil.delete(spark, f"{root}/v={old}")
+    return n
+
+
+def read_optimized_data(spark: SparkSession, root: str) -> DataFrame:
+    """Plain full scan of the pointed-at version's data files."""
+    v = read_version_pointer(root.rstrip("/"), spark)
+    return spark.read.parquet(f"{root.rstrip('/')}/v={v}/data")
+
+
+def read_optimized(
+    spark: SparkSession,
+    root: str,
+    range_predicates: list[Predicate] | None = None,
+    in_predicates: list[tuple[str, list]] | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Manifest-pruned read of the pointed-at version: range
+    conjunctions prune by the zone manifest, IN-lists by the bloom
+    manifest, both at once multiplicatively
+    (:func:`sources.skipping.combined_pruned_read`). With no
+    predicates, a plain full scan. ``verify=False`` is sound because
+    committed version directories are immutable — the manifests were
+    built from exactly these files (see module docstring)."""
+    root = root.rstrip("/")
+    v = read_version_pointer(root, spark)
+    vdir = f"{root}/v={v}"
+    if not range_predicates and not in_predicates:
+        return spark.read.parquet(f"{vdir}/data")
+    zmf = (
+        spark.read.parquet(f"{vdir}/zones") if range_predicates else None
+    )
+    bmf = None
+    if in_predicates:
+        if not fsutil.exists(spark, f"{vdir}/bloom"):
+            raise ValueError(
+                f"read_optimized: {root} v={v} was optimized without "
+                "bloom_cols — no bloom manifest to serve IN-list "
+                "pruning; pass the IN-list as a residual filter on the "
+                "zone-pruned read, or re-optimize with bloom_cols"
+            )
+        bmf = spark.read.parquet(f"{vdir}/bloom")
+    return combined_pruned_read(
+        spark,
+        f"{vdir}/data",
+        zone_manifest=zmf,
+        bloom_manifest=bmf,
+        range_predicates=range_predicates,
+        in_predicates=in_predicates,
+        verify=False,
+        stats=stats,
+        _what="read_optimized",
+    )

@@ -99,7 +99,7 @@ def test_minhash_catalog_query_clusters_planted_twins(spark):
     """The catalog query plants a mutated twin per subset doc; the
     MinHash→connected-components chain must put every doc in the same
     cluster as its twin (doc_id + 1e6), labeled by the min id."""
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.dedup import (
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.probes import (
         d_minhash_dup_clusters,
     )
     from tests.conftest import SF_DIR

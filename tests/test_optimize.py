@@ -1,0 +1,176 @@
+"""Tests: the one-call OPTIMIZE lifecycle (sources.optimize) —
+write → optimize → pruned reads bit-identical to the full scan,
+re-optimize flips versions without disturbing in-flight readers,
+and a crash mid-optimize leaves readers on the old version."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.optimize import (
+    optimize_table,
+    read_optimized,
+    read_optimized_data,
+)
+
+
+def _corpus(spark, n=20000, shift=0):
+    return spark.range(n).select(
+        (F.col("id") + shift).alias("event_id"),
+        (F.col("id") % 500).cast("double").alias("v"),
+        ((F.col("id") * 7) % 1000).cast("double").alias("u"),
+    )
+
+
+DIMS = [("v", 0.0, 500.0), ("u", 0.0, 1000.0)]
+
+
+def test_optimize_then_pruned_reads_equal_full_scan(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("opt")) + "/table"
+    df = _corpus(spark)
+    n = optimize_table(
+        df, root, DIMS, bloom_cols=["event_id"],
+        target_rows_per_file=2000,
+    )
+    assert n == 1
+    full = read_optimized_data(spark, root)
+    assert full.count() == 20000
+
+    # zone-pruned range read
+    sz: dict = {}
+    got = read_optimized(
+        spark, root, range_predicates=[("v", 100.0, 150.0)], stats=sz
+    )
+    want = full.filter("v >= 100.0 AND v <= 150.0")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert 0 < sz["files_read"] < sz["files_total"], sz
+
+    # bloom-pruned IN-list read
+    sb: dict = {}
+    got_b = read_optimized(
+        spark, root, in_predicates=[("event_id", [7, 4242])], stats=sb
+    )
+    assert sorted(r["event_id"] for r in got_b.collect()) == [7, 4242]
+    assert sb["files_read"] < sb["files_total"], sb
+
+    # composed zone ∧ bloom: multiplicative, still exact
+    sc: dict = {}
+    got_c = read_optimized(
+        spark, root,
+        range_predicates=[("v", 100.0, 150.0)],
+        in_predicates=[("event_id", [100, 12345])],
+        stats=sc,
+    )
+    want_c = full.filter("v >= 100.0 AND v <= 150.0").filter(
+        F.col("event_id").isin(100, 12345)
+    )
+    assert sorted(map(tuple, got_c.collect())) == sorted(
+        map(tuple, want_c.collect())
+    )
+    assert sc["files_read"] <= min(sz["files_read"], sb["files_read"])
+
+
+def test_reoptimize_versions_and_read_stability(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("opt2")) + "/table"
+    optimize_table(
+        _corpus(spark, 5000), root, DIMS, bloom_cols=["event_id"],
+        target_rows_per_file=1000,
+    )
+    before = sorted(
+        map(tuple, read_optimized(
+            spark, root, range_predicates=[("v", 10.0, 60.0)]
+        ).collect())
+    )
+    # re-optimize the same content at a different file-size target:
+    # new version, pruned reads bit-identical before/after
+    n2 = optimize_table(
+        _corpus(spark, 5000), root, DIMS, bloom_cols=["event_id"],
+        target_rows_per_file=500,
+    )
+    assert n2 == 2
+    after = sorted(
+        map(tuple, read_optimized(
+            spark, root, range_predicates=[("v", 10.0, 60.0)]
+        ).collect())
+    )
+    assert after == before
+
+
+def test_crash_mid_optimize_leaves_readers_on_old_version(
+    spark, tmp_path_factory, monkeypatch
+):
+    """A failure AFTER the data rewrite but BEFORE the pointer flip
+    must leave the table serving the previous version (complete with
+    its manifests), and the next optimize must recover cleanly."""
+    import airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.optimize as opt
+
+    root = str(tmp_path_factory.mktemp("opt3")) + "/table"
+    optimize_table(
+        _corpus(spark, 3000), root, DIMS, bloom_cols=["event_id"],
+        target_rows_per_file=1000,
+    )
+    served = sorted(
+        map(tuple, read_optimized(
+            spark, root, range_predicates=[("v", 0.0, 50.0)]
+        ).collect())
+    )
+
+    # crash injection: the commit-marker write (the step before the
+    # pointer flip) raises — data + manifests for v=2 already exist
+    real_write = opt.fsutil.write_text_atomic
+
+    def boom(spark_, path, text):
+        if path.endswith("_SUCCESS"):
+            raise RuntimeError("injected crash before commit")
+        return real_write(spark_, path, text)
+
+    monkeypatch.setattr(opt.fsutil, "write_text_atomic", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        optimize_table(
+            _corpus(spark, 9999), root, DIMS, bloom_cols=["event_id"],
+            target_rows_per_file=1000,
+        )
+    monkeypatch.setattr(opt.fsutil, "write_text_atomic", real_write)
+
+    # readers: still version 1, same rows, manifests consistent
+    assert read_optimized_data(spark, root).count() == 3000
+    again = sorted(
+        map(tuple, read_optimized(
+            spark, root, range_predicates=[("v", 0.0, 50.0)]
+        ).collect())
+    )
+    assert again == served
+
+    # recovery: the next optimize overwrites the orphaned partial v=2
+    n = optimize_table(
+        _corpus(spark, 4000), root, DIMS, bloom_cols=["event_id"],
+        target_rows_per_file=1000,
+    )
+    assert n == 2
+    assert read_optimized_data(spark, root).count() == 4000
+
+
+def test_rollback_pointer(spark, tmp_path_factory):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.gating import (
+        rollback_version,
+    )
+
+    root = str(tmp_path_factory.mktemp("opt4")) + "/table"
+    optimize_table(_corpus(spark, 1000), root, DIMS,
+                   target_rows_per_file=500)
+    optimize_table(_corpus(spark, 2000), root, DIMS,
+                   target_rows_per_file=500)
+    assert read_optimized_data(spark, root).count() == 2000
+    rollback_version(root, 1, spark)
+    assert read_optimized_data(spark, root).count() == 1000
+
+
+def test_read_without_bloom_manifest_raises(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("opt5")) + "/table"
+    optimize_table(_corpus(spark, 1000), root, DIMS,
+                   target_rows_per_file=500)
+    with pytest.raises(ValueError, match="without"):
+        read_optimized(spark, root, in_predicates=[("event_id", [5])])
