@@ -96,6 +96,8 @@ def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
     profile_ledger_path = f"{workdir}/profile_ledger"
     hitters_ledger_path = f"{workdir}/hitters_ledger"
     pagerank_ranks_path = f"{workdir}/pagerank_ranks"
+    triangle_edges_path = f"{workdir}/triangle_edges"
+    triangle_counts_path = f"{workdir}/triangle_counts"
     corpus_manifest_path = f"{workdir}/corpus_manifest"
     _toks = (
         "filter(split(trim(regexp_replace(lower(text), '[^a-z]+', ' ')), "
@@ -415,6 +417,86 @@ def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
         )
         return spark.read.parquet(f"{pagerank_ranks_path}/period={lo}_{hi}")
 
+    def triangles(spark: SparkSession, period: str, ctx) -> DataFrame:
+        """Triangle-count maintenance under edge ADDITIONS (round 9,
+        VERDICT r8 stretch #7) — the last recompute-from-scratch graph
+        artifact moved to the O(batch) cadence: nodes are normalized
+        tokens, edges are ADJACENT token pairs in this period's slice
+        of the published corpus (the collocation co-occurrence graph;
+        edge count linear in the period's tokens), and
+        :func:`operators.graph.triangle_counts_incremental` folds the
+        period's delta edges into the previous period's persisted
+        (edges, counts) pair — only wedges touching new edges recount,
+        never the whole graph. Idempotence: the delta derives from the
+        published corpus's doc_id slice (identical on replay) and the
+        predecessor is the largest committed ``hi ≤ lo`` partition
+        (never the period's own output), so a replayed period
+        republishes identical content; incremental ≡ full recompute is
+        pinned in ``tests/test_example_incremental.py``."""
+        import os as _os
+        import re as _re
+
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.graph import (
+            triangle_counts,
+            triangle_counts_incremental,
+        )
+
+        lo, hi = (int(x) for x in period.split(":"))
+        docs = ctx["published"].filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        toked = docs.select(F.expr(_toks).alias("t"))
+        delta_edges = toked.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) < 2 THEN array() ELSE "
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(t[i-1] AS src, t[i] AS dst)) END"
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
+
+        def _committed(root: str) -> list[tuple[int, str]]:
+            out = []
+            if _os.path.isdir(root):
+                for d in _os.listdir(root):
+                    m = _re.fullmatch(r"period=(\d+)_(\d+)", d)
+                    if m is None or not model_exists(f"{root}/{d}"):
+                        continue
+                    out.append((int(m.group(2)), f"{root}/{d}"))
+            return out
+
+        prev_edge_parts = [
+            p for h, p in _committed(triangle_edges_path) if h <= lo
+        ]
+        counts_cands = [
+            (h, p) for h, p in _committed(triangle_counts_path) if h <= lo
+        ]
+        if prev_edge_parts and counts_cands:
+            prev_counts = spark.read.parquet(
+                max(counts_cands)[1]
+            ).withColumnRenamed("token", "node")
+            prev_edges = spark.read.parquet(*prev_edge_parts)
+            counts = triangle_counts_incremental(
+                prev_counts, prev_edges, delta_edges
+            )
+        else:
+            counts = triangle_counts(delta_edges)
+        counts = counts.withColumnRenamed("node", "token")
+        atomic_publish(
+            delta_edges,
+            f"{triangle_edges_path}/period={lo}_{hi}",
+            validate=model_exists,
+        )
+        atomic_publish(
+            counts.localCheckpoint(),
+            f"{triangle_counts_path}/period={lo}_{hi}",
+            validate=model_exists,
+        )
+        return spark.read.parquet(
+            f"{triangle_counts_path}/period={lo}_{hi}"
+        )
+
     def manifest(spark: SparkSession, period: str, ctx) -> DataFrame:
         """Zone-map manifest over the PUBLISHED corpus, reconciled per
         period (``sources.skipping``) — the skipping layer as one more
@@ -488,6 +570,12 @@ def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
             Stage(
                 "pagerank",
                 pagerank,
+                deps=("published",),
+                gates=(("non-empty", non_empty),),
+            ),
+            Stage(
+                "triangles",
+                triangles,
                 deps=("published",),
                 gates=(("non-empty", non_empty),),
             ),

@@ -4851,3 +4851,82 @@ def j_asof_join(spark, sf_dir):
         ts="ts",
         right_payload=["last_purchase_ts", "last_purchase_value"],
     ).select("event_id", "user_id", "ts", "last_purchase_ts", "last_purchase_value")
+
+
+# ----- composed zone + bloom pruned read (round 9) ----------------------
+
+ORACLE_COMBINED_PRUNED = """
+SELECT event_id, event_type, user_id, value
+FROM events
+WHERE value >= CAST(0 AS DOUBLE) AND value <= CAST(350 AS DOUBLE)
+  AND event_id IN (7, 123, 911, 4242)
+"""
+
+
+@register("l_combined_pruned_lookup", oracle=ORACLE_COMBINED_PRUNED)
+def l_combined_pruned_lookup(spark, sf_dir):
+    """The round-9 composed metadata-plane read
+    (``sources.skipping.combined_pruned_read``) as a catalog query:
+    the SAME persisted Z-ordered events copy that serves
+    ``l_zone_pruned_agg`` (zone manifest) and ``l_bloom_point_lookup``
+    (bloom manifest) now serves the COMMON query shape both indexes
+    exist for — a range conjunction PLUS an id IN-list — in one read
+    whose kept-file set is the INTERSECTION of the two manifests'
+    keeps, so skipping multiplies instead of picking one index. The
+    oracle is the plain full-scan filter: composition must stay
+    invisible to semantics (files_read ≤ min(zone_only, bloom_only)
+    is pinned in ``tests/test_skipping.py``). 100 TB shape: both
+    keep-set computations are metadata-plane expressions over
+    file-count-sized manifest frames; only surviving files are ever
+    planned."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.layout import (
+        zorder_layout,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
+        build_bloom_manifest,
+        build_zone_manifest,
+        combined_pruned_read,
+    )
+
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    src = _os.path.join(sf_dir, "events.parquet")
+    ent = [_os.path.abspath(src)]
+    for root, _dirs, files in sorted(_os.walk(src)):
+        for f in sorted(files):
+            st = _os.stat(_os.path.join(root, f))
+            ent.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    fp = _hashlib.md5("|".join(ent).encode()).hexdigest()[:16]
+    base = _os.path.join(repo, ".tmp", "catalog_zones", fp)
+    data_path = _os.path.join(base, "data")
+    mf_path = _os.path.join(base, "manifest")
+    bloom_path = _os.path.join(base, "bloom")
+    if not _os.path.exists(_os.path.join(data_path, "_SUCCESS")):
+        (ev,) = load(spark, sf_dir, "events")
+        max_uid = ev.agg(F.max("user_id")).head()[0]
+        zorder_layout(
+            ev.select("event_id", "user_id", "event_type", "value"),
+            [("value", 0, 500), ("user_id", 0, float(max_uid) + 1)],
+            bits=8,
+            num_partitions=16,
+        ).write.mode("overwrite").parquet(data_path)
+    if not _os.path.exists(_os.path.join(mf_path, "_SUCCESS")):
+        build_zone_manifest(
+            spark.read.parquet(data_path), ["value", "user_id"]
+        ).coalesce(1).write.mode("overwrite").parquet(mf_path)
+    if not _os.path.exists(_os.path.join(bloom_path, "_SUCCESS")):
+        build_bloom_manifest(
+            spark.read.parquet(data_path), ["event_id"]
+        ).coalesce(1).write.mode("overwrite").parquet(bloom_path)
+    return combined_pruned_read(
+        spark,
+        data_path,
+        zone_manifest=spark.read.parquet(mf_path),
+        bloom_manifest=spark.read.parquet(bloom_path),
+        range_predicates=[("value", 0.0, 350.0)],
+        in_predicates=[("event_id", [7, 123, 911, 4242])],
+    ).select("event_id", "event_type", "user_id", "value")

@@ -203,6 +203,8 @@ SIDECAR_ONLY = [
     # round-9 rotation merged window slot (j_range_join + j_asof_join
     # stay headline-timed under their tail re-registrations)
     "j_range_asof",
+    # round-9 extension: composed zone+bloom pruned read
+    "l_combined_pruned_lookup",
 ]
 
 

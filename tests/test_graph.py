@@ -387,3 +387,57 @@ def test_personalized_pagerank_teleport(spark):
     absent = spark.createDataFrame([(99,)], "node bigint")
     with _pytest.raises(ValueError, match="teleport"):
         pagerank_fixed_point(edges, iterations=1, teleport=absent)
+
+
+def test_triangle_counts_incremental_equals_full(spark):
+    """Delta-edge maintenance ≡ full recompute across the adversarial
+    add cases: an edge closing an existing wedge (1 delta edge per
+    triangle), a triangle with 2 delta edges, an entirely-new triangle
+    (3 delta edges), a brand-new node, duplicate / reversed / self-loop
+    adds, and a random graph + random batch."""
+    import random
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.graph import (
+        triangle_counts,
+        triangle_counts_incremental,
+    )
+
+    def check(old_pairs, new_pairs):
+        old = spark.createDataFrame(old_pairs, "src bigint, dst bigint")
+        new = spark.createDataFrame(new_pairs, "src bigint, dst bigint")
+        base = triangle_counts(old)
+        inc = triangle_counts_incremental(base, old, new)
+        full = triangle_counts(old.unionByName(new))
+        assert sorted(map(tuple, inc.collect())) == sorted(
+            map(tuple, full.collect())
+        ), (old_pairs, new_pairs)
+
+    # wedge 1-2, 2-3 exists; delta 1-3 closes it (1 delta edge)
+    check([(1, 2), (2, 3)], [(1, 3)])
+    # edge 1-2 exists; delta 2-4 and 1-4 add a triangle (2 delta edges)
+    check([(1, 2), (2, 3)], [(2, 4), (1, 4)])
+    # entirely new triangle on new nodes (3 delta edges)
+    check([(1, 2)], [(10, 11), (11, 12), (10, 12)])
+    # duplicate adds, reversed duplicates, self loops: all no-ops
+    check([(1, 2), (2, 3), (1, 3)], [(2, 1), (3, 2), (5, 5), (1, 3)])
+    # mixed batch: closing edge + fresh clique overlapping old nodes
+    check(
+        [(1, 2), (2, 3), (3, 4), (4, 1)],
+        [(1, 3), (2, 4), (4, 5), (5, 1)],
+    )
+    # random: 40-node graph, then a random 20-edge batch
+    rng = random.Random(9)
+    old_pairs = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(40), rng.randrange(40)) for _ in range(120)
+            )
+            if a != b
+        }
+    )
+    new_pairs = [
+        (rng.randrange(45), rng.randrange(45)) for _ in range(20)
+    ]
+    new_pairs = [(a, b) for a, b in new_pairs if a != b]
+    check(old_pairs, new_pairs)
