@@ -4930,3 +4930,61 @@ def l_combined_pruned_lookup(spark, sf_dir):
         range_predicates=[("value", 0.0, 350.0)],
         in_predicates=[("event_id", [7, 123, 911, 4242])],
     ).select("event_id", "event_type", "user_id", "value")
+
+
+# ----- key-based deletion vectors (round 9) -----------------------------
+
+ORACLE_DELETE_VECTORS = """
+SELECT doc_id, source
+FROM documents
+WHERE doc_id % 37 <> 0 AND doc_id % 41 <> 0
+"""
+
+
+@register("u_delete_vectors", oracle=ORACLE_DELETE_VECTORS)
+def u_delete_vectors(spark, sf_dir):
+    """Merge-on-read DELETE via keyed tombstones
+    (``sources.deletes``): two delete batches land as tiny sidecar
+    partitions (every doc_id % 37, then every % 41 — overlapping
+    keys exercise the set semantics) and the read serves
+    ``data ⟕̸ tombstones`` — one left-anti join whose build side is
+    delete-sized (AQE broadcasts it; the corpus never re-shuffles).
+    The oracle is the plain NOT-filter: merge-on-read must equal the
+    rewrite it avoids. Sidecar built once per corpus content (the
+    fingerprint-keyed ``.tmp`` cache discipline); compaction,
+    idempotent re-deletes, and the OPTIMIZE merge-on-write
+    materialization are pinned in ``tests/test_deletes.py``. 100 TB
+    shape: DELETE is O(batch) — data files immutable, the sidecar is
+    key-count-sized, and the periodic OPTIMIZE folds it away."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.deletes import (
+        delete_keys,
+        read_with_deletes,
+    )
+
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    src = _os.path.join(sf_dir, "documents.parquet")
+    ent = [_os.path.abspath(src)]
+    for root, _dirs, files in sorted(_os.walk(src)):
+        for f in sorted(files):
+            st = _os.stat(_os.path.join(root, f))
+            ent.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    fp = _hashlib.md5("|".join(ent).encode()).hexdigest()[:16]
+    sidecar = _os.path.join(repo, ".tmp", "catalog_deletes", fp)
+    (docs,) = load(spark, sf_dir, "documents")
+    if not _os.path.isdir(sidecar) or not _os.listdir(sidecar):
+        delete_keys(
+            docs.filter("doc_id % 37 = 0").select("doc_id"),
+            sidecar, "doc_id",
+        )
+        delete_keys(
+            docs.filter("doc_id % 41 = 0").select("doc_id"),
+            sidecar, "doc_id",
+        )
+    return read_with_deletes(
+        docs.select("doc_id", "source"), sidecar, "doc_id"
+    )

@@ -1,0 +1,122 @@
+"""Key-based deletion vectors over plain parquet — merge-on-read
+DELETE, the missing DML leg of the table-format layer (zone/bloom
+skipping, OPTIMIZE lifecycle, versioned pointers).
+
+Rewriting data files per DELETE is O(table) for an O(batch) change;
+the lakehouse answer (Delta deletion vectors, Iceberg delete files,
+Hive ACID delete deltas) is a TOMBSTONE SIDECAR: deletes append a
+tiny file of deleted keys, readers anti-join it at scan time
+(merge-on-read), and the periodic OPTIMIZE rewrite materializes the
+deletes away (merge-on-write) and resets the sidecar. This module is
+that model in its simplest sound form — keyed tombstones:
+
+- :func:`delete_keys` appends one parquet partition of deleted key
+  values per call under ``<sidecar>/batch=<n>`` — O(batch) write,
+  idempotent to re-deletes (tombstones are a SET under anti-join
+  semantics; duplicate keys across batches change nothing);
+- :func:`read_with_deletes` serves ``data ⟕̸ tombstones`` (left-anti
+  on the key) — the tombstone side is delete-sized, so AQE broadcasts
+  it and the scan stays one pass with no extra shuffle of the data;
+- :func:`compact_deletes` folds the sidecar's batches into one
+  distinct-key partition when many small delete batches accrue;
+- the OPTIMIZE integration: pass ``read_with_deletes(...)`` as the
+  frame into :func:`sources.optimize.optimize_table` and drop the
+  sidecar after the pointer flip — deletes are then physically gone
+  and the skipping manifests of the new version never saw the
+  deleted rows.
+
+Correctness note: tombstones are by KEY, so the key must identify
+the logical row (the table's primary key — ``doc_id``, ``event_id``);
+deleting by non-unique key removes every matching row, which is the
+SQL ``DELETE WHERE key IN (...)`` semantics the oracle-checked
+``u_delete_vectors`` catalog query certifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources import fsutil
+
+
+def _batches(spark: SparkSession, sidecar: str) -> list[int]:
+    return sorted(
+        int(name.split("=", 1)[1])
+        for name in fsutil.list_subdirs(spark, sidecar, "batch=*")
+        if fsutil.is_committed(spark, f"{sidecar}/{name}")
+    )
+
+
+def delete_keys(
+    keys: DataFrame, sidecar: str, key_col: str
+) -> int:
+    """Append one tombstone batch (the distinct values of
+    ``keys[key_col]``) under ``sidecar/batch=<n>``. Returns n.
+    O(batch): nothing else is read or touched — the data files are
+    immutable, the delete is visible to every subsequent
+    :func:`read_with_deletes`."""
+    spark = keys.sparkSession
+    sidecar = sidecar.rstrip("/")
+    fsutil.mkdirs(spark, sidecar)
+    existing = _batches(spark, sidecar)
+    n = (existing[-1] + 1) if existing else 1
+    keys.select(F.col(key_col)).distinct().coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{sidecar}/batch={n}")
+    return n
+
+
+def read_deletes(
+    spark: SparkSession, sidecar: str, key_col: str
+) -> DataFrame:
+    """The tombstone key set (distinct across batches); empty frame
+    when no deletes exist."""
+    sidecar = sidecar.rstrip("/")
+    parts = [f"{sidecar}/batch={b}" for b in _batches(spark, sidecar)]
+    if not parts:
+        return spark.createDataFrame([], f"{key_col} bigint")
+    return spark.read.parquet(*parts).select(key_col).distinct()
+
+
+def read_with_deletes(
+    data: DataFrame, sidecar: str, key_col: str
+) -> DataFrame:
+    """Merge-on-read: the data minus tombstoned keys — one left-anti
+    join whose build side is delete-sized (AQE broadcasts it; the
+    data never re-shuffles). Compose freely with the pruned readers:
+    ``read_with_deletes(combined_pruned_read(...), sidecar, key)``."""
+    spark = data.sparkSession
+    dels = read_deletes(spark, sidecar, key_col)
+    return data.join(dels, key_col, "left_anti")
+
+
+def compact_deletes(
+    spark: SparkSession, sidecar: str, key_col: str
+) -> None:
+    """Fold all tombstone batches into one distinct-key batch —
+    bounds the reader's union when many small DELETEs accrue. The
+    fold lands as the NEXT batch number first and old batches drop
+    only after it commits, so a concurrent reader sees a superset
+    (harmless under anti-join semantics), never a subset."""
+    sidecar = sidecar.rstrip("/")
+    old = _batches(spark, sidecar)
+    if len(old) <= 1:
+        return
+    merged = read_deletes(spark, sidecar, key_col).localCheckpoint()
+    n = old[-1] + 1
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        f"{sidecar}/batch={n}"
+    )
+    for b in old:
+        fsutil.delete(spark, f"{sidecar}/batch={b}")
+
+
+def clear_deletes(spark: SparkSession, sidecar: str) -> None:
+    """Drop the sidecar — call ONLY after an OPTIMIZE rewrite
+    materialized the deletes into a committed new version (the
+    pointer flip already happened, so no reader needs the tombstones
+    for the old version it may still be scanning... unless it re-reads
+    the OLD version by explicit pin — pinned-version readers should
+    resolve the sidecar state they captured with the pin)."""
+    fsutil.delete(spark, sidecar.rstrip("/"))

@@ -203,8 +203,10 @@ SIDECAR_ONLY = [
     # round-9 rotation merged window slot (j_range_join + j_asof_join
     # stay headline-timed under their tail re-registrations)
     "j_range_asof",
-    # round-9 extension: composed zone+bloom pruned read
+    # round-9 extensions: composed zone+bloom pruned read; keyed
+    # deletion vectors (merge-on-read DELETE)
     "l_combined_pruned_lookup",
+    "u_delete_vectors",
 ]
 
 

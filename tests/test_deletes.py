@@ -1,0 +1,122 @@
+"""Tests: key-based deletion vectors (sources.deletes) —
+merge-on-read semantics, idempotent re-deletes, sidecar compaction,
+and the OPTIMIZE materialization that physically removes deleted
+rows and resets the sidecar."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.deletes import (
+    clear_deletes,
+    compact_deletes,
+    delete_keys,
+    read_deletes,
+    read_with_deletes,
+)
+
+
+def _table(spark, path, n=1000):
+    spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    ).coalesce(4).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_merge_on_read_excludes_deleted_keys(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("dv"))
+    data = _table(spark, f"{base}/data")
+    side = f"{base}/deletes"
+
+    keys = spark.createDataFrame([(7,), (42,), (999,)], "doc_id bigint")
+    assert delete_keys(keys, side, "doc_id") == 1
+    got = read_with_deletes(data, side, "doc_id")
+    assert got.count() == 997
+    assert got.filter(F.col("doc_id").isin(7, 42, 999)).count() == 0
+    # everything else survives untouched
+    assert got.filter("doc_id = 8").count() == 1
+
+    # second batch composes; re-deleting an already-deleted key is a
+    # no-op (set semantics)
+    delete_keys(
+        spark.createDataFrame([(42,), (500,)], "doc_id bigint"),
+        side, "doc_id",
+    )
+    got2 = read_with_deletes(data, side, "doc_id")
+    assert got2.count() == 996
+    assert read_deletes(spark, side, "doc_id").count() == 4
+
+    # deleting a key absent from the data changes nothing
+    delete_keys(
+        spark.createDataFrame([(10**9,)], "doc_id bigint"), side, "doc_id"
+    )
+    assert read_with_deletes(data, side, "doc_id").count() == 996
+
+
+def test_compact_deletes_folds_batches(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("dvc"))
+    data = _table(spark, f"{base}/data", n=100)
+    side = f"{base}/deletes"
+    for k in (1, 2, 3, 2):
+        delete_keys(
+            spark.createDataFrame([(k,)], "doc_id bigint"), side, "doc_id"
+        )
+    before = sorted(
+        r["doc_id"]
+        for r in read_with_deletes(data, side, "doc_id").collect()
+    )
+    compact_deletes(spark, side, "doc_id")
+    import os
+
+    batches = [
+        d for d in os.listdir(side) if d.startswith("batch=")
+    ]
+    assert len(batches) == 1
+    after = sorted(
+        r["doc_id"]
+        for r in read_with_deletes(data, side, "doc_id").collect()
+    )
+    assert after == before
+    assert read_deletes(spark, side, "doc_id").count() == 3
+
+
+def test_optimize_materializes_deletes(spark, tmp_path_factory):
+    """The merge-on-write leg: OPTIMIZE over the merge-on-read frame
+    produces a version with the deleted rows physically absent (the
+    skipping manifests never saw them), after which the sidecar
+    clears and plain pointer reads serve the deleted-free table."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.optimize import (
+        optimize_table,
+        read_optimized,
+        read_optimized_data,
+    )
+
+    base = str(tmp_path_factory.mktemp("dvo"))
+    data = _table(spark, f"{base}/staging", n=2000)
+    side = f"{base}/deletes"
+    root = f"{base}/table"
+    delete_keys(
+        spark.createDataFrame([(i,) for i in range(0, 2000, 10)],
+                              "doc_id bigint"),
+        side, "doc_id",
+    )
+    live = read_with_deletes(data, side, "doc_id")
+    optimize_table(
+        live, root, [("v", 0.0, 100.0)], bloom_cols=["doc_id"],
+        target_rows_per_file=500,
+    )
+    clear_deletes(spark, side)
+
+    assert read_optimized_data(spark, root).count() == 1800
+    # a deleted key is gone even via the bloom point-lookup path
+    gone = read_optimized(
+        spark, root, in_predicates=[("doc_id", [10, 20])]
+    )
+    assert gone.count() == 0
+    kept = read_optimized(
+        spark, root, in_predicates=[("doc_id", [11, 21])]
+    )
+    assert kept.count() == 2
+    # sidecar reset: fresh reads need no anti-join input
+    assert read_deletes(spark, side, "doc_id").count() == 0
