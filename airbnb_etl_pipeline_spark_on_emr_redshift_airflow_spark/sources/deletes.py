@@ -120,3 +120,88 @@ def clear_deletes(spark: SparkSession, sidecar: str) -> None:
     the OLD version by explicit pin — pinned-version readers should
     resolve the sidecar state they captured with the pin)."""
     fsutil.delete(spark, sidecar.rstrip("/"))
+
+
+# ----- op-tagged change batches (merge-on-read UPSERT + DELETE) --------
+#
+# The tombstone sidecar above serves pure DELETE; real CDC needs
+# UPDATE/UPSERT too. Same model, richer rows: each change batch holds
+# full-width rows tagged op ∈ {'upsert', 'delete'}; the reader folds
+# LATEST-op-per-key across batches (batch number = commit order) and
+# applies it — delete drops the key, upsert replaces-or-inserts the
+# row. This is the table-level form of the ``u_merge_apply_cdc``
+# catalog query's MERGE semantics, over immutable parquet: O(batch)
+# writes, one change-sized fold + one anti-join + one union at read,
+# and the periodic OPTIMIZE over ``read_with_changes(...)``
+# materializes everything away (same lifecycle as the delete-only
+# sidecar).
+
+
+def apply_changes(
+    changes: DataFrame, sidecar: str, key_col: str, op_col: str = "op"
+) -> int:
+    """Append one op-tagged change batch. ``changes`` carries the full
+    data schema plus ``op_col`` ('upsert' | 'delete'; delete rows may
+    leave non-key columns NULL). One row per key per batch (enforced —
+    two ops for one key in one batch have no defined order)."""
+    spark = changes.sparkSession
+    bad_ops = changes.filter(
+        ~F.col(op_col).isin("upsert", "delete")
+    ).limit(1).collect()
+    if bad_ops:
+        raise ValueError(
+            f"apply_changes: unknown op {bad_ops[0][op_col]!r} "
+            "(expected 'upsert' or 'delete')"
+        )
+    dup = (
+        changes.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"apply_changes: key {dup[0][key_col]!r} appears more than "
+            "once in one batch — ops within a batch are unordered; "
+            "split into sequential batches"
+        )
+    sidecar = sidecar.rstrip("/")
+    fsutil.mkdirs(spark, sidecar)
+    existing = _batches(spark, sidecar)
+    n = (existing[-1] + 1) if existing else 1
+    changes.coalesce(1).write.mode("overwrite").parquet(
+        f"{sidecar}/batch={n}"
+    )
+    return n
+
+
+def read_with_changes(
+    data: DataFrame, sidecar: str, key_col: str, op_col: str = "op"
+) -> DataFrame:
+    """Merge-on-read CDC: fold the latest op per key across change
+    batches (higher batch number wins) and apply — deleted keys drop,
+    upserted rows replace-or-insert. Cost shape: the fold is one
+    window over the CHANGE rows only (change-sized, never the data);
+    the data pays one delete-sized anti-join; upserts re-enter by
+    union. Equivalent to replaying every batch through a MERGE —
+    pinned in tests against the sequential replay."""
+    from pyspark.sql import Window
+
+    spark = data.sparkSession
+    sidecar = sidecar.rstrip("/")
+    parts = [f"{sidecar}/batch={b}" for b in _batches(spark, sidecar)]
+    if not parts:
+        return data
+    ch = spark.read.option("basePath", sidecar).parquet(*parts)
+    w = Window.partitionBy(key_col).orderBy(F.col("batch").desc())
+    latest = (
+        ch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "batch")
+    )
+    touched = latest.select(key_col)
+    ups = latest.filter(F.col(op_col) == "upsert").drop(op_col).select(
+        *data.columns
+    )
+    return data.join(touched, key_col, "left_anti").unionByName(ups)

@@ -120,3 +120,104 @@ def test_optimize_materializes_deletes(spark, tmp_path_factory):
     assert kept.count() == 2
     # sidecar reset: fresh reads need no anti-join input
     assert read_deletes(spark, side, "doc_id").count() == 0
+
+
+def test_change_batches_equal_sequential_merge_replay(
+    spark, tmp_path_factory
+):
+    """read_with_changes must equal replaying every batch through a
+    sequential MERGE: update an existing key, insert a new one,
+    delete one, then re-upsert a previously-deleted key — the
+    latest-op-per-key fold resolves the full interleaving."""
+    base = str(tmp_path_factory.mktemp("cdc"))
+    data = _table(spark, f"{base}/data", n=50)
+    side = f"{base}/changes"
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.deletes import (
+        apply_changes,
+        read_with_changes,
+    )
+
+    schema = "doc_id bigint, v double, op string"
+    apply_changes(
+        spark.createDataFrame(
+            [(3, 999.0, "upsert"), (60, 60.5, "upsert"),
+             (7, None, "delete")],
+            schema,
+        ), side, "doc_id",
+    )
+    apply_changes(
+        spark.createDataFrame(
+            [(7, 7.75, "upsert"),       # re-insert after delete
+             (60, None, "delete"),      # delete the batch-1 insert
+             (3, 333.0, "upsert")],     # second update wins
+            schema,
+        ), side, "doc_id",
+    )
+    got = {
+        r["doc_id"]: r["v"]
+        for r in read_with_changes(data, side, "doc_id").collect()
+    }
+    # sequential replay in plain python
+    want = {i: float(i % 100) for i in range(50)}
+    for batch in (
+        [(3, 999.0, "upsert"), (60, 60.5, "upsert"), (7, None, "delete")],
+        [(7, 7.75, "upsert"), (60, None, "delete"), (3, 333.0, "upsert")],
+    ):
+        for k, v, op in batch:
+            if op == "delete":
+                want.pop(k, None)
+            else:
+                want[k] = v
+    assert got == want
+
+
+def test_change_batch_guards(spark, tmp_path_factory):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.deletes import (
+        apply_changes,
+    )
+    import pytest
+
+    side = str(tmp_path_factory.mktemp("cdcg")) + "/changes"
+    schema = "doc_id bigint, v double, op string"
+    with pytest.raises(ValueError, match="unknown op"):
+        apply_changes(
+            spark.createDataFrame([(1, 1.0, "replace")], schema),
+            side, "doc_id",
+        )
+    with pytest.raises(ValueError, match="more than"):
+        apply_changes(
+            spark.createDataFrame(
+                [(1, 1.0, "upsert"), (1, None, "delete")], schema
+            ), side, "doc_id",
+        )
+
+
+def test_changes_then_optimize_materializes(spark, tmp_path_factory):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.deletes import (
+        apply_changes,
+        read_with_changes,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.optimize import (
+        optimize_table,
+        read_optimized_data,
+    )
+
+    base = str(tmp_path_factory.mktemp("cdco"))
+    data = _table(spark, f"{base}/data", n=200)
+    side = f"{base}/changes"
+    apply_changes(
+        spark.createDataFrame(
+            [(5, 5555.0, "upsert"), (6, None, "delete")],
+            "doc_id bigint, v double, op string",
+        ), side, "doc_id",
+    )
+    live = read_with_changes(data, side, "doc_id")
+    optimize_table(
+        live, f"{base}/table", [("v", 0.0, 6000.0)],
+        target_rows_per_file=100,
+    )
+    out = read_optimized_data(spark, f"{base}/table")
+    assert out.count() == 199
+    assert out.filter("doc_id = 5").head()["v"] == 5555.0
+    assert out.filter("doc_id = 6").count() == 0
