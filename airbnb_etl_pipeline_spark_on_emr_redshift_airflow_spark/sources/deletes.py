@@ -49,18 +49,23 @@ def _batches(spark: SparkSession, sidecar: str) -> list[int]:
 
 
 def delete_keys(
-    keys: DataFrame, sidecar: str, key_col: str
+    keys: DataFrame, sidecar: str, key_col: str,
+    batch_id: int | None = None,
 ) -> int:
     """Append one tombstone batch (the distinct values of
     ``keys[key_col]``) under ``sidecar/batch=<n>``. Returns n.
     O(batch): nothing else is read or touched — the data files are
     immutable, the delete is visible to every subsequent
-    :func:`read_with_deletes`."""
+    :func:`read_with_deletes`. Pass ``batch_id`` to pin the batch
+    number (a replayed pipeline period then REWRITES its own batch
+    instead of double-appending — the ledger replay discipline)."""
     spark = keys.sparkSession
     sidecar = sidecar.rstrip("/")
     fsutil.mkdirs(spark, sidecar)
     existing = _batches(spark, sidecar)
-    n = (existing[-1] + 1) if existing else 1
+    n = batch_id if batch_id is not None else (
+        (existing[-1] + 1) if existing else 1
+    )
     keys.select(F.col(key_col)).distinct().coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{sidecar}/batch={n}")
@@ -138,12 +143,15 @@ def clear_deletes(spark: SparkSession, sidecar: str) -> None:
 
 
 def apply_changes(
-    changes: DataFrame, sidecar: str, key_col: str, op_col: str = "op"
+    changes: DataFrame, sidecar: str, key_col: str, op_col: str = "op",
+    batch_id: int | None = None,
 ) -> int:
     """Append one op-tagged change batch. ``changes`` carries the full
     data schema plus ``op_col`` ('upsert' | 'delete'; delete rows may
     leave non-key columns NULL). One row per key per batch (enforced —
-    two ops for one key in one batch have no defined order)."""
+    two ops for one key in one batch have no defined order). Pass
+    ``batch_id`` to pin the batch number — a replayed pipeline period
+    rewrites its own batch idempotently instead of double-appending."""
     spark = changes.sparkSession
     bad_ops = changes.filter(
         ~F.col(op_col).isin("upsert", "delete")
@@ -169,7 +177,9 @@ def apply_changes(
     sidecar = sidecar.rstrip("/")
     fsutil.mkdirs(spark, sidecar)
     existing = _batches(spark, sidecar)
-    n = (existing[-1] + 1) if existing else 1
+    n = batch_id if batch_id is not None else (
+        (existing[-1] + 1) if existing else 1
+    )
     changes.coalesce(1).write.mode("overwrite").parquet(
         f"{sidecar}/batch={n}"
     )
@@ -185,7 +195,14 @@ def read_with_changes(
     window over the CHANGE rows only (change-sized, never the data);
     the data pays one delete-sized anti-join; upserts re-enter by
     union. Equivalent to replaying every batch through a MERGE —
-    pinned in tests against the sequential replay."""
+    pinned in tests against the sequential replay.
+
+    Composing with a FILTERED/PRUNED ``data`` frame: upserted rows
+    re-enter UNFILTERED, so re-apply the filters after the fold —
+    ``filter(CDC(data)) = (filter(data) ∖ touched) ∪ filter(upserts)``
+    (the lakehouse example's ``serve`` stage shows the pattern; an
+    upsert can move a row across a predicate bound in either
+    direction, so skipping the re-filter silently leaks rows)."""
     from pyspark.sql import Window
 
     spark = data.sparkSession

@@ -73,6 +73,32 @@ def list_data_files(spark: SparkSession, root: str) -> list[str]:
     return sorted(out)
 
 
+def _empty_file_rows(scan: DataFrame, stats: DataFrame) -> DataFrame:
+    """Manifest rows for data files of ``scan`` that produced NO
+    group row (zero-row parquet files — a filtered-to-empty batch
+    partition writes one): a ``groupBy(input_file_name())`` can never
+    see them, yet they ARE in the directory listing, so without an
+    explicit row the fail-closed staleness check would reject every
+    read of a table containing one. The synthesized row pins the
+    empty-file semantics: ``n_rows = 0`` and NULL stats — every
+    keep-condition then skips the file (it matches nothing), which is
+    exact. ``inputFiles()`` is a driver-side metadata call in the
+    same ``file://`` URI form ``input_file_name()`` emits."""
+    spark = scan.sparkSession
+    listed = spark.createDataFrame(
+        [(f,) for f in scan.inputFiles()], "file string"
+    )
+    missing = listed.join(stats.select("file"), "file", "left_anti")
+    filled = [F.lit(0).cast("bigint").alias("n_rows")] + [
+        F.lit(None).cast(dict(stats.dtypes)[c]).alias(c)
+        if not c.endswith("__nulls")
+        else F.lit(0).cast("bigint").alias(c)
+        for c in stats.columns
+        if c not in ("file", "n_rows")
+    ]
+    return missing.select("file", *filled)
+
+
 def build_zone_manifest(
     scan: DataFrame, cols: list[str]
 ) -> DataFrame:
@@ -80,7 +106,9 @@ def build_zone_manifest(
     file-backed read — ``spark.read.parquet(...)``): ``file``,
     ``n_rows``, and ``<col>__min`` / ``<col>__max`` / ``<col>__nulls``
     for each indexed column. One distributed pass; the exchange
-    carries per-(file, partition) partial rows only."""
+    carries per-(file, partition) partial rows only. Zero-row files
+    get an explicit (n_rows=0, NULL stats) row so the listing check
+    stays satisfiable (see :func:`_empty_file_rows`)."""
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
     for c in cols:
         aggs += [
@@ -90,7 +118,8 @@ def build_zone_manifest(
             .cast("bigint")
             .alias(f"{c}__nulls"),
         ]
-    return scan.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+    stats = scan.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+    return stats.unionByName(_empty_file_rows(scan, stats))
 
 
 def update_zone_manifest(
@@ -324,7 +353,7 @@ def build_bloom_manifest(
     type_map = F.create_map(
         *[x for c, t in col_types.items() for x in (F.lit(c), F.lit(t))]
     )
-    return (
+    stats = (
         words.groupBy("file", "col")
         .agg(
             F.map_from_entries(
@@ -343,6 +372,29 @@ def build_bloom_manifest(
             ).alias("bloom"),
         )
     )
+    # zero-row files (and all-NULL columns, which set no bits) never
+    # form a group — synthesize all-zero bitsets so the fail-closed
+    # listing check stays satisfiable; a zero bitset answers every
+    # membership probe 'absent', which is exact for a file holding no
+    # values of the column (see _empty_file_rows for the zone analog).
+    spark = scan.sparkSession
+    listed = spark.createDataFrame(
+        [(f, c) for f in scan.inputFiles() for c in cols],
+        "file string, col string",
+    )
+    missing = listed.join(
+        stats.select("file", "col"), ["file", "col"], "left_anti"
+    ).select(
+        "file",
+        "col",
+        type_map[F.col("col")].alias("col_type"),
+        F.lit(n_bits).alias("n_bits"),
+        F.lit(k).alias("k"),
+        F.expr(
+            f"transform(sequence(0, {n_words - 1}), w -> 0L)"
+        ).alias("bloom"),
+    )
+    return stats.unionByName(missing)
 
 
 def _bloom_probe_tests(

@@ -614,3 +614,75 @@ def test_stream_sink_maintains_bloom_manifest(spark, tmp_path_factory):
     assert bloom_pruned_read(
         spark, data, bmf2, "event_id", [42, 242]
     ).count() == 2
+
+
+def test_zero_row_files_stay_indexed_and_pruned(spark, tmp_path_factory):
+    """A filtered-to-empty batch writes a ZERO-ROW parquet file; a
+    groupBy(input_file_name) can never see it, so the manifests must
+    synthesize explicit rows (n_rows=0 / all-zero bitsets) or every
+    later read fails the fail-closed listing check. The empty file
+    must also always be PRUNED (it matches nothing) — both manifests,
+    plus incremental updates covering such a file."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
+        bloom_pruned_read,
+        build_bloom_manifest,
+        update_zone_manifest,
+    )
+
+    path = str(tmp_path_factory.mktemp("zempty")) + "/data"
+    spark.range(100).select(
+        F.col("id").alias("event_id"),
+        F.col("id").cast("double").alias("v"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/batch_id=0")
+    # an empty slice lands as a zero-row file
+    spark.range(0).select(
+        F.col("id").alias("event_id"),
+        F.col("id").cast("double").alias("v"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/batch_id=1")
+
+    full = spark.read.parquet(path)
+    zmf = build_zone_manifest(full, ["v"]).localCheckpoint()
+    assert zmf.count() == 2  # both files covered
+    stats: dict = {}
+    got = pruned_read(spark, path, zmf, [("v", 10.0, 20.0)], stats=stats)
+    assert got.count() == 11
+    assert stats["files_read"] == 1  # empty file pruned
+
+    bmf = build_bloom_manifest(full, ["event_id"]).localCheckpoint()
+    assert bmf.count() == 2
+    sb: dict = {}
+    gb = bloom_pruned_read(spark, path, bmf, "event_id", [42], stats=sb)
+    assert gb.count() == 1 and sb["files_read"] == 1
+
+    # incremental update over a NEW empty file
+    spark.range(0).select(
+        F.col("id").alias("event_id"),
+        F.col("id").cast("double").alias("v"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/batch_id=2")
+    zmf2 = update_zone_manifest(spark, path, zmf, ["v"])
+    assert zmf2.count() == 3
+    assert pruned_read(spark, path, zmf2, [("v", 10.0, 20.0)]).count() == 11
+
+
+def test_all_null_bloom_column_file_stays_indexed(spark, tmp_path_factory):
+    """A file whose bloom-indexed column is entirely NULL sets no
+    bits, so it too never formed a group row — it must get an
+    all-zero bitset (always pruned; equality probes are
+    NULL-rejecting, so that is exact)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
+        bloom_pruned_read,
+        build_bloom_manifest,
+    )
+
+    path = str(tmp_path_factory.mktemp("bnull")) + "/data"
+    spark.range(50).select(
+        F.col("id").alias("k"), F.lit("x").alias("tag")
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    spark.range(50).select(
+        F.lit(None).cast("bigint").alias("k"), F.lit("y").alias("tag")
+    ).coalesce(1).write.mode("append").parquet(path)
+    mf = build_bloom_manifest(spark.read.parquet(path), ["k"])
+    assert mf.count() == 2
+    st: dict = {}
+    got = bloom_pruned_read(spark, path, mf, "k", [7], stats=st)
+    assert got.count() == 1 and st["files_read"] == 1
