@@ -142,10 +142,20 @@ def optimize_table(
     return n
 
 
-def read_optimized_data(spark: SparkSession, root: str) -> DataFrame:
-    """Plain full scan of the pointed-at version's data files."""
-    v = read_version_pointer(root.rstrip("/"), spark)
-    return spark.read.parquet(f"{root.rstrip('/')}/v={v}/data")
+def read_optimized_data(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Plain full scan of the pointed-at version's data files (or a
+    pinned ``version`` — time travel: committed versions are immutable
+    until pruned, so a pinned read is stable across later optimizes)."""
+    root = root.rstrip("/")
+    v = version if version is not None else read_version_pointer(root, spark)
+    if not fsutil.exists(spark, f"{root}/v={v}/_SUCCESS"):
+        raise ValueError(
+            f"read_optimized_data: no committed v={v} under {root} "
+            "(pruned or never written)"
+        )
+    return spark.read.parquet(f"{root}/v={v}/data")
 
 
 def read_optimized(
@@ -154,17 +164,25 @@ def read_optimized(
     range_predicates: list[Predicate] | None = None,
     in_predicates: list[tuple[str, list]] | None = None,
     stats: dict | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """Manifest-pruned read of the pointed-at version: range
     conjunctions prune by the zone manifest, IN-lists by the bloom
     manifest, both at once multiplicatively
     (:func:`sources.skipping.combined_pruned_read`). With no
-    predicates, a plain full scan. ``verify=False`` is sound because
-    committed version directories are immutable — the manifests were
-    built from exactly these files (see module docstring)."""
+    predicates, a plain full scan. ``version`` pins a past committed
+    version (time travel — its manifests travel with it, so pruning
+    stays exact). ``verify=False`` is sound because committed version
+    directories are immutable — the manifests were built from exactly
+    these files (see module docstring)."""
     root = root.rstrip("/")
-    v = read_version_pointer(root, spark)
+    v = version if version is not None else read_version_pointer(root, spark)
     vdir = f"{root}/v={v}"
+    if not fsutil.exists(spark, f"{vdir}/_SUCCESS"):
+        raise ValueError(
+            f"read_optimized: no committed v={v} under {root} "
+            "(pruned or never written)"
+        )
     if not range_predicates and not in_predicates:
         return spark.read.parquet(f"{vdir}/data")
     zmf = (

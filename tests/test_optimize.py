@@ -174,3 +174,68 @@ def test_read_without_bloom_manifest_raises(spark, tmp_path_factory):
                    target_rows_per_file=500)
     with pytest.raises(ValueError, match="without"):
         read_optimized(spark, root, in_predicates=[("event_id", [5])])
+
+
+def test_time_travel_version_pin(spark, tmp_path_factory):
+    """Pinned-version reads are stable across later optimizes (time
+    travel), pruned reads travel with the pinned version's own
+    manifests, and a pruned/never-written version raises loudly."""
+    root = str(tmp_path_factory.mktemp("opt6")) + "/table"
+    optimize_table(_corpus(spark, 1000), root, DIMS,
+                   bloom_cols=["event_id"], target_rows_per_file=500)
+    optimize_table(_corpus(spark, 3000), root, DIMS,
+                   bloom_cols=["event_id"], target_rows_per_file=500)
+    assert read_optimized_data(spark, root).count() == 3000
+    assert read_optimized_data(spark, root, version=1).count() == 1000
+    pinned = read_optimized(
+        spark, root, in_predicates=[("event_id", [2500])], version=1
+    )
+    assert pinned.count() == 0  # 2500 not in v=1
+    assert read_optimized(
+        spark, root, in_predicates=[("event_id", [2500])]
+    ).count() == 1
+    with pytest.raises(ValueError, match="no committed"):
+        read_optimized_data(spark, root, version=99)
+
+
+def test_randomized_combined_pruning_always_exact(spark, tmp_path_factory):
+    """Seeded sweep over the composed reader: random predicate boxes
+    x random IN-lists (present, absent, and mixed keys; degenerate
+    and out-of-domain ranges) — every combined pruned read must equal
+    the full scan + both filters (soundness cannot depend on the
+    probe being 'reasonable')."""
+    import random
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
+        build_bloom_manifest,
+        build_zone_manifest,
+        combined_pruned_read,
+    )
+
+    path = str(tmp_path_factory.mktemp("rcb")) + "/data"
+    df = spark.range(8000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 640).cast("double").alias("v"),
+    )
+    df.repartitionByRange(8, "v").sortWithinPartitions("v").write.mode(
+        "overwrite"
+    ).parquet(path)
+    full = spark.read.parquet(path)
+    zmf = build_zone_manifest(full, ["v"]).localCheckpoint()
+    bmf = build_bloom_manifest(full, ["event_id"]).localCheckpoint()
+    rng = random.Random(19)
+    for i in range(8):
+        lo = rng.uniform(-100, 700)
+        hi = lo + rng.uniform(-20, 400)
+        keys = [rng.randrange(-1000, 10000) for _ in range(rng.randrange(1, 6))]
+        got = combined_pruned_read(
+            spark, path, zone_manifest=zmf, bloom_manifest=bmf,
+            range_predicates=[("v", lo, hi)],
+            in_predicates=[("event_id", keys)],
+        )
+        want = full.filter((F.col("v") >= lo) & (F.col("v") <= hi)).filter(
+            F.col("event_id").isin(*keys)
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), (i, lo, hi, keys)
