@@ -67,7 +67,7 @@ def optimize_table(
     bloom_cols: list[str] | None = None,
     target_rows_per_file: int = 1_000_000,
     zorder_bits: int = 8,
-    bloom_n_bits: int = 4096,
+    bloom_n_bits: int | None = None,
     bloom_k: int = 5,
     keep: int = 3,
 ) -> int:
@@ -120,6 +120,18 @@ def optimize_table(
     # 2. manifests over exactly the files just written (never stale
     #    by construction: the version dir is immutable after commit)
     fresh = spark.read.parquet(f"{vdir}/data")
+    # auto-size the bloom geometry to the file row target: ~10 bits
+    # per key keeps the false-positive rate ~1% at 5 hashes — a fixed
+    # small n_bits SATURATES on large files (2000 keys x 5 hashes into
+    # 4096 bits leaves ~90% of bits set and every file "possibly
+    # contains" every probe: sound, but zero skipping). Power of two,
+    # floored at 4096, capped at 2^24 (2 MB/file/col — the Delta-scale
+    # bloom budget).
+    if bloom_n_bits is None:
+        per_file = min(target_rows_per_file, n_rows)
+        bloom_n_bits = max(
+            4096, min(1 << 24, 1 << (10 * max(1, per_file) - 1).bit_length())
+        )
     zone_cols = [c for c, _lo, _hi in zorder_dims]
     build_zone_manifest(fresh, zone_cols).coalesce(1).write.mode(
         "overwrite"

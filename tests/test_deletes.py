@@ -221,3 +221,28 @@ def test_changes_then_optimize_materializes(spark, tmp_path_factory):
     assert out.count() == 199
     assert out.filter("doc_id = 5").head()["v"] == 5555.0
     assert out.filter("doc_id = 6").count() == 0
+
+
+def test_cdc_read_plan_broadcasts_change_side(spark, tmp_path_factory):
+    """The 'data never re-shuffles' claim as a plan gate: with AQE,
+    the delete-sized anti-join build side must end up BROADCAST —
+    the executed plan carries a broadcast join and no shuffle
+    exchange on the data side of the anti-join."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.deletes import (
+        apply_changes,
+        read_with_changes,
+    )
+
+    base = str(tmp_path_factory.mktemp("cdcp"))
+    data = _table(spark, f"{base}/data", n=5000)
+    side = f"{base}/changes"
+    apply_changes(
+        spark.createDataFrame(
+            [(5, 1.0, "upsert"), (9, None, "delete")],
+            "doc_id bigint, v double, op string",
+        ), side, "doc_id",
+    )
+    out = read_with_changes(data, side, "doc_id")
+    out.count()  # materialize so AQE finalizes the physical plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
