@@ -73,14 +73,16 @@ def delete_keys(
 
 
 def read_deletes(
-    spark: SparkSession, sidecar: str, key_col: str
+    spark: SparkSession, sidecar: str, key_col: str,
+    key_type: str = "bigint",
 ) -> DataFrame:
     """The tombstone key set (distinct across batches); empty frame
-    when no deletes exist."""
+    of ``key_type`` when no deletes exist (the type only matters for
+    that empty case — real batches carry their written type)."""
     sidecar = sidecar.rstrip("/")
     parts = [f"{sidecar}/batch={b}" for b in _batches(spark, sidecar)]
     if not parts:
-        return spark.createDataFrame([], f"{key_col} bigint")
+        return spark.createDataFrame([], f"{key_col} {key_type}")
     return spark.read.parquet(*parts).select(key_col).distinct()
 
 
@@ -92,6 +94,9 @@ def read_with_deletes(
     data never re-shuffles). Compose freely with the pruned readers:
     ``read_with_deletes(combined_pruned_read(...), sidecar, key)``."""
     spark = data.sparkSession
+    if not _batches(spark, sidecar.rstrip("/")):
+        return data  # no sidecar yet — nothing to subtract (and no
+        # schema to guess: string-keyed tables short-circuit here too)
     dels = read_deletes(spark, sidecar, key_col)
     return data.join(dels, key_col, "left_anti")
 
@@ -222,3 +227,47 @@ def read_with_changes(
         *data.columns
     )
     return data.join(touched, key_col, "left_anti").unionByName(ups)
+
+
+def stream_changes_sink(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: str,
+    sidecar: str,
+    key_col: str,
+    checkpoint_dir: str,
+    op_col: str = "op",
+):
+    """Streaming CDC ingest: continuously drain op-tagged change rows
+    from ``source_dir`` into the change sidecar — each micro-batch
+    lands via :func:`apply_changes` PINNED to its stream batch id, so
+    a replay from an earlier checkpoint REWRITES its own batches
+    instead of double-appending (the same idempotent-replay
+    discipline as :func:`sources.skipping.stream_sink_with_manifest`;
+    stream batch ids are offset by +1 — sidecar batches are
+    1-based). Readers compose as always:
+    ``read_with_changes(data, sidecar, key)`` reflects everything
+    drained so far. ``availableNow`` trigger: drain, then stop. The
+    in-batch one-op-per-key contract is enforced per micro-batch by
+    :func:`apply_changes` (use ``maxFilesPerTrigger`` at the source
+    to keep independently-written change files in separate
+    batches)."""
+
+    def _sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_changes(
+            batch_df, sidecar, key_col, op_col=op_col,
+            batch_id=batch_id + 1,
+        )
+
+    return (
+        spark.readStream.schema(source_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -246,3 +246,59 @@ def test_cdc_read_plan_broadcasts_change_side(spark, tmp_path_factory):
     out.count()  # materialize so AQE finalizes the physical plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_stream_changes_sink_and_replay(spark, tmp_path_factory):
+    """Streaming CDC: after the drain, read_with_changes equals the
+    sequential replay of the landed change files (file order = batch
+    order via maxFilesPerTrigger=1), and a replay from a fresh
+    checkpoint converges — pinned batch ids rewrite idempotently."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.deletes import (
+        read_with_changes,
+        stream_changes_sink,
+    )
+
+    base = str(tmp_path_factory.mktemp("cdcs"))
+    data = _table(spark, f"{base}/data", n=30)
+    src = f"{base}/src"
+    side = f"{base}/changes"
+    schema = "doc_id bigint, v double, op string"
+    batches = [
+        [(3, 300.0, "upsert"), (4, None, "delete")],
+        [(4, 44.0, "upsert"), (40, 40.0, "upsert")],
+        [(40, None, "delete"), (3, 3.5, "upsert")],
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    q = stream_changes_sink(
+        spark, src, schema, side, "doc_id", f"{base}/ckpt"
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["v"]
+        for r in read_with_changes(data, side, "doc_id").collect()
+    }
+    want = {i: float(i % 100) for i in range(30)}
+    # file landing order is append order; each file is one batch
+    for b in batches:
+        for k, v, op in b:
+            if op == "delete":
+                want.pop(k, None)
+            else:
+                want[k] = v
+    assert got == want
+
+    # replay with a fresh checkpoint: same files, same pinned batch
+    # ids, identical served state
+    q2 = stream_changes_sink(
+        spark, src, schema, side, "doc_id", f"{base}/ckpt2"
+    )
+    q2.awaitTermination(120)
+    again = {
+        r["doc_id"]: r["v"]
+        for r in read_with_changes(data, side, "doc_id").collect()
+    }
+    assert again == got
