@@ -873,3 +873,47 @@ def test_connected_components_incremental_equals_full_recompute(spark):
     # untouched component passes through
     as_map = dict(labels_of(got))
     assert as_map[30] == 30 and as_map[31] == 30
+
+
+def test_jaccard_prefix_property_random_corpora(spark):
+    """Property: prefix filtering is EXACT for arbitrary corpora and
+    thresholds — including float-hostile ones (0.07, 0.15, 1/3-ish)
+    and degenerate docs (empty, shorter than n, identical twins).
+    Hypothesis drives corpus shape; every case must equal the
+    quadratic form pair-for-pair, score-for-score."""
+    from hypothesis import given, settings, strategies as st
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+    )
+
+    words = [f"{a}{b}{c}" for a in "abcde" for b in "fg" for c in "hij"]
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(words), min_size=0, max_size=24),
+            min_size=2,
+            max_size=7,
+        ),
+        t=st.sampled_from([0.07, 0.15, 0.3333333333333333, 0.5, 0.85]),
+        data=st.data(),
+    )
+    def prop(docs, t, data):
+        # plant one exact twin pair sometimes (adversarial density)
+        if len(docs) >= 2 and data.draw(st.booleans()):
+            docs = docs + [docs[0]]
+        rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+        frame = spark.createDataFrame(rows, "doc_id long, text string")
+        want = sorted(
+            map(tuple, jaccard_pairs(frame, n=3, threshold=t).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                jaccard_pairs_prefix(frame, n=3, threshold=t).collect(),
+            )
+        )
+        assert got == want, (t, rows, got, want)
+
+    prop()

@@ -120,6 +120,14 @@ CHAINS = [
     # round 8: the iterative peel (round count and per-round edge set
     # both grow with the corpus; must stay ~linear like BFS/PageRank)
     "g_kcore_extract",
+    # round 9: the composed zone∧bloom serving path (BOTH manifests'
+    # keep-set expressions grow with the 10x file count — the
+    # metadata plane itself must scale; build fingerprint-cached, the
+    # median times serving) and the merge-on-read DELETE (the
+    # tombstone anti-join's build side stays delete-sized while the
+    # corpus side grows 10x — broadcast must hold)
+    "l_combined_pruned_lookup",
+    "u_delete_vectors",
 ]
 N_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
 PASS_RATIO = 13.0
