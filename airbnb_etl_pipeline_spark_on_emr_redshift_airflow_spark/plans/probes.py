@@ -4988,3 +4988,82 @@ def u_delete_vectors(spark, sf_dir):
     return read_with_deletes(
         docs.select("doc_id", "source"), sidecar, "doc_id"
     )
+
+
+# ----- merge-on-read CDC table read (round 9) ----------------------------
+
+ORACLE_CDC_TABLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 31 = 0 AND doc_id % 2 = 0 THEN 'restored'
+            WHEN doc_id % 29 = 0 AND doc_id % 31 <> 0 THEN 'patched'
+            ELSE source END AS source
+FROM documents
+WHERE NOT (doc_id % 31 = 0 AND doc_id % 2 <> 0)
+  AND NOT (doc_id % 29 = 0 AND doc_id % 3 = 0 AND doc_id % 31 <> 0)
+"""
+
+
+@register("u_cdc_table_read", oracle=ORACLE_CDC_TABLE)
+def u_cdc_table_read(spark, sf_dir):
+    """Table-level merge-on-read CDC (``sources.deletes.apply_changes``
+    / ``read_with_changes``): two op-tagged change batches — batch 1
+    deletes every doc_id % 31 and patches every % 29 (disjointly);
+    batch 2 RESTORES the even % 31 keys and deletes the % 29 ∧ % 3
+    ones — and the reader's latest-op-per-key fold must equal the
+    oracle's closed-form CASE replay of the same interleaving
+    (delete → re-upsert → visible again; upsert → delete → gone).
+    Sidecar built once per corpus content with PINNED batch ids (the
+    replay-idempotent form); the fold is one window over the
+    change rows, the data pays one broadcast anti-join (plan-gated in
+    ``tests/test_deletes.py``). The op-history semantics the
+    windowed ``u_merge_apply_cdc`` query certifies at row level, here
+    as a persisted TABLE layer."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.deletes import (
+        apply_changes,
+        read_with_changes,
+    )
+
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    src = _os.path.join(sf_dir, "documents.parquet")
+    ent = [_os.path.abspath(src)]
+    for root, _dirs, files in sorted(_os.walk(src)):
+        for f in sorted(files):
+            st = _os.stat(_os.path.join(root, f))
+            ent.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    fp = _hashlib.md5("|".join(ent).encode()).hexdigest()[:16]
+    sidecar = _os.path.join(repo, ".tmp", "catalog_cdc", fp)
+    (docs,) = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source")
+    if not _os.path.isdir(sidecar) or not _os.listdir(sidecar):
+        b1 = base.filter("doc_id % 31 = 0").select(
+            "doc_id",
+            F.lit(None).cast("string").alias("source"),
+            F.lit("delete").alias("op"),
+        ).unionByName(
+            base.filter("doc_id % 29 = 0 AND doc_id % 31 <> 0").select(
+                "doc_id",
+                F.lit("patched").alias("source"),
+                F.lit("upsert").alias("op"),
+            )
+        )
+        apply_changes(b1, sidecar, "doc_id", batch_id=1)
+        b2 = base.filter("doc_id % 31 = 0 AND doc_id % 2 = 0").select(
+            "doc_id",
+            F.lit("restored").alias("source"),
+            F.lit("upsert").alias("op"),
+        ).unionByName(
+            base.filter(
+                "doc_id % 29 = 0 AND doc_id % 3 = 0 AND doc_id % 31 <> 0"
+            ).select(
+                "doc_id",
+                F.lit(None).cast("string").alias("source"),
+                F.lit("delete").alias("op"),
+            )
+        )
+        apply_changes(b2, sidecar, "doc_id", batch_id=2)
+    return read_with_changes(base, sidecar, "doc_id")

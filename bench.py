@@ -207,6 +207,7 @@ SIDECAR_ONLY = [
     # deletion vectors (merge-on-read DELETE)
     "l_combined_pruned_lookup",
     "u_delete_vectors",
+    "u_cdc_table_read",
 ]
 
 

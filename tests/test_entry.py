@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 140
+    assert len(names) == 141
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -169,6 +169,9 @@ def test_oracle_keys_subset_of_queries(spark):
         "l_combined_pruned_lookup",
         # round-9 extension: merge-on-read DELETE via keyed tombstones
         "u_delete_vectors",
+        # round-9 extension: table-level merge-on-read CDC (op-tagged
+        # change batches, latest-op-per-key fold vs a CASE-replay oracle)
+        "u_cdc_table_read",
     ]
 
 
