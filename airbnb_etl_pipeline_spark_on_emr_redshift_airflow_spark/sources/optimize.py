@@ -221,3 +221,46 @@ def read_optimized(
         stats=stats,
         _what="read_optimized",
     )
+
+
+def describe_table(spark: SparkSession, root: str) -> dict:
+    """Operational summary of a versioned table — the
+    ``DESCRIBE TABLE EXTENDED`` of this layer, all metadata-plane
+    reads: the pointer, every committed version's file/row counts and
+    manifest coverage, and which indexes each version carries. Useful
+    as the health check before/after OPTIMIZE and in retention
+    audits."""
+    from pyspark.sql import functions as F
+
+    root = root.rstrip("/")
+    pointed = read_version_pointer(root, spark)
+    out: dict = {"root": root, "latest": pointed, "versions": {}}
+    for v in _committed_versions(spark, root):
+        vdir = f"{root}/v={v}"
+        zones = spark.read.parquet(f"{vdir}/zones")
+        agg = zones.agg(
+            F.count(F.lit(1)).alias("files"),
+            F.sum("n_rows").alias("rows"),
+        ).head()
+        indexed = sorted(
+            c[: -len("__min")]
+            for c in zones.columns
+            if c.endswith("__min")
+        )
+        info = {
+            "files": agg["files"],
+            "rows": int(agg["rows"] or 0),
+            "zone_cols": indexed,
+            "bloom_cols": [],
+        }
+        if fsutil.exists(spark, f"{vdir}/bloom/_SUCCESS"):
+            bl = spark.read.parquet(f"{vdir}/bloom")
+            info["bloom_cols"] = sorted(
+                r["col"] for r in bl.select("col").distinct().collect()
+            )
+            geo = bl.select("n_bits", "k").first()
+            info["bloom_geometry"] = {
+                "n_bits": geo["n_bits"], "k": geo["k"]
+            }
+        out["versions"][v] = info
+    return out

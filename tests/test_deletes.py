@@ -302,3 +302,56 @@ def test_stream_changes_sink_and_replay(spark, tmp_path_factory):
         for r in read_with_changes(data, side, "doc_id").collect()
     }
     assert again == got
+
+
+def test_crash_mid_compact_leaves_superset_never_subset(
+    spark, tmp_path_factory, monkeypatch
+):
+    """compact_deletes writes the fold BEFORE dropping old batches; a
+    crash between the two leaves a reader-visible SUPERSET of
+    tombstones (harmless under anti-join set semantics) — never a
+    subset (which would resurrect deleted rows). A later compact
+    converges."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources import (
+        deletes as dl,
+    )
+
+    base = str(tmp_path_factory.mktemp("dvcc"))
+    data = _table(spark, f"{base}/data", n=100)
+    side = f"{base}/deletes"
+    for k in (1, 2, 3):
+        dl.delete_keys(
+            spark.createDataFrame([(k,)], "doc_id bigint"), side, "doc_id"
+        )
+    served = sorted(
+        r["doc_id"]
+        for r in dl.read_with_deletes(data, side, "doc_id").collect()
+    )
+
+    real_delete = dl.fsutil.delete
+
+    def boom(spark_, path, recursive=True):
+        raise RuntimeError("injected crash after fold, before drop")
+
+    monkeypatch.setattr(dl.fsutil, "delete", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected"):
+        dl.compact_deletes(spark, side, "doc_id")
+    monkeypatch.setattr(dl.fsutil, "delete", real_delete)
+
+    # superset state: fold batch + all originals — same served rows
+    import os
+
+    assert len([d for d in os.listdir(side) if d.startswith("batch=")]) == 4
+    assert sorted(
+        r["doc_id"]
+        for r in dl.read_with_deletes(data, side, "doc_id").collect()
+    ) == served
+    # recovery: the next compact folds everything into one batch
+    dl.compact_deletes(spark, side, "doc_id")
+    assert len([d for d in os.listdir(side) if d.startswith("batch=")]) == 1
+    assert sorted(
+        r["doc_id"]
+        for r in dl.read_with_deletes(data, side, "doc_id").collect()
+    ) == served

@@ -239,3 +239,20 @@ def test_randomized_combined_pruning_always_exact(spark, tmp_path_factory):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         ), (i, lo, hi, keys)
+
+
+def test_describe_table(spark, tmp_path_factory):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.optimize import (
+        describe_table,
+    )
+
+    root = str(tmp_path_factory.mktemp("opt7")) + "/table"
+    optimize_table(_corpus(spark, 1200), root, DIMS,
+                   bloom_cols=["event_id"], target_rows_per_file=400)
+    d = describe_table(spark, root)
+    assert d["latest"] == 1
+    v1 = d["versions"][1]
+    assert v1["rows"] == 1200 and v1["files"] == 3
+    assert v1["zone_cols"] == ["u", "v"]
+    assert v1["bloom_cols"] == ["event_id"]
+    assert v1["bloom_geometry"]["n_bits"] >= 4096
