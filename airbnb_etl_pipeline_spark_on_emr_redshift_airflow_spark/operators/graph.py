@@ -437,8 +437,50 @@ def triangle_counts_incremental(
     of scope (the decremental form needs the same enumeration with a
     tombstone anti-join; additions are the ingest-path case the
     incremental example exercises)."""
+    return triangle_counts_delta(
+        old_counts, old_edges, added=new_edges,
+        src_col=src_col, dst_col=dst_col,
+    )
 
-    def canon(e: DataFrame) -> DataFrame:
+
+def triangle_counts_delta(
+    old_counts: DataFrame,
+    old_edges: DataFrame,
+    added: DataFrame | None = None,
+    removed: DataFrame | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Maintain :func:`triangle_counts` under edge ADDITIONS and
+    REMOVALS in O(delta · avg-degree) — the full-DML completion of
+    :func:`triangle_counts_incremental` (which this generalizes; the
+    add-only path delegates here). The new graph is
+    ``(old ∖ removed) ∪ added``; identical to a full recompute over it
+    (pinned in tests).
+
+    Exactly-once on both sides of the same total order: a DYING
+    triangle (lives in the old graph, contains ≥ 1 removed edge)
+    enumerates from its minimal removed edge against the OLD
+    adjacency and subtracts; a BORN triangle (lives in the new graph,
+    contains ≥ 1 added edge) enumerates from its minimal added edge
+    against the NEW adjacency and adds. The two sets are disjoint by
+    construction — a dying triangle is absent from the new graph (its
+    removed edge is gone), a born one absent from the old — so the
+    deltas compose additively per node. Degree deltas are the
+    incident counts; nodes whose merged degree AND triangle count
+    reach zero with no remaining edge drop out of the artifact
+    (matching the full recompute, which only emits nodes appearing in
+    some edge).
+
+    Scale shape: both enumerations put the DELTA on the build side of
+    keyed joins against an adjacency the data never re-shuffles into
+    wedge space; the merge is one artifact-keyed outer join. The
+    steady-state ingest cadence calls this with the day's
+    added/removed edge batches — never a graph-sized recompute."""
+
+    def canon(e: DataFrame | None) -> DataFrame | None:
+        if e is None:
+            return None
         return (
             e.select(
                 F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -449,87 +491,127 @@ def triangle_counts_incremental(
         )
 
     old_e = canon(old_edges).localCheckpoint(eager=False)
-    delta = (
-        canon(new_edges)
-        .join(old_e, ["a", "b"], "left_anti")
-        .localCheckpoint(eager=False)
-    )
-    full = old_e.unionByName(delta)
-    # undirected adjacency of the FULL graph, each edge in both
-    # directions, tagged with its canonical key and whether it is a
-    # delta edge (for the minimal-representative rule)
-    tagged = old_e.withColumn("__d", F.lit(False)).unionByName(
-        delta.withColumn("__d", F.lit(True))
-    )
-    adj = tagged.select(
-        F.col("a").alias("u"), F.col("b").alias("w"),
-        F.col("a").alias("ka"), F.col("b").alias("kb"), "__d",
-    ).unionByName(
-        tagged.select(
-            F.col("b").alias("u"), F.col("a").alias("w"),
-            F.col("a").alias("ka"), F.col("b").alias("kb"), "__d",
+    rem = canon(removed)
+    if rem is not None:
+        # only edges actually present can die
+        rem = rem.join(old_e, ["a", "b"], "left_semi").localCheckpoint(
+            eager=False
         )
+    kept = old_e if rem is None else old_e.join(
+        rem, ["a", "b"], "left_anti"
     )
+    add = canon(added)
+    if add is not None:
+        # re-adding a kept edge is a no-op; re-adding a just-removed
+        # edge is a genuine add against the kept graph
+        add = add.join(kept, ["a", "b"], "left_anti").localCheckpoint(
+            eager=False
+        )
+    new_e = kept if add is None else kept.unionByName(add)
+    new_e = new_e.localCheckpoint(eager=False)
 
     def edge_lt(ka1, kb1, ka2, kb2):
         return (F.col(ka1) < F.col(ka2)) | (
             (F.col(ka1) == F.col(ka2)) & (F.col(kb1) < F.col(kb2))
         )
 
-    adj_a = adj.select(
-        F.col("u").alias("a"), "w",
-        F.col("ka").alias("ka1"), F.col("kb").alias("kb1"),
-        F.col("__d").alias("d1"),
-    )
-    adj_b = adj.select(
-        F.col("u").alias("b"), "w",
-        F.col("ka").alias("ka2"), F.col("kb").alias("kb2"),
-        F.col("__d").alias("d2"),
-    )
-    tri = (
-        delta.join(adj_a, "a")
-        .filter(F.col("w") != F.col("b"))
-        .join(adj_b, ["b", "w"])
-        # (w != a is implied: adj_b rows with w == a would need edge
-        # (a, b) itself, already excluded by w != b on the other leg's
-        # mirror; keep the explicit guard for clarity)
-        .filter(F.col("w") != F.col("a"))
-        # exactly-once: credit the triangle to its minimal delta edge
-        .filter(
-            ~(F.col("d1") & edge_lt("ka1", "kb1", "a", "b"))
-            & ~(F.col("d2") & edge_lt("ka2", "kb2", "a", "b"))
+    def _tri_touching(delta: DataFrame, graph: DataFrame) -> DataFrame:
+        """Triangles of ``graph`` containing ≥ 1 ``delta`` edge, each
+        exactly once (credited to its minimal delta edge)."""
+        tagged = graph.join(
+            delta, ["a", "b"], "left_semi"
+        ).withColumn("__d", F.lit(True)).unionByName(
+            graph.join(delta, ["a", "b"], "left_anti").withColumn(
+                "__d", F.lit(False)
+            )
         )
-        .select("a", "b", "w")
-    )
-    d_tri = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("w").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__dt"))
-    )
-    d_deg = (
-        delta.select(F.col("a").alias("node"))
-        .unionAll(delta.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__dd"))
-    )
-    merged = (
-        old_counts.select("node", "degree", "n_triangles")
-        .join(d_deg, "node", "full_outer")
-        .join(d_tri, "node", "left")
-        .select(
-            "node",
-            (
-                F.coalesce(F.col("degree"), F.lit(0))
-                + F.coalesce(F.col("__dd"), F.lit(0))
-            ).cast("bigint").alias("degree"),
-            (
-                F.coalesce(F.col("n_triangles"), F.lit(0))
-                + F.coalesce(F.col("__dt"), F.lit(0))
-            ).cast("bigint").alias("n_triangles"),
+        adj = tagged.select(
+            F.col("a").alias("u"), F.col("b").alias("w"),
+            F.col("a").alias("ka"), F.col("b").alias("kb"), "__d",
+        ).unionByName(
+            tagged.select(
+                F.col("b").alias("u"), F.col("a").alias("w"),
+                F.col("a").alias("ka"), F.col("b").alias("kb"), "__d",
+            )
         )
-    )
+        adj_a = adj.select(
+            F.col("u").alias("a"), "w",
+            F.col("ka").alias("ka1"), F.col("kb").alias("kb1"),
+            F.col("__d").alias("d1"),
+        )
+        adj_b = adj.select(
+            F.col("u").alias("b"), "w",
+            F.col("ka").alias("ka2"), F.col("kb").alias("kb2"),
+            F.col("__d").alias("d2"),
+        )
+        return (
+            delta.join(adj_a, "a")
+            .filter(F.col("w") != F.col("b"))
+            .join(adj_b, ["b", "w"])
+            .filter(F.col("w") != F.col("a"))
+            .filter(
+                ~(F.col("d1") & edge_lt("ka1", "kb1", "a", "b"))
+                & ~(F.col("d2") & edge_lt("ka2", "kb2", "a", "b"))
+            )
+            .select("a", "b", "w")
+        )
+
+    def _node_counts(tri: DataFrame, col: str) -> DataFrame:
+        return (
+            tri.select(F.col("a").alias("node"))
+            .unionAll(tri.select(F.col("b").alias("node")))
+            .unionAll(tri.select(F.col("w").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(col))
+        )
+
+    def _deg_counts(e: DataFrame, col: str) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(col))
+        )
+
+    merged = old_counts.select("node", "degree", "n_triangles")
+    zero = F.lit(0).cast("bigint")
+    # the DEGREE delta is the full-outer leg: a node may enter the
+    # graph through an added edge without being in any born triangle
+    # (and every node of a dying/born triangle necessarily carries an
+    # edge, so the triangle delta can safely LEFT-join onto it)
+    if rem is not None:
+        dies = _tri_touching(rem, old_e)
+        merged = (
+            merged.join(_deg_counts(rem, "__dd"), "node", "full_outer")
+            .join(_node_counts(dies, "__td"), "node", "left")
+            .select(
+                "node",
+                (F.coalesce("degree", zero) - F.coalesce("__dd", zero))
+                .cast("bigint").alias("degree"),
+                (
+                    F.coalesce("n_triangles", zero)
+                    - F.coalesce("__td", zero)
+                ).cast("bigint").alias("n_triangles"),
+            )
+        )
+    if add is not None:
+        born = _tri_touching(add, new_e)
+        merged = (
+            merged.join(_deg_counts(add, "__db"), "node", "full_outer")
+            .join(_node_counts(born, "__tb"), "node", "left")
+            .select(
+                "node",
+                (F.coalesce("degree", zero) + F.coalesce("__db", zero))
+                .cast("bigint").alias("degree"),
+                (
+                    F.coalesce("n_triangles", zero)
+                    + F.coalesce("__tb", zero)
+                ).cast("bigint").alias("n_triangles"),
+            )
+        )
+    # nodes with no remaining incident edge leave the artifact (the
+    # full recompute only emits nodes present in some edge)
+    merged = merged.filter(F.col("degree") > 0)
     return merged.select(
         "node",
         "degree",

@@ -441,3 +441,69 @@ def test_triangle_counts_incremental_equals_full(spark):
     ]
     new_pairs = [(a, b) for a, b in new_pairs if a != b]
     check(old_pairs, new_pairs)
+
+
+def test_triangle_counts_delta_add_and_remove_equals_full(spark):
+    """Full-DML maintenance ≡ recompute over (old ∖ removed) ∪ added,
+    across: removals that kill triangles, adds that rebuild them,
+    simultaneous add+remove touching the same nodes, re-adding a
+    just-removed edge, removing a never-present edge (no-op), node
+    disappearance (degree → 0 drops the row), and a random batch."""
+    import random
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.graph import (
+        triangle_counts,
+        triangle_counts_delta,
+    )
+
+    schema = "src bigint, dst bigint"
+
+    def check(old_pairs, added=None, removed=None):
+        old = spark.createDataFrame(old_pairs, schema)
+        add = spark.createDataFrame(added, schema) if added else None
+        rem = spark.createDataFrame(removed, schema) if removed else None
+        base = triangle_counts(old)
+        inc = triangle_counts_delta(base, old, added=add, removed=rem)
+        want_edges = {
+            (min(a, b), max(a, b)) for a, b in old_pairs if a != b
+        }
+        for a, b in removed or []:
+            want_edges.discard((min(a, b), max(a, b)))
+        for a, b in added or []:
+            if a != b:
+                want_edges.add((min(a, b), max(a, b)))
+        full = triangle_counts(
+            spark.createDataFrame(sorted(want_edges), schema)
+        )
+        assert sorted(map(tuple, inc.collect())) == sorted(
+            map(tuple, full.collect())
+        ), (old_pairs, added, removed)
+
+    tri = [(1, 2), (2, 3), (1, 3)]
+    # removal kills the triangle
+    check(tri + [(3, 4)], removed=[(1, 2)])
+    # removal + re-add of the same edge: net unchanged
+    check(tri, added=[(2, 1)], removed=[(1, 2)])
+    # simultaneous: remove one closing edge, add another through 4
+    check(tri + [(1, 4)], added=[(3, 4)], removed=[(2, 3)])
+    # removing a never-present edge is a no-op
+    check(tri, removed=[(7, 9)])
+    # node disappearance: 4's only edge removed -> row drops
+    check(tri + [(3, 4)], removed=[(3, 4)])
+    # pure-add path (delegating shape)
+    check([(1, 2), (2, 3)], added=[(1, 3), (3, 4), (1, 4)])
+    # random graph, random add+remove batches
+    rng = random.Random(17)
+    old_pairs = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(30), rng.randrange(30)) for _ in range(90)
+            )
+            if a != b
+        }
+    )
+    added = [(rng.randrange(35), rng.randrange(35)) for _ in range(15)]
+    added = [(a, b) for a, b in added if a != b]
+    removed = rng.sample(old_pairs, 12) + [(98, 99)]
+    check(old_pairs, added=added, removed=removed)
