@@ -87,6 +87,22 @@ def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
             raise RuntimeError(f"atomic pointer write failed: {path}")
 
 
+def create_exclusive(spark: SparkSession, path: str) -> bool:
+    """Atomically create an empty marker file, failing if it already
+    exists — the optimistic-concurrency claim primitive
+    (``FileSystem.create(path, overwrite=false)`` is atomic on
+    POSIX/HDFS; object-store connectors emulate it with a
+    conditional-put where supported). Returns True when THIS caller
+    created the file, False when someone else holds it."""
+    fs, p = _fs(spark, path)
+    try:
+        out = fs.create(p, False)
+        out.close()
+        return True
+    except Exception:
+        return False
+
+
 def list_subdirs(spark: SparkSession, root: str, glob: str) -> list[str]:
     """Names (last path segment) of directories matching
     ``root/glob``."""

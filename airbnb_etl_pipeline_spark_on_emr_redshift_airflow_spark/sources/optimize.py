@@ -18,9 +18,16 @@ Delta/Iceberg OPTIMIZE + snapshot commit:
 - the version is committed by a ``_SUCCESS`` marker and then the
   one-line ``root/LATEST`` pointer flips LAST (atomic replace).
   A crash anywhere earlier leaves the pointer on the previous
-  version: readers keep serving consistent (data, manifests) and the
-  orphaned partial directory is invisible to version discovery and
-  harmlessly overwritten by the next optimize;
+  version: readers keep serving consistent (data, manifests); the
+  crashed attempt's claimed number is burned (the monotone counter
+  skips it) and its orphaned partial directory stays invisible to
+  version discovery;
+- version numbers allocate via an ATOMIC EXCLUSIVE CLAIM
+  (``fsutil.create_exclusive``) before any write, so concurrent
+  optimizes can never interleave inside one version directory, and
+  the pointer flip is FORWARD-ONLY — a slow writer committing an
+  older number stays committed and pinnable but never becomes
+  LATEST;
 - old versions stay intact until pruned (in-flight readers that
   resolved ``v=K`` keep reading ``v=K``); the pointed-at version is
   never pruned; rollback is :func:`sources.gating.rollback_version`'s
@@ -95,10 +102,22 @@ def optimize_table(
     root = root.rstrip("/")
     fsutil.mkdirs(spark, root)
     versions = _committed_versions(spark, root)
+    # OPTIMISTIC version allocation: claim the number with an atomic
+    # exclusive create BEFORE writing anything — two concurrent
+    # optimizes can then never interleave writes inside one version
+    # directory (the corruption mode a committed-versions scan alone
+    # cannot prevent). A crashed writer burns its claimed number (the
+    # monotone counter skips it; the orphaned partial dir stays
+    # invisible to discovery — disk garbage, never served).
     n = (versions[-1] + 1) if versions else 1
+    for _ in range(1000):
+        if fsutil.create_exclusive(spark, f"{root}/__claim_v={n}"):
+            break
+        n += 1
+    else:  # pragma: no cover - 1000 live writers
+        raise RuntimeError(f"optimize_table: could not claim a version "
+                           f"number under {root}")
     vdir = f"{root}/v={n}"
-    # a crashed earlier attempt may have left an uncommitted partial
-    # dir with this number — remove it so the rebuild starts clean
     if fsutil.exists(spark, vdir):
         fsutil.delete(spark, vdir)
 
@@ -142,15 +161,25 @@ def optimize_table(
         ).coalesce(1).write.mode("overwrite").parquet(f"{vdir}/bloom")
 
     # 3. commit marker, THEN the externally visible pointer flip —
-    #    strictly last, so readers only ever resolve complete versions
+    #    strictly last, so readers only ever resolve complete versions.
+    #    FORWARD-ONLY: a slow concurrent writer committing an older
+    #    claimed number must not yank the pointer backwards (its
+    #    version stays committed and pinnable, it just never becomes
+    #    LATEST).
     fsutil.write_text_atomic(spark, f"{vdir}/_SUCCESS", "")
-    fsutil.write_text_atomic(spark, f"{root}/LATEST", str(n))
+    try:
+        current = read_version_pointer(root, spark)
+    except Exception:
+        current = 0
+    if n > current:
+        fsutil.write_text_atomic(spark, f"{root}/LATEST", str(n))
 
-    # 4. prune old versions (never the pointed-at one)
+    # 4. prune old versions (never the pointed-at one), claims too
     pointed = read_version_pointer(root, spark)
     for old in versions[: max(0, len(versions) - (keep - 1))]:
         if old != pointed:
             fsutil.delete(spark, f"{root}/v={old}")
+            fsutil.delete(spark, f"{root}/__claim_v={old}")
     return n
 
 

@@ -451,6 +451,15 @@ def _bloom_keep_sets(
                 f"bloom probe: empty IN-list for {col!r} — nothing to "
                 "look up"
             )
+    probe_names = [c for c, _ in in_predicates]
+    if len(set(probe_names)) != len(probe_names):
+        raise ValueError(
+            "bloom probe: duplicate column in in_predicates "
+            f"({probe_names}) — merge the IN-lists first (two lists on "
+            "one column mean their intersection-of-keeps, which a "
+            "single combined list cannot express; pass the smaller "
+            "list and apply the other as a residual filter)"
+        )
     # one tiny geometry collect per indexed col (scalars only)
     geo_rows = (
         manifest.groupBy("col")

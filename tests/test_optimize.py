@@ -144,12 +144,14 @@ def test_crash_mid_optimize_leaves_readers_on_old_version(
     )
     assert again == served
 
-    # recovery: the next optimize overwrites the orphaned partial v=2
+    # recovery: the crashed attempt burned its claimed number, the
+    # next optimize allocates past it and serves cleanly (the orphan
+    # partial dir stays invisible to version discovery)
     n = optimize_table(
         _corpus(spark, 4000), root, DIMS, bloom_cols=["event_id"],
         target_rows_per_file=1000,
     )
-    assert n == 2
+    assert n == 3
     assert read_optimized_data(spark, root).count() == 4000
 
 
@@ -256,3 +258,35 @@ def test_describe_table(spark, tmp_path_factory):
     assert v1["zone_cols"] == ["u", "v"]
     assert v1["bloom_cols"] == ["event_id"]
     assert v1["bloom_geometry"]["n_bits"] >= 4096
+
+
+def test_concurrent_claims_never_share_a_version(spark, tmp_path_factory):
+    """Optimistic allocation: a pre-existing claim (another writer
+    in flight) forces the next optimize past that number — two
+    writers can never interleave inside one version directory — and
+    a slow writer committing an older number must not yank the
+    pointer backwards (forward-only flip)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources import (
+        fsutil,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.gating import (
+        read_version_pointer,
+    )
+
+    root = str(tmp_path_factory.mktemp("opt8")) + "/table"
+    optimize_table(_corpus(spark, 500), root, DIMS,
+                   target_rows_per_file=250)
+    # simulate a concurrent writer holding v=2
+    assert fsutil.create_exclusive(spark, f"{root}/__claim_v=2")
+    n = optimize_table(_corpus(spark, 600), root, DIMS,
+                       target_rows_per_file=300)
+    assert n == 3
+    assert read_version_pointer(root, spark) == 3
+
+    # the slow writer finishes v=2 later: committed and pinnable, but
+    # the pointer stays at 3
+    import os
+
+    os.makedirs(f"{root}/v=2", exist_ok=True)
+    fsutil.write_text_atomic(spark, f"{root}/v=2/_SUCCESS", "")
+    assert read_version_pointer(root, spark) == 3
