@@ -449,6 +449,31 @@ def minhash_index_build(
     return buckets, shingles
 
 
+def minhash_index_remove(
+    index_buckets: DataFrame,
+    index_shingles: DataFrame,
+    doc_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Retention-delete maintenance for the persisted near-dedup
+    index: drop every bucket and shingle row belonging to removed
+    corpus documents — two keyed anti-joins whose build side is
+    delete-sized (AQE broadcasts it; the index never re-shuffles).
+    Without this, a deleted document keeps vetoing future near-twins
+    from ingestion forever (the index would claim docs the corpus no
+    longer has — exactly the inconsistency the corpus-before-index
+    publish order exists to prevent on the ADD side). Returns the two
+    pruned frames; persist them with the same atomic publish the
+    build used. Removal ≡ rebuilding the index from the surviving
+    corpus (signatures are per-doc, so dropping a doc's rows is
+    exact — pinned in tests)."""
+    keys = doc_ids.select(id_col).distinct()
+    return (
+        index_buckets.join(keys, id_col, "left_anti"),
+        index_shingles.join(keys, id_col, "left_anti"),
+    )
+
+
 def dedup_against_index(
     new_docs: DataFrame,
     index_buckets: DataFrame,

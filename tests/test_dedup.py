@@ -917,3 +917,48 @@ def test_jaccard_prefix_property_random_corpora(spark):
         assert got == want, (t, rows, got, want)
 
     prop()
+
+
+def test_minhash_index_remove_equals_rebuild(spark):
+    """Retention deletes: pruning a doc's rows from the persisted
+    index equals rebuilding it from the surviving corpus (signatures
+    are per-doc), and a batch re-introducing a REMOVED doc's text is
+    no longer vetoed while a surviving near-twin still is."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index_build,
+        minhash_index_remove,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+            (3, "red orange yellow green blue indigo violet colors"),
+        ],
+        "doc_id long, text string",
+    )
+    bk, sh = minhash_index_build(docs)
+    bk, sh = bk.localCheckpoint(), sh.localCheckpoint()
+    rm = spark.createDataFrame([(2,)], "doc_id long")
+    bk2, sh2 = minhash_index_remove(bk, sh, rm)
+    rb_bk, rb_sh = minhash_index_build(docs.filter("doc_id <> 2"))
+    assert sorted(map(tuple, bk2.collect())) == sorted(
+        map(tuple, rb_bk.collect())
+    )
+    assert sorted(map(tuple, sh2.collect())) == sorted(
+        map(tuple, rb_sh.collect())
+    )
+
+    batch = spark.createDataFrame(
+        [
+            (12, "one two three four five six seven eight nine"),
+            (13, "red orange yellow green blue indigo violet colors"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {
+        r["new_id"]
+        for r in dedup_against_index(batch, bk2, sh2).collect()
+    }
+    assert hits == {13}  # 12's twin was removed; 13's survives
