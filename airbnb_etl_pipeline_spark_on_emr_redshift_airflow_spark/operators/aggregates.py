@@ -329,6 +329,41 @@ def merge_lm_counts(*tables: DataFrame) -> DataFrame:
     )
 
 
+def subtract_lm_counts(
+    base: DataFrame, removed: DataFrame
+) -> DataFrame:
+    """Retention-delete maintenance for the LM count ledger: counts
+    form an ABELIAN GROUP (bigint addition has exact inverses), so
+    removing documents is folding the REMOVED docs' own count table
+    in with negated counts — O(removed + vocab), the corpus is never
+    rescanned, and the result equals rebuilding from the surviving
+    corpus row-for-row (pinned in tests). Terms whose count reaches
+    zero drop out (a rebuilt table never contains them); a term going
+    NEGATIVE means ``removed`` was not a subset of what ``base``
+    counted — that is corruption, not a valid delete, and it raises
+    loudly rather than silently shipping a broken LM.
+
+    The same inverse-fold works for every purely-additive state
+    (:func:`agg_state`'s count/sum components — but NOT its min/max,
+    and NOT the HLL/bottom-k/heavy-hitters sketches, which are
+    monotone joins without inverses: those families delete by
+    recomputing the affected period partition, the ledger layout's
+    native delete path)."""
+    neg = removed.select(
+        "term", (-F.col("cnt")).cast("bigint").alias("cnt")
+    )
+    out = merge_lm_counts(base, neg).localCheckpoint(eager=False)
+    bad = out.filter(F.col("cnt") < 0).limit(1).collect()
+    if bad:
+        raise ValueError(
+            "subtract_lm_counts: term "
+            f"{bad[0]['term']!r} would go negative "
+            f"({bad[0]['cnt']}) — the removed counts are not a subset "
+            "of the base ledger (double-subtraction or wrong period?)"
+        )
+    return out.filter(F.col("cnt") > 0)
+
+
 def unigram_lm_score_with(
     toked: DataFrame,
     counts: DataFrame,
