@@ -175,6 +175,27 @@ def merge_bm25_index(
     )
 
 
+def bm25_index_remove(
+    index: tuple[DataFrame, DataFrame],
+    doc_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Retention-delete maintenance for the BM25 index: every index
+    state is PER-DOCUMENT ((id, term, tf) rows and (id, dl) rows), so
+    removal is two delete-sized anti-joins ≡ rebuilding from the
+    surviving corpus row-for-row — and df/n_docs/avgdl, being rollups
+    of the pruned pair, correct themselves at search time with no
+    extra work (a removed document both leaves the rankings AND stops
+    distorting everyone else's idf/avgdl — pinned in tests). Same
+    delete discipline as ``minhash_index_remove`` /
+    ``subtract_lm_counts``."""
+    keys = doc_ids.select(F.col(id_col).alias("id")).distinct()
+    return (
+        index[0].join(keys, "id", "left_anti"),
+        index[1].join(keys, "id", "left_anti"),
+    )
+
+
 def bm25_search_with(
     index: tuple[DataFrame, DataFrame],
     queries: DataFrame,

@@ -275,3 +275,44 @@ def test_mmr_catalog_probe_invariants_all_ok(spark):
     rows = df.collect()
     assert rows
     assert all(r.ok for r in rows)
+
+
+def test_bm25_index_remove_equals_rebuild(spark):
+    """Index deletes: pruning a doc's rows equals rebuilding from the
+    survivors, and search results re-rank accordingly (the removed
+    doc leaves, idf/avgdl shift with it)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.retrieval import (
+        bm25_index,
+        bm25_index_remove,
+        bm25_search_with,
+    )
+
+    toked = spark.createDataFrame(
+        [
+            (1, ["spark", "joins", "shuffle"]),
+            (2, ["spark", "streams", "state"]),
+            (3, ["duck", "oracle", "joins"]),
+        ],
+        "doc_id long, t array<string>",
+    )
+    idx = bm25_index(toked)
+    idx = (idx[0].localCheckpoint(), idx[1].localCheckpoint())
+    rm = spark.createDataFrame([(2,)], "doc_id long")
+    pruned = bm25_index_remove(idx, rm)
+    rebuilt = bm25_index(toked.filter("doc_id <> 2"))
+    for got, want in zip(pruned, rebuilt):
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    q = spark.createDataFrame(
+        [(1, ["spark", "joins"])], "query_id long, q array<string>"
+    )
+    res = bm25_search_with(pruned, q, k=3).collect()
+    assert [r["doc_id"] for r in res][0] == 1
+    assert all(r["doc_id"] != 2 for r in res)
+    # identical to searching the rebuilt index
+    res_rb = bm25_search_with(rebuilt, q, k=3).collect()
+    assert [(r["doc_id"], r["score_fp"] if "score_fp" in r.__fields__ else r[2]) for r in res] == [
+        (r["doc_id"], r["score_fp"] if "score_fp" in r.__fields__ else r[2]) for r in res_rb
+    ]
