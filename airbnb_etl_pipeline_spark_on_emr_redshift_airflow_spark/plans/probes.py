@@ -5067,3 +5067,49 @@ def u_cdc_table_read(spark, sf_dir):
         )
         apply_changes(b2, sidecar, "doc_id", batch_id=2)
     return read_with_changes(base, sidecar, "doc_id")
+
+
+# ----- abelian ledger delete (round 9) -----------------------------------
+
+ORACLE_LM_SUBTRACT = f"""
+WITH toks AS (
+  SELECT doc_id, {{toks}} AS t FROM documents
+), surv AS (
+  SELECT unnest(t) AS term FROM toks WHERE doc_id % 23 <> 0
+)
+SELECT term, CAST(count(*) AS BIGINT) AS cnt
+FROM surv GROUP BY 1
+"""
+
+
+@register(
+    "t_lm_subtract",
+    oracle=ORACLE_LM_SUBTRACT.format(
+        toks="list_filter(string_split(trim(regexp_replace(lower(text), "
+             "'[^a-z]+', ' ', 'g')), ' '), x -> x <> '')"
+    ),
+)
+def t_lm_subtract(spark, sf_dir):
+    """Retention deletes for the LM count ledger as an oracle-checked
+    query (``operators.aggregates.subtract_lm_counts``): the FULL
+    corpus ledger minus the % 23 documents' own counts — folded via
+    the abelian inverse (negated counts, one vocab-sized groupBy),
+    never a corpus rescan — must equal DuckDB's direct rebuild over
+    the surviving documents term-for-term, count-for-count.
+    Zero-count terms drop exactly like a rebuild. 100 TB shape: the
+    subtraction touches O(removed + vocab) rows; the non-subset guard
+    (a term going negative raises) costs one filter over the
+    vocab-sized result."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        subtract_lm_counts,
+        unigram_lm_counts,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.text import (
+        TOKS,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.expr(TOKS).alias("t"))
+    base = unigram_lm_counts(toked)
+    removed = unigram_lm_counts(toked.filter("doc_id % 23 = 0"))
+    return subtract_lm_counts(base, removed)

@@ -208,6 +208,7 @@ SIDECAR_ONLY = [
     "l_combined_pruned_lookup",
     "u_delete_vectors",
     "u_cdc_table_read",
+    "t_lm_subtract",
 ]
 
 

@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 141
+    assert len(names) == 142
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -172,6 +172,8 @@ def test_oracle_keys_subset_of_queries(spark):
         # round-9 extension: table-level merge-on-read CDC (op-tagged
         # change batches, latest-op-per-key fold vs a CASE-replay oracle)
         "u_cdc_table_read",
+        # round-9 extension: abelian ledger delete (subtract ≡ rebuild)
+        "t_lm_subtract",
     ]
 
 
