@@ -53,6 +53,30 @@ TABLES = (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Version of the PERSISTED-ARTIFACT schemas the catalog caches under
+# .tmp/ (zone/bloom manifests, delete/CDC sidecars, IVF centroids).
+# Folded into every cache fingerprint so a code upgrade that changes
+# an artifact's schema (round 9 added col_type to bloom manifests)
+# invalidates warm caches instead of erroring on them; the data-file
+# stats alone cannot see code changes.
+CACHE_SCHEMA_V = "2"
+
+
+def cache_fingerprint(src: str) -> str:
+    """Content fingerprint of a testdata source dir/file + the cache
+    schema version — the key under which catalog queries persist
+    derived artifacts in ``.tmp/`` (rebuild iff the data OR the
+    artifact schema changed)."""
+    import hashlib
+    import os
+
+    ent = [os.path.abspath(src), f"schema_v={CACHE_SCHEMA_V}"]
+    for root, _dirs, files in sorted(os.walk(src)):
+        for f in sorted(files):
+            st = os.stat(os.path.join(root, f))
+            ent.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(ent).encode()).hexdigest()[:16]
+
 
 def register(name: str, oracle: str | None = None):
     """Register ``fn`` as catalog query ``name`` with an optional DuckDB

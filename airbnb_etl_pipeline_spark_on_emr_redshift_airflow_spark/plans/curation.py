@@ -32,6 +32,7 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregate
     dec_sum_sql,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
+    cache_fingerprint,
     load,
     register,
 )
@@ -562,7 +563,6 @@ def l_zone_pruned_agg(spark, sf_dir):
     a metadata-plane operation over a file-count-sized frame, and the
     Z-order layout keeps every file's bounding box tight in ALL
     clustered dims so conjunctions multiply their selectivities."""
-    import hashlib as _hashlib
     import os as _os
 
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.layout import (
@@ -577,12 +577,7 @@ def l_zone_pruned_agg(spark, sf_dir):
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
     src = _os.path.join(sf_dir, "events.parquet")
-    ent = [_os.path.abspath(src)]
-    for root, _dirs, files in sorted(_os.walk(src)):
-        for f in sorted(files):
-            st = _os.stat(_os.path.join(root, f))
-            ent.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-    fp = _hashlib.md5("|".join(ent).encode()).hexdigest()[:16]
+    fp = cache_fingerprint(src)
     base = _os.path.join(repo, ".tmp", "catalog_zones", fp)
     data_path = _os.path.join(base, "data")
     mf_path = _os.path.join(base, "manifest")
@@ -723,7 +718,6 @@ def l_bloom_point_lookup(spark, sf_dir):
     (map-side-combinable, ≤ n_bits/64 rows per file×col per
     partition); the probe hashes its literals with the SAME seeded
     expressions over the file-count-sized manifest frame."""
-    import hashlib as _hashlib
     import os as _os
 
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.layout import (
@@ -739,12 +733,7 @@ def l_bloom_point_lookup(spark, sf_dir):
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
     src = _os.path.join(sf_dir, "events.parquet")
-    ent = [_os.path.abspath(src)]
-    for root, _dirs, files in sorted(_os.walk(src)):
-        for f in sorted(files):
-            st = _os.stat(_os.path.join(root, f))
-            ent.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-    fp = _hashlib.md5("|".join(ent).encode()).hexdigest()[:16]
+    fp = cache_fingerprint(src)
     base = _os.path.join(repo, ".tmp", "catalog_zones", fp)
     data_path = _os.path.join(base, "data")
     bloom_path = _os.path.join(base, "bloom")

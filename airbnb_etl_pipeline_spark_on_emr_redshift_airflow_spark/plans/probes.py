@@ -69,6 +69,7 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.timeserie
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
     EVENTS_SRC,
+    cache_fingerprint,
     load,
     register,
     views,
@@ -2204,7 +2205,6 @@ def s_ivf_persisted_index(spark, sf_dir):
     or two sf roots sharing a basename can never serve a stale or
     foreign index. Rows-only check (learned quantizer); parity of
     indexed vs fused search is pytest-pinned."""
-    import hashlib as _hashlib
     import os as _os
 
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
@@ -2218,12 +2218,7 @@ def s_ivf_persisted_index(spark, sf_dir):
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
     src = _os.path.join(sf_dir, "embeddings.parquet")
-    ent = [_os.path.abspath(src)]
-    for root, _dirs, files in sorted(_os.walk(src)):
-        for f in sorted(files):
-            st = _os.stat(_os.path.join(root, f))
-            ent.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-    fp = _hashlib.md5("|".join(ent).encode()).hexdigest()[:16]
+    fp = cache_fingerprint(src)
     path = _os.path.join(repo, ".tmp", "catalog_ivf", fp)
     (emb,) = load(spark, sf_dir, "embeddings")
     if not _os.path.isdir(_os.path.join(path, "vectors")):
@@ -4879,7 +4874,6 @@ def l_combined_pruned_lookup(spark, sf_dir):
     keep-set computations are metadata-plane expressions over
     file-count-sized manifest frames; only surviving files are ever
     planned."""
-    import hashlib as _hashlib
     import os as _os
 
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.layout import (
@@ -4895,12 +4889,7 @@ def l_combined_pruned_lookup(spark, sf_dir):
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
     src = _os.path.join(sf_dir, "events.parquet")
-    ent = [_os.path.abspath(src)]
-    for root, _dirs, files in sorted(_os.walk(src)):
-        for f in sorted(files):
-            st = _os.stat(_os.path.join(root, f))
-            ent.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-    fp = _hashlib.md5("|".join(ent).encode()).hexdigest()[:16]
+    fp = cache_fingerprint(src)
     base = _os.path.join(repo, ".tmp", "catalog_zones", fp)
     data_path = _os.path.join(base, "data")
     mf_path = _os.path.join(base, "manifest")
@@ -4956,7 +4945,6 @@ def u_delete_vectors(spark, sf_dir):
     materialization are pinned in ``tests/test_deletes.py``. 100 TB
     shape: DELETE is O(batch) — data files immutable, the sidecar is
     key-count-sized, and the periodic OPTIMIZE folds it away."""
-    import hashlib as _hashlib
     import os as _os
 
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.deletes import (
@@ -4968,15 +4956,14 @@ def u_delete_vectors(spark, sf_dir):
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
     src = _os.path.join(sf_dir, "documents.parquet")
-    ent = [_os.path.abspath(src)]
-    for root, _dirs, files in sorted(_os.walk(src)):
-        for f in sorted(files):
-            st = _os.stat(_os.path.join(root, f))
-            ent.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-    fp = _hashlib.md5("|".join(ent).encode()).hexdigest()[:16]
+    fp = cache_fingerprint(src)
     sidecar = _os.path.join(repo, ".tmp", "catalog_deletes", fp)
     (docs,) = load(spark, sf_dir, "documents")
-    if not _os.path.isdir(sidecar) or not _os.listdir(sidecar):
+    # cache-complete = the FINAL batch committed (a crash between the
+    # two batch writes must rebuild, not serve the half-built sidecar)
+    if not _os.path.exists(_os.path.join(sidecar, "batch=2", "_SUCCESS")):
+        import shutil as _shutil
+        _shutil.rmtree(sidecar, ignore_errors=True)
         delete_keys(
             docs.filter("doc_id % 37 = 0").select("doc_id"),
             sidecar, "doc_id",
@@ -5018,7 +5005,6 @@ def u_cdc_table_read(spark, sf_dir):
     ``tests/test_deletes.py``). The op-history semantics the
     windowed ``u_merge_apply_cdc`` query certifies at row level, here
     as a persisted TABLE layer."""
-    import hashlib as _hashlib
     import os as _os
 
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.deletes import (
@@ -5030,16 +5016,15 @@ def u_cdc_table_read(spark, sf_dir):
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
     src = _os.path.join(sf_dir, "documents.parquet")
-    ent = [_os.path.abspath(src)]
-    for root, _dirs, files in sorted(_os.walk(src)):
-        for f in sorted(files):
-            st = _os.stat(_os.path.join(root, f))
-            ent.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-    fp = _hashlib.md5("|".join(ent).encode()).hexdigest()[:16]
+    fp = cache_fingerprint(src)
     sidecar = _os.path.join(repo, ".tmp", "catalog_cdc", fp)
     (docs,) = load(spark, sf_dir, "documents")
     base = docs.select("doc_id", "source")
-    if not _os.path.isdir(sidecar) or not _os.listdir(sidecar):
+    # cache-complete = the FINAL batch committed (a crash between the
+    # two batch writes must rebuild, not serve the half-built sidecar)
+    if not _os.path.exists(_os.path.join(sidecar, "batch=2", "_SUCCESS")):
+        import shutil as _shutil
+        _shutil.rmtree(sidecar, ignore_errors=True)
         b1 = base.filter("doc_id % 31 = 0").select(
             "doc_id",
             F.lit(None).cast("string").alias("source"),

@@ -48,6 +48,28 @@ def _batches(spark: SparkSession, sidecar: str) -> list[int]:
     )
 
 
+def _claim_batch(spark: SparkSession, sidecar: str) -> int:
+    """Allocate the next batch number with an ATOMIC EXCLUSIVE CLAIM
+    (``fsutil.create_exclusive``, the same primitive
+    ``optimize_table`` uses for version numbers): two concurrent
+    writers — delete_keys vs delete_keys, delete_keys vs
+    compact_deletes — can then never pick the same number and
+    silently overwrite each other's tombstones (lost deletes =
+    resurrected rows). A crashed claimant burns its number: the
+    committed-batch scan skips the uncommitted dir and the claim file
+    keeps later writers off it. Claims for batches dropped by
+    compaction are swept there."""
+    existing = _batches(spark, sidecar)
+    n = (existing[-1] + 1) if existing else 1
+    for _ in range(1000):
+        if fsutil.create_exclusive(spark, f"{sidecar}/__claim_batch={n}"):
+            return n
+        n += 1
+    raise RuntimeError(  # pragma: no cover - 1000 live writers
+        f"could not claim a batch number under {sidecar}"
+    )
+
+
 def delete_keys(
     keys: DataFrame, sidecar: str, key_col: str,
     batch_id: int | None = None,
@@ -62,10 +84,7 @@ def delete_keys(
     spark = keys.sparkSession
     sidecar = sidecar.rstrip("/")
     fsutil.mkdirs(spark, sidecar)
-    existing = _batches(spark, sidecar)
-    n = batch_id if batch_id is not None else (
-        (existing[-1] + 1) if existing else 1
-    )
+    n = batch_id if batch_id is not None else _claim_batch(spark, sidecar)
     keys.select(F.col(key_col)).distinct().coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{sidecar}/batch={n}")
@@ -114,12 +133,15 @@ def compact_deletes(
     if len(old) <= 1:
         return
     merged = read_deletes(spark, sidecar, key_col).localCheckpoint()
-    n = old[-1] + 1
+    n = _claim_batch(spark, sidecar)
     merged.coalesce(1).write.mode("overwrite").parquet(
         f"{sidecar}/batch={n}"
     )
     for b in old:
         fsutil.delete(spark, f"{sidecar}/batch={b}")
+        # the dropped batch's claim marker goes with it (keeps the
+        # sidecar listing bounded across compaction cycles)
+        fsutil.delete(spark, f"{sidecar}/__claim_batch={b}")
 
 
 def clear_deletes(spark: SparkSession, sidecar: str) -> None:
@@ -181,10 +203,7 @@ def apply_changes(
         )
     sidecar = sidecar.rstrip("/")
     fsutil.mkdirs(spark, sidecar)
-    existing = _batches(spark, sidecar)
-    n = batch_id if batch_id is not None else (
-        (existing[-1] + 1) if existing else 1
-    )
+    n = batch_id if batch_id is not None else _claim_batch(spark, sidecar)
     changes.coalesce(1).write.mode("overwrite").parquet(
         f"{sidecar}/batch={n}"
     )

@@ -103,6 +103,21 @@ def create_exclusive(spark: SparkSession, path: str) -> bool:
         return False
 
 
+def list_files(spark: SparkSession, root: str, glob: str) -> list[str]:
+    """Names (last path segment) of plain FILES matching
+    ``root/glob`` — the claim-marker counterpart of
+    :func:`list_subdirs` (exclusive-create claims are empty files,
+    which ``list_subdirs``'s isDirectory filter deliberately hides
+    from batch/version discovery)."""
+    fs, _ = _fs(spark, root)
+    jvm = spark.sparkContext._jvm
+    pattern = jvm.org.apache.hadoop.fs.Path(root, glob)
+    statuses = fs.globStatus(pattern)
+    if statuses is None:
+        return []
+    return [s.getPath().getName() for s in statuses if s.isFile()]
+
+
 def list_subdirs(spark: SparkSession, root: str, glob: str) -> list[str]:
     """Names (last path segment) of directories matching
     ``root/glob``."""

@@ -174,12 +174,27 @@ def optimize_table(
     if n > current:
         fsutil.write_text_atomic(spark, f"{root}/LATEST", str(n))
 
-    # 4. prune old versions (never the pointed-at one), claims too
+    # 4. prune old versions (never the pointed-at one), claims too —
+    #    including claims BURNED by crashed writers (number skipped,
+    #    no committed v-dir): any claim below the oldest version we
+    #    retain can never be re-contended (allocation starts above the
+    #    last committed number), so sweeping them bounds the root's
+    #    listing across optimize cycles.
     pointed = read_version_pointer(root, spark)
     for old in versions[: max(0, len(versions) - (keep - 1))]:
         if old != pointed:
             fsutil.delete(spark, f"{root}/v={old}")
-            fsutil.delete(spark, f"{root}/__claim_v={old}")
+    retained = [
+        v for v in _committed_versions(spark, root) + [pointed] if v
+    ]
+    floor = min(retained) if retained else 0
+    for name in fsutil.list_files(spark, root, "__claim_v=*"):
+        try:
+            m = int(name.split("=", 1)[1])
+        except ValueError:  # pragma: no cover - foreign file
+            continue
+        if m < floor:
+            fsutil.delete(spark, f"{root}/{name}")
     return n
 
 

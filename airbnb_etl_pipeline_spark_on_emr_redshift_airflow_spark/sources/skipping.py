@@ -451,6 +451,14 @@ def _bloom_keep_sets(
                 f"bloom probe: empty IN-list for {col!r} — nothing to "
                 "look up"
             )
+    if "col_type" not in manifest.columns:
+        raise ValueError(
+            "bloom probe: manifest predates the col_type column "
+            "(pre-upgrade cache) — migrate it with "
+            "update_bloom_manifest(root=...), which re-derives the "
+            "column types from the data schema, or rebuild with "
+            "build_bloom_manifest"
+        )
     probe_names = [c for c, _ in in_predicates]
     if len(set(probe_names)) != len(probe_names):
         raise ValueError(
@@ -714,7 +722,29 @@ def update_bloom_manifest(
     point-lookup bitsets: rows for vanished files drop, bitsets for
     NEW files are built by reading only those files. ``n_bits``/``k``
     must match the original build (asserted against the surviving
-    rows — mixing hash geometries would silently break membership)."""
+    rows — mixing hash geometries would silently break membership).
+
+    Manifests persisted before the ``col_type`` column existed
+    migrate in place: the column is re-derived from the DATA schema
+    under ``root`` (sound — the build always recorded the scanned
+    column's own type, which is exactly what the data still carries),
+    so a warm pre-upgrade cache reconciles instead of erroring."""
+    if "col_type" not in manifest.columns:
+        dtypes = dict(spark.read.parquet(root).dtypes)
+        missing = [c for c in cols if c not in dtypes]
+        if missing:
+            raise ValueError(
+                "update_bloom_manifest: cannot migrate a pre-col_type "
+                f"manifest — columns {missing} absent from the data "
+                f"under {root}"
+            )
+        type_map = F.create_map(
+            *[x for c in cols for x in (F.lit(c), F.lit(dtypes[c]))]
+        )
+        manifest = manifest.select(
+            "file", "col", type_map[F.col("col")].alias("col_type"),
+            "n_bits", "k", "bloom",
+        )
     actual = set(list_data_files(spark, root))
     known_rows = manifest.select("file", "n_bits", "k").collect()
     known = {r["file"] for r in known_rows}

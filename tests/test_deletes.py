@@ -355,3 +355,59 @@ def test_crash_mid_compact_leaves_superset_never_subset(
         r["doc_id"]
         for r in dl.read_with_deletes(data, side, "doc_id").collect()
     ) == served
+
+
+def test_concurrent_batch_claims_never_collide(spark, tmp_path_factory):
+    """Round-10 ADVICE fix: batch numbers allocate via atomic
+    exclusive claims — a number already claimed (by a concurrent
+    writer that has not committed yet) is skipped, never overwritten
+    (a shared number = silently lost tombstones = resurrected
+    rows)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources import fsutil
+
+    base = str(tmp_path_factory.mktemp("claims"))
+    side = f"{base}/deletes"
+    k1 = spark.createDataFrame([(1,)], "doc_id bigint")
+    assert delete_keys(k1, side, "doc_id") == 1
+    # simulate a concurrent writer holding the next number: claim it
+    # but never commit the batch dir
+    assert fsutil.create_exclusive(spark, f"{side}/__claim_batch=2")
+    n = delete_keys(
+        spark.createDataFrame([(2,)], "doc_id bigint"), side, "doc_id"
+    )
+    assert n == 3  # skipped the held claim
+    # both committed batches visible; the uncommitted claim invisible
+    assert read_deletes(spark, side, "doc_id").count() == 2
+    # compaction claims too, and sweeps the dropped batches' claims
+    delete_keys(
+        spark.createDataFrame([(3,)], "doc_id bigint"), side, "doc_id"
+    )
+    compact_deletes(spark, side, "doc_id")
+    assert read_deletes(spark, side, "doc_id").count() == 3
+    assert not fsutil.exists(spark, f"{side}/__claim_batch=1")
+    # the foreign (never-committed) claim is not ours to sweep
+    assert fsutil.exists(spark, f"{side}/__claim_batch=2")
+
+
+def test_apply_changes_claims_batch_numbers(spark, tmp_path_factory):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources import fsutil
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.deletes import (
+        apply_changes,
+        read_with_changes,
+    )
+
+    base = str(tmp_path_factory.mktemp("cdcclaims"))
+    data = _table(spark, f"{base}/data", n=10)
+    side = f"{base}/changes"
+    ch = spark.createDataFrame(
+        [(3, None, "delete")], "doc_id bigint, v double, op string"
+    )
+    assert apply_changes(ch, side, "doc_id") == 1
+    assert fsutil.create_exclusive(spark, f"{side}/__claim_batch=2")
+    ch2 = spark.createDataFrame(
+        [(4, 9.0, "upsert")], "doc_id bigint, v double, op string"
+    )
+    assert apply_changes(ch2, side, "doc_id") == 3
+    got = read_with_changes(data, side, "doc_id")
+    assert got.count() == 9
+    assert got.filter("doc_id = 4").head()["v"] == 9.0

@@ -290,3 +290,30 @@ def test_concurrent_claims_never_share_a_version(spark, tmp_path_factory):
     os.makedirs(f"{root}/v=2", exist_ok=True)
     fsutil.write_text_atomic(spark, f"{root}/v=2/_SUCCESS", "")
     assert read_version_pointer(root, spark) == 3
+
+
+def test_burned_claims_swept_on_prune(spark, tmp_path_factory):
+    """Round-10 ADVICE fix: claims burned by crashed writers (number
+    skipped, no committed v-dir) are swept once they fall below the
+    oldest retained version — the table root's listing stays bounded
+    across optimize cycles."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources import fsutil
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.optimize import (
+        optimize_table,
+    )
+
+    base = str(tmp_path_factory.mktemp("claimsweep"))
+    root = f"{base}/tbl"
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 10).cast("double").alias("v")
+    )
+    assert optimize_table(df, root, [("v", 0.0, 10.0)], keep=2) == 1
+    # a crashed writer burned v=2: claim exists, no committed dir
+    assert fsutil.create_exclusive(spark, f"{root}/__claim_v=2")
+    assert optimize_table(df, root, [("v", 0.0, 10.0)], keep=2) == 3
+    # keep=2 at v=4 prunes v=1 and v=3; the burned v=2 claim is below
+    # the oldest retained version -> swept
+    assert optimize_table(df, root, [("v", 0.0, 10.0)], keep=2) == 4
+    names = fsutil.list_files(spark, root, "__claim_v=*")
+    burned = [n for n in names if n == "__claim_v=2"]
+    assert not burned, f"burned claim not swept: {names}"

@@ -686,3 +686,40 @@ def test_all_null_bloom_column_file_stays_indexed(spark, tmp_path_factory):
     st: dict = {}
     got = bloom_pruned_read(spark, path, mf, "k", [7], stats=st)
     assert got.count() == 1 and st["files_read"] == 1
+
+
+def test_pre_col_type_bloom_manifest_migrates(spark, tmp_path_factory):
+    """Round-10 ADVICE fix: a bloom manifest persisted before the
+    col_type column existed (pre-round-9 cache) migrates in
+    update_bloom_manifest — types re-derived from the data schema —
+    instead of failing every probe with a missing-column error; the
+    probe path itself rejects a legacy manifest with an actionable
+    message."""
+    import pytest
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
+        bloom_pruned_read,
+        build_bloom_manifest,
+        update_bloom_manifest,
+    )
+
+    base = str(tmp_path_factory.mktemp("bloommig"))
+    spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    ).repartition(4).write.parquet(f"{base}/data")
+    mf = build_bloom_manifest(spark.read.parquet(f"{base}/data"), ["k"])
+    legacy = mf.drop("col_type")  # what a pre-round-9 build persisted
+    legacy.coalesce(1).write.parquet(f"{base}/legacy_mf")
+    legacy_mf = spark.read.parquet(f"{base}/legacy_mf")
+
+    with pytest.raises(ValueError, match="predates the col_type"):
+        bloom_pruned_read(
+            spark, f"{base}/data", legacy_mf, "k", [3]
+        ).count()
+
+    migrated = update_bloom_manifest(
+        spark, f"{base}/data", legacy_mf, ["k"]
+    )
+    assert "col_type" in migrated.columns
+    got = bloom_pruned_read(spark, f"{base}/data", migrated, "k", [3, 999])
+    assert [r["k"] for r in got.collect()] == [3]
