@@ -1,43 +1,39 @@
-"""End-to-end lakehouse table lifecycle — the round-9 table-format
-layer composed into one periodic DAG: batch INGEST with incrementally
-maintained skipping manifests, merge-on-read CDC, metadata-pruned +
-change-merged SERVING, and the periodic OPTIMIZE that materializes
-everything into a fresh versioned layout.
+"""End-to-end lakehouse table lifecycle on the unified Table facade
+(``sources.table``) — the round-9 layers (incrementally maintained
+skipping manifests, merge-on-read CDC, metadata-pruned + change-merged
+serving, periodic versioned OPTIMIZE) that this example previously
+composed BY HAND are now one handle: the DAG's stages reduce to
+``append`` / ``write_changes`` / ``read_table`` / ``optimize``, and
+the facade resolves the version pointer, stacks zone ∧ bloom pruning
+over bulk and tail, folds the un-materialized changes, and re-applies
+the predicates (the filter-under-CDC law) internally.
 
 Per period (a ``lo:hi`` event_id slice standing in for the day's
 landed files):
 
-- **ingest** — the slice lands under ``data/batch_id=<lo>``
-  (idempotent overwrite: a replayed period rewrites its own
-  partition), and the zone + bloom manifests RECONCILE to the new
-  listing (:func:`sources.skipping.update_zone_manifest` /
-  :func:`update_bloom_manifest` read only the new files — O(batch),
-  and readers keep passing the fail-closed staleness checks);
-- **changes** — the period's CDC lands as an op-tagged batch pinned
-  to the period id (:func:`sources.deletes.apply_changes` with
-  ``batch_id=lo`` — replay rewrites, never double-appends): every
+- **ingest** — ``Table.append(batch, batch_id=lo+1)``: the slice
+  lands as one live batch pinned to its period (a replayed period
+  rewrites its own batch idempotently; once the batch is folded into
+  a version, the rewrite falls at-or-below the live watermark and is
+  simply invisible — replay convergence by construction), and BOTH
+  skipping manifests reconcile to the new listing, O(batch);
+- **changes** — ``Table.write_changes(cdc, batch_id=lo+1)``: the
+  period's corrections land as one op-tagged change batch (every
   event_id % 101 == 0 deletes, every % 103 == 0 upserts with a
-  corrected ``value``;
-- **serve** — the reader stack in one call chain:
-  :func:`sources.skipping.combined_pruned_read` (zone range ∧ bloom
-  IN-list, keep-sets intersect) piped through
-  :func:`sources.deletes.read_with_changes` (latest-op-per-key fold)
-  — metadata-plane skipping UNDER merge-on-read correctness, equal to
-  the full scan + filters + sequential MERGE replay (test-pinned);
-- **optimize** — :func:`sources.optimize.optimize_table` over the
-  full merged table Z-orders + compacts into ``table_v/v=N``, commits,
-  flips the pointer — a MATERIALIZED SNAPSHOT of the merged table
-  whose own manifests never saw a deleted row. The CDC sidecar stays:
-  it belongs to the LIVE ingest directory, which keeps its original
-  rows (clearing it would resurrect deleted rows there; a sidecar
-  clear is only sound when the rewrite replaces the live data itself,
-  the ``tests/test_deletes.py`` materialization case).
+  corrected ``value``), same pinned-replay discipline;
+- **serve** — ``read_table(spark, root, range_predicates=...,
+  in_predicates=...)``: ONE call does what four hand-wired steps did
+  in the round-9 version of this example — equal to the full scan +
+  filters + sequential MERGE replay (test-pinned);
+- **optimize** — ``Table.optimize()``: fold live tail + changes into
+  a fresh committed version (Z-order, manifests, FOLDED watermarks,
+  pointer flip), then vacuum the folded live batches. Change batches
+  stay for downstream ``Table.changes()`` feed consumers.
 
-100 TB shape: every stage is O(batch) except optimize, which is the
-deliberate periodic rewrite (one range exchange + manifest builds
-over the fresh files); serving never plans a file both manifests can
-rule out, and never re-shuffles the data for the CDC merge (the
-change fold is change-sized, the anti-join build side delete-sized).
+100 TB shape: every stage is O(batch) except optimize, the deliberate
+periodic rewrite; serving never plans a file both manifests can rule
+out, and never re-shuffles the data for the CDC merge (the change
+fold is change-sized, the anti-join build side delete-sized).
 
 Run: ``python -m airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.examples.lakehouse [sf_dir] [workdir]``
 """
@@ -57,19 +53,9 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.pipeline import (
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
     load,
 )
-from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.deletes import (
-    apply_changes,
-    read_with_changes,
-)
-from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.gating import (
-    model_exists,
-)
-from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
-    build_bloom_manifest,
-    build_zone_manifest,
-    combined_pruned_read,
-    update_bloom_manifest,
-    update_zone_manifest,
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.table import (
+    Table,
+    read_table,
 )
 
 ZONE_COLS = ["value", "user_id"]
@@ -77,58 +63,43 @@ BLOOM_COLS = ["event_id"]
 
 
 def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
-    data_path = f"{workdir}/data"
-    zone_mf_path = f"{workdir}/zones"
-    bloom_mf_path = f"{workdir}/bloom"
-    changes_path = f"{workdir}/changes"
-    table_v_path = f"{workdir}/table_v"
+    root = f"{workdir}/table"
 
-    def ingest(spark: SparkSession, period: str, ctx) -> DataFrame:
-        """Land the period's slice as its own batch partition and
-        reconcile BOTH skipping manifests to the new listing —
-        O(batch) each; a replayed period rewrites its partition and
-        the reconcile converges to the same state."""
+    def _period_slice(spark: SparkSession, period: str) -> DataFrame:
         lo, hi = (int(x) for x in period.split(":"))
         (ev,) = load(spark, sf_dir, "events")
-        batch = ev.filter(
+        return ev.filter(
             (F.col("event_id") >= lo) & (F.col("event_id") < hi)
         ).select("event_id", "user_id", "event_type", "value")
-        batch.write.mode("overwrite").parquet(
-            f"{data_path}/batch_id={lo}"
+
+    def _table(spark: SparkSession) -> Table:
+        return Table.create(
+            spark, root, "event_id",
+            zone_cols=ZONE_COLS, bloom_cols=BLOOM_COLS,
         )
-        spark.catalog.refreshByPath(data_path)
-        if model_exists(zone_mf_path):
-            zprev = spark.read.parquet(zone_mf_path)
-        else:
-            zprev = build_zone_manifest(
-                spark.read.parquet(data_path), ZONE_COLS
-            ).limit(0)
-        zmf = update_zone_manifest(
-            spark, data_path, zprev, ZONE_COLS
-        ).localCheckpoint()
-        zmf.coalesce(1).write.mode("overwrite").parquet(zone_mf_path)
-        spark.catalog.refreshByPath(zone_mf_path)
-        if model_exists(bloom_mf_path):
-            bprev = spark.read.parquet(bloom_mf_path)
-        else:
-            bprev = build_bloom_manifest(
-                spark.read.parquet(data_path), BLOOM_COLS
-            ).limit(0)
-        bmf = update_bloom_manifest(
-            spark, data_path, bprev, BLOOM_COLS
-        ).localCheckpoint()
-        bmf.coalesce(1).write.mode("overwrite").parquet(bloom_mf_path)
-        spark.catalog.refreshByPath(bloom_mf_path)
-        return spark.read.parquet(data_path)
+
+    def ingest(spark: SparkSession, period: str, ctx) -> DataFrame:
+        """Land the period's slice as its pinned live batch — manifest
+        reconciliation is inside Table.append, O(batch)."""
+        lo, hi = (int(x) for x in period.split(":"))
+        batch = _period_slice(spark, period)
+        _table(spark).append(batch, batch_id=lo + 1)
+        # gate on the CUMULATIVE table (the reference's
+        # check_redshift_loaded semantics), not the period slice —
+        # late periods may legitimately be empty at small SFs
+        return read_table(spark, root)
 
     def changes(spark: SparkSession, period: str, ctx) -> DataFrame:
-        """The period's CDC batch, pinned to the period id so a
-        replay rewrites instead of double-appending: % 101 ids
-        delete, % 103 ids upsert with a corrected value."""
+        """The period's correction batch, pinned to the period id so a
+        replay rewrites instead of double-appending: % 101 ids delete,
+        % 103 ids upsert with a corrected value."""
         lo, hi = (int(x) for x in period.split(":"))
-        batch = ctx["ingest"].filter(
-            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
-        )
+        _ = ctx["ingest"]
+        # corrections derive from the period's RAW source slice (the
+        # immutable input), so a replayed period rewrites its pinned
+        # change batch with IDENTICAL content — content-idempotent
+        # replay, not just watermark-invisible replay
+        batch = _period_slice(spark, period)
         dels = batch.filter("event_id % 101 = 0").select(
             "event_id",
             F.lit(None).cast("bigint").alias("user_id"),
@@ -144,64 +115,33 @@ def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
             F.lit("upsert").alias("op"),
         )
         cdc = dels.unionByName(ups).localCheckpoint()
-        apply_changes(cdc, changes_path, "event_id", batch_id=lo)
+        _table(spark).write_changes(cdc, batch_id=lo + 1)
         return cdc
 
     def serve(spark: SparkSession, period: str, ctx) -> DataFrame:
-        """The full reader stack: zone ∧ bloom metadata pruning UNDER
-        the merge-on-read CDC fold. The pruned frame must carry the
-        batch_id partition column and exclude deleted / reflect
-        upserted rows — equality with the unpruned + replayed form is
-        pinned in tests."""
+        """ONE facade call: pointer → pruned bulk ∪ pruned tail →
+        change fold → re-applied predicates. Equality with the
+        unpruned + sequentially replayed form is pinned in tests."""
         _ = ctx["changes"]
         ids = list(range(0, 4000, 103))
-        pruned = combined_pruned_read(
-            spark,
-            data_path,
-            zone_manifest=spark.read.parquet(zone_mf_path),
-            bloom_manifest=spark.read.parquet(bloom_mf_path),
+        served = read_table(
+            spark, root,
             range_predicates=[("value", 0.0, 400.0)],
             in_predicates=[("event_id", ids)],
         )
-        merged = read_with_changes(
-            pruned.drop("batch_id"), changes_path, "event_id"
-        )
-        # Filter-under-CDC algebra: filter(CDC(data)) =
-        # (filter(data) ∖ touched) ∪ filter(upserts) — the pruned read
-        # serves filter(data), the fold removes touched keys, and the
-        # RE-APPLIED residual filter drops upserted rows whose NEW
-        # values left the predicate box (an upsert doubling `value`
-        # can cross the range bound in either direction; without the
-        # re-filter those rows would leak in unfiltered).
-        return merged.filter(
-            (F.col("value") >= 0.0) & (F.col("value") <= 400.0)
-        ).filter(F.col("event_id").isin(*ids))
+        # materialize: the downstream optimize stage VACUUMS the live
+        # batches this lazy handle still references (a frame created
+        # before a vacuum points at deleted files afterwards)
+        return served.localCheckpoint()
 
     def optimize(spark: SparkSession, period: str, ctx) -> DataFrame:
-        """Periodic merge-on-write: OPTIMIZE the full merged table
-        into a fresh committed snapshot version (Z-order by the zone
-        dims, bloom over the id), flip the pointer. The sidecar stays
-        — see the module docstring."""
-        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.optimize import (
-            optimize_table,
-            read_optimized_data,
-        )
-
+        """Periodic merge-on-write: fold everything un-materialized
+        into a fresh committed version, flip the pointer, vacuum the
+        folded live batches."""
         _ = ctx["serve"]
-        merged = read_with_changes(
-            spark.read.parquet(data_path).drop("batch_id"),
-            changes_path,
-            "event_id",
-        )
-        max_uid = merged.agg(F.max("user_id")).head()[0] or 1
-        optimize_table(
-            merged,
-            table_v_path,
-            [("value", 0.0, 500.0), ("user_id", 0.0, float(max_uid) + 1)],
-            bloom_cols=BLOOM_COLS,
-            target_rows_per_file=100_000,
-        )
-        return read_optimized_data(spark, table_v_path)
+        t = _table(spark)
+        t.optimize(target_rows_per_file=100_000)
+        return t.snapshot()
 
     return Pipeline(
         [

@@ -48,7 +48,7 @@ def _batches(spark: SparkSession, sidecar: str) -> list[int]:
     )
 
 
-def _claim_batch(spark: SparkSession, sidecar: str) -> int:
+def _claim_batch(spark: SparkSession, sidecar: str, floor: int = 0) -> int:
     """Allocate the next batch number with an ATOMIC EXCLUSIVE CLAIM
     (``fsutil.create_exclusive``, the same primitive
     ``optimize_table`` uses for version numbers): two concurrent
@@ -58,9 +58,12 @@ def _claim_batch(spark: SparkSession, sidecar: str) -> int:
     resurrected rows). A crashed claimant burns its number: the
     committed-batch scan skips the uncommitted dir and the claim file
     keeps later writers off it. Claims for batches dropped by
-    compaction are swept there."""
+    compaction are swept there. ``floor``: never allocate at-or-below
+    this number — callers whose vacuum removed materialized batches
+    (and their claims) pass the fold watermark, or a fresh append
+    would be reborn under it and be invisible."""
     existing = _batches(spark, sidecar)
-    n = (existing[-1] + 1) if existing else 1
+    n = max(existing[-1] if existing else 0, floor) + 1
     for _ in range(1000):
         if fsutil.create_exclusive(spark, f"{sidecar}/__claim_batch={n}"):
             return n
@@ -210,8 +213,42 @@ def apply_changes(
     return n
 
 
+def _latest_per_key(
+    spark: SparkSession,
+    sidecar: str,
+    key_col: str,
+    from_batch: int | None = None,
+    as_of_batch: int | None = None,
+) -> DataFrame | None:
+    """Latest op per key over the committed change batches in
+    ``(from_batch, as_of_batch]`` (either side unbounded when None —
+    ``from_batch`` is EXCLUSIVE: "changes after batch N", the
+    consumer-cursor convention). Returns None when no batch
+    qualifies. One window over the CHANGE rows only; the ``batch``
+    column survives as the winning op's commit batch."""
+    from pyspark.sql import Window
+
+    sidecar = sidecar.rstrip("/")
+    ids = [
+        b for b in _batches(spark, sidecar)
+        if (from_batch is None or b > from_batch)
+        and (as_of_batch is None or b <= as_of_batch)
+    ]
+    if not ids:
+        return None
+    parts = [f"{sidecar}/batch={b}" for b in ids]
+    ch = spark.read.option("basePath", sidecar).parquet(*parts)
+    w = Window.partitionBy(key_col).orderBy(F.col("batch").desc())
+    return (
+        ch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def read_with_changes(
-    data: DataFrame, sidecar: str, key_col: str, op_col: str = "op"
+    data: DataFrame, sidecar: str, key_col: str, op_col: str = "op",
+    from_batch: int | None = None, as_of_batch: int | None = None,
 ) -> DataFrame:
     """Merge-on-read CDC: fold the latest op per key across change
     batches (higher batch number wins) and apply — deleted keys drop,
@@ -221,31 +258,81 @@ def read_with_changes(
     union. Equivalent to replaying every batch through a MERGE —
     pinned in tests against the sequential replay.
 
+    ``as_of_batch=N`` pins the fold to batches ≤ N — the CDC-plane
+    mirror of ``read_optimized(version=)`` time travel: committed
+    change batches are immutable, so a pinned read is stable across
+    later changes. ``from_batch=M`` (exclusive) folds only batches
+    > M — for serving on top of a base that already materialized
+    everything ≤ M (the versioned-snapshot watermark discipline of
+    ``sources.table``).
+
     Composing with a FILTERED/PRUNED ``data`` frame: upserted rows
     re-enter UNFILTERED, so re-apply the filters after the fold —
     ``filter(CDC(data)) = (filter(data) ∖ touched) ∪ filter(upserts)``
     (the lakehouse example's ``serve`` stage shows the pattern; an
     upsert can move a row across a predicate bound in either
     direction, so skipping the re-filter silently leaks rows)."""
-    from pyspark.sql import Window
-
     spark = data.sparkSession
-    sidecar = sidecar.rstrip("/")
-    parts = [f"{sidecar}/batch={b}" for b in _batches(spark, sidecar)]
-    if not parts:
-        return data
-    ch = spark.read.option("basePath", sidecar).parquet(*parts)
-    w = Window.partitionBy(key_col).orderBy(F.col("batch").desc())
-    latest = (
-        ch.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "batch")
+    latest = _latest_per_key(
+        spark, sidecar, key_col, from_batch=from_batch,
+        as_of_batch=as_of_batch,
     )
+    if latest is None:
+        return data
+    latest = latest.drop("batch")
     touched = latest.select(key_col)
     ups = latest.filter(F.col(op_col) == "upsert").drop(op_col).select(
         *data.columns
     )
     return data.join(touched, key_col, "left_anti").unionByName(ups)
+
+
+def table_changes(
+    spark: SparkSession,
+    sidecar: str,
+    key_col: str,
+    from_batch: int | None = None,
+    to_batch: int | None = None,
+    op_col: str = "op",
+) -> DataFrame:
+    """The CHANGE-DATA-FEED read: the op-tagged NET effect per key of
+    the committed change batches in ``(from_batch, to_batch]``
+    (``from_batch`` exclusive — pass the last batch you consumed;
+    ``to_batch`` inclusive — your new cursor). One row per touched
+    key: the LATEST op in the range wins (upsert→delete nets to the
+    delete; delete→re-upsert nets to the upsert carrying the new
+    row), with ``batch`` = the winning op's commit batch. Empty frame
+    when nothing qualifies (schema requires at least one committed
+    batch to infer from — raises otherwise, there is nothing to
+    describe).
+
+    This is the primitive that lets every derived artifact (LM count
+    ledgers, BM25 postings, minhash signature indexes — each with an
+    incremental add AND remove path) consume table changes
+    incrementally instead of diffing snapshots: apply removals for
+    net-deleted keys and for the OLD versions of net-upserted keys,
+    then adds for the new versions — O(changes), never O(table).
+    Cost shape: one window over the change rows in range; nothing
+    data-sized participates."""
+    sidecar = sidecar.rstrip("/")
+    all_ids = _batches(spark, sidecar)
+    if not all_ids:
+        raise ValueError(
+            f"table_changes: no committed change batches under "
+            f"{sidecar} — nothing to read (and no schema to serve an "
+            "empty feed with)"
+        )
+    latest = _latest_per_key(
+        spark, sidecar, key_col, from_batch=from_batch,
+        as_of_batch=to_batch,
+    )
+    if latest is None:
+        # valid empty range over a real sidecar: schema from batch 1
+        head = spark.read.option("basePath", sidecar).parquet(
+            f"{sidecar}/batch={all_ids[0]}"
+        )
+        return head.limit(0)
+    return latest
 
 
 def stream_changes_sink(

@@ -77,6 +77,7 @@ def optimize_table(
     bloom_n_bits: int | None = None,
     bloom_k: int = 5,
     keep: int = 3,
+    extra_metadata: dict[str, str] | None = None,
 ) -> int:
     """OPTIMIZE ``df`` into a new committed version under ``root`` and
     flip the pointer: Z-order re-cluster on ``zorder_dims``, compact
@@ -159,6 +160,13 @@ def optimize_table(
         build_bloom_manifest(
             fresh, bloom_cols, n_bits=bloom_n_bits, k=bloom_k
         ).coalesce(1).write.mode("overwrite").parquet(f"{vdir}/bloom")
+
+    # 2b. caller-supplied metadata files (e.g. the fold watermarks of
+    #     sources.table) land INSIDE the version dir BEFORE the commit
+    #     marker — a version is never committed without them, so a
+    #     reader can rely on their presence exactly when _SUCCESS is.
+    for fname, text in (extra_metadata or {}).items():
+        fsutil.write_text_atomic(spark, f"{vdir}/{fname}", text)
 
     # 3. commit marker, THEN the externally visible pointer flip —
     #    strictly last, so readers only ever resolve complete versions.

@@ -1,0 +1,654 @@
+"""The unified TABLE facade over the lakehouse layers — one handle
+that composes what ``sources.optimize`` (versioned snapshots + pointer),
+``sources.skipping`` (zone/bloom manifests), and ``sources.deletes``
+(op-tagged change batches) each do separately, so a caller no longer
+needs to know which layers a table has or in which order they fold
+(everything ``examples/lakehouse.py`` previously wired by hand).
+
+Layout under one ``root``::
+
+    root/TABLE                 table config (key column, indexed cols)
+    root/live/batch=K/         appended data batches (atomic claims)
+    root/zones, root/bloom     skipping manifests over the live dir,
+                               reconciled O(batch) on every append
+    root/changes/batch=K/      THE mutation log: op-tagged upsert /
+                               delete rows (``Table.delete`` writes
+                               delete ops here — one log, one total
+                               order; no separate tombstone sidecar
+                               to race with)
+    root/v=N/{data,zones,bloom,FOLDED,_SUCCESS}, root/LATEST
+                               optimized snapshots + version pointer
+                               (``sources.optimize`` unchanged)
+
+**The watermark contract** makes the whole thing crash-safe without
+ever double-counting: ``optimize()`` folds the live batches and change
+batches it SAW into a fresh version and records their high-water marks
+in ``v=N/FOLDED`` (written before the ``_SUCCESS`` marker — a version
+is never committed without it). ``read()`` then serves
+
+    CDC( v_data  ∪  live batches > live_wm ,  changes > changes_wm )
+
+so folded batches are INVISIBLE through the new version the moment the
+pointer flips, whether or not the subsequent vacuum ever ran — a crash
+between commit and vacuum costs disk, never correctness. Batches that
+land DURING an optimize stay above the recorded watermarks and remain
+visible. Replayed pipeline periods that rewrite their pinned batch ids
+(the ledger replay discipline) converge for the same reason: a
+re-written batch at-or-below the watermark is already materialized.
+
+**The filter-under-CDC law is applied internally**:
+``read(range_predicates=..., in_predicates=...)`` prunes the bulk
+through the version's manifests, prunes the live tail through the
+live manifests (both metadata-plane, keep-sets intersect), folds the
+un-materialized changes, and then RE-APPLIES every predicate — so
+``read(preds)`` ≡ ``read().filter(preds)`` always (pinned in tests),
+with the predicates also driving file skipping wherever an index
+covers them. Filters the indexes don't cover are simply residual.
+
+100 TB shape: appends, deletes, upserts are O(batch) sidecar writes;
+reads plan only manifest-surviving files plus the (bounded, recently
+appended) live tail; the CDC fold is change-sized; ``optimize()`` is
+the deliberate periodic rewrite that resets the tail to empty and the
+fold to a no-op. Single-writer per table for appends/optimize is the
+documented discipline (claims make concurrent violations safe, not
+fast); readers never coordinate.
+
+Reference scope note: the reference pipeline rewrites whole parquet
+snapshots per run (jirfig/Airbnb-ETL apps write full outputs); this
+facade is the extension surface a 100 TB training-data pipeline needs
+on top — Delta/Iceberg-style table semantics re-expressed over plain
+parquet with Spark-first primitives.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources import fsutil
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.deletes import (
+    _batches,
+    _claim_batch,
+    apply_changes,
+    read_with_changes,
+    table_changes,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.gating import (
+    read_version_pointer,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
+    Predicate,
+    build_bloom_manifest,
+    build_zone_manifest,
+    combined_pruned_read,
+    list_data_files,
+    update_bloom_manifest,
+    update_zone_manifest,
+)
+
+_CONFIG = "TABLE"
+_FOLDED = "FOLDED"
+
+
+class Table:
+    """Handle over one facade-managed table root. Construct against
+    an existing root (config is read from ``root/TABLE``) or create a
+    new one with :meth:`Table.create`."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        if not fsutil.exists(spark, f"{self.root}/{_CONFIG}"):
+            raise ValueError(
+                f"Table: no config at {self.root}/{_CONFIG} — not a "
+                "facade-managed table root (create one with "
+                "Table.create)"
+            )
+        cfg = json.loads(fsutil.read_text(spark, f"{self.root}/{_CONFIG}"))
+        self.key_col: str = cfg["key_col"]
+        self.zone_cols: list[str] = cfg.get("zone_cols") or []
+        self.bloom_cols: list[str] = cfg.get("bloom_cols") or []
+        self._live = f"{self.root}/live"
+        self._changes = f"{self.root}/changes"
+        self._zones = f"{self.root}/zones"
+        self._bloom = f"{self.root}/bloom"
+
+    # ----- lifecycle ----------------------------------------------------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        key_col: str,
+        zone_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+    ) -> "Table":
+        """Initialize a table root: persist the config (the key column
+        every delete/upsert folds on; the columns the zone and bloom
+        manifests index). Idempotent for an identical config; raises
+        on a conflicting one (silently switching the key column would
+        corrupt every later fold)."""
+        root = root.rstrip("/")
+        cfg = {
+            "key_col": key_col,
+            "zone_cols": list(zone_cols or []),
+            "bloom_cols": list(bloom_cols or []),
+        }
+        if fsutil.exists(spark, f"{root}/{_CONFIG}"):
+            prev = json.loads(fsutil.read_text(spark, f"{root}/{_CONFIG}"))
+            if prev != cfg:
+                raise ValueError(
+                    f"Table.create: {root} already initialized with a "
+                    f"different config ({prev} vs {cfg})"
+                )
+            return Table(spark, root)
+        fsutil.mkdirs(spark, root)
+        fsutil.write_text_atomic(spark, f"{root}/{_CONFIG}", json.dumps(cfg))
+        return Table(spark, root)
+
+    # ----- internal state -----------------------------------------------
+
+    def _pointer(self) -> int | None:
+        try:
+            return read_version_pointer(self.root, self.spark)
+        except Exception:
+            return None
+
+    def _watermarks(self, version: int) -> tuple[int, int]:
+        """(live_wm, changes_wm) recorded at ``version``'s commit —
+        batches at-or-below these are materialized IN the version and
+        must not be served again."""
+        path = f"{self.root}/v={version}/{_FOLDED}"
+        if not fsutil.exists(self.spark, path):
+            raise ValueError(
+                f"Table: committed v={version} under {self.root} has "
+                f"no {_FOLDED} watermark file — this version was not "
+                "written through Table.optimize(); reading through it "
+                "could double-count folded batches"
+            )
+        wm = dict(
+            line.split("=", 1)
+            for line in fsutil.read_text(self.spark, path).split()
+            if "=" in line
+        )
+        return int(wm["live"]), int(wm["changes"])
+
+    def _tail_ids(self, live_wm: int) -> list[int]:
+        return [b for b in _batches(self.spark, self._live) if b > live_wm]
+
+    def _any_schema(self) -> DataFrame:
+        """A zero-row frame carrying the table schema (from the
+        pointed version if any, else the live dir)."""
+        v = self._pointer()
+        if v is not None:
+            return self.spark.read.parquet(
+                f"{self.root}/v={v}/data"
+            ).limit(0)
+        ids = _batches(self.spark, self._live)
+        if not ids:
+            raise ValueError(
+                f"Table: {self.root} holds no data yet — append first"
+            )
+        return self.spark.read.option("basePath", self._live).parquet(
+            f"{self._live}/batch={ids[0]}"
+        ).drop("batch").limit(0)
+
+    # ----- writes ---------------------------------------------------------
+
+    def append(self, df: DataFrame, batch_id: int | None = None) -> int:
+        """Land ``df`` as one live batch (blind INSERT — the
+        high-throughput ingest path; replace-or-insert goes through
+        :meth:`upsert`) and reconcile the live skipping manifests to
+        the new listing, O(batch). Pass ``batch_id`` (≥ 1) to pin the
+        batch number — a replayed pipeline period then REWRITES its
+        own batch idempotently instead of double-appending."""
+        if batch_id is not None and batch_id < 1:
+            raise ValueError(
+                f"Table.append: batch_id must be >= 1, got {batch_id} "
+                "(watermarks start at 0 — a batch 0 would be born "
+                "invisible)"
+            )
+        spark = self.spark
+        fsutil.mkdirs(spark, self._live)
+        v = self._pointer()
+        live_wm = self._watermarks(v)[0] if v is not None else 0
+        n = batch_id if batch_id is not None else _claim_batch(
+            spark, self._live, floor=live_wm
+        )
+        df.write.mode("overwrite").parquet(f"{self._live}/batch={n}")
+        spark.catalog.refreshByPath(self._live)
+        if self.zone_cols:
+            if fsutil.exists(spark, f"{self._zones}/_SUCCESS"):
+                prev = spark.read.parquet(self._zones)
+            else:
+                prev = build_zone_manifest(
+                    spark.read.parquet(f"{self._live}/batch={n}"),
+                    self.zone_cols,
+                ).limit(0)
+            mf = update_zone_manifest(
+                spark, self._live, prev, self.zone_cols
+            ).localCheckpoint()
+            mf.coalesce(1).write.mode("overwrite").parquet(self._zones)
+            spark.catalog.refreshByPath(self._zones)
+        if self.bloom_cols:
+            if fsutil.exists(spark, f"{self._bloom}/_SUCCESS"):
+                bprev = spark.read.parquet(self._bloom)
+            else:
+                bprev = build_bloom_manifest(
+                    spark.read.parquet(f"{self._live}/batch={n}"),
+                    self.bloom_cols,
+                ).limit(0)
+            bmf = update_bloom_manifest(
+                spark, self._live, bprev, self.bloom_cols
+            ).localCheckpoint()
+            bmf.coalesce(1).write.mode("overwrite").parquet(self._bloom)
+            spark.catalog.refreshByPath(self._bloom)
+        return n
+
+    def upsert(self, df: DataFrame, batch_id: int | None = None) -> int:
+        """Replace-or-insert by key: lands one op-tagged change batch
+        (O(batch) — nothing data-sized is read or rewritten). ``df``
+        must carry the full table schema; one row per key per batch
+        (enforced by ``apply_changes``)."""
+        cols = self._any_schema().columns
+        ch = df.select(*cols).withColumn("op", F.lit("upsert"))
+        return self._apply(ch, batch_id)
+
+    def delete(self, keys, batch_id: int | None = None) -> int:
+        """DELETE by key: one op-tagged change batch of delete rows
+        (non-key columns NULL) — merge-on-read, O(batch). ``keys`` is
+        a DataFrame carrying the key column, or a plain list of key
+        values. Funnels through the SAME change log as upserts, so
+        delete→re-upsert interleavings have one total order (no
+        separate tombstone sidecar to race with)."""
+        schema = self._any_schema().schema
+        if not isinstance(keys, DataFrame):
+            key_f = next(f for f in schema if f.name == self.key_col)
+            keys = self.spark.createDataFrame(
+                [(k,) for k in keys],
+                f"{self.key_col} {key_f.dataType.simpleString()}",
+            )
+        proj = [
+            F.col(self.key_col) if f.name == self.key_col
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema
+        ]
+        ch = keys.select(proj).withColumn("op", F.lit("delete"))
+        return self._apply(ch, batch_id)
+
+    def write_changes(
+        self, changes: DataFrame, op_col: str = "op",
+        batch_id: int | None = None,
+    ) -> int:
+        """Land one op-tagged change batch MIXING upserts and deletes
+        (one row per key; delete rows may leave non-key columns NULL)
+        — the CDC-ingest form of :meth:`upsert`/:meth:`delete` for
+        pipelines that already produce op-tagged rows (e.g. a
+        replayed period's combined correction batch, pinned to its
+        period id)."""
+        cols = self._any_schema().columns
+        ch = changes.select(*cols, F.col(op_col).alias("op"))
+        return self._apply(ch, batch_id)
+
+    def _apply(self, ch, batch_id: int | None) -> int:
+        """Land one change batch; auto-allocation floors at the
+        pointed version's changes watermark so a batch claimed after
+        a vacuum can never be reborn under it (invisible)."""
+        if batch_id is None:
+            v = self._pointer()
+            ch_wm = self._watermarks(v)[1] if v is not None else 0
+            fsutil.mkdirs(self.spark, self._changes)
+            batch_id = _claim_batch(self.spark, self._changes, floor=ch_wm)
+        return apply_changes(
+            ch, self._changes, self.key_col, batch_id=batch_id
+        )
+
+    # ----- reads ----------------------------------------------------------
+
+    def read(
+        self,
+        range_predicates: list[Predicate] | None = None,
+        in_predicates: list[tuple[str, list]] | None = None,
+        stats: dict | None = None,
+    ) -> DataFrame:
+        """THE read: pointer → pruned bulk ∪ pruned live tail →
+        un-materialized change fold → re-applied predicates.
+        Semantically ``read(preds) ≡ read().filter(preds)`` — the
+        predicates additionally drive zone/bloom file skipping
+        wherever the table's indexes cover them (uncovered predicates
+        are applied as residual filters only). ``stats={}`` records
+        the bulk and tail ``files_total`` / ``files_read``."""
+        rp = list(range_predicates or [])
+        ip = list(in_predicates or [])
+        spark = self.spark
+        v = self._pointer()
+        live_wm, ch_wm = self._watermarks(v) if v is not None else (0, 0)
+
+        # bulk: the pointed version, pruned through ITS manifests
+        idx_rp = [p for p in rp if p[0] in self.zone_cols]
+        idx_ip = [p for p in ip if p[0] in self.bloom_cols]
+        bulk = None
+        if v is not None:
+            from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.optimize import (
+                read_optimized,
+                read_optimized_data,
+            )
+
+            if idx_rp or idx_ip:
+                bstats: dict | None = {} if stats is not None else None
+                bulk = read_optimized(
+                    spark, self.root,
+                    range_predicates=idx_rp or None,
+                    in_predicates=idx_ip or None,
+                    version=v, stats=bstats,
+                )
+                if stats is not None:
+                    stats["bulk"] = bstats
+            else:
+                bulk = read_optimized_data(spark, self.root, version=v)
+
+        # live tail: batches above the watermark, pruned through the
+        # live manifests (restricted to exactly the tail's files)
+        tail_ids = self._tail_ids(live_wm)
+        tail = self._read_tail(tail_ids, idx_rp, idx_ip, stats)
+
+        if bulk is None and tail is None:
+            base = self._any_schema()  # raises on a truly empty table
+        elif bulk is None:
+            base = tail
+        elif tail is None:
+            base = bulk
+        else:
+            base = bulk.unionByName(tail)
+
+        folded = read_with_changes(
+            base, self._changes, self.key_col, from_batch=ch_wm
+        )
+        # the filter-under-CDC law: upserts re-entered unfiltered, so
+        # every predicate re-applies after the fold (and uncovered
+        # predicates apply here for the first time)
+        for c, lo, hi in rp:
+            if lo is not None:
+                folded = folded.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                folded = folded.filter(F.col(c) <= F.lit(hi))
+            if lo is None and hi is None:
+                folded = folded.filter(F.col(c).isNotNull())
+        for c, values in ip:
+            folded = folded.filter(F.col(c).isin(*values))
+        return folded
+
+    def _read_tail(
+        self,
+        tail_ids: list[int],
+        idx_rp: list[Predicate],
+        idx_ip: list[tuple[str, list]],
+        stats: dict | None,
+    ) -> DataFrame | None:
+        """The live batches above the watermark — manifest-pruned when
+        an index covers a predicate, with a fail-closed coverage check
+        scoped to exactly the tail's listing (the live manifests may
+        lawfully still carry rows for vacuumed files, and reconcile on
+        the next append)."""
+        spark = self.spark
+        if not tail_ids:
+            return None
+        dirs = [f"{self._live}/batch={b}" for b in tail_ids]
+        use_zones = bool(idx_rp) and fsutil.exists(
+            spark, f"{self._zones}/_SUCCESS"
+        )
+        use_bloom = bool(idx_ip) and fsutil.exists(
+            spark, f"{self._bloom}/_SUCCESS"
+        )
+        if not use_zones and not use_bloom:
+            df = spark.read.option("basePath", self._live).parquet(*dirs)
+            return df.drop("batch")
+        actual: set[str] = set()
+        for d in dirs:
+            actual.update(list_data_files(spark, d))
+        flist = sorted(actual)
+        zmf = bmf = None
+        if use_zones:
+            zmf = spark.read.parquet(self._zones).filter(
+                F.col("file").isin(flist)
+            )
+            self._check_tail_coverage(zmf, actual, "zone")
+        if use_bloom:
+            bmf = spark.read.parquet(self._bloom).filter(
+                F.col("file").isin(flist)
+            )
+            self._check_tail_coverage(
+                bmf.select("file").distinct(), actual, "bloom"
+            )
+        tstats: dict | None = {} if stats is not None else None
+        df = combined_pruned_read(
+            spark, self._live,
+            zone_manifest=zmf, bloom_manifest=bmf,
+            range_predicates=idx_rp if use_zones else None,
+            in_predicates=idx_ip if use_bloom else None,
+            verify=False,  # coverage verified above, tail-scoped
+            stats=tstats, _what="Table.read",
+        )
+        if stats is not None:
+            stats["tail"] = tstats
+        return df.drop("batch")
+
+    def _check_tail_coverage(
+        self, mf: DataFrame, actual: set[str], what: str
+    ) -> None:
+        known = {r["file"] for r in mf.select("file").distinct().collect()}
+        missing = actual - known
+        if missing:
+            raise ValueError(
+                f"Table.read: {what} manifest is missing "
+                f"{len(missing)} live tail file(s) (e.g. "
+                f"{sorted(missing)[:3]}) — the manifest is stale; "
+                "append through Table.append (which reconciles it) or "
+                "rebuild it before pruned reads."
+            )
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        """Time travel: the table EXACTLY AS OF a committed version's
+        pointer flip (its watermarks folded everything it saw, and
+        nothing after) — a plain scan of that version's immutable
+        data files, stable until the version is pruned. Default: the
+        pointed-at version."""
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.optimize import (
+            read_optimized_data,
+        )
+
+        return read_optimized_data(self.spark, self.root, version=version)
+
+    def changes(
+        self, from_batch: int | None = None, to_batch: int | None = None
+    ) -> DataFrame:
+        """The change-data-feed read (:func:`sources.deletes
+        .table_changes`): the op-tagged NET effect per key of the
+        change batches in ``(from_batch, to_batch]`` — the incremental
+        feed derived artifacts consume instead of diffing
+        snapshots."""
+        return table_changes(
+            self.spark, self._changes, self.key_col,
+            from_batch=from_batch, to_batch=to_batch,
+        )
+
+    # ----- maintenance -----------------------------------------------------
+
+    def optimize(
+        self,
+        target_rows_per_file: int = 1_000_000,
+        keep: int = 3,
+        vacuum: bool = True,
+    ) -> int:
+        """Periodic merge-on-write: fold the current live tail and
+        un-materialized changes into a fresh committed version
+        (Z-order on the zone columns, bloom over the bloom columns,
+        manifests rebuilt from the exact files written), record the
+        fold watermarks, flip the pointer, then vacuum the folded live
+        batches (data-sized; folded CHANGE batches stay by default —
+        they are tiny and downstream ``changes()`` consumers may not
+        have caught up; retire them with :meth:`vacuum_changes`).
+        Batches landing DURING the fold stay above the watermarks and
+        remain served. Crash-safe at every step: the watermark file
+        commits with the version, so an un-vacuumed folded batch is
+        invisible, never double-counted."""
+        spark = self.spark
+        v = self._pointer()
+        live_wm, ch_wm = self._watermarks(v) if v is not None else (0, 0)
+        tail_ids = self._tail_ids(live_wm)
+        ch_ids = [
+            b for b in _batches(spark, self._changes) if b > ch_wm
+        ]
+        live_wm_new = max(tail_ids, default=live_wm)
+        ch_wm_new = max(ch_ids, default=ch_wm)
+
+        if v is None and not tail_ids:
+            raise ValueError(
+                f"Table.optimize: {self.root} holds no data yet"
+            )
+        base = None
+        if v is not None:
+            base = self.snapshot(v)
+        if tail_ids:
+            t = spark.read.option("basePath", self._live).parquet(
+                *[f"{self._live}/batch={b}" for b in tail_ids]
+            ).drop("batch")
+            base = t if base is None else base.unionByName(t)
+        merged = read_with_changes(
+            base, self._changes, self.key_col,
+            from_batch=ch_wm, as_of_batch=ch_wm_new if ch_ids else ch_wm,
+        )
+
+        dims = self._zorder_dims(merged)
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.optimize import (
+            optimize_table,
+        )
+
+        n = optimize_table(
+            merged, self.root, dims,
+            bloom_cols=self.bloom_cols or None,
+            target_rows_per_file=target_rows_per_file,
+            keep=keep,
+            extra_metadata={
+                _FOLDED: f"live={live_wm_new}\nchanges={ch_wm_new}\n"
+            },
+        )
+        if vacuum:
+            self.vacuum_live()
+        return n
+
+    def _zorder_dims(self, df: DataFrame) -> list[tuple[str, float, float]]:
+        """(col, lo, hi) Z-order dims for the configured zone columns
+        — bounds from one agg pass over the frame being optimized (the
+        periodic rewrite can afford it). Falls back to the key column
+        when no zone columns are configured (optimize still clusters
+        and zone-indexes SOMETHING so point reads prune)."""
+        cols = self.zone_cols or [self.key_col]
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+        row = df.agg(*aggs).head()
+        dims = []
+        for c in cols:
+            lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+            if lo is None:  # all-NULL column: degenerate box
+                lo = hi = 0.0
+            if isinstance(lo, str):
+                raise TypeError(
+                    f"Table.optimize: zone column {c!r} is a string — "
+                    "Z-order interleaving needs numeric dims; index "
+                    "string columns via bloom_cols (equality) or sort "
+                    "the layout externally"
+                )
+            dims.append((c, float(lo), float(hi) + 1.0))
+        return dims
+
+    def vacuum_live(self) -> int:
+        """Physically remove live batches at-or-below the pointed
+        version's live watermark (their rows are materialized in the
+        version). Returns the number of batches removed. Safe at any
+        time: the watermark already made them invisible to reads."""
+        v = self._pointer()
+        if v is None:
+            return 0
+        live_wm, _ = self._watermarks(v)
+        removed = 0
+        for b in _batches(self.spark, self._live):
+            if b <= live_wm:
+                fsutil.delete(self.spark, f"{self._live}/batch={b}")
+                fsutil.delete(self.spark, f"{self._live}/__claim_batch={b}")
+                removed += 1
+        if removed:
+            self.spark.catalog.refreshByPath(self._live)
+        return removed
+
+    def vacuum_changes(self, up_to_batch: int) -> int:
+        """Retire change batches ≤ ``up_to_batch`` — call once every
+        downstream ``changes()`` consumer's cursor has passed it AND
+        it is at-or-below the pointed version's changes watermark
+        (enforced: serving reads still need everything above)."""
+        v = self._pointer()
+        _, ch_wm = self._watermarks(v) if v is not None else (0, 0)
+        if up_to_batch > ch_wm:
+            raise ValueError(
+                f"Table.vacuum_changes: up_to_batch={up_to_batch} is "
+                f"above the pointed version's changes watermark "
+                f"{ch_wm} — those batches are NOT materialized yet; "
+                "optimize first"
+            )
+        removed = 0
+        for b in _batches(self.spark, self._changes):
+            if b <= up_to_batch:
+                fsutil.delete(self.spark, f"{self._changes}/batch={b}")
+                fsutil.delete(
+                    self.spark, f"{self._changes}/__claim_batch={b}"
+                )
+                removed += 1
+        return removed
+
+    def describe(self) -> dict:
+        """Operational summary: config, pointer, per-version stats
+        (via :func:`sources.optimize.describe_table`), live tail and
+        change-log batch ids, current watermarks."""
+        v = self._pointer()
+        out = {
+            "root": self.root,
+            "key_col": self.key_col,
+            "zone_cols": self.zone_cols,
+            "bloom_cols": self.bloom_cols,
+            "latest": v,
+            "live_batches": _batches(self.spark, self._live),
+            "change_batches": _batches(self.spark, self._changes),
+        }
+        if v is not None:
+            from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.optimize import (
+                describe_table,
+            )
+
+            live_wm, ch_wm = self._watermarks(v)
+            out["watermarks"] = {"live": live_wm, "changes": ch_wm}
+            out["versions"] = describe_table(self.spark, self.root)[
+                "versions"
+            ]
+        return out
+
+
+def read_table(
+    spark: SparkSession,
+    root: str,
+    range_predicates: list[Predicate] | None = None,
+    in_predicates: list[tuple[str, list]] | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """One-call read of a facade-managed table: resolve the pointer,
+    stack zone ∧ bloom pruning over bulk and tail, fold the
+    un-materialized changes, re-apply the predicates (the
+    filter-under-CDC law). Equivalent to
+    ``Table(spark, root).read(...)``."""
+    return Table(spark, root).read(
+        range_predicates=range_predicates,
+        in_predicates=in_predicates,
+        stats=stats,
+    )

@@ -17,9 +17,9 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog impor
 from tests.conftest import SF_DIR
 
 
-def _expected_serve(spark, lo_hi_list):
+def _expected_table(spark, lo_hi_list):
     """Ground truth: ingest slices, replay CDC sequentially in plain
-    python semantics, then apply the serve filters."""
+    python semantics — the full merged table."""
     (ev,) = load(spark, SF_DIR, "events")
     rows = {}
     for lo, hi in lo_hi_list:
@@ -40,6 +40,12 @@ def _expected_serve(spark, lo_hi_list):
                 rows[eid] = (
                     eid, r["user_id"], r["event_type"], r["value"] * 2
                 )
+    return rows
+
+
+def _expected_serve(spark, lo_hi_list):
+    """The full merged table with the serve filters applied."""
+    rows = _expected_table(spark, lo_hi_list)
     ids = set(range(0, 4000, 103))
     return sorted(
         t for t in rows.values()
@@ -60,18 +66,19 @@ def test_lakehouse_serve_and_snapshot_and_replay(spark, tmp_dir):
     got1 = sorted(map(tuple, run1.results["serve"].collect()))
     assert got1 == _expected_serve(spark, [(0, 1500), (1500, 3000)])
 
-    # the optimized snapshot equals the fully merged live table
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.deletes import (
-        read_with_changes,
+    # the optimized snapshot equals the fully merged table — both the
+    # facade's own full read and the python sequential-MERGE replay
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.table import (
+        read_table,
     )
 
     snap = sorted(map(tuple, run1.results["optimize"].collect()))
-    merged = read_with_changes(
-        spark.read.parquet(f"{wd}/data").drop("batch_id"),
-        f"{wd}/changes",
-        "event_id",
+    assert snap == sorted(
+        map(tuple, read_table(spark, f"{wd}/table").collect())
     )
-    assert snap == sorted(map(tuple, merged.collect()))
+    assert snap == sorted(
+        _expected_table(spark, [(0, 1500), (1500, 3000)]).values()
+    )
     # deletes are physically absent from the snapshot
     assert (
         run1.results["optimize"].filter("event_id % 101 = 0").count() == 0

@@ -1,0 +1,297 @@
+"""Tests: the unified Table facade (sources.table) — one handle over
+versioned snapshots + zone/bloom pruning + the op-tagged change log,
+with the watermark contract (folded batches invisible through the new
+version, crash-safe without vacuum) and the filter-under-CDC law
+applied internally (read(preds) ≡ read().filter(preds))."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.table import (
+    Table,
+    read_table,
+)
+
+
+def _mk(spark, root, n=400, zone=True, bloom=True):
+    t = Table.create(
+        spark, root, "k",
+        zone_cols=["v"] if zone else None,
+        bloom_cols=["k"] if bloom else None,
+    )
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 100).cast("double").alias("v"),
+        F.concat(F.lit("s"), (F.col("id") % 7).cast("string")).alias("tag"),
+    )
+    t.append(df.filter("k < 200").repartition(4))
+    t.append(df.filter("k >= 200").repartition(4))
+    return t, df
+
+
+def _rows(df):
+    return sorted(map(tuple, df.select("k", "v", "tag").collect()))
+
+
+def test_append_read_roundtrip_and_config(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t, df = _mk(spark, root)
+    assert _rows(t.read()) == _rows(df)
+    # reconnect by root alone — config round-trips
+    t2 = Table(spark, root)
+    assert t2.key_col == "k" and t2.zone_cols == ["v"]
+    assert _rows(read_table(spark, root)) == _rows(df)
+    # conflicting re-create refuses
+    with pytest.raises(ValueError, match="different config"):
+        Table.create(spark, root, "other_key")
+
+
+def test_upsert_delete_fold_and_filter_law(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t, df = _mk(spark, root)
+    # delete every k % 11, upsert k % 13 with v pushed OUT of [0, 50]
+    t.delete([int(k) for k in range(0, 400, 11)])
+    ups = df.filter("k % 13 = 0 AND k % 11 <> 0").select(
+        "k", (F.col("v") + 1000.0).alias("v"), "tag"
+    )
+    t.upsert(ups)
+
+    expect = {}
+    for r in df.collect():
+        expect[r["k"]] = (r["k"], r["v"], r["tag"])
+    for k in range(0, 400, 11):
+        expect.pop(k, None)
+    for r in ups.collect():
+        expect[r["k"]] = (r["k"], r["v"], r["tag"])
+    assert _rows(t.read()) == sorted(expect.values())
+
+    # the law: read(preds) == read().filter(preds), including upserted
+    # rows whose new v crossed the range bound (they must NOT leak in)
+    preds = dict(range_predicates=[("v", 0.0, 50.0)],
+                 in_predicates=[("k", [3, 13, 22, 26, 399, 999])])
+    got = _rows(t.read(**preds))
+    want = _rows(
+        t.read().filter("v >= 0 AND v <= 50").filter(
+            F.col("k").isin(3, 13, 22, 26, 399, 999)
+        )
+    )
+    assert got == want
+    # 13 and 26 were upserted out of range; 22 deleted (11*2)
+    ks = [r[0] for r in got]
+    assert 3 in ks and 13 not in ks and 22 not in ks and 26 not in ks
+
+
+def test_uncovered_predicates_are_residual_only(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t, df = _mk(spark, root)
+    # tag is not zone- or bloom-indexed: still filters correctly
+    got = _rows(t.read(range_predicates=[("v", 10.0, 20.0)],
+                       in_predicates=[("tag", ["s1"])]))
+    want = _rows(df.filter("v >= 10 AND v <= 20 AND tag = 's1'"))
+    assert got == want
+
+
+def test_optimize_watermarks_vacuum_and_time_travel(
+    spark, tmp_path_factory
+):
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t, df = _mk(spark, root)
+    t.delete(list(range(0, 400, 7)))
+    before = _rows(t.read())
+
+    v1 = t.optimize(target_rows_per_file=200)
+    assert v1 == 1
+    # identical content through the materialized version
+    assert _rows(t.read()) == before
+    assert _rows(t.snapshot()) == before
+    # folded live batches physically gone, change batches retained
+    d = t.describe()
+    assert d["live_batches"] == []
+    assert d["change_batches"] == [1]
+    assert d["watermarks"] == {"live": 2, "changes": 1}
+
+    # new activity on top of the version
+    extra = spark.createDataFrame(
+        [(1000, 5.0, "s0"), (1001, 999.0, "s1")], "k bigint, v double, tag string"
+    )
+    t.append(extra)
+    t.delete([1, 2])
+    now = dict((k, (k, v, g)) for k, v, g in before)
+    now[1000] = (1000, 5.0, "s0")
+    now[1001] = (1001, 999.0, "s1")
+    now.pop(1, None)
+    now.pop(2, None)
+    assert _rows(t.read()) == sorted(now.values())
+
+    # time travel: v1 still serves the pre-append state
+    assert _rows(t.snapshot(version=v1)) == before
+
+    v2 = t.optimize(target_rows_per_file=200)
+    assert v2 > v1
+    assert _rows(t.read()) == sorted(now.values())
+    assert _rows(t.snapshot(version=v1)) == before  # keep=3 retains it
+
+
+def test_crash_between_commit_and_vacuum_never_double_counts(
+    spark, tmp_path_factory
+):
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t, df = _mk(spark, root)
+    before = _rows(t.read())
+    t.optimize(vacuum=False)  # crash before vacuum: batches linger
+    assert Table(spark, root).describe()["live_batches"] == [1, 2]
+    # watermark makes them invisible — no double counting
+    assert _rows(t.read()) == before
+    # delayed vacuum is a pure GC
+    assert t.vacuum_live() == 2
+    assert _rows(t.read()) == before
+
+
+def test_pinned_replay_below_watermark_is_invisible(
+    spark, tmp_path_factory
+):
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t = Table.create(spark, root, "k", zone_cols=["v"])
+    df = spark.range(50).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    t.append(df, batch_id=1)
+    t.optimize()
+    n_before = t.read().count()
+    # a replayed period rewrites its pinned batch — already
+    # materialized in v=1, so the rewrite must not double rows
+    t.append(df, batch_id=1)
+    assert t.read().count() == n_before
+    with pytest.raises(ValueError, match="batch_id must be >= 1"):
+        t.append(df, batch_id=0)
+
+
+def test_changes_feed_nets_interleavings(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t, df = _mk(spark, root, n=40)
+    t.delete([5, 6])                      # batch 1
+    t.upsert(df.filter("k = 5").select(   # batch 2: delete -> re-upsert
+        "k", F.lit(77.0).alias("v"), "tag"
+    ))
+    t.delete([7])                         # batch 3
+    t.upsert(df.filter("k = 8").select(   # batch 4
+        "k", F.lit(88.0).alias("v"), "tag"
+    ))
+    t.delete([8])                         # batch 5: upsert -> delete
+
+    feed = {r["k"]: r for r in t.changes().collect()}
+    assert feed[5]["op"] == "upsert" and feed[5]["v"] == 77.0
+    assert feed[5]["batch"] == 2
+    assert feed[6]["op"] == "delete"
+    assert feed[7]["op"] == "delete"
+    assert feed[8]["op"] == "delete" and feed[8]["batch"] == 5
+
+    # cursor semantics: (from, to] — consuming after batch 2 sees only
+    # the later ops
+    feed2 = {r["k"]: r for r in t.changes(from_batch=2).collect()}
+    assert set(feed2) == {7, 8}
+    # pinned upper cursor
+    feed3 = {r["k"]: r for r in t.changes(to_batch=2).collect()}
+    assert feed3[5]["op"] == "upsert" and feed3[6]["op"] == "delete"
+    assert 7 not in feed3
+    # empty range over a real sidecar: empty frame, right schema
+    empty = t.changes(from_batch=5)
+    assert empty.count() == 0 and "op" in empty.columns
+
+
+def test_read_as_of_batch_pin(spark, tmp_path_factory):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.deletes import (
+        read_with_changes,
+    )
+
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t, df = _mk(spark, root, n=30)
+    t.delete([3])          # batch 1
+    t.delete([4])          # batch 2
+    t.upsert(df.filter("k = 3").select(
+        "k", F.lit(33.0).alias("v"), "tag"
+    ))                     # batch 3: 3 restored
+    base = df
+    asof1 = read_with_changes(
+        base, f"{root}/changes", "k", as_of_batch=1
+    )
+    asof2 = read_with_changes(
+        base, f"{root}/changes", "k", as_of_batch=2
+    )
+    full = read_with_changes(base, f"{root}/changes", "k")
+    assert asof1.count() == 29 and asof1.filter("k = 4").count() == 1
+    assert asof2.count() == 28
+    assert full.count() == 29
+    assert full.filter("k = 3").head()["v"] == 33.0
+    # pinned reads are stable across later changes
+    t.delete([9])
+    assert asof2.count() == 28  # lazily re-planned: still batches <= 2
+
+
+def test_pruning_actually_skips_files(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t = Table.create(spark, root, "k", zone_cols=["v"], bloom_cols=["k"])
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    # cluster by v so zone boxes are tight, several files
+    t.append(df.orderBy("v").coalesce(1), batch_id=1)
+    t.append(
+        df.select(F.col("k") + 2000, (F.col("v") + 2000.0).alias("v"))
+        .withColumnRenamed("(k + 2000)", "k")
+        .orderBy("v").coalesce(1),
+        batch_id=2,
+    )
+    stats: dict = {}
+    got = t.read(
+        range_predicates=[("v", 0.0, 100.0)],
+        in_predicates=[("k", [5])],
+        stats=stats,
+    )
+    assert [r["k"] for r in got.collect()] == [5]
+    ts = stats["tail"]
+    assert ts["files_read"] < ts["files_total"]
+
+    # after optimize, the bulk prunes through the version manifests
+    t.optimize(target_rows_per_file=500)
+    stats2: dict = {}
+    got2 = t.read(
+        range_predicates=[("v", 0.0, 100.0)],
+        in_predicates=[("k", [5])],
+        stats=stats2,
+    )
+    assert [r["k"] for r in got2.collect()] == [5]
+    bs = stats2["bulk"]
+    assert bs["files_read"] < bs["files_total"]
+
+
+def test_stale_live_manifest_fails_closed(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t, df = _mk(spark, root)
+    # a writer lands a batch BEHIND the manifest's back
+    df.limit(5).write.mode("overwrite").parquet(f"{root}/live/batch=9")
+    with pytest.raises(ValueError, match="manifest is missing"):
+        t.read(range_predicates=[("v", 0.0, 10.0)]).count()
+
+
+def test_empty_table_raises(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t = Table.create(spark, root, "k")
+    with pytest.raises(ValueError, match="no data yet"):
+        t.read().count()
+    with pytest.raises(ValueError, match="no data yet"):
+        t.optimize()
+
+
+def test_vacuum_changes_guard(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t, df = _mk(spark, root, n=40)
+    t.delete([1])
+    with pytest.raises(ValueError, match="NOT materialized"):
+        t.vacuum_changes(1)
+    t.optimize()
+    assert t.vacuum_changes(1) == 1
+    # read unaffected (batch 1 was folded into the version)
+    assert t.read().filter("k = 1").count() == 0
