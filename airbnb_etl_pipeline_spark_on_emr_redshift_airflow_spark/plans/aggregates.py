@@ -130,36 +130,7 @@ def a_collect_set_join(spark, sf_dir):
 
 
 @register(
-    "a_rollup_cube",
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus,
-           CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-           count(*) AS n,
-           {dec_sum_sql("l_quantity", "sum_qty")},
-           {dec_sum_sql("l_extendedprice", "sum_price")}
-    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def a_rollup_cube(spark, sf_dir):
-    """Grouping-sets surface extension (SURVEY.md §2.4 note: free via
-    ``df.rollup`` / ``df.cube``): the full CUBE lattice over the Q1
-    keys — a strict superset of ROLLUP's subtotal sets, so one query
-    covers both shapes, tagged with ``grouping_id()`` so subtotal rows
-    are distinguishable from genuine-NULL key rows (same bit order as
-    DuckDB's GROUPING_ID: leftmost key = MSB). Catalyst plans both as
-    a single Expand + hash aggregate (one shuffle regardless of set
-    count)."""
-    (li,) = load(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.grouping_id().cast("bigint").alias("gid"),
-        F.count("*").alias("n"),
-        dec_sum("l_quantity", "sum_qty"),
-        dec_sum("l_extendedprice", "sum_price"),
-    )
-
-
-@register(
-    "a_pivot_unpivot",
+    "a_cube_pivot",
     oracle=f"""
     WITH pivoted AS (
       SELECT l_returnflag,
@@ -167,28 +138,73 @@ def a_rollup_cube(spark, sf_dir):
              {dec_sum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END", "qty_filled")}
       FROM lineitem GROUP BY l_returnflag
     )
-    SELECT l_returnflag, 'qty_open' AS measure, qty_open AS qty FROM pivoted
+    SELECT 'cube' AS slice, l_returnflag, l_linestatus,
+           CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n,
+           {dec_sum_sql("l_quantity", "sum_qty")},
+           {dec_sum_sql("l_extendedprice", "sum_price")},
+           CAST(NULL AS VARCHAR) AS measure,
+           CAST(NULL AS DOUBLE) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     UNION ALL
-    SELECT l_returnflag, 'qty_filled' AS measure, qty_filled AS qty FROM pivoted
+    SELECT 'pivot', l_returnflag, CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           'qty_open', qty_open
+    FROM pivoted
+    UNION ALL
+    SELECT 'pivot', l_returnflag, CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           'qty_filled', qty_filled
+    FROM pivoted
     """,
 )
-def a_pivot_unpivot(spark, sf_dir):
-    """Pivot + unpivot surface extensions round-tripped in one query:
-    linestatus pivots to measure columns via conditional aggregation
-    (identical plan to ``.pivot()`` with explicit values, and
-    oracle-portable), then ``stack`` melts the measures back to
-    (measure, qty) rows — the unpivot runs driver-free in the same
-    stage as the aggregate output (no extra shuffle)."""
+def a_cube_pivot(spark, sf_dir):
+    """Round-10 slice-merge of ``a_rollup_cube`` + ``a_pivot_unpivot``
+    (both re-registered verbatim past the window in ``plans.probes``),
+    freeing a first-50 slot for the lakehouse-facade query per the
+    established rotation discipline.
+
+    'cube' slice — the full CUBE lattice over the Q1 keys (a strict
+    superset of ROLLUP's subtotal sets), ``grouping_id()``-tagged so
+    subtotal rows are distinguishable from genuine-NULL key rows;
+    Catalyst plans it as one Expand + hash aggregate (one shuffle
+    regardless of set count). 'pivot' slice — pivot via conditional
+    aggregation then ``stack`` melted back to (measure, qty) rows in
+    the same stage (no extra shuffle). Disjoint single-exchange legs
+    null-padded to a common schema."""
     (li,) = load(spark, sf_dir, "lineitem")
+    cube = li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("*").alias("n"),
+        dec_sum("l_quantity", "sum_qty"),
+        dec_sum("l_extendedprice", "sum_price"),
+    ).select(
+        F.lit("cube").alias("slice"),
+        "l_returnflag", "l_linestatus", "gid", "n", "sum_qty", "sum_price",
+        F.lit(None).cast("string").alias("measure"),
+        F.lit(None).cast("double").alias("qty"),
+    )
     pivoted = li.groupBy("l_returnflag").agg(
         dec_sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")), "qty_open"),
         dec_sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")), "qty_filled"),
     )
-    return pivoted.selectExpr(
+    melt = pivoted.selectExpr(
         "l_returnflag",
         "stack(2, 'qty_open', qty_open, 'qty_filled', qty_filled)"
         " AS (measure, qty)",
+    ).select(
+        F.lit("pivot").alias("slice"),
+        "l_returnflag",
+        F.lit(None).cast("string").alias("l_linestatus"),
+        F.lit(None).cast("bigint").alias("gid"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.lit(None).cast("double").alias("sum_price"),
+        "measure", "qty",
     )
+    return cube.unionByName(melt)
 
 
 @register(

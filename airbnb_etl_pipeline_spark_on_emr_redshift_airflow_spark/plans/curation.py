@@ -842,3 +842,151 @@ def g_personalized_pagerank(spark, sf_dir):
     )
     seeds = base.filter("p % 200 = 0").select(F.col("p").alias("node"))
     return pagerank_fixed_point(edges, iterations=2, teleport=seeds)
+
+
+# ----- round-10 window rotation ------------------------------------------
+#
+# u_delete_vectors rotates INTO the driver's 50-row window (moved here
+# verbatim from plans.probes — round 9's deletion-vector flagship sat
+# at catalog position 140 where the driver's hard signal never saw
+# it), and l_table_facade_read is the round-10 flagship: the unified
+# Table facade exercising version pointer + zone-and-bloom pruning +
+# live tail + CDC fold + the filter-under-CDC law in ONE read. The
+# freed slots come from the a_cube_pivot and s_knn_near_dup slice
+# merges (originals re-registered verbatim in plans.probes).
+
+# ----- key-based deletion vectors (round 9) -----------------------------
+
+ORACLE_DELETE_VECTORS = """
+SELECT doc_id, source
+FROM documents
+WHERE doc_id % 37 <> 0 AND doc_id % 41 <> 0
+"""
+
+
+@register("u_delete_vectors", oracle=ORACLE_DELETE_VECTORS)
+def u_delete_vectors(spark, sf_dir):
+    """Merge-on-read DELETE via keyed tombstones
+    (``sources.deletes``): two delete batches land as tiny sidecar
+    partitions (every doc_id % 37, then every % 41 — overlapping
+    keys exercise the set semantics) and the read serves
+    ``data ⟕̸ tombstones`` — one left-anti join whose build side is
+    delete-sized (AQE broadcasts it; the corpus never re-shuffles).
+    The oracle is the plain NOT-filter: merge-on-read must equal the
+    rewrite it avoids. Sidecar built once per corpus content (the
+    fingerprint-keyed ``.tmp`` cache discipline); compaction,
+    idempotent re-deletes, and the OPTIMIZE merge-on-write
+    materialization are pinned in ``tests/test_deletes.py``. 100 TB
+    shape: DELETE is O(batch) — data files immutable, the sidecar is
+    key-count-sized, and the periodic OPTIMIZE folds it away."""
+    import os as _os
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.deletes import (
+        delete_keys,
+        read_with_deletes,
+    )
+
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    src = _os.path.join(sf_dir, "documents.parquet")
+    fp = cache_fingerprint(src)
+    sidecar = _os.path.join(repo, ".tmp", "catalog_deletes", fp)
+    (docs,) = load(spark, sf_dir, "documents")
+    # cache-complete = the FINAL batch committed (a crash between the
+    # two batch writes must rebuild, not serve the half-built sidecar)
+    if not _os.path.exists(_os.path.join(sidecar, "batch=2", "_SUCCESS")):
+        import shutil as _shutil
+        _shutil.rmtree(sidecar, ignore_errors=True)
+        delete_keys(
+            docs.filter("doc_id % 37 = 0").select("doc_id"),
+            sidecar, "doc_id",
+        )
+        delete_keys(
+            docs.filter("doc_id % 41 = 0").select("doc_id"),
+            sidecar, "doc_id",
+        )
+    return read_with_deletes(
+        docs.select("doc_id", "source"), sidecar, "doc_id"
+    )
+
+
+# ----- the unified Table facade, end to end (round 10) -------------------
+
+_FACADE_IDS = [7, 16, 59, 61, 118, 122, 123, 295, 610, 911]
+
+ORACLE_TABLE_FACADE = f"""
+SELECT event_id, user_id, event_type, value FROM (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_id % 61 = 0 AND event_id % 59 <> 0
+              THEN value + 1000 ELSE value END AS value
+  FROM events
+  WHERE event_id % 59 <> 0
+) t
+WHERE value >= CAST(0 AS DOUBLE) AND value <= CAST(350 AS DOUBLE)
+  AND event_id IN ({", ".join(str(i) for i in _FACADE_IDS)})
+"""
+
+
+@register("l_table_facade_read", oracle=ORACLE_TABLE_FACADE)
+def l_table_facade_read(spark, sf_dir):
+    """The unified ``sources.table`` facade end to end, in ONE
+    ``read_table`` call: the even-id half of events is appended and
+    OPTIMIZED into a committed version (Z-order on ``value``, zone +
+    bloom manifests, FOLDED watermarks, pointer flip); the odd half
+    then lands as a live tail batch; a delete batch (every event_id
+    % 59) and an upsert batch (every % 61, value pushed +1000 —
+    OUTSIDE the probe range, so the filter-under-CDC law is load-
+    bearing) stay un-materialized in the change log. The read
+    resolves the pointer, prunes the BULK through the version's own
+    manifests and the TAIL through the live manifests (keep-sets
+    intersect; files_read < files_total pinned in
+    ``tests/test_table.py``), folds only the changes above the
+    watermark, and re-applies both predicates. The oracle is the
+    closed-form CASE replay over the raw source — four lakehouse
+    layers must compose invisibly to semantics. 100 TB shape: every
+    mutation was O(batch); the read plans only manifest-surviving
+    files; the fold is change-sized."""
+    import os as _os
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.table import (
+        Table,
+        read_table,
+    )
+
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    src = _os.path.join(sf_dir, "events.parquet")
+    fp = cache_fingerprint(src)
+    root = _os.path.join(repo, ".tmp", "catalog_table", fp)
+    (ev,) = load(spark, sf_dir, "events")
+    base = ev.select("event_id", "user_id", "event_type", "value")
+    # cache-complete = the LAST build step committed (change batch 2);
+    # anything less is a half-built root -> rebuild from scratch
+    if not _os.path.exists(
+        _os.path.join(root, "changes", "batch=2", "_SUCCESS")
+    ):
+        import shutil as _shutil
+        _shutil.rmtree(root, ignore_errors=True)
+        t = Table.create(
+            spark, root, "event_id",
+            zone_cols=["value"], bloom_cols=["event_id"],
+        )
+        t.append(base.filter("event_id % 2 = 0"), batch_id=1)
+        t.optimize(target_rows_per_file=2000)
+        t.append(base.filter("event_id % 2 = 1"), batch_id=2)
+        t.delete(
+            base.filter("event_id % 59 = 0").select("event_id"),
+            batch_id=1,
+        )
+        t.upsert(
+            base.filter("event_id % 61 = 0 AND event_id % 59 <> 0")
+            .withColumn("value", F.col("value") + F.lit(1000.0)),
+            batch_id=2,
+        )
+    return read_table(
+        spark, root,
+        range_predicates=[("value", 0.0, 350.0)],
+        in_predicates=[("event_id", _FACADE_IDS)],
+    )

@@ -35,7 +35,7 @@ def _cos_sql(av: str, bv: str) -> str:
 
 
 @register(
-    "s_knn_bruteforce",
+    "s_knn_near_dup",
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -51,39 +51,53 @@ def _cos_sql(av: str, bv: str) -> str:
                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
       FROM scored
     )
-    SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5
-    """,
-)
-def s_knn_bruteforce(spark, sf_dir):
-    """Exact cosine top-5 neighbors for query vectors (vec_id < 10):
-    broadcast queries × corpus scan, JVM array-fold dot products,
-    per-query top-k window. The correctness baseline for every ANN
-    variant."""
-    (emb,) = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return brute_force_topk(emb, queries, k=5).withColumnRenamed("rank", "rnk")
-
-
-@register(
-    "s_embedding_near_dup",
-    oracle=f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    SELECT 'knn' AS slice, query_id, neighbor_id, rnk,
+           CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+    FROM ranked WHERE rnk <= 5
+    UNION ALL
+    SELECT 'near_dup', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), a.vec_id, b.vec_id
     FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a
     JOIN (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {_cos_sql("a.v", "b.v")} >= 0.35
     """,
 )
-def s_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs, blocked by cluster label
-    — the SMALL-SCALE oracle-checked form (with L coarse labels the
-    in-bucket self-join is O((N/L)²); ``s_near_dup_lsh_blocked`` is
-    the 100 TB path). Threshold 0.35 sits inside the testdata's
-    intra-label cosine distribution (max ≈ 0.475) so the check returns
-    real pairs; value spacing near the cut (~1e-5) dwarfs cross-engine
-    float noise (<1e-14), so membership can't flip."""
+def s_knn_near_dup(spark, sf_dir):
+    """Round-10 slice-merge of ``s_knn_bruteforce`` +
+    ``s_embedding_near_dup`` (both re-registered verbatim past the
+    window in ``plans.probes``), freeing a first-50 slot for the
+    rotated-in ``u_delete_vectors`` per the established discipline.
+
+    'knn' slice — exact cosine top-5 neighbors for query vectors
+    (vec_id < 10): broadcast queries × corpus scan, JVM array-fold
+    dot products, per-query top-k window; the correctness baseline
+    for every ANN variant. 'near_dup' slice — embedding-cosine
+    near-duplicate pairs blocked by cluster label (the small-scale
+    oracle-checked form; ``s_near_dup_lsh_blocked`` is the 100 TB
+    path); threshold 0.35 sits inside the testdata's intra-label
+    cosine distribution with value spacing near the cut (~1e-5)
+    dwarfing cross-engine float noise (<1e-14). Disjoint legs
+    null-padded to a common schema."""
     (emb,) = load(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.35, bucket_col="label")
+    queries = emb.filter(F.col("vec_id") < 10)
+    knn = brute_force_topk(emb, queries, k=5).select(
+        F.lit("knn").alias("slice"),
+        "query_id", "neighbor_id",
+        F.col("rank").cast("bigint").alias("rnk"),
+        F.lit(None).cast("bigint").alias("id_a"),
+        F.lit(None).cast("bigint").alias("id_b"),
+    )
+    nd = embedding_near_dup_pairs(
+        emb, threshold=0.35, bucket_col="label"
+    ).select(
+        F.lit("near_dup").alias("slice"),
+        F.lit(None).cast("bigint").alias("query_id"),
+        F.lit(None).cast("bigint").alias("neighbor_id"),
+        F.lit(None).cast("bigint").alias("rnk"),
+        "id_a", "id_b",
+    )
+    return knn.unionByName(nd)
 
 
 # round-9 rotation: s_near_dup_lsh_blocked moved past the driver window

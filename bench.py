@@ -209,6 +209,16 @@ SIDECAR_ONLY = [
     "u_delete_vectors",
     "u_cdc_table_read",
     "t_lm_subtract",
+    # round-10 rotation merged window slots (the constituent slices
+    # stay headline-timed under the original names re-registered at
+    # the tail; the merged forms time here)
+    "a_cube_pivot",
+    "s_knn_near_dup",
+    # round-10 extensions: the unified Table facade's composed read
+    # (pointer + zone/bloom pruning + CDC fold + filter law) and the
+    # CDC as-of pin + change-data-feed read
+    "l_table_facade_read",
+    "u_cdc_asof_changes",
 ]
 
 

@@ -411,3 +411,70 @@ def test_apply_changes_claims_batch_numbers(spark, tmp_path_factory):
     got = read_with_changes(data, side, "doc_id")
     assert got.count() == 9
     assert got.filter("doc_id = 4").head()["v"] == 9.0
+
+
+def test_table_changes_drives_lm_ledger_maintenance(
+    spark, tmp_path_factory
+):
+    """Round-10: the change-data-feed read wired into a derived
+    artifact's maintenance path end to end — a unigram LM count
+    ledger follows its source table through deletes AND upserts by
+    consuming table_changes() (O(changes): subtract the old versions
+    of touched keys, add the new), landing row-for-row equal to a
+    rebuild from the current table."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        merge_lm_counts,
+        subtract_lm_counts,
+        unigram_lm_counts,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.table import (
+        Table,
+    )
+
+    root = str(tmp_path_factory.mktemp("lmfeed")) + "/t"
+    t = Table.create(spark, root, "doc_id")
+    docs = spark.createDataFrame(
+        [
+            (1, "red fox jumps"),
+            (2, "red dog"),
+            (3, "blue fox"),
+            (4, "green dog runs"),
+            (5, "blue blue sky"),
+        ],
+        "doc_id bigint, text string",
+    )
+    t.append(docs)
+
+    def tok(df):
+        return df.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+
+    snapshot0 = t.read().localCheckpoint()  # the consumer's last input
+    ledger = unigram_lm_counts(tok(snapshot0)).localCheckpoint()
+    cursor = 0
+
+    # source table moves on: a delete, an in-place rewrite, an insert
+    t.delete([2])
+    t.upsert(spark.createDataFrame(
+        [(3, "yellow fox")], "doc_id bigint, text string"
+    ))
+    t.upsert(spark.createDataFrame(
+        [(9, "new red words")], "doc_id bigint, text string"
+    ))
+
+    # incremental maintenance from the feed — never rescans the corpus
+    feed = t.changes(from_batch=cursor).localCheckpoint()
+    touched = feed.select("doc_id")
+    removed = unigram_lm_counts(
+        tok(snapshot0.join(touched, "doc_id", "left_semi"))
+    )
+    added = unigram_lm_counts(
+        tok(feed.filter("op = 'upsert'").select("doc_id", "text"))
+    )
+    ledger = merge_lm_counts(subtract_lm_counts(ledger, removed), added)
+
+    rebuild = unigram_lm_counts(tok(t.read()))
+    assert sorted(map(tuple, ledger.collect())) == sorted(
+        map(tuple, rebuild.collect())
+    )
+    # and the cursor advances to the feed's max batch for next time
+    assert feed.agg(F.max("batch")).head()[0] == 3

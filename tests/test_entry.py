@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 142
+    assert len(names) == 146
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -66,6 +66,16 @@ def test_oracle_keys_subset_of_queries(spark):
         "g_triangle_count", "l_bloom_point_lookup",
         "d_cluster_best_pick", "g_personalized_pagerank",
         "m_binary_frames",
+        # round-10 rotation: a_rollup_cube + a_pivot_unpivot folded
+        # into a_cube_pivot and s_knn_bruteforce + s_embedding_near_dup
+        # into s_knn_near_dup (all four originals re-registered
+        # verbatim at the tail); the freed slots record the round-9
+        # deletion-vector flagship u_delete_vectors (rotated in from
+        # position 140) and the round-10 unified-facade flagship
+        # l_table_facade_read (pointer + zone/bloom pruning + CDC fold
+        # + filter law in one read).
+        "a_cube_pivot", "s_knn_near_dup",
+        "u_delete_vectors", "l_table_facade_read",
     ):
         assert must_have in names[:50]
     # every window entry is oracle-checked (50 green driver rows)
@@ -167,13 +177,21 @@ def test_oracle_keys_subset_of_queries(spark):
         # round-9 extension: the composed zone+bloom metadata-plane
         # read as a catalog query (full-scan-filter oracle)
         "l_combined_pruned_lookup",
-        # round-9 extension: merge-on-read DELETE via keyed tombstones
-        "u_delete_vectors",
         # round-9 extension: table-level merge-on-read CDC (op-tagged
         # change batches, latest-op-per-key fold vs a CASE-replay oracle)
         "u_cdc_table_read",
+        # round-10 extension: CDC as-of-batch time travel + the
+        # change-data-feed read over the same persisted sidecar
+        "u_cdc_asof_changes",
         # round-9 extension: abelian ledger delete (subtract ≡ rebuild)
         "t_lm_subtract",
+        # round-10 merged-away originals (a_cube_pivot / s_knn_near_dup
+        # carry the window slots; u_delete_vectors moved INTO the
+        # window, registered in plans.curation)
+        "a_rollup_cube",
+        "a_pivot_unpivot",
+        "s_knn_bruteforce",
+        "s_embedding_near_dup",
     ]
 
 
