@@ -2167,16 +2167,43 @@ def c_sample_mix(spark, sf_dir):
     return strat.unionByName(mixed)
 
 
-@register("m_feature_extract")
+_FEX_BINS = ",\n       ".join(
+    f"CAST(len(list_filter(range(n), j -> "
+    f"substr(hx, CAST(2*j+1 AS BIGINT), 1) = '{d}')) AS DOUBLE)"
+    f" / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE) AS f{i:02d}"
+    for i, d in enumerate("0123456789ABCDEF")
+)
+
+ORACLE_FEATURE_EXTRACT = f"""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id, n AS n_bytes, lower(substr(hx, 1, 8)) AS magic,
+       n % 640 AS width, n % 480 AS height,
+       {_FEX_BINS}
+FROM h
+"""
+
+
+@register("m_feature_extract", oracle=ORACLE_FEATURE_EXTRACT)
 def m_feature_extract(spark, sf_dir):
     """mapInPandas decode + featurize (deterministic fake codec —
     byte-histogram features; real decoders inject at the
-    ``decode_payload`` seam). Rows-only check; batch/schema semantics
-    unit-tested. The 16-bin feature vector is projected to per-bin
+    ``decode_payload`` seam). FULL VALUE-HASH ORACLE since round 10:
+    the fake codec's features are pure byte arithmetic over the UTF-8
+    payload, so DuckDB replays them from the HEX-STRING view of the
+    same encoding — high nibble of byte j is the hex digit at
+    2·j, so each of the 16 histogram bins is one list_filter count
+    over the digit positions, divided by the byte length exactly as
+    the numpy bincount path divides (same integers, same IEEE
+    division). The 16-bin feature vector is projected to per-bin
     scalar columns here — the driver's canonicalizer can't hash array
-    cells (the array-returning operator itself is unchanged). Merged
-    into ``m_multimodal_pipeline``'s 'features' slice for the driver
-    window; re-registered here unchanged."""
+    cells (the array-returning operator itself is unchanged). Batch /
+    schema semantics of the Arrow path stay unit-tested; merged into
+    ``m_multimodal_pipeline``'s 'features' slice for the driver
+    window; re-registered here with the oracle."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.multimodal import (
         attach_binary_payload,
         extract_features,
@@ -3871,25 +3898,74 @@ def e_windowed_quantiles(spark, sf_dir):
 # ----- k-core extraction (round 8) ------------------------------------
 
 
-@register("g_kcore_extract")
+_KCORE_K = 16
+# bounded unroll depth for the DuckDB recursive peel: the working
+# table re-emits the full survivor set each round, so once the peel
+# reaches its fixpoint every further round reproduces it verbatim and
+# `iter = N` IS the fixpoint whenever N ≥ rounds-to-converge (measured
+# 2 at sf0.001 and 4 at sf0.01 on this near-regular basket graph —
+# 12 is a 3x margin; a too-small N would surface as a parity FAILURE,
+# never a silent wrong-pass, because Spark peels to the true fixpoint)
+_KCORE_N = 12
+
+ORACLE_KCORE = f"""
+WITH RECURSIVE
+  inst AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey
+     AND b.l_linenumber = a.l_linenumber + 1
+    WHERE a.l_partkey <> b.l_partkey),
+  e AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM inst),
+  sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+  core AS (
+    SELECT DISTINCT a AS node, 0 AS iter FROM sym
+    UNION ALL
+    SELECT s.node, c.iter + 1
+    FROM (SELECT iter FROM core ORDER BY iter DESC LIMIT 1) c,
+         (SELECT sym.a AS node
+          FROM sym
+          WHERE sym.a IN (SELECT node FROM core)
+            AND sym.b IN (SELECT node FROM core)
+          GROUP BY sym.a
+          HAVING COUNT(*) >= {_KCORE_K}) s
+    WHERE c.iter < {_KCORE_N}),
+  final AS (SELECT node FROM core WHERE iter = {_KCORE_N})
+SELECT sym.a AS l_partkey,
+       CAST(COUNT(*) AS BIGINT) AS core_degree,
+       TRUE AS ok
+FROM sym
+WHERE sym.a IN (SELECT node FROM final)
+  AND sym.b IN (SELECT node FROM final)
+GROUP BY 1
+"""
+
+
+@register("g_kcore_extract", oracle=ORACLE_KCORE)
 def g_kcore_extract(spark, sf_dir):
     """k-CORE extraction over the bought-together graph
     (``operators.graph.k_core``): iterative peeling to the unique
     maximal subgraph where every part co-occurs with ≥ k=16 other (the synthetic baskets are near-regular, so the peel trims the sparse tail rather than collapsing — cascade behavior is pinned in the unit tests)
     parts — the dense-cluster / always-bought-together seed extractor
     (the same peel powers spam-farm and community-core detection).
-    Rows-only (the peel is an iterative fixpoint — not ANSI-SQL-
-    expressible), but SELF-CERTIFYING: the probe re-derives each
-    surviving node's degree WITHIN the returned core by re-joining
-    the edge set against the core's own node list — an in-query
-    recomputation independent of the peel loop's bookkeeping — and
-    ``ok`` asserts the recount equals the reported ``core_degree``
-    AND clears k (the defining k-core property, checkable from the
-    row data alone). Maximality (no peeled node could rejoin) is
-    pinned against brute force in ``tests/test_graph.py``. 100 TB
-    shape: each peel round costs one degree count + one semi-join
-    over the SURVIVING edges (monotonically shrinking), with
-    per-round localCheckpoint lineage cuts."""
+    FULL VALUE-HASH ORACLE since round 10: the peel unrolls in DuckDB
+    as a bounded WITH RECURSIVE whose working table re-emits the
+    complete survivor set each round (the same trick as the BFS
+    oracle's hop frontier, applied to a shrinking fixpoint) — rounds
+    past convergence reproduce the fixpoint verbatim, so the
+    ``iter = N`` slice IS the core, and the full (node, within-core
+    degree) vector must match Spark's frontier peel term for term.
+    The in-result ``ok`` self-certification (degree recount from the
+    core's own node list, independent of the peel loop's bookkeeping)
+    stays — it guards the ROWS-ONLY fallback path and documents the
+    defining k-core property in the output itself. Maximality (no
+    peeled node could rejoin) is pinned against brute force in
+    ``tests/test_graph.py``. 100 TB shape: each peel round costs one
+    degree count + one semi-join over the SURVIVING edges
+    (monotonically shrinking), with per-round localCheckpoint lineage
+    cuts."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.graph import (
         k_core,
     )
