@@ -589,6 +589,128 @@ def build_pipeline(sf_dir: str, workdir: str) -> Pipeline:
     )
 
 
+def retention_delete(
+    spark: SparkSession,
+    workdir: str,
+    deleted_keys: list[int],
+    periods: list[tuple[int, int]],
+) -> None:
+    """The RETENTION stage (round 10): retire documents end to end
+    across every artifact the pipeline maintains, each by its
+    family's native delete path (the taxonomy
+    ``operators.retention`` documents):
+
+    - **corpus** — republished minus the keys (atomic swap; at this
+      example's scale a rewrite, the ``sources.table`` facade's
+      merge-on-read delete is the O(batch) form);
+    - **near-dedup index** — ``minhash_index_remove``: two
+      delete-sized anti-joins, O(removed), else the index would veto
+      future near-twins of deleted docs forever;
+    - **LM count ledger** — the ABELIAN path: the removed docs' own
+      counts (computed from the pre-delete corpus, O(removed)) fold
+      in with negated counts per affected period partition —
+      ``subtract_lm_counts``, never a corpus rescan;
+    - **HLL / profile / heavy-hitters ledgers** — the MONOTONE path:
+      sketches have no inverse, so the affected period partitions
+      recompute from the surviving corpus —
+      ``rebuild_ledger_periods``, O(affected periods), unaffected
+      history never read.
+
+    Post-delete state ≡ running the whole pipeline on a corpus that
+    never contained the deleted docs (pinned per family in
+    ``tests/test_example_incremental.py``)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.bottomk import (
+        bottomk_ledger,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        minhash_index_remove,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.heavyhitters import (
+        heavyhitters_ledger,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.histogram import (
+        histogram_ledger,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        subtract_lm_counts,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.retention import (
+        periods_touched_by_keys,
+        rebuild_ledger_periods,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sketches import (
+        hll_ledger,
+    )
+
+    _toks = (
+        "filter(split(trim(regexp_replace(lower(text), '[^a-z]+', ' ')), "
+        "' '), x -> x != '')"
+    )
+    corpus_path = f"{workdir}/corpus"
+    keys = spark.createDataFrame(
+        [(int(k),) for k in deleted_keys], "doc_id bigint"
+    )
+    pre = spark.read.parquet(corpus_path)
+    removed = pre.join(keys, "doc_id", "left_semi").localCheckpoint()
+    survivors = pre.join(keys, "doc_id", "left_anti").localCheckpoint()
+    touched = periods_touched_by_keys(
+        [r["doc_id"] for r in removed.select("doc_id").collect()], periods
+    )
+
+    # 1. corpus, then index (same publish order as ingest: the index
+    #    must never claim docs the corpus lacks)
+    atomic_publish(survivors, corpus_path, validate=model_exists)
+    buckets = spark.read.parquet(f"{workdir}/index/buckets")
+    shingles = spark.read.parquet(f"{workdir}/index/shingles")
+    b2, s2 = minhash_index_remove(buckets, shingles, keys)
+    atomic_publish(b2.localCheckpoint(), f"{workdir}/index/buckets")
+    atomic_publish(s2.localCheckpoint(), f"{workdir}/index/shingles")
+
+    # 2. LM ledger: abelian inverse per affected period partition
+    for p in touched:
+        lo, hi = (int(x) for x in p.split("_"))
+        part = f"{workdir}/lm_ledger/period={p}"
+        rem_counts = unigram_lm_counts(
+            removed.filter(F.col("doc_id").between(lo, hi - 1)).select(
+                "doc_id", F.expr(_toks).alias("t")
+            )
+        )
+        atomic_publish(
+            subtract_lm_counts(spark.read.parquet(part), rem_counts),
+            part,
+        )
+
+    # 3. monotone ledgers: recompute affected periods from survivors
+    def _slice(p: str) -> DataFrame:
+        lo, hi = (int(x) for x in p.split("_"))
+        return survivors.filter(F.col("doc_id").between(lo, hi - 1))
+
+    rebuild_ledger_periods(
+        spark, f"{workdir}/hll_ledger", touched,
+        lambda p: hll_ledger(_slice(p), ["source"], ["doc_id", "lang"]),
+    )
+    rebuild_ledger_periods(
+        spark, f"{workdir}/hitters_ledger", touched,
+        lambda p: heavyhitters_ledger(
+            _slice(p).select("source", F.explode(F.expr(_toks)).alias("tok")),
+            ["source"], "tok", k=16,
+        ),
+    )
+
+    def _profile(p: str) -> DataFrame:
+        s = _slice(p)
+        hist = histogram_ledger(
+            s.withColumn("len_chars", F.length("text").cast("double")),
+            ["source"], "len_chars", 0.0, 1000.0, 40,
+        )
+        samp = bottomk_ledger(s, ["source"], "doc_id", 16)
+        return hist.join(samp.select("source", "sample"), "source")
+
+    rebuild_ledger_periods(
+        spark, f"{workdir}/profile_ledger", touched, _profile
+    )
+
+
 def main() -> None:
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.session import (
         get_spark,

@@ -222,6 +222,36 @@ SIDECAR_ONLY = [
 ]
 
 
+# Cheap, stable queries used to NORMALIZE a whole run against the
+# committed sidecar: the round-8/round-9 failure mode was UNIFORM
+# +15-34% inflation on an "idle" host (point-in-time loadavg clean
+# both times), which no point-in-time guard can see. Comparing a few
+# cheap canaries against their committed BENCH_SCALING.json medians
+# yields a run-level drift ratio a later diff can divide out instead
+# of chasing ghosts.
+CANARIES = ["q1_pricing_summary", "j_left_enrich_fk", "w_moving_frames"]
+
+
+def drift_ratio(
+    current: dict[str, float],
+    committed: dict[str, float],
+    canaries: list[str] = CANARIES,
+) -> float | None:
+    """Run-level drift vs the committed sidecar: the MEDIAN of the
+    per-canary time ratios current/committed (median, not mean — one
+    genuinely regressed canary must not masquerade as uniform host
+    drift). None when no canary has a positive committed reference
+    (first run, renamed queries)."""
+    ratios = [
+        current[n] / committed[n]
+        for n in canaries
+        if n in current and committed.get(n, 0) and committed[n] > 0
+    ]
+    if not ratios:
+        return None
+    return round(statistics.median(ratios), 2)
+
+
 def is_contended(load1: float, cpus: int) -> bool:
     """True when the 1-minute load average says another heavy process
     is live on the host. Measured BEFORE this bench's own Spark
@@ -274,6 +304,18 @@ def main() -> None:
             out[name] = round(statistics.median(runs), 3)
         return out
 
+    # committed per-query medians from the PREVIOUS run's sidecar —
+    # read BEFORE the scaling section overwrites the file below
+    committed: dict[str, float] = {}
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"
+    )
+    try:
+        with open(sidecar_path) as fh:
+            committed = json.load(fh).get("queries", {})
+    except (OSError, ValueError):
+        pass
+
     timings = time_set(sf_dir)
     total = round(sum(timings.values()), 3)
     result = {
@@ -283,6 +325,19 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    drift = drift_ratio(timings, committed)
+    if drift is not None:
+        # run-level normalization factor vs the committed sidecar: a
+        # future round's diff divides by this instead of chasing the
+        # uniform host inflation the loadavg guard cannot see
+        result["drift_vs_sidecar"] = drift
+        if drift >= 1.25:
+            print(
+                f"bench: WARNING canary drift {drift}x vs committed "
+                "BENCH_SCALING.json — this run reads uniformly "
+                "inflated; normalize by the ratio or re-run idle",
+                file=sys.stderr,
+            )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
     if load1 is not None and is_contended(load1, cpus):
         # Loud, machine-readable flag INSIDE the headline line: a

@@ -32,3 +32,26 @@ def test_read_load1_parses_proc():
     v = bench.read_load1()
     # linux container: must parse; value is a non-negative float
     assert v is None or v >= 0.0
+
+
+def test_drift_ratio_median_of_canaries():
+    from bench import drift_ratio
+
+    committed = {"q1_pricing_summary": 1.0, "j_left_enrich_fk": 0.5,
+                 "w_moving_frames": 0.25}
+    # uniform 1.3x inflation reads as 1.3
+    current = {k: v * 1.3 for k, v in committed.items()}
+    assert drift_ratio(current, committed) == 1.3
+    # one genuinely regressed canary must NOT read as run-level drift
+    current = dict(committed)
+    current["q1_pricing_summary"] = 10.0
+    assert drift_ratio(current, committed) == 1.0
+    # missing / zero committed references drop out; none left -> None
+    assert drift_ratio({"q1_pricing_summary": 1.0}, {}) is None
+    assert drift_ratio(
+        {"q1_pricing_summary": 1.0}, {"q1_pricing_summary": 0.0}
+    ) is None
+    # subset overlap still works
+    assert drift_ratio(
+        {"q1_pricing_summary": 2.0}, {"q1_pricing_summary": 1.0}
+    ) == 2.0

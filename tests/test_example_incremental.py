@@ -438,3 +438,99 @@ def test_incremental_triangles_equal_full_recompute_and_replay(
     run2 = pipe.run(spark, "200:350")
     again = sorted(map(tuple, run2.results["triangles"].collect()))
     assert again == got
+
+
+def test_retention_delete_every_family_equals_survivor_rebuild(
+    spark, tmp_dir
+):
+    """Round-10: the retention stage retires docs across EVERY
+    maintained artifact by its family's native delete path (corpus
+    republish, index anti-join removal, abelian LM subtract, monotone
+    period rebuild) — and each post-delete artifact equals the one a
+    pipeline over a corpus that never held those docs would have
+    built."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.examples.incremental import (
+        retention_delete,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        unigram_lm_counts,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        minhash_index_build,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sketches import (
+        hll_ledger,
+        ledger_estimates,
+        merge_hll_ledgers,
+    )
+
+    wd = f"{tmp_dir}/inc_ret"
+    pipe = build_pipeline(SF_DIR, wd)
+    pipe.run(spark, "0:200")
+    pipe.run(spark, "200:350")
+    periods = [(0, 200), (200, 350)]
+
+    corpus = spark.read.parquet(f"{wd}/corpus")
+    deleted = [
+        r["doc_id"]
+        for r in corpus.filter("doc_id % 23 = 0").select("doc_id").collect()
+    ]
+    assert deleted, "no % 23 docs ingested — the test would be vacuous"
+    retention_delete(spark, wd, deleted, periods)
+
+    survivors = spark.read.parquet(f"{wd}/corpus").localCheckpoint()
+    assert survivors.filter("doc_id % 23 = 0").count() == 0
+
+    toks = (
+        "filter(split(trim(regexp_replace(lower(text), '[^a-z]+', ' ')), "
+        "' '), x -> x != '')"
+    )
+
+    # abelian family: folded LM ledger == direct counts over survivors
+    lm_fold = (
+        spark.read.parquet(f"{wd}/lm_ledger")
+        .groupBy("term")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    lm_direct = unigram_lm_counts(
+        survivors.select("doc_id", F.expr(toks).alias("t"))
+    )
+    assert sorted(map(tuple, lm_fold.collect())) == sorted(
+        map(tuple, lm_direct.collect())
+    )
+
+    # monotone family: folded HLL estimates == ledger built fresh from
+    # the survivors period by period
+    def estimates(root):
+        full = spark.read.parquet(root).drop("period")
+        return sorted(map(tuple, ledger_estimates(
+            merge_hll_ledgers([full], ["source"]), ["source"]
+        ).collect()))
+
+    fresh = f"{tmp_dir}/inc_ret_fresh_hll"
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.gating import (
+        atomic_publish,
+    )
+
+    for lo, hi in periods:
+        atomic_publish(
+            hll_ledger(
+                survivors.filter(F.col("doc_id").between(lo, hi - 1)),
+                ["source"], ["doc_id", "lang"],
+            ),
+            f"{fresh}/period={lo}_{hi}",
+        )
+    assert estimates(f"{wd}/hll_ledger") == estimates(fresh)
+
+    # index family: removal == rebuild from the surviving corpus
+    b_got = spark.read.parquet(f"{wd}/index/buckets")
+    s_got = spark.read.parquet(f"{wd}/index/shingles")
+    b_want, s_want = minhash_index_build(
+        survivors, max_shingles_per_doc=512, k=32, bands=8, n=3
+    )
+    assert sorted(map(tuple, b_got.collect())) == sorted(
+        map(tuple, b_want.collect())
+    )
+    assert sorted(map(tuple, s_got.collect())) == sorted(
+        map(tuple, s_want.collect())
+    )
