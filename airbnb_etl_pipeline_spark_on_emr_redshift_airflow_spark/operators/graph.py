@@ -74,7 +74,14 @@ def bfs_min_hops(
             break
         if stats is not None:
             stats.setdefault("frontier_sizes", []).append(nxt.count())
-        visited = visited.unionByName(nxt).localCheckpoint()
+        # no checkpoint on the union: every leaf (seed set + each
+        # round's frontier) is already materialized, so the union plan
+        # stays ≤ max_hops shallow unions deep with zero recompute —
+        # re-materializing the GROWING visited set each round was one
+        # full O(visited) write per hop for nothing (round-10 cut;
+        # the per-round checkpoint that matters is nxt's, which caps
+        # the join lineage)
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.select(F.col("node").alias(node_col), "hops")
 

@@ -178,6 +178,78 @@ class Table:
     def _tail_ids(self, live_wm: int) -> list[int]:
         return [b for b in _batches(self.spark, self._live) if b > live_wm]
 
+    def _version_index_cols(
+        self, version: int
+    ) -> tuple[set[str], set[str]]:
+        """(zone cols, bloom cols) a committed version ACTUALLY
+        carries, read from its own manifests — the source of truth
+        under layout evolution (the config only describes what the
+        NEXT optimize will build). Metadata-plane: one manifest
+        schema read + one file-count-sized distinct."""
+        vdir = f"{self.root}/v={version}"
+        zc: set[str] = set()
+        if fsutil.exists(self.spark, f"{vdir}/zones/_SUCCESS"):
+            zc = {
+                c[: -len("__min")]
+                for c in self.spark.read.parquet(f"{vdir}/zones").columns
+                if c.endswith("__min")
+            }
+        bc: set[str] = set()
+        if fsutil.exists(self.spark, f"{vdir}/bloom/_SUCCESS"):
+            bc = {
+                r["col"]
+                for r in self.spark.read.parquet(f"{vdir}/bloom")
+                .select("col").distinct().collect()
+            }
+        return zc, bc
+
+    def evolve(
+        self,
+        zone_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+    ) -> None:
+        """PARTITION/LAYOUT EVOLUTION: change which columns the table
+        Z-orders and indexes BETWEEN versions. Committed versions are
+        untouched — each keeps its own manifests, so time-travel pins
+        and the currently pointed version keep pruning exactly their
+        own layout (``read()`` resolves index coverage per version);
+        the change takes full effect at the next :meth:`optimize`.
+        The LIVE manifests rebuild from the current tail listing here
+        (O(tail) — the tail is the bounded recent slice), so tail
+        pruning switches to the new columns immediately. The key
+        column can never change (it anchors every fold)."""
+        spark = self.spark
+        cfg = {
+            "key_col": self.key_col,
+            "zone_cols": list(
+                zone_cols if zone_cols is not None else self.zone_cols
+            ),
+            "bloom_cols": list(
+                bloom_cols if bloom_cols is not None else self.bloom_cols
+            ),
+        }
+        fsutil.write_text_atomic(
+            spark, f"{self.root}/{_CONFIG}", json.dumps(cfg)
+        )
+        self.zone_cols = cfg["zone_cols"]
+        self.bloom_cols = cfg["bloom_cols"]
+        # live manifests: rebuild whole (the old ones carry the old
+        # columns — update_* cannot reconcile across a schema change)
+        ids = _batches(spark, self._live)
+        for path, cols, builder in (
+            (self._zones, self.zone_cols, build_zone_manifest),
+            (self._bloom, self.bloom_cols, build_bloom_manifest),
+        ):
+            fsutil.delete(spark, path)
+            if cols and ids:
+                live = spark.read.option("basePath", self._live).parquet(
+                    *[f"{self._live}/batch={b}" for b in ids]
+                )
+                builder(live, cols).localCheckpoint().coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(path)
+                spark.catalog.refreshByPath(path)
+
     def _any_schema(self) -> DataFrame:
         """A zero-row frame carrying the table schema (from the
         pointed version if any, else the live dir)."""
@@ -326,9 +398,13 @@ class Table:
         v = self._pointer()
         live_wm, ch_wm = self._watermarks(v) if v is not None else (0, 0)
 
-        # bulk: the pointed version, pruned through ITS manifests
-        idx_rp = [p for p in rp if p[0] in self.zone_cols]
-        idx_ip = [p for p in ip if p[0] in self.bloom_cols]
+        # bulk: the pointed version, pruned through ITS manifests.
+        # Which predicates an index covers is resolved PER VERSION
+        # from the manifests the version actually carries, not from
+        # the current config — after evolve() changed the indexed
+        # columns, older versions keep serving their own layout
+        # (time-travel pins prune exactly; the pointed version may
+        # predate the evolution until the next optimize).
         bulk = None
         if v is not None:
             from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.optimize import (
@@ -336,12 +412,15 @@ class Table:
                 read_optimized_data,
             )
 
-            if idx_rp or idx_ip:
+            vz, vb = self._version_index_cols(v)
+            v_rp = [p for p in rp if p[0] in vz]
+            v_ip = [p for p in ip if p[0] in vb]
+            if v_rp or v_ip:
                 bstats: dict | None = {} if stats is not None else None
                 bulk = read_optimized(
                     spark, self.root,
-                    range_predicates=idx_rp or None,
-                    in_predicates=idx_ip or None,
+                    range_predicates=v_rp or None,
+                    in_predicates=v_ip or None,
                     version=v, stats=bstats,
                 )
                 if stats is not None:
@@ -350,7 +429,10 @@ class Table:
                 bulk = read_optimized_data(spark, self.root, version=v)
 
         # live tail: batches above the watermark, pruned through the
-        # live manifests (restricted to exactly the tail's files)
+        # live manifests (restricted to exactly the tail's files);
+        # the live manifests always index the CURRENT config's cols
+        idx_rp = [p for p in rp if p[0] in self.zone_cols]
+        idx_ip = [p for p in ip if p[0] in self.bloom_cols]
         tail_ids = self._tail_ids(live_wm)
         tail = self._read_tail(tail_ids, idx_rp, idx_ip, stats)
 

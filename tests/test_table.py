@@ -295,3 +295,71 @@ def test_vacuum_changes_guard(spark, tmp_path_factory):
     assert t.vacuum_changes(1) == 1
     # read unaffected (batch 1 was folded into the version)
     assert t.read().filter("k = 1").count() == 0
+
+
+def test_partition_evolution_mixed_layout_history(
+    spark, tmp_path_factory
+):
+    """Round-10 stretch: evolve() changes the Z-order/bloom columns
+    between versions — committed versions keep serving their own
+    manifests (time-travel pins prune exactly), the live tail
+    switches immediately, and the next optimize writes the new
+    layout; reads stay correct across the mixed-layout history."""
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t = Table.create(spark, root, "k", zone_cols=["v"], bloom_cols=["k"])
+    df = spark.range(3000).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("v"),
+        (F.lit(2999) - F.col("id")).cast("double").alias("w"),
+    )
+    t.append(df.orderBy("v").coalesce(1), batch_id=1)
+    v1 = t.optimize(target_rows_per_file=500)
+
+    # evolve: Z-order/zone on w instead of v, bloom unchanged
+    t.evolve(zone_cols=["w"])
+    assert Table(spark, root).zone_cols == ["w"]
+
+    # pointed version still carries the OLD layout: a v-range read
+    # prunes through v1's own zones; a w-range read is residual-only
+    stats: dict = {}
+    got = t.read(range_predicates=[("v", 0.0, 400.0)], stats=stats)
+    assert got.count() == 401
+    assert stats["bulk"]["files_read"] < stats["bulk"]["files_total"]
+    assert t.read(range_predicates=[("w", 0.0, 400.0)]).count() == 401
+
+    # new tail appends index w immediately
+    extra = spark.range(3000, 4000).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("v"),
+        (F.lit(5999) - F.col("id")).cast("double").alias("w"),
+    )
+    t.append(extra.repartitionByRange(4, "w"), batch_id=2)
+    stats2: dict = {}
+    got2 = t.read(range_predicates=[("w", 2000.0, 2100.0)], stats=stats2)
+    # 101 rows live in the v1 bulk (k 899..999, residual-filtered) and
+    # 101 in the new tail (k 3899..3999, zone-pruned via the new w
+    # manifest)
+    assert got2.count() == 202
+    assert stats2["tail"]["files_read"] < stats2["tail"]["files_total"]
+
+    # next optimize materializes the new layout; v1 pin unchanged
+    v2 = t.optimize(target_rows_per_file=500)
+    stats3: dict = {}
+    got3 = t.read(range_predicates=[("w", 2000.0, 2100.0)], stats=stats3)
+    assert got3.count() == 202
+    assert stats3["bulk"]["files_read"] < stats3["bulk"]["files_total"]
+    # time travel across the layout change: both pins serve exactly
+    assert t.snapshot(version=v1).count() == 3000
+    assert t.snapshot(version=v2).count() == 4000
+    # and the old pin's manifests still prune its own layout
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.optimize import (
+        read_optimized,
+    )
+
+    pstats: dict = {}
+    pinned = read_optimized(
+        spark, root, range_predicates=[("v", 0.0, 400.0)],
+        version=v1, stats=pstats,
+    )
+    assert pinned.count() == 401
+    assert pstats["files_read"] < pstats["files_total"]
