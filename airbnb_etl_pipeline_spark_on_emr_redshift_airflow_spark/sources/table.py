@@ -377,6 +377,63 @@ class Table:
             ch, self._changes, self.key_col, batch_id=batch_id
         )
 
+    # ----- streaming ingest ----------------------------------------------
+
+    def stream_append(
+        self, source_dir: str, source_schema: str, checkpoint_dir: str
+    ):
+        """Structured-Streaming ingest into the live dir: each
+        micro-batch lands through :meth:`append` PINNED to its stream
+        batch id (+1 — live batches are 1-based), so a replay from an
+        earlier checkpoint REWRITES its own batches instead of
+        double-appending, and batches already folded by an optimize
+        fall at-or-below the live watermark (invisible — convergent,
+        the same discipline as
+        :func:`sources.skipping.stream_sink_with_manifest`). Both
+        skipping manifests reconcile per micro-batch, so a streamed
+        facade table's indexes never go stale. ``availableNow``
+        trigger: drain, then stop. Single ingest mode per table:
+        don't mix with auto-allocated manual appends (pinned stream
+        ids and claimed ids would contend for numbers)."""
+
+        def _sink(batch_df, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.append(batch_df, batch_id=batch_id + 1)
+
+        return (
+            self.spark.readStream.schema(source_schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(source_dir)
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def stream_changes(
+        self,
+        source_dir: str,
+        source_schema: str,
+        checkpoint_dir: str,
+        op_col: str = "op",
+    ):
+        """Streaming CDC ingest into the facade's change log
+        (delegates to :func:`sources.deletes.stream_changes_sink` —
+        pinned stream batch ids, idempotent replay, per-micro-batch
+        one-op-per-key enforcement). Downstream consumers follow via
+        :meth:`changes`; serving reads reflect every drained batch
+        above the watermark immediately."""
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.deletes import (
+            stream_changes_sink,
+        )
+
+        return stream_changes_sink(
+            self.spark, source_dir, source_schema, self._changes,
+            self.key_col, checkpoint_dir, op_col=op_col,
+        )
+
     # ----- reads ----------------------------------------------------------
 
     def read(

@@ -128,6 +128,14 @@ CHAINS = [
     # corpus side grows 10x — broadcast must hold)
     "l_combined_pruned_lookup",
     "u_delete_vectors",
+    # round 10: the merge-on-read CDC fold (the change-side window
+    # must stay change-sized while the data side grows 10x) and the
+    # unified facade's composed read (pointer + bulk manifests + tail
+    # manifests + fold + re-filter — the whole metadata plane must
+    # scale together; build fingerprint-cached, the median times
+    # serving)
+    "u_cdc_table_read",
+    "l_table_facade_read",
 ]
 N_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
 PASS_RATIO = 13.0
