@@ -5334,3 +5334,94 @@ def s_embedding_near_dup(spark, sf_dir):
 
     (emb,) = load(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=0.35, bucket_col="label")
+
+
+# ----- conditional MERGE INTO on the Table facade (round 10) --------------
+
+ORACLE_MERGE_CONDITIONAL = """
+WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+src AS (
+  SELECT doc_id, 'src' AS source, doc_id % 100 AS n_chars
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, 'new' AS source,
+         doc_id % 50 AS n_chars
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT b.doc_id, b.source,
+       CASE WHEN s.doc_id IS NOT NULL AND s.n_chars < b.n_chars
+            THEN s.n_chars + b.n_chars ELSE b.n_chars END AS n_chars
+FROM base b LEFT JOIN src s ON s.doc_id = b.doc_id
+WHERE NOT (s.doc_id IS NOT NULL AND b.n_chars % 7 = 0)
+UNION ALL
+SELECT s.doc_id, s.source, s.n_chars
+FROM src s LEFT JOIN base b ON b.doc_id = s.doc_id
+WHERE b.doc_id IS NULL AND s.doc_id % 2 = 0
+"""
+
+
+@register("u_merge_conditional", oracle=ORACLE_MERGE_CONDITIONAL)
+def u_merge_conditional(spark, sf_dir):
+    """Conditional MERGE INTO on the unified facade
+    (``Table.merge``, round 10) — the Delta/Iceberg DML verb with all
+    three clauses live at once: matched rows DELETE when the TARGET
+    satisfies ``t.n_chars % 7 = 0`` (delete checked first), else
+    UPDATE when ``s.n_chars < t.n_chars`` with a partial
+    ``update_set`` (``n_chars = s.n_chars + t.n_chars``; the
+    ``source`` column keeps the TARGET's value — the shape a plain
+    upsert cannot express because it needs the matched row's current
+    values), and unmatched SOURCE rows INSERT only when
+    ``s.doc_id % 2 = 0`` (new keys offset by 10 M so they never
+    collide with real ids). The oracle is the closed-form clause
+    replay over the raw table: a CASE per matched clause plus the
+    filtered insert leg. 100 TB shape: ONE pass over the folded
+    table state left-joined to the batch-sized source (AQE
+    broadcasts it), landing ONE O(source) op-tagged change batch —
+    merge-on-read, no data rewrite; the reference's monthly
+    replace-whole-output pattern (jirfig apps) expressed as an
+    incremental verb."""
+    import os as _os
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.table import (
+        Table,
+        read_table,
+    )
+
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    src_path = _os.path.join(sf_dir, "documents.parquet")
+    fp = cache_fingerprint(src_path)
+    root = _os.path.join(repo, ".tmp", "catalog_merge", fp)
+    (docs,) = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", "n_chars")
+    merge_src = base.filter("doc_id % 3 = 0").select(
+        "doc_id",
+        F.lit("src").alias("source"),
+        (F.col("doc_id") % 100).alias("n_chars"),
+    ).unionByName(
+        base.filter("doc_id % 10 = 0").select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            F.lit("new").alias("source"),
+            (F.col("doc_id") % 50).alias("n_chars"),
+        )
+    )
+    # cache-complete = the merge's change batch committed; anything
+    # less (crash between append and merge) rebuilds from scratch
+    if not _os.path.exists(
+        _os.path.join(root, "changes", "batch=1", "_SUCCESS")
+    ):
+        import shutil as _shutil
+
+        _shutil.rmtree(root, ignore_errors=True)
+        t = Table.create(spark, root, "doc_id")
+        t.append(base, batch_id=1)
+        t.merge(
+            merge_src,
+            matched_delete="t.n_chars % 7 = 0",
+            matched_update="s.n_chars < t.n_chars",
+            update_set={"n_chars": "s.n_chars + t.n_chars"},
+            not_matched_insert="s.doc_id % 2 = 0",
+            batch_id=1,
+        )
+    return read_table(spark, root)

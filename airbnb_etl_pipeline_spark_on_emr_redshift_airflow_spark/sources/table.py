@@ -364,6 +364,149 @@ class Table:
         ch = changes.select(*cols, F.col(op_col).alias("op"))
         return self._apply(ch, batch_id)
 
+    def merge(
+        self,
+        source: DataFrame,
+        *,
+        matched_update=None,
+        matched_delete=None,
+        not_matched_insert=True,
+        update_set: dict[str, str] | None = None,
+        batch_id: int | None = None,
+    ) -> int:
+        """Conditional MERGE INTO (the Delta/Iceberg DML verb the
+        facade lacked): match ``source`` rows against the CURRENT
+        table state by key and land the decided actions as ONE
+        op-tagged change batch — merge-on-read, O(source) sidecar
+        write, nothing data-sized is rewritten.
+
+        Clause semantics (conditions are SQL strings over the aliases
+        ``s`` = source row and ``t`` = matched target row; ``True``
+        = unconditional, ``None`` = clause absent):
+
+        - ``matched_delete`` — matched rows satisfying it become
+          delete ops (checked FIRST, like a MERGE whose DELETE clause
+          is listed before UPDATE).
+        - ``matched_update`` — remaining matched rows satisfying it
+          become upsert ops. Values: all source columns, unless
+          ``update_set`` maps target column → SQL expression (over
+          ``s.``/``t.``), in which case unlisted columns KEEP the
+          target's value (standard ``UPDATE SET`` semantics — the
+          one shape a plain :meth:`upsert` cannot express, because
+          it needs the target row's current values).
+        - ``not_matched_insert`` — source rows with no matching key
+          satisfying it become upsert ops. Source columns absent
+          from the table schema are ignored; table columns absent
+          from the source insert as typed NULLs (CDC feeds are often
+          narrower than the table).
+
+        Unmatched TARGET rows are untouched by construction (the
+        batch only carries decided keys — there is no
+        ``WHEN NOT MATCHED BY SOURCE``; use :meth:`delete` with an
+        anti-joined key set for that shape).
+
+        100 TB shape: one pass over the folded table state joined to
+        the batch-sized source on the key (AQE broadcasts the source
+        side; Catalyst prunes target columns the conditions never
+        reference), emitting a source-bounded change batch — the
+        same cost class as the reads every MERGE engine pays, with
+        the write side O(batch) instead of a rewrite. One row per
+        source key (``apply_changes`` enforces it — overlapping
+        clauses cannot double-emit because delete wins, then update,
+        then the row was matched and emits nothing).
+        """
+        if (
+            matched_update is None
+            and matched_delete is None
+            and not not_matched_insert
+        ):
+            raise ValueError("Table.merge: no clause given")
+        key = self.key_col
+        schema = self._any_schema().schema
+        src_cols = set(source.columns)
+        if key not in src_cols:
+            raise ValueError(
+                f"Table.merge: source must carry the key column {key!r}"
+            )
+
+        def _cond(c):
+            if c is True:
+                return F.lit(True)
+            if c is None or c is False:
+                return F.lit(False)
+            return F.expr(c)
+
+        def _src_val(f):
+            if f.name in src_cols:
+                return F.col(f"s.{f.name}").alias(f.name)
+            return F.lit(None).cast(f.dataType).alias(f.name)
+
+        j = source.alias("s").join(
+            self.read().alias("t"),
+            F.col(f"s.{key}") == F.col(f"t.{key}"),
+            "left",
+        )
+        matched = F.col(f"t.{key}").isNotNull()
+        parts = []
+        if matched_delete is not None:
+            parts.append(
+                j.filter(matched & _cond(matched_delete)).select(
+                    *[
+                        F.col(f"s.{key}").alias(key)
+                        if f.name == key
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in schema
+                    ],
+                    F.lit("delete").alias("op"),
+                )
+            )
+        if matched_update is not None:
+            upd = {f.name: _src_val(f) for f in schema}
+            if update_set is not None:
+                # unlisted columns keep the TARGET value
+                upd = {
+                    f.name: F.col(f"t.{f.name}").alias(f.name)
+                    for f in schema
+                }
+                by_name = {f.name: f for f in schema}
+                for c, e in update_set.items():
+                    if c == key:
+                        raise ValueError(
+                            "Table.merge: update_set must not touch "
+                            f"the key column {key!r}"
+                        )
+                    if c not in by_name:
+                        raise ValueError(
+                            f"Table.merge: update_set column {c!r} is "
+                            "not in the table schema"
+                        )
+                    # arithmetic may widen (int + 0.5) — pin the
+                    # column's declared type so change batches stay
+                    # schema-aligned with the data files
+                    upd[c] = F.expr(e).cast(by_name[c].dataType).alias(c)
+            upd[key] = F.col(f"s.{key}").alias(key)
+            parts.append(
+                j.filter(
+                    matched
+                    & ~_cond(matched_delete)
+                    & _cond(matched_update)
+                ).select(
+                    *[upd[f.name] for f in schema],
+                    F.lit("upsert").alias("op"),
+                )
+            )
+        if not_matched_insert:
+            parts.append(
+                j.filter(~matched & _cond(not_matched_insert)).select(
+                    *[_src_val(f) for f in schema],
+                    F.lit("upsert").alias("op"),
+                )
+            )
+        ch = parts[0]
+        for p in parts[1:]:
+            ch = ch.unionByName(p)
+        return self._apply(ch, batch_id)
+
     def _apply(self, ch, batch_id: int | None) -> int:
         """Land one change batch; auto-allocation floors at the
         pointed version's changes watermark so a batch claimed after

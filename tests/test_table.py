@@ -438,3 +438,89 @@ def test_stream_append_and_stream_changes_into_facade(
     # the feed sees the streamed ops
     feed = {r["k"]: r["op"] for r in t.changes().collect()}
     assert feed == {7: "delete", 200: "upsert"}
+
+
+def test_merge_three_clauses_vs_replay(spark, tmp_path_factory):
+    """Conditional MERGE: delete-first, conditional update with
+    partial update_set (unlisted columns keep TARGET values), and
+    conditional insert — checked against a row-by-row Python replay
+    of the same clause semantics."""
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t, df = _mk(spark, root)
+    # source: half overlapping keys (every 3rd), half new (400..449),
+    # with its own v/tag proposals
+    src = spark.range(0, 450).filter("id % 3 = 0 OR id >= 400").select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).cast("double").alias("v"),
+        F.lit("src").alias("tag"),
+    )
+    t.merge(
+        src,
+        matched_delete="t.v >= 90",          # target-side condition
+        matched_update="s.v < t.v",          # cross-side condition
+        update_set={"v": "s.v + t.v"},       # tag keeps TARGET value
+        not_matched_insert="s.k % 2 = 0",    # source-side condition
+    )
+
+    cur = {r["k"]: (r["k"], r["v"], r["tag"]) for r in df.collect()}
+    for r in src.collect():
+        k, sv = r["k"], r["v"]
+        if k in cur:
+            _, tv, ttag = cur[k]
+            if tv >= 90:
+                del cur[k]
+            elif sv < tv:
+                cur[k] = (k, sv + tv, ttag)
+        elif k % 2 == 0:
+            cur[k] = (k, sv, "src")
+    assert _rows(t.read()) == sorted(cur.values())
+
+
+def test_merge_narrow_source_null_pads_and_guards(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t, df = _mk(spark, root, n=50)
+    # a key-only source: pure conditional delete via merge
+    t.merge(
+        spark.range(0, 50, 7).select(F.col("id").alias("k")),
+        matched_delete=True,
+        not_matched_insert=False,
+    )
+    assert _rows(t.read()) == _rows(df.filter("k % 7 <> 0"))
+    # narrow insert null-pads the missing columns with typed NULLs
+    t.merge(
+        spark.createDataFrame([(1000,)], "k bigint"),
+        not_matched_insert=True,
+    )
+    got = t.read().filter("k = 1000").collect()
+    assert [(r["k"], r["v"], r["tag"]) for r in got] == [(1000, None, None)]
+    # guards
+    with pytest.raises(ValueError, match="no clause"):
+        t.merge(df, not_matched_insert=False)
+    with pytest.raises(ValueError, match="key column"):
+        t.merge(df.select(F.col("v")), matched_delete=True)
+    with pytest.raises(ValueError, match="must not touch"):
+        t.merge(df, matched_update=True, update_set={"k": "s.k + 1"})
+    with pytest.raises(ValueError, match="not in the table schema"):
+        t.merge(df, matched_update=True, update_set={"zzz": "1"})
+
+
+def test_merge_is_one_change_batch_and_idempotent_replay(
+    spark, tmp_path_factory
+):
+    """A merge lands as ONE op-tagged change batch (O(source) — no
+    data rewrite), and a pinned-batch replay converges instead of
+    double-applying."""
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t, df = _mk(spark, root, n=60)
+    src = spark.range(0, 80, 5).select(
+        F.col("id").alias("k"),
+        F.lit(500.0).alias("v"),
+        F.lit("m").alias("tag"),
+    )
+    b = t.merge(src, matched_update=True, batch_id=9)
+    assert b == 9
+    before = _rows(t.read())
+    # replay the SAME merge pinned to the same batch id: rewrites the
+    # batch in place, the served state is unchanged
+    t.merge(src, matched_update=True, batch_id=9)
+    assert _rows(t.read()) == before
