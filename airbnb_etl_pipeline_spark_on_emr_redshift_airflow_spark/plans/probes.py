@@ -3261,7 +3261,76 @@ def q9_product_profit(spark, sf_dir):
     return spark.sql(_Q9_SQL)
 
 
-@register("r_mmr_rerank")
+ORACLE_MMR_RERANK = """
+WITH RECURSIVE
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS doc_id,
+         (list_dot_product(CAST(c.embedding AS DOUBLE[]), q.qv)
+          / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(q.qv, q.qv)))) AS score,
+         CAST(c.embedding AS DOUBLE[]) AS v
+  FROM embeddings c, q
+  WHERE c.vec_id <> q.query_id
+),
+cands AS (
+  SELECT query_id, doc_id, score, v
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, doc_id) <= 20
+),
+sims AS (
+  SELECT a.query_id, a.doc_id AS ida, b.doc_id AS idb,
+         (list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v)))) AS sim
+  FROM cands a JOIN cands b
+    ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+),
+state AS (
+  SELECT query_id, [doc_id] AS sel, doc_id, score,
+         CAST(0.6 AS DOUBLE) * score
+           - CAST(0.4 AS DOUBLE) * CAST(0 AS DOUBLE) AS val,
+         1 AS it
+  FROM cands
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, doc_id) = 1
+  UNION ALL
+  SELECT s.query_id, list_append(s.sel, p.doc_id), p.doc_id, p.score,
+         p.val, s.it + 1
+  FROM state s, LATERAL (
+    SELECT c.doc_id, c.score,
+           CAST(0.6 AS DOUBLE) * c.score
+             - CAST(0.4 AS DOUBLE) * greatest(
+                 (SELECT max(sm.sim) FROM sims sm
+                  WHERE sm.query_id = s.query_id
+                    AND sm.ida = c.doc_id
+                    AND list_contains(s.sel, sm.idb)),
+                 CAST(0 AS DOUBLE)) AS val
+    FROM cands c
+    WHERE c.query_id = s.query_id
+      AND NOT list_contains(s.sel, c.doc_id)
+    ORDER BY val DESC, c.doc_id
+    LIMIT 1
+  ) p
+  WHERE s.it < 8
+)
+SELECT query_id, doc_id, it AS mmr_rank,
+       CAST(floor(score * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rel_fp,
+       CAST(floor(val * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS value_fp,
+       ((it > 1 OR score = max(score) OVER (PARTITION BY query_id))
+        AND (lag(val) OVER (PARTITION BY query_id ORDER BY it) IS NULL
+             OR lag(val) OVER (PARTITION BY query_id ORDER BY it) >= val)
+       ) AS ok
+FROM state
+ORDER BY query_id, mmr_rank
+"""
+
+
+@register("r_mmr_rerank", oracle=ORACLE_MMR_RERANK)
 def r_mmr_rerank(spark, sf_dir):
     """MMR diversity re-rank over the brute-force candidate lists
     (``operators.retrieval.mmr_rerank``, Carbonell & Goldstein 1998)
@@ -5422,6 +5491,88 @@ def u_merge_conditional(spark, sf_dir):
             matched_update="s.n_chars < t.n_chars",
             update_set={"n_chars": "s.n_chars + t.n_chars"},
             not_matched_insert="s.doc_id % 2 = 0",
+            batch_id=1,
+        )
+    return read_table(spark, root)
+
+
+# ----- additive schema evolution under the facade (round 10) --------------
+
+ORACLE_SCHEMA_EVOLUTION = """
+WITH narrow AS (
+  SELECT doc_id, source FROM documents WHERE doc_id % 2 = 0
+),
+wide AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 2 = 1
+),
+merged AS (
+  SELECT doc_id, source, CAST(NULL AS BIGINT) AS n_chars FROM narrow
+  UNION ALL
+  SELECT doc_id, source, n_chars FROM wide
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 23 = 0 THEN 'up' ELSE source END AS source,
+       CASE WHEN doc_id % 23 = 0 THEN doc_id * 10 ELSE n_chars END
+         AS n_chars
+FROM merged
+"""
+
+
+@register("l_schema_evolution_read", oracle=ORACLE_SCHEMA_EVOLUTION)
+def l_schema_evolution_read(spark, sf_dir):
+    """Additive schema evolution end to end (``Table.append(...,
+    merge_schema=True)``, round 10): the even-id half of documents
+    lands NARROW (no ``n_chars``) and is OPTIMIZED into a committed
+    version; the odd half then widens the table in a live batch; a
+    WIDE upsert (every doc_id % 23 → source='up', n_chars=doc_id*10)
+    lands in the change log. The read aligns every leg to the widest
+    schema — the pre-evolution version's rows serve typed NULL in the
+    new column, the tail serves its values, the fold re-enters wide
+    rows — with NOTHING rewritten (explicit-schema parquet reads; the
+    widening itself is an O(1) metadata write plus the O(batch)
+    append). Oracle: the closed-form union + CASE replay. 100 TB
+    shape: schema evolution must never be O(table) — this pins that
+    the Delta-``mergeSchema`` contract holds over plain parquet."""
+    import os as _os
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.table import (
+        Table,
+        read_table,
+    )
+
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    src_path = _os.path.join(sf_dir, "documents.parquet")
+    fp = cache_fingerprint(src_path)
+    root = _os.path.join(repo, ".tmp", "catalog_evolve", fp)
+    (docs,) = load(spark, sf_dir, "documents")
+    if not _os.path.exists(
+        _os.path.join(root, "changes", "batch=1", "_SUCCESS")
+    ):
+        import shutil as _shutil
+
+        _shutil.rmtree(root, ignore_errors=True)
+        t = Table.create(spark, root, "doc_id")
+        t.append(
+            docs.filter("doc_id % 2 = 0").select("doc_id", "source"),
+            batch_id=1,
+        )
+        t.optimize(target_rows_per_file=2000)
+        t.append(
+            docs.filter("doc_id % 2 = 1").select(
+                "doc_id", "source", "n_chars"
+            ),
+            batch_id=2,
+            merge_schema=True,
+        )
+        t.upsert(
+            docs.filter("doc_id % 23 = 0").select(
+                "doc_id",
+                F.lit("up").alias("source"),
+                (F.col("doc_id") * 10).alias("n_chars"),
+            ),
             batch_id=1,
         )
     return read_table(spark, root)

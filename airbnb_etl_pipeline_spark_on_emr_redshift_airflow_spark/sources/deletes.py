@@ -219,6 +219,7 @@ def _latest_per_key(
     key_col: str,
     from_batch: int | None = None,
     as_of_batch: int | None = None,
+    read_schema=None,
 ) -> DataFrame | None:
     """Latest op per key over the committed change batches in
     ``(from_batch, as_of_batch]`` (either side unbounded when None —
@@ -237,7 +238,13 @@ def _latest_per_key(
     if not ids:
         return None
     parts = [f"{sidecar}/batch={b}" for b in ids]
-    ch = spark.read.option("basePath", sidecar).parquet(*parts)
+    rd = spark.read.option("basePath", sidecar)
+    if read_schema is not None:
+        # schema evolution: batches written before a widening are
+        # narrower on disk — the explicit schema null-fills the
+        # missing columns (the ``batch`` partition col still appends)
+        rd = rd.schema(read_schema)
+    ch = rd.parquet(*parts)
     w = Window.partitionBy(key_col).orderBy(F.col("batch").desc())
     return (
         ch.withColumn("__rn", F.row_number().over(w))
@@ -249,6 +256,7 @@ def _latest_per_key(
 def read_with_changes(
     data: DataFrame, sidecar: str, key_col: str, op_col: str = "op",
     from_batch: int | None = None, as_of_batch: int | None = None,
+    schema=None,
 ) -> DataFrame:
     """Merge-on-read CDC: fold the latest op per key across change
     batches (higher batch number wins) and apply — deleted keys drop,
@@ -273,9 +281,16 @@ def read_with_changes(
     upsert can move a row across a predicate bound in either
     direction, so skipping the re-filter silently leaks rows)."""
     spark = data.sparkSession
+    rs = None
+    if schema is not None:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        rs = StructType(
+            list(schema.fields) + [StructField(op_col, StringType())]
+        )
     latest = _latest_per_key(
         spark, sidecar, key_col, from_batch=from_batch,
-        as_of_batch=as_of_batch,
+        as_of_batch=as_of_batch, read_schema=rs,
     )
     if latest is None:
         return data
@@ -294,6 +309,7 @@ def table_changes(
     from_batch: int | None = None,
     to_batch: int | None = None,
     op_col: str = "op",
+    schema=None,
 ) -> DataFrame:
     """The CHANGE-DATA-FEED read: the op-tagged NET effect per key of
     the committed change batches in ``(from_batch, to_batch]``
@@ -322,16 +338,23 @@ def table_changes(
             f"{sidecar} — nothing to read (and no schema to serve an "
             "empty feed with)"
         )
+    rs = None
+    if schema is not None:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        rs = StructType(
+            list(schema.fields) + [StructField(op_col, StringType())]
+        )
     latest = _latest_per_key(
         spark, sidecar, key_col, from_batch=from_batch,
-        as_of_batch=to_batch,
+        as_of_batch=to_batch, read_schema=rs,
     )
     if latest is None:
         # valid empty range over a real sidecar: schema from batch 1
-        head = spark.read.option("basePath", sidecar).parquet(
-            f"{sidecar}/batch={all_ids[0]}"
-        )
-        return head.limit(0)
+        head = spark.read.option("basePath", sidecar)
+        if rs is not None:
+            head = head.schema(rs)
+        return head.parquet(f"{sidecar}/batch={all_ids[0]}").limit(0)
     return latest
 
 

@@ -195,14 +195,22 @@ def _verify_listing(
 
 
 def _read_kept(
-    spark: SparkSession, root: str, keep: list[str]
+    spark: SparkSession, root: str, keep: list[str], schema=None
 ) -> DataFrame:
     """Plan ONLY the kept leaf files. ``basePath=root`` makes Spark
     derive hive partition columns relative to the table root, so a
     pruned read of a partitioned layout (``batch_id=.../part-*``)
     keeps the same schema as the full scan; the zero-files branch
     takes its schema from the same root read, so both branches agree
-    on partitioned and plain roots alike."""
+    on partitioned and plain roots alike. An explicit ``schema``
+    (StructType) aligns heterogeneous files under schema evolution:
+    files missing a column null-fill it, partition columns still
+    append (the facade's widest-schema read)."""
+    if schema is not None:
+        rd = spark.read.schema(schema).option("basePath", root)
+        if not keep:
+            return rd.parquet(root).limit(0)
+        return rd.parquet(*keep)
     if not keep:
         return spark.createDataFrame([], spark.read.parquet(root).schema)
     return spark.read.option("basePath", root).parquet(*keep)
@@ -555,6 +563,7 @@ def combined_pruned_read(
     verify: bool = True,
     stats: dict | None = None,
     _what: str = "combined_pruned_read",
+    schema=None,
 ) -> DataFrame:
     """ONE metadata-plane read that stacks BOTH skipping devices: the
     zone manifest prunes the range conjunction, the bloom manifest
@@ -612,7 +621,7 @@ def combined_pruned_read(
     if stats is not None:
         stats["files_total"] = len(known)
         stats["files_read"] = len(keep_list)
-    df = _read_kept(spark, root, keep_list)
+    df = _read_kept(spark, root, keep_list, schema=schema)
     df = _apply_range_residual(df, range_predicates)
     for c, values in in_predicates:
         df = df.filter(F.col(c).isin(*values))

@@ -90,6 +90,7 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping im
 
 _CONFIG = "TABLE"
 _FOLDED = "FOLDED"
+_SCHEMA = "SCHEMA"
 
 
 class Table:
@@ -114,6 +115,7 @@ class Table:
         self._changes = f"{self.root}/changes"
         self._zones = f"{self.root}/zones"
         self._bloom = f"{self.root}/bloom"
+        self._schema_cache = None
 
     # ----- lifecycle ----------------------------------------------------
 
@@ -250,6 +252,50 @@ class Table:
                 ).parquet(path)
                 spark.catalog.refreshByPath(path)
 
+    def _table_schema(self):
+        """The CURRENT table schema (StructType) — the WIDEST one
+        under schema evolution. Source of truth is the ``SCHEMA``
+        file (written on first append and rewritten on every
+        ``merge_schema`` widening); tables predating it fall back to
+        inferring from the data, exactly the old behavior. Cached per
+        handle (appends through THIS handle invalidate it; the
+        single-writer-per-table discipline covers the rest)."""
+        if self._schema_cache is not None:
+            return self._schema_cache
+        from pyspark.sql.types import StructType
+
+        p = f"{self.root}/{_SCHEMA}"
+        if fsutil.exists(self.spark, p):
+            sch = StructType.fromJson(
+                json.loads(fsutil.read_text(self.spark, p))
+            )
+        else:
+            sch = self._any_schema().schema
+        self._schema_cache = sch
+        return sch
+
+    def _write_schema(self, schema) -> None:
+        fsutil.write_text_atomic(
+            self.spark, f"{self.root}/{_SCHEMA}",
+            json.dumps(schema.jsonValue()),
+        )
+        self._schema_cache = schema
+
+    @staticmethod
+    def _align(df: DataFrame, schema) -> DataFrame:
+        """Project ``df`` to exactly ``schema``'s columns, null-padding
+        the ones it lacks (typed) — the read-side half of schema
+        evolution. A no-op select when already aligned."""
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
     def _any_schema(self) -> DataFrame:
         """A zero-row frame carrying the table schema (from the
         pointed version if any, else the live dir)."""
@@ -269,13 +315,83 @@ class Table:
 
     # ----- writes ---------------------------------------------------------
 
-    def append(self, df: DataFrame, batch_id: int | None = None) -> int:
+    def _evolve_schema_for_write(
+        self, df: DataFrame, merge_schema: bool
+    ) -> DataFrame:
+        """Write-side schema discipline: validate ``df`` against the
+        current table schema, widen it (SCHEMA file first) when
+        ``merge_schema`` allows, and return ``df`` aligned to the
+        (possibly widened) schema. First append just records ``df``'s
+        own schema."""
+        try:
+            cur = self._table_schema()
+        except ValueError:
+            cur = None  # first append — nothing to reconcile against
+        if cur is None:
+            self._write_schema(df.schema)
+            return df
+        by_name = {f.name: f for f in cur.fields}
+        extra = [f for f in df.schema.fields if f.name not in by_name]
+        clash = [
+            (f.name, by_name[f.name].dataType.simpleString(),
+             f.dataType.simpleString())
+            for f in df.schema.fields
+            if f.name in by_name and f.dataType != by_name[f.name].dataType
+        ]
+        if clash:
+            raise ValueError(
+                "Table: column type change is not supported "
+                f"(schema evolution is additive-only): {clash}"
+            )
+        missing = [n for n in by_name if n not in set(df.columns)]
+        if not merge_schema:
+            if extra or missing:
+                raise ValueError(
+                    "Table: frame schema differs from the table's "
+                    f"(new: {[f.name for f in extra]}, missing: "
+                    f"{missing}) — pass merge_schema=True to widen "
+                    "additively / null-pad"
+                )
+            return self._align(df, cur)
+        if self.key_col in missing:
+            raise ValueError(
+                f"Table: frame lacks the key column {self.key_col!r}"
+            )
+        from pyspark.sql.types import StructType
+
+        new_schema = StructType(list(cur.fields) + list(extra))
+        if extra:
+            # SCHEMA widens BEFORE data lands: a crash in between
+            # leaves an over-wide schema (harmless NULL column),
+            # never a wide file a narrow reader would truncate
+            self._write_schema(new_schema)
+        return self._align(df, new_schema)
+
+    def append(
+        self,
+        df: DataFrame,
+        batch_id: int | None = None,
+        merge_schema: bool = False,
+    ) -> int:
         """Land ``df`` as one live batch (blind INSERT — the
         high-throughput ingest path; replace-or-insert goes through
         :meth:`upsert`) and reconcile the live skipping manifests to
         the new listing, O(batch). Pass ``batch_id`` (≥ 1) to pin the
         batch number — a replayed pipeline period then REWRITES its
-        own batch idempotently instead of double-appending."""
+        own batch idempotently instead of double-appending.
+
+        SCHEMA EVOLUTION (additive, the Delta ``mergeSchema``
+        contract): with ``merge_schema=True``, ``df`` may carry NEW
+        columns (the table schema widens — recorded in ``root/SCHEMA``
+        BEFORE the data lands, so a crash between the two writes
+        costs an over-wide schema, never silently dropped columns on
+        read) and/or MISS existing ones (typed-NULL-padded at write).
+        Existing columns must keep their type — changing one raises.
+        Without the flag, ``df``'s column set must equal the table's
+        exactly (a drifted producer fails loudly instead of silently
+        null-padding). Rows written before a widening read as NULL in
+        the new columns — every read path aligns to the widest schema
+        (explicit-schema parquet reads; nothing is rewritten)."""
         if batch_id is not None and batch_id < 1:
             raise ValueError(
                 f"Table.append: batch_id must be >= 1, got {batch_id} "
@@ -283,6 +399,7 @@ class Table:
                 "invisible)"
             )
         spark = self.spark
+        df = self._evolve_schema_for_write(df, merge_schema)
         fsutil.mkdirs(spark, self._live)
         v = self._pointer()
         live_wm = self._watermarks(v)[0] if v is not None else 0
@@ -324,7 +441,7 @@ class Table:
         (O(batch) — nothing data-sized is read or rewritten). ``df``
         must carry the full table schema; one row per key per batch
         (enforced by ``apply_changes``)."""
-        cols = self._any_schema().columns
+        cols = [f.name for f in self._table_schema().fields]
         ch = df.select(*cols).withColumn("op", F.lit("upsert"))
         return self._apply(ch, batch_id)
 
@@ -335,7 +452,7 @@ class Table:
         values. Funnels through the SAME change log as upserts, so
         delete→re-upsert interleavings have one total order (no
         separate tombstone sidecar to race with)."""
-        schema = self._any_schema().schema
+        schema = self._table_schema()
         if not isinstance(keys, DataFrame):
             key_f = next(f for f in schema if f.name == self.key_col)
             keys = self.spark.createDataFrame(
@@ -360,7 +477,7 @@ class Table:
         pipelines that already produce op-tagged rows (e.g. a
         replayed period's combined correction batch, pinned to its
         period id)."""
-        cols = self._any_schema().columns
+        cols = [f.name for f in self._table_schema().fields]
         ch = changes.select(*cols, F.col(op_col).alias("op"))
         return self._apply(ch, batch_id)
 
@@ -422,7 +539,7 @@ class Table:
         ):
             raise ValueError("Table.merge: no clause given")
         key = self.key_col
-        schema = self._any_schema().schema
+        schema = self._table_schema()
         src_cols = set(source.columns)
         if key not in src_cols:
             raise ValueError(
@@ -595,6 +712,7 @@ class Table:
         rp = list(range_predicates or [])
         ip = list(in_predicates or [])
         spark = self.spark
+        wide = self._table_schema()
         v = self._pointer()
         live_wm, ch_wm = self._watermarks(v) if v is not None else (0, 0)
 
@@ -634,19 +752,25 @@ class Table:
         idx_rp = [p for p in rp if p[0] in self.zone_cols]
         idx_ip = [p for p in ip if p[0] in self.bloom_cols]
         tail_ids = self._tail_ids(live_wm)
-        tail = self._read_tail(tail_ids, idx_rp, idx_ip, stats)
+        tail = self._read_tail(tail_ids, idx_rp, idx_ip, stats, wide)
 
+        # every leg aligns to the WIDEST schema (a version or batch
+        # written before a widening is narrower on disk — its rows
+        # read as typed NULL in the new columns)
         if bulk is None and tail is None:
-            base = self._any_schema()  # raises on a truly empty table
+            base = self._align(
+                self._any_schema(), wide  # raises on a truly empty table
+            )
         elif bulk is None:
             base = tail
         elif tail is None:
-            base = bulk
+            base = self._align(bulk, wide)
         else:
-            base = bulk.unionByName(tail)
+            base = self._align(bulk, wide).unionByName(tail)
 
         folded = read_with_changes(
-            base, self._changes, self.key_col, from_batch=ch_wm
+            base, self._changes, self.key_col, from_batch=ch_wm,
+            schema=wide,
         )
         # the filter-under-CDC law: upserts re-entered unfiltered, so
         # every predicate re-applies after the fold (and uncovered
@@ -668,6 +792,7 @@ class Table:
         idx_rp: list[Predicate],
         idx_ip: list[tuple[str, list]],
         stats: dict | None,
+        schema=None,
     ) -> DataFrame | None:
         """The live batches above the watermark — manifest-pruned when
         an index covers a predicate, with a fail-closed coverage check
@@ -685,8 +810,10 @@ class Table:
             spark, f"{self._bloom}/_SUCCESS"
         )
         if not use_zones and not use_bloom:
-            df = spark.read.option("basePath", self._live).parquet(*dirs)
-            return df.drop("batch")
+            rd = spark.read.option("basePath", self._live)
+            if schema is not None:
+                rd = rd.schema(schema)
+            return rd.parquet(*dirs).drop("batch")
         actual: set[str] = set()
         for d in dirs:
             actual.update(list_data_files(spark, d))
@@ -711,7 +838,7 @@ class Table:
             range_predicates=idx_rp if use_zones else None,
             in_predicates=idx_ip if use_bloom else None,
             verify=False,  # coverage verified above, tail-scoped
-            stats=tstats, _what="Table.read",
+            stats=tstats, _what="Table.read", schema=schema,
         )
         if stats is not None:
             stats["tail"] = tstats
@@ -754,6 +881,7 @@ class Table:
         return table_changes(
             self.spark, self._changes, self.key_col,
             from_batch=from_batch, to_batch=to_batch,
+            schema=self._table_schema(),
         )
 
     # ----- maintenance -----------------------------------------------------
@@ -790,17 +918,21 @@ class Table:
             raise ValueError(
                 f"Table.optimize: {self.root} holds no data yet"
             )
+        wide = self._table_schema()
         base = None
         if v is not None:
-            base = self.snapshot(v)
+            base = self._align(self.snapshot(v), wide)
         if tail_ids:
-            t = spark.read.option("basePath", self._live).parquet(
+            t = spark.read.schema(wide).option(
+                "basePath", self._live
+            ).parquet(
                 *[f"{self._live}/batch={b}" for b in tail_ids]
             ).drop("batch")
             base = t if base is None else base.unionByName(t)
         merged = read_with_changes(
             base, self._changes, self.key_col,
             from_batch=ch_wm, as_of_batch=ch_wm_new if ch_ids else ch_wm,
+            schema=wide,
         )
 
         dims = self._zorder_dims(merged)

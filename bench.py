@@ -219,6 +219,11 @@ SIDECAR_ONLY = [
     # CDC as-of pin + change-data-feed read
     "l_table_facade_read",
     "u_cdc_asof_changes",
+    # round-10 continuation: conditional MERGE INTO + additive schema
+    # evolution on the facade (both cached-sidecar builds; the timed
+    # path is the composed read)
+    "u_merge_conditional",
+    "l_schema_evolution_read",
 ]
 
 

@@ -524,3 +524,103 @@ def test_merge_is_one_change_batch_and_idempotent_replay(
     # batch in place, the served state is unchanged
     t.merge(src, matched_update=True, batch_id=9)
     assert _rows(t.read()) == before
+
+
+def test_schema_evolution_append_widen_and_read_alignment(
+    spark, tmp_path_factory
+):
+    """Additive schema evolution: a merge_schema append widens the
+    table; rows written before the widening read as typed NULLs in
+    the new column across EVERY leg — optimized bulk, live tail, and
+    the change fold — and strict appends still fail loudly on
+    drift."""
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t, df = _mk(spark, root, n=100)
+    t.optimize(target_rows_per_file=50)  # narrow bulk version
+
+    # strict append rejects drift in BOTH directions
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.append(df.withColumn("score", F.lit(1.0)))
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.append(df.drop("tag"))
+    # type changes are never allowed
+    with pytest.raises(ValueError, match="type change"):
+        t.append(
+            df.withColumn("v", F.col("v").cast("string")),
+            merge_schema=True,
+        )
+
+    # widen: new live batch carries `score`
+    wide_rows = spark.range(100, 140).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 100).cast("double").alias("v"),
+        F.lit("w").alias("tag"),
+        (F.col("id") * 2).cast("double").alias("score"),
+    )
+    t.append(wide_rows, merge_schema=True)
+    got = t.read()
+    assert got.columns == ["k", "v", "tag", "score"]
+    assert got.filter("k < 100 AND score IS NOT NULL").count() == 0
+    assert got.filter("k >= 100").agg(
+        F.min(F.col("score") - F.col("k") * 2)
+    ).collect()[0][0] == 0.0
+    assert got.count() == 140
+
+    # a narrower producer null-pads under merge_schema
+    t.append(
+        spark.range(140, 150).select(
+            F.col("id").alias("k"), F.lit(5.0).alias("v")
+        ),
+        merge_schema=True,
+    )
+    assert t.read().filter("k >= 140 AND tag IS NULL").count() == 10
+
+    # change fold: upsert with the WIDE schema touches an OLD row
+    t.upsert(
+        spark.createDataFrame(
+            [(3, 7.0, "up", 99.0)], "k bigint, v double, tag string, score double"
+        )
+    )
+    r = t.read().filter("k = 3").collect()[0]
+    assert (r["v"], r["tag"], r["score"]) == (7.0, "up", 99.0)
+
+    # reconnecting by root serves the widened schema
+    assert read_table(spark, root).columns == ["k", "v", "tag", "score"]
+
+
+def test_schema_evolution_survives_optimize_and_time_travel(
+    spark, tmp_path_factory
+):
+    """The next optimize materializes the widened schema; the
+    pre-evolution version pin still serves its own (narrow) layout;
+    pruned reads and the change feed align to the widest schema."""
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t, df = _mk(spark, root, n=100)
+    v1 = t.optimize(target_rows_per_file=50)
+    t.append(
+        df.limit(0).withColumn("score", F.lit(0.0)), merge_schema=True
+    )  # widen with an empty batch (pure DDL-style evolution)
+    t.upsert(
+        spark.createDataFrame(
+            [(5, 1.0, "s", 42.0)],
+            "k bigint, v double, tag string, score double",
+        )
+    )
+    # change feed is wide; old-schema change batches would null-pad
+    ch = t.changes()
+    assert "score" in ch.columns
+    v2 = t.optimize(target_rows_per_file=50)
+    assert v2 > v1
+    # new version: wide, with the upsert materialized
+    snap = t.snapshot(v2)
+    assert "score" in snap.columns
+    assert snap.filter("k = 5").collect()[0]["score"] == 42.0
+    # time travel to the pre-evolution version: narrow, original rows
+    old = t.snapshot(v1)
+    assert "score" not in old.columns
+    assert old.count() == 100
+    # pruned read through the new version still aligns + filters
+    got = t.read(range_predicates=[("v", 0.0, 3.0)])
+    want = t.read().filter("v >= 0 AND v <= 3")
+    assert _rows(got) == _rows(want)
+    assert got.filter("k = 5").count() == 1
