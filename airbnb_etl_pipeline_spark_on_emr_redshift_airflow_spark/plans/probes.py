@@ -4672,7 +4672,71 @@ def s_near_dup_lsh_blocked(spark, sf_dir):
     return scored.unionByName(coverage)
 
 
-@register("m_multimodal_pipeline")
+ORACLE_MULTIMODAL_PIPELINE = """
+WITH src AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, n, unnest(range(0, least(n // 64, 7) + 1)) AS frame_no
+  FROM src
+),
+feats AS (
+  SELECT doc_id, n, lower(substr(hx, 1, 8)) AS magic,
+         n % 640 AS width, n % 480 AS height,
+       CAST(floor(CAST(len(list_filter(range(n), j -> substr(hx, CAST(2*j+1 AS BIGINT), 1) = '0')) AS DOUBLE) / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)) AS BIGINT) AS f00,
+       CAST(floor(CAST(len(list_filter(range(n), j -> substr(hx, CAST(2*j+1 AS BIGINT), 1) = '1')) AS DOUBLE) / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)) AS BIGINT) AS f01,
+       CAST(floor(CAST(len(list_filter(range(n), j -> substr(hx, CAST(2*j+1 AS BIGINT), 1) = '2')) AS DOUBLE) / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)) AS BIGINT) AS f02,
+       CAST(floor(CAST(len(list_filter(range(n), j -> substr(hx, CAST(2*j+1 AS BIGINT), 1) = '3')) AS DOUBLE) / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)) AS BIGINT) AS f03,
+       CAST(floor(CAST(len(list_filter(range(n), j -> substr(hx, CAST(2*j+1 AS BIGINT), 1) = '4')) AS DOUBLE) / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)) AS BIGINT) AS f04,
+       CAST(floor(CAST(len(list_filter(range(n), j -> substr(hx, CAST(2*j+1 AS BIGINT), 1) = '5')) AS DOUBLE) / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)) AS BIGINT) AS f05,
+       CAST(floor(CAST(len(list_filter(range(n), j -> substr(hx, CAST(2*j+1 AS BIGINT), 1) = '6')) AS DOUBLE) / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)) AS BIGINT) AS f06,
+       CAST(floor(CAST(len(list_filter(range(n), j -> substr(hx, CAST(2*j+1 AS BIGINT), 1) = '7')) AS DOUBLE) / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)) AS BIGINT) AS f07,
+       CAST(floor(CAST(len(list_filter(range(n), j -> substr(hx, CAST(2*j+1 AS BIGINT), 1) = '8')) AS DOUBLE) / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)) AS BIGINT) AS f08,
+       CAST(floor(CAST(len(list_filter(range(n), j -> substr(hx, CAST(2*j+1 AS BIGINT), 1) = '9')) AS DOUBLE) / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)) AS BIGINT) AS f09,
+       CAST(floor(CAST(len(list_filter(range(n), j -> substr(hx, CAST(2*j+1 AS BIGINT), 1) = 'A')) AS DOUBLE) / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)) AS BIGINT) AS f10,
+       CAST(floor(CAST(len(list_filter(range(n), j -> substr(hx, CAST(2*j+1 AS BIGINT), 1) = 'B')) AS DOUBLE) / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)) AS BIGINT) AS f11,
+       CAST(floor(CAST(len(list_filter(range(n), j -> substr(hx, CAST(2*j+1 AS BIGINT), 1) = 'C')) AS DOUBLE) / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)) AS BIGINT) AS f12,
+       CAST(floor(CAST(len(list_filter(range(n), j -> substr(hx, CAST(2*j+1 AS BIGINT), 1) = 'D')) AS DOUBLE) / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)) AS BIGINT) AS f13,
+       CAST(floor(CAST(len(list_filter(range(n), j -> substr(hx, CAST(2*j+1 AS BIGINT), 1) = 'E')) AS DOUBLE) / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)) AS BIGINT) AS f14,
+       CAST(floor(CAST(len(list_filter(range(n), j -> substr(hx, CAST(2*j+1 AS BIGINT), 1) = 'F')) AS DOUBLE) / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)) AS BIGINT) AS f15
+  FROM src
+)
+SELECT 'frames' AS slice, doc_id, n AS n_bytes, 'fake/utf8' AS mime,
+       CAST(frame_no AS INT) AS frame_no,
+       CAST(GREATEST(LEAST(64, n - frame_no * 64), 0) AS BIGINT)
+         AS frame_len,
+       CAST(NULL AS VARCHAR) AS magic,
+       CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+       CAST(NULL AS BIGINT) AS f00,
+       CAST(NULL AS BIGINT) AS f01,
+       CAST(NULL AS BIGINT) AS f02,
+       CAST(NULL AS BIGINT) AS f03,
+       CAST(NULL AS BIGINT) AS f04,
+       CAST(NULL AS BIGINT) AS f05,
+       CAST(NULL AS BIGINT) AS f06,
+       CAST(NULL AS BIGINT) AS f07,
+       CAST(NULL AS BIGINT) AS f08,
+       CAST(NULL AS BIGINT) AS f09,
+       CAST(NULL AS BIGINT) AS f10,
+       CAST(NULL AS BIGINT) AS f11,
+       CAST(NULL AS BIGINT) AS f12,
+       CAST(NULL AS BIGINT) AS f13,
+       CAST(NULL AS BIGINT) AS f14,
+       CAST(NULL AS BIGINT) AS f15,
+       TRUE AS ok
+FROM frames
+UNION ALL
+SELECT 'features', doc_id, n, NULL, NULL, NULL, magic,
+       CAST(width AS BIGINT), CAST(height AS BIGINT),
+       f00, f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11, f12, f13, f14, f15,
+       (n > 0) AS ok
+FROM feats
+"""
+
+
+@register("m_multimodal_pipeline", oracle=ORACLE_MULTIMODAL_PIPELINE)
 def m_multimodal_pipeline(spark, sf_dir):
     """The multimodal binary plumbing in one driver-window slot,
     slice-tagged (absorbs the former ``m_binary_frames`` and
@@ -4687,10 +4751,16 @@ def m_multimodal_pipeline(spark, sf_dir):
     ``decode_payload`` seam), the 16-bin vector projected to scalar
     columns (the driver's canonicalizer hashes scalars only).
 
-    Rows-only here (the mapInPandas featurizer is not
-    SQL-expressible); the frames slice keeps its DuckDB oracle on the
-    re-registered ``m_binary_frames``, and batch/schema semantics are
-    unit-tested in ``tests/test_multimodal.py``.
+    FULL VALUE-HASH ORACLE since round 10: the union of the two
+    constituent oracles — the frames slice replays as the stride
+    arithmetic over ``octet_length(encode(text))`` (as on
+    ``m_binary_frames``) and the features slice replays the fake
+    codec's byte histograms from the HEX view of the same encoding
+    (as on ``m_feature_extract``, including the bigint truncation of
+    the fractional bins via ``floor``) — so the mapInPandas Arrow
+    path is value-hash-checked inside the merged probe too.
+    Batch/schema semantics stay unit-tested in
+    ``tests/test_multimodal.py``.
 
     SELF-CERTIFYING (round 6): every row carries an ``ok`` boolean
     checkable from the recorded data — frames rows assert the stride
