@@ -1201,7 +1201,58 @@ def s_text_semdedup(spark, sf_dir):
     return semdedup(vecs, n_clusters=32, threshold=0.95, seed=42)
 
 
-@register("t_bpe_merges")  # rows-only: iterative argmax, not one SQL
+ORACLE_BPE_MERGES = """
+WITH RECURSIVE
+words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_filter(string_split(trim(regexp_replace(lower(text),
+             '[^a-z]+', ' ', 'g')), ' '), x -> x <> '')) AS word
+    FROM documents
+  )
+  GROUP BY word
+),
+init AS (
+  SELECT cnt,
+         '  ' || array_to_string(
+            list_append(
+              list_transform(range(1, length(word) + 1),
+                             i -> substr(word, i, 1)),
+              '</w>'),
+            '  ') || '  ' AS seg
+  FROM words
+),
+state AS (
+  SELECT 0 AS it, cnt, seg,
+         CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b
+  FROM init
+  UNION ALL
+  SELECT s.it + 1, s.cnt,
+         replace(s.seg, ' ' || p.a || '  ' || p.b || ' ',
+                        ' ' || p.a || p.b || ' '),
+         p.a, p.b
+  FROM state s, (
+    SELECT pair[1] AS a, pair[2] AS b, SUM(cnt) AS c
+    FROM (
+      SELECT cnt,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> [toks[i], toks[i + 1]])) AS pair
+      FROM (SELECT cnt, string_split(trim(seg), '  ') AS toks
+            FROM state)
+    )
+    GROUP BY 1, 2
+    HAVING SUM(cnt) >= 2
+    ORDER BY c DESC, a ASC, b ASC
+    LIMIT 1
+  ) p
+  WHERE s.it < 20
+)
+SELECT DISTINCT CAST(it AS INT) AS rank, a, b FROM state WHERE it >= 1
+ORDER BY rank
+"""
+
+
+@register("t_bpe_merges", oracle=ORACLE_BPE_MERGES)
 def t_bpe_merges(spark, sf_dir):
     """BPE tokenizer training (``operators.bpe``): learn the top-20
     merges from the documents word-frequency table — the subword
@@ -1212,7 +1263,17 @@ def t_bpe_merges(spark, sf_dir):
     O(n_merges) single-row collects and nothing else. Returns the
     ordered merge list as (rank, a, b) rows — fully deterministic;
     the classic-example progression and greedy segmentation semantics
-    are pytest-pinned (``test_bpe.py``)."""
+    are pytest-pinned (``test_bpe.py``).
+
+    FULL VALUE-HASH ORACLE since round 10: the whole training loop
+    replays in DuckDB as ONE recursive CTE — segmentations ride as
+    double-space-joined strings, adjacent pairs come from a
+    slice-index zip, each round's argmax (exact bigint counts,
+    (a, b) lexicographic tie-break, early stop below count 2) feeds a
+    plain ``replace()`` whose single-space padding reproduces the
+    greedy non-overlapping left-to-right merge fold exactly (the
+    ' a  b ' pattern consumes one space from each side's two-space
+    separator, so consecutive merge sites stay matchable)."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.bpe import (
         bpe_train,
         word_table,
