@@ -2192,13 +2192,48 @@ def d_simhash_near_dup(spark, sf_dir):
     )
 
 
-@register("c_sample_mix")
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.xxh import (
+    pmod_sql,
+    xxhash64_cols_sql,
+)
+
+_SAMPLE_MIX_HASHED = xxhash64_cols_sql(
+    "SELECT doc_id, source FROM documents",
+    [(5, "doc_id", "h5"), (7, "doc_id", "h7")],
+    ["doc_id", "source"],
+)
+
+ORACLE_SAMPLE_MIX = f"""
+WITH h AS ({_SAMPLE_MIX_HASHED})
+SELECT 'stratified' AS op, source AS bucket, doc_id
+FROM h
+WHERE (source = 'src0' AND {pmod_sql("h5", 1_000_000)} < 1000000)
+   OR (source = 'src1' AND {pmod_sql("h5", 1_000_000)} < 400000)
+UNION ALL
+SELECT 'mixture' AS op,
+       CASE WHEN doc_id % 2 = 0 THEN 'head' ELSE 'tail' END AS bucket,
+       doc_id
+FROM h
+WHERE (doc_id % 2 = 0 AND {pmod_sql("h7", 1_000_000)} < 250000)
+   OR (doc_id % 2 = 1 AND {pmod_sql("h7", 1_000_000)} < 750000)
+"""
+
+
+@register("c_sample_mix", oracle=ORACLE_SAMPLE_MIX)
 def c_sample_mix(spark, sf_dir):
     """Deterministic sampling + mixture weighting, both keyed by
     ``xxhash64(seed, doc_id)`` — identical across runs, partition
     counts, and cluster layouts. Merged into ``c_pack_sequences``'s
     'stratified'/'mixture' slices for the driver window; re-registered
-    here unchanged."""
+    here unchanged.
+
+    FULL VALUE-HASH ORACLE since round 10 (``plans.xxh``): Spark's
+    xxhash64 over an (int literal, long column) chain is a
+    closed-form XXH64 short-input path, replayed BIT-EXACTLY in
+    DuckDB with HUGEINT mod-2^64 arithmetic — so the oracle
+    recomputes the exact keep-sets instead of trusting
+    self-certification (bit-exactness pinned across the signed-long
+    domain in ``tests/test_xxh_oracle.py``)."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
         stratified_sample,
         weighted_mix,
@@ -4919,7 +4954,82 @@ def m_multimodal_pipeline(spark, sf_dir):
     return frames.unionByName(features)
 
 
-@register("c_pack_sequences")
+_PACK_TOK = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE length(regexp_replace(trim(text), '\\s+', ' ', 'g')) "
+    "- length(replace(regexp_replace(trim(text), '\\s+', ' ', 'g'), "
+    "' ', '')) + 1 END"
+)
+
+_PACK_HASHED = xxhash64_cols_sql(
+    "SELECT doc_id, source, text FROM documents",
+    [(0, "doc_id", "h0"), (1, "doc_id", "h1"),
+     (5, "doc_id", "h5"), (7, "doc_id", "h7")],
+    ["doc_id", "source", "text"],
+)
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH RECURSIVE
+h AS ({_PACK_HASHED}),
+items AS (
+  SELECT doc_id, source, h5, h7,
+         CAST({_PACK_TOK} AS BIGINT) AS n_tokens,
+         {pmod_sql("h0", 16)} AS g,
+         least(CAST({_PACK_TOK} AS BIGINT), 256) AS len,
+         row_number() OVER (PARTITION BY {pmod_sql("h0", 16)}
+                            ORDER BY h1, doc_id) AS rn
+  FROM h
+),
+pk AS (
+  SELECT g, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS local,
+         CAST(0 AS BIGINT) AS off, len AS used
+  FROM items WHERE rn = 1
+  UNION ALL
+  SELECT i.g, i.rn, i.doc_id, i.n_tokens,
+         CASE WHEN s.used + i.len > 256 AND s.used > 0
+              THEN s.local + 1 ELSE s.local END,
+         CASE WHEN s.used + i.len > 256 AND s.used > 0
+              THEN 0 ELSE s.used END,
+         CASE WHEN s.used + i.len > 256 AND s.used > 0
+              THEN i.len ELSE s.used + i.len END
+  FROM pk s JOIN items i ON i.g = s.g AND i.rn = s.rn + 1
+),
+packed AS (
+  SELECT doc_id, n_tokens, (g * 4294967296 + local) AS pack_id,
+         off AS pack_offset
+  FROM pk
+)
+SELECT 'pack' AS slice, doc_id, n_tokens, pack_id, pack_offset,
+       CAST(NULL AS VARCHAR) AS bucket,
+       (pack_offset = COALESCE(SUM(n_tokens) OVER (
+            PARTITION BY pack_id ORDER BY pack_offset, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        AND SUM(n_tokens) OVER (PARTITION BY pack_id) <= 256
+        AND COUNT(*) OVER (PARTITION BY doc_id) = 1) AS ok
+FROM packed
+UNION ALL
+SELECT 'stratified', doc_id, NULL, NULL, NULL, source,
+       (CASE WHEN source = 'src0'
+                  THEN {pmod_sql("h5", 1_000_000)} < 1000000
+             WHEN source = 'src1'
+                  THEN {pmod_sql("h5", 1_000_000)} < 400000
+             ELSE FALSE END)
+FROM items
+WHERE (source = 'src0' AND {pmod_sql("h5", 1_000_000)} < 1000000)
+   OR (source = 'src1' AND {pmod_sql("h5", 1_000_000)} < 400000)
+UNION ALL
+SELECT 'mixture', doc_id, NULL, NULL, NULL,
+       CASE WHEN doc_id % 2 = 0 THEN 'head' ELSE 'tail' END,
+       (CASE WHEN doc_id % 2 = 0
+                  THEN {pmod_sql("h7", 1_000_000)} < 250000
+             ELSE {pmod_sql("h7", 1_000_000)} < 750000 END)
+FROM items
+WHERE (doc_id % 2 = 0 AND {pmod_sql("h7", 1_000_000)} < 250000)
+   OR (doc_id % 2 = 1 AND {pmod_sql("h7", 1_000_000)} < 750000)
+"""
+
+
+@register("c_pack_sequences", oracle=ORACLE_PACK_SEQUENCES)
 def c_pack_sequences(spark, sf_dir):
     """The sampling→packing curation chain in one slot, slice-tagged
     (absorbs the former ``c_sample_mix`` row — re-registered verbatim
@@ -4944,11 +5054,15 @@ def c_pack_sequences(spark, sf_dir):
     ``weighted_mix`` of two disjoint corpus halves at 25%/75%, tagged
     by source name in ``bucket``.
 
-    Rows-only (greedy ``applyInPandas`` scan and Spark-compatible
-    xxhash64 are not DuckDB-expressible); pack
-    bound/coverage/determinism and sampling rate-band/layout-
-    independence unit-tested in ``tests/test_sampling.py`` and
-    ``tests/test_example_corpus.py``.
+    FULL VALUE-HASH ORACLE since round 10: ``plans.xxh`` replays
+    Spark's xxhash64 bit-exactly in DuckDB (HUGEINT mod-2^64
+    arithmetic), so the group assignment, the in-group hash order,
+    and both sampling keep-sets recompute exactly; the greedy
+    next-fit scan itself replays as a recursive CTE advancing every
+    group in lockstep (state = running pack index + fill, one join
+    per item rank). Pack bound/coverage/determinism and sampling
+    rate-band/layout-independence stay unit-tested in
+    ``tests/test_sampling.py`` and ``tests/test_example_corpus.py``.
 
     SELF-CERTIFYING (round 6): every row carries an ``ok`` boolean —
     pack rows re-derive the prefix layout in-result
