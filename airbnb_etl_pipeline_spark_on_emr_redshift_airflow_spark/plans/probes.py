@@ -2171,7 +2171,62 @@ def j_inner_composite_key(spark, sf_dir):
     )
 
 
-@register("d_simhash_near_dup")
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.xxh import (
+    xxhash64_str_sql,
+)
+
+_SIMHASH_TOKS = (
+    "SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), "
+    "'[^a-z]+', ' ', 'g')), ' ')) AS t FROM corpus"
+)
+
+ORACLE_SIMHASH_NEAR_DUP = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' mutated' AS text
+  FROM documents WHERE doc_id % 20 = 0
+),
+hashed AS ({xxhash64_str_sql(_SIMHASH_TOKS, "t", "h")}),
+hu AS (
+  SELECT doc_id,
+         CAST(CASE WHEN h < 0 THEN CAST(h AS HUGEINT) + {1 << 64}
+                   ELSE CAST(h AS HUGEINT) END AS UBIGINT) AS hu
+  FROM hashed
+),
+votes AS (
+  SELECT doc_id, i,
+         SUM(CAST((hu >> i) & 1 AS BIGINT)) AS cnt,
+         COUNT(*) AS n
+  FROM hu, (SELECT unnest(range(0, 64)) AS i) bits
+  GROUP BY doc_id, i
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN 2 * cnt > n
+                  THEN CAST(CAST(1 AS UBIGINT) << CAST(i AS INT) AS HUGEINT)
+                  ELSE CAST(0 AS HUGEINT) END) AS UBIGINT) AS usig
+  FROM votes GROUP BY doc_id
+),
+buckets AS (
+  SELECT doc_id, b, (usig >> CAST(b * 8 AS INT)) & 255 AS bits
+  FROM sig, (SELECT unnest(range(0, 8)) AS b) bands
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM buckets a JOIN buckets c
+    ON a.b = c.b AND a.bits = c.bits AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sa.usig, sb.usig)) AS INT) AS hamming
+FROM cands
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+WHERE bit_count(xor(sa.usig, sb.usig)) <= 7
+"""
+
+
+@register("d_simhash_near_dup", oracle=ORACLE_SIMHASH_NEAR_DUP)
 def d_simhash_near_dup(spark, sf_dir):
     """SimHash-64 near-duplicate pairs at hamming > 0 via signature
     banding (8 bands of 8 bits ⇒ exhaustive for hamming ≤ 7),
@@ -2179,7 +2234,16 @@ def d_simhash_near_dup(spark, sf_dir):
     word) land mostly at hamming 0-5 on this corpus — all within the
     banding guarantee. Merged into ``d_minhash_dup_clusters``'s
     'simhash_pair' slice for the driver window; re-registered here
-    unchanged."""
+    unchanged.
+
+    FULL VALUE-HASH ORACLE since round 10: ``plans.xxh`` now replays
+    Spark's VARIABLE-LENGTH (string) xxhash64 bit-exactly in DuckDB —
+    XXH64's 4-lane 32-byte blocks, 8-byte words, 4-byte word and
+    byte tail as list_reduce folds over the UTF-8 byte list in
+    HUGEINT mod-2^64 arithmetic (boundary lengths 0..100 pinned in
+    ``tests/test_xxh_oracle.py``) — so the per-token hashes, the
+    bit-majority signatures, the 8×8 banding, and the XOR-popcount
+    verify all recompute exactly."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
         simhash_near_dups,
     )
@@ -4490,7 +4554,168 @@ def c_outlier_filter(spark, sf_dir):
 # d_cluster_best_pick and g_personalized_pagerank inside the first
 # 50 (see plans.curation / plans.dedup).
 
-@register("d_minhash_dup_clusters")
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.xxh import (
+    xxhash64_chain_sql,
+)
+
+_MH_M64 = 1 << 64
+_MH_NORM = "trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))"
+
+_MH_GRID = xxhash64_chain_sql(
+    "SELECT s, CAST(j AS INT) AS j FROM ds, "
+    "(SELECT unnest(range(0, 32)) AS j) js",
+    [("int", "j"), ("str", "s")], "hj", prefix="__g",
+)
+_MH_BANDH = xxhash64_chain_sql(
+    "SELECT doc_id, b, hs[CAST(4*b+1 AS BIGINT)] AS l1, "
+    "hs[CAST(4*b+2 AS BIGINT)] AS l2, hs[CAST(4*b+3 AS BIGINT)] AS l3, "
+    "hs[CAST(4*b+4 AS BIGINT)] AS l4 "
+    "FROM sigl, (SELECT unnest(range(0, 8)) AS b) bs",
+    [("long", "l1"), ("long", "l2"), ("long", "l3"), ("long", "l4")],
+    "bhv", prefix="__b",
+)
+_MH_SHV = xxhash64_str_sql("SELECT s FROM ds", "s", "v", prefix="__v")
+_MH_SIMH = xxhash64_str_sql(
+    "SELECT doc_id, unnest(string_split(nt, ' ')) AS t "
+    "FROM (SELECT doc_id, " + _MH_NORM + " AS nt FROM corpus)",
+    "t", "sth", prefix="__t",
+)
+
+ORACLE_MINHASH_DUP_CLUSTERS = f"""
+WITH RECURSIVE
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' mutated' AS text
+  FROM documents WHERE doc_id % 20 = 0
+),
+toked AS (
+  SELECT doc_id, string_split({_MH_NORM}, ' ') AS toks FROM corpus
+),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS s
+  FROM toked WHERE len(toks) >= 3
+),
+ds AS MATERIALIZED (SELECT DISTINCT s FROM sh),
+gh AS MATERIALIZED ({_MH_GRID}),
+sigl AS (
+  SELECT doc_id, list(mh ORDER BY j) AS hs
+  FROM (SELECT sh.doc_id, gh.j, MIN(gh.hj) AS mh
+        FROM sh JOIN gh ON gh.s = sh.s GROUP BY sh.doc_id, gh.j)
+  GROUP BY doc_id
+),
+bh AS MATERIALIZED ({_MH_BANDH}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bh a JOIN bh c ON a.b = c.b AND a.bhv = c.bhv
+                     AND a.doc_id < c.doc_id
+),
+sv0 AS MATERIALIZED ({_MH_SHV}),
+sv AS MATERIALIZED (
+  SELECT doc_id, v FROM (
+    SELECT doc_id, v,
+           row_number() OVER (PARTITION BY doc_id ORDER BY v) AS rn
+    FROM (SELECT DISTINCT sh.doc_id, sv0.v
+          FROM sh JOIN sv0 ON sv0.s = sh.s)
+  ) WHERE rn <= 512
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sv GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN sv a ON a.doc_id = c.doc_a
+  JOIN sv b2 ON b2.doc_id = c.doc_b AND b2.v = a.v
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION ALL SELECT doc_b, doc_a FROM edges
+),
+reach AS (
+  SELECT a AS doc, a AS r FROM und
+  UNION
+  SELECT reach.doc, u.b FROM reach JOIN und u ON u.a = reach.r
+),
+cl AS MATERIALIZED (SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc),
+sth AS MATERIALIZED ({_MH_SIMH}),
+shu AS (
+  SELECT doc_id,
+         CAST(CASE WHEN sth < 0 THEN CAST(sth AS HUGEINT) + {_MH_M64}
+                   ELSE CAST(sth AS HUGEINT) END AS UBIGINT) AS hu
+  FROM sth
+),
+votes AS (
+  SELECT doc_id, i, SUM(CAST((hu >> i) & 1 AS BIGINT)) AS cnt,
+         COUNT(*) AS n
+  FROM shu, (SELECT unnest(range(0, 64)) AS i) bits
+  GROUP BY doc_id, i
+),
+ssig AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN 2 * cnt > n
+                  THEN CAST(CAST(1 AS UBIGINT) << CAST(i AS INT) AS HUGEINT)
+                  ELSE CAST(0 AS HUGEINT) END) AS UBIGINT) AS usig
+  FROM votes GROUP BY doc_id
+),
+sbuckets AS (
+  SELECT doc_id, b, (usig >> CAST(b * 8 AS INT)) & 255 AS bits
+  FROM ssig, (SELECT unnest(range(0, 8)) AS b) bands
+),
+scands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM sbuckets a JOIN sbuckets c
+    ON a.b = c.b AND a.bits = c.bits AND a.doc_id < c.doc_id
+),
+spairs AS MATERIALIZED (
+  SELECT doc_a, doc_b,
+         CAST(bit_count(xor(sa.usig, sb.usig)) AS INT) AS hamming
+  FROM scands
+  JOIN ssig sa ON sa.doc_id = doc_a
+  JOIN ssig sb ON sb.doc_id = doc_b
+  WHERE bit_count(xor(sa.usig, sb.usig)) <= 7
+),
+cov AS (
+  SELECT
+    (SELECT COUNT(*) FROM corpus WHERE doc_id < 1000000) AS n_subset,
+    (SELECT COUNT(*) FROM cl a JOIN cl b
+      ON b.doc_id = a.doc_id + 1000000 AND a.cluster_id = b.cluster_id
+      WHERE a.doc_id < 1000000) AS cl_rec,
+    (SELECT COUNT(*) FROM ssig a JOIN ssig b
+      ON b.doc_id = a.doc_id + 1000000
+      WHERE a.doc_id < 1000000
+        AND bit_count(xor(a.usig, b.usig)) <= 7) AS sim_exp,
+    (SELECT COUNT(*) FROM spairs
+      WHERE doc_b - doc_a = 1000000) AS sim_rec
+)
+SELECT 'cluster' AS slice, doc_id AS k1, cluster_id AS k2,
+       CAST(NULL AS INT) AS hamming,
+       (MIN(cluster_id) OVER (PARTITION BY doc_id % 1000000)
+          = MAX(cluster_id) OVER (PARTITION BY doc_id % 1000000)
+        AND COUNT(*) OVER (PARTITION BY doc_id % 1000000) = 2) AS ok
+FROM cl
+UNION ALL
+SELECT 'simhash_pair', doc_a, doc_b, hamming,
+       (hamming >= 0 AND hamming <= 7 AND doc_a < doc_b)
+FROM spairs
+UNION ALL
+SELECT 'twin_coverage_cluster', CAST(n_subset AS BIGINT),
+       CAST(cl_rec AS BIGINT), NULL, n_subset = cl_rec FROM cov
+UNION ALL
+SELECT 'twin_coverage_simhash', CAST(sim_exp AS BIGINT),
+       CAST(sim_rec AS BIGINT), NULL, sim_exp = sim_rec FROM cov
+"""
+
+
+@register("d_minhash_dup_clusters", oracle=ORACLE_MINHASH_DUP_CLUSTERS)
 def d_minhash_dup_clusters(spark, sf_dir):
     """Fuzzy dedup, both signature families in one slot (slice-tagged;
     absorbs the former ``d_simhash_near_dup`` row — re-registered
@@ -4516,10 +4741,19 @@ def d_minhash_dup_clusters(spark, sf_dir):
     exhaustiveness, not twin totality. MinHash verify arrays are
     capped at 512 hashes/doc
     (bottom-k sketch; this corpus sits far under the cap, so output
-    is bit-identical to uncapped — asserted in tests). Rows-only
-    check (xxhash64 signatures and iterative propagation are not
-    DuckDB-expressible); pairing, chain-transitivity, convergence,
-    bit-majority and banding semantics unit-tested.
+    is bit-identical to uncapped — asserted in tests).
+
+    FULL VALUE-HASH ORACLE since round 10: the ENTIRE chain replays
+    in DuckDB — per-(j, shingle) xxhash64 signatures via the
+    bit-exact ``plans.xxh`` chains (hashed once per DISTINCT shingle
+    string and joined back; MATERIALIZED CTEs stop DuckDB re-inlining
+    the expensive stages per consumer), LSH banding with the 4-long
+    band-hash chain, the bottom-512 verify arrays, exact Jaccard,
+    connected components as a recursive reachability closure
+    (min-reachable-id per node ≡ the min-label fixpoint), the
+    SimHash slice, and both coverage invariants. Pairing,
+    chain-transitivity, convergence, bit-majority and banding
+    semantics stay unit-tested.
 
     SELF-CERTIFYING (round 6): every row carries an ``ok`` boolean a
     reviewer can check from the row data alone — cluster rows assert
