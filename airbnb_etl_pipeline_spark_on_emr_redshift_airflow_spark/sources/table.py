@@ -884,6 +884,52 @@ class Table:
             schema=self._table_schema(),
         )
 
+    def consume_changes(
+        self, consumer_dir: str, apply_fn, to_batch: int | None = None
+    ) -> tuple[int, int] | None:
+        """Drive one incremental-consumer step over the change feed —
+        the loop every derived artifact (LM ledgers, BM25 postings,
+        minhash indexes) runs instead of diffing snapshots:
+
+        1. read this consumer's cursor (``consumer_dir/CURSOR``,
+           0 when absent — each consumer owns its own directory, so
+           several artifacts tail one table independently);
+        2. call ``apply_fn(changes_df, from_batch, hi)`` with the
+           net-effect feed for ``(cursor, hi]`` (``hi`` = the highest
+           committed change batch, or ``to_batch`` to stop earlier —
+           e.g. to align consumers for a consistent derived view);
+        3. advance the cursor to ``hi`` ONLY after ``apply_fn``
+           returns (atomic one-line write).
+
+        Returns ``(from_batch, hi)`` for the consumed range, or None
+        when the feed has nothing new. Delivery is at-least-once
+        across crashes (a crash between apply and cursor write
+        replays the SAME range on the next call), so ``apply_fn``
+        must be idempotent per range — which every maintenance path
+        in the engine already is: ledger folds key their writes on
+        pinned batch/period ids, so a replayed range rewrites the
+        same rows instead of double-applying. At-least-once + an
+        idempotent applier = exactly-once end to end, the standard
+        consumer contract (Kafka-style cursor-after-apply).
+        100 TB shape: each step is O(changes in range) — one window
+        over the change rows; nothing table-sized participates."""
+        spark = self.spark
+        cursor_path = f"{consumer_dir.rstrip('/')}/CURSOR"
+        cursor = 0
+        if fsutil.exists(spark, cursor_path):
+            cursor = int(fsutil.read_text(spark, cursor_path).strip())
+        ids = [
+            b for b in _batches(spark, self._changes)
+            if b > cursor and (to_batch is None or b <= to_batch)
+        ]
+        if not ids:
+            return None
+        hi = max(ids)
+        apply_fn(self.changes(from_batch=cursor, to_batch=hi), cursor, hi)
+        fsutil.mkdirs(spark, consumer_dir.rstrip("/"))
+        fsutil.write_text_atomic(spark, cursor_path, str(hi))
+        return (cursor, hi)
+
     # ----- maintenance -----------------------------------------------------
 
     def optimize(

@@ -478,3 +478,75 @@ def test_table_changes_drives_lm_ledger_maintenance(
     )
     # and the cursor advances to the feed's max batch for next time
     assert feed.agg(F.max("batch")).head()[0] == 3
+
+
+def test_consume_changes_drives_ledger_over_rounds(
+    spark, tmp_path_factory
+):
+    """Round-10 continuation: the cursor-driven consumer loop
+    (``Table.consume_changes``) maintaining a derived LM ledger over
+    SEVERAL feed rounds — each step is O(changes in range), and after
+    every consumption the ledger equals a from-scratch rebuild."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.aggregates import (
+        merge_lm_counts,
+        subtract_lm_counts,
+        unigram_lm_counts,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.table import (
+        Table,
+    )
+
+    root = str(tmp_path_factory.mktemp("lmloop")) + "/t"
+    t = Table.create(spark, root, "doc_id")
+    t.append(spark.createDataFrame(
+        [(1, "red fox jumps"), (2, "red dog"), (3, "blue fox"),
+         (4, "green dog runs")],
+        "doc_id bigint, text string",
+    ))
+
+    def tok(df):
+        return df.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+
+    state = {
+        "snap": t.read().localCheckpoint(),
+    }
+    state["ledger"] = unigram_lm_counts(
+        tok(state["snap"])
+    ).localCheckpoint()
+
+    def maintain(feed, lo, hi):
+        feed = feed.localCheckpoint()
+        touched = feed.select("doc_id")
+        removed = unigram_lm_counts(
+            tok(state["snap"].join(touched, "doc_id", "left_semi"))
+        )
+        added = unigram_lm_counts(
+            tok(feed.filter("op = 'upsert'").select("doc_id", "text"))
+        )
+        state["ledger"] = merge_lm_counts(
+            subtract_lm_counts(state["ledger"], removed), added
+        ).localCheckpoint()
+        state["snap"] = t.read().localCheckpoint()
+
+    cdir = root + "_lm"
+
+    def check():
+        rebuild = unigram_lm_counts(tok(t.read()))
+        assert sorted(map(tuple, state["ledger"].collect())) == sorted(
+            map(tuple, rebuild.collect())
+        )
+
+    t.delete([2])
+    t.upsert(spark.createDataFrame(
+        [(3, "yellow fox")], "doc_id bigint, text string"
+    ))
+    assert t.consume_changes(cdir, maintain) == (0, 2)
+    check()
+
+    t.upsert(spark.createDataFrame(
+        [(9, "new red words")], "doc_id bigint, text string"
+    ))
+    t.delete([1])
+    assert t.consume_changes(cdir, maintain) == (2, 4)
+    check()
+    assert t.consume_changes(cdir, maintain) is None

@@ -624,3 +624,63 @@ def test_schema_evolution_survives_optimize_and_time_travel(
     want = t.read().filter("v >= 0 AND v <= 3")
     assert _rows(got) == _rows(want)
     assert got.filter("k = 5").count() == 1
+
+
+def test_consume_changes_exactly_once_loop(spark, tmp_path_factory):
+    """The change-feed consumer contract: per-consumer cursor, ranges
+    delivered in order with no gaps/overlaps on the happy path,
+    at-least-once replay of the SAME range after a crash between
+    apply and cursor write, and convergence with an idempotent
+    applier."""
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t, df = _mk(spark, root, n=40)
+    cdir = root + "_consumer"
+    seen: list[tuple[int, int, tuple]] = []
+
+    def applier(ch, lo, hi):
+        rows = tuple(sorted(
+            (r["k"], r["op"], r["batch"]) for r in ch.collect()
+        ))
+        seen.append((lo, hi, rows))
+
+    # nothing to consume yet
+    assert t.consume_changes(cdir, applier) is None
+
+    t.delete([1, 2, 3])
+    t.upsert(df.filter("k = 5").select(
+        "k", (F.col("v") + 100).alias("v"), "tag"
+    ))
+    assert t.consume_changes(cdir, applier) == (0, 2)
+    # cursor advanced: nothing new
+    assert t.consume_changes(cdir, applier) is None
+    t.delete([7])
+    assert t.consume_changes(cdir, applier) == (2, 3)
+    assert [(lo, hi) for lo, hi, _ in seen] == [(0, 2), (2, 3)]
+    # the net feed in (0, 2]: keys 1,2,3 deletes + 5 upsert
+    assert [r[:2] for r in seen[0][2]] == [
+        (1, "delete"), (2, "delete"), (3, "delete"), (5, "upsert")
+    ]
+
+    # crash between apply and cursor write -> same range replays
+    t.delete([9])
+
+    class Boom(Exception):
+        pass
+
+    def crashing(ch, lo, hi):
+        applier(ch, lo, hi)
+        raise Boom()
+
+    with pytest.raises(Boom):
+        t.consume_changes(cdir, crashing)
+    # cursor NOT advanced; replay delivers the identical range
+    assert t.consume_changes(cdir, applier) == (3, 4)
+    assert seen[-1] == seen[-2]
+
+    # two consumers tail independently
+    cdir2 = root + "_consumer2"
+    got2 = []
+    assert t.consume_changes(
+        cdir2, lambda ch, lo, hi: got2.append((lo, hi, ch.count()))
+    ) == (0, 4)
+    assert got2[0][2] == 6  # net keys: 1,2,3,7,9 deletes + 5 upsert
