@@ -6055,3 +6055,73 @@ def l_schema_evolution_read(spark, sf_dir):
             batch_id=1,
         )
     return read_table(spark, root)
+
+
+# ----- time-series linear interpolation (round 10) ------------------------
+
+ORACLE_RESAMPLE_INTERPOLATE = f"""
+WITH obs AS (
+  SELECT user_id, ts, max(value) AS v
+  FROM (SELECT user_id, ts, value FROM {EVENTS_SRC} AS events
+        WHERE event_type = 'purchase')
+  GROUP BY user_id, ts
+), bounds AS (
+  SELECT user_id, min(ts) AS lo, max(ts) AS hi FROM obs GROUP BY user_id
+), grid AS (
+  SELECT user_id,
+         unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS ts
+  FROM bounds
+), u AS (
+  SELECT user_id, ts, CAST(NULL AS DOUBLE) AS v, TRUE AS isg FROM grid
+  UNION ALL
+  SELECT user_id, ts, v, FALSE FROM obs
+), m AS (
+  SELECT user_id, ts, isg,
+    last_value(CASE WHEN NOT isg THEN v END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, isg
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN NOT isg THEN epoch_us(ts) END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, isg
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(CASE WHEN NOT isg THEN v END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, isg
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN NOT isg THEN epoch_us(ts) END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, isg
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+  FROM u
+)
+SELECT user_id, ts,
+       CASE WHEN nt IS NULL OR nt = pt THEN pv
+            ELSE pv + (nv - pv) * (CAST(epoch_us(ts) - pt AS DOUBLE)
+                                   / CAST(nt - pt AS DOUBLE)) END AS value
+FROM m WHERE isg
+"""
+
+
+@register("e_resample_interpolate", oracle=ORACLE_RESAMPLE_INTERPOLATE)
+def e_resample_interpolate(spark, sf_dir):
+    """Time-series resample with LINEAR interpolation
+    (``operators.timeseries.resample_interpolate``, round 10 — the
+    numeric sibling of ``e_resample_ffill``): each user's irregular
+    purchase values land on a per-user 6-hour grid, every grid
+    instant carrying ``vp + (vn − vp)·(t − tp)/(tn − tp)`` over the
+    bracketing observations (exact at hits, forward-fill past the
+    last observation — no extrapolation). Plan: bounds agg →
+    scan-side grid explode → union + ONE key-partitioned window pass
+    with ignore-nulls last/first over asymmetric frames — the as-of
+    trick doubled, still a single shuffle, no range join, no Python.
+    The oracle replays the identical union+window shape (DuckDB
+    IGNORE NULLS frames) with the same microsecond-epoch arithmetic,
+    so the doubles are bit-identical."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    (events,) = load(spark, sf_dir, "events")
+    obs = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return resample_interpolate(obs, "user_id", "ts", "value", "6 HOUR")
