@@ -1,0 +1,107 @@
+"""Declarative data-quality expectations (Deequ / dbt-test shape).
+
+The reference guards its pipeline with imperative quality gates
+(row-count / uniqueness asserts between stages — SURVEY.md §5;
+re-expressed in ``pipeline.py``). This is the declarative,
+report-producing form a warehouse needs: a RULE SET evaluated in ONE
+scan, emitting one row per rule with violation counts — the artifact
+dashboards and gate decisions both consume (the boolean gate is
+``report.filter(~ok)`` instead of a hand-written assert per check).
+
+Scale shape: every row rule compiles to ``sum(CASE WHEN NOT rule)``
+inside a single aggregate over one scan — 50 rules cost one pass,
+not 50. Uniqueness is one groupBy on the key; referential integrity
+is one anti-join probing the (broadcastable) parent keys. Nothing
+row-wise in Python, no per-rule job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCHEMA = ["rule", "n_total", "n_violations", "ok"]
+
+
+def check_rows(df: DataFrame, rules: dict[str, str]) -> DataFrame:
+    """Evaluate SQL row-level expectations in ONE scan: ``rules``
+    maps rule name → boolean SQL over the frame's columns (a row
+    VIOLATES when the predicate is false or NULL — an expectation
+    that cannot be evaluated is not satisfied, the fail-closed
+    reading). Returns one row per rule: (rule, n_total,
+    n_violations, ok)."""
+    if not rules:
+        raise ValueError("check_rows: empty rule set")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for name, pred in rules.items():
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(F.expr(pred), F.lit(False)), 0)
+                .otherwise(1)
+            ).cast("bigint").alias(f"__v_{name}")
+        )
+    row = df.agg(*aggs)
+    parts = [
+        row.select(
+            F.lit(name).alias("rule"),
+            F.col("__n").alias("n_total"),
+            F.col(f"__v_{name}").alias("n_violations"),
+            (F.col(f"__v_{name}") == 0).alias("ok"),
+        )
+        for name in rules
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def check_unique(df: DataFrame, cols: list[str], name: str | None = None
+                 ) -> DataFrame:
+    """Uniqueness expectation over a key: n_violations = rows beyond
+    the first per duplicated key (0 ⇔ the key is unique). One
+    groupBy shuffle on the key."""
+    name = name or ("unique_" + "_".join(cols))
+    g = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__c"))
+    return g.agg(
+        F.lit(name).alias("rule"),
+        F.sum("__c").cast("bigint").alias("n_total"),
+        F.sum(F.col("__c") - 1).cast("bigint").alias("n_violations"),
+        (F.coalesce(F.sum(F.col("__c") - 1), F.lit(0)) == 0).alias("ok"),
+    )
+
+
+def check_referential(
+    child: DataFrame, parent: DataFrame, keys: list[str],
+    parent_keys: list[str] | None = None,
+    name: str | None = None,
+) -> DataFrame:
+    """Referential-integrity expectation: every child key must exist
+    in the parent (NULL child keys violate — fail-closed; an anti
+    join never matches a NULL key, which is the violating reading
+    here). ``parent_keys`` names the parent-side columns when they
+    differ (``l_orderkey`` → ``o_orderkey``). One anti-join; the
+    parent's distinct key set is dim-sized and AQE broadcasts it."""
+    name = name or ("fk_" + "_".join(keys))
+    pk = parent_keys or keys
+    pset = parent.select(
+        *[F.col(p).alias(c) for p, c in zip(pk, keys)]
+    ).distinct()
+    n = child.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    orphans = child.join(pset, keys, "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    return n.crossJoin(orphans).select(
+        F.lit(name).alias("rule"),
+        F.col("n").alias("n_total"),
+        F.col("v").alias("n_violations"),
+        (F.col("v") == 0).alias("ok"),
+    )
+
+
+def dq_report(*parts: DataFrame) -> DataFrame:
+    """Union expectation results into one report frame."""
+    out = parts[0].select(*_SCHEMA)
+    for p in parts[1:]:
+        out = out.unionByName(p.select(*_SCHEMA))
+    return out

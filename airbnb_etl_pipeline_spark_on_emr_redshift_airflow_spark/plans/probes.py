@@ -6125,3 +6125,88 @@ def e_resample_interpolate(spark, sf_dir):
         .agg(F.max("value").alias("value"))
     )
     return resample_interpolate(obs, "user_id", "ts", "value", "6 HOUR")
+
+
+# ----- declarative data-quality expectations (round 10) -------------------
+
+ORACLE_DQ_REPORT = """
+WITH rowchecks AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN COALESCE(l_quantity >= 1
+                                     AND l_quantity <= 50, FALSE)
+                       THEN 0 ELSE 1 END) AS BIGINT) AS v_qty,
+         CAST(SUM(CASE WHEN COALESCE(l_extendedprice
+                                     > CAST(0 AS DOUBLE), FALSE)
+                       THEN 0 ELSE 1 END) AS BIGINT) AS v_dates,
+         CAST(SUM(CASE WHEN COALESCE(l_discount >= CAST(0 AS DOUBLE)
+                                     AND l_discount <= CAST(0.1 AS DOUBLE),
+                                     FALSE)
+                       THEN 0 ELSE 1 END) AS BIGINT) AS v_disc,
+         CAST(SUM(CASE WHEN COALESCE(l_returnflag IN ('A', 'N', 'R'),
+                                     FALSE)
+                       THEN 0 ELSE 1 END) AS BIGINT) AS v_flag
+  FROM lineitem
+),
+uniq AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c - 1) AS BIGINT) AS v
+  FROM (SELECT count(*) AS c FROM lineitem
+        GROUP BY l_orderkey, l_linenumber)
+),
+fk AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n,
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)) AS v
+)
+SELECT 'qty_in_range' AS rule, n AS n_total, v_qty AS n_violations,
+       v_qty = 0 AS ok FROM rowchecks
+UNION ALL
+SELECT 'positive_price', n, v_dates, v_dates = 0 FROM rowchecks
+UNION ALL
+SELECT 'discount_band', n, v_disc, v_disc = 0 FROM rowchecks
+UNION ALL
+SELECT 'returnflag_domain', n, v_flag, v_flag = 0 FROM rowchecks
+UNION ALL
+SELECT 'unique_l_orderkey_l_linenumber', n, v, v = 0 FROM uniq
+UNION ALL
+SELECT 'fk_l_orderkey', n, v, v = 0 FROM fk
+"""
+
+
+@register("a_dq_report", oracle=ORACLE_DQ_REPORT)
+def a_dq_report(spark, sf_dir):
+    """Declarative data-quality expectations (``operators.dq``, round
+    10 — the Deequ/dbt-test shape): four row-level rules over
+    lineitem evaluated in ONE scan (each compiles to a
+    sum-of-CASE inside a single aggregate — 50 rules cost one pass,
+    not 50 jobs), a composite-key uniqueness check (one groupBy), and
+    a referential-integrity check against orders (one anti-join,
+    parent keys broadcast) — unioned into the report frame gate
+    decisions and dashboards both consume. NULL-valued predicates
+    count as violations (fail-closed). The reference's imperative
+    per-stage asserts (SURVEY §5 → ``pipeline.py`` gates) expressed
+    as a declarative, auditable artifact."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dq import (
+        check_referential,
+        check_rows,
+        check_unique,
+        dq_report,
+    )
+
+    li, orders = load(spark, sf_dir, "lineitem", "orders")
+    rows = check_rows(li, {
+        "qty_in_range": "l_quantity >= 1 AND l_quantity <= 50",
+        "positive_price": "l_extendedprice > CAST(0 AS DOUBLE)",
+        "discount_band": (
+            "l_discount >= CAST(0 AS DOUBLE) "
+            "AND l_discount <= CAST(0.1 AS DOUBLE)"
+        ),
+        "returnflag_domain": "l_returnflag IN ('A', 'N', 'R')",
+    })
+    uniq = check_unique(li, ["l_orderkey", "l_linenumber"])
+    fk = check_referential(
+        li, orders, ["l_orderkey"], parent_keys=["o_orderkey"],
+        name="fk_l_orderkey",
+    )
+    return dq_report(rows, uniq, fk)
