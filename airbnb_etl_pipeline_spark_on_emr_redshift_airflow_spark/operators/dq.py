@@ -32,6 +32,15 @@ def check_rows(df: DataFrame, rules: dict[str, str]) -> DataFrame:
     n_violations, ok)."""
     if not rules:
         raise ValueError("check_rows: empty rule set")
+    import re as _re
+
+    for name in rules:
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(
+                f"check_rows: rule name {name!r} must be a plain "
+                "identifier (it becomes a column name and a string "
+                "literal in the unpivot)"
+            )
     aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
     for name, pred in rules.items():
         aggs.append(
@@ -41,19 +50,19 @@ def check_rows(df: DataFrame, rules: dict[str, str]) -> DataFrame:
             ).cast("bigint").alias(f"__v_{name}")
         )
     row = df.agg(*aggs)
-    parts = [
-        row.select(
-            F.lit(name).alias("rule"),
-            F.col("__n").alias("n_total"),
-            F.col(f"__v_{name}").alias("n_violations"),
-            (F.col(f"__v_{name}") == 0).alias("ok"),
-        )
-        for name in rules
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # unpivot the ONE aggregate row with stack() — a per-rule union of
+    # projections would re-plan (and re-scan) the aggregate once per
+    # rule, turning N rules into N source scans
+    quoted = ", ".join(
+        f"'{name}', __v_{name}" for name in rules
+    )
+    return row.selectExpr(
+        "__n AS n_total",
+        f"stack({len(rules)}, {quoted}) AS (rule, n_violations)",
+    ).select(
+        "rule", "n_total", "n_violations",
+        (F.col("n_violations") == 0).alias("ok"),
+    )
 
 
 def check_unique(df: DataFrame, cols: list[str], name: str | None = None

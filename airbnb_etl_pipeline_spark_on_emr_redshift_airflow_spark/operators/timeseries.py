@@ -118,13 +118,16 @@ def resample_interpolate(
     obs_t = F.when(~F.col("__is_grid"), F.unix_micros(F.col(ts_col)))
     prev_f = w.rowsBetween(Window.unboundedPreceding, 0)
     next_f = w.rowsBetween(1, Window.unboundedFollowing)
-    m = (
-        u.withColumn("__pv", F.last(obs_v, ignorenulls=True).over(prev_f))
-        .withColumn("__pt", F.last(obs_t, ignorenulls=True).over(prev_f))
-        .withColumn("__nv", F.first(obs_v, ignorenulls=True).over(next_f))
-        .withColumn("__nt", F.first(obs_t, ignorenulls=True).over(next_f))
-        .filter(F.col("__is_grid"))
-    )
+    # one select, not chained withColumn: the optimizer then collapses
+    # the same-frame functions into one Window node per frame (two
+    # passes over one sort) instead of four
+    m = u.select(
+        "*",
+        F.last(obs_v, ignorenulls=True).over(prev_f).alias("__pv"),
+        F.last(obs_t, ignorenulls=True).over(prev_f).alias("__pt"),
+        F.first(obs_v, ignorenulls=True).over(next_f).alias("__nv"),
+        F.first(obs_t, ignorenulls=True).over(next_f).alias("__nt"),
+    ).filter(F.col("__is_grid"))
     t = F.unix_micros(F.col(ts_col))
     frac = (t - F.col("__pt")).cast("double") / (
         F.col("__nt") - F.col("__pt")

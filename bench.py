@@ -224,6 +224,10 @@ SIDECAR_ONLY = [
     # path is the composed read)
     "u_merge_conditional",
     "l_schema_evolution_read",
+    # round-10 continuation: linear-interpolation resample; the
+    # one-scan DQ expectations report
+    "e_resample_interpolate",
+    "a_dq_report",
 ]
 
 

@@ -59,3 +59,50 @@ def test_unique_and_referential(spark):
     )
     assert rep.columns == ["rule", "n_total", "n_violations", "ok"]
     assert rep.count() == 3
+
+
+def test_row_rules_are_one_scan_and_interpolate_one_shuffle(spark):
+    """Plan gates: N row rules evaluate in ONE scan (one Aggregate
+    over one relation — adding rules must not add jobs), and the
+    linear-interpolation resample pays ONE key shuffle beyond the
+    bounds agg (the union+window as-of shape)."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    rep = check_rows(df, {f"r{i}": f"v < {i + 100}" for i in range(12)})
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    # the 12 rules share one aggregate over one range scan; the
+    # report fan-out is a local union of 1-row projections
+    assert plan.count("Range (0, 100") <= 1
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    ts = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0),
+         (1, "2024-01-03 00:00:00", 5.0),
+         (1, "2024-01-06 00:00:00", 2.0),
+         (2, "2024-01-01 00:00:00", 10.0)],
+        "k bigint, ts string, v double",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = resample_interpolate(ts, "k", "ts", "v", "1 DAY")
+    rows = {(r["k"], str(r["ts"])): r["v"] for r in out.collect()}
+    # exact at hits, linear between, ffill past the end
+    assert rows[(1, "2024-01-01 00:00:00")] == 1.0
+    assert rows[(1, "2024-01-02 00:00:00")] == 3.0   # midpoint of 1 and 5
+    assert rows[(1, "2024-01-03 00:00:00")] == 5.0
+    assert rows[(1, "2024-01-04 00:00:00")] == 4.0   # 5 + (2-5)*(1/3)
+    assert rows[(1, "2024-01-06 00:00:00")] == 2.0
+    assert rows[(2, "2024-01-01 00:00:00")] == 10.0  # singleton: ffill
+    xplan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString appends the pre-adaptive plan after
+    # "== Initial Plan ==" — gate the FINAL plan only
+    xplan = xplan.split("== Initial Plan ==")[0]
+    # key exchanges only: the bounds agg + one per union leg into the
+    # single window pass (EnsureRequirements shuffles each leg; there
+    # is no per-row range join and no second window)
+    assert xplan.count("Exchange hashpartitioning") <= 3
+    # ONE Window node carrying both frames (prev trailing / next
+    # leading) over a single sort — chained withColumn produced four
+    assert xplan.count("Window [") == 1
