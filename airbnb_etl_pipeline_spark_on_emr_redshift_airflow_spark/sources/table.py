@@ -1025,6 +1025,58 @@ class Table:
             dims.append((c, float(lo), float(hi) + 1.0))
         return dims
 
+    def restore(
+        self, version: int, target_rows_per_file: int = 1_000_000,
+        keep: int = 3,
+    ) -> int:
+        """RESTORE the table to a committed ``version`` (the Delta
+        verb): serve exactly ``snapshot(version)`` again, undoing
+        every append/upsert/delete/optimize since. Implemented as a
+        NEW forward version — the pointer never flips backward (that
+        invariant is what lets readers trust pins), so the restore
+        writes ``version``'s rows as version N+1 with watermarks set
+        to the CURRENT batch maxima: everything that landed after
+        ``version`` is absorbed-as-discarded (invisible through the
+        new version), while batches landing AFTER the restore stay
+        above the recorded marks and serve normally. History is
+        preserved (the undone versions remain pinnable until pruned),
+        the restore itself is re-restorable, and crash-safety is the
+        optimize lifecycle's — a half-written restore is an orphan
+        directory readers never resolve. Cost: one O(snapshot)
+        rewrite, the same class as the optimize every caller already
+        budgets."""
+        spark = self.spark
+        if not fsutil.exists(
+            spark, f"{self.root}/v={version}/_SUCCESS"
+        ):
+            raise ValueError(
+                f"Table.restore: no committed v={version} under "
+                f"{self.root}"
+            )
+        snap = self._align(self.snapshot(version), self._table_schema())
+        live_wm_new = max(_batches(spark, self._live), default=0)
+        ch_wm_new = max(_batches(spark, self._changes), default=0)
+        v = self._pointer()
+        if v is not None:
+            lw, cw = self._watermarks(v)
+            live_wm_new = max(live_wm_new, lw)
+            ch_wm_new = max(ch_wm_new, cw)
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.optimize import (
+            optimize_table,
+        )
+
+        n = optimize_table(
+            snap, self.root, self._zorder_dims(snap),
+            bloom_cols=self.bloom_cols or None,
+            target_rows_per_file=target_rows_per_file,
+            keep=keep,
+            extra_metadata={
+                _FOLDED: f"live={live_wm_new}\nchanges={ch_wm_new}\n"
+            },
+        )
+        self.vacuum_live()
+        return n
+
     def vacuum_live(self) -> int:
         """Physically remove live batches at-or-below the pointed
         version's live watermark (their rows are materialized in the

@@ -684,3 +684,50 @@ def test_consume_changes_exactly_once_loop(spark, tmp_path_factory):
         cdir2, lambda ch, lo, hi: got2.append((lo, hi, ch.count()))
     ) == (0, 4)
     assert got2[0][2] == 6  # net keys: 1,2,3,7,9 deletes + 5 upsert
+
+
+def test_restore_undoes_later_mutations_forward_only(
+    spark, tmp_path_factory
+):
+    """RESTORE serves an earlier snapshot exactly, as a NEW forward
+    version (pins to the undone history keep working); mutations
+    landing after the restore serve normally; restore composes with
+    re-restore."""
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t, df = _mk(spark, root, n=60)
+    v1 = t.optimize(target_rows_per_file=50)
+    want_v1 = _rows(t.read())
+    # later history: delete + upsert + another optimize + a live batch
+    t.delete([0, 1, 2])
+    t.upsert(df.filter("k = 9").select(
+        "k", (F.col("v") + 500).alias("v"), "tag"
+    ))
+    v2 = t.optimize(target_rows_per_file=50)
+    t.append(spark.createDataFrame(
+        [(100, 1.0, "late")], "k bigint, v double, tag string"
+    ))
+    assert _rows(t.read()) != want_v1
+
+    v3 = t.restore(v1, target_rows_per_file=50)
+    assert v3 > v2
+    assert _rows(t.read()) == want_v1
+    # the undone version stays pinnable
+    assert t.snapshot(v2).filter("k = 9").collect()[0]["v"] == \
+        df.filter("k = 9").collect()[0]["v"] + 500
+    # new mutations after the restore serve normally
+    t.delete([5])
+    t.append(spark.createDataFrame(
+        [(200, 2.0, "post")], "k bigint, v double, tag string"
+    ))
+    got = t.read()
+    assert got.filter("k = 5").count() == 0
+    assert got.filter("k = 200").count() == 1
+    assert got.filter("k = 100").count() == 0  # discarded by restore
+    # restore the restore: back to v2's state
+    t2rows = t.restore(v2, target_rows_per_file=50)
+    assert t2rows > v3
+    cur = t.read()
+    assert cur.filter("k = 0").count() == 0      # v2 had the delete
+    assert cur.filter("k = 200").count() == 0    # post-restore undone
+    with pytest.raises(ValueError, match="no committed"):
+        t.restore(99)
