@@ -1134,6 +1134,13 @@ class Table:
             "live_batches": _batches(self.spark, self._live),
             "change_batches": _batches(self.spark, self._changes),
         }
+        try:
+            out["schema"] = [
+                (f.name, f.dataType.simpleString())
+                for f in self._table_schema().fields
+            ]
+        except ValueError:
+            out["schema"] = None  # empty table — nothing appended yet
         if v is not None:
             from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.optimize import (
                 describe_table,
