@@ -6210,3 +6210,50 @@ def a_dq_report(spark, sf_dir):
         name="fk_l_orderkey",
     )
     return dq_report(rows, uniq, fk)
+
+
+# ----- Spark-4 VARIANT JSON surface (round 10) -----------------------------
+
+ORACLE_VARIANT_JSON = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(0 AS BIGINT) AS n_with_missing
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("f_variant_json", oracle=ORACLE_VARIANT_JSON)
+def f_variant_json(spark, sf_dir):
+    """Semi-structured JSON through Spark 4's native VARIANT type
+    (surface extension): ``parse_json`` decodes each event's ``props``
+    ONCE into the binary variant encoding, ``variant_get`` extracts
+    the typed field and ``try_variant_get`` probes a missing path
+    (typed NULL, never an error) — the schema-on-read shape that
+    replaces per-field ``get_json_object`` re-parsing (N fields = N
+    full JSON parses on the string form; one parse total on the
+    variant form, and the binary encoding is what columnar engines
+    shred/push down at scale). Oracle: DuckDB's JSON extraction over
+    the same strings. 100 TB shape: scan-stage parse + one hash
+    aggregate — no UDF, no re-parse per extracted field."""
+    (events,) = load(spark, sf_dir, "events")
+    withv = events.withColumn("v", F.expr("parse_json(props)"))
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    missing = F.expr("try_variant_get(v, '$.missing', 'bigint')")
+    return (
+        withv.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+            F.count("m").cast("bigint").alias("n_with_missing"),
+        )
+    )
