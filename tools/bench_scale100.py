@@ -136,6 +136,16 @@ CHAINS = [
     # serving)
     "u_cdc_table_read",
     "l_table_facade_read",
+    # round-10 continuation: conditional MERGE (the decide join must
+    # stay source-bounded while the table grows 10x), the widened-
+    # schema composed read (explicit-schema alignment over 10x files),
+    # the interpolation resample (grid and window both grow with the
+    # key set — per-key cost must stay flat), and the one-scan DQ
+    # report (rule count fixed, scan grows linearly)
+    "u_merge_conditional",
+    "l_schema_evolution_read",
+    "e_resample_interpolate",
+    "a_dq_report",
 ]
 N_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
 PASS_RATIO = 13.0
