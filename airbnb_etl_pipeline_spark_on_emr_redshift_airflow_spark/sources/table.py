@@ -116,6 +116,7 @@ class Table:
         self._zones = f"{self.root}/zones"
         self._bloom = f"{self.root}/bloom"
         self._schema_cache = None
+        self._dropped_cache = None
 
     # ----- lifecycle ----------------------------------------------------
 
@@ -262,24 +263,58 @@ class Table:
         single-writer-per-table discipline covers the rest)."""
         if self._schema_cache is not None:
             return self._schema_cache
-        from pyspark.sql.types import StructType
-
-        p = f"{self.root}/{_SCHEMA}"
-        if fsutil.exists(self.spark, p):
-            sch = StructType.fromJson(
-                json.loads(fsutil.read_text(self.spark, p))
-            )
-        else:
+        sch, dropped = self._read_schema_file()
+        if sch is None:
             sch = self._any_schema().schema
+            dropped = {}
         self._schema_cache = sch
+        self._dropped_cache = dropped
         return sch
 
-    def _write_schema(self, schema) -> None:
+    def _dropped_types(self) -> dict:
+        """name → DataType of columns dropped by :meth:`drop_columns`
+        (kept so a later re-add can be type-checked)."""
+        self._table_schema()  # populates both caches
+        return dict(self._dropped_cache or {})
+
+    def _read_schema_file(self):
+        """(StructType | None, dropped dict) from ``root/SCHEMA``.
+        Two formats round-trip: the plain StructType json (pre-drop
+        files) and ``{"schema": ..., "dropped": {name: typeJson}}``."""
+        from pyspark.sql.types import StructType, _parse_datatype_json_value
+
+        p = f"{self.root}/{_SCHEMA}"
+        if not fsutil.exists(self.spark, p):
+            return None, {}
+        raw = json.loads(fsutil.read_text(self.spark, p))
+        if isinstance(raw, dict) and "schema" in raw:
+            return (
+                StructType.fromJson(raw["schema"]),
+                {
+                    n: _parse_datatype_json_value(t)
+                    for n, t in raw.get("dropped", {}).items()
+                },
+            )
+        return StructType.fromJson(raw), {}
+
+    def _write_schema(self, schema, dropped: dict | None = None) -> None:
+        if dropped is None:
+            # preserve the recorded drops across widenings
+            try:
+                dropped = self._dropped_types()
+            except ValueError:
+                dropped = {}
+        payload = (
+            {"schema": schema.jsonValue(),
+             "dropped": {n: t.jsonValue() for n, t in dropped.items()}}
+            if dropped
+            else schema.jsonValue()
+        )
         fsutil.write_text_atomic(
-            self.spark, f"{self.root}/{_SCHEMA}",
-            json.dumps(schema.jsonValue()),
+            self.spark, f"{self.root}/{_SCHEMA}", json.dumps(payload)
         )
         self._schema_cache = schema
+        self._dropped_cache = dict(dropped)
 
     @staticmethod
     def _align(df: DataFrame, schema) -> DataFrame:
@@ -359,13 +394,73 @@ class Table:
             )
         from pyspark.sql.types import StructType
 
+        dropped = self._dropped_types()
+        for f in extra:
+            if f.name in dropped and f.dataType != dropped[f.name]:
+                raise ValueError(
+                    f"Table: column {f.name!r} was dropped as "
+                    f"{dropped[f.name].simpleString()} — re-adding it "
+                    f"as {f.dataType.simpleString()} would mis-decode "
+                    "files that still carry the old bytes (plain "
+                    "parquet has no column-id mapping); re-add with "
+                    "the original type"
+                )
+            dropped.pop(f.name, None)
         new_schema = StructType(list(cur.fields) + list(extra))
         if extra:
             # SCHEMA widens BEFORE data lands: a crash in between
             # leaves an over-wide schema (harmless NULL column),
             # never a wide file a narrow reader would truncate
-            self._write_schema(new_schema)
+            self._write_schema(new_schema, dropped)
         return self._align(df, new_schema)
+
+    def drop_columns(self, cols: list[str]) -> None:
+        """DROP COLUMNS as a metadata-only narrowing (the other half
+        of schema evolution): the columns leave ``root/SCHEMA`` and
+        every read aligns to the narrower schema immediately —
+        explicit-schema parquet scans simply stop decoding the bytes,
+        O(1), nothing rewritten. The next :meth:`optimize`
+        materializes the narrow schema physically; committed versions
+        keep theirs (time-travel pins still serve the column).
+
+        Dropped names are RECORDED with their types: a later
+        ``merge_schema`` re-add must use the identical type (plain
+        parquet has no column-id mapping, so a re-typed re-add would
+        mis-decode old bytes), and until an optimize has physically
+        rewritten the files, re-adding RESURFACES pre-drop values in
+        rows that still carry them — the documented plain-parquet
+        trade (Delta hides this behind column mapping); re-add AFTER
+        an optimize starts from NULLs. The key column and currently
+        indexed columns cannot drop (evolve the indexes first)."""
+        from pyspark.sql.types import StructType
+
+        cur = self._table_schema()
+        missing = [c for c in cols if c not in cur.names]
+        if missing:
+            raise ValueError(
+                f"Table.drop_columns: not in the schema: {missing}"
+            )
+        if self.key_col in cols:
+            raise ValueError(
+                f"Table.drop_columns: cannot drop the key column "
+                f"{self.key_col!r}"
+            )
+        indexed = [
+            c for c in cols if c in self.zone_cols or c in self.bloom_cols
+        ]
+        if indexed:
+            raise ValueError(
+                f"Table.drop_columns: {indexed} are indexed — "
+                "evolve(zone_cols=..., bloom_cols=...) them away first"
+            )
+        dropped = self._dropped_types()
+        by_name = {f.name: f for f in cur.fields}
+        for c in cols:
+            dropped[c] = by_name[c].dataType
+        self._write_schema(
+            StructType([f for f in cur.fields if f.name not in cols]),
+            dropped,
+        )
 
     def append(
         self,

@@ -731,3 +731,73 @@ def test_restore_undoes_later_mutations_forward_only(
     assert cur.filter("k = 200").count() == 0    # post-restore undone
     with pytest.raises(ValueError, match="no committed"):
         t.restore(99)
+
+
+def test_drop_columns_metadata_only_and_readd_semantics(
+    spark, tmp_path_factory
+):
+    """DROP COLUMNS is metadata-only: reads narrow immediately,
+    nothing rewrites; the next optimize materializes physically;
+    pre-drop version pins keep the column; re-add before an optimize
+    resurfaces surviving values (documented plain-parquet trade),
+    re-add after starts from NULLs, and a re-typed re-add raises."""
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t, df = _mk(spark, root, n=30, zone=False, bloom=False)
+    v1 = t.optimize(target_rows_per_file=50)
+
+    with pytest.raises(ValueError, match="not in the schema"):
+        t.drop_columns(["zzz"])
+    with pytest.raises(ValueError, match="key column"):
+        t.drop_columns(["k"])
+
+    t.drop_columns(["tag"])
+    assert t.read().columns == ["k", "v"]
+    assert t.describe()["schema"] == [("k", "bigint"), ("v", "double")]
+    # pre-drop pin still serves it
+    assert "tag" in t.snapshot(v1).columns
+    # writes operate on the narrow schema
+    t.upsert(spark.createDataFrame([(500, 1.5)], "k bigint, v double"))
+    assert t.read().filter("k = 500").count() == 1
+
+    # re-typed re-add refuses
+    with pytest.raises(ValueError, match="re-add with the original"):
+        t.append(
+            spark.createDataFrame(
+                [(501, 1.0, 7)], "k bigint, v double, tag bigint"
+            ),
+            merge_schema=True,
+        )
+    # re-add BEFORE optimize: surviving pre-drop bytes resurface
+    t.append(
+        spark.createDataFrame(
+            [(502, 2.0, "new")], "k bigint, v double, tag string"
+        ),
+        merge_schema=True,
+    )
+    got = t.read()
+    assert got.columns == ["k", "v", "tag"]
+    assert got.filter("k = 5").collect()[0]["tag"] is not None  # resurfaced
+    assert got.filter("k = 502").collect()[0]["tag"] == "new"
+
+    # drop again, optimize (physical), re-add: starts from NULLs
+    t.drop_columns(["tag"])
+    t.optimize(target_rows_per_file=50)
+    t.append(
+        spark.createDataFrame(
+            [(503, 3.0, "fresh")], "k bigint, v double, tag string"
+        ),
+        merge_schema=True,
+    )
+    got2 = t.read()
+    assert got2.filter("k = 5").collect()[0]["tag"] is None
+    assert got2.filter("k = 503").collect()[0]["tag"] == "fresh"
+
+
+def test_drop_columns_guards_indexed(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t, _ = _mk(spark, root, n=20)  # zone on v, bloom on k
+    with pytest.raises(ValueError, match="indexed"):
+        t.drop_columns(["v"])
+    t.evolve(zone_cols=[])
+    t.drop_columns(["v"])
+    assert t.read().columns == ["k", "tag"]
