@@ -289,9 +289,7 @@ def f_string_date_functions(spark, sf_dir):
     )
 
 
-@register(
-    "u_union_dedup_merge",
-    oracle="""
+ORACLE_UNION_DEDUP_MERGE = """
     WITH merged AS (
       SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
       UNION ALL
@@ -304,9 +302,10 @@ def f_string_date_functions(spark, sf_dir):
     )
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
     FROM ranked WHERE rn = 1
-    """,
-)
-def u_union_dedup_merge(spark, sf_dir):
+"""
+
+
+def u_union_dedup_merge_impl(spark, sf_dir):
     """U1 + A9 + W1 — the reference's core incremental-merge semantics
     (``apps/process_reviews.py:146-148``): a snapshot and an
     overlapping delta are unioned and deduped to the newest row per
@@ -334,9 +333,7 @@ def u_union_dedup_merge(spark, sf_dir):
 _CDC_PAYLOAD = "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
 
 
-@register(
-    "u_merge_apply_cdc",
-    oracle=f"""
+ORACLE_MERGE_APPLY_CDC = f"""
     WITH changes AS (
       SELECT c_custkey, c_name, c_nationkey, 0.0 AS c_acctbal,
              'STALE' AS c_mktsegment, 1 AS seq, 'U' AS op
@@ -362,9 +359,10 @@ _CDC_PAYLOAD = "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
     WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
     UNION ALL
     SELECT {_CDC_PAYLOAD} FROM latest WHERE op <> 'D'
-    """,
-)
-def u_merge_apply_cdc(spark, sf_dir):
+"""
+
+
+def u_merge_apply_cdc_impl(spark, sf_dir):
     """MERGE INTO semantics (``operators.merge.apply_cdc``, warehouse
     extension of the reference's append-only monthly merge,
     ``apps/process_reviews.py:146-148``): a synthesized I/U/D change
@@ -411,3 +409,62 @@ def u_merge_apply_cdc(spark, sf_dir):
         )
     )
     return apply_cdc(customer, changes, ["c_custkey"], "seq", "op")
+
+
+# ----- round-10 continuation window rotation ------------------------------
+#
+# u_union_dedup_merge + u_merge_apply_cdc slice-merge into
+# u_union_cdc_merge for the driver's 50-row window (both originals
+# re-register verbatim, with their oracles, past the window in
+# plans.probes) — the freed slot records the round-10-continuation
+# conditional-MERGE flagship in plans.curation.
+
+ORACLE_UNION_CDC_MERGE = f"""
+WITH ud AS ({ORACLE_UNION_DEDUP_MERGE}),
+ac AS ({ORACLE_MERGE_APPLY_CDC})
+SELECT 'union_dedup' AS slice, o_orderkey AS key,
+       o_orderstatus AS s1, CAST(NULL AS VARCHAR) AS s2,
+       CAST(o_totalprice AS DOUBLE) AS num1,
+       CAST(o_custkey AS BIGINT) AS num2, o_orderdate AS dt
+FROM ud
+UNION ALL
+SELECT 'apply_cdc', c_custkey, c_name, c_mktsegment,
+       CAST(c_acctbal AS DOUBLE), CAST(c_nationkey AS BIGINT),
+       CAST(NULL AS TIMESTAMP)
+FROM ac
+"""
+
+
+@register("u_union_cdc_merge", oracle=ORACLE_UNION_CDC_MERGE)
+def u_union_cdc_merge(spark, sf_dir):
+    """The two warehouse merge signatures in one window slot,
+    slice-tagged (round-10 rotation; both originals re-registered
+    verbatim past the window with their oracles):
+
+    'union_dedup' — U1 + A9 + W1, the reference's core
+    incremental-merge semantics (snapshot ∪ overlapping delta →
+    newest row per key; ``apps/process_reviews.py:146-148``).
+
+    'apply_cdc' — MERGE INTO semantics over a synthesized I/U/D
+    change feed (latest change per key wins, winning deletes drop,
+    untouched keys pass through; the warehouse extension of the
+    reference's append-only monthly merge)."""
+    a = u_union_dedup_merge_impl(spark, sf_dir).select(
+        F.lit("union_dedup").alias("slice"),
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.col("o_totalprice").cast("double").alias("num1"),
+        F.col("o_custkey").cast("bigint").alias("num2"),
+        F.col("o_orderdate").alias("dt"),
+    )
+    b = u_merge_apply_cdc_impl(spark, sf_dir).select(
+        F.lit("apply_cdc").alias("slice"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("s1"),
+        F.col("c_mktsegment").alias("s2"),
+        F.col("c_acctbal").cast("double").alias("num1"),
+        F.col("c_nationkey").cast("bigint").alias("num2"),
+        F.lit(None).cast("timestamp").alias("dt"),
+    )
+    return a.unionByName(b)

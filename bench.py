@@ -228,6 +228,10 @@ SIDECAR_ONLY = [
     # one-scan DQ expectations report
     "e_resample_interpolate",
     "a_dq_report",
+    # round-10 continuation rotation merged window slots (constituent
+    # slices stay timed under the original names above/in HEADLINE)
+    "l_skipping_pruned",
+    "u_union_cdc_merge",
 ]
 
 

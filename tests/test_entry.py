@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 151
+    assert len(names) == 153
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -56,14 +56,14 @@ def test_oracle_keys_subset_of_queries(spark):
     # plus the returning oracle-checked m_binary_frames.
     for must_have in (
         "d_decontaminate",
-        "t_tfidf_topk", "u_merge_apply_cdc",
+        "t_tfidf_topk",
         "r_bm25_search", "t_unigram_lm_score", "d_repeated_spans",
         "c_dsir_select", "q5_local_supplier_volume",
         "e_watermark_json", "p_project_dates",
         "a_heavy_hitters_ledger", "g_pagerank_fixed",
         "w_frames_ranks", "e_time_windows", "j_range_asof",
-        "l_zone_pruned_agg", "d_jaccard_prefix_filter",
-        "g_triangle_count", "l_bloom_point_lookup",
+        "d_jaccard_prefix_filter",
+        "g_triangle_count",
         "d_cluster_best_pick", "g_personalized_pagerank",
         "m_binary_frames",
         # round-10 rotation: a_rollup_cube + a_pivot_unpivot folded
@@ -76,6 +76,14 @@ def test_oracle_keys_subset_of_queries(spark):
         # + filter law in one read).
         "a_cube_pivot", "s_knn_near_dup",
         "u_delete_vectors", "l_table_facade_read",
+        # round-10 continuation rotation: l_zone_pruned_agg +
+        # l_bloom_point_lookup folded into l_skipping_pruned and
+        # u_union_dedup_merge + u_merge_apply_cdc into
+        # u_union_cdc_merge (all four originals re-registered verbatim
+        # at the tail with their oracles); the freed slots record the
+        # conditional-MERGE and schema-evolution flagships.
+        "l_skipping_pruned", "u_union_cdc_merge",
+        "u_merge_conditional", "l_schema_evolution_read",
     ):
         assert must_have in names[:50]
     # every window entry is oracle-checked (50 green driver rows)
@@ -192,13 +200,17 @@ def test_oracle_keys_subset_of_queries(spark):
         "a_pivot_unpivot",
         "s_knn_bruteforce",
         "s_embedding_near_dup",
-        # round-10 continuation: conditional MERGE INTO + additive
-        # schema evolution on the facade; linear-interpolation resample
-        "u_merge_conditional",
-        "l_schema_evolution_read",
+        # round-10 continuation: linear-interpolation resample, the
+        # one-scan DQ report, the Spark-4 VARIANT surface, and the
+        # rotation re-registrations (u_merge_conditional +
+        # l_schema_evolution_read moved INTO the window)
         "e_resample_interpolate",
         "a_dq_report",
         "f_variant_json",
+        "l_zone_pruned_agg",
+        "l_bloom_point_lookup",
+        "u_union_dedup_merge",
+        "u_merge_apply_cdc",
     ]
 
 
