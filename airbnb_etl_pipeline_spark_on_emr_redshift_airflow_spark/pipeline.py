@@ -153,3 +153,30 @@ def no_drift(
         return report.filter(F.col("drift")).limit(1).count() == 0
 
     return check
+
+
+def expectations_pass(
+    rules: dict[str, str],
+    unique_keys: list[str] | None = None,
+):
+    """Declarative-expectations gate (bridges ``operators.dq`` into
+    the stage-gate machinery): the stage result must satisfy every
+    SQL row rule (ONE scan regardless of rule count, fail-closed on
+    NULL) and, optionally, a key-uniqueness expectation. The same
+    rule set that feeds a dashboard's ``dq_report`` artifact guards
+    the pipeline — one definition, two consumers."""
+
+    def check(df: DataFrame) -> bool:
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dq import (
+            check_rows,
+            check_unique,
+            dq_report,
+        )
+
+        parts = [check_rows(df, rules)]
+        if unique_keys:
+            parts.append(check_unique(df, unique_keys))
+        bad = dq_report(*parts).filter("NOT ok").limit(1).collect()
+        return not bad
+
+    return check

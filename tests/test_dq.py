@@ -106,3 +106,31 @@ def test_row_rules_are_one_scan_and_interpolate_one_shuffle(spark):
     # ONE Window node carrying both frames (prev trailing / next
     # leading) over a single sort — chained withColumn produced four
     assert xplan.count("Window [") == 1
+
+
+def test_expectations_gate_in_pipeline(spark, tmp_path_factory):
+    """The DQ rule set as a pipeline stage gate: a clean stage
+    passes; a violating stage aborts the run with the gate's
+    description."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.pipeline import (
+        Pipeline,
+        Stage,
+        expectations_pass,
+    )
+
+    good = spark.createDataFrame([(1, 5.0), (2, 6.0)], "id bigint, v double")
+    bad = spark.createDataFrame([(1, 5.0), (1, -1.0)], "id bigint, v double")
+    rules = {"v_nonneg": "v >= 0"}
+
+    ok_pipe = Pipeline([
+        Stage("s", lambda spark, period, ctx: good,
+              gates=(("dq", expectations_pass(rules, ["id"])),)),
+    ])
+    ok_pipe.run(spark, "2024-01")
+
+    bad_pipe = Pipeline([
+        Stage("s", lambda spark, period, ctx: bad,
+              gates=(("dq", expectations_pass(rules, ["id"])),)),
+    ])
+    with pytest.raises(RuntimeError, match="quality gate failed"):
+        bad_pipe.run(spark, "2024-01")
