@@ -134,3 +134,59 @@ def test_expectations_gate_in_pipeline(spark, tmp_path_factory):
     ])
     with pytest.raises(RuntimeError, match="quality gate failed"):
         bad_pipe.run(spark, "2024-01")
+
+
+def test_stream_gated_append_quarantines_and_replays(
+    spark, tmp_path_factory
+):
+    """Streaming expectations: clean rows reach the facade table,
+    violating rows land in the quarantine tagged with the rules they
+    failed, and a checkpoint replay converges (no duplicates)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.table import (
+        Table,
+    )
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.dq import (
+        stream_gated_append,
+    )
+
+    base = str(tmp_path_factory.mktemp("sdq"))
+    src, q, cp = f"{base}/src", f"{base}/quarantine", f"{base}/cp"
+    root = f"{base}/t"
+    spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None)], "k bigint, v double"
+    ).coalesce(1).write.parquet(f"{src}/f1")
+    spark.createDataFrame(
+        [(4, 7.0), (5, 1000.0)], "k bigint, v double"
+    ).coalesce(1).write.parquet(f"{src}/f2")
+    # flat source dir with two files -> two micro-batches
+    import glob
+    import shutil
+
+    for i, f in enumerate(sorted(glob.glob(f"{src}/f*/part-*.parquet"))):
+        shutil.copy(f, f"{src}/data{i}.parquet")
+    shutil.rmtree(f"{src}/f1")
+    shutil.rmtree(f"{src}/f2")
+
+    t = Table.create(spark, root, "k")
+    rules = {"v_nonneg": "v >= 0", "v_under_100": "v < 100"}
+    stream_gated_append(
+        t, src, "k bigint, v double", cp, rules, q
+    ).awaitTermination()
+
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 4]
+    quar = spark.read.option("basePath", q).parquet(q)
+    got = {
+        r["k"]: sorted(r["__failed_rules"]) for r in quar.collect()
+    }
+    assert got == {
+        2: ["v_nonneg"],
+        3: ["v_nonneg", "v_under_100"],  # NULL fails closed on both
+        5: ["v_under_100"],
+    }
+
+    # drained checkpoint replay: nothing re-processes, nothing dups
+    stream_gated_append(
+        t, src, "k bigint, v double", cp, rules, q
+    ).awaitTermination()
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 4]
+    assert spark.read.option("basePath", q).parquet(q).count() == 3
