@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.joins import (
     incremental_merge,
@@ -580,3 +581,115 @@ def test_weighted_heavyhitters_bounds_sound_model(spark, data, k):
     for (g, i), t in true.items():
         if t > omax.get(g, 0):
             assert (g, i) in tops, ((g, i), t, omax.get(g))
+
+
+merge_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),     # key
+        st.integers(min_value=-50, max_value=50),  # value
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@SLOW
+@given(base=merge_rows, src=merge_rows, cut=st.integers(-20, 20))
+def test_table_merge_equals_clause_replay(
+    spark, tmp_path_factory, base, src, cut
+):
+    """Table.merge with all three clauses ≡ the row-by-row clause
+    replay, for ANY base/source frames and any delete threshold:
+    matched & target-value ≥ cut → delete; matched & source < target
+    → update (partial set: only v changes); unmatched & even key →
+    insert."""
+    if not base:
+        return  # an empty table cannot be created (append-first rule)
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.table import (
+        Table,
+    )
+
+    root = str(tmp_path_factory.mktemp("mprop")) + "/t"
+    t = Table.create(spark, root, "k")
+    t.append(spark.createDataFrame(base, "k bigint, v bigint"))
+    sdf = (
+        spark.createDataFrame(src, "k bigint, v bigint")
+        if src
+        else spark.createDataFrame([], "k bigint, v bigint")
+    )
+    t.merge(
+        sdf,
+        matched_delete=f"t.v >= {cut}",
+        matched_update="s.v < t.v",
+        update_set={"v": "s.v + t.v"},
+        not_matched_insert="s.k % 2 = 0",
+    )
+
+    state = {k: v for k, v in base}
+    for k, sv in src:
+        if k in state:
+            tv = state[k]
+            if tv >= cut:
+                del state[k]
+            elif sv < tv:
+                state[k] = sv + tv
+        elif k % 2 == 0:
+            state[k] = sv
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == state
+
+
+obs_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # key
+        st.integers(min_value=0, max_value=40),    # hour offset
+        st.integers(min_value=-100, max_value=100),  # value
+    ),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@SLOW
+@given(data=obs_rows)
+def test_resample_interpolate_equals_pointwise_replay(spark, data):
+    """resample_interpolate ≡ the documented pointwise semantics for
+    ANY observation set: hourly grid per key over [min, max], linear
+    between bracketing observations over epoch micros, exact at hits,
+    forward-fill past the last observation."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    base_s = 1_700_000_000
+    df = spark.createDataFrame(
+        [(k, base_s + h * 3600, float(v)) for k, h, v in data],
+        "k bigint, secs bigint, v double",
+    ).select(
+        "k", F.timestamp_seconds(F.col("secs")).alias("ts"), "v"
+    )
+    out = {
+        (r["k"], r["ts"].timestamp()): r["v"]
+        for r in resample_interpolate(df, "k", "ts", "v", "1 HOUR")
+        .collect()
+    }
+
+    bykey: dict[int, list[tuple[int, float]]] = {}
+    for k, h, v in data:
+        bykey.setdefault(k, []).append((base_s + h * 3600, float(v)))
+    want = {}
+    for k, obs in bykey.items():
+        obs.sort()
+        lo, hi = obs[0][0], obs[-1][0]
+        for t in range(lo, hi + 1, 3600):
+            prev = max((o for o in obs if o[0] <= t), key=lambda o: o[0])
+            nxts = [o for o in obs if o[0] > t]
+            if not nxts:
+                want[(k, float(t))] = prev[1]
+            else:
+                nxt = min(nxts, key=lambda o: o[0])
+                frac = (t - prev[0]) / (nxt[0] - prev[0])
+                want[(k, float(t))] = prev[1] + (nxt[1] - prev[1]) * frac
+    assert out == want
