@@ -135,6 +135,17 @@ AUDITED = [
     "e_time_windows",
     "c_outlier_filter",
     "g_personalized_pagerank",
+    # round-10 continuation: the facade DML/read flagships, the
+    # interpolation resample (one Window node, plan-gated in
+    # tests/test_dq.py), the one-scan DQ report, the VARIANT surface,
+    # and the rotation merged window slots
+    "u_merge_conditional",
+    "l_schema_evolution_read",
+    "e_resample_interpolate",
+    "a_dq_report",
+    "f_variant_json",
+    "l_skipping_pruned",
+    "u_union_cdc_merge",
 ]
 
 # Every input corpus-sized → no broadcast hint allowed anywhere in the
