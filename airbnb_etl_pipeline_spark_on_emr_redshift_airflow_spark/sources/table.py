@@ -245,7 +245,12 @@ class Table:
         ):
             fsutil.delete(spark, path)
             if cols and ids:
-                live = spark.read.option("basePath", self._live).parquet(
+                # explicit widest schema: a tail batch written before
+                # a widening lacks evolved columns on disk — inference
+                # could sample it and miss a newly indexed column
+                live = spark.read.schema(self._table_schema()).option(
+                    "basePath", self._live
+                ).parquet(
                     *[f"{self._live}/batch={b}" for b in ids]
                 )
                 builder(live, cols).localCheckpoint().coalesce(1).write.mode(

@@ -801,3 +801,35 @@ def test_drop_columns_guards_indexed(spark, tmp_path_factory):
     t.evolve(zone_cols=[])
     t.drop_columns(["v"])
     assert t.read().columns == ["k", "tag"]
+
+
+def test_evolve_indexes_onto_evolved_column(spark, tmp_path_factory):
+    """evolve() can index a column ADDED by schema evolution even
+    while pre-widening tail batches (which lack it on disk) are still
+    live — the manifest rebuild reads the tail under the widest
+    schema, so the old batches contribute all-NULL zones (soundly
+    skippable) instead of an AnalysisException."""
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t = Table.create(spark, root, "k")
+    t.append(spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 5).cast("double").alias("v")
+    ))
+    t.append(
+        spark.range(20, 30).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).cast("double").alias("v"),
+            (F.col("id") * 1.0).alias("score"),
+        ),
+        merge_schema=True,
+    )
+    t.evolve(zone_cols=["score"])
+    got = t.read(range_predicates=[("score", 25.0, 27.0)])
+    assert sorted(r["k"] for r in got.collect()) == [25, 26, 27]
+    # filter-law still holds across the mixed-width tail
+    assert _rows_kv(got) == _rows_kv(
+        t.read().filter("score >= 25 AND score <= 27")
+    )
+
+
+def _rows_kv(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
