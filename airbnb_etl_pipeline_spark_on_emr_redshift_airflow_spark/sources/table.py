@@ -588,6 +588,7 @@ class Table:
         matched_update=None,
         matched_delete=None,
         not_matched_insert=True,
+        not_matched_by_source_delete=None,
         update_set: dict[str, str] | None = None,
         batch_id: int | None = None,
     ) -> int:
@@ -617,10 +618,17 @@ class Table:
           from the source insert as typed NULLs (CDC feeds are often
           narrower than the table).
 
-        Unmatched TARGET rows are untouched by construction (the
-        batch only carries decided keys — there is no
-        ``WHEN NOT MATCHED BY SOURCE``; use :meth:`delete` with an
-        anti-joined key set for that shape).
+        - ``not_matched_by_source_delete`` — the full-sync clause
+          (``WHEN NOT MATCHED BY SOURCE THEN DELETE``): TARGET rows
+          whose key the source does NOT carry become delete ops when
+          the condition (over ``t.`` only) holds. NOTE the cost
+          class: unlike every other clause this one's output is
+          bounded by the TARGET's absent keys, not the source — with
+          a small source against a big table it emits a near-table-
+          sized change batch. It exists for the "source IS the
+          complete desired state" sync shape; leave it None for
+          incremental feeds. Unmatched target rows are otherwise
+          untouched by construction.
 
         100 TB shape: one pass over the folded table state joined to
         the batch-sized source on the key (AQE broadcasts the source
@@ -636,6 +644,7 @@ class Table:
             matched_update is None
             and matched_delete is None
             and not not_matched_insert
+            and not_matched_by_source_delete is None
         ):
             raise ValueError("Table.merge: no clause given")
         key = self.key_col
@@ -658,8 +667,9 @@ class Table:
                 return F.col(f"s.{f.name}").alias(f.name)
             return F.lit(None).cast(f.dataType).alias(f.name)
 
+        cur = self.read()
         j = source.alias("s").join(
-            self.read().alias("t"),
+            cur.alias("t"),
             F.col(f"s.{key}") == F.col(f"t.{key}"),
             "left",
         )
@@ -717,6 +727,24 @@ class Table:
                 j.filter(~matched & _cond(not_matched_insert)).select(
                     *[_src_val(f) for f in schema],
                     F.lit("upsert").alias("op"),
+                )
+            )
+        if not_matched_by_source_delete is not None:
+            # target keys the source lacks — disjoint from every
+            # source-driven clause by construction, so one-op-per-key
+            # still holds across the whole batch
+            absent = cur.alias("t").join(
+                source.select(key), key, "left_anti"
+            ).filter(_cond(not_matched_by_source_delete))
+            parts.append(
+                absent.select(
+                    *[
+                        F.col(f"t.{key}").alias(key)
+                        if f.name == key
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in schema
+                    ],
+                    F.lit("delete").alias("op"),
                 )
             )
         ch = parts[0]

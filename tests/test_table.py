@@ -833,3 +833,42 @@ def test_evolve_indexes_onto_evolved_column(spark, tmp_path_factory):
 
 def _rows_kv(df):
     return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def test_merge_not_matched_by_source_full_sync(spark, tmp_path_factory):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE: the full-sync shape —
+    after the merge, the table equals the source exactly (conditional
+    variant keeps protected target rows)."""
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t, df = _mk(spark, root, n=30)
+    src = spark.range(10, 40).select(
+        F.col("id").alias("k"),
+        F.lit(9.0).alias("v"),
+        F.lit("sync").alias("tag"),
+    )
+    t.merge(
+        src,
+        matched_update=True,
+        not_matched_insert=True,
+        not_matched_by_source_delete=True,
+    )
+    assert _rows(t.read()) == sorted(
+        (k, 9.0, "sync") for k in range(10, 40)
+    )
+    # conditional by-source delete: keep target rows tagged 'sync'
+    # with k < 15 (the condition sees t.* only)
+    src2 = spark.range(35, 45).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("v"),
+        F.lit("s2").alias("tag"),
+    )
+    t.merge(
+        src2,
+        matched_update=True,
+        not_matched_insert=True,
+        not_matched_by_source_delete="t.k >= 15",
+    )
+    got = {r["k"]: (r["v"], r["tag"]) for r in t.read().collect()}
+    assert sorted(got) == list(range(10, 15)) + list(range(35, 45))
+    assert got[10] == (9.0, "sync")   # protected by the condition
+    assert got[40] == (1.0, "s2")     # inserted
+    assert got[36] == (1.0, "s2")     # updated
