@@ -1172,7 +1172,15 @@ class Table:
         optimize lifecycle's — a half-written restore is an orphan
         directory readers never resolve. Cost: one O(snapshot)
         rewrite, the same class as the optimize every caller already
-        budgets."""
+        budgets.
+
+        The SCHEMA restores too: columns added after ``version``
+        disappear, columns dropped after it come back with their
+        values — the restored table serves exactly what ``version``
+        served, shape included. The schema file rewrites AFTER the
+        version commits (a crash in between leaves the restored data
+        committed but aligned to the newer schema — wrong shape,
+        never wrong values; re-running the restore converges)."""
         spark = self.spark
         if not fsutil.exists(
             spark, f"{self.root}/v={version}/_SUCCESS"
@@ -1181,7 +1189,7 @@ class Table:
                 f"Table.restore: no committed v={version} under "
                 f"{self.root}"
             )
-        snap = self._align(self.snapshot(version), self._table_schema())
+        snap = self.snapshot(version)
         live_wm_new = max(_batches(spark, self._live), default=0)
         ch_wm_new = max(_batches(spark, self._changes), default=0)
         v = self._pointer()
@@ -1202,6 +1210,12 @@ class Table:
                 _FOLDED: f"live={live_wm_new}\nchanges={ch_wm_new}\n"
             },
         )
+        # restore the SHAPE as well: the committed version's own
+        # schema becomes current (after the commit — a crash between
+        # leaves restored data under the newer alignment, never wrong
+        # values), and pending drop records reset (the restored state
+        # has no files carrying foreign bytes once vacuumed)
+        self._write_schema(snap.schema, dropped={})
         self.vacuum_live()
         return n
 

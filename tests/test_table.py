@@ -872,3 +872,33 @@ def test_merge_not_matched_by_source_full_sync(spark, tmp_path_factory):
     assert got[10] == (9.0, "sync")   # protected by the condition
     assert got[40] == (1.0, "s2")     # inserted
     assert got[36] == (1.0, "s2")     # updated
+
+
+def test_restore_restores_the_schema_too(spark, tmp_path_factory):
+    """RESTORE brings back the SHAPE: columns dropped after the
+    pinned version return with their values; columns added after it
+    disappear (and strict appends of the old width work again)."""
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t, df = _mk(spark, root, n=20, zone=False, bloom=False)
+    v1 = t.optimize(target_rows_per_file=50)
+
+    # evolve forward: drop tag, add score
+    t.drop_columns(["tag"])
+    t.append(
+        spark.createDataFrame(
+            [(100, 1.0, 5.0)], "k bigint, v double, score double"
+        ),
+        merge_schema=True,
+    )
+    assert t.read().columns == ["k", "v", "score"]
+
+    t.restore(v1, target_rows_per_file=50)
+    got = t.read()
+    assert got.columns == ["k", "v", "tag"]
+    assert got.filter("k = 3").collect()[0]["tag"] is not None
+    assert got.filter("k = 100").count() == 0
+    # the old width is the strict width again
+    t.append(spark.createDataFrame(
+        [(200, 2.0, "back")], "k bigint, v double, tag string"
+    ))
+    assert t.read().filter("k = 200").count() == 1
