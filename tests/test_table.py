@@ -902,3 +902,56 @@ def test_restore_restores_the_schema_too(spark, tmp_path_factory):
         [(200, 2.0, "back")], "k bigint, v double, tag string"
     ))
     assert t.read().filter("k = 200").count() == 1
+
+
+def test_filter_law_random_sweep_under_evolution(
+    spark, tmp_path_factory
+):
+    """Randomized soundness sweep (the round-9 combined-pruning
+    discipline, extended to mixed-width history): for seeded random
+    range/IN predicates over a table with a narrow optimized bulk, a
+    widening, live tail batches, and un-materialized changes,
+    ``read(preds) ≡ read().filter(preds)`` must hold exactly."""
+    import random
+
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t = Table.create(
+        spark, root, "k", zone_cols=["v"], bloom_cols=["k"]
+    )
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 90).cast("double").alias("v"),
+    )
+    t.append(df.filter("k < 150").repartition(4), batch_id=1)
+    t.optimize(target_rows_per_file=40)
+    t.append(
+        df.filter("k >= 150").withColumn(
+            "w", (F.col("k") * 2).cast("double")
+        ).repartition(4),
+        batch_id=2,
+        merge_schema=True,
+    )
+    t.delete([int(x) for x in range(0, 300, 17)])
+    t.upsert(
+        df.filter("k % 23 = 0 AND k % 17 <> 0").select(
+            "k", (F.col("v") + 500).alias("v"),
+            F.lit(-1.0).alias("w"),
+        )
+    )
+
+    rng = random.Random(77)
+    full = t.read().localCheckpoint()
+    for _ in range(12):
+        lo = rng.uniform(-20, 600)
+        hi = lo + rng.uniform(0, 300)
+        ids = rng.sample(range(-5, 320), rng.randint(1, 8))
+        got = t.read(
+            range_predicates=[("v", lo, hi)],
+            in_predicates=[("k", ids)],
+        )
+        want = full.filter(
+            (F.col("v") >= lo) & (F.col("v") <= hi)
+        ).filter(F.col("k").isin(*ids))
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), (lo, hi, ids)
