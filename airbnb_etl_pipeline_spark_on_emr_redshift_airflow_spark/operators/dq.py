@@ -44,9 +44,16 @@ def check_rows(df: DataFrame, rules: dict[str, str]) -> DataFrame:
     aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
     for name, pred in rules.items():
         aggs.append(
-            F.sum(
-                F.when(F.coalesce(F.expr(pred), F.lit(False)), 0)
-                .otherwise(1)
+            # coalesce the SUM itself: over an EMPTY frame it is NULL,
+            # and a NULL n_violations makes ok NULL — which boolean
+            # gates (filter(~ok)) silently drop; an empty input is an
+            # explicit pass (0 violations), not an unevaluated rule
+            F.coalesce(
+                F.sum(
+                    F.when(F.coalesce(F.expr(pred), F.lit(False)), 0)
+                    .otherwise(1)
+                ),
+                F.lit(0),
             ).cast("bigint").alias(f"__v_{name}")
         )
     row = df.agg(*aggs)
@@ -74,8 +81,10 @@ def check_unique(df: DataFrame, cols: list[str], name: str | None = None
     g = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__c"))
     return g.agg(
         F.lit(name).alias("rule"),
-        F.sum("__c").cast("bigint").alias("n_total"),
-        F.sum(F.col("__c") - 1).cast("bigint").alias("n_violations"),
+        # empty input: explicit (0, 0, TRUE), not NULLs a gate drops
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("n_total"),
+        F.coalesce(F.sum(F.col("__c") - 1), F.lit(0)).cast("bigint")
+        .alias("n_violations"),
         (F.coalesce(F.sum(F.col("__c") - 1), F.lit(0)) == 0).alias("ok"),
     )
 

@@ -58,8 +58,10 @@ ORACLES: dict[str, str] = {}
 # Folded into every cache fingerprint so a code upgrade that changes
 # an artifact's schema (round 9 added col_type to bloom manifests)
 # invalidates warm caches instead of erroring on them; the data-file
-# stats alone cannot see code changes.
-CACHE_SCHEMA_V = "2"
+# stats alone cannot see code changes. Round 11 bumped to 3: the
+# u_merge_conditional fixture's cached change batch was built with the
+# pre-NULL-fall-through delete clause.
+CACHE_SCHEMA_V = "3"
 
 
 def cache_fingerprint(src: str) -> str:

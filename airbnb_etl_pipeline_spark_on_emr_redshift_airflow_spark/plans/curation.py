@@ -1066,7 +1066,8 @@ SELECT b.doc_id, b.source,
        CASE WHEN s.doc_id IS NOT NULL AND s.n_chars < b.n_chars
             THEN s.n_chars + b.n_chars ELSE b.n_chars END AS n_chars
 FROM base b LEFT JOIN src s ON s.doc_id = b.doc_id
-WHERE NOT (s.doc_id IS NOT NULL AND b.n_chars % 7 = 0)
+WHERE NOT (s.doc_id IS NOT NULL
+           AND b.n_chars % 2 <> 0 AND b.n_chars % 7 = 0)
 UNION ALL
 SELECT s.doc_id, s.source, s.n_chars
 FROM src s LEFT JOIN base b ON b.doc_id = s.doc_id
@@ -1079,7 +1080,11 @@ def u_merge_conditional(spark, sf_dir):
     """Conditional MERGE INTO on the unified facade
     (``Table.merge``, round 10) — the Delta/Iceberg DML verb with all
     three clauses live at once: matched rows DELETE when the TARGET
-    satisfies ``t.n_chars % 7 = 0`` (delete checked first), else
+    satisfies a condition that deliberately evaluates to NULL on
+    every EVEN ``n_chars`` (round 11 — SQL MERGE treats a non-TRUE
+    clause condition as not-satisfied with FALL-THROUGH to the next
+    clause, so those rows must still be update-eligible; the engine
+    negates the fail-closed ``coalesce(cond, false)`` form), else
     UPDATE when ``s.n_chars < t.n_chars`` with a partial
     ``update_set`` (``n_chars = s.n_chars + t.n_chars``; the
     ``source`` column keeps the TARGET's value — the shape a plain
@@ -1132,7 +1137,10 @@ def u_merge_conditional(spark, sf_dir):
         t.append(base, batch_id=1)
         t.merge(
             merge_src,
-            matched_delete="t.n_chars % 7 = 0",
+            matched_delete=(
+                "CASE WHEN t.n_chars % 2 = 0 THEN CAST(NULL AS BOOLEAN)"
+                " ELSE t.n_chars % 7 = 0 END"
+            ),
             matched_update="s.n_chars < t.n_chars",
             update_set={"n_chars": "s.n_chars + t.n_chars"},
             not_matched_insert="s.doc_id % 2 = 0",

@@ -647,6 +647,12 @@ class Table:
             and not_matched_by_source_delete is None
         ):
             raise ValueError("Table.merge: no clause given")
+        if update_set is not None and matched_update is None:
+            raise ValueError(
+                "Table.merge: update_set was given but matched_update "
+                "is None — no UPDATE clause would apply it; pass "
+                "matched_update=True for an unconditional UPDATE SET"
+            )
         key = self.key_col
         schema = self._table_schema()
         src_cols = set(source.columns)
@@ -713,9 +719,15 @@ class Table:
                     upd[c] = F.expr(e).cast(by_name[c].dataType).alias(c)
             upd[key] = F.col(f"s.{key}").alias(key)
             parts.append(
+                # SQL MERGE clause fall-through: a clause whose
+                # condition is non-TRUE (false OR NULL) is simply not
+                # satisfied, and the row falls to the next clause —
+                # so negate the FAIL-CLOSED form of the delete
+                # condition (~NULL is NULL and would silently drop
+                # the row from this clause too)
                 j.filter(
                     matched
-                    & ~_cond(matched_delete)
+                    & ~F.coalesce(_cond(matched_delete), F.lit(False))
                     & _cond(matched_update)
                 ).select(
                     *[upd[f.name] for f in schema],
@@ -1190,6 +1202,22 @@ class Table:
                 f"{self.root}"
             )
         snap = self.snapshot(version)
+        # contract check, not an opaque mid-restore AnalysisException:
+        # the restored snapshot must carry every currently indexed
+        # column (a column added+indexed after `version` can't be
+        # zone/bloom-built from data that predates it)
+        have = set(snap.columns)
+        stranded = [
+            c for c in [*self.zone_cols, *self.bloom_cols]
+            if c not in have
+        ]
+        if stranded:
+            raise ValueError(
+                f"Table.restore: v={version} lacks currently indexed "
+                f"column(s) {stranded} — evolve(zone_cols=..., "
+                "bloom_cols=...) the indexes off those columns first, "
+                "then restore"
+            )
         live_wm_new = max(_batches(spark, self._live), default=0)
         ch_wm_new = max(_batches(spark, self._changes), default=0)
         v = self._pointer()

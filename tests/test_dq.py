@@ -39,6 +39,17 @@ def test_row_rules_one_scan_fail_closed(spark):
         check_rows(df, {})
 
 
+def test_empty_input_reports_explicit_pass_not_nulls(spark):
+    """An EMPTY frame is an explicit pass (0 total, 0 violations,
+    ok=TRUE) — not NULL sums whose NULL ok a boolean gate
+    (filter(~ok)) silently drops (round-11 fix)."""
+    df = spark.createDataFrame([], "id bigint, v double")
+    rep = _by_rule(check_rows(df, {"v_nonneg": "v >= 0"}))
+    assert rep["v_nonneg"] == (0, 0, True)
+    uq = _by_rule(check_unique(df, ["id"]))
+    assert uq["unique_id"] == (0, 0, True)
+
+
 def test_unique_and_referential(spark):
     child = spark.createDataFrame(
         [(1, "a"), (1, "a"), (2, "b"), (9, "c"), (None, "d")],

@@ -586,7 +586,11 @@ def test_weighted_heavyhitters_bounds_sound_model(spark, data, k):
 merge_rows = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=9),     # key
-        st.integers(min_value=-50, max_value=50),  # value
+        # NULLABLE value: a NULL makes the clause conditions evaluate
+        # to NULL, which SQL MERGE treats as not-satisfied with
+        # fall-through to the next clause (the round-10 defect was
+        # ~NULL silently dropping such rows from the update clause)
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
     ),
     min_size=0,
     max_size=12,
@@ -596,14 +600,20 @@ merge_rows = st.lists(
 
 @SLOW
 @given(base=merge_rows, src=merge_rows, cut=st.integers(-20, 20))
+@example(base=[(1, 5)], src=[(1, None)], cut=4)
 def test_table_merge_equals_clause_replay(
     spark, tmp_path_factory, base, src, cut
 ):
     """Table.merge with all three clauses ≡ the row-by-row clause
-    replay, for ANY base/source frames and any delete threshold:
-    matched & target-value ≥ cut → delete; matched & source < target
-    → update (partial set: only v changes); unmatched & even key →
-    insert."""
+    replay, for ANY base/source frames (values NULLABLE) and any
+    delete threshold. The delete clause conditions on the SOURCE
+    value and the update clause is unconditional, so a NULL source
+    value makes the delete condition NULL while the update clause
+    still applies — the SQL MERGE fall-through edge (a non-TRUE
+    clause condition falls to the next clause; pre-round-11 the
+    engine's ~NULL silently gave such rows NO action). The pinned
+    @example is exactly that edge: base v=5, source v=NULL → the row
+    must UPDATE to v=NULL (5+NULL), not keep 5."""
     if not base:
         return  # an empty table cannot be created (append-first rule)
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.table import (
@@ -620,8 +630,8 @@ def test_table_merge_equals_clause_replay(
     )
     t.merge(
         sdf,
-        matched_delete=f"t.v >= {cut}",
-        matched_update="s.v < t.v",
+        matched_delete=f"s.v >= {cut}",
+        matched_update=True,
         update_set={"v": "s.v + t.v"},
         not_matched_insert="s.k % 2 = 0",
     )
@@ -630,10 +640,11 @@ def test_table_merge_equals_clause_replay(
     for k, sv in src:
         if k in state:
             tv = state[k]
-            if tv >= cut:
+            if sv is not None and sv >= cut:
                 del state[k]
-            elif sv < tv:
-                state[k] = sv + tv
+            else:  # fall-through: unconditional UPDATE SET
+                state[k] = sv + tv if sv is not None and tv is not None \
+                    else None
         elif k % 2 == 0:
             state[k] = sv
     got = {r["k"]: r["v"] for r in t.read().collect()}

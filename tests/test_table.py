@@ -502,6 +502,66 @@ def test_merge_narrow_source_null_pads_and_guards(spark, tmp_path_factory):
         t.merge(df, matched_update=True, update_set={"k": "s.k + 1"})
     with pytest.raises(ValueError, match="not in the table schema"):
         t.merge(df, matched_update=True, update_set={"zzz": "1"})
+    # update_set without an UPDATE clause would silently do nothing
+    with pytest.raises(ValueError, match="matched_update"):
+        t.merge(df, matched_delete="t.v >= 90", update_set={"v": "s.v"})
+
+
+def test_merge_null_clause_condition_falls_through(
+    spark, tmp_path_factory
+):
+    """SQL MERGE clause semantics: a clause condition that evaluates
+    to NULL is NOT satisfied and the row falls through to the next
+    clause — a NULL delete condition must leave the row
+    update-eligible, not silently give it no action (round-11 fix:
+    the update filter negates coalesce(delete_cond, false))."""
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t = Table.create(spark, root, "k")
+    t.append(spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 90.0)], "k bigint, v double"
+    ))
+    src = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 1.0)], "k bigint, v double"
+    )
+    t.merge(
+        src,
+        matched_delete="t.v >= 90",   # NULL for k=2 -> fall through
+        matched_update=True,
+        update_set={"v": "s.v + t.v"},
+        not_matched_insert=False,
+    )
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    # k=1 updated (5+1); k=2's delete cond was NULL -> UPDATE applies
+    # (1 + NULL = NULL); k=3 deleted
+    assert got == {1: 6.0, 2: None}
+
+
+def test_restore_rejects_stranded_index_columns(spark, tmp_path_factory):
+    """restore() to a version predating a currently indexed column is
+    a contract error naming the fix (evolve the indexes first), not an
+    opaque AnalysisException mid-rewrite."""
+    root = str(tmp_path_factory.mktemp("tbl")) + "/t"
+    t = Table.create(spark, root, "k")
+    t.append(spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("w")
+    ))
+    v1 = t.optimize(target_rows_per_file=20)
+    # widen with a new column, index it, commit a second version
+    t.append(
+        spark.range(40, 60).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("w"),
+            (F.col("id") * 2.0).alias("score"),
+        ),
+        merge_schema=True,
+    )
+    t.evolve(zone_cols=["score"])
+    t.optimize(target_rows_per_file=20)
+    with pytest.raises(ValueError, match="evolve"):
+        t.restore(v1)
+    # evolving the index off the post-v1 column unblocks the restore
+    t.evolve(zone_cols=[])
+    t.restore(v1)
+    assert t.read().count() == 40
 
 
 def test_merge_is_one_change_batch_and_idempotent_replay(
