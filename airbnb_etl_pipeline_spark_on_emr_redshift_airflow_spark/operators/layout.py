@@ -71,6 +71,11 @@ def zorder_layout(
     the bounding-box proof), so engines skip files on any conjunction
     of dim predicates. One range exchange (sampled boundaries), same
     cost shape as a global sort."""
+    if not dims:
+        # no cluster dims (e.g. an all-string composite key with no
+        # configured zone columns): plain compaction — size the file
+        # count, skip the range exchange entirely
+        return df.repartition(num_partitions) if num_partitions else df
     z = zorder_key(
         [bucketize(c, lo, hi, bits) for c, lo, hi in dims], bits
     )

@@ -40,6 +40,17 @@ from pyspark.sql import functions as F
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources import fsutil
 
 
+def _key_list(key_col) -> list[str]:
+    """Normalize a key spec to a column list — every function here
+    accepts a single column name OR a composite key (list of names);
+    the PySpark groupBy/partitionBy/join/select primitives the folds
+    are built on take lists natively, so composite keys cost nothing
+    (the reference had to synthesize concat(city,'_',date) surrogate
+    keys for its weather dimension — apps/process_reviews.py:111 —
+    exactly the workaround a real composite key removes)."""
+    return [key_col] if isinstance(key_col, str) else list(key_col)
+
+
 def _batches(spark: SparkSession, sidecar: str) -> list[int]:
     return sorted(
         int(name.split("=", 1)[1])
@@ -88,7 +99,7 @@ def delete_keys(
     sidecar = sidecar.rstrip("/")
     fsutil.mkdirs(spark, sidecar)
     n = batch_id if batch_id is not None else _claim_batch(spark, sidecar)
-    keys.select(F.col(key_col)).distinct().coalesce(1).write.mode(
+    keys.select(*_key_list(key_col)).distinct().coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{sidecar}/batch={n}")
     return n
@@ -102,10 +113,14 @@ def read_deletes(
     of ``key_type`` when no deletes exist (the type only matters for
     that empty case — real batches carry their written type)."""
     sidecar = sidecar.rstrip("/")
+    ks = _key_list(key_col)
     parts = [f"{sidecar}/batch={b}" for b in _batches(spark, sidecar)]
     if not parts:
-        return spark.createDataFrame([], f"{key_col} {key_type}")
-    return spark.read.parquet(*parts).select(key_col).distinct()
+        kt = [key_type] * len(ks) if isinstance(key_type, str) else key_type
+        return spark.createDataFrame(
+            [], ", ".join(f"{k} {t}" for k, t in zip(ks, kt))
+        )
+    return spark.read.parquet(*parts).select(*ks).distinct()
 
 
 def read_with_deletes(
@@ -191,18 +206,20 @@ def apply_changes(
             f"apply_changes: unknown op {bad_ops[0][op_col]!r} "
             "(expected 'upsert' or 'delete')"
         )
+    ks = _key_list(key_col)
     dup = (
-        changes.groupBy(key_col)
+        changes.groupBy(*ks)
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > 1)
         .limit(1)
         .collect()
     )
     if dup:
+        dk = tuple(dup[0][k] for k in ks)
         raise ValueError(
-            f"apply_changes: key {dup[0][key_col]!r} appears more than "
-            "once in one batch — ops within a batch are unordered; "
-            "split into sequential batches"
+            f"apply_changes: key {dk if len(ks) > 1 else dk[0]!r} "
+            "appears more than once in one batch — ops within a batch "
+            "are unordered; split into sequential batches"
         )
     sidecar = sidecar.rstrip("/")
     fsutil.mkdirs(spark, sidecar)

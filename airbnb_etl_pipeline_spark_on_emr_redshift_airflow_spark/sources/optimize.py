@@ -153,9 +153,10 @@ def optimize_table(
             4096, min(1 << 24, 1 << (10 * max(1, per_file) - 1).bit_length())
         )
     zone_cols = [c for c, _lo, _hi in zorder_dims]
-    build_zone_manifest(fresh, zone_cols).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{vdir}/zones")
+    if zone_cols:
+        build_zone_manifest(fresh, zone_cols).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{vdir}/zones")
     if bloom_cols:
         build_bloom_manifest(
             fresh, bloom_cols, n_bits=bloom_n_bits, k=bloom_k

@@ -108,7 +108,16 @@ class Table:
                 "Table.create)"
             )
         cfg = json.loads(fsutil.read_text(spark, f"{self.root}/{_CONFIG}"))
-        self.key_col: str = cfg["key_col"]
+        # key_col: a single column name OR a composite key (list of
+        # names) — the reference faked composite keys with
+        # concat(city,'_',date) surrogates (apps/process_reviews.py:111);
+        # the facade accepts the real thing. key_cols is the
+        # normalized list every internal fold uses.
+        self.key_col = cfg["key_col"]
+        self.key_cols: list[str] = (
+            [self.key_col] if isinstance(self.key_col, str)
+            else list(self.key_col)
+        )
         self.zone_cols: list[str] = cfg.get("zone_cols") or []
         self.bloom_cols: list[str] = cfg.get("bloom_cols") or []
         self._live = f"{self.root}/live"
@@ -124,16 +133,26 @@ class Table:
     def create(
         spark: SparkSession,
         root: str,
-        key_col: str,
+        key_col: str | list[str],
         zone_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
     ) -> "Table":
-        """Initialize a table root: persist the config (the key column
-        every delete/upsert folds on; the columns the zone and bloom
+        """Initialize a table root: persist the config (the key —
+        one column name or a COMPOSITE key as a list of names — every
+        delete/upsert folds on; the columns the zone and bloom
         manifests index). Idempotent for an identical config; raises
         on a conflicting one (silently switching the key column would
         corrupt every later fold)."""
         root = root.rstrip("/")
+        if not isinstance(key_col, str):
+            key_col = list(key_col)
+            if not key_col or len(set(key_col)) != len(key_col):
+                raise ValueError(
+                    f"Table.create: composite key must be a non-empty "
+                    f"list of distinct column names, got {key_col}"
+                )
+            if len(key_col) == 1:
+                key_col = key_col[0]  # ["k"] ≡ "k" — one config form
         cfg = {
             "key_col": key_col,
             "zone_cols": list(zone_cols or []),
@@ -393,9 +412,10 @@ class Table:
                     "additively / null-pad"
                 )
             return self._align(df, cur)
-        if self.key_col in missing:
+        missing_keys = [k for k in self.key_cols if k in missing]
+        if missing_keys:
             raise ValueError(
-                f"Table: frame lacks the key column {self.key_col!r}"
+                f"Table: frame lacks the key column(s) {missing_keys}"
             )
         from pyspark.sql.types import StructType
 
@@ -445,10 +465,11 @@ class Table:
             raise ValueError(
                 f"Table.drop_columns: not in the schema: {missing}"
             )
-        if self.key_col in cols:
+        key_hits = [c for c in cols if c in self.key_cols]
+        if key_hits:
             raise ValueError(
-                f"Table.drop_columns: cannot drop the key column "
-                f"{self.key_col!r}"
+                f"Table.drop_columns: cannot drop key column(s) "
+                f"{key_hits}"
             )
         indexed = [
             c for c in cols if c in self.zone_cols or c in self.bloom_cols
@@ -548,19 +569,26 @@ class Table:
     def delete(self, keys, batch_id: int | None = None) -> int:
         """DELETE by key: one op-tagged change batch of delete rows
         (non-key columns NULL) — merge-on-read, O(batch). ``keys`` is
-        a DataFrame carrying the key column, or a plain list of key
-        values. Funnels through the SAME change log as upserts, so
-        delete→re-upsert interleavings have one total order (no
-        separate tombstone sidecar to race with)."""
+        a DataFrame carrying the key column(s), or a plain list of
+        key values (a list of TUPLES for a composite key, in
+        ``key_cols`` order). Funnels through the SAME change log as
+        upserts, so delete→re-upsert interleavings have one total
+        order (no separate tombstone sidecar to race with)."""
         schema = self._table_schema()
+        kset = set(self.key_cols)
         if not isinstance(keys, DataFrame):
-            key_f = next(f for f in schema if f.name == self.key_col)
-            keys = self.spark.createDataFrame(
-                [(k,) for k in keys],
-                f"{self.key_col} {key_f.dataType.simpleString()}",
+            by_name = {f.name: f for f in schema}
+            ddl = ", ".join(
+                f"{k} {by_name[k].dataType.simpleString()}"
+                for k in self.key_cols
             )
+            rows = [
+                tuple(k) if isinstance(k, (tuple, list)) else (k,)
+                for k in keys
+            ]
+            keys = self.spark.createDataFrame(rows, ddl)
         proj = [
-            F.col(self.key_col) if f.name == self.key_col
+            F.col(f.name) if f.name in kset
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in schema
         ]
@@ -653,12 +681,15 @@ class Table:
                 "is None — no UPDATE clause would apply it; pass "
                 "matched_update=True for an unconditional UPDATE SET"
             )
-        key = self.key_col
+        keys = self.key_cols
+        kset = set(keys)
         schema = self._table_schema()
         src_cols = set(source.columns)
-        if key not in src_cols:
+        missing_k = [k for k in keys if k not in src_cols]
+        if missing_k:
             raise ValueError(
-                f"Table.merge: source must carry the key column {key!r}"
+                f"Table.merge: source must carry the key column(s) "
+                f"{missing_k}"
             )
 
         def _cond(c):
@@ -674,19 +705,18 @@ class Table:
             return F.lit(None).cast(f.dataType).alias(f.name)
 
         cur = self.read()
-        j = source.alias("s").join(
-            cur.alias("t"),
-            F.col(f"s.{key}") == F.col(f"t.{key}"),
-            "left",
-        )
-        matched = F.col(f"t.{key}").isNotNull()
+        on = F.lit(True)
+        for k in keys:
+            on = on & (F.col(f"s.{k}") == F.col(f"t.{k}"))
+        j = source.alias("s").join(cur.alias("t"), on, "left")
+        matched = F.col(f"t.{keys[0]}").isNotNull()
         parts = []
         if matched_delete is not None:
             parts.append(
                 j.filter(matched & _cond(matched_delete)).select(
                     *[
-                        F.col(f"s.{key}").alias(key)
-                        if f.name == key
+                        F.col(f"s.{f.name}").alias(f.name)
+                        if f.name in kset
                         else F.lit(None).cast(f.dataType).alias(f.name)
                         for f in schema
                     ],
@@ -703,10 +733,10 @@ class Table:
                 }
                 by_name = {f.name: f for f in schema}
                 for c, e in update_set.items():
-                    if c == key:
+                    if c in kset:
                         raise ValueError(
                             "Table.merge: update_set must not touch "
-                            f"the key column {key!r}"
+                            f"the key column {c!r}"
                         )
                     if c not in by_name:
                         raise ValueError(
@@ -717,7 +747,8 @@ class Table:
                     # column's declared type so change batches stay
                     # schema-aligned with the data files
                     upd[c] = F.expr(e).cast(by_name[c].dataType).alias(c)
-            upd[key] = F.col(f"s.{key}").alias(key)
+            for k in keys:
+                upd[k] = F.col(f"s.{k}").alias(k)
             parts.append(
                 # SQL MERGE clause fall-through: a clause whose
                 # condition is non-TRUE (false OR NULL) is simply not
@@ -746,13 +777,13 @@ class Table:
             # source-driven clause by construction, so one-op-per-key
             # still holds across the whole batch
             absent = cur.alias("t").join(
-                source.select(key), key, "left_anti"
+                source.select(*keys), keys, "left_anti"
             ).filter(_cond(not_matched_by_source_delete))
             parts.append(
                 absent.select(
                     *[
-                        F.col(f"t.{key}").alias(key)
-                        if f.name == key
+                        F.col(f"t.{f.name}").alias(f.name)
+                        if f.name in kset
                         else F.lit(None).cast(f.dataType).alias(f.name)
                         for f in schema
                     ],
@@ -774,7 +805,7 @@ class Table:
             fsutil.mkdirs(self.spark, self._changes)
             batch_id = _claim_batch(self.spark, self._changes, floor=ch_wm)
         return apply_changes(
-            ch, self._changes, self.key_col, batch_id=batch_id
+            ch, self._changes, self.key_cols, batch_id=batch_id
         )
 
     # ----- streaming ingest ----------------------------------------------
@@ -831,7 +862,7 @@ class Table:
 
         return stream_changes_sink(
             self.spark, source_dir, source_schema, self._changes,
-            self.key_col, checkpoint_dir, op_col=op_col,
+            self.key_cols, checkpoint_dir, op_col=op_col,
         )
 
     # ----- reads ----------------------------------------------------------
@@ -909,7 +940,7 @@ class Table:
             base = self._align(bulk, wide).unionByName(tail)
 
         folded = read_with_changes(
-            base, self._changes, self.key_col, from_batch=ch_wm,
+            base, self._changes, self.key_cols, from_batch=ch_wm,
             schema=wide,
         )
         # the filter-under-CDC law: upserts re-entered unfiltered, so
@@ -1019,7 +1050,7 @@ class Table:
         feed derived artifacts consume instead of diffing
         snapshots."""
         return table_changes(
-            self.spark, self._changes, self.key_col,
+            self.spark, self._changes, self.key_cols,
             from_batch=from_batch, to_batch=to_batch,
             schema=self._table_schema(),
         )
@@ -1116,7 +1147,7 @@ class Table:
             ).drop("batch")
             base = t if base is None else base.unionByName(t)
         merged = read_with_changes(
-            base, self._changes, self.key_col,
+            base, self._changes, self.key_cols,
             from_batch=ch_wm, as_of_batch=ch_wm_new if ch_ids else ch_wm,
             schema=wide,
         )
@@ -1142,10 +1173,25 @@ class Table:
     def _zorder_dims(self, df: DataFrame) -> list[tuple[str, float, float]]:
         """(col, lo, hi) Z-order dims for the configured zone columns
         — bounds from one agg pass over the frame being optimized (the
-        periodic rewrite can afford it). Falls back to the key column
-        when no zone columns are configured (optimize still clusters
-        and zone-indexes SOMETHING so point reads prune)."""
-        cols = self.zone_cols or [self.key_col]
+        periodic rewrite can afford it). Falls back to the NUMERIC key
+        columns when no zone columns are configured (optimize still
+        clusters and zone-indexes SOMETHING so point reads prune);
+        string key columns are skipped in the fallback (Z-order needs
+        numeric dims), and an all-string key yields [] — plain
+        compaction, no zone manifest for that version. Explicitly
+        CONFIGURED string zone columns still raise (a misconfiguration
+        should be loud, not silently unindexed)."""
+        cols = self.zone_cols
+        if not cols:
+            from pyspark.sql.types import NumericType
+
+            by_name = {f.name: f for f in df.schema.fields}
+            cols = [
+                k for k in self.key_cols
+                if isinstance(by_name[k].dataType, NumericType)
+            ]
+            if not cols:
+                return []
         aggs = []
         for c in cols:
             aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]

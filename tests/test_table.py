@@ -1015,3 +1015,150 @@ def test_filter_law_random_sweep_under_evolution(
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         ), (lo, hi, ids)
+
+
+# ----- composite keys (round 11) ------------------------------------------
+
+
+def _mk_composite(spark, root):
+    """A (city, day)-keyed table — the real form of the reference's
+    concat(city,'_',date) surrogate key (apps/process_reviews.py:111)."""
+    t = Table.create(spark, root, ["city", "day"])
+    df = spark.range(60).select(
+        F.concat(F.lit("c"), (F.col("id") % 3).cast("string"))
+        .alias("city"),
+        (F.col("id") % 20).alias("day"),
+        (F.col("id") % 20).cast("double").alias("temp"),
+    )
+    t.append(df)
+    return t, df
+
+
+def _crows(df):
+    return sorted(map(tuple, df.select("city", "day", "temp").collect()))
+
+
+def test_composite_key_upsert_delete_merge_changes(
+    spark, tmp_path_factory
+):
+    """The full DML surface over a 2-column key: upsert replaces by
+    (city, day); delete accepts tuples AND a key frame; merge joins
+    on both columns; the change feed nets per composite key."""
+    root = str(tmp_path_factory.mktemp("ctbl")) + "/t"
+    t, df = _mk_composite(spark, root)
+    assert t.key_cols == ["city", "day"]
+
+    # upsert: replace one (city, day) row
+    t.upsert(spark.createDataFrame(
+        [("c0", 0, 99.0)], "city string, day bigint, temp double"
+    ))
+    got = {(r["city"], r["day"]): r["temp"] for r in t.read().collect()}
+    assert got[("c0", 0)] == 99.0
+    assert got[("c1", 1)] == 1.0  # untouched sibling day
+
+    # delete by plain tuples, then by a key frame
+    t.delete([("c0", 3), ("c1", 4)])
+    t.delete(spark.createDataFrame(
+        [("c2", 5)], "city string, day bigint"
+    ))
+    keys = {(r["city"], r["day"]) for r in t.read().collect()}
+    assert ("c0", 3) not in keys and ("c1", 4) not in keys
+    assert ("c2", 5) not in keys
+    assert ("c1", 3) in keys  # same day, other city survives
+
+    # merge: delete cold days, bump the rest, insert a new pair
+    t.merge(
+        spark.createDataFrame(
+            [("c0", 6, 1.0), ("c1", 7, 2.0), ("c9", 99, 50.0)],
+            "city string, day bigint, temp double",
+        ),
+        matched_delete="t.temp < 6.5",
+        matched_update=True,
+        update_set={"temp": "t.temp + s.temp"},
+        not_matched_insert=True,
+    )
+    got = {(r["city"], r["day"]): r["temp"] for r in t.read().collect()}
+    assert ("c0", 6) not in got          # temp 6.0 < 6.5 -> deleted
+    assert got[("c1", 7)] == 9.0         # 7.0 + 2.0
+    assert got[("c9", 99)] == 50.0       # inserted
+
+    # change feed nets per composite key
+    ch = {
+        (r["city"], r["day"]): r["op"]
+        for r in t.changes(from_batch=0).collect()
+    }
+    assert ch[("c0", 0)] == "upsert"
+    assert ch[("c0", 3)] == "delete"
+    assert ch[("c9", 99)] == "upsert"
+
+    # optimize folds everything; read state is unchanged
+    before = _crows(t.read())
+    t.optimize(target_rows_per_file=50)
+    assert _crows(t.read()) == before
+
+    # a reopened handle carries the composite key
+    t2 = Table(spark, root)
+    assert t2.key_cols == ["city", "day"]
+    assert _crows(t2.read()) == before
+
+
+def test_composite_key_guards(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ctbl")) + "/t"
+    t, df = _mk_composite(spark, root)
+    # source missing one key column
+    with pytest.raises(ValueError, match="key column"):
+        t.merge(df.select("city", "temp"), matched_update=True)
+    # update_set must not touch either key column
+    with pytest.raises(ValueError, match="must not touch"):
+        t.merge(df, matched_update=True, update_set={"day": "s.day"})
+    # one op per composite key per batch (same day, same city twice)
+    with pytest.raises(ValueError, match="more than"):
+        t.upsert(spark.createDataFrame(
+            [("c0", 1, 1.0), ("c0", 1, 2.0)],
+            "city string, day bigint, temp double",
+        ))
+    # but the same day across cities is two distinct keys
+    t.upsert(spark.createDataFrame(
+        [("c0", 1, 1.0), ("c1", 1, 2.0)],
+        "city string, day bigint, temp double",
+    ))
+    with pytest.raises(ValueError, match="cannot drop"):
+        t.drop_columns(["day"])
+    with pytest.raises(ValueError, match="distinct column names"):
+        Table.create(
+            spark, str(tmp_path_factory.mktemp("ctbl")) + "/u",
+            ["a", "a"],
+        )
+    # ["k"] normalizes to "k": both spellings are one config
+    r2 = str(tmp_path_factory.mktemp("ctbl")) + "/v"
+    ta = Table.create(spark, r2, ["k"])
+    assert ta.key_col == "k" and ta.key_cols == ["k"]
+    Table.create(spark, r2, "k")  # idempotent re-create, no conflict
+
+
+def test_all_string_key_optimize_compacts_without_zorder(
+    spark, tmp_path_factory
+):
+    """A table whose key columns are all strings and with no zone
+    columns configured still optimizes: plain compaction, no zone
+    manifest for the version (Z-order needs numeric dims), reads and
+    DML unchanged."""
+    root = str(tmp_path_factory.mktemp("stbl")) + "/t"
+    t = Table.create(spark, root, ["city", "station"])
+    df = spark.range(40).select(
+        F.concat(F.lit("c"), (F.col("id") % 4).cast("string"))
+        .alias("city"),
+        F.concat(F.lit("s"), (F.col("id") % 10).cast("string"))
+        .alias("station"),
+        F.col("id").cast("double").alias("temp"),
+    )
+    t.append(df)
+    before = sorted(map(tuple, t.read().collect()))
+    v = t.optimize(target_rows_per_file=20)
+    assert sorted(map(tuple, t.read().collect())) == before
+    import os
+    assert not os.path.exists(f"{root}/v={v}/zones")
+    t.delete([("c0", "s0")])
+    assert t.read().filter(
+        "city = 'c0' AND station = 's0'"
+    ).count() == 0
