@@ -46,7 +46,22 @@ representative), ``j_range_join`` + ``j_asof_join`` slice-merged into
 slots record the round-8 flagships ``g_triangle_count``,
 ``l_bloom_point_lookup``, ``g_personalized_pagerank`` (plans.curation),
 ``d_cluster_best_pick`` (plans.dedup) and the returning oracle-checked
-``m_binary_frames`` (plans.multimodal).
+``m_binary_frames`` (plans.multimodal). Round-11 rotation: six
+slice-merges — ``a_collect_set_join`` into
+``w_latest_snapshot_per_key`` ('segments' slice),
+``j_anti_semi_cohorts`` + ``j_delta_scalar_subquery`` into
+``j_anti_delta``, ``p_project_dates`` + ``p_filter_predicates`` into
+``p_project_filter``, ``e_time_windows`` + ``e_watermark_json`` into
+``e_stream_shapes`` (all five §2.10 streaming shapes in one window
+row), ``d_ngram_jaccard_pairs`` + ``d_jaccard_prefix_filter`` into
+``d_jaccard_suite``, ``g_pagerank_fixed`` + ``g_personalized_pagerank``
+into ``g_pagerank_suite`` (all eleven originals re-registered verbatim
+at the tail) — freed the slots that now record the
+round-10-continuation flagships ``a_weighted_hitters``,
+``u_cdc_asof_changes``, ``e_resample_interpolate``, ``a_dq_report``,
+``f_variant_json`` (moved into the new ``plans.flagships`` module,
+which imports between curation and probes) plus the round-11
+composite-key facade flagship ``l_composite_key_merge``.
 """
 
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import (  # noqa: F401
@@ -61,6 +76,7 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import (  # n
     multimodal,
     retrieval,
     curation,
+    flagships,
     probes,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (

@@ -114,17 +114,20 @@ def a_nested_histogram(spark, sf_dir):
     return nested_histogram(joined, "c_custkey", "o_orderpriority")
 
 
-@register(
-    "a_collect_set_join",
-    oracle="""
+ORACLE_COLLECT_SET_JOIN = """
     SELECT c_nationkey,
            string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
     FROM customer GROUP BY c_nationkey
-    """,
-)
-def a_collect_set_join(spark, sf_dir):
+    """
+
+
+def a_collect_set_join_impl(spark, sf_dir):
     """A10/F10 — per-group distinct set flattened to a sorted CSV
-    string (``apps/process_reviewers.py:87,93`` languages_spoken)."""
+    string (``apps/process_reviewers.py:87,93`` languages_spoken).
+    Round-11 rotation: folded into ``w_latest_snapshot_per_key``'s
+    'segments' slice for the driver window (the same collect_set →
+    sorted CSV move, group-level instead of windowed); re-registered
+    verbatim at the tail in ``plans.probes``."""
     (customer,) = load(spark, sf_dir, "customer")
     return collect_set_csv(customer, ["c_nationkey"], "c_mktsegment", "segments")
 

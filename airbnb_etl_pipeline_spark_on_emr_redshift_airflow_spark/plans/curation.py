@@ -494,8 +494,7 @@ SELECT node, rank_fp FROM r2
 """
 
 
-@register("g_pagerank_fixed", oracle=ORACLE_PAGERANK)
-def g_pagerank_fixed(spark, sf_dir):
+def g_pagerank_fixed_impl(spark, sf_dir):
     """Deterministic fixed-point PageRank
     (``operators.graph.pagerank_fixed_point``) over the symmetric
     part↔supplier trade graph (a deterministic 1-in-50 part subset
@@ -864,8 +863,37 @@ SELECT node, rank_fp FROM r2
 """
 
 
-@register("g_personalized_pagerank", oracle=ORACLE_PPR)
-def g_personalized_pagerank(spark, sf_dir):
+@register(
+    "g_pagerank_suite",
+    oracle=f"""
+    SELECT 'uniform' AS slice, node, rank_fp
+    FROM ({ORACLE_PAGERANK}) u
+    UNION ALL
+    SELECT 'personalized' AS slice, node, rank_fp
+    FROM ({ORACLE_PPR}) p
+    """,
+)
+def g_pagerank_suite(spark, sf_dir):
+    """Round-11 slice-merge of ``g_pagerank_fixed`` +
+    ``g_personalized_pagerank`` (both re-registered verbatim past the
+    window in ``plans.probes``), freeing a first-50 slot for the
+    round-10-continuation flagships. 'uniform' slice — deterministic
+    integer fixed-point PageRank over the part-supplier trade graph;
+    'personalized' slice — the same iteration with restart mass
+    teleporting to a part-node seed set (Haveliwala 2002). Identical
+    output shape (node, rank_fp), so the union needs only the slice
+    tag; both full rank vectors stay bit-exact cross-engine (bigint
+    div algebra), replayed in DuckDB as unrolled CTEs."""
+    uniform = g_pagerank_fixed_impl(spark, sf_dir).select(
+        F.lit("uniform").alias("slice"), "node", "rank_fp"
+    )
+    ppr = g_personalized_pagerank_impl(spark, sf_dir).select(
+        F.lit("personalized").alias("slice"), "node", "rank_fp"
+    )
+    return uniform.unionByName(ppr)
+
+
+def g_personalized_pagerank_impl(spark, sf_dir):
     """PERSONALIZED PageRank (round 8,
     ``operators.graph.pagerank_fixed_point(teleport=...)``) over the
     same part↔supplier trade graph as ``g_pagerank_fixed``, with the

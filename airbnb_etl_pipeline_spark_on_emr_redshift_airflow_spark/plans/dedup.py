@@ -54,9 +54,7 @@ def d_exact_dedup(spark, sf_dir):
     return exact_dedup_fingerprint(docs)
 
 
-@register(
-    "d_ngram_jaccard_pairs",
-    oracle=f"""
+ORACLE_NGRAM_JACCARD = f"""
     WITH toks AS (
       SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
       FROM documents WHERE {_SUBSET}
@@ -78,9 +76,10 @@ def d_exact_dedup(spark, sf_dir):
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.008
-    """,
-)
-def d_ngram_jaccard_pairs(spark, sf_dir):
+    """
+
+
+def d_ngram_jaccard_pairs_impl(spark, sf_dir):
     """N-gram Jaccard near-dup pairs via inverted shingle index —
     exact set similarity, no docs² blowup (only pairs sharing a
     shingle are scored). Word-3-gram shingles; integers throughout, so
@@ -305,8 +304,37 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
 """
 
 
-@register("d_jaccard_prefix_filter", oracle=ORACLE_JACCARD_PREFIX)
-def d_jaccard_prefix_filter(spark, sf_dir):
+@register(
+    "d_jaccard_suite",
+    oracle=f"""
+    SELECT 'ngram' AS slice, doc_a, doc_b, jaccard
+    FROM ({ORACLE_NGRAM_JACCARD}) n
+    UNION ALL
+    SELECT 'prefix' AS slice, doc_a, doc_b, jaccard
+    FROM ({ORACLE_JACCARD_PREFIX}) p
+    """,
+)
+def d_jaccard_suite(spark, sf_dir):
+    """Round-11 slice-merge of ``d_ngram_jaccard_pairs`` +
+    ``d_jaccard_prefix_filter`` (both re-registered verbatim past the
+    window in ``plans.probes``), freeing a first-50 slot for the
+    round-10-continuation flagships. 'ngram' slice — exact Jaccard
+    pairs via the full inverted shingle index at a low threshold;
+    'prefix' slice — exact Jaccard at t=0.5 via AllPairs/PPJoin
+    prefix filtering over the planted-twin corpus. Identical output
+    shape (doc_a, doc_b, jaccard), so the union needs only the slice
+    tag; both stay quadratic-free (pairs only form on shared
+    shingles / shared prefix tokens)."""
+    ngram = d_ngram_jaccard_pairs_impl(spark, sf_dir).select(
+        F.lit("ngram").alias("slice"), "doc_a", "doc_b", "jaccard"
+    )
+    prefix = d_jaccard_prefix_filter_impl(spark, sf_dir).select(
+        F.lit("prefix").alias("slice"), "doc_a", "doc_b", "jaccard"
+    )
+    return ngram.unionByName(prefix)
+
+
+def d_jaccard_prefix_filter_impl(spark, sf_dir):
     """EXACT Jaccard near-dup self-join at a real threshold (0.5) via
     PREFIX FILTERING (AllPairs/PPJoin candidate bound —
     ``operators.dedup.jaccard_pairs_prefix``): shingles order globally

@@ -27,9 +27,7 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.events im
 )
 
 
-@register(
-    "e_time_windows",
-    oracle=f"""
+ORACLE_TIME_WINDOWS = f"""
     WITH bucketed AS (
       SELECT time_bucket(INTERVAL '30 minutes', ts) AS w0, event_type, value
       FROM {EVENTS_SRC}
@@ -78,9 +76,10 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.streaming.events im
            count(*) AS n_events,
            {dec_sum_sql("value", "total_value")}
     FROM assigned GROUP BY user_id, sid
-    """,
-)
-def e_time_windows(spark, sf_dir):
+    """
+
+
+def e_time_windows_impl(spark, sf_dir):
     """Round-8 slice-merge of ``e_tumbling_sliding`` +
     ``e_session_window`` (both re-registered verbatim past the window
     in ``plans.probes``), freeing a first-50 slot for
@@ -133,9 +132,7 @@ def e_time_windows(spark, sf_dir):
     return tumbling.unionByName(sliding).unionByName(sessions)
 
 
-@register(
-    "e_watermark_json",
-    oracle=f"""
+ORACLE_WATERMARK_JSON = f"""
     SELECT 'dedup' AS slice, event_id, ts, user_id, event_type, value,
            CAST(NULL AS BIGINT) AS n_events, CAST(NULL AS BIGINT) AS min_k,
            CAST(NULL AS BIGINT) AS max_k, CAST(NULL AS BIGINT) AS sum_k
@@ -156,9 +153,10 @@ def e_time_windows(spark, sf_dir):
            CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM {EVENTS_SRC} GROUP BY event_type
-    """,
-)
-def e_watermark_json(spark, sf_dir):
+    """
+
+
+def e_watermark_json_impl(spark, sf_dir):
     """Round-7 slice-merge of ``e_watermark_dedup`` + ``e_json_extraction``
     (both re-registered verbatim past the window in ``plans.probes``),
     freeing a first-50 slot for ``a_heavy_hitters_ledger`` per the
@@ -210,3 +208,60 @@ def e_watermark_json(spark, sf_dir):
         )
     )
     return dedup.unionByName(jagg)
+
+
+@register(
+    "e_stream_shapes",
+    oracle=f"""
+    SELECT slice, window_start, session_start, session_end,
+           CAST(NULL AS BIGINT) AS event_id,
+           CAST(NULL AS TIMESTAMP) AS ts,
+           user_id, event_type,
+           CAST(NULL AS DOUBLE) AS value,
+           n_events, total_value,
+           CAST(NULL AS BIGINT) AS min_k,
+           CAST(NULL AS BIGINT) AS max_k,
+           CAST(NULL AS BIGINT) AS sum_k
+    FROM ({ORACLE_TIME_WINDOWS}) tw
+    UNION ALL
+    SELECT slice,
+           CAST(NULL AS TIMESTAMP) AS window_start,
+           CAST(NULL AS TIMESTAMP) AS session_start,
+           CAST(NULL AS TIMESTAMP) AS session_end,
+           event_id, ts, user_id, event_type, value, n_events,
+           CAST(NULL AS DOUBLE) AS total_value,
+           min_k, max_k, sum_k
+    FROM ({ORACLE_WATERMARK_JSON}) wj
+    """,
+)
+def e_stream_shapes(spark, sf_dir):
+    """Round-11 slice-merge of ``e_time_windows`` +
+    ``e_watermark_json`` (both re-registered verbatim past the window
+    in ``plans.probes``; each was itself a round-7/8 merge, so this
+    one window row now certifies all five §2.10 streaming shapes:
+    tumbling, sliding, session, watermark-dedup, JSON extraction),
+    freeing a first-50 slot for the round-10-continuation flagships.
+    Five independent legs over the same events scan, null-padded to
+    one schema — the batch-checkable forms of the same
+    ``streaming.events`` functions the true-stream pytest drives."""
+    tw = e_time_windows_impl(spark, sf_dir).select(
+        "slice", "window_start", "session_start", "session_end",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+        F.lit(None).cast("double").alias("value"),
+        "n_events", "total_value",
+        F.lit(None).cast("bigint").alias("min_k"),
+        F.lit(None).cast("bigint").alias("max_k"),
+        F.lit(None).cast("bigint").alias("sum_k"),
+    )
+    wj = e_watermark_json_impl(spark, sf_dir).select(
+        "slice",
+        F.lit(None).cast("timestamp").alias("window_start"),
+        F.lit(None).cast("timestamp").alias("session_start"),
+        F.lit(None).cast("timestamp").alias("session_end"),
+        "event_id", "ts", "user_id", "event_type", "value", "n_events",
+        F.lit(None).cast("double").alias("total_value"),
+        "min_k", "max_k", "sum_k",
+    )
+    return tw.unionByName(wj)

@@ -1,0 +1,532 @@
+"""Catalog: the round-11 driver-window flagships.
+
+The round-10-continuation queries the VERDICT flagged as stuck at
+tail positions (``a_dq_report``, ``f_variant_json``,
+``e_resample_interpolate``, ``a_weighted_hitters``,
+``u_cdc_asof_changes`` — definitions moved here VERBATIM from
+``plans.probes``) plus the round-11 composite-key facade flagship.
+This module imports after ``plans.curation`` and before
+``plans.probes``, so its registrations land inside the driver's
+50-row correctness window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog import (
+    EVENTS_SRC,
+    cache_fingerprint,
+    load,
+    register,
+)
+
+
+ORACLE_WEIGHTED_HITTERS = """
+WITH base AS (
+  SELECT l_returnflag, CAST(l_partkey AS BIGINT) AS item,
+         CAST(l_orderkey % 2 AS INT) AS half,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                    + CAST(1 AS DOUBLE)/2) AS BIGINT) AS cents
+  FROM lineitem),
+cnts AS (
+  SELECT l_returnflag, half, item, CAST(SUM(cents) AS BIGINT) AS cnt
+  FROM base GROUP BY 1, 2, 3),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag, half
+                               ORDER BY cnt DESC, item) AS rn
+  FROM cnts),
+oth AS (
+  SELECT l_returnflag, half,
+         COALESCE(MAX(CASE WHEN rn > 16 THEN cnt END), 0) AS omax
+  FROM rk GROUP BY 1, 2),
+tot AS (
+  SELECT l_returnflag, SUM(omax) AS tot_omax FROM oth GROUP BY 1),
+n AS (
+  SELECT l_returnflag, CAST(SUM(cents) AS BIGINT) AS n_rows
+  FROM base GROUP BY 1),
+items AS (
+  SELECT t.l_returnflag, t.item,
+         CAST(SUM(t.cnt) AS BIGINT) AS lb,
+         CAST(SUM(o.omax) AS BIGINT) AS cover
+  FROM rk t
+  JOIN oth o ON t.l_returnflag = o.l_returnflag AND t.half = o.half
+  WHERE t.rn <= 16
+  GROUP BY 1, 2),
+merged AS (
+  SELECT i.l_returnflag, i.item, i.lb,
+         CAST(i.lb + tt.tot_omax - i.cover AS BIGINT) AS ub,
+         n.n_rows,
+         ROW_NUMBER() OVER (PARTITION BY i.l_returnflag
+                            ORDER BY i.lb DESC, i.item) AS rank
+  FROM items i
+  JOIN tot tt ON i.l_returnflag = tt.l_returnflag
+  JOIN n ON i.l_returnflag = n.l_returnflag)
+SELECT l_returnflag, CAST(rank AS INT) AS rank, item AS l_partkey,
+       lb, ub, n_rows
+FROM merged WHERE rank <= 16
+"""
+
+
+@register("a_weighted_hitters", oracle=ORACLE_WEIGHTED_HITTERS)
+def a_weighted_hitters(spark, sf_dir):
+    """WEIGHTED heavy-hitters ledger (round 7,
+    ``operators.heavyhitters`` with ``weight_col``): per-returnflag
+    top-16 parts by REVENUE — items ranked by an additive measure
+    instead of frequency, the "top-revenue parts per class maintained
+    incrementally" business shape (the reference's notebook computes
+    its top-N analytics with full ORDER BY LIMIT rescans each run,
+    cells 35-51). Revenue quantizes to exact cents per LINE
+    (``floor(price·(1-disc)·100 + ½)`` — the catalog's fixed-point
+    revenue fold, cf. ``q14_promo_effect``) BEFORE any sum, so every
+    downstream quantity is a deterministic bigint and the whole bound
+    algebra — two disjoint order-parity halves built separately, then
+    the threshold-algorithm fold reporting ``lb ≤ true ≤ ub`` —
+    value-hashes against DuckDB replaying the identical build + merge
+    from the raw table. The algebra itself is unchanged from
+    ``a_heavy_hitters_ledger`` (weight-agnostic: it only adds and
+    compares the stored bigints); weighted build exactness and bound
+    soundness are pinned in ``tests/test_heavyhitters.py``. 100 TB
+    shape: the build is one (keys, item) exchange carrying per-item
+    cent sums; merges fold KB-sized ledger rows, never the corpus."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.heavyhitters import (
+        heavyhitters_ledger,
+        ledger_topk_bounds,
+    )
+
+    (li,) = load(spark, sf_dir, "lineitem")
+    ev = li.select(
+        "l_orderkey",
+        "l_returnflag",
+        F.col("l_partkey").cast("bigint").alias("part"),
+        F.floor(
+            F.col("l_extendedprice")
+            * (F.lit(1) - F.col("l_discount"))
+            * F.lit(100)
+            + F.lit(1).cast("double") / F.lit(2)
+        )
+        .cast("bigint")
+        .alias("cents"),
+    )
+    halves = [
+        heavyhitters_ledger(
+            ev.filter(f"l_orderkey % 2 = {p}"),
+            ["l_returnflag"],
+            "part",
+            k=16,
+            weight_col="cents",
+        )
+        for p in (0, 1)
+    ]
+    return ledger_topk_bounds(halves, ["l_returnflag"], k=16).select(
+        "l_returnflag",
+        "rank",
+        F.col("item").alias("l_partkey"),
+        "lb",
+        "ub",
+        "n_rows",
+    )
+
+
+def _cdc_sidecar(spark, sf_dir) -> str:
+    """Build-once (per corpus content) change sidecar shared by
+    ``u_cdc_table_read`` and ``u_cdc_asof_changes``: batch 1 deletes
+    every doc_id % 31 and patches every % 29 (disjointly); batch 2
+    restores the even % 31 keys and deletes the % 29 ∧ % 3 ones.
+    Pinned batch ids; cache-complete = the FINAL batch committed."""
+    import os as _os
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.deletes import (
+        apply_changes,
+    )
+
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    src = _os.path.join(sf_dir, "documents.parquet")
+    fp = cache_fingerprint(src)
+    sidecar = _os.path.join(repo, ".tmp", "catalog_cdc", fp)
+    if not _os.path.exists(_os.path.join(sidecar, "batch=2", "_SUCCESS")):
+        import shutil as _shutil
+        _shutil.rmtree(sidecar, ignore_errors=True)
+        (docs,) = load(spark, sf_dir, "documents")
+        base = docs.select("doc_id", "source")
+        b1 = base.filter("doc_id % 31 = 0").select(
+            "doc_id",
+            F.lit(None).cast("string").alias("source"),
+            F.lit("delete").alias("op"),
+        ).unionByName(
+            base.filter("doc_id % 29 = 0 AND doc_id % 31 <> 0").select(
+                "doc_id",
+                F.lit("patched").alias("source"),
+                F.lit("upsert").alias("op"),
+            )
+        )
+        apply_changes(b1, sidecar, "doc_id", batch_id=1)
+        b2 = base.filter("doc_id % 31 = 0 AND doc_id % 2 = 0").select(
+            "doc_id",
+            F.lit("restored").alias("source"),
+            F.lit("upsert").alias("op"),
+        ).unionByName(
+            base.filter(
+                "doc_id % 29 = 0 AND doc_id % 3 = 0 AND doc_id % 31 <> 0"
+            ).select(
+                "doc_id",
+                F.lit(None).cast("string").alias("source"),
+                F.lit("delete").alias("op"),
+            )
+        )
+        apply_changes(b2, sidecar, "doc_id", batch_id=2)
+    return sidecar
+
+
+# ----- CDC time travel + change-data-feed (round 10) ---------------------
+
+ORACLE_CDC_ASOF_FEED = """
+SELECT 'asof1' AS slice, doc_id,
+       CASE WHEN doc_id % 29 = 0 AND doc_id % 31 <> 0
+            THEN 'patched' ELSE source END AS source,
+       CAST(NULL AS VARCHAR) AS op, CAST(NULL AS BIGINT) AS batch
+FROM documents WHERE doc_id % 31 <> 0
+UNION ALL
+SELECT 'feed', doc_id, 'restored', 'upsert', 2
+FROM documents WHERE doc_id % 31 = 0 AND doc_id % 2 = 0
+UNION ALL
+SELECT 'feed', doc_id, CAST(NULL AS VARCHAR), 'delete', 2
+FROM documents
+WHERE doc_id % 29 = 0 AND doc_id % 3 = 0 AND doc_id % 31 <> 0
+"""
+
+
+@register("u_cdc_asof_changes", oracle=ORACLE_CDC_ASOF_FEED)
+def u_cdc_asof_changes(spark, sf_dir):
+    """CDC-plane time travel + the change-data-feed read (round-10
+    extension over the same persisted sidecar as ``u_cdc_table_read``,
+    both against closed-form oracles):
+
+    'asof1' slice — ``read_with_changes(..., as_of_batch=1)`` pins
+    the fold to batch 1 only (the CDC mirror of
+    ``read_optimized(version=)``): every % 31 key deleted, every
+    % 29 ∧ ¬% 31 patched, and NOTHING of batch 2's restores/deletes
+    visible — the oracle replays exactly that prefix. 'feed' slice —
+    ``table_changes(from_batch=1, to_batch=2)``: the op-tagged NET
+    effect of the (1, 2] range per key (cursor semantics), with
+    ``batch`` = the winning op's commit batch — the primitive that
+    lets derived artifacts (LM ledgers, BM25 postings, minhash
+    indexes — each with incremental add AND remove paths) consume
+    table changes instead of diffing snapshots
+    (``tests/test_deletes.py`` wires it into LM-ledger maintenance
+    end to end). 100 TB shape: both slices touch only CHANGE rows —
+    one window over an O(changes) frame; the data never shuffles."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.deletes import (
+        read_with_changes,
+        table_changes,
+    )
+
+    sidecar = _cdc_sidecar(spark, sf_dir)
+    (docs,) = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source")
+    asof = read_with_changes(
+        base, sidecar, "doc_id", as_of_batch=1
+    ).select(
+        F.lit("asof1").alias("slice"),
+        "doc_id", "source",
+        F.lit(None).cast("string").alias("op"),
+        F.lit(None).cast("bigint").alias("batch"),
+    )
+    feed = table_changes(
+        spark, sidecar, "doc_id", from_batch=1, to_batch=2
+    ).select(
+        F.lit("feed").alias("slice"),
+        "doc_id", "source", "op",
+        F.col("batch").cast("bigint").alias("batch"),
+    )
+    return asof.unionByName(feed)
+
+
+# ----- time-series linear interpolation (round 10) ------------------------
+
+ORACLE_RESAMPLE_INTERPOLATE = f"""
+WITH obs AS (
+  SELECT user_id, ts, max(value) AS v
+  FROM (SELECT user_id, ts, value FROM {EVENTS_SRC} AS events
+        WHERE event_type = 'purchase')
+  GROUP BY user_id, ts
+), bounds AS (
+  SELECT user_id, min(ts) AS lo, max(ts) AS hi FROM obs GROUP BY user_id
+), grid AS (
+  SELECT user_id,
+         unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS ts
+  FROM bounds
+), u AS (
+  SELECT user_id, ts, CAST(NULL AS DOUBLE) AS v, TRUE AS isg FROM grid
+  UNION ALL
+  SELECT user_id, ts, v, FALSE FROM obs
+), m AS (
+  SELECT user_id, ts, isg,
+    last_value(CASE WHEN NOT isg THEN v END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, isg
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN NOT isg THEN epoch_us(ts) END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, isg
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(CASE WHEN NOT isg THEN v END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, isg
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN NOT isg THEN epoch_us(ts) END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, isg
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+  FROM u
+)
+SELECT user_id, ts,
+       CASE WHEN nt IS NULL OR nt = pt THEN pv
+            ELSE pv + (nv - pv) * (CAST(epoch_us(ts) - pt AS DOUBLE)
+                                   / CAST(nt - pt AS DOUBLE)) END AS value
+FROM m WHERE isg
+"""
+
+
+@register("e_resample_interpolate", oracle=ORACLE_RESAMPLE_INTERPOLATE)
+def e_resample_interpolate(spark, sf_dir):
+    """Time-series resample with LINEAR interpolation
+    (``operators.timeseries.resample_interpolate``, round 10 — the
+    numeric sibling of ``e_resample_ffill``): each user's irregular
+    purchase values land on a per-user 6-hour grid, every grid
+    instant carrying ``vp + (vn − vp)·(t − tp)/(tn − tp)`` over the
+    bracketing observations (exact at hits, forward-fill past the
+    last observation — no extrapolation). Plan: bounds agg →
+    scan-side grid explode → union + ONE key-partitioned window pass
+    with ignore-nulls last/first over asymmetric frames — the as-of
+    trick doubled, still a single shuffle, no range join, no Python.
+    The oracle replays the identical union+window shape (DuckDB
+    IGNORE NULLS frames) with the same microsecond-epoch arithmetic,
+    so the doubles are bit-identical."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    (events,) = load(spark, sf_dir, "events")
+    obs = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return resample_interpolate(obs, "user_id", "ts", "value", "6 HOUR")
+
+
+# ----- declarative data-quality expectations (round 10) -------------------
+
+ORACLE_DQ_REPORT = """
+WITH rowchecks AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN COALESCE(l_quantity >= 1
+                                     AND l_quantity <= 50, FALSE)
+                       THEN 0 ELSE 1 END) AS BIGINT) AS v_qty,
+         CAST(SUM(CASE WHEN COALESCE(l_extendedprice
+                                     > CAST(0 AS DOUBLE), FALSE)
+                       THEN 0 ELSE 1 END) AS BIGINT) AS v_dates,
+         CAST(SUM(CASE WHEN COALESCE(l_discount >= CAST(0 AS DOUBLE)
+                                     AND l_discount <= CAST(0.1 AS DOUBLE),
+                                     FALSE)
+                       THEN 0 ELSE 1 END) AS BIGINT) AS v_disc,
+         CAST(SUM(CASE WHEN COALESCE(l_returnflag IN ('A', 'N', 'R'),
+                                     FALSE)
+                       THEN 0 ELSE 1 END) AS BIGINT) AS v_flag
+  FROM lineitem
+),
+uniq AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c - 1) AS BIGINT) AS v
+  FROM (SELECT count(*) AS c FROM lineitem
+        GROUP BY l_orderkey, l_linenumber)
+),
+fk AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n,
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)) AS v
+)
+SELECT 'qty_in_range' AS rule, n AS n_total, v_qty AS n_violations,
+       v_qty = 0 AS ok FROM rowchecks
+UNION ALL
+SELECT 'positive_price', n, v_dates, v_dates = 0 FROM rowchecks
+UNION ALL
+SELECT 'discount_band', n, v_disc, v_disc = 0 FROM rowchecks
+UNION ALL
+SELECT 'returnflag_domain', n, v_flag, v_flag = 0 FROM rowchecks
+UNION ALL
+SELECT 'unique_l_orderkey_l_linenumber', n, v, v = 0 FROM uniq
+UNION ALL
+SELECT 'fk_l_orderkey', n, v, v = 0 FROM fk
+"""
+
+
+@register("a_dq_report", oracle=ORACLE_DQ_REPORT)
+def a_dq_report(spark, sf_dir):
+    """Declarative data-quality expectations (``operators.dq``, round
+    10 — the Deequ/dbt-test shape): four row-level rules over
+    lineitem evaluated in ONE scan (each compiles to a
+    sum-of-CASE inside a single aggregate — 50 rules cost one pass,
+    not 50 jobs), a composite-key uniqueness check (one groupBy), and
+    a referential-integrity check against orders (one anti-join,
+    parent keys broadcast) — unioned into the report frame gate
+    decisions and dashboards both consume. NULL-valued predicates
+    count as violations (fail-closed). The reference's imperative
+    per-stage asserts (SURVEY §5 → ``pipeline.py`` gates) expressed
+    as a declarative, auditable artifact."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dq import (
+        check_referential,
+        check_rows,
+        check_unique,
+        dq_report,
+    )
+
+    li, orders = load(spark, sf_dir, "lineitem", "orders")
+    rows = check_rows(li, {
+        "qty_in_range": "l_quantity >= 1 AND l_quantity <= 50",
+        "positive_price": "l_extendedprice > CAST(0 AS DOUBLE)",
+        "discount_band": (
+            "l_discount >= CAST(0 AS DOUBLE) "
+            "AND l_discount <= CAST(0.1 AS DOUBLE)"
+        ),
+        "returnflag_domain": "l_returnflag IN ('A', 'N', 'R')",
+    })
+    uniq = check_unique(li, ["l_orderkey", "l_linenumber"])
+    fk = check_referential(
+        li, orders, ["l_orderkey"], parent_keys=["o_orderkey"],
+        name="fk_l_orderkey",
+    )
+    return dq_report(rows, uniq, fk)
+
+
+# ----- Spark-4 VARIANT JSON surface (round 10) -----------------------------
+
+ORACLE_VARIANT_JSON = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(0 AS BIGINT) AS n_with_missing
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("f_variant_json", oracle=ORACLE_VARIANT_JSON)
+def f_variant_json(spark, sf_dir):
+    """Semi-structured JSON through Spark 4's native VARIANT type
+    (surface extension): ``parse_json`` decodes each event's ``props``
+    ONCE into the binary variant encoding, ``variant_get`` extracts
+    the typed field and ``try_variant_get`` probes a missing path
+    (typed NULL, never an error) — the schema-on-read shape that
+    replaces per-field ``get_json_object`` re-parsing (N fields = N
+    full JSON parses on the string form; one parse total on the
+    variant form, and the binary encoding is what columnar engines
+    shred/push down at scale). Oracle: DuckDB's JSON extraction over
+    the same strings. 100 TB shape: scan-stage parse + one hash
+    aggregate — no UDF, no re-parse per extracted field."""
+    (events,) = load(spark, sf_dir, "events")
+    withv = events.withColumn("v", F.expr("parse_json(props)"))
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    missing = F.expr("try_variant_get(v, '$.missing', 'bigint')")
+    return (
+        withv.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+            F.count("m").cast("bigint").alias("n_with_missing"),
+        )
+    )
+
+
+# ----- composite-key facade MERGE (round 11) -------------------------------
+
+ORACLE_COMPOSITE_MERGE = """
+WITH base AS (
+  SELECT source, CAST(doc_id % 101 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY 1, 2
+),
+live AS (SELECT * FROM base WHERE bucket % 17 <> 0)
+SELECT source, bucket, n_docs,
+       CASE WHEN bucket % 3 = 0 AND n_docs >= 2
+                 AND bucket * 10 < chars
+            THEN bucket * 10 + chars ELSE chars END AS chars
+FROM live
+WHERE NOT (bucket % 3 = 0 AND n_docs < 2)
+"""
+
+
+@register("l_composite_key_merge", oracle=ORACLE_COMPOSITE_MERGE)
+def l_composite_key_merge(spark, sf_dir):
+    """COMPOSITE-KEY facade DML end to end (round 11 — the real form
+    of the reference's ``weather_id = concat(city,'_',date)``
+    surrogate-key workaround, ``apps/process_reviews.py:111``): a
+    table keyed on ``["source", "bucket"]`` holds per-(source, bucket)
+    document aggregates; a DELETE lands for every ``bucket % 17`` key
+    (a key FRAME, both columns), then a conditional MERGE joins a
+    ``bucket % 3`` source on BOTH key columns — matched rows with
+    ``t.n_docs < 2`` delete, the rest update through a partial
+    ``update_set`` (``chars = s.chars + t.chars`` when
+    ``s.chars < t.chars``; ``n_docs`` keeps the target value), no
+    inserts. The read folds the change log per COMPOSITE key. Oracle:
+    the closed-form clause replay over the same aggregate — integer
+    counts and sums, so every value hashes cross-engine. 100 TB
+    shape: both mutations are O(batch) op-tagged sidecar writes; the
+    fold is one window over change rows partitioned by the composite
+    key; the merge is one pass over the folded state joined to the
+    batch-sized source (AQE broadcasts it)."""
+    import os as _os
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.table import (
+        Table,
+        read_table,
+    )
+
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    src_path = _os.path.join(sf_dir, "documents.parquet")
+    fp = cache_fingerprint(src_path)
+    root = _os.path.join(repo, ".tmp", "catalog_ckey", fp)
+    (docs,) = load(spark, sf_dir, "documents")
+    base = docs.groupBy(
+        "source", (F.col("doc_id") % 101).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    # cache-complete = the merge's change batch (2) committed
+    if not _os.path.exists(
+        _os.path.join(root, "changes", "batch=2", "_SUCCESS")
+    ):
+        import shutil as _shutil
+
+        _shutil.rmtree(root, ignore_errors=True)
+        t = Table.create(spark, root, ["source", "bucket"])
+        t.append(base, batch_id=1)
+        t.delete(
+            base.filter("bucket % 17 = 0").select("source", "bucket"),
+            batch_id=1,
+        )
+        merge_src = base.filter("bucket % 3 = 0").select(
+            "source", "bucket", "n_docs",
+            (F.col("bucket") * 10).cast("bigint").alias("chars"),
+        )
+        t.merge(
+            merge_src,
+            matched_delete="t.n_docs < 2",
+            matched_update="s.chars < t.chars",
+            update_set={"chars": "s.chars + t.chars"},
+            not_matched_insert=False,
+            batch_id=2,
+        )
+    return read_table(spark, root)

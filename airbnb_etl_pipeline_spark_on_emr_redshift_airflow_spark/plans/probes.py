@@ -27,6 +27,9 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.flagships import (
+    _cdc_sidecar,
+)
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions.text import (
     fingerprint_sql,
     lang_detect_sql,
@@ -3940,112 +3943,6 @@ def p_derived_date_parts(spark, sf_dir):
     )
 
 
-ORACLE_WEIGHTED_HITTERS = """
-WITH base AS (
-  SELECT l_returnflag, CAST(l_partkey AS BIGINT) AS item,
-         CAST(l_orderkey % 2 AS INT) AS half,
-         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
-                    + CAST(1 AS DOUBLE)/2) AS BIGINT) AS cents
-  FROM lineitem),
-cnts AS (
-  SELECT l_returnflag, half, item, CAST(SUM(cents) AS BIGINT) AS cnt
-  FROM base GROUP BY 1, 2, 3),
-rk AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag, half
-                               ORDER BY cnt DESC, item) AS rn
-  FROM cnts),
-oth AS (
-  SELECT l_returnflag, half,
-         COALESCE(MAX(CASE WHEN rn > 16 THEN cnt END), 0) AS omax
-  FROM rk GROUP BY 1, 2),
-tot AS (
-  SELECT l_returnflag, SUM(omax) AS tot_omax FROM oth GROUP BY 1),
-n AS (
-  SELECT l_returnflag, CAST(SUM(cents) AS BIGINT) AS n_rows
-  FROM base GROUP BY 1),
-items AS (
-  SELECT t.l_returnflag, t.item,
-         CAST(SUM(t.cnt) AS BIGINT) AS lb,
-         CAST(SUM(o.omax) AS BIGINT) AS cover
-  FROM rk t
-  JOIN oth o ON t.l_returnflag = o.l_returnflag AND t.half = o.half
-  WHERE t.rn <= 16
-  GROUP BY 1, 2),
-merged AS (
-  SELECT i.l_returnflag, i.item, i.lb,
-         CAST(i.lb + tt.tot_omax - i.cover AS BIGINT) AS ub,
-         n.n_rows,
-         ROW_NUMBER() OVER (PARTITION BY i.l_returnflag
-                            ORDER BY i.lb DESC, i.item) AS rank
-  FROM items i
-  JOIN tot tt ON i.l_returnflag = tt.l_returnflag
-  JOIN n ON i.l_returnflag = n.l_returnflag)
-SELECT l_returnflag, CAST(rank AS INT) AS rank, item AS l_partkey,
-       lb, ub, n_rows
-FROM merged WHERE rank <= 16
-"""
-
-
-@register("a_weighted_hitters", oracle=ORACLE_WEIGHTED_HITTERS)
-def a_weighted_hitters(spark, sf_dir):
-    """WEIGHTED heavy-hitters ledger (round 7,
-    ``operators.heavyhitters`` with ``weight_col``): per-returnflag
-    top-16 parts by REVENUE — items ranked by an additive measure
-    instead of frequency, the "top-revenue parts per class maintained
-    incrementally" business shape (the reference's notebook computes
-    its top-N analytics with full ORDER BY LIMIT rescans each run,
-    cells 35-51). Revenue quantizes to exact cents per LINE
-    (``floor(price·(1-disc)·100 + ½)`` — the catalog's fixed-point
-    revenue fold, cf. ``q14_promo_effect``) BEFORE any sum, so every
-    downstream quantity is a deterministic bigint and the whole bound
-    algebra — two disjoint order-parity halves built separately, then
-    the threshold-algorithm fold reporting ``lb ≤ true ≤ ub`` —
-    value-hashes against DuckDB replaying the identical build + merge
-    from the raw table. The algebra itself is unchanged from
-    ``a_heavy_hitters_ledger`` (weight-agnostic: it only adds and
-    compares the stored bigints); weighted build exactness and bound
-    soundness are pinned in ``tests/test_heavyhitters.py``. 100 TB
-    shape: the build is one (keys, item) exchange carrying per-item
-    cent sums; merges fold KB-sized ledger rows, never the corpus."""
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.heavyhitters import (
-        heavyhitters_ledger,
-        ledger_topk_bounds,
-    )
-
-    (li,) = load(spark, sf_dir, "lineitem")
-    ev = li.select(
-        "l_orderkey",
-        "l_returnflag",
-        F.col("l_partkey").cast("bigint").alias("part"),
-        F.floor(
-            F.col("l_extendedprice")
-            * (F.lit(1) - F.col("l_discount"))
-            * F.lit(100)
-            + F.lit(1).cast("double") / F.lit(2)
-        )
-        .cast("bigint")
-        .alias("cents"),
-    )
-    halves = [
-        heavyhitters_ledger(
-            ev.filter(f"l_orderkey % 2 = {p}"),
-            ["l_returnflag"],
-            "part",
-            k=16,
-            weight_col="cents",
-        )
-        for p in (0, 1)
-    ]
-    return ledger_topk_bounds(halves, ["l_returnflag"], k=16).select(
-        "l_returnflag",
-        "rank",
-        F.col("item").alias("l_partkey"),
-        "lb",
-        "ub",
-        "n_rows",
-    )
-
-
 ORACLE_WINDOWED_QUANTILES = """
 WITH binned AS (
   SELECT CAST(ts AS DATE) AS window_start, event_type,
@@ -5558,58 +5455,6 @@ WHERE NOT (doc_id % 31 = 0 AND doc_id % 2 <> 0)
 """
 
 
-def _cdc_sidecar(spark, sf_dir) -> str:
-    """Build-once (per corpus content) change sidecar shared by
-    ``u_cdc_table_read`` and ``u_cdc_asof_changes``: batch 1 deletes
-    every doc_id % 31 and patches every % 29 (disjointly); batch 2
-    restores the even % 31 keys and deletes the % 29 ∧ % 3 ones.
-    Pinned batch ids; cache-complete = the FINAL batch committed."""
-    import os as _os
-
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.deletes import (
-        apply_changes,
-    )
-
-    repo = _os.path.dirname(
-        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    )
-    src = _os.path.join(sf_dir, "documents.parquet")
-    fp = cache_fingerprint(src)
-    sidecar = _os.path.join(repo, ".tmp", "catalog_cdc", fp)
-    if not _os.path.exists(_os.path.join(sidecar, "batch=2", "_SUCCESS")):
-        import shutil as _shutil
-        _shutil.rmtree(sidecar, ignore_errors=True)
-        (docs,) = load(spark, sf_dir, "documents")
-        base = docs.select("doc_id", "source")
-        b1 = base.filter("doc_id % 31 = 0").select(
-            "doc_id",
-            F.lit(None).cast("string").alias("source"),
-            F.lit("delete").alias("op"),
-        ).unionByName(
-            base.filter("doc_id % 29 = 0 AND doc_id % 31 <> 0").select(
-                "doc_id",
-                F.lit("patched").alias("source"),
-                F.lit("upsert").alias("op"),
-            )
-        )
-        apply_changes(b1, sidecar, "doc_id", batch_id=1)
-        b2 = base.filter("doc_id % 31 = 0 AND doc_id % 2 = 0").select(
-            "doc_id",
-            F.lit("restored").alias("source"),
-            F.lit("upsert").alias("op"),
-        ).unionByName(
-            base.filter(
-                "doc_id % 29 = 0 AND doc_id % 3 = 0 AND doc_id % 31 <> 0"
-            ).select(
-                "doc_id",
-                F.lit(None).cast("string").alias("source"),
-                F.lit("delete").alias("op"),
-            )
-        )
-        apply_changes(b2, sidecar, "doc_id", batch_id=2)
-    return sidecar
-
-
 @register("u_cdc_table_read", oracle=ORACLE_CDC_TABLE)
 def u_cdc_table_read(spark, sf_dir):
     """Table-level merge-on-read CDC (``sources.deletes.apply_changes``
@@ -5633,70 +5478,6 @@ def u_cdc_table_read(spark, sf_dir):
     (docs,) = load(spark, sf_dir, "documents")
     base = docs.select("doc_id", "source")
     return read_with_changes(base, sidecar, "doc_id")
-
-
-# ----- CDC time travel + change-data-feed (round 10) ---------------------
-
-ORACLE_CDC_ASOF_FEED = """
-SELECT 'asof1' AS slice, doc_id,
-       CASE WHEN doc_id % 29 = 0 AND doc_id % 31 <> 0
-            THEN 'patched' ELSE source END AS source,
-       CAST(NULL AS VARCHAR) AS op, CAST(NULL AS BIGINT) AS batch
-FROM documents WHERE doc_id % 31 <> 0
-UNION ALL
-SELECT 'feed', doc_id, 'restored', 'upsert', 2
-FROM documents WHERE doc_id % 31 = 0 AND doc_id % 2 = 0
-UNION ALL
-SELECT 'feed', doc_id, CAST(NULL AS VARCHAR), 'delete', 2
-FROM documents
-WHERE doc_id % 29 = 0 AND doc_id % 3 = 0 AND doc_id % 31 <> 0
-"""
-
-
-@register("u_cdc_asof_changes", oracle=ORACLE_CDC_ASOF_FEED)
-def u_cdc_asof_changes(spark, sf_dir):
-    """CDC-plane time travel + the change-data-feed read (round-10
-    extension over the same persisted sidecar as ``u_cdc_table_read``,
-    both against closed-form oracles):
-
-    'asof1' slice — ``read_with_changes(..., as_of_batch=1)`` pins
-    the fold to batch 1 only (the CDC mirror of
-    ``read_optimized(version=)``): every % 31 key deleted, every
-    % 29 ∧ ¬% 31 patched, and NOTHING of batch 2's restores/deletes
-    visible — the oracle replays exactly that prefix. 'feed' slice —
-    ``table_changes(from_batch=1, to_batch=2)``: the op-tagged NET
-    effect of the (1, 2] range per key (cursor semantics), with
-    ``batch`` = the winning op's commit batch — the primitive that
-    lets derived artifacts (LM ledgers, BM25 postings, minhash
-    indexes — each with incremental add AND remove paths) consume
-    table changes instead of diffing snapshots
-    (``tests/test_deletes.py`` wires it into LM-ledger maintenance
-    end to end). 100 TB shape: both slices touch only CHANGE rows —
-    one window over an O(changes) frame; the data never shuffles."""
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.deletes import (
-        read_with_changes,
-        table_changes,
-    )
-
-    sidecar = _cdc_sidecar(spark, sf_dir)
-    (docs,) = load(spark, sf_dir, "documents")
-    base = docs.select("doc_id", "source")
-    asof = read_with_changes(
-        base, sidecar, "doc_id", as_of_batch=1
-    ).select(
-        F.lit("asof1").alias("slice"),
-        "doc_id", "source",
-        F.lit(None).cast("string").alias("op"),
-        F.lit(None).cast("bigint").alias("batch"),
-    )
-    feed = table_changes(
-        spark, sidecar, "doc_id", from_batch=1, to_batch=2
-    ).select(
-        F.lit("feed").alias("slice"),
-        "doc_id", "source", "op",
-        F.col("batch").cast("bigint").alias("batch"),
-    )
-    return asof.unionByName(feed)
 
 
 # ----- abelian ledger delete (round 9) -----------------------------------
@@ -5884,208 +5665,6 @@ def s_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(emb, threshold=0.35, bucket_col="label")
 
 
-# ----- time-series linear interpolation (round 10) ------------------------
-
-ORACLE_RESAMPLE_INTERPOLATE = f"""
-WITH obs AS (
-  SELECT user_id, ts, max(value) AS v
-  FROM (SELECT user_id, ts, value FROM {EVENTS_SRC} AS events
-        WHERE event_type = 'purchase')
-  GROUP BY user_id, ts
-), bounds AS (
-  SELECT user_id, min(ts) AS lo, max(ts) AS hi FROM obs GROUP BY user_id
-), grid AS (
-  SELECT user_id,
-         unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS ts
-  FROM bounds
-), u AS (
-  SELECT user_id, ts, CAST(NULL AS DOUBLE) AS v, TRUE AS isg FROM grid
-  UNION ALL
-  SELECT user_id, ts, v, FALSE FROM obs
-), m AS (
-  SELECT user_id, ts, isg,
-    last_value(CASE WHEN NOT isg THEN v END IGNORE NULLS) OVER (
-      PARTITION BY user_id ORDER BY ts, isg
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-    last_value(CASE WHEN NOT isg THEN epoch_us(ts) END IGNORE NULLS)
-      OVER (PARTITION BY user_id ORDER BY ts, isg
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
-    first_value(CASE WHEN NOT isg THEN v END IGNORE NULLS) OVER (
-      PARTITION BY user_id ORDER BY ts, isg
-      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
-    first_value(CASE WHEN NOT isg THEN epoch_us(ts) END IGNORE NULLS)
-      OVER (PARTITION BY user_id ORDER BY ts, isg
-      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
-  FROM u
-)
-SELECT user_id, ts,
-       CASE WHEN nt IS NULL OR nt = pt THEN pv
-            ELSE pv + (nv - pv) * (CAST(epoch_us(ts) - pt AS DOUBLE)
-                                   / CAST(nt - pt AS DOUBLE)) END AS value
-FROM m WHERE isg
-"""
-
-
-@register("e_resample_interpolate", oracle=ORACLE_RESAMPLE_INTERPOLATE)
-def e_resample_interpolate(spark, sf_dir):
-    """Time-series resample with LINEAR interpolation
-    (``operators.timeseries.resample_interpolate``, round 10 — the
-    numeric sibling of ``e_resample_ffill``): each user's irregular
-    purchase values land on a per-user 6-hour grid, every grid
-    instant carrying ``vp + (vn − vp)·(t − tp)/(tn − tp)`` over the
-    bracketing observations (exact at hits, forward-fill past the
-    last observation — no extrapolation). Plan: bounds agg →
-    scan-side grid explode → union + ONE key-partitioned window pass
-    with ignore-nulls last/first over asymmetric frames — the as-of
-    trick doubled, still a single shuffle, no range join, no Python.
-    The oracle replays the identical union+window shape (DuckDB
-    IGNORE NULLS frames) with the same microsecond-epoch arithmetic,
-    so the doubles are bit-identical."""
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.timeseries import (
-        resample_interpolate,
-    )
-
-    (events,) = load(spark, sf_dir, "events")
-    obs = (
-        events.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("value"))
-    )
-    return resample_interpolate(obs, "user_id", "ts", "value", "6 HOUR")
-
-
-# ----- declarative data-quality expectations (round 10) -------------------
-
-ORACLE_DQ_REPORT = """
-WITH rowchecks AS (
-  SELECT CAST(count(*) AS BIGINT) AS n,
-         CAST(SUM(CASE WHEN COALESCE(l_quantity >= 1
-                                     AND l_quantity <= 50, FALSE)
-                       THEN 0 ELSE 1 END) AS BIGINT) AS v_qty,
-         CAST(SUM(CASE WHEN COALESCE(l_extendedprice
-                                     > CAST(0 AS DOUBLE), FALSE)
-                       THEN 0 ELSE 1 END) AS BIGINT) AS v_dates,
-         CAST(SUM(CASE WHEN COALESCE(l_discount >= CAST(0 AS DOUBLE)
-                                     AND l_discount <= CAST(0.1 AS DOUBLE),
-                                     FALSE)
-                       THEN 0 ELSE 1 END) AS BIGINT) AS v_disc,
-         CAST(SUM(CASE WHEN COALESCE(l_returnflag IN ('A', 'N', 'R'),
-                                     FALSE)
-                       THEN 0 ELSE 1 END) AS BIGINT) AS v_flag
-  FROM lineitem
-),
-uniq AS (
-  SELECT CAST(SUM(c) AS BIGINT) AS n,
-         CAST(SUM(c - 1) AS BIGINT) AS v
-  FROM (SELECT count(*) AS c FROM lineitem
-        GROUP BY l_orderkey, l_linenumber)
-),
-fk AS (
-  SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n,
-         (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
-          WHERE NOT EXISTS (SELECT 1 FROM orders o
-                            WHERE o.o_orderkey = l.l_orderkey)) AS v
-)
-SELECT 'qty_in_range' AS rule, n AS n_total, v_qty AS n_violations,
-       v_qty = 0 AS ok FROM rowchecks
-UNION ALL
-SELECT 'positive_price', n, v_dates, v_dates = 0 FROM rowchecks
-UNION ALL
-SELECT 'discount_band', n, v_disc, v_disc = 0 FROM rowchecks
-UNION ALL
-SELECT 'returnflag_domain', n, v_flag, v_flag = 0 FROM rowchecks
-UNION ALL
-SELECT 'unique_l_orderkey_l_linenumber', n, v, v = 0 FROM uniq
-UNION ALL
-SELECT 'fk_l_orderkey', n, v, v = 0 FROM fk
-"""
-
-
-@register("a_dq_report", oracle=ORACLE_DQ_REPORT)
-def a_dq_report(spark, sf_dir):
-    """Declarative data-quality expectations (``operators.dq``, round
-    10 — the Deequ/dbt-test shape): four row-level rules over
-    lineitem evaluated in ONE scan (each compiles to a
-    sum-of-CASE inside a single aggregate — 50 rules cost one pass,
-    not 50 jobs), a composite-key uniqueness check (one groupBy), and
-    a referential-integrity check against orders (one anti-join,
-    parent keys broadcast) — unioned into the report frame gate
-    decisions and dashboards both consume. NULL-valued predicates
-    count as violations (fail-closed). The reference's imperative
-    per-stage asserts (SURVEY §5 → ``pipeline.py`` gates) expressed
-    as a declarative, auditable artifact."""
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dq import (
-        check_referential,
-        check_rows,
-        check_unique,
-        dq_report,
-    )
-
-    li, orders = load(spark, sf_dir, "lineitem", "orders")
-    rows = check_rows(li, {
-        "qty_in_range": "l_quantity >= 1 AND l_quantity <= 50",
-        "positive_price": "l_extendedprice > CAST(0 AS DOUBLE)",
-        "discount_band": (
-            "l_discount >= CAST(0 AS DOUBLE) "
-            "AND l_discount <= CAST(0.1 AS DOUBLE)"
-        ),
-        "returnflag_domain": "l_returnflag IN ('A', 'N', 'R')",
-    })
-    uniq = check_unique(li, ["l_orderkey", "l_linenumber"])
-    fk = check_referential(
-        li, orders, ["l_orderkey"], parent_keys=["o_orderkey"],
-        name="fk_l_orderkey",
-    )
-    return dq_report(rows, uniq, fk)
-
-
-# ----- Spark-4 VARIANT JSON surface (round 10) -----------------------------
-
-ORACLE_VARIANT_JSON = """
-SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
-            AS BIGINT) AS min_k,
-       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
-            AS BIGINT) AS max_k,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-            AS BIGINT) AS sum_k,
-       CAST(0 AS BIGINT) AS n_with_missing
-FROM events
-GROUP BY event_type
-"""
-
-
-@register("f_variant_json", oracle=ORACLE_VARIANT_JSON)
-def f_variant_json(spark, sf_dir):
-    """Semi-structured JSON through Spark 4's native VARIANT type
-    (surface extension): ``parse_json`` decodes each event's ``props``
-    ONCE into the binary variant encoding, ``variant_get`` extracts
-    the typed field and ``try_variant_get`` probes a missing path
-    (typed NULL, never an error) — the schema-on-read shape that
-    replaces per-field ``get_json_object`` re-parsing (N fields = N
-    full JSON parses on the string form; one parse total on the
-    variant form, and the binary encoding is what columnar engines
-    shred/push down at scale). Oracle: DuckDB's JSON extraction over
-    the same strings. 100 TB shape: scan-stage parse + one hash
-    aggregate — no UDF, no re-parse per extracted field."""
-    (events,) = load(spark, sf_dir, "events")
-    withv = events.withColumn("v", F.expr("parse_json(props)"))
-    k = F.expr("variant_get(v, '$.k', 'bigint')")
-    missing = F.expr("try_variant_get(v, '$.missing', 'bigint')")
-    return (
-        withv.select("event_type", k.alias("k"), missing.alias("m"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.min("k").alias("min_k"),
-            F.max("k").alias("max_k"),
-            F.sum("k").alias("sum_k"),
-            F.count("m").cast("bigint").alias("n_with_missing"),
-        )
-    )
-
-
 # ----- round-10 continuation rotation re-registrations ---------------------
 #
 # l_zone_pruned_agg + l_bloom_point_lookup slice-merged into
@@ -6142,3 +5721,146 @@ def u_merge_apply_cdc(spark, sf_dir):
     ``u_union_cdc_merge``'s 'apply_cdc' slice for the driver window;
     re-registered here unchanged."""
     return u_merge_apply_cdc_impl(spark, sf_dir)
+
+
+# ----- round-11 window rotation re-registrations ---------------------------
+#
+# Six slice-merges freed the slots that now record the round-10-
+# continuation flagships (a_weighted_hitters, u_cdc_asof_changes,
+# e_resample_interpolate, a_dq_report, f_variant_json — moved into
+# plans.flagships) plus the round-11 composite-key facade flagship
+# (l_composite_key_merge): a_collect_set_join folded into
+# w_latest_snapshot_per_key's 'segments' slice; j_anti_semi_cohorts +
+# j_delta_scalar_subquery into j_anti_delta; p_project_dates +
+# p_filter_predicates into p_project_filter; e_time_windows +
+# e_watermark_json into e_stream_shapes; d_ngram_jaccard_pairs +
+# d_jaccard_prefix_filter into d_jaccard_suite; g_pagerank_fixed +
+# g_personalized_pagerank into g_pagerank_suite. All eleven originals
+# re-register here verbatim with their oracles, so every established
+# name stays a registered, oracle-checked catalog query.
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.aggregates import (
+    ORACLE_COLLECT_SET_JOIN,
+    a_collect_set_join_impl,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.joins import (
+    ORACLE_ANTI_SEMI,
+    ORACLE_DELTA_SCALAR,
+    j_anti_semi_cohorts_impl,
+    j_delta_scalar_subquery_impl,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.relational import (
+    ORACLE_FILTER_PREDICATES,
+    ORACLE_PROJECT_DATES,
+    p_filter_predicates_impl,
+    p_project_dates_impl,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.events import (
+    ORACLE_TIME_WINDOWS,
+    ORACLE_WATERMARK_JSON,
+    e_time_windows_impl,
+    e_watermark_json_impl,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.dedup import (
+    ORACLE_NGRAM_JACCARD,
+    d_ngram_jaccard_pairs_impl,
+    d_jaccard_prefix_filter_impl,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.dedup import (
+    ORACLE_JACCARD_PREFIX as _ORACLE_JACCARD_PREFIX,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.curation import (
+    ORACLE_PAGERANK,
+    ORACLE_PPR,
+    g_pagerank_fixed_impl,
+    g_personalized_pagerank_impl,
+)
+
+
+@register("a_collect_set_join", oracle=ORACLE_COLLECT_SET_JOIN)
+def a_collect_set_join(spark, sf_dir):
+    """A10/F10 group-level collect_set → sorted CSV — merged into
+    ``w_latest_snapshot_per_key``'s 'segments' slice for the driver
+    window; re-registered here unchanged."""
+    return a_collect_set_join_impl(spark, sf_dir)
+
+
+@register("j_anti_semi_cohorts", oracle=ORACLE_ANTI_SEMI)
+def j_anti_semi_cohorts(spark, sf_dir):
+    """J6 anti/semi cohort split — merged into ``j_anti_delta``'s
+    'cohorts' slice for the driver window; re-registered here
+    unchanged."""
+    return j_anti_semi_cohorts_impl(spark, sf_dir)
+
+
+@register("j_delta_scalar_subquery", oracle=ORACLE_DELTA_SCALAR)
+def j_delta_scalar_subquery(spark, sf_dir):
+    """J7 delta filter via broadcast scalar max — merged into
+    ``j_anti_delta``'s 'delta' slice for the driver window;
+    re-registered here unchanged."""
+    return j_delta_scalar_subquery_impl(spark, sf_dir)
+
+
+@register("p_project_dates", oracle=ORACLE_PROJECT_DATES)
+def p_project_dates(spark, sf_dir):
+    """P1-P6 projection + derived date parts — merged into
+    ``p_project_filter`` for the driver window; re-registered here
+    unchanged."""
+    return p_project_dates_impl(spark, sf_dir)
+
+
+@register("p_filter_predicates", oracle=ORACLE_FILTER_PREDICATES)
+def p_filter_predicates(spark, sf_dir):
+    """S4 + P7-P10 pushed-down predicate suite — merged into
+    ``p_project_filter``'s 'filter' slice for the driver window;
+    re-registered here unchanged (PushedFilters plan gate in
+    ``tests/test_plans.py`` points at this name)."""
+    return p_filter_predicates_impl(spark, sf_dir)
+
+
+@register("e_time_windows", oracle=ORACLE_TIME_WINDOWS)
+def e_time_windows(spark, sf_dir):
+    """Tumbling/sliding/session window slices — merged into
+    ``e_stream_shapes`` for the driver window; re-registered here
+    unchanged."""
+    return e_time_windows_impl(spark, sf_dir)
+
+
+@register("e_watermark_json", oracle=ORACLE_WATERMARK_JSON)
+def e_watermark_json(spark, sf_dir):
+    """Watermark-dedup + JSON-extraction slices — merged into
+    ``e_stream_shapes`` for the driver window; re-registered here
+    unchanged."""
+    return e_watermark_json_impl(spark, sf_dir)
+
+
+@register("d_ngram_jaccard_pairs", oracle=ORACLE_NGRAM_JACCARD)
+def d_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard pairs via inverted shingle index — merged
+    into ``d_jaccard_suite``'s 'ngram' slice for the driver window;
+    re-registered here unchanged."""
+    return d_ngram_jaccard_pairs_impl(spark, sf_dir)
+
+
+@register("d_jaccard_prefix_filter", oracle=_ORACLE_JACCARD_PREFIX)
+def d_jaccard_prefix_filter(spark, sf_dir):
+    """Exact Jaccard via AllPairs/PPJoin prefix filtering — merged
+    into ``d_jaccard_suite``'s 'prefix' slice for the driver window;
+    re-registered here unchanged."""
+    return d_jaccard_prefix_filter_impl(spark, sf_dir)
+
+
+@register("g_pagerank_fixed", oracle=ORACLE_PAGERANK)
+def g_pagerank_fixed(spark, sf_dir):
+    """Integer fixed-point PageRank — merged into
+    ``g_pagerank_suite``'s 'uniform' slice for the driver window;
+    re-registered here unchanged."""
+    return g_pagerank_fixed_impl(spark, sf_dir)
+
+
+@register("g_personalized_pagerank", oracle=ORACLE_PPR)
+def g_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (seeded teleport) — merged into
+    ``g_pagerank_suite``'s 'personalized' slice for the driver window;
+    re-registered here unchanged."""
+    return g_personalized_pagerank_impl(spark, sf_dir)

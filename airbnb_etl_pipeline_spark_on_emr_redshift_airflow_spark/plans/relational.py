@@ -21,9 +21,7 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog impor
 )
 
 
-@register(
-    "p_project_dates",
-    oracle="""
+ORACLE_PROJECT_DATES = """
     SELECT 'proj' AS slice,
            p_partkey AS part_id,
            lower(p_name) AS name_norm,
@@ -46,9 +44,74 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.catalog impor
            count(*) AS n_orders
     FROM orders
     GROUP BY 7, 8
+    """
+
+ORACLE_FILTER_PREDICATES = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice BETWEEN 1000 AND 200000
+      AND o_orderdate > TIMESTAMP '1996-06-01 00:00:00'
+      AND o_custkey IS NOT NULL
+    """
+
+
+@register(
+    "p_project_filter",
+    oracle=f"""
+    SELECT slice, part_id, name_norm, size_l, price_tenth,
+           discount_rate, order_year, order_month, n_orders,
+           CAST(NULL AS BIGINT) AS o_orderkey,
+           CAST(NULL AS VARCHAR) AS o_orderstatus,
+           CAST(NULL AS DOUBLE) AS o_totalprice
+    FROM ({ORACLE_PROJECT_DATES}) p
+    UNION ALL
+    SELECT 'filter' AS slice,
+           CAST(NULL AS BIGINT) AS part_id,
+           CAST(NULL AS VARCHAR) AS name_norm,
+           CAST(NULL AS BIGINT) AS size_l,
+           CAST(NULL AS DOUBLE) AS price_tenth,
+           CAST(NULL AS DOUBLE) AS discount_rate,
+           CAST(NULL AS INT) AS order_year,
+           CAST(NULL AS INT) AS order_month,
+           CAST(NULL AS BIGINT) AS n_orders,
+           o_orderkey, o_orderstatus, o_totalprice
+    FROM ({ORACLE_FILTER_PREDICATES}) f
     """,
 )
-def p_project_dates(spark, sf_dir):
+def p_project_filter(spark, sf_dir):
+    """Round-11 slice-merge of ``p_project_dates`` +
+    ``p_filter_predicates`` (both re-registered verbatim past the
+    window in ``plans.probes``), freeing a first-50 slot for the
+    round-10-continuation flagships. 'proj'/'dates' slices — P1-P6 +
+    F5/F7/F11 projection shapes; 'filter' slice — S4 + P7-P10, every
+    predicate class pushed to the parquet scan (PushedFilters
+    plan-gated in ``tests/test_plans.py`` under the tail name).
+    Disjoint scan legs null-padded to one schema."""
+    proj = p_project_dates_impl(spark, sf_dir).select(
+        "slice", "part_id", "name_norm", "size_l", "price_tenth",
+        "discount_rate", "order_year", "order_month", "n_orders",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    filt = p_filter_predicates_impl(spark, sf_dir).select(
+        F.lit("filter").alias("slice"),
+        F.lit(None).cast("bigint").alias("part_id"),
+        F.lit(None).cast("string").alias("name_norm"),
+        F.lit(None).cast("bigint").alias("size_l"),
+        F.lit(None).cast("double").alias("price_tenth"),
+        F.lit(None).cast("double").alias("discount_rate"),
+        F.lit(None).cast("int").alias("order_year"),
+        F.lit(None).cast("int").alias("order_month"),
+        F.lit(None).cast("bigint").alias("n_orders"),
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+    )
+    return proj.unionByName(filt)
+
+
+def p_project_dates_impl(spark, sf_dir):
     """Round-7 slice-merge of ``p_project_rename_cast`` +
     ``p_derived_date_parts`` (both re-registered verbatim past the
     window in ``plans.probes``), freeing a first-50 slot for
@@ -101,19 +164,7 @@ def p_project_dates(spark, sf_dir):
     return proj.unionByName(dates)
 
 
-@register(
-    "p_filter_predicates",
-    oracle="""
-    SELECT o_orderkey, o_orderstatus, o_totalprice
-    FROM orders
-    WHERE o_orderstatus = 'F'
-      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
-      AND o_totalprice BETWEEN 1000 AND 200000
-      AND o_orderdate > TIMESTAMP '1996-06-01 00:00:00'
-      AND o_custkey IS NOT NULL
-    """,
-)
-def p_filter_predicates(spark, sf_dir):
+def p_filter_predicates_impl(spark, sf_dir):
     """S4 + P7-P10 (absorbs the former ``s_parquet_scan_prune`` row —
     same scan-pruning semantics, one driver slot): the projection
     prunes to 3 of 6 columns (ReadSchema) and every predicate —

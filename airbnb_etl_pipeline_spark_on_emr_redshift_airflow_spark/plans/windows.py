@@ -38,10 +38,24 @@ DEC = "decimal(18,4)"
                                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
       FROM orders
     )
-    SELECT l.o_custkey, l.o_orderkey, l.o_orderdate, l.o_totalprice,
-           s.priorities_seen
+    SELECT 'latest' AS slice,
+           l.o_custkey, l.o_orderkey, l.o_orderdate, l.o_totalprice,
+           s.priorities_seen,
+           CAST(NULL AS BIGINT) AS c_nationkey,
+           CAST(NULL AS VARCHAR) AS segments
     FROM latest l JOIN sets s ON l.o_custkey = s.o_custkey
     WHERE l.rn = 1
+    UNION ALL
+    SELECT 'segments' AS slice,
+           CAST(NULL AS BIGINT) AS o_custkey,
+           CAST(NULL AS BIGINT) AS o_orderkey,
+           CAST(NULL AS TIMESTAMP) AS o_orderdate,
+           CAST(NULL AS DOUBLE) AS o_totalprice,
+           CAST(NULL AS VARCHAR) AS priorities_seen,
+           CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+             AS segments
+    FROM customer GROUP BY c_nationkey
     """,
 )
 def w_latest_snapshot_per_key(spark, sf_dir):
@@ -54,7 +68,19 @@ def w_latest_snapshot_per_key(spark, sf_dir):
     ONE exchange on the key. Order key is made unique (date, then
     orderkey) so the reference pattern and the oracle's row_number
     agree exactly — the equivalence SURVEY.md §7.4 flags as needing
-    deterministic tie-breaking."""
+    deterministic tie-breaking.
+
+    Round-11 rotation: absorbs ``a_collect_set_join`` (A10/F10 — the
+    GROUP-level collect_set → sorted-CSV of
+    ``apps/process_reviewers.py:87,93``) as the 'segments' slice over
+    customer — the same set-flatten move at both the window and the
+    aggregate level in one query; the original re-registers verbatim
+    at the tail. Disjoint tables, so the union is two independent
+    legs null-padded to a common schema."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.aggregates import (
+        a_collect_set_join_impl,
+    )
+
     (orders,) = load(spark, sf_dir, "orders")
     wset = Window.partitionBy("o_custkey")
     enriched = orders.withColumn(
@@ -73,9 +99,24 @@ def w_latest_snapshot_per_key(spark, sf_dir):
             F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
         ),
     )
-    return latest_per_key(keyed, ["o_custkey"], ["__ord"]).select(
-        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "priorities_seen"
+    latest = latest_per_key(keyed, ["o_custkey"], ["__ord"]).select(
+        F.lit("latest").alias("slice"),
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+        "priorities_seen",
+        F.lit(None).cast("bigint").alias("c_nationkey"),
+        F.lit(None).cast("string").alias("segments"),
     )
+    segments = a_collect_set_join_impl(spark, sf_dir).select(
+        F.lit("segments").alias("slice"),
+        F.lit(None).cast("bigint").alias("o_custkey"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("string").alias("priorities_seen"),
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        "segments",
+    )
+    return latest.unionByName(segments)
 
 
 @register(

@@ -232,6 +232,16 @@ SIDECAR_ONLY = [
     # slices stay timed under the original names above/in HEADLINE)
     "l_skipping_pruned",
     "u_union_cdc_merge",
+    # round-11 rotation merged window slots (constituent slices stay
+    # timed under the original names in HEADLINE / above)
+    "j_anti_delta",
+    "p_project_filter",
+    "e_stream_shapes",
+    "d_jaccard_suite",
+    "g_pagerank_suite",
+    # round-11: composite-key facade DML (cached sidecar build; the
+    # timed path is the composite-key CDC fold read)
+    "l_composite_key_merge",
 ]
 
 

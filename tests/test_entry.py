@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 153
+    assert len(names) == 159
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -59,13 +59,28 @@ def test_oracle_keys_subset_of_queries(spark):
         "t_tfidf_topk",
         "r_bm25_search", "t_unigram_lm_score", "d_repeated_spans",
         "c_dsir_select", "q5_local_supplier_volume",
-        "e_watermark_json", "p_project_dates",
-        "a_heavy_hitters_ledger", "g_pagerank_fixed",
-        "w_frames_ranks", "e_time_windows", "j_range_asof",
-        "d_jaccard_prefix_filter",
+        "a_heavy_hitters_ledger",
+        "w_frames_ranks", "j_range_asof",
         "g_triangle_count",
-        "d_cluster_best_pick", "g_personalized_pagerank",
+        "d_cluster_best_pick",
         "m_binary_frames",
+        # round-11 rotation: six slice-merges (a_collect_set_join into
+        # w_latest_snapshot_per_key's 'segments' slice;
+        # j_anti_semi_cohorts + j_delta_scalar_subquery into
+        # j_anti_delta; p_project_dates + p_filter_predicates into
+        # p_project_filter; e_time_windows + e_watermark_json into
+        # e_stream_shapes — all five SS2.10 streaming shapes in one
+        # window row; d_ngram_jaccard_pairs + d_jaccard_prefix_filter
+        # into d_jaccard_suite; g_pagerank_fixed +
+        # g_personalized_pagerank into g_pagerank_suite; all eleven
+        # originals re-registered verbatim at the tail) freed the
+        # slots for the round-10-continuation flagships (moved into
+        # plans.flagships) and the composite-key facade flagship.
+        "j_anti_delta", "p_project_filter", "e_stream_shapes",
+        "d_jaccard_suite", "g_pagerank_suite",
+        "a_weighted_hitters", "u_cdc_asof_changes",
+        "e_resample_interpolate", "a_dq_report", "f_variant_json",
+        "l_composite_key_merge",
         # round-10 rotation: a_rollup_cube + a_pivot_unpivot folded
         # into a_cube_pivot and s_knn_bruteforce + s_embedding_near_dup
         # into s_knn_near_dup (all four originals re-registered
@@ -168,7 +183,6 @@ def test_oracle_keys_subset_of_queries(spark):
         "e_json_extraction",
         "p_project_rename_cast",
         "p_derived_date_parts",
-        "a_weighted_hitters",
         "e_windowed_quantiles",
         "g_kcore_extract",
         "w_moving_frames",
@@ -182,35 +196,28 @@ def test_oracle_keys_subset_of_queries(spark):
         "c_pack_sequences",
         "j_range_join",
         "j_asof_join",
-        # round-9 extension: the composed zone+bloom metadata-plane
-        # read as a catalog query (full-scan-filter oracle)
         "l_combined_pruned_lookup",
-        # round-9 extension: table-level merge-on-read CDC (op-tagged
-        # change batches, latest-op-per-key fold vs a CASE-replay oracle)
         "u_cdc_table_read",
-        # round-10 extension: CDC as-of-batch time travel + the
-        # change-data-feed read over the same persisted sidecar
-        "u_cdc_asof_changes",
-        # round-9 extension: abelian ledger delete (subtract ≡ rebuild)
         "t_lm_subtract",
-        # round-10 merged-away originals (a_cube_pivot / s_knn_near_dup
-        # carry the window slots; u_delete_vectors moved INTO the
-        # window, registered in plans.curation)
         "a_rollup_cube",
         "a_pivot_unpivot",
         "s_knn_bruteforce",
         "s_embedding_near_dup",
-        # round-10 continuation: linear-interpolation resample, the
-        # one-scan DQ report, the Spark-4 VARIANT surface, and the
-        # rotation re-registrations (u_merge_conditional +
-        # l_schema_evolution_read moved INTO the window)
-        "e_resample_interpolate",
-        "a_dq_report",
-        "f_variant_json",
         "l_zone_pruned_agg",
         "l_bloom_point_lookup",
         "u_union_dedup_merge",
         "u_merge_apply_cdc",
+        "a_collect_set_join",
+        "j_anti_semi_cohorts",
+        "j_delta_scalar_subquery",
+        "p_project_dates",
+        "p_filter_predicates",
+        "e_time_windows",
+        "e_watermark_json",
+        "d_ngram_jaccard_pairs",
+        "d_jaccard_prefix_filter",
+        "g_pagerank_fixed",
+        "g_personalized_pagerank",
     ]
 
 

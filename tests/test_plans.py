@@ -64,8 +64,12 @@ def test_dim_joins_broadcast(spark):
 
 
 def test_latest_per_key_single_exchange(spark):
-    """Window + dropDuplicates must reuse one hash partitioning."""
-    assert _shuffles(_plan(spark, "w_latest_snapshot_per_key")) == 1
+    """Window + dropDuplicates must reuse one hash partitioning per
+    leg: the 'latest' leg (window + collect_set share the o_custkey
+    exchange) and the round-11 'segments' leg (one groupBy on
+    c_nationkey) each contribute exactly one — two total, never a
+    third from a re-exchange inside either leg."""
+    assert _shuffles(_plan(spark, "w_latest_snapshot_per_key")) == 2
 
 
 def test_q1_single_exchange_partial_agg(spark):
