@@ -153,6 +153,40 @@ def heavyhitters_ledger(
     )
 
 
+def heavyhitters_ledgers_by(
+    df: DataFrame,
+    keys: list[str],
+    item_col: str,
+    period_col: str,
+    k: int = DEFAULT_K,
+    weight_col: str | None = None,
+) -> list[DataFrame]:
+    """ALL period ledgers in ONE scan (round 11): building N period
+    ledgers by calling :func:`heavyhitters_ledger` once per
+    ``df.filter(period = p)`` costs N full scans of the raw data —
+    at 100 TB that is N corpus passes for identical per-group math.
+    Grouping with the period as a leading key is algebraically
+    identical (the window partitions on ``(period, keys)``, so every
+    period's rank/other_max/other_mass/n_rows are computed exactly as
+    the per-filter build would), costs ONE scan + one exchange, and
+    the stacked result is ledger-sized — it localCheckpoints (cutting
+    the scan lineage so the per-period slices below don't re-read the
+    corpus) and slices per period. Returns the ledgers in period-sort
+    order; equality with the per-filter build is pinned in
+    ``tests/test_heavyhitters.py``."""
+    stacked = heavyhitters_ledger(
+        df, [period_col, *keys], item_col, k=k, weight_col=weight_col
+    ).localCheckpoint()
+    periods = sorted(
+        r[period_col]
+        for r in stacked.select(period_col).distinct().collect()
+    )
+    return [
+        stacked.filter(F.col(period_col) == p).drop(period_col)
+        for p in periods
+    ]
+
+
 def _merged_items(ledgers: list[DataFrame], keys: list[str]) -> DataFrame:
     """Internal bound fold shared by :func:`merge_heavyhitters_ledgers`
     and :func:`ledger_topk_bounds`: one row per (keys, item) seen in

@@ -426,24 +426,25 @@ def a_heavy_hitters_ledger(spark, sf_dir):
     reproduce the identical bigints. Build exactness, presence
     guarantee (true > other_max ⇒ in top), bound soundness
     (lb ≤ true ≤ ub) and nested-merge soundness are pinned in
-    ``tests/test_heavyhitters.py``. 100 TB shape: the build is a
-    word-count (one (keys, item) exchange); the merge folds
-    KB-sized ledger rows, never the corpus."""
+    ``tests/test_heavyhitters.py``. 100 TB shape: BOTH period
+    ledgers build from ONE scan (``heavyhitters_ledgers_by`` — the
+    period is a leading group key, round 11; the per-filter form
+    paid one corpus pass per period); the merge folds KB-sized
+    ledger rows, never the corpus."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.heavyhitters import (
-        heavyhitters_ledger,
+        heavyhitters_ledgers_by,
         ledger_topk_bounds,
     )
 
     (ev,) = load(spark, sf_dir, "events")
     ev = ev.select(
-        "event_id", "event_type", F.col("user_id").cast("bigint").alias("uid")
+        "event_type",
+        F.col("user_id").cast("bigint").alias("uid"),
+        (F.col("event_id") % 2).alias("half"),
     )
-    halves = [
-        heavyhitters_ledger(
-            ev.filter(f"event_id % 2 = {p}"), ["event_type"], "uid", k=16
-        )
-        for p in (0, 1)
-    ]
+    halves = heavyhitters_ledgers_by(
+        ev, ["event_type"], "uid", "half", k=16
+    )
     return ledger_topk_bounds(halves, ["event_type"], k=16).select(
         "event_type",
         "rank",

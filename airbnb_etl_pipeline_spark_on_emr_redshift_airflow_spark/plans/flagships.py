@@ -90,14 +90,14 @@ def a_weighted_hitters(spark, sf_dir):
     shape: the build is one (keys, item) exchange carrying per-item
     cent sums; merges fold KB-sized ledger rows, never the corpus."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.heavyhitters import (
-        heavyhitters_ledger,
+        heavyhitters_ledgers_by,
         ledger_topk_bounds,
     )
 
     (li,) = load(spark, sf_dir, "lineitem")
     ev = li.select(
-        "l_orderkey",
         "l_returnflag",
+        (F.col("l_orderkey") % 2).alias("half"),
         F.col("l_partkey").cast("bigint").alias("part"),
         F.floor(
             F.col("l_extendedprice")
@@ -108,16 +108,9 @@ def a_weighted_hitters(spark, sf_dir):
         .cast("bigint")
         .alias("cents"),
     )
-    halves = [
-        heavyhitters_ledger(
-            ev.filter(f"l_orderkey % 2 = {p}"),
-            ["l_returnflag"],
-            "part",
-            k=16,
-            weight_col="cents",
-        )
-        for p in (0, 1)
-    ]
+    halves = heavyhitters_ledgers_by(
+        ev, ["l_returnflag"], "part", "half", k=16, weight_col="cents"
+    )
     return ledger_topk_bounds(halves, ["l_returnflag"], k=16).select(
         "l_returnflag",
         "rank",

@@ -194,3 +194,41 @@ def test_weighted_null_weights_coalesce_and_negative_fails(spark):
     bad = heavyhitters_ledger(neg, ["grp"], "item", k=4, weight_col="wgt")
     with pytest.raises(Exception, match="nonnegative"):
         bad.collect()
+
+
+def test_ledgers_by_equals_per_filter_build(spark):
+    """heavyhitters_ledgers_by (one scan, period as a leading group
+    key) ≡ one heavyhitters_ledger call per period filter — weighted
+    and unweighted."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.heavyhitters import (
+        heavyhitters_ledger,
+        heavyhitters_ledgers_by,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (g, it, p, w)
+            for g in range(2)
+            for it in range(9)
+            for p in range(3)
+            for w in [1 + (g + it + p) % 4]
+            for _ in range((g * 7 + it * 3 + p) % 5 + 1)
+        ],
+        "grp int, item int, period int, w int",
+    )
+    for wc in (None, "w"):
+        by = heavyhitters_ledgers_by(
+            df, ["grp"], "item", "period", k=4, weight_col=wc
+        )
+        per = [
+            heavyhitters_ledger(
+                df.filter(f"period = {p}"), ["grp"], "item",
+                k=4, weight_col=wc,
+            )
+            for p in range(3)
+        ]
+        assert len(by) == len(per)
+        for a, b in zip(by, per):
+            ra = sorted(map(str, a.collect()))
+            rb = sorted(map(str, b.collect()))
+            assert ra == rb, (wc, ra, rb)
