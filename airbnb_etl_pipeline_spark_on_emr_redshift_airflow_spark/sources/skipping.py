@@ -73,6 +73,84 @@ def list_data_files(spark: SparkSession, root: str) -> list[str]:
     return sorted(out)
 
 
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64_py(data: bytes, seed: int = 42) -> int:
+    """Standard XXH64 over ``data`` — bit-exact with Spark's
+    ``F.xxhash64`` on a string column (UTF-8 bytes, default seed 42;
+    pinned against Spark in ``tests/test_skipping.py``). Returns the
+    SIGNED value Spark emits. Exists so a DRIVER-side file listing
+    can carry the same order-independent set signature the manifest
+    aggregates compute distributedly — comparing the two then costs
+    zero Spark jobs (see :func:`combined_pruned_read`)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i + 32 <= n:
+            k1 = int.from_bytes(data[i:i + 8], "little")
+            v1 = (_rotl64((v1 + k1 * _XXP2) & _M64, 31) * _XXP1) & _M64
+            k2 = int.from_bytes(data[i + 8:i + 16], "little")
+            v2 = (_rotl64((v2 + k2 * _XXP2) & _M64, 31) * _XXP1) & _M64
+            k3 = int.from_bytes(data[i + 16:i + 24], "little")
+            v3 = (_rotl64((v3 + k3 * _XXP2) & _M64, 31) * _XXP1) & _M64
+            k4 = int.from_bytes(data[i + 24:i + 32], "little")
+            v4 = (_rotl64((v4 + k4 * _XXP2) & _M64, 31) * _XXP1) & _M64
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7)
+            + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            v = (_rotl64((v * _XXP2) & _M64, 31) * _XXP1) & _M64
+            h = (((h ^ v) * _XXP1) + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = int.from_bytes(data[i:i + 8], "little")
+        k = (_rotl64((k * _XXP2) & _M64, 31) * _XXP1) & _M64
+        h = ((_rotl64(h ^ k, 27) * _XXP1) + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        k = int.from_bytes(data[i:i + 4], "little")
+        h = ((_rotl64(h ^ ((k * _XXP1) & _M64), 23) * _XXP2) + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl64(h ^ ((data[i] * _XXP5) & _M64), 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _listing_df(spark: SparkSession, root: str) -> DataFrame:
+    """The directory listing as a one-column frame — the form every
+    manifest reconciliation joins against (round 11: keep-set and
+    gone-set logic is distributed semi/anti joins; the listing itself
+    is driver-side by nature, the same memory Spark's own file index
+    pays)."""
+    return spark.createDataFrame(
+        [(f,) for f in list_data_files(spark, root)], "file string"
+    )
+
+
 def _empty_file_rows(scan: DataFrame, stats: DataFrame) -> DataFrame:
     """Manifest rows for data files of ``scan`` that produced NO
     group row (zero-row parquet files — a filtered-to-empty batch
@@ -133,14 +211,20 @@ def update_zone_manifest(
     those files (O(new data), never O(table)); rows for files that
     disappeared (compaction, retention delete) are dropped. Returns a
     manifest identical to a from-scratch :func:`build_zone_manifest`
-    over the current listing (pinned in tests)."""
-    actual = set(list_data_files(spark, root))
-    known = {r["file"] for r in manifest.select("file").collect()}
-    new = sorted(actual - known)
-    gone = known - actual
-    out = manifest
-    if gone:
-        out = out.filter(~F.col("file").isin(*gone))
+    over the current listing (pinned in tests). Driver-side
+    materialization is bounded by the NEW files (which must be listed
+    to be read anyway) — known-file reconciliation is distributed
+    semi/anti joins, never a per-file Python set (round 11)."""
+    actual_df = _listing_df(spark, root)
+    new = sorted(
+        r["file"]
+        for r in actual_df.join(
+            manifest.select("file"), "file", "left_anti"
+        ).collect()
+    )
+    # drop rows for files that disappeared: semi-join against the
+    # current listing (distributed — no driver-side gone-set)
+    out = manifest.join(actual_df, "file", "left_semi")
     if new:
         out = out.unionByName(
             build_zone_manifest(spark.read.parquet(*new), cols)
@@ -172,26 +256,6 @@ def zone_keep_condition(predicates: list[Predicate]):
                 < F.col("n_rows")
             )
     return cond
-
-
-def _verify_listing(
-    spark: SparkSession, root: str, known: set[str], what: str
-) -> None:
-    """Fail-closed staleness check: the manifest must cover exactly
-    the files actually present — reading through a stale manifest
-    would silently drop data (the one failure mode a skipping layer
-    must fail CLOSED on)."""
-    actual = set(list_data_files(spark, root))
-    if actual != known:
-        missing = sorted(actual - known)[:3]
-        extra = sorted(known - actual)[:3]
-        raise ValueError(
-            f"{what}: manifest is stale for {root}: "
-            f"{len(actual - known)} unindexed file(s) (e.g. {missing}), "
-            f"{len(known - actual)} vanished file(s) (e.g. {extra}); "
-            "update the manifest first — reading through a stale "
-            "manifest would silently drop data."
-        )
 
 
 def _read_kept(
@@ -444,15 +508,20 @@ def _bloom_probe_tests(
     return " OR ".join(tests)
 
 
-def _bloom_keep_sets(
+def _bloom_keep_df(
     manifest: DataFrame, in_predicates: list[tuple[str, list]]
-) -> tuple[set[str], set[str]]:
-    """(known_files, kept_files) for a conjunction of IN-list
-    predicates against a bloom manifest — ONE collect total, and only
-    of (file, per-col keep booleans): the bitsets stay distributed
-    (the membership test runs as Spark expressions over the manifest
-    frame; collecting the bloom column itself would ship ~n_bits/8
-    bytes × files of dead weight to the driver)."""
+) -> DataFrame:
+    """``(file, __bk)`` — one row per file indexed for ALL probed
+    columns, ``__bk`` = the conjunction of its membership tests.
+    NOTHING file-count-sized is collected here (round 11: at
+    10^6-10^7 files the per-file name set was a driver-memory
+    bottleneck): the membership tests run as Spark expressions over
+    the manifest frame and the caller folds this frame into its one
+    summary aggregate + keep-sized paths collect. Files missing one
+    probed column's pivot row are ABSENT (not kept-false): they must
+    surface in the listing check as unindexed — fail closed, never a
+    silent skip. The one driver-side piece is the per-column hash
+    geometry — a column-count-sized aggregate."""
     for col, values in in_predicates:
         if not values:
             raise ValueError(
@@ -516,10 +585,7 @@ def _bloom_keep_sets(
     keep_cond = F.lit(True)
     for c in probe_cols:
         keep_cond = keep_cond & F.col(f"__keep_{c}")
-    rows = joined.select("file", keep_cond.alias("__keep")).collect()
-    known = {r["file"] for r in rows}
-    kept = {r["file"] for r in rows if r["__keep"]}
-    return known, kept
+    return joined.select("file", keep_cond.alias("__bk"))
 
 
 def bloom_pruned_read(
@@ -590,37 +656,100 @@ def combined_pruned_read(
     if bloom_manifest is not None and not in_predicates:
         raise ValueError(f"{_what}: bloom manifest given but no "
                          "in_predicates")
-    known: set[str] | None = None
-    keep: set[str] | None = None
+    # DISTRIBUTED keep-set plumbing (round 11): nothing
+    # known-files-sized is ever materialized on the driver — each
+    # manifest answers with ONE aggregate job carrying its kept paths
+    # (keep-sized collect_list — the files the read will open), its
+    # file count, and an order-independent FILE-SET SIGNATURE
+    # (count + sum of xxhash64(file)); set-equality checks
+    # (zone vs bloom agreement, manifest vs listing staleness) compare
+    # signatures in Python, and only a MISMATCH pays the exact
+    # anti-join jobs that name the differing files (a chance signature
+    # collision is re-checked exactly there, so it can cost, never
+    # lie). No cross-frame joins on the happy path: at 10^6-10^7
+    # files the old per-file Python sets were a driver bottleneck,
+    # and a full-outer reconciliation join would shuffle where two
+    # single-frame aggregates suffice.
+    def _sig_aggs(keep_cond):
+        return [
+            F.sort_array(
+                F.collect_list(F.when(keep_cond, F.col("file")))
+            ).alias("kept"),
+            F.count("file").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("file").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ]
+
+    def _exact_diff(known_df, what_a: str, other_df, what_b: str):
+        """Failure path: name up to 3 files on each side of the
+        set difference (exact anti-joins)."""
+        only_a = known_df.join(other_df, "file", "left_anti")
+        only_b = other_df.join(known_df, "file", "left_anti")
+        n_a, n_b = only_a.count(), only_b.count()
+        ex_a = sorted(r["file"] for r in only_a.limit(3).collect())
+        ex_b = sorted(r["file"] for r in only_b.limit(3).collect())
+        return n_a, ex_a, n_b, ex_b
+
+    zrow = brow = None
+    zknown = bknown = None
     if zone_manifest is not None:
-        zrows = zone_manifest.select(
-            "file", zone_keep_condition(range_predicates).alias("__keep")
-        ).collect()
-        zknown = {r["file"] for r in zrows}
-        zkeep = {r["file"] for r in zrows if r["__keep"]}
-        known, keep = zknown, zkeep
-        if stats is not None and bloom_manifest is not None:
-            stats["files_zone_kept"] = len(zkeep)
+        zknown = zone_manifest.select("file")
+        zrow = zone_manifest.agg(
+            *_sig_aggs(zone_keep_condition(range_predicates))
+        ).head()
     if bloom_manifest is not None:
-        bknown, bkeep = _bloom_keep_sets(bloom_manifest, in_predicates)
-        if known is not None and bknown != known:
-            raise ValueError(
-                f"{_what}: zone and bloom manifests disagree on the "
-                f"file set for {root} ({len(known ^ bknown)} file(s) "
-                "differ) — reconcile both manifests to the same "
-                "listing first."
+        bpivot = _bloom_keep_df(bloom_manifest, in_predicates)
+        bknown = bpivot.select("file")
+        brow = bpivot.agg(
+            *_sig_aggs(F.coalesce(F.col("__bk"), F.lit(False)))
+        ).head()
+    if zrow is not None and brow is not None:
+        if (zrow["n"], zrow["h"]) != (brow["n"], brow["h"]):
+            n_a, ex_a, n_b, ex_b = _exact_diff(
+                zknown, "zone", bknown, "bloom"
             )
-        known = bknown if known is None else known
-        keep = bkeep if keep is None else (keep & bkeep)
-        if stats is not None and zone_manifest is not None:
-            stats["files_bloom_kept"] = len(bkeep)
-    assert known is not None and keep is not None
+            if n_a or n_b:  # signature mismatch confirmed exactly
+                raise ValueError(
+                    f"{_what}: zone and bloom manifests disagree on "
+                    f"the file set for {root} ({n_a + n_b} file(s) "
+                    f"differ; zone-only e.g. {ex_a}, bloom-only e.g. "
+                    f"{ex_b}) — reconcile both manifests to the same "
+                    "listing first."
+                )
+    known_row = zrow if zrow is not None else brow
+    known_df = zknown if zknown is not None else bknown
+    assert known_row is not None and known_df is not None
     if verify:
-        _verify_listing(spark, root, known, _what)
-    keep_list = sorted(keep)
+        # the listing's set signature computes DRIVER-side with the
+        # bit-exact python XXH64 — zero Spark jobs on the happy path
+        actual = list_data_files(spark, root)
+        l_n = len(actual)
+        l_h = sum(xxh64_py(f.encode("utf-8")) for f in actual)
+        if (l_n, l_h) != (int(known_row["n"]), int(known_row["h"])):
+            actual_df = _listing_df(spark, root)
+            n_missing, missing, n_extra, extra = _exact_diff(
+                actual_df, "listing", known_df, "manifest"
+            )
+            if n_missing or n_extra:
+                raise ValueError(
+                    f"{_what}: manifest is stale for {root}: "
+                    f"{n_missing} unindexed file(s) (e.g. {missing}), "
+                    f"{n_extra} vanished file(s) (e.g. {extra}); "
+                    "update the manifest first — reading through a "
+                    "stale manifest would silently drop data."
+                )
+    if zrow is not None and brow is not None:
+        keep_list = sorted(set(zrow["kept"]) & set(brow["kept"]))
+    else:
+        keep_list = list(known_row["kept"])
     if stats is not None:
-        stats["files_total"] = len(known)
+        stats["files_total"] = int(known_row["n"])
         stats["files_read"] = len(keep_list)
+        if zrow is not None and brow is not None:
+            stats["files_zone_kept"] = len(zrow["kept"])
+            stats["files_bloom_kept"] = len(brow["kept"])
     df = _read_kept(spark, root, keep_list, schema=schema)
     df = _apply_range_residual(df, range_predicates)
     for c, values in in_predicates:
@@ -754,22 +883,31 @@ def update_bloom_manifest(
             "file", "col", type_map[F.col("col")].alias("col_type"),
             "n_bits", "k", "bloom",
         )
-    actual = set(list_data_files(spark, root))
-    known_rows = manifest.select("file", "n_bits", "k").collect()
-    known = {r["file"] for r in known_rows}
-    for r in known_rows:
-        if r["file"] in actual and (r["n_bits"] != n_bits or r["k"] != k):
-            raise ValueError(
-                "update_bloom_manifest: existing manifest built with "
-                f"n_bits={r['n_bits']}, k={r['k']} but update asked "
-                f"for n_bits={n_bits}, k={k} — bitsets with mixed "
-                "hash geometry cannot answer membership"
-            )
-    new = sorted(actual - known)
-    gone = known - actual
-    out = manifest
-    if gone:
-        out = out.filter(~F.col("file").isin(*gone))
+    actual_df = _listing_df(spark, root)
+    # geometry check distributed: one bounded collect of the first
+    # still-live row whose geometry conflicts (round 11 — previously
+    # every (file, n_bits, k) row shipped to the driver)
+    bad = (
+        manifest.join(actual_df, "file", "left_semi")
+        .filter((F.col("n_bits") != n_bits) | (F.col("k") != k))
+        .select("n_bits", "k")
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            "update_bloom_manifest: existing manifest built with "
+            f"n_bits={bad[0]['n_bits']}, k={bad[0]['k']} but update "
+            f"asked for n_bits={n_bits}, k={k} — bitsets with mixed "
+            "hash geometry cannot answer membership"
+        )
+    new = sorted(
+        r["file"]
+        for r in actual_df.join(
+            manifest.select("file"), "file", "left_anti"
+        ).collect()
+    )
+    out = manifest.join(actual_df, "file", "left_semi")
     if new:
         out = out.unionByName(
             build_bloom_manifest(

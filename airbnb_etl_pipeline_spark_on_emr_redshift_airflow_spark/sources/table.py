@@ -1018,13 +1018,46 @@ class Table:
     def _check_tail_coverage(
         self, mf: DataFrame, actual: set[str], what: str
     ) -> None:
-        known = {r["file"] for r in mf.select("file").distinct().collect()}
-        missing = actual - known
-        if missing:
+        """Every tail file must carry a manifest row — checked with
+        ONE aggregate job (round 11): the distinct manifest-file set
+        restricted to the tail must equal the tail itself, so its
+        order-independent signature (count + xxhash64 sum, the
+        ``combined_pruned_read`` device) must match the tail's
+        driver-computed signature; only a mismatch pays the exact
+        anti-join that names missing files. The driver never sees the
+        per-file manifest set."""
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
+            xxh64_py,
+        )
+
+        files = sorted(actual)
+        covered = mf.select("file").filter(
+            F.col("file").isin(files)
+        ).distinct()
+        row = covered.agg(
+            F.count("file").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("file").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).head()
+        a_n = len(files)
+        a_h = sum(xxh64_py(f.encode("utf-8")) for f in files)
+        if (a_n, a_h) == (int(row["n"]), int(row["h"])):
+            return
+        actual_df = self.spark.createDataFrame(
+            [(f,) for f in files], "file string"
+        )
+        missing_df = actual_df.join(covered, "file", "left_anti")
+        n_missing = missing_df.count()
+        if n_missing:
+            examples = sorted(
+                r["file"] for r in missing_df.limit(3).collect()
+            )
             raise ValueError(
                 f"Table.read: {what} manifest is missing "
-                f"{len(missing)} live tail file(s) (e.g. "
-                f"{sorted(missing)[:3]}) — the manifest is stale; "
+                f"{n_missing} live tail file(s) (e.g. "
+                f"{examples}) — the manifest is stale; "
                 "append through Table.append (which reconciles it) or "
                 "rebuild it before pruned reads."
             )

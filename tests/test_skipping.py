@@ -723,3 +723,69 @@ def test_pre_col_type_bloom_manifest_migrates(spark, tmp_path_factory):
     assert "col_type" in migrated.columns
     got = bloom_pruned_read(spark, f"{base}/data", migrated, "k", [3, 999])
     assert [r["k"] for r in got.collect()] == [3]
+
+
+def test_many_file_manifest_driver_collects_are_bounded(
+    spark, tmp_path_factory, monkeypatch
+):
+    """100 TB posture (round 11): with a MANY-file layout and a
+    selective predicate, the driver must only ever collect (a) the
+    KEPT file paths (proportional to files actually read), (b)
+    aggregated counts, and (c) bounded example rows — never a
+    per-file row for every known file. Instrumented by wrapping
+    DataFrame.collect during a combined zone+bloom pruned read over
+    a 64-file layout where pruning keeps a handful."""
+    # patch the CONCRETE DataFrame class (Spark 4's classic session
+    # subclasses the abstract pyspark.sql.DataFrame, whose collect
+    # the subclass overrides)
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pre-Spark-4 layout
+        from pyspark.sql import DataFrame
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
+        build_bloom_manifest,
+        build_zone_manifest,
+        combined_pruned_read,
+    )
+
+    root = str(tmp_path_factory.mktemp("many")) + "/data"
+    n_files = 64
+    df = spark.range(n_files * 50).select(
+        F.col("id").alias("k"),
+        (F.col("id") % (n_files * 50)).cast("double").alias("v"),
+    )
+    # one file per id-range bucket -> v ranges are disjoint per file
+    df.repartitionByRange(n_files, "k").sortWithinPartitions(
+        "k"
+    ).write.parquet(root)
+    scan = spark.read.parquet(root)
+    zmf = build_zone_manifest(scan, ["v"]).localCheckpoint()
+    bmf = build_bloom_manifest(scan, ["k"]).localCheckpoint()
+
+    sizes: list[int] = []
+    orig = DataFrame.collect
+
+    def tracking(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", tracking)
+    stats: dict = {}
+    out = combined_pruned_read(
+        spark, root,
+        zone_manifest=zmf, bloom_manifest=bmf,
+        range_predicates=[("v", 0.0, 120.0)],
+        in_predicates=[("k", [3, 70, 110])],
+        stats=stats,
+    )
+    got = sorted(r["k"] for r in orig(out))
+    monkeypatch.undo()
+    assert got == [3, 70, 110]
+    assert stats["files_total"] == n_files
+    # pruning really happened, and no collect was known-files-sized:
+    # every driver materialization is at most kept-paths + slack
+    assert stats["files_read"] < n_files / 4
+    bound = stats["files_read"] + 4
+    assert sizes and max(sizes) <= bound, (sizes, bound)
