@@ -704,7 +704,20 @@ class Table:
                 return F.col(f"s.{f.name}").alias(f.name)
             return F.lit(None).cast(f.dataType).alias(f.name)
 
+        # A PINNED-batch merge evaluates its clauses against the state
+        # AS OF the batch just below it: a crash-replay then re-decides
+        # from exactly the pre-batch state instead of reading its own
+        # half-landed change batch back (update_set arithmetic like
+        # "s.v + t.v" would otherwise double-apply on replay). Pinned
+        # ids at-or-below the fold watermark are invisible through the
+        # current version whatever they contain, so the plain read
+        # serves those (the append-replay convergence discipline).
         cur = self.read()
+        if batch_id is not None:
+            v = self._pointer()
+            ch_wm = self._watermarks(v)[1] if v is not None else 0
+            if batch_id - 1 >= ch_wm:
+                cur = self.read(_as_of_changes=batch_id - 1)
         on = F.lit(True)
         for k in keys:
             on = on & (F.col(f"s.{k}") == F.col(f"t.{k}"))
@@ -843,6 +856,61 @@ class Table:
             .start()
         )
 
+    def stream_merge(
+        self,
+        source_dir: str,
+        source_schema: str,
+        checkpoint_dir: str,
+        *,
+        matched_update=None,
+        matched_delete=None,
+        not_matched_insert=True,
+        update_set: dict[str, str] | None = None,
+    ):
+        """STREAMING MERGE (round 11): drain source micro-batches
+        through :meth:`merge` — each batch's clauses evaluate against
+        the table state and land as ONE op-tagged change batch PINNED
+        to the stream batch id (+1 — change batches are 1-based), so
+        a replay from an earlier checkpoint REWRITES its own batches
+        with the SAME decisions instead of double-applying: the
+        pinned merge reads the state AS OF the batch below its own id
+        (see :meth:`merge`), which makes the decision function of
+        (batch content, prior state) only — deterministic across
+        replays. Stream-of-merges ≡ the same batches merged
+        sequentially (pinned in ``tests/test_table.py``).
+
+        ``not_matched_by_source_delete`` is deliberately absent: with
+        a micro-batch source it would delete every target key absent
+        from the BATCH — the full-sync clause only makes sense when
+        the source is the complete desired state, which a stream
+        never is. Single-writer discipline as for every facade write
+        path: the change log must not receive concurrent non-stream
+        batches (pinned stream ids and claimed ids would contend).
+        ``availableNow`` trigger: drain, then stop."""
+
+        def _sink(batch_df, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.merge(
+                batch_df,
+                matched_update=matched_update,
+                matched_delete=matched_delete,
+                not_matched_insert=not_matched_insert,
+                update_set=update_set,
+                batch_id=batch_id + 1,
+            )
+
+        return (
+            self.spark.readStream.schema(source_schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(source_dir)
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def stream_changes(
         self,
         source_dir: str,
@@ -872,6 +940,7 @@ class Table:
         range_predicates: list[Predicate] | None = None,
         in_predicates: list[tuple[str, list]] | None = None,
         stats: dict | None = None,
+        _as_of_changes: int | None = None,
     ) -> DataFrame:
         """THE read: pointer → pruned bulk ∪ pruned live tail →
         un-materialized change fold → re-applied predicates.
@@ -941,7 +1010,7 @@ class Table:
 
         folded = read_with_changes(
             base, self._changes, self.key_cols, from_batch=ch_wm,
-            schema=wide,
+            as_of_batch=_as_of_changes, schema=wide,
         )
         # the filter-under-CDC law: upserts re-entered unfiltered, so
         # every predicate re-applies after the fold (and uncovered

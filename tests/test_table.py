@@ -1162,3 +1162,137 @@ def test_all_string_key_optimize_compacts_without_zorder(
     assert t.read().filter(
         "city = 'c0' AND station = 's0'"
     ).count() == 0
+
+
+def test_stream_merge_equals_sequential_batch_merges(
+    spark, tmp_path_factory
+):
+    """stream_merge over N micro-batches ≡ the same N frames merged
+    sequentially through Table.merge — conditional clauses and a
+    partial update_set included."""
+    base_dir = tmp_path_factory.mktemp("smrg")
+    src_dir = str(base_dir / "src")
+    df0 = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") % 10).cast("double").alias("v")
+    )
+    batches = [
+        spark.range(0, 90, 3).select(
+            F.col("id").alias("k"), F.lit(1.0).alias("v")
+        ),
+        spark.range(0, 90, 5).select(
+            F.col("id").alias("k"), F.lit(2.0).alias("v")
+        ),
+        spark.range(0, 90, 7).select(
+            F.col("id").alias("k"), F.lit(3.0).alias("v")
+        ),
+    ]
+    import glob as _glob
+    import os
+    import shutil
+
+    os.makedirs(src_dir, exist_ok=True)
+    for i, b in enumerate(batches):
+        # the file stream source lists FILES (no recursion): land each
+        # batch as one flat parquet file in arrival order
+        tmp = f"{src_dir}__stage{i}"
+        b.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{src_dir}/b{i}.parquet")
+        shutil.rmtree(tmp)
+    clauses = dict(
+        matched_delete="t.v >= 9",
+        matched_update="s.v < t.v",
+        update_set={"v": "s.v + t.v"},
+        not_matched_insert="s.k % 2 = 0",
+    )
+
+    stream_root = str(base_dir / "t_stream")
+    ts = Table.create(spark, stream_root, "k")
+    ts.append(df0, batch_id=1)
+    q = ts.stream_merge(
+        src_dir, "k bigint, v double",
+        str(base_dir / "ckpt"), **clauses,
+    )
+    q.awaitTermination(120)
+
+    batch_root = str(base_dir / "t_batch")
+    tb = Table.create(spark, batch_root, "k")
+    tb.append(df0, batch_id=1)
+    # the stream lands files in maxFilesPerTrigger=1 order of the
+    # source listing — replay the same order sequentially
+    files = [f"{src_dir}/b{i}.parquet" for i in range(len(batches))]
+    for i, fp in enumerate(files):
+        tb.merge(
+            spark.read.schema("k bigint, v double").parquet(fp),
+            batch_id=i + 1,
+            **clauses,
+        )
+    got = sorted(map(tuple, ts.read().collect()))
+    want = sorted(map(tuple, tb.read().collect()))
+    assert got == want
+
+
+def test_merge_pinned_replay_converges_with_arithmetic_update(
+    spark, tmp_path_factory
+):
+    """Crash-replay: re-running a pinned merge AFTER its change batch
+    already committed must converge — the replay evaluates against
+    the pre-batch state (as-of pin), so update_set arithmetic like
+    s.v + t.v does not double-apply."""
+    root = str(tmp_path_factory.mktemp("mrp")) + "/t"
+    t = Table.create(spark, root, "k")
+    t.append(spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k bigint, v double"
+    ), batch_id=1)
+    src = spark.createDataFrame([(1, 5.0)], "k bigint, v double")
+    t.merge(src, matched_update=True,
+            update_set={"v": "s.v + t.v"}, batch_id=1)
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {
+        1: 15.0, 2: 20.0
+    }
+    # crash between apply and checkpoint commit -> same batch replays
+    t.merge(src, matched_update=True,
+            update_set={"v": "s.v + t.v"}, batch_id=1)
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {
+        1: 15.0, 2: 20.0  # NOT 20.0 = 5 + (5 + 10)
+    }
+
+
+def test_stream_merge_checkpoint_restart_is_idempotent(
+    spark, tmp_path_factory
+):
+    """A full stream replay (checkpoint lost) rewrites every pinned
+    batch with identical decisions — the served state is unchanged."""
+    base_dir = tmp_path_factory.mktemp("smrg2")
+    src_dir = str(base_dir / "src")
+    import glob as _glob
+    import os
+    import shutil
+
+    os.makedirs(src_dir, exist_ok=True)
+    for i in range(2):
+        tmp = f"{src_dir}__stage{i}"
+        spark.range(i * 10, i * 10 + 30).select(
+            F.col("id").alias("k"), F.lit(float(i + 1)).alias("v")
+        ).coalesce(1).write.parquet(tmp)
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{src_dir}/b{i}.parquet")
+        shutil.rmtree(tmp)
+    root = str(base_dir / "t")
+    t = Table.create(spark, root, "k")
+    t.append(spark.range(0, 20).select(
+        F.col("id").alias("k"), F.lit(100.0).alias("v")
+    ), batch_id=1)
+    clauses = dict(matched_update=True,
+                   update_set={"v": "s.v + t.v"},
+                   not_matched_insert=True)
+    t.stream_merge(
+        src_dir, "k bigint, v double", str(base_dir / "c1"), **clauses
+    ).awaitTermination(120)
+    before = sorted(map(tuple, t.read().collect()))
+    # checkpoint lost: the whole stream replays with the same pinned
+    # batch ids -> identical rewrites, identical state
+    t.stream_merge(
+        src_dir, "k bigint, v double", str(base_dir / "c2"), **clauses
+    ).awaitTermination(120)
+    assert sorted(map(tuple, t.read().collect())) == before
