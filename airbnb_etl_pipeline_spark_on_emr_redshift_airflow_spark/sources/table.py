@@ -609,6 +609,80 @@ class Table:
         ch = changes.select(*cols, F.col(op_col).alias("op"))
         return self._apply(ch, batch_id)
 
+    def _clause_state(self, batch_id: int | None) -> DataFrame:
+        """The table state a CONDITIONAL write (merge / update_where /
+        delete_where) evaluates against. A PINNED batch reads the
+        state AS OF the batch just below its own id: a crash-replay
+        then re-decides from exactly the pre-batch state instead of
+        reading its own half-landed change batch back (arithmetic like
+        ``v + 1`` would otherwise re-apply on replay). Pinned ids
+        at-or-below the fold watermark are invisible through the
+        current version whatever they contain, so the plain read
+        serves those (the append-replay convergence discipline)."""
+        if batch_id is not None:
+            v = self._pointer()
+            ch_wm = self._watermarks(v)[1] if v is not None else 0
+            if batch_id - 1 >= ch_wm:
+                return self.read(_as_of_changes=batch_id - 1)
+        return self.read()
+
+    def delete_where(
+        self, condition: str, batch_id: int | None = None
+    ) -> int:
+        """DELETE WHERE (the Delta verb): keys of the current rows
+        satisfying ``condition`` (SQL over the table's columns) land
+        as one delete change batch — one scan to decide, O(affected)
+        written, nothing rewritten (merge-on-read; the next
+        :meth:`optimize` materializes it away). Pinned ``batch_id``
+        replays re-decide from the pre-batch state (see
+        :meth:`_clause_state`) so a crash-replay converges instead of
+        resurrecting or over-deleting."""
+        keys = self._clause_state(batch_id).filter(
+            F.expr(condition)
+        ).select(*self.key_cols)
+        return self.delete(keys, batch_id=batch_id)
+
+    def update_where(
+        self,
+        condition: str,
+        set: dict[str, str],
+        batch_id: int | None = None,
+    ) -> int:
+        """UPDATE WHERE (the Delta verb): rows satisfying
+        ``condition`` re-enter as upsert ops with ``set`` applied —
+        column → SQL expression over the row's own columns (no
+        aliases; this is single-table UPDATE, unlike
+        :meth:`merge`'s ``s.``/``t.`` update_set). Unlisted columns
+        keep their values. One scan to decide, O(affected) written;
+        set expressions pin to the column's declared type so change
+        batches stay schema-aligned. Pinned replays converge (the
+        pre-batch as-of state — ``v + 1`` applied twice would
+        otherwise double-increment)."""
+        if not set:
+            raise ValueError("Table.update_where: empty set")
+        schema = self._table_schema()
+        by_name = {f.name: f for f in schema}
+        for c in set:
+            if c in self.key_cols:
+                raise ValueError(
+                    f"Table.update_where: set must not touch the key "
+                    f"column {c!r}"
+                )
+            if c not in by_name:
+                raise ValueError(
+                    f"Table.update_where: set column {c!r} is not in "
+                    "the table schema"
+                )
+        hit = self._clause_state(batch_id).filter(F.expr(condition))
+        proj = [
+            F.expr(set[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in set
+            else F.col(f.name)
+            for f in schema
+        ]
+        ch = hit.select(*proj).withColumn("op", F.lit("upsert"))
+        return self._apply(ch, batch_id)
+
     def merge(
         self,
         source: DataFrame,
@@ -704,20 +778,7 @@ class Table:
                 return F.col(f"s.{f.name}").alias(f.name)
             return F.lit(None).cast(f.dataType).alias(f.name)
 
-        # A PINNED-batch merge evaluates its clauses against the state
-        # AS OF the batch just below it: a crash-replay then re-decides
-        # from exactly the pre-batch state instead of reading its own
-        # half-landed change batch back (update_set arithmetic like
-        # "s.v + t.v" would otherwise double-apply on replay). Pinned
-        # ids at-or-below the fold watermark are invisible through the
-        # current version whatever they contain, so the plain read
-        # serves those (the append-replay convergence discipline).
-        cur = self.read()
-        if batch_id is not None:
-            v = self._pointer()
-            ch_wm = self._watermarks(v)[1] if v is not None else 0
-            if batch_id - 1 >= ch_wm:
-                cur = self.read(_as_of_changes=batch_id - 1)
+        cur = self._clause_state(batch_id)
         on = F.lit(True)
         for k in keys:
             on = on & (F.col(f"s.{k}") == F.col(f"t.{k}"))

@@ -1296,3 +1296,77 @@ def test_stream_merge_checkpoint_restart_is_idempotent(
         src_dir, "k bigint, v double", str(base_dir / "c2"), **clauses
     ).awaitTermination(120)
     assert sorted(map(tuple, t.read().collect())) == before
+
+
+def test_update_where_and_delete_where(spark, tmp_path_factory):
+    """Single-table UPDATE/DELETE WHERE: set expressions over the
+    row's own columns, unlisted columns keep values, guards on key /
+    unknown columns, merge-on-read O(affected) change batches."""
+    root = str(tmp_path_factory.mktemp("uw")) + "/t"
+    t, df = _mk(spark, root, n=100)
+    t.update_where("v >= 90", {"v": "v / 10", "tag": "'hot'"})
+    got = {r["k"]: (r["v"], r["tag"]) for r in t.read().collect()}
+    for r in df.collect():
+        if r["v"] >= 90:
+            assert got[r["k"]] == (r["v"] / 10, "hot")
+        else:
+            assert got[r["k"]] == (r["v"], r["tag"])
+    t.delete_where("tag = 'hot'")
+    assert t.read().filter("tag = 'hot'").count() == 0
+    assert t.read().count() == sum(1 for r in df.collect() if r["v"] < 90)
+    with pytest.raises(ValueError, match="must not touch"):
+        t.update_where("true", {"k": "k + 1"})
+    with pytest.raises(ValueError, match="not in the table schema"):
+        t.update_where("true", {"zzz": "1"})
+    with pytest.raises(ValueError, match="empty set"):
+        t.update_where("true", {})
+
+
+def test_update_where_pinned_replay_converges(spark, tmp_path_factory):
+    """Crash-replay of a pinned UPDATE WHERE with arithmetic set
+    (v = v + 1) must converge — the replay decides from the pre-batch
+    as-of state, never re-incrementing."""
+    root = str(tmp_path_factory.mktemp("uwr")) + "/t"
+    t = Table.create(spark, root, "k")
+    t.append(spark.createDataFrame(
+        [(1, 10.0), (2, 99.0)], "k bigint, v double"
+    ), batch_id=1)
+    t.update_where("v < 50", {"v": "v + 1"}, batch_id=1)
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {
+        1: 11.0, 2: 99.0
+    }
+    # replay after the change batch committed
+    t.update_where("v < 50", {"v": "v + 1"}, batch_id=1)
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {
+        1: 11.0, 2: 99.0  # NOT 12.0
+    }
+
+
+def test_delete_where_pinned_replay_converges(spark, tmp_path_factory):
+    """Crash-replay of a pinned DELETE WHERE re-derives the SAME key
+    set from the pre-batch state (a plain re-read would see the rows
+    already gone and rewrite the batch empty, resurrecting them on
+    the next fold... of nothing — but with an interleaved upsert the
+    shrunken batch would resurrect; the as-of pin closes it)."""
+    root = str(tmp_path_factory.mktemp("dwr")) + "/t"
+    t = Table.create(spark, root, "k")
+    t.append(spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, 7.0)], "k bigint, v double"
+    ), batch_id=1)
+    t.delete_where("v < 50", batch_id=1)
+    assert {r["k"] for r in t.read().collect()} == {2}
+    t.delete_where("v < 50", batch_id=1)  # replay
+    assert {r["k"] for r in t.read().collect()} == {2}
+
+
+def test_update_delete_where_composite_key(spark, tmp_path_factory):
+    """UPDATE/DELETE WHERE fold per COMPOSITE key."""
+    root = str(tmp_path_factory.mktemp("uwc")) + "/t"
+    t, df = _mk_composite(spark, root)
+    t.update_where("day % 5 = 0", {"temp": "temp + 100"})
+    got = {(r["city"], r["day"]): r["temp"] for r in t.read().collect()}
+    for r in df.collect():
+        want = r["temp"] + 100 if r["day"] % 5 == 0 else r["temp"]
+        assert got[(r["city"], r["day"])] == want
+    t.delete_where("day % 5 = 0")
+    assert t.read().filter("day % 5 = 0").count() == 0
