@@ -704,3 +704,76 @@ def test_resample_interpolate_equals_pointwise_replay(spark, data):
                 frac = (t - prev[0]) / (nxt[0] - prev[0])
                 want[(k, float(t))] = prev[1] + (nxt[1] - prev[1]) * frac
     assert out == want
+
+
+# ----- composite-key facade DML model check (round 11) --------------------
+
+_dml_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("upsert"),
+            st.lists(
+                st.tuples(
+                    st.integers(0, 2), st.integers(0, 3),
+                    st.integers(-20, 20),
+                ),
+                min_size=1, max_size=4,
+                unique_by=lambda t: (t[0], t[1]),
+            ),
+        ),
+        st.tuples(
+            st.just("delete"),
+            st.lists(
+                st.tuples(st.integers(0, 2), st.integers(0, 3)),
+                min_size=1, max_size=3, unique_by=lambda t: t,
+            ),
+        ),
+        st.tuples(st.just("update_where"), st.integers(-10, 10)),
+        st.tuples(st.just("delete_where"), st.integers(-10, 10)),
+    ),
+    min_size=1, max_size=6,
+)
+
+
+@SLOW
+@given(base=st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 3), st.integers(-20, 20)),
+    min_size=1, max_size=8, unique_by=lambda t: (t[0], t[1]),
+), ops=_dml_ops)
+def test_composite_key_dml_sequence_equals_model(
+    spark, tmp_path_factory, base, ops
+):
+    """Model check: ANY sequence of upsert / delete / update_where /
+    delete_where on an (a, b)-keyed facade table ≡ the dict replay —
+    the composite fold has one total order across every DML verb."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.table import (
+        Table,
+    )
+
+    root = str(tmp_path_factory.mktemp("cdml")) + "/t"
+    t = Table.create(spark, root, ["a", "b"])
+    t.append(spark.createDataFrame(base, "a int, b int, v bigint"))
+    state = {(a, b): v for a, b, v in base}
+    for kind, arg in ops:
+        if kind == "upsert":
+            t.upsert(spark.createDataFrame(arg, "a int, b int, v bigint"))
+            for a, b, v in arg:
+                state[(a, b)] = v
+        elif kind == "delete":
+            t.delete(arg)
+            for k in arg:
+                state.pop(tuple(k), None)
+        elif kind == "update_where":
+            t.update_where(f"v >= {arg}", {"v": "v + 1"})
+            state = {
+                k: (v + 1 if v is not None and v >= arg else v)
+                for k, v in state.items()
+            }
+        else:
+            t.delete_where(f"v < {arg}")
+            state = {
+                k: v for k, v in state.items()
+                if not (v is not None and v < arg)
+            }
+    got = {(r["a"], r["b"]): r["v"] for r in t.read().collect()}
+    assert got == state
