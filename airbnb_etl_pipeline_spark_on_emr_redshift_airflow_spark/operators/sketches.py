@@ -128,3 +128,105 @@ def rolling_distinct(
         ],
     )
     return out
+
+
+# ----- engine-native register HLL (round 11) -------------------------------
+#
+# The DataSketches ledger above is battle-tested but its binary sketch
+# is engine-internal — rows-only for the oracle gate. This native form
+# trades a little accuracy machinery (no bias tables) for FULL
+# determinism and SQL-replayability: registers are plain (keys,
+# bucket, register) ROWS (the BM25 "the rows ARE the index"
+# discipline), built from pure column expressions — xxhash64 bucket
+# low bits, trailing-zero rho (a geometric variable identical in law
+# to the leading-zero form), integer MAX folds — so DuckDB replays
+# the ENTIRE sketch bit-for-bit via plans.xxh and the estimate
+# value-hashes cross-engine (the a_hll_native_ledger catalog query).
+# Merge = groupBy MAX: associative, commutative, idempotent —
+# re-delivery is a free no-op, the strongest replay story of the
+# ledger family. Flajolet et al. 2007 estimator with linear counting
+# for the small range; no large-range correction (64-bit hash space).
+
+
+def hll_register_ledger(
+    df: DataFrame, keys: list[str], value_col: str, p: int = 10
+) -> DataFrame:
+    """One register row per (keys, bucket): ``register`` = max over
+    the group's values of (trailing zeros of the hash's high bits)+1.
+    Sparse — absent buckets are zero registers. One (keys, bucket)
+    exchange; nothing row-wise in Python."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll_register_ledger: p={p} out of [4, 16]")
+    m = 1 << p
+    hashed = df.select(
+        *keys, F.xxhash64(F.col(value_col)).alias("__h")
+    ).select(
+        *keys,
+        F.col("__h").bitwiseAND(F.lit(m - 1)).alias("bucket"),
+        F.expr(f"shiftrightunsigned(__h, {p})").alias("__rest"),
+    )
+    rho = F.when(F.col("__rest") == 0, F.lit(64 - p + 1)).otherwise(
+        F.expr("bit_count((__rest & -__rest) - 1) + 1")
+    )
+    return (
+        hashed.select(*keys, "bucket", rho.cast("int").alias("__rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("__rho").alias("register"))
+    )
+
+
+def merge_hll_register_ledgers(
+    ledgers: list[DataFrame], keys: list[str]
+) -> DataFrame:
+    """Union + per-bucket MAX — associative/commutative/idempotent,
+    KB-sized inputs, never the corpus."""
+    u = ledgers[0]
+    for led in ledgers[1:]:
+        u = u.unionByName(led)
+    return u.groupBy(*keys, "bucket").agg(
+        F.max("register").alias("register")
+    )
+
+
+def hll_register_estimates(
+    ledger: DataFrame, keys: list[str], p: int = 10
+) -> DataFrame:
+    """Per-keys distinct estimate from register rows. Exactness
+    device: the harmonic sum Σ 2^-register is computed as the EXACT
+    integer Σ 2^(63-register) (every term a bigint power of two,
+    summed in DECIMAL(38,0) — order-independent), with zero registers
+    contributing 2^63 each; the estimate is then ONE double division
+    (+ linear counting via floor-quantized m·ln(m/V) when the raw
+    estimate is under 2.5m — the ln cross-engine discipline
+    t_bigram_lm_score established). Output: (keys, n_set, estimate_fp
+    = floor(est·1000 + ½))."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = float(alpha * m * m * (1 << 63))
+    per = ledger.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_set"),
+        F.sum(
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), 63 - register) "
+                "AS DECIMAL(38,0))"
+            )
+        ).alias("__sp"),
+    )
+    total = (
+        F.col("__sp")
+        + (F.lit(m) - F.col("n_set")).cast("decimal(38,0)")
+        * F.expr(f"CAST('{1 << 63}' AS DECIMAL(38,0))")
+    )
+    raw = F.lit(num) / total.cast("double")
+    v_zero = (F.lit(m) - F.col("n_set")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("n_set") < m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero),
+    ).otherwise(raw)
+    return per.select(
+        *keys,
+        "n_set",
+        F.floor(est * F.lit(1000) + F.lit(0.5))
+        .cast("bigint")
+        .alias("estimate_fp"),
+    )

@@ -132,6 +132,31 @@ def xxhash64_cols_sql(
     return f"SELECT {proj} FROM {q}"
 
 
+def xxhash64_long_u_sql(
+    base_sql: str,
+    hashes: list[tuple[str, str]],
+    keep_cols: list[str],
+) -> str:
+    """SQL computing, over ``base_sql``'s rows, one UNSIGNED-HUGEINT
+    column per ``(long_col, out_name)`` pair — each equal to the
+    2^64-domain bit pattern of Spark's ``xxhash64(col(long))``
+    (session seed 42, single 8-byte field). The unsigned form is what
+    bucket/rho bit arithmetic wants (``u % 2^p`` = the signed value's
+    low bits, ``u // 2^p`` = shiftrightunsigned)."""
+    q = f"({base_sql})"
+    outs: list[tuple[str, str]] = []
+    for i, (col, out) in enumerate(hashes):
+        ch = _Chain(f"__xl{i}_")
+        final = ch.hash_long(col, "CAST(42 AS HUGEINT)")
+        for name, expr in ch.steps:
+            q = f"(SELECT *, {expr} AS {name} FROM {q})"
+        outs.append((out, final))
+    proj = ", ".join(
+        keep_cols + [f"{step} AS {out}" for out, step in outs]
+    )
+    return f"SELECT {proj} FROM {q}"
+
+
 def pmod_sql(expr: str, m: int) -> str:
     """Spark ``pmod`` for signed BIGINT (DuckDB % keeps the dividend
     sign, same as Spark %, so the classic wrap fixes negatives)."""

@@ -240,8 +240,11 @@ SIDECAR_ONLY = [
     "d_jaccard_suite",
     "g_pagerank_suite",
     # round-11: composite-key facade DML (cached sidecar build; the
-    # timed path is the composite-key CDC fold read)
+    # timed path is the composite-key CDC fold read); engine-native
+    # register HLL (full value-hash oracle, unlike the DataSketches
+    # form)
     "l_composite_key_merge",
+    "a_hll_native_ledger",
 ]
 
 

@@ -126,3 +126,67 @@ def test_rolling_distinct_matches_direct_window_build(spark):
         want = ledger_estimates(direct, ["event_type"]).collect()[0]
         assert rows == want.n_rows
         assert dist == want.user_id_distinct, (et, p)
+
+
+# ----- engine-native register HLL (round 11) -------------------------------
+
+
+def test_native_hll_split_merge_equals_direct_and_idempotent(spark):
+    from pyspark.sql import functions as F
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sketches import (
+        hll_register_ledger,
+        merge_hll_register_ledgers,
+    )
+
+    df = spark.range(0, 30000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 4111).alias("v"),
+    )
+    direct = hll_register_ledger(df, ["g"], "v", p=8)
+    parts = [
+        hll_register_ledger(df.filter(f"pmod(v, 3) = {i}"), ["g"], "v", p=8)
+        for i in range(3)
+    ]
+    merged = merge_hll_register_ledgers(parts, ["g"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # idempotent: re-merging a part changes nothing (MAX is a join
+    # semilattice — the re-delivery story every ledger wants)
+    again = merge_hll_register_ledgers([merged, parts[0]], ["g"])
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_native_hll_estimate_envelope_across_cardinalities(spark):
+    from pyspark.sql import functions as F
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sketches import (
+        hll_register_estimates,
+        hll_register_ledger,
+    )
+
+    for n in (15, 300, 5000, 60000):
+        df = spark.range(0, n * 3).select(
+            F.lit("g").alias("g"), (F.col("id") % n).alias("v")
+        )
+        led = hll_register_ledger(df, ["g"], "v", p=10)
+        row = hll_register_estimates(led, ["g"], p=10).collect()[0]
+        est = row["estimate_fp"] / 1000
+        # 1.04/sqrt(1024) ~ 3.25% standard error; allow 4 sigma + abs 3
+        assert abs(est - n) <= max(3, 0.13 * n), (n, est)
+
+
+def test_native_hll_p_guard(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sketches import (
+        hll_register_ledger,
+    )
+
+    df = spark.range(3).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="out of"):
+        hll_register_ledger(df, ["g"], "v", p=2)
