@@ -1370,3 +1370,47 @@ def test_update_delete_where_composite_key(spark, tmp_path_factory):
         assert got[(r["city"], r["day"])] == want
     t.delete_where("day % 5 = 0")
     assert t.read().filter("day % 5 = 0").count() == 0
+
+
+def test_filter_law_sweep_composite_key(spark, tmp_path_factory):
+    """The filter-under-CDC law on a COMPOSITE-key table with indexed
+    columns: for seeded random range/IN predicates over an optimized
+    bulk + live tail + un-materialized composite-key changes,
+    read(preds) ≡ read().filter(preds) exactly."""
+    import random
+
+    root = str(tmp_path_factory.mktemp("cfl")) + "/t"
+    t = Table.create(
+        spark, root, ["city", "day"],
+        zone_cols=["temp"], bloom_cols=["city"],
+    )
+    # (city, day) unique by construction: city cycles, day = id // 4
+    df = spark.range(240).select(
+        F.concat(F.lit("c"), (F.col("id") % 4).cast("string"))
+        .alias("city"),
+        (F.col("id") / 4).cast("bigint").alias("day"),
+        (F.col("id") % 97).cast("double").alias("temp"),
+    )
+    t.append(df.filter("day < 30").repartition(3), batch_id=1)
+    t.optimize(target_rows_per_file=40)
+    t.append(df.filter("day >= 30").repartition(3), batch_id=2)
+    t.delete([("c0", d) for d in range(0, 60, 7)])
+    t.upsert(
+        df.filter("day % 11 = 0 AND NOT (city = 'c0' AND day % 7 = 0)")
+        .select("city", "day", (F.col("temp") + 500).alias("temp"))
+    )
+    rng = random.Random(11)
+    for trial in range(6):
+        lo = rng.uniform(0, 80)
+        hi = lo + rng.uniform(5, 400)
+        cities = rng.sample(["c0", "c1", "c2", "c3"], rng.randint(1, 3))
+        preds = dict(
+            range_predicates=[("temp", lo, hi)],
+            in_predicates=[("city", cities)],
+        )
+        got = sorted(map(tuple, t.read(**preds).collect()))
+        want = sorted(map(tuple, t.read().filter(
+            (F.col("temp") >= lo) & (F.col("temp") <= hi)
+            & F.col("city").isin(cities)
+        ).collect()))
+        assert got == want, (trial, lo, hi, cities)
