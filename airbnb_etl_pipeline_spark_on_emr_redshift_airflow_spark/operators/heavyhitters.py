@@ -173,7 +173,13 @@ def heavyhitters_ledgers_by(
     the scan lineage so the per-period slices below don't re-read the
     corpus) and slices per period. Returns the ledgers in period-sort
     order; equality with the per-filter build is pinned in
-    ``tests/test_heavyhitters.py``."""
+    ``tests/test_heavyhitters.py``.
+
+    NULL periods are excluded up front: the per-filter build this is
+    equivalent to probes ``period = p``, which no NULL row ever
+    matches — and a ``None`` in the distinct-periods list would make
+    ``sorted()`` raise. The filter keeps the two builds identical."""
+    df = df.filter(F.col(period_col).isNotNull())
     stacked = heavyhitters_ledger(
         df, [period_col, *keys], item_col, k=k, weight_col=weight_col
     ).localCheckpoint()

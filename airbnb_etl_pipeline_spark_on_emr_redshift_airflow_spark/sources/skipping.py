@@ -663,10 +663,13 @@ def combined_pruned_read(
     # file count, and an order-independent FILE-SET SIGNATURE
     # (count + sum of xxhash64(file)); set-equality checks
     # (zone vs bloom agreement, manifest vs listing staleness) compare
-    # signatures in Python, and only a MISMATCH pays the exact
-    # anti-join jobs that name the differing files (a chance signature
-    # collision is re-checked exactly there, so it can cost, never
-    # lie). No cross-frame joins on the happy path: at 10^6-10^7
+    # signatures in Python. A MISMATCH pays the exact anti-join jobs
+    # that name the differing files, so a collision there can cost
+    # jobs but never a wrong error; a MATCH trusts the signature —
+    # two differing sets colliding on (count, Σxxhash64) would be
+    # accepted, at ~n/2^64 probability per check, which we accept
+    # (same risk class as content-hash dedup anywhere else in the
+    # engine). No cross-frame joins on the happy path: at 10^6-10^7
     # files the old per-file Python sets were a driver bottleneck,
     # and a full-outer reconciliation join would shuffle where two
     # single-frame aggregates suffice.
@@ -743,7 +746,11 @@ def combined_pruned_read(
     if zrow is not None and brow is not None:
         keep_list = sorted(set(zrow["kept"]) & set(brow["kept"]))
     else:
-        keep_list = list(known_row["kept"])
+        # set() also collapses duplicate manifest rows for the same
+        # file — reading a file twice would duplicate output rows,
+        # and a dup slips through the signature check (the exact
+        # diff finds no SET difference, so no error names it)
+        keep_list = sorted(set(known_row["kept"]))
     if stats is not None:
         stats["files_total"] = int(known_row["n"])
         stats["files_read"] = len(keep_list)

@@ -232,3 +232,26 @@ def test_ledgers_by_equals_per_filter_build(spark):
             ra = sorted(map(str, a.collect()))
             rb = sorted(map(str, b.collect()))
             assert ra == rb, (wc, ra, rb)
+
+
+def test_ledgers_by_null_periods_excluded(spark):
+    """ADVICE r11: NULL period rows must behave exactly like the
+    per-filter build (``period = p`` never matches NULL) rather than
+    crashing ``sorted()`` with a ``None`` in the periods list."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.heavyhitters import (
+        heavyhitters_ledger,
+        heavyhitters_ledgers_by,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1, 1), (0, 1, 1), (0, 2, 2), (0, 3, None), (0, 3, None)],
+        "grp int, item int, period int",
+    )
+    by = heavyhitters_ledgers_by(df, ["grp"], "item", "period", k=2)
+    assert len(by) == 2  # NULL period produces no ledger
+    for p, led in zip([1, 2], by):
+        ref = heavyhitters_ledger(
+            df.filter(F.col("period") == p), ["grp"], "item", k=2
+        )
+        assert sorted(map(str, led.collect())) == \
+            sorted(map(str, ref.collect()))

@@ -789,3 +789,34 @@ def test_many_file_manifest_driver_collects_are_bounded(
     assert stats["files_read"] < n_files / 4
     bound = stats["files_read"] + 4
     assert sizes and max(sizes) <= bound, (sizes, bound)
+
+
+def test_xxh64_py_pins_spark_xxhash64(spark):
+    """ADVICE r11: the driver-side listing signature relies on
+    ``xxh64_py`` being bit-exact with ``F.xxhash64`` — if either side
+    drifted, every verified read would silently fall back to the
+    exact-diff jobs (the zero-job happy path never firing) with no
+    signal. Pin the parity on the edge shapes of the algorithm:
+    empty, <8B tail, 4-7B tail, 8-31B, >=32B multi-stripe, and a
+    realistic file URI."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import xxh64_py
+
+    samples = [
+        "",
+        "a",
+        "abc",
+        "abcd",
+        "abcdefg",
+        "abcdefgh",
+        "0123456789abcdef0123456789abcd",   # 30B: <32 tail loop
+        "0123456789abcdef0123456789abcdef",  # exactly 32B
+        "x" * 33,
+        "x" * 64 + "tail",
+        "file:///tmp/tbl/part-00001-9f2c.c000.snappy.parquet",
+        "naïve-ünïcode-路径/part-0.parquet",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = {r["s"]: r["h"] for r in
+           df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for s in samples:
+        assert xxh64_py(s.encode("utf-8")) == got[s], s
