@@ -87,20 +87,33 @@ def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
             raise RuntimeError(f"atomic pointer write failed: {path}")
 
 
-def create_exclusive(spark: SparkSession, path: str) -> bool:
-    """Atomically create an empty marker file, failing if it already
+def create_exclusive(
+    spark: SparkSession, path: str, text: str | None = None
+) -> bool:
+    """Atomically create a marker file, failing if it already
     exists — the optimistic-concurrency claim primitive
     (``FileSystem.create(path, overwrite=false)`` is atomic on
     POSIX/HDFS; object-store connectors emulate it with a
     conditional-put where supported). Returns True when THIS caller
-    created the file, False when someone else holds it."""
+    created the file, False when someone else holds it.
+
+    ``text`` (optional) is written into the just-created stream —
+    the CAS tickets of the table facade record their TARGET this way
+    so a crashed winner's transition can be completed by the next
+    contender. The atomic step is the create; a crash between create
+    and close leaves an EMPTY ticket, which readers must treat as
+    in-doubt (see ``sources.optimize._cas_flip``)."""
     fs, p = _fs(spark, path)
     try:
         out = fs.create(p, False)
-        out.close()
-        return True
     except Exception:
         return False
+    try:
+        if text:
+            out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return True
 
 
 def list_files(spark: SparkSession, root: str, glob: str) -> list[str]:

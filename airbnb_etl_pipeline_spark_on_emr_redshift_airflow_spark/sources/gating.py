@@ -22,6 +22,18 @@ from pathlib import Path
 from pyspark.sql import Column, DataFrame
 
 
+class ConcurrentWriteError(RuntimeError):
+    """An optimistic-concurrency commit lost its CAS: another writer
+    advanced the same table state (version pointer or change-log
+    head) between this writer's state read and its commit attempt.
+    The losing write is NEVER half-applied — a lost version stays
+    committed-but-unpointed (pinnable, never LATEST); a lost DML
+    batch is never committed. The remedy is in the message: re-read
+    the table state and retry (blind ops) or re-decide (conditional
+    DML — the decisions were made against a state that no longer
+    exists)."""
+
+
 def stage_checkpoint(df: DataFrame, path: str) -> DataFrame:
     """Materialize a pipeline stage to parquet and re-read it — the
     reference's manual lineage cut (write CSV, immediately re-read,

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources import fsutil
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.gating import (
+    ConcurrentWriteError,
     read_version_pointer,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
@@ -57,6 +58,94 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping im
     build_zone_manifest,
     combined_pruned_read,
 )
+
+
+_UNSET = object()  # sentinel: expected_pointer=None means "no pointer yet"
+
+
+def _pointer_or_none(spark: SparkSession, root: str) -> int | None:
+    try:
+        return read_version_pointer(root, spark)
+    except Exception:
+        return None
+
+
+def _cas_flip(
+    spark: SparkSession, root: str, expected: int | None, n: int
+) -> None:
+    """Compare-and-swap pointer advancement (round 12): flip
+    ``root/LATEST`` to ``n`` ONLY if it still reads ``expected`` (the
+    value the caller folded its input from), serialized through an
+    atomic flip TICKET so two writers that both saw ``expected`` can
+    never both flip — the stale-fold corruption a forward-only flip
+    alone permits (the loser's HIGHER version number would shadow the
+    winner's fresher fold, and the winner's vacuum has already
+    deleted the batches the loser never folded: silent data loss).
+
+    Protocol (each step crash-safe):
+
+    1. ``v=n/_SUCCESS`` is already written — a loser/crasher stays
+       committed-but-unpointed (pinnable snapshot, never LATEST).
+    2. Re-read the pointer; if it moved off ``expected``, lose fast.
+    3. Atomically create ``root/__flip_from={expected}`` with content
+       ``n`` (``create_exclusive`` — exactly ONE writer ever owns the
+       transition away from a given pointer value).
+    4. Ticket won → re-check the pointer still reads ``expected``
+       (guards the pathological swept-ticket resurrection) → write
+       ``LATEST``.
+    5. Ticket lost → if its recorded target is committed and the
+       pointer still reads ``expected``, the winner crashed between
+       ticket and flip: COMPLETE its transition (idempotent journal
+       replay — ticket implies the target's ``_SUCCESS`` exists,
+       written in step 1), then raise. An EMPTY ticket (winner
+       crashed inside the create-write-close window, or is mid-call)
+       is in-doubt: raise naming it; the winner finishing its write
+       resolves it, a genuinely dead winner needs the operator to
+       delete the ticket once no writers are live.
+
+    Tickets sweep with version pruning (a ticket for a pruned
+    generation can never be contended again — allocation and the
+    step-4 re-check both sit above it)."""
+    current = _pointer_or_none(spark, root)
+    if current != expected:
+        raise ConcurrentWriteError(
+            f"optimize_table: version pointer for {root} moved "
+            f"{expected} -> {current} while this optimize folded its "
+            f"input; v={n} stays committed-but-unpointed. Re-read the "
+            "table and retry."
+        )
+    ticket = f"{root}/__flip_from={0 if expected is None else expected}"
+    if fsutil.create_exclusive(spark, ticket, text=str(n)):
+        current = _pointer_or_none(spark, root)
+        if current != expected:  # pragma: no cover - swept-ticket race
+            raise ConcurrentWriteError(
+                f"optimize_table: version pointer for {root} moved "
+                f"{expected} -> {current} during commit; v={n} stays "
+                "committed-but-unpointed. Re-read the table and retry."
+            )
+        fsutil.write_text_atomic(spark, f"{root}/LATEST", str(n))
+        return
+    try:
+        txt = fsutil.read_text(spark, ticket).strip()
+    except Exception:  # pragma: no cover - ticket swept mid-read
+        txt = ""
+    if txt.isdigit() and fsutil.exists(spark, f"{root}/v={txt}/_SUCCESS"):
+        if _pointer_or_none(spark, root) == expected:
+            # winner crashed between ticket and flip: complete it
+            fsutil.write_text_atomic(spark, f"{root}/LATEST", txt)
+        raise ConcurrentWriteError(
+            f"optimize_table: lost the pointer CAS for {root} to "
+            f"v={txt} (a concurrent optimize folded the same state "
+            f"first); v={n} stays committed-but-unpointed. Re-read "
+            "the table and retry."
+        )
+    raise ConcurrentWriteError(
+        f"optimize_table: the pointer transition from {expected} under "
+        f"{root} is IN DOUBT — flip ticket {ticket} exists but names "
+        f"no committed version (a concurrent writer is mid-commit, or "
+        f"crashed inside the ticket write). Retry once it commits; if "
+        "it is dead, delete the ticket file while no writers are live."
+    )
 
 
 def _committed_versions(spark: SparkSession, root: str) -> list[int]:
@@ -78,12 +167,24 @@ def optimize_table(
     bloom_k: int = 5,
     keep: int = 3,
     extra_metadata: dict[str, str] | None = None,
+    expected_pointer=_UNSET,
 ) -> int:
     """OPTIMIZE ``df`` into a new committed version under ``root`` and
     flip the pointer: Z-order re-cluster on ``zorder_dims``, compact
     to ``target_rows_per_file``, rebuild the zone manifest over the
     Z-order columns and (optionally) the bloom manifest over
     ``bloom_cols``, commit, flip. Returns the new version number.
+
+    ``expected_pointer`` opts into the optimistic-concurrency commit
+    (round 12): pass the pointer value read when ``df`` was derived
+    (``None`` for a table with no pointer yet) and the flip becomes a
+    CAS — it happens only if the pointer STILL reads that value,
+    serialized through an atomic flip ticket; a writer that lost the
+    race raises :class:`~...sources.gating.ConcurrentWriteError` and
+    its version stays committed-but-unpointed (see :func:`_cas_flip`).
+    Without it (raw callers that pass explicit content and accept
+    last-writer-wins), the legacy forward-only flip applies — don't
+    mix the two modes on one root while writers are concurrent.
 
     Call it with the CURRENT table content (e.g.
     ``read_optimized_data(spark, root)`` unioned with a fresh batch,
@@ -176,12 +277,15 @@ def optimize_table(
     #    version stays committed and pinnable, it just never becomes
     #    LATEST).
     fsutil.write_text_atomic(spark, f"{vdir}/_SUCCESS", "")
-    try:
-        current = read_version_pointer(root, spark)
-    except Exception:
-        current = 0
-    if n > current:
-        fsutil.write_text_atomic(spark, f"{root}/LATEST", str(n))
+    if expected_pointer is not _UNSET:
+        _cas_flip(spark, root, expected_pointer, n)
+    else:
+        try:
+            current = read_version_pointer(root, spark)
+        except Exception:
+            current = 0
+        if n > current:
+            fsutil.write_text_atomic(spark, f"{root}/LATEST", str(n))
 
     # 4. prune old versions (never the pointed-at one), claims too —
     #    including claims BURNED by crashed writers (number skipped,
@@ -197,13 +301,16 @@ def optimize_table(
         v for v in _committed_versions(spark, root) + [pointed] if v
     ]
     floor = min(retained) if retained else 0
-    for name in fsutil.list_files(spark, root, "__claim_v=*"):
-        try:
-            m = int(name.split("=", 1)[1])
-        except ValueError:  # pragma: no cover - foreign file
-            continue
-        if m < floor:
-            fsutil.delete(spark, f"{root}/{name}")
+    for pat in ("__claim_v=*", "__flip_from=*"):
+        for name in fsutil.list_files(spark, root, pat):
+            try:
+                m = int(name.split("=", 1)[1])
+            except ValueError:  # pragma: no cover - foreign file
+                continue
+            # a flip ticket for a pruned generation can never be
+            # contended again (the CAS re-checks the live pointer)
+            if m < floor:
+                fsutil.delete(spark, f"{root}/{name}")
     return n
 
 

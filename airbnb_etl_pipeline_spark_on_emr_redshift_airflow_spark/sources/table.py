@@ -49,9 +49,52 @@ covers them. Filters the indexes don't cover are simply residual.
 reads plan only manifest-surviving files plus the (bounded, recently
 appended) live tail; the CDC fold is change-sized; ``optimize()`` is
 the deliberate periodic rewrite that resets the tail to empty and the
-fold to a no-op. Single-writer per table for appends/optimize is the
-documented discipline (claims make concurrent violations safe, not
-fast); readers never coordinate.
+fold to a no-op. Readers never coordinate.
+
+**CONCURRENCY (round 12 — optimistic commits, per verb).** At 100 TB
+parallel ingest jobs and a compactor racing a writer are the norm;
+the facade owns its serialization (the reference externalized it to
+Airflow ``max_active_runs=1`` — ``airbnb-etl-airflow.py``) with two
+compare-and-swap chains built on the atomic-exclusive-create claim
+primitive (``fsutil.create_exclusive``):
+
+- ``append`` — LOCK-FREE. Batch numbers are atomic claims; blind
+  inserts commute, so N concurrent appenders just land N batches.
+  Racing an ``optimize`` is safe by the watermark contract: a batch
+  claimed during a fold allocates above the fold's watermark and
+  stays served; ``vacuum_live`` only retires batches a pointed
+  version materialized.
+- ``upsert`` / ``delete`` / ``write_changes`` — LOCK-FREE, LOG-
+  ORDERED. Blind writes whose semantics don't read state: claims
+  give each a distinct batch number and the change log's replay
+  order (batch number) is the serialization. Same-key concurrent
+  blind writes resolve last-batch-wins — deterministic once landed.
+- ``merge`` / ``update_where`` / ``delete_where`` (conditional DML,
+  auto-allocated ids) — SERIALIZED, FAIL-LOUD. Decisions are made
+  against the state as-of the change-log head; the commit requires
+  the atomic ticket ``changes/__commit_from={head}``, so of two
+  writers that decided from the same head exactly one lands and the
+  other raises :class:`ConcurrentWriteError` (its decisions are
+  stale — lost update/write skew otherwise). A blind batch landing
+  inside the decision window is caught by a post-commit gap check
+  (the conditional batch withdraws itself); the one undetected
+  window is a blind writer slower than the whole conditional commit
+  — run blind ingest and conditional corrections in separate
+  windows, or pin batch ids.
+- ``optimize`` / ``restore`` — SERIALIZED, FAIL-LOUD. The pointer
+  flip is a CAS on the pointer value the fold derived from,
+  serialized through the atomic ticket ``root/__flip_from={v}``
+  (``sources.optimize._cas_flip``): of two concurrent optimizes one
+  flips, the other raises :class:`ConcurrentWriteError` with its
+  version left committed-but-unpointed (pinnable, never LATEST) —
+  never the silent loss where a stale fold's higher number shadows
+  the winner whose vacuum already deleted the batches the loser
+  never saw. A winner crashing between ticket and flip is completed
+  by the next contender from the ticket's recorded target.
+- pinned ``batch_id`` writes (streaming / replayed periods) — bypass
+  the tickets: the stream engine or pipeline scheduler owns their
+  serialization, and replay idempotence requires rewriting the SAME
+  number. Don't mix pinned and auto-allocated writers in one window.
 
 Reference scope note: the reference pipeline rewrites whole parquet
 snapshots per run (jirfig/Airbnb-ETL apps write full outputs); this
@@ -76,6 +119,7 @@ from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.deletes imp
     table_changes,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.gating import (
+    ConcurrentWriteError,
     read_version_pointer,
 )
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.skipping import (
@@ -566,7 +610,10 @@ class Table:
         ch = df.select(*cols).withColumn("op", F.lit("upsert"))
         return self._apply(ch, batch_id)
 
-    def delete(self, keys, batch_id: int | None = None) -> int:
+    def delete(
+        self, keys, batch_id: int | None = None,
+        _serialize_from: int | None = None,
+    ) -> int:
         """DELETE by key: one op-tagged change batch of delete rows
         (non-key columns NULL) — merge-on-read, O(batch). ``keys`` is
         a DataFrame carrying the key column(s), or a plain list of
@@ -593,7 +640,7 @@ class Table:
             for f in schema
         ]
         ch = keys.select(proj).withColumn("op", F.lit("delete"))
-        return self._apply(ch, batch_id)
+        return self._apply(ch, batch_id, serialize_from=_serialize_from)
 
     def write_changes(
         self, changes: DataFrame, op_col: str = "op",
@@ -637,10 +684,11 @@ class Table:
         replays re-decide from the pre-batch state (see
         :meth:`_clause_state`) so a crash-replay converges instead of
         resurrecting or over-deleting."""
+        base = self._dml_base() if batch_id is None else None
         keys = self._clause_state(batch_id).filter(
             F.expr(condition)
         ).select(*self.key_cols)
-        return self.delete(keys, batch_id=batch_id)
+        return self.delete(keys, batch_id=batch_id, _serialize_from=base)
 
     def update_where(
         self,
@@ -673,6 +721,7 @@ class Table:
                     f"Table.update_where: set column {c!r} is not in "
                     "the table schema"
                 )
+        base = self._dml_base() if batch_id is None else None
         hit = self._clause_state(batch_id).filter(F.expr(condition))
         proj = [
             F.expr(set[f.name]).cast(f.dataType).alias(f.name)
@@ -681,7 +730,7 @@ class Table:
             for f in schema
         ]
         ch = hit.select(*proj).withColumn("op", F.lit("upsert"))
-        return self._apply(ch, batch_id)
+        return self._apply(ch, batch_id, serialize_from=base)
 
     def merge(
         self,
@@ -778,6 +827,7 @@ class Table:
                 return F.col(f"s.{f.name}").alias(f.name)
             return F.lit(None).cast(f.dataType).alias(f.name)
 
+        base = self._dml_base() if batch_id is None else None
         cur = self._clause_state(batch_id)
         on = F.lit(True)
         for k in keys:
@@ -867,20 +917,113 @@ class Table:
         ch = parts[0]
         for p in parts[1:]:
             ch = ch.unionByName(p)
-        return self._apply(ch, batch_id)
+        return self._apply(ch, batch_id, serialize_from=base)
 
-    def _apply(self, ch, batch_id: int | None) -> int:
+    def _dml_base(self) -> int:
+        """The change-log HEAD a conditional write reads its state
+        as-of: max(pointed changes watermark, highest committed
+        change batch). Monotone — vacuum only retires batches at or
+        below the watermark — so a commit ticket keyed on it is never
+        re-contended after a sweep."""
+        v = self._pointer()
+        ch_wm = self._watermarks(v)[1] if v is not None else 0
+        return max(ch_wm, max(_batches(self.spark, self._changes),
+                              default=0))
+
+    def _apply(
+        self, ch, batch_id: int | None, serialize_from: int | None = None
+    ) -> int:
         """Land one change batch; auto-allocation floors at the
         pointed version's changes watermark so a batch claimed after
-        a vacuum can never be reborn under it (invisible)."""
+        a vacuum can never be reborn under it (invisible).
+
+        ``serialize_from`` (conditional DML only — round 12) is the
+        :meth:`_dml_base` head the caller's clauses were decided
+        against: the commit then requires the atomic ticket
+        ``changes/__commit_from={head}``, so of two conditional
+        writers that decided from the same state exactly one commits
+        and the other raises :class:`ConcurrentWriteError` — its
+        decisions are stale by construction (lost update / write
+        skew: e.g. two ``v + 1`` merges would both read v and the
+        log would replay v+1, v+1 instead of v+2). After the write,
+        a gap check re-lists the log: a blind (ticket-less) batch
+        that committed inside ``(head, own)`` also invalidates the
+        decisions, so the own batch is withdrawn and the same error
+        raised. A blind writer SLOWER than the whole conditional
+        commit (claims low, commits after our gap check) escapes
+        the check — run blind ingest and conditional corrections in
+        separate windows, or pin batch ids (see the CONCURRENCY
+        section of the module docstring)."""
         if batch_id is None:
             v = self._pointer()
             ch_wm = self._watermarks(v)[1] if v is not None else 0
             fsutil.mkdirs(self.spark, self._changes)
+            if serialize_from is not None:
+                return self._commit_serialized(ch, serialize_from, ch_wm)
             batch_id = _claim_batch(self.spark, self._changes, floor=ch_wm)
         return apply_changes(
             ch, self._changes, self.key_cols, batch_id=batch_id
         )
+
+    def _commit_serialized(self, ch, base: int, ch_wm: int) -> int:
+        """Ticketed conditional-DML commit (see :meth:`_apply`)."""
+        spark = self.spark
+        n = _claim_batch(spark, self._changes, floor=max(base, ch_wm))
+        ticket = f"{self._changes}/__commit_from={base}"
+        if not fsutil.create_exclusive(spark, ticket, text=str(n)):
+            try:
+                txt = fsutil.read_text(spark, ticket).strip()
+            except Exception:  # pragma: no cover - ticket swept mid-read
+                txt = ""
+            won = (
+                txt.isdigit()
+                and fsutil.is_committed(
+                    spark, f"{self._changes}/batch={txt}"
+                )
+            )
+            if won:
+                raise ConcurrentWriteError(
+                    f"Table: a concurrent conditional write committed "
+                    f"change batch {txt} to {self.root} after this one "
+                    f"read state as-of batch {base} — these decisions "
+                    "are stale; re-run to decide against the current "
+                    "state."
+                )
+            raise ConcurrentWriteError(
+                f"Table: the conditional-write commit from change-log "
+                f"head {base} under {self.root} is IN DOUBT — ticket "
+                f"{ticket} exists but its batch is not committed (a "
+                "concurrent writer is mid-commit, or crashed). Retry "
+                "once it commits; if it is dead, release it with "
+                f"release_dml_ticket({base}) while no writers are live."
+            )
+        apply_changes(ch, self._changes, self.key_cols, batch_id=n)
+        blind = [
+            b for b in _batches(spark, self._changes) if base < b < n
+        ]
+        if blind:
+            # withdraw our batch: its decisions never saw these rows
+            fsutil.delete(spark, f"{self._changes}/batch={n}")
+            raise ConcurrentWriteError(
+                f"Table: blind change batch(es) {blind} committed to "
+                f"{self.root} while this conditional write was deciding "
+                f"from state as-of batch {base} — batch {n} was "
+                "withdrawn; re-run to decide against the current state."
+            )
+        return n
+
+    def release_dml_ticket(self, base: int) -> bool:
+        """Operator verb: delete an ORPHANED conditional-DML commit
+        ticket (``__commit_from={base}``) left by a writer that died
+        between taking the ticket and committing its batch. Only run
+        while no writers are live — releasing a ticket under a SLOW
+        writer re-opens the race the ticket closed. Returns whether
+        a ticket existed."""
+        ticket = f"{self._changes}/__commit_from={base}"
+        if fsutil.exists(self.spark, ticket):
+            fsutil.delete(self.spark, ticket)
+            return True
+        return False
 
     # ----- streaming ingest ----------------------------------------------
 
@@ -1328,6 +1471,12 @@ class Table:
             extra_metadata={
                 _FOLDED: f"live={live_wm_new}\nchanges={ch_wm_new}\n"
             },
+            # CAS commit (round 12): flip only if the pointer still
+            # reads the version this fold derived from — a concurrent
+            # optimize that committed (and vacuumed) first must make
+            # THIS one fail loudly, not shadow its fresher fold with
+            # a stale one whose unfolded batches are already deleted
+            expected_pointer=v,
         )
         if vacuum:
             self.vacuum_live()
@@ -1446,6 +1595,7 @@ class Table:
             extra_metadata={
                 _FOLDED: f"live={live_wm_new}\nchanges={ch_wm_new}\n"
             },
+            expected_pointer=v,  # CAS: racing optimize/restore loses loudly
         )
         # restore the SHAPE as well: the committed version's own
         # schema becomes current (after the commit — a crash between
@@ -1497,6 +1647,18 @@ class Table:
                     self.spark, f"{self._changes}/__claim_batch={b}"
                 )
                 removed += 1
+        # DML commit tickets strictly below the retired head are dead:
+        # _dml_base() is monotone and already past them, so they can
+        # never be contended again — sweeping bounds the dir listing
+        for name in fsutil.list_files(
+            self.spark, self._changes, "__commit_from=*"
+        ):
+            try:
+                f = int(name.split("=", 1)[1])
+            except ValueError:  # pragma: no cover - foreign file
+                continue
+            if f < up_to_batch:
+                fsutil.delete(self.spark, f"{self._changes}/{name}")
         return removed
 
     def describe(self) -> dict:
