@@ -122,6 +122,109 @@ def train_quality_classifier(
     return model
 
 
+GNB_SCALE = 1_000_000  # 6-dp fixed-point feature quantization
+
+
+def gnb_quality_stats(
+    labeled: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """ONE-ROW per-class Gaussian stats for the closed-form
+    Naive-Bayes quality rung (round 12): per class c ∈ {0,1} the
+    count ``n{c}`` and, per feature f, the exact integer sums
+    ``s{c}_{f}`` = Σ floor(x·10^6 + ½) and ``s2{c}_{f}`` =
+    Σ floor(x²·10^6 + ½) as DECIMAL(38,0). Quantize-then-sum is the
+    ``dec_sum`` discipline: the sums are order-independent integers,
+    so means/variances derived from them are DETERMINISTIC doubles —
+    the property that makes the GNB rung SQL-replayable where the
+    L-BFGS logistic fit (:func:`train_quality_classifier`) is not.
+    One aggregation pass; the row is broadcast-sized."""
+    aggs = [
+        F.count(F.when(F.col(label_col) == 0, F.lit(1)))
+        .cast("bigint").alias("n0"),
+        F.count(F.when(F.col(label_col) == 1, F.lit(1)))
+        .cast("bigint").alias("n1"),
+    ]
+    for f in FEATURE_NAMES:
+        q = F.floor(F.col(f) * GNB_SCALE + F.lit(0.5)).cast("bigint")
+        q2 = F.floor(
+            F.col(f) * F.col(f) * GNB_SCALE + F.lit(0.5)
+        ).cast("bigint")
+        for c in (0, 1):
+            cond = F.col(label_col) == c
+            aggs.append(
+                F.sum(F.when(cond, q).cast("decimal(38,0)"))
+                .alias(f"s{c}_{f}")
+            )
+            aggs.append(
+                F.sum(F.when(cond, q2).cast("decimal(38,0)"))
+                .alias(f"s2{c}_{f}")
+            )
+    return labeled.agg(*aggs)
+
+
+def gnb_logit_sql() -> str:
+    """The GNB log-odds as ONE portable SQL expression over the
+    quantized feature columns ``q_<f>`` plus the stats row's columns
+    — shared VERBATIM by the Spark scorer (``F.expr``) and the DuckDB
+    oracle, so both engines evaluate the identical IEEE expression
+    tree: per feature, logit += ½ln(v0) − ½ln(v1) + (x−m0)²/(2v0) −
+    (x−m1)²/(2v1) (the 2π terms cancel in the difference), plus the
+    prior log-odds ln(n1/n0). Variances floor at 1e-9 (a constant
+    feature would otherwise divide by zero)."""
+    terms = []
+    for f in FEATURE_NAMES:
+        x = f"(CAST(q_{f} AS DOUBLE) / CAST({GNB_SCALE} AS DOUBLE))"
+        stats = {}
+        for c in (0, 1):
+            n = f"CAST(n{c} AS DOUBLE)"
+            m = (
+                f"(CAST(s{c}_{f} AS DOUBLE) "
+                f"/ CAST({GNB_SCALE} AS DOUBLE) / {n})"
+            )
+            e2 = (
+                f"(CAST(s2{c}_{f} AS DOUBLE) "
+                f"/ CAST({GNB_SCALE} AS DOUBLE) / {n})"
+            )
+            v = (
+                f"(greatest({e2} - {m} * {m}, CAST(0 AS DOUBLE)) "
+                f"+ 1e-9)"
+            )
+            stats[c] = (m, v)
+        m0, v0 = stats[0]
+        m1, v1 = stats[1]
+        terms.append(
+            f"(CAST(0.5 AS DOUBLE) * ln({v0}) "
+            f"- CAST(0.5 AS DOUBLE) * ln({v1}) "
+            f"+ ({x} - {m0}) * ({x} - {m0}) / (CAST(2 AS DOUBLE) * {v0}) "
+            f"- ({x} - {m1}) * ({x} - {m1}) / (CAST(2 AS DOUBLE) * {v1}))"
+        )
+    terms.append("ln(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE))")
+    return "(" + " + ".join(terms) + ")"
+
+
+def score_gnb_quality(
+    feats: DataFrame, stats: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, p_keep) from the GNB stats row: quantize the features
+    (the same 6-dp fixed point the stats were built from, so scorer
+    and trainer see the identical x), broadcast the 1-row stats
+    frame, and evaluate :func:`gnb_logit_sql` → sigmoid. One scan,
+    no shuffle; cross-engine bit-determinism modulo the platform's
+    ln/exp (last-ulp class, the established t_bigram_lm_score
+    discipline)."""
+    qcols = [
+        F.floor(F.col(f) * GNB_SCALE + F.lit(0.5))
+        .cast("bigint").alias(f"q_{f}")
+        for f in FEATURE_NAMES
+    ]
+    j = feats.select(F.col(id_col), *qcols).crossJoin(F.broadcast(stats))
+    p = (
+        f"CAST(1 AS DOUBLE) / "
+        f"(CAST(1 AS DOUBLE) + exp(-{gnb_logit_sql()}))"
+    )
+    return j.select(F.col(id_col), F.expr(p).alias("p_keep"))
+
+
 def score_quality(
     feats: DataFrame, model, id_col: str = "doc_id"
 ) -> DataFrame:

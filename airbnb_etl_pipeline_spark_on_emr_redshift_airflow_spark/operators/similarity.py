@@ -541,6 +541,62 @@ def embedding_decontaminate(
     )
 
 
+def seed_quantize(
+    emb: DataFrame,
+    n_seeds: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic nearest-SEED coarse quantizer (round 12): the
+    ``n_seeds`` lowest-id vectors anchor the cells; every vector
+    assigns to the anchor of maximum cosine (ties → smaller seed id).
+    This is one Lloyd ASSIGNMENT step from a deterministic init — the
+    "data-points-as-coarse-centroids" IVF variant — and exists as the
+    SQL-REPLAYABLE rung of the quantizer ladder: unlike the MLlib
+    KMeans fit (:func:`ivf_build` — kmeans|| init, order-dependent
+    float means), every quantity here is a deterministic double
+    expression (the same sequential-fold cosine the oracle-checked
+    kNN family uses), so DuckDB reproduces the assignment bit for bit
+    and cluster-blocked consumers (:func:`semdedup`) become
+    value-hash-checkable end to end. Quantization quality is a notch
+    below a fitted KMeans (anchors aren't density-adapted) — the
+    cluster-then-threshold semantics are unchanged, only WHERE the
+    cell boundaries fall.
+
+    Scale shape: the seeds collect to the driver (``n_seeds`` rows —
+    metadata-sized by contract, keep it ≤ a few hundred) and become
+    LITERAL arrays, so assignment is pure scan-stage expression math:
+    zero shuffles, zero joins, one corpus pass. Returns
+    (id_col, vec_col as array<double>, cell)."""
+    c = emb.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("cv")
+    )
+    seeds = (
+        c.orderBy("id").limit(n_seeds)
+        .select(F.col("id").alias("seed_id"), F.col("cv").alias("sv"))
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("seed_quantize: empty input")
+    # argmax cosine with smaller-id tie-break, as ONE expression:
+    # max over (cos, -seed_id) structs, then negate the id back
+    cands = F.array(*[
+        F.struct(
+            cosine(
+                "cv",
+                F.array(*[F.lit(float(x)) for x in r["sv"]]),
+            ).alias("c"),
+            F.lit(-int(r["seed_id"])).cast("bigint").alias("negid"),
+        )
+        for r in seeds
+    ])
+    return c.select(
+        F.col("id").alias(id_col),
+        F.col("cv").alias(vec_col),
+        (-F.array_max(cands)["negid"]).alias("cell"),
+    )
+
+
 def semdedup(
     emb: DataFrame,
     n_clusters: int = 16,
@@ -551,6 +607,7 @@ def semdedup(
     vec_col: str = "embedding",
     max_cluster_rows: int | None = 50_000,
     max_iter: int = 8,
+    quantizer: str = "kmeans",
 ) -> DataFrame:
     """Semantic deduplication à la SemDeDup (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, then mark
@@ -577,21 +634,38 @@ def semdedup(
     guard (``max_cluster_rows``) — an over-dense cell fails loudly
     with the count that broke it instead of detonating an O(n²) join,
     the signal to raise ``n_clusters`` for the corpus; the final
-    membership attach is one keyed left join of slim id pairs."""
-    assigned, _ = ivf_build(
-        emb,
-        n_centroids=n_clusters,
-        seed=seed,
-        train_fraction=train_fraction,
-        id_col=id_col,
-        vec_col=vec_col,
-        max_iter=max_iter,
-    )
-    clustered = assigned.select(
-        F.col("neighbor_id").alias(id_col),
-        F.col("cv").alias(vec_col),
-        "cell",
-    )
+    membership attach is one keyed left join of slim id pairs.
+
+    ``quantizer`` picks the cell partitioner: ``"kmeans"`` (default —
+    the paper's fitted Lloyd clustering via :func:`ivf_build`) or
+    ``"seeds"`` (:func:`seed_quantize` — the deterministic,
+    SQL-replayable nearest-seed assignment; same cluster-then-
+    threshold semantics, value-hash-checkable end to end, slightly
+    less density-adapted cells)."""
+    if quantizer == "seeds":
+        clustered = seed_quantize(
+            emb, n_seeds=n_clusters, id_col=id_col, vec_col=vec_col
+        )
+    elif quantizer == "kmeans":
+        assigned, _ = ivf_build(
+            emb,
+            n_centroids=n_clusters,
+            seed=seed,
+            train_fraction=train_fraction,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_iter=max_iter,
+        )
+        clustered = assigned.select(
+            F.col("neighbor_id").alias(id_col),
+            F.col("cv").alias(vec_col),
+            "cell",
+        )
+    else:
+        raise ValueError(
+            f"semdedup: unknown quantizer {quantizer!r} "
+            "(expected 'kmeans' or 'seeds')"
+        )
     pairs = embedding_near_dup_pairs(
         clustered,
         threshold=threshold,

@@ -962,24 +962,59 @@ def c_budget_select(spark, sf_dir):
     )
 
 
-@register("s_semdedup")  # rows-only: k-means assignment is not SQL
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.similarity import (  # noqa: E402
+    _cos_sql as _scos,
+)
+
+ORACLE_SEMDEDUP = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+s AS (SELECT vec_id AS seed_id, v AS sv FROM c ORDER BY vec_id LIMIT 16),
+a AS (SELECT c.vec_id, s.seed_id, {_scos("c.v", "s.sv")} AS cs
+      FROM c CROSS JOIN s),
+cells AS (SELECT vec_id, seed_id AS cell FROM (
+    SELECT vec_id, seed_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, seed_id) AS rn
+    FROM a) WHERE rn = 1),
+cv AS (SELECT c.vec_id, c.v, cells.cell FROM c JOIN cells USING (vec_id)),
+dup AS (SELECT DISTINCT b.vec_id
+        FROM cv a JOIN cv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {_scos("a.v", "b.v")} >= 0.97)
+SELECT c.vec_id, (d.vec_id IS NOT NULL) AS is_dup
+FROM c LEFT JOIN dup d ON c.vec_id = d.vec_id
+"""
+
+
+@register("s_semdedup", oracle=ORACLE_SEMDEDUP)
 def s_semdedup(spark, sf_dir):
     """Semantic dedup à la SemDeDup (Abbas et al. 2023,
-    ``operators.similarity.semdedup``): k-means clusters the embedding
+    ``operators.similarity.semdedup``): coarse-quantize the embedding
     space, exact cosine marks near-duplicates within each cluster,
     min-id survivor — the published recipe for pruning semantically-
     redundant pretraining data, the cluster-blocked rung of the
-    near-dup ladder between ``s_embedding_near_dup`` (fixed label
-    blocking, small-scale oracle baseline) and
-    ``s_near_dup_lsh_blocked`` (hyperplane LSH). One row per vector
-    with its keep/drop verdict; planted-twin recall and the in-cluster
-    size guard are pytest-asserted (``test_similarity.py``)."""
+    near-dup ladder between ``s_knn_near_dup`` (fixed label blocking,
+    small-scale oracle baseline) and ``s_near_dup_lsh_blocked``
+    (hyperplane LSH).
+
+    FULL VALUE-HASH ORACLE since round 12: the catalog query runs the
+    ``quantizer="seeds"`` rung (``operators.similarity.seed_quantize``
+    — nearest of the 16 lowest-id anchor vectors, argmax cosine with
+    smaller-id tie-break), whose every quantity is a deterministic
+    double expression; DuckDB replays the assignment AND the
+    in-cluster threshold verdicts bit for bit (previously rows-only —
+    the MLlib KMeans fit is not SQL-replayable; that fitted rung
+    stays exercised by ``test_similarity.py``'s planted-twin and
+    size-guard tests). One row per vector with its keep/drop
+    verdict."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
         semdedup,
     )
 
     (emb,) = load(spark, sf_dir, "embeddings")
-    return semdedup(emb, n_clusters=16, threshold=0.97, seed=42)
+    return semdedup(
+        emb, n_clusters=16, threshold=0.97, seed=42, quantizer="seeds"
+    )
 
 
 @register(
@@ -1175,7 +1210,50 @@ def q18_large_orders(spark, sf_dir):
     )
 
 
-@register("s_text_semdedup")  # rows-only: hashing + k-means not SQL
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.similarity import (  # noqa: E402
+    _cos_sql as _tcos,
+)
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.xxh import (  # noqa: E402
+    pmod_sql as _tpmod,
+    xxhash64_chain_sql as _tchain,
+)
+
+ORACLE_TEXT_SEMDEDUP = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+nz AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+hb AS ({_tchain("SELECT doc_id, term FROM nz",
+                [("int", "42"), ("str", "term")], "ht", prefix="__ts")}),
+cnts AS (SELECT doc_id, {_tpmod("ht", 256)} AS bucket,
+                CAST(count(*) AS DOUBLE) AS cnt
+         FROM hb GROUP BY 1, 2),
+nrm AS (SELECT doc_id, sqrt(SUM(cnt * cnt)) AS nn FROM cnts GROUP BY 1),
+grid AS (SELECT n.doc_id, gb.b,
+                COALESCE(c.cnt, CAST(0 AS DOUBLE)) / n.nn AS comp
+         FROM nrm n
+         CROSS JOIN (SELECT unnest(range(0, 256)) AS b) gb
+         LEFT JOIN cnts c ON c.doc_id = n.doc_id AND c.bucket = gb.b),
+vecs AS (SELECT doc_id, list(comp ORDER BY b) AS v FROM grid GROUP BY 1),
+s AS (SELECT doc_id AS seed_id, v AS sv FROM vecs
+      ORDER BY doc_id LIMIT 32),
+a AS (SELECT vecs.doc_id, s.seed_id, {_tcos("vecs.v", "s.sv")} AS cs
+      FROM vecs CROSS JOIN s),
+cells AS (SELECT doc_id, seed_id AS cell FROM (
+    SELECT doc_id, seed_id,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY cs DESC, seed_id) AS rn
+    FROM a) WHERE rn = 1),
+cv AS (SELECT vecs.doc_id, vecs.v, cells.cell
+       FROM vecs JOIN cells USING (doc_id)),
+dup AS (SELECT DISTINCT b.doc_id
+        FROM cv a JOIN cv b ON a.cell = b.cell AND a.doc_id < b.doc_id
+        WHERE {_tcos("a.v", "b.v")} >= 0.95)
+SELECT vecs.doc_id AS vec_id, (d.doc_id IS NOT NULL) AS is_dup
+FROM vecs LEFT JOIN dup d ON vecs.doc_id = d.doc_id
+"""
+
+
+@register("s_text_semdedup", oracle=ORACLE_TEXT_SEMDEDUP)
 def s_text_semdedup(spark, sf_dir):
     """Text-only semantic dedup: feature-hashed TF vectors
     (``operators.similarity.hashed_doc_vectors`` — the hashing trick,
@@ -1183,8 +1261,17 @@ def s_text_semdedup(spark, sf_dir):
     the embedding-space dedup ladder applies to raw text corpora.
     Bag-of-words cosine over seed-stable xxhash64 buckets; one
     (doc, bucket) shuffle to build vectors, then the cluster-blocked
-    cosine verify with its lazy size guard. Twin recall and vector
-    geometry are pytest-asserted (``test_similarity.py``)."""
+    cosine verify with its lazy size guard.
+
+    FULL VALUE-HASH ORACLE since round 12: DuckDB rebuilds the hashed
+    TF vectors from raw text (the ``plans.xxh`` string chain replays
+    ``xxhash64(lit(42), term)``, the dense 256-bucket scatter is a
+    range grid, and the L2 norm is exact — squared integer counts sum
+    order-free below 2^53) and then replays the ``quantizer="seeds"``
+    assignment and in-cluster thresholds bit for bit (previously
+    rows-only behind the MLlib KMeans fit, which stays exercised in
+    ``test_similarity.py``). Twin recall and vector geometry remain
+    pytest-asserted."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
         hashed_doc_vectors,
         semdedup,
@@ -1192,8 +1279,8 @@ def s_text_semdedup(spark, sf_dir):
 
     (docs,) = load(spark, sf_dir, "documents")
     toked = docs.select("doc_id", F.expr(_TOKS).alias("t"))
-    # checkpoint: KMeans + the pair join re-evaluate their input
-    # lineage several times — materialize the vectors once
+    # checkpoint: the pair join re-evaluates its input lineage —
+    # materialize the vectors once
     vecs = (
         hashed_doc_vectors(toked, dim=256)
         .withColumnRenamed("doc_id", "vec_id")
@@ -1201,7 +1288,9 @@ def s_text_semdedup(spark, sf_dir):
     )
     # 32 cells: the in-cluster pair count is ~N²/k — the knob that
     # keeps the exact verify linear-ish as the corpus grows
-    return semdedup(vecs, n_clusters=32, threshold=0.95, seed=42)
+    return semdedup(
+        vecs, n_clusters=32, threshold=0.95, seed=42, quantizer="seeds"
+    )
 
 
 ORACLE_BPE_MERGES = """
@@ -1378,36 +1467,119 @@ def t_data_card(spark, sf_dir):
     )
 
 
-@register("t_quality_classifier")  # rows-only: L-BFGS fit is not SQL
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.quality_model import (  # noqa: E402
+    FEATURE_NAMES as _QC_FEATURES,
+    GNB_SCALE as _QC_SCALE,
+    gnb_logit_sql as _qc_logit,
+)
+
+
+def _qc_oracle() -> str:
+    """DuckDB replay of the GNB quality rung: the same portable
+    feature SQL (DuckDB list/regex spellings where Spark's differ),
+    the same 6-dp quantize-then-DECIMAL-sum stats, and the VERBATIM
+    :func:`gnb_logit_sql` scoring expression."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.functions.text import (
+        stopword_ratio_sql,
+        token_count_sql,
+    )
+
+    t = "split(trim(regexp_replace(lower(text), '[^a-z]+', ' ')), ' ')"
+    tc = token_count_sql("text")
+    feats = {
+        "log_len": "ln(1 + length(text))",
+        "n_tokens": f"CAST({tc} AS DOUBLE)",
+        "stopword_ratio": stopword_ratio_sql("text"),
+        "dup_token_frac": (
+            f"(CASE WHEN len({t}) = 0 THEN CAST(0 AS DOUBLE) "
+            f"ELSE 1.0 - CAST(len(list_distinct({t})) AS DOUBLE)"
+            f" / len({t}) END)"
+        ),
+        "alpha_density": (
+            "(CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE) "
+            "ELSE CAST(length(regexp_replace(lower(text), "
+            "'[^a-z0-9 ]+', '', 'g')) AS DOUBLE) / length(text) END)"
+        ),
+        "mean_token_len": (
+            f"(CASE WHEN {tc} = 0 THEN CAST(0 AS DOUBLE) "
+            f"ELSE CAST(length(text) AS DOUBLE) / {tc} END)"
+        ),
+    }
+    fcols = ", ".join(f"{sql} AS {name}" for name, sql in feats.items())
+    stat_cols = [
+        "CAST(COUNT(CASE WHEN label = 0 THEN 1 END) AS BIGINT) AS n0",
+        "CAST(COUNT(CASE WHEN label = 1 THEN 1 END) AS BIGINT) AS n1",
+    ]
+    for f in _QC_FEATURES:
+        q = f"CAST(FLOOR({f} * {_QC_SCALE} + 0.5) AS BIGINT)"
+        q2 = f"CAST(FLOOR({f} * {f} * {_QC_SCALE} + 0.5) AS BIGINT)"
+        for c in (0, 1):
+            stat_cols.append(
+                f"SUM(CASE WHEN label = {c} THEN "
+                f"CAST({q} AS DECIMAL(38,0)) END) AS s{c}_{f}"
+            )
+            stat_cols.append(
+                f"SUM(CASE WHEN label = {c} THEN "
+                f"CAST({q2} AS DECIMAL(38,0)) END) AS s2{c}_{f}"
+            )
+    qcols = ", ".join(
+        f"CAST(FLOOR({f} * {_QC_SCALE} + 0.5) AS BIGINT) AS q_{f}"
+        for f in _QC_FEATURES
+    )
+    p = (
+        f"CAST(1 AS DOUBLE) / "
+        f"(CAST(1 AS DOUBLE) + exp(-{_qc_logit()}))"
+    )
+    return f"""
+WITH lab AS (SELECT doc_id,
+                    CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE)
+                         ELSE CAST(0 AS DOUBLE) END AS label,
+                    {fcols}
+             FROM documents),
+stats AS (SELECT {', '.join(stat_cols)} FROM lab),
+q AS (SELECT doc_id, label, {qcols} FROM lab)
+SELECT doc_id, label,
+       CAST(FLOOR(({p}) * 10000 + 0.5) AS BIGINT) AS p_keep_q4
+FROM q CROSS JOIN stats
+"""
+
+
+@register("t_quality_classifier", oracle=_qc_oracle())
 def t_quality_classifier(spark, sf_dir):
     """Classifier-based quality filtering
-    (``operators.quality_model``) — the fastText-style third rung of
-    the quality ladder (heuristic gate → corpus-LM perplexity → a
-    linear model imitating a trusted label; GPT-3's WebText
-    classifier, DCLM, FineWeb-Edu). Features are scan-stage column
-    expressions (plan-tested shuffle-free); here the trusted label is
-    "is the document English" (the curated-language proxy), learned
-    from distributional statistics alone — the marker lexicons are
-    deliberately NOT features. Training input is the labeled frame
-    (hash-sample-sized at scale); scoring is one model.transform
-    scan. Output (doc_id, label, p_keep_q4) with the probability at
-    the catalog's 4-dp fixed point; separability / determinism are
-    pytest-pinned (``test_quality_model.py``)."""
+    (``operators.quality_model``) — the third rung of the quality
+    ladder (heuristic gate → corpus-LM perplexity → a model imitating
+    a trusted label; GPT-3's WebText classifier, DCLM, FineWeb-Edu).
+    Features are scan-stage column expressions (plan-tested
+    shuffle-free); the trusted label is "is the document English"
+    (the curated-language proxy), learned from distributional
+    statistics alone — the marker lexicons are deliberately NOT
+    features.
+
+    FULL VALUE-HASH ORACLE since round 12: the catalog query runs the
+    CLOSED-FORM Gaussian-Naive-Bayes rung (``gnb_quality_stats`` /
+    ``score_gnb_quality``) — per-class feature means/variances from
+    6-dp quantize-then-DECIMAL sums (order-free integers), scoring
+    via ONE portable SQL expression (``gnb_logit_sql``) shared
+    verbatim with DuckDB, so the probabilities replay bit-for-bit
+    (previously rows-only behind the MLlib L-BFGS logistic fit, which
+    stays exercised by ``test_quality_model.py``'s separability and
+    determinism tests). Output (doc_id, label, p_keep_q4) at the
+    catalog's 4-dp fixed point."""
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.quality_model import (
-        quality_features,
-        score_quality,
-        train_quality_classifier,
+        _feature_cols,
+        gnb_quality_stats,
+        score_gnb_quality,
     )
 
     (docs,) = load(spark, sf_dir, "documents")
-    labeled = quality_features(docs).join(
-        docs.select(
-            "doc_id", (F.col("lang") == "en").cast("double").alias("label")
-        ),
+    labeled = docs.select(
         "doc_id",
-    ).localCheckpoint()  # L-BFGS iterates over its input
-    model = train_quality_classifier(labeled)
-    return score_quality(labeled, model).join(
+        (F.col("lang") == "en").cast("double").alias("label"),
+        *_feature_cols("text"),
+    ).localCheckpoint()  # stats + scoring both consume the features
+    stats = gnb_quality_stats(labeled)
+    return score_gnb_quality(labeled, stats).join(
         labeled.select("doc_id", "label"), "doc_id"
     ).select(
         "doc_id",

@@ -72,3 +72,29 @@ def test_quality_features_scan_stage_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan  # feature computation is one scan
+
+
+def test_gnb_separates_and_is_deterministic(spark):
+    """The closed-form Gaussian-NB rung (round 12 — the SQL-replayable
+    quality classifier): separability on the same fixture as the LR
+    rung, and bit-determinism across refits (the stats are exact
+    integer sums, so there is nothing iterative to drift)."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.quality_model import (
+        gnb_quality_stats,
+        score_gnb_quality,
+    )
+
+    feats = _labeled(spark)
+    stats = gnb_quality_stats(feats)
+    scores = {
+        r.doc_id: r.p_keep
+        for r in score_gnb_quality(feats, stats).collect()
+    }
+    assert min(scores[i] for i in range(6)) > max(
+        scores[100 + i] for i in range(6)
+    )
+    again = {
+        r.doc_id: r.p_keep
+        for r in score_gnb_quality(feats, gnb_quality_stats(feats)).collect()
+    }
+    assert scores == again  # bit-identical, not approximately equal
