@@ -1027,8 +1027,40 @@ class Table:
 
     # ----- streaming ingest ----------------------------------------------
 
+    @staticmethod
+    def _stream_source(
+        spark: SparkSession,
+        source_dir: str,
+        source_schema: str,
+        source_format: str,
+        max_files_per_trigger: int | None,
+        source_options: dict | None,
+    ):
+        r = spark.readStream.schema(source_schema).format(source_format)
+        if max_files_per_trigger is not None:
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+        for k, v in (source_options or {}).items():
+            r = r.option(k, v)
+        return r.load(source_dir)
+
+    @staticmethod
+    def _stream_start(writer, checkpoint_dir: str, trigger: dict | None):
+        return (
+            writer.option("checkpointLocation", checkpoint_dir)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+
     def stream_append(
-        self, source_dir: str, source_schema: str, checkpoint_dir: str
+        self,
+        source_dir: str,
+        source_schema: str,
+        checkpoint_dir: str,
+        *,
+        source_format: str = "parquet",
+        max_files_per_trigger: int | None = 1,
+        source_options: dict | None = None,
+        trigger: dict | None = None,
     ):
         """Structured-Streaming ingest into the live dir: each
         micro-batch lands through :meth:`append` PINNED to its stream
@@ -1039,25 +1071,33 @@ class Table:
         the same discipline as
         :func:`sources.skipping.stream_sink_with_manifest`). Both
         skipping manifests reconcile per micro-batch, so a streamed
-        facade table's indexes never go stale. ``availableNow``
-        trigger: drain, then stop. Single ingest mode per table:
-        don't mix with auto-allocated manual appends (pinned stream
-        ids and claimed ids would contend for numbers)."""
+        facade table's indexes never go stale. Single ingest mode per
+        table: don't mix with auto-allocated manual appends (pinned
+        stream ids and claimed ids would contend for numbers).
+
+        Source/trigger knobs (round 12): ``source_format`` (any
+        streaming file source — parquet/json/csv/orc/text),
+        ``max_files_per_trigger`` (micro-batch size; ``None`` leaves
+        the source's default), ``source_options`` (extra reader
+        options, e.g. csv header), ``trigger`` (kwargs for
+        ``DataStreamWriter.trigger`` — default ``availableNow=True``:
+        drain then stop; pass ``{"processingTime": "5 seconds"}`` for
+        a long-running ingest). The batch-id pinning — and with it
+        replay idempotence — is trigger-independent: Structured
+        Streaming assigns the same epoch ids on restart from the same
+        checkpoint whatever the trigger."""
 
         def _sink(batch_df, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
             self.append(batch_df, batch_id=batch_id + 1)
 
-        return (
-            self.spark.readStream.schema(source_schema)
-            .format("parquet")
-            .option("maxFilesPerTrigger", 1)
-            .load(source_dir)
-            .writeStream.foreachBatch(_sink)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
+        src = self._stream_source(
+            self.spark, source_dir, source_schema, source_format,
+            max_files_per_trigger, source_options,
+        )
+        return self._stream_start(
+            src.writeStream.foreachBatch(_sink), checkpoint_dir, trigger
         )
 
     def stream_merge(
@@ -1070,6 +1110,10 @@ class Table:
         matched_delete=None,
         not_matched_insert=True,
         update_set: dict[str, str] | None = None,
+        source_format: str = "parquet",
+        max_files_per_trigger: int | None = 1,
+        source_options: dict | None = None,
+        trigger: dict | None = None,
     ):
         """STREAMING MERGE (round 11): drain source micro-batches
         through :meth:`merge` — each batch's clauses evaluate against
@@ -1090,7 +1134,14 @@ class Table:
         never is. Single-writer discipline as for every facade write
         path: the change log must not receive concurrent non-stream
         batches (pinned stream ids and claimed ids would contend).
-        ``availableNow`` trigger: drain, then stop."""
+
+        Source/trigger knobs (round 12): same surface as
+        :meth:`stream_append` — ``source_format``,
+        ``max_files_per_trigger`` (a merge micro-batch may carry MANY
+        source files; one-op-per-key is enforced per batch by
+        ``apply_changes``, so widen it only when keys don't repeat
+        within a trigger window), ``source_options``, ``trigger``
+        (default ``availableNow=True``: drain, then stop)."""
 
         def _sink(batch_df, batch_id: int) -> None:
             if batch_df.isEmpty():
@@ -1104,15 +1155,12 @@ class Table:
                 batch_id=batch_id + 1,
             )
 
-        return (
-            self.spark.readStream.schema(source_schema)
-            .format("parquet")
-            .option("maxFilesPerTrigger", 1)
-            .load(source_dir)
-            .writeStream.foreachBatch(_sink)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
+        src = self._stream_source(
+            self.spark, source_dir, source_schema, source_format,
+            max_files_per_trigger, source_options,
+        )
+        return self._stream_start(
+            src.writeStream.foreachBatch(_sink), checkpoint_dir, trigger
         )
 
     def stream_changes(

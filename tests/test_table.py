@@ -1414,3 +1414,59 @@ def test_filter_law_sweep_composite_key(spark, tmp_path_factory):
             & F.col("city").isin(cities)
         ).collect()))
         assert got == want, (trial, lo, hi, cities)
+
+
+def test_stream_knobs_processing_time_and_multi_file_batches(
+    spark, tmp_path_factory
+):
+    """Round-12 directive: the stream source/trigger knobs — a
+    processing-time trigger (the long-running ingest mode; stopped
+    via processAllAvailable + stop rather than self-terminating) with
+    max_files_per_trigger > 1, so micro-batches carry several source
+    files. Keys are distinct across files, so ANY batching must
+    converge to the same final state as one bulk merge."""
+    import os
+
+    base = str(tmp_path_factory.mktemp("tknobs"))
+    root = f"{base}/t"
+    flat = f"{base}/flat"
+    os.makedirs(flat, exist_ok=True)
+    t = Table.create(spark, root, "k")
+    t.append(
+        spark.createDataFrame([(999, -1.0)], "k bigint, v double")
+    )
+    for i in range(6):
+        spark.createDataFrame(
+            [(10 * i + j, float(i)) for j in range(3)],
+            "k bigint, v double",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{base}/stage{i}")
+        import glob
+        import shutil
+
+        (part,) = glob.glob(f"{base}/stage{i}/part-*.parquet")
+        shutil.copy(part, f"{flat}/{i:04d}.parquet")
+
+    q = t.stream_merge(
+        flat,
+        "k bigint, v double",
+        f"{base}/ckpt",
+        matched_update=True,
+        max_files_per_trigger=3,
+        trigger={"processingTime": "1 seconds"},
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    expect = sorted(
+        [(999, -1.0)]
+        + [(10 * i + j, float(i)) for i in range(6) for j in range(3)]
+    )
+    assert got == expect
+    # >1 files per batch really happened: 6 files at 3 per trigger
+    # is at most 2-3 change batches, never 6
+    n_change = len(Table(spark, root).describe()["change_batches"])
+    assert 1 <= n_change <= 3, n_change
