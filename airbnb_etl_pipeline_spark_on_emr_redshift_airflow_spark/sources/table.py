@@ -58,12 +58,18 @@ Airflow ``max_active_runs=1`` — ``airbnb-etl-airflow.py``) with two
 compare-and-swap chains built on the atomic-exclusive-create claim
 primitive (``fsutil.create_exclusive``):
 
-- ``append`` — LOCK-FREE. Batch numbers are atomic claims; blind
-  inserts commute, so N concurrent appenders just land N batches.
-  Racing an ``optimize`` is safe by the watermark contract: a batch
-  claimed during a fold allocates above the fold's watermark and
-  stays served; ``vacuum_live`` only retires batches a pointed
-  version materialized.
+- ``append`` — LOCK-FREE on the data plane. Batch numbers are atomic
+  claims; blind inserts commute, so N concurrent appenders just land
+  N batches. Racing an ``optimize`` is safe by the watermark
+  contract: a batch claimed during a fold allocates above the fold's
+  watermark and stays served; ``vacuum_live`` only retires batches a
+  pointed version materialized. The live MANIFEST reconciliation is
+  best-effort under concurrency: a racing vacuum is healed by the
+  bounded retry inside :meth:`reconcile_live_manifests`, and
+  concurrent appenders overwrite last-writer-wins-to-full-listing —
+  the one bad interleaving (last writer listed before an earlier
+  batch committed) leaves a LAGGING manifest that pruned reads
+  detect fail-closed; one ``reconcile_live_manifests()`` call heals.
 - ``upsert`` / ``delete`` / ``write_changes`` — LOCK-FREE, LOG-
   ORDERED. Blind writes whose semantics don't read state: claims
   give each a distinct batch number and the change log's replay
@@ -573,33 +579,62 @@ class Table:
         )
         df.write.mode("overwrite").parquet(f"{self._live}/batch={n}")
         spark.catalog.refreshByPath(self._live)
-        if self.zone_cols:
-            if fsutil.exists(spark, f"{self._zones}/_SUCCESS"):
-                prev = spark.read.parquet(self._zones)
-            else:
-                prev = build_zone_manifest(
-                    spark.read.parquet(f"{self._live}/batch={n}"),
-                    self.zone_cols,
-                ).limit(0)
-            mf = update_zone_manifest(
-                spark, self._live, prev, self.zone_cols
-            ).localCheckpoint()
-            mf.coalesce(1).write.mode("overwrite").parquet(self._zones)
-            spark.catalog.refreshByPath(self._zones)
-        if self.bloom_cols:
-            if fsutil.exists(spark, f"{self._bloom}/_SUCCESS"):
-                bprev = spark.read.parquet(self._bloom)
-            else:
-                bprev = build_bloom_manifest(
-                    spark.read.parquet(f"{self._live}/batch={n}"),
-                    self.bloom_cols,
-                ).limit(0)
-            bmf = update_bloom_manifest(
-                spark, self._live, bprev, self.bloom_cols
-            ).localCheckpoint()
-            bmf.coalesce(1).write.mode("overwrite").parquet(self._bloom)
-            spark.catalog.refreshByPath(self._bloom)
+        self.reconcile_live_manifests()
         return n
+
+    def reconcile_live_manifests(self, attempts: int = 3) -> None:
+        """Reconcile the LIVE zone/bloom manifests to the current
+        live-dir listing (O(new files); identical to a from-scratch
+        rebuild by ``update_*_manifest``'s contract). Called by every
+        :meth:`append`; also the PUBLIC heal verb for the two
+        concurrency windows the CONCURRENCY section documents:
+
+        - a concurrent ``vacuum_live`` can delete a folded batch
+          between this reconciliation's listing and its stats scan —
+          a transient vanished-file task failure. Reconciliation is
+          idempotent-to-current-listing, so the bounded RETRY here
+          (fresh listing per attempt) heals it.
+        - two concurrent appenders overwrite the manifest
+          last-writer-wins; each write covers the FULL listing its
+          writer saw, so the final manifest only lags if the last
+          writer listed before an earlier writer's batch committed.
+          A lagging manifest is never silent — pruned reads fail
+          CLOSED naming the unindexed files — and one call here
+          heals it."""
+        spark = self.spark
+        ids = _batches(spark, self._live)
+        if not ids:
+            return  # nothing appended yet (or everything folded)
+        sample = f"{self._live}/batch={ids[-1]}"
+        last: Exception | None = None
+        for _ in range(attempts):
+            try:
+                self._reconcile_live_manifests_once(sample)
+                return
+            except Exception as e:  # vanished-file race: re-list, retry
+                last = e
+                spark.catalog.refreshByPath(self._live)
+        raise last  # persistent failure — not the transient race
+
+    def _reconcile_live_manifests_once(self, sample: str) -> None:
+        spark = self.spark
+        for path, cols, builder, updater in (
+            (self._zones, self.zone_cols,
+             build_zone_manifest, update_zone_manifest),
+            (self._bloom, self.bloom_cols,
+             build_bloom_manifest, update_bloom_manifest),
+        ):
+            if not cols:
+                continue
+            if fsutil.exists(spark, f"{path}/_SUCCESS"):
+                prev = spark.read.parquet(path)
+            else:
+                prev = builder(
+                    spark.read.parquet(sample), cols
+                ).limit(0)
+            mf = updater(spark, self._live, prev, cols).localCheckpoint()
+            mf.coalesce(1).write.mode("overwrite").parquet(path)
+            spark.catalog.refreshByPath(path)
 
     def upsert(self, df: DataFrame, batch_id: int | None = None) -> int:
         """Replace-or-insert by key: lands one op-tagged change batch
