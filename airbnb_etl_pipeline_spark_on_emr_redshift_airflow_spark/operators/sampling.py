@@ -115,6 +115,35 @@ def epoch_shuffle(
     return parted.sortWithinPartitions("__h", *key_cols).drop("__h")
 
 
+def epoch_shards(
+    df: DataFrame,
+    key_cols: list[str],
+    seed: int = 0,
+    n_shards: int = 16,
+) -> DataFrame:
+    """The DATA-LOADER MANIFEST form of :func:`epoch_shuffle`
+    (round 12): per row, the shard a loader worker reads it from and
+    its position within that shard — ``shard = pmod(xxhash64(seed,
+    keys), n_shards)``, ``pos = row_number() over (partition by shard
+    order by hash, keys)``. Worker *w* streaming shard *w* in ``pos``
+    order yields a deterministic, seed-keyed epoch permutation with
+    hash-balanced shards (±O(√(N/shards)) skew) — the reproducible
+    multi-epoch ordering a resumable trainer needs (epoch = new seed;
+    restart = seek to the recorded pos). One shuffle on ``shard``;
+    nothing single-partition; every quantity is a pure xxhash64/rank
+    expression, so the manifest replays bit-for-bit cross-engine."""
+    from pyspark.sql import Window
+
+    h = F.xxhash64(F.lit(seed), *key_cols)
+    w = Window.partitionBy("shard").orderBy("__h", *key_cols)
+    return (
+        df.select(*key_cols, h.alias("__h"))
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("__h")
+    )
+
+
 def group_sample_topk(
     df: DataFrame,
     group_col: str,

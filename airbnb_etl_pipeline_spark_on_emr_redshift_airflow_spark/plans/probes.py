@@ -6066,3 +6066,62 @@ def a_hll_native_ledger(spark, sf_dir):
     ``a_sketch_ledgers``'s 'hll' slice for the driver window
     (round 12); re-registered here unchanged."""
     return a_hll_native_ledger_impl(spark, sf_dir)
+
+
+# ----- epoch shard manifest (round 12) --------------------------------------
+
+from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans.xxh import (  # noqa: E402
+    pmod_sql as _es_pmod,
+    xxhash64_cols_sql as _es_cols,
+)
+
+_ES_H = _es_cols(
+    "SELECT doc_id FROM documents",
+    [(0, "doc_id", "h0"), (1, "doc_id", "h1")],
+    ["doc_id"],
+)
+
+ORACLE_EPOCH_SHARDS = f"""
+WITH h AS ({_ES_H}),
+e AS (SELECT 0 AS epoch, doc_id, h0 AS hh FROM h
+      UNION ALL
+      SELECT 1 AS epoch, doc_id, h1 AS hh FROM h)
+SELECT CAST(epoch AS INT) AS epoch, doc_id,
+       CAST({_es_pmod("hh", 16)} AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+                PARTITION BY epoch, {_es_pmod("hh", 16)}
+                ORDER BY hh, doc_id) AS BIGINT) AS pos
+FROM e
+"""
+
+
+@register("c_epoch_shards", oracle=ORACLE_EPOCH_SHARDS)
+def c_epoch_shards(spark, sf_dir):
+    """Deterministic epoch-shard manifest
+    (``operators.sampling.epoch_shards`` — round 12): per (epoch,
+    document), the loader shard and within-shard position — the
+    reproducible multi-epoch data ordering a resumable trainer
+    consumes (worker w streams shard w in pos order; a new epoch is a
+    new seed; restart seeks to the recorded pos). Complements the
+    catalog's ``epoch_shuffle`` ordering operator (pytest-pinned
+    permutation/seed-sensitivity) with the manifest SHAPE, value-hash
+    oracled: shard = pmod(xxhash64(epoch, doc_id), 16) and the
+    (hash, id)-ranked positions replay bit-for-bit through the
+    ``plans.xxh`` chains. 100 TB shape: one hash expression + one
+    shuffle on (epoch, shard); shards are hash-balanced so no loader
+    hot-spots; nothing single-partition."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        epoch_shards,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    legs = []
+    for ep in (0, 1):
+        legs.append(
+            epoch_shards(docs, ["doc_id"], seed=ep, n_shards=16)
+            .select(
+                F.lit(ep).cast("int").alias("epoch"),
+                "doc_id", "shard", "pos",
+            )
+        )
+    return legs[0].unionByName(legs[1])

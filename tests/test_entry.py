@@ -21,7 +21,7 @@ def test_oracle_keys_subset_of_queries(spark):
     # all coverage must sit inside the first 50; entries 51+ are the
     # cap-probe re-registrations (plans.probes).
     names = list(q)
-    assert len(names) == 161
+    assert len(names) == 162
     # round-4 rotation: t_tfidf_topk and u_merge_apply_cdc moved inside
     # the driver's 50-row window (t_language_share folded into
     # n_language_detect, j_inner_composite_key into
@@ -224,6 +224,7 @@ def test_oracle_keys_subset_of_queries(spark):
         "g_personalized_pagerank",
         "a_heavy_hitters_ledger",
         "a_hll_native_ledger",
+        "c_epoch_shards",
     ]
 
 

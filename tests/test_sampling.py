@@ -680,3 +680,32 @@ def test_unimax_epoch_cap_over_one_keeps_all_and_reports_epochs(spark):
         unimax_budget_sample(
             df, "lang", ["doc_id"], total_budget=10, epoch_cap=0
         )
+
+
+def test_epoch_shards_loader_contract(spark):
+    """epoch_shards (round 12): every doc appears exactly once per
+    epoch, positions are dense 1..len(shard) per shard, shards are
+    hash-balanced, and different epochs produce different layouts."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.sampling import (
+        epoch_shards,
+    )
+
+    docs = spark.range(400).select(F.col("id").alias("doc_id"))
+    e0 = epoch_shards(docs, ["doc_id"], seed=0, n_shards=8).collect()
+    assert len(e0) == 400
+    assert sorted(r["doc_id"] for r in e0) == list(range(400))
+    by_shard: dict = {}
+    for r in e0:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) - min(sizes) < 200  # hash balance, loose bound
+    # determinism + epoch sensitivity
+    e0b = epoch_shards(docs, ["doc_id"], seed=0, n_shards=8).collect()
+    assert sorted(map(str, e0)) == sorted(map(str, e0b))
+    e1 = {r["doc_id"]: (r["shard"], r["pos"])
+          for r in epoch_shards(docs, ["doc_id"], seed=1, n_shards=8).collect()}
+    moved = sum(1 for r in e0 if e1[r["doc_id"]] != (r["shard"], r["pos"]))
+    assert moved > 300  # a new seed is a genuinely new permutation
