@@ -143,3 +143,18 @@ def list_subdirs(spark: SparkSession, root: str, glob: str) -> list[str]:
     return [
         s.getPath().getName() for s in statuses if s.isDirectory()
     ]
+
+
+def status_token(spark: SparkSession, path: str):
+    """(modification-time-ms, length) of a file, or None when absent —
+    a cheap change token for small metadata files (one FileSystem
+    stat). Used by the Table facade to self-validate per-handle
+    caches of the SCHEMA file: a second writer handle rewriting it
+    (``write_text_atomic`` = create + rename, so both fields move)
+    invalidates every other handle's cache on its next access."""
+    fs, p = _fs(spark, path)
+    try:
+        st = fs.getFileStatus(p)
+    except Exception:
+        return None
+    return (st.getModificationTime(), st.getLen())

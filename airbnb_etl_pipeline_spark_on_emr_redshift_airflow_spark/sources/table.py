@@ -176,6 +176,7 @@ class Table:
         self._bloom = f"{self.root}/bloom"
         self._schema_cache = None
         self._dropped_cache = None
+        self._schema_token = None
 
     # ----- lifecycle ----------------------------------------------------
 
@@ -332,10 +333,22 @@ class Table:
         under schema evolution. Source of truth is the ``SCHEMA``
         file (written on first append and rewritten on every
         ``merge_schema`` widening); tables predating it fall back to
-        inferring from the data, exactly the old behavior. Cached per
-        handle (appends through THIS handle invalidate it; the
-        single-writer-per-table discipline covers the rest)."""
-        if self._schema_cache is not None:
+        inferring from the data, exactly the old behavior.
+
+        SELF-VALIDATING per-handle cache (round 12): the cache keys
+        on the SCHEMA file's (mtime, length) status token, so a
+        SECOND handle widening the schema invalidates every other
+        handle's cache on its next access — one FS stat per check,
+        no reliance on writer discipline. (The token is best-effort
+        at ms granularity: two same-length rewrites inside one
+        millisecond could be missed — the same risk class as any
+        mtime-based cache, and the widenings it guards are rare,
+        human-scale events.)"""
+        token = fsutil.status_token(self.spark, f"{self.root}/{_SCHEMA}")
+        if (
+            self._schema_cache is not None
+            and self._schema_token == token
+        ):
             return self._schema_cache
         sch, dropped = self._read_schema_file()
         if sch is None:
@@ -343,6 +356,7 @@ class Table:
             dropped = {}
         self._schema_cache = sch
         self._dropped_cache = dropped
+        self._schema_token = token
         return sch
 
     def _dropped_types(self) -> dict:
@@ -389,6 +403,9 @@ class Table:
         )
         self._schema_cache = schema
         self._dropped_cache = dict(dropped)
+        self._schema_token = fsutil.status_token(
+            self.spark, f"{self.root}/{_SCHEMA}"
+        )
 
     @staticmethod
     def _align(df: DataFrame, schema) -> DataFrame:

@@ -372,3 +372,30 @@ def test_reader_pinned_version_survives_optimize_and_vacuum(
     assert sorted((r["k"], r["v"]) for r in again.collect()) == got
     # current read serves the new state
     assert _content(t) == [(1, 110), (2, 20), (3, 30)]
+
+
+def test_stale_handle_sees_schema_widening(spark, tmp_dir):
+    """Round 12: the per-handle schema cache self-validates against
+    the SCHEMA file's status token — a second handle that widened the
+    schema must be visible to an OLD handle's next write without any
+    writer-discipline assumption (previously the stale handle would
+    reject the widened frame or silently narrow an upsert)."""
+    root = f"{tmp_dir}/t"
+    a = _mk(spark, root, [(1, 10)], zone=False)
+    b = Table(spark, root)
+    # populate b's cache with the narrow schema
+    assert [f.name for f in b._table_schema().fields] == ["k", "v"]
+    # a widens
+    a.append(
+        spark.createDataFrame([(2, 20, "x")], "k bigint, v bigint, tag string"),
+        merge_schema=True,
+    )
+    # b's next write sees the widened schema: a full-width upsert is
+    # accepted and the tag value is preserved
+    b.upsert(
+        spark.createDataFrame(
+            [(1, 11, "kept")], "k bigint, v bigint, tag string"
+        )
+    )
+    got = {r["k"]: (r["v"], r["tag"]) for r in b.read().collect()}
+    assert got == {1: (11, "kept"), 2: (20, "x")}
