@@ -777,3 +777,82 @@ def test_composite_key_dml_sequence_equals_model(
             }
     got = {(r["a"], r["b"]): r["v"] for r in t.read().collect()}
     assert got == state
+
+
+_mh_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("upsert"),
+            st.lists(
+                st.tuples(st.integers(0, 4), st.integers(-20, 20)),
+                min_size=1, max_size=3, unique_by=lambda t: t[0],
+            ),
+        ),
+        st.tuples(st.just("update_where"), st.integers(-10, 10)),
+        st.tuples(st.just("delete_where"), st.integers(-10, 10)),
+        st.tuples(st.just("optimize"), st.just(None)),
+        st.tuples(st.just("append"), st.lists(
+            st.tuples(st.integers(100, 104), st.integers(-20, 20)),
+            min_size=1, max_size=2, unique_by=lambda t: t[0],
+        )),
+    ),
+    min_size=2, max_size=7,
+)
+
+
+@SLOW
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(-20, 20)),
+        min_size=1, max_size=6, unique_by=lambda t: t[0],
+    ),
+    ops=_mh_ops,
+    handle_picks=st.lists(st.booleans(), min_size=7, max_size=7),
+)
+def test_two_handle_serial_ops_never_conflict_and_match_model(
+    spark, tmp_path_factory, base, ops, handle_picks
+):
+    """Round-12 model check for the OPTIMISTIC-CONCURRENCY tickets:
+    ANY serial sequence of append / upsert / update_where /
+    delete_where / optimize, alternating arbitrarily between TWO
+    handles of one table, must (a) never raise ConcurrentWriteError —
+    serial writers always read fresh state, so a false-positive here
+    would be a ticket-bookkeeping bug (stale base, unreleased
+    transition) — and (b) equal the dict replay. Appends use keys
+    disjoint from DML keys so the model stays a plain dict."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.table import (
+        Table,
+    )
+
+    root = str(tmp_path_factory.mktemp("mh")) + "/t"
+    t0 = Table.create(spark, root, "k")
+    t0.append(spark.createDataFrame(base, "k int, v bigint"))
+    t1 = Table(spark, root)
+    handles = [t0, t1]
+    state = dict(base)
+    for i, (kind, arg) in enumerate(ops):
+        t = handles[int(handle_picks[i % len(handle_picks)])]
+        if kind == "upsert":
+            t.upsert(spark.createDataFrame(arg, "k int, v bigint"))
+            state.update(arg)
+        elif kind == "append":
+            new = [(k, v) for k, v in arg if k not in state]
+            if not new:
+                continue
+            t.append(spark.createDataFrame(new, "k int, v bigint"))
+            state.update(new)
+        elif kind == "update_where":
+            t.update_where(f"v >= {arg}", {"v": "v + 1"})
+            state = {
+                k: (v + 1 if v >= arg else v) for k, v in state.items()
+            }
+        elif kind == "delete_where":
+            t.delete_where(f"v < {arg}")
+            state = {k: v for k, v in state.items() if not v < arg}
+        else:
+            if state:  # optimize requires data
+                t.optimize(keep=10)
+    got = {r["k"]: r["v"] for r in t0.read().collect()}
+    assert got == state
+    got1 = {r["k"]: r["v"] for r in t1.read().collect()}
+    assert got1 == state
