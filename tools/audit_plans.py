@@ -146,11 +146,25 @@ AUDITED = [
     "f_variant_json",
     "l_skipping_pruned",
     "u_union_cdc_merge",
+    # round-12: the ledger-suite merged slot (each leg keeps its
+    # original keyed exchanges), the seeds-quantizer semdedup pair
+    # (assignment is scan-stage literal math; the pair join is
+    # cell-keyed), the GNB classifier (its one SinglePartition
+    # exchange is the 1-row stats aggregate — exempt scalar, same
+    # class as t_tfidf_topk), and the epoch-shard manifest (one
+    # (shard) window exchange)
+    "a_sketch_ledgers",
+    "s_semdedup",
+    "s_text_semdedup",
+    "t_quality_classifier",
+    "c_epoch_shards",
 ]
 
 # Every input corpus-sized → no broadcast hint allowed anywhere in the
 # plan (d_decontaminate exempt: held-out side is dim-sized by contract).
 NO_HINT = [
+    "s_semdedup",
+    "s_text_semdedup",
     "d_ngram_jaccard_pairs",
     "d_jaccard_prefix_filter",
     "d_minhash_dup_clusters",
@@ -216,6 +230,13 @@ NO_SINGLE_PARTITION = [
     "d_cluster_best_pick",
     "c_outlier_filter",
     "g_personalized_pagerank",
+    # round-12: ledger suite + seeds-quantizer semdedup + epoch
+    # shards stay keyed end to end (t_quality_classifier exempt: the
+    # 1-row GNB stats aggregate is a scalar)
+    "a_sketch_ledgers",
+    "s_semdedup",
+    "s_text_semdedup",
+    "c_epoch_shards",
 ]
 
 
