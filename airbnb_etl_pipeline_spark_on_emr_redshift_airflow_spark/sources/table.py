@@ -101,6 +101,12 @@ primitive (``fsutil.create_exclusive``):
   the tickets: the stream engine or pipeline scheduler owns their
   serialization, and replay idempotence requires rewriting the SAME
   number. Don't mix pinned and auto-allocated writers in one window.
+- ``evolve`` / ``drop_columns`` / ``create`` (administrative schema &
+  index-config verbs) — NOT ticketed: they rewrite table-level
+  metadata (``TABLE``/``SCHEMA``) and rebuild manifests whole. Run
+  them in a quiesced window, like every production ALTER TABLE; the
+  schema cache self-validates against the SCHEMA file's status
+  token, so other handles pick the change up on their next access.
 
 Reference scope note: the reference pipeline rewrites whole parquet
 snapshots per run (jirfig/Airbnb-ETL apps write full outputs); this
