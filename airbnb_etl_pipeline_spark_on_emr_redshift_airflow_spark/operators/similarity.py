@@ -578,19 +578,35 @@ def seed_quantize(
     )
     if not seeds:
         raise ValueError("seed_quantize: empty input")
+
     # argmax cosine with smaller-id tie-break, as ONE expression:
-    # max over (cos, -seed_id) structs, then negate the id back
+    # max over (cos, -seed_id) structs, then negate the id back.
+    # The row norm hoists to ONE fold per row (its own projection —
+    # the folds are CodegenFallback, so per-seed reuse matters ~2×)
+    # and each seed's norm precomputes in Python — bit-identical to
+    # the SQL fold (same sequential 0.0-seeded accumulation, same
+    # IEEE sqrt), so dot / (ncv · lit_norm) equals the textbook
+    # cosine bit for bit and the DuckDB oracle replays unchanged.
+    import math
+
+    def _pynorm(vals) -> float:
+        acc = 0.0
+        for x in vals:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    with_n = c.select("id", "cv", _norm("cv").alias("__ncv"))
     cands = F.array(*[
         F.struct(
-            cosine(
-                "cv",
-                F.array(*[F.lit(float(x)) for x in r["sv"]]),
+            (
+                _dot("cv", F.array(*[F.lit(float(x)) for x in r["sv"]]))
+                / (F.col("__ncv") * F.lit(_pynorm(r["sv"])))
             ).alias("c"),
             F.lit(-int(r["seed_id"])).cast("bigint").alias("negid"),
         )
         for r in seeds
     ])
-    return c.select(
+    return with_n.select(
         F.col("id").alias(id_col),
         F.col("cv").alias(vec_col),
         (-F.array_max(cands)["negid"]).alias("cell"),
