@@ -399,3 +399,24 @@ def test_stale_handle_sees_schema_widening(spark, tmp_dir):
     )
     got = {r["k"]: (r["v"], r["tag"]) for r in b.read().collect()}
     assert got == {1: (11, "kept"), 2: (20, "x")}
+
+
+def test_dml_tickets_sweep_with_vacuum_changes(spark, tmp_dir):
+    """Commit tickets below the retired change-log head sweep with
+    vacuum_changes (bounded dir listing); the live head's ticket
+    survives."""
+    root = f"{tmp_dir}/t"
+    t = _mk(spark, root, [(1, 0), (2, 5)], zone=False)
+    for _ in range(3):
+        t.update_where("k = 1", {"v": "v + 1"})
+    tickets = fsutil.list_files(spark, f"{root}/changes", "__commit_from=*")
+    assert len(tickets) == 3
+    t.optimize(keep=10)
+    wm = t._watermarks(t._pointer())[1]
+    t.vacuum_changes(wm)
+    left = fsutil.list_files(spark, f"{root}/changes", "__commit_from=*")
+    froms = sorted(int(n.split("=", 1)[1]) for n in left)
+    assert all(f >= wm for f in froms), (froms, wm)
+    # and the serialized path still works after the sweep
+    t.update_where("k = 2", {"v": "v + 1"})
+    assert _content(t) == [(1, 3), (2, 6)]
