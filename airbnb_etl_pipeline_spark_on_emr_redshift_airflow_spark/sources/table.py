@@ -1055,7 +1055,19 @@ class Table:
                 "once it commits; if it is dead, release it with "
                 f"release_dml_ticket({base}) while no writers are live."
             )
-        apply_changes(ch, self._changes, self.key_cols, batch_id=n)
+        try:
+            apply_changes(ch, self._changes, self.key_cols, batch_id=n)
+        except BaseException:
+            # the write itself failed (e.g. apply_changes rejecting
+            # duplicate source keys) — RELEASE the ticket we hold:
+            # nothing committed from this head, so giving the
+            # transition back is safe, and NOT doing so would brick
+            # every later conditional write behind an in-doubt error
+            # for a plain user mistake. (A crash loses this cleanup —
+            # that's the documented in-doubt window.)
+            fsutil.delete(spark, f"{self._changes}/batch={n}")
+            fsutil.delete(spark, ticket)
+            raise
         blind = [
             b for b in _batches(spark, self._changes) if base < b < n
         ]

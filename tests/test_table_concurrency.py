@@ -420,3 +420,20 @@ def test_dml_tickets_sweep_with_vacuum_changes(spark, tmp_dir):
     # and the serialized path still works after the sweep
     t.update_where("k = 2", {"v": "v + 1"})
     assert _content(t) == [(1, 3), (2, 6)]
+
+
+def test_failed_conditional_write_releases_its_ticket(spark, tmp_dir):
+    """A user error inside the ticketed write (merge source with
+    duplicate keys — apply_changes rejects it) must RELEASE the
+    ticket: the next conditional write from the same head proceeds
+    instead of hitting a spurious in-doubt error."""
+    root = f"{tmp_dir}/t"
+    t = _mk(spark, root, [(1, 0)], zone=False)
+    dup_src = spark.createDataFrame(
+        [(1, 5), (1, 6)], "k bigint, v bigint"
+    )
+    with pytest.raises(Exception, match="apply_changes"):
+        t.merge(dup_src, matched_update=True)
+    # the head is un-bricked: a clean conditional write lands
+    t.update_where("k = 1", {"v": "v + 1"})
+    assert _content(t) == [(1, 1)]
