@@ -1779,6 +1779,38 @@ class Table:
                 fsutil.delete(self.spark, f"{self._changes}/{name}")
         return removed
 
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY (the Delta verb, round 12): one entry per
+        committed version, oldest first — version number, whether it
+        is the pointed LATEST, the fold watermarks it recorded
+        (which live/change batches it materialized), and whether it
+        is an orphaned CAS loser (committed-but-never-pointed — still
+        pinnable via :meth:`snapshot`). All metadata-plane reads
+        (version count is bounded by ``keep``); pairs with
+        :meth:`restore` for point-in-time rollback and with
+        :meth:`snapshot` for pinned reads."""
+        spark = self.spark
+        from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.optimize import (
+            _committed_versions,
+        )
+
+        pointed = self._pointer()
+        out = []
+        for v in _committed_versions(spark, self.root):
+            lw, cw = self._watermarks(v)
+            out.append({
+                "version": v,
+                "is_latest": v == pointed,
+                "live_watermark": lw,
+                "changes_watermark": cw,
+                # a committed version ABOVE the pointer never became
+                # LATEST: it lost its pointer CAS (stale fold) — its
+                # snapshot is still a consistent pin of what its
+                # writer read
+                "cas_loser": pointed is not None and v > pointed,
+            })
+        return out
+
     def describe(self) -> dict:
         """Operational summary: config, pointer, per-version stats
         (via :func:`sources.optimize.describe_table`), live tail and
