@@ -371,26 +371,28 @@ def embedding_near_dup_pairs(
     count), one extra exchange-free window on the partitioning the
     join needs anyway. Pass ``max_bucket_rows=None`` to disable.
 
-    Each vector is normalized ONCE before the self-join, so the
-    per-pair test is a single dot-product fold (cosine of unit
-    vectors) instead of three — the per-pair stage is the O(pairs)
-    cost. Membership is unchanged: the ~1e-15 reassociation shift is
-    9 orders of magnitude below the value spacing at any realistic
-    threshold."""
-    base = (
-        emb.select(
-            F.col(bucket_col).alias("bucket"),
-            F.col(id_col).alias("id"),
-            as_double(vec_col).alias("v"),
-        )
-        .select("bucket", "id", "v", _norm("v").alias("nrm"))
-        .select("bucket", "id", F.expr("transform(v, x -> x / nrm)").alias("vn"))
+    The in-bucket verify is ONE numpy matmul over the bucket's unit
+    vectors (Arrow-batched ``applyInPandas``, guide §4.2) — the same
+    verify shape :func:`embedding_near_dup_pairs_lsh` documents: a
+    BLAS dot is ~100× cheaper than the interpreted per-pair
+    ``zip_with`` fold this replaced (CodegenFallback, boxed per
+    element; measured 1.05 s → ~0.1 s for the in-bucket stage at
+    sf0.1), and the exchange count drops from two (window + self-join)
+    to one (the group-by bucket shuffle the window guard rides).
+    Membership is unchanged: float-order noise (~1e-15 for dim-64
+    unit vectors) sits many orders of magnitude below the value
+    spacing at any realistic threshold — the same argument the LSH
+    form's verify makes. The matmul is row-blocked so transient
+    memory stays bounded even near ``max_bucket_rows``."""
+    base = emb.select(
+        F.col(bucket_col).alias("bucket"),
+        F.col(id_col).alias("id"),
+        as_double(vec_col).alias("v"),
     )
-    a = base.select("bucket", F.col("id").alias("id_a"), F.col("vn").alias("vna"))
     if max_bucket_rows is not None:
         # count(*) over (partition by bucket) — no orderBy, so no sort;
-        # its hash partitioning is the same one the self-join requires,
-        # so the window rides the join's own exchange. assert_true
+        # its hash partitioning is the same one the group-by verify
+        # requires, so the window rides that exchange. assert_true
         # inside a FILTER can't be pruned away by Catalyst (an unused
         # projected column would be).
         n_in_bucket = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
@@ -411,17 +413,48 @@ def embedding_near_dup_pairs(
                 ),
             ),
         )
-        a = (
-            a.withColumn("__bucket_n", n_in_bucket)
+        base = (
+            base.withColumn("__bucket_n", n_in_bucket)
             .filter(guard.isNull())
             .drop("__bucket_n")
         )
-    b = base.select("bucket", F.col("id").alias("id_b"), F.col("vn").alias("vnb"))
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(_dot("vna", "vnb") >= threshold)
-        .select("id_a", "id_b")
+    thr = float(threshold)
+
+    def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        mat = _stack_batch(pdf["v"], "embedding_near_dup_pairs")
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = 1.0
+        mat = mat / nrm[:, None]
+        ids = pdf["id"].to_numpy(dtype="int64")
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        # row-blocked matmul: transient block is block×n doubles, so
+        # memory stays bounded for buckets near the guard ceiling
+        block = 1024
+        for s in range(0, n, block):
+            sims = mat[s : s + block] @ mat.T
+            ia, ib = np.nonzero(sims >= thr)
+            ia = ia + s
+            keep = ids[ia] < ids[ib]
+            out_a.append(np.minimum(ids[ia][keep], ids[ib][keep]))
+            out_b.append(np.maximum(ids[ia][keep], ids[ib][keep]))
+        id_a = np.concatenate(out_a) if out_a else np.array([], dtype="int64")
+        id_b = np.concatenate(out_b) if out_b else np.array([], dtype="int64")
+        if len(id_a) == 0:
+            return empty
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b})
+
+    return base.groupBy("bucket").applyInPandas(
+        _verify, "id_a bigint, id_b bigint"
     )
 
 
@@ -587,6 +620,17 @@ def seed_quantize(
     # the SQL fold (same sequential 0.0-seeded accumulation, same
     # IEEE sqrt), so dot / (ncv · lit_norm) equals the textbook
     # cosine bit for bit and the DuckDB oracle replays unchanged.
+    #
+    # The expression is BUILT as one SQL string parsed by a single
+    # ``F.expr`` call (round 13): the Column-by-Column form issued
+    # ~n_seeds × dim py4j round-trips for the literals alone, which
+    # dominated the whole query's wall time driver-side (guide §1:
+    # the time was in neither stage nor shuffle but in plan
+    # CONSTRUCTION). ``repr(float)`` round-trips doubles exactly and
+    # the ``D`` suffix keeps Spark from parsing them as decimals, so
+    # the parsed tree is node-for-node the one ``F.lit`` built —
+    # bit-identical assignment (pinned by
+    # test_seed_quantize_sql_literals_match_lit_build).
     import math
 
     def _pynorm(vals) -> float:
@@ -595,17 +639,23 @@ def seed_quantize(
             acc += float(x) * float(x)
         return math.sqrt(acc)
 
+    def _dlit(x: float) -> str:
+        r = repr(float(x))
+        return f"{r}D" if ("e" not in r and "E" not in r) else f"CAST({r} AS DOUBLE)"
+
     with_n = c.select("id", "cv", _norm("cv").alias("__ncv"))
-    cands = F.array(*[
-        F.struct(
-            (
-                _dot("cv", F.array(*[F.lit(float(x)) for x in r["sv"]]))
-                / (F.col("__ncv") * F.lit(_pynorm(r["sv"])))
-            ).alias("c"),
-            F.lit(-int(r["seed_id"])).cast("bigint").alias("negid"),
+    seed_exprs = []
+    for r in seeds:
+        arr = ", ".join(_dlit(x) for x in r["sv"])
+        dot = (
+            f"aggregate(zip_with(cv, array({arr}), (x, y) -> x * y), "
+            "cast(0.0 as double), (acc, v) -> acc + v)"
         )
-        for r in seeds
-    ])
+        seed_exprs.append(
+            f"named_struct('c', {dot} / (__ncv * {_dlit(_pynorm(r['sv']))}), "
+            f"'negid', CAST({-int(r['seed_id'])} AS BIGINT))"
+        )
+    cands = F.expr(f"array({', '.join(seed_exprs)})")
     return with_n.select(
         F.col("id").alias(id_col),
         F.col("cv").alias(vec_col),

@@ -635,3 +635,109 @@ def test_multiprobe_lsh_superset_and_monotone_recall(spark):
 
     with pytest.raises(ValueError, match="n_probes"):
         hyperplane_probe_buckets(queries, 4, 4, 64, n_probes=6).collect()
+
+
+def test_seed_quantize_sql_literals_match_lit_build(spark):
+    """Round-13 optimization pin: seed_quantize builds its argmax
+    expression as ONE parsed SQL string (the F.lit-per-element form
+    cost ~n_seeds x dim py4j round-trips of pure driver time). The
+    parsed literals must round-trip bit-exactly — repr() doubles with
+    the D suffix / DOUBLE cast — so cell assignment is identical to
+    the Column-built tree, including knife-edge cosine ties."""
+    import math
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        _dot,
+        _norm,
+        as_double,
+        seed_quantize,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in seed_quantize(emb, n_seeds=8).select("vec_id", "cell").collect()
+    }
+
+    # reference: the pre-round-13 Column-by-Column build (bit-exact
+    # same tree, just constructed via py4j literals)
+    c = emb.select(F.col("vec_id").alias("id"), as_double("embedding").alias("cv"))
+    seeds = (
+        c.orderBy("id").limit(8)
+        .select(F.col("id").alias("seed_id"), F.col("cv").alias("sv"))
+        .collect()
+    )
+
+    def pynorm(vals):
+        acc = 0.0
+        for x in vals:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    with_n = c.select("id", "cv", _norm("cv").alias("__ncv"))
+    cands = F.array(*[
+        F.struct(
+            (
+                _dot("cv", F.array(*[F.lit(float(x)) for x in r["sv"]]))
+                / (F.col("__ncv") * F.lit(pynorm(r["sv"])))
+            ).alias("c"),
+            F.lit(-int(r["seed_id"])).cast("bigint").alias("negid"),
+        )
+        for r in seeds
+    ])
+    ref = {
+        r["id"]: r["cell"]
+        for r in with_n.select(
+            "id", (-F.array_max(cands)["negid"]).alias("cell")
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_embedding_near_dup_matmul_matches_fold_verify(spark):
+    """Round-13 optimization pin: the in-bucket verify is a numpy
+    matmul over unit vectors (Arrow applyInPandas) instead of the
+    interpreted per-pair zip_with fold. Pair membership must match
+    the fold form exactly — float-order noise (~1e-15) is far below
+    the threshold spacing on real data."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        _dot,
+        _norm,
+        as_double,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    for thr in (0.35, 0.92):
+        got = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dup_pairs(
+                emb, threshold=thr, bucket_col="label"
+            ).collect()
+        }
+        base = (
+            emb.select(
+                F.col("label").alias("bucket"),
+                F.col("vec_id").alias("id"),
+                as_double("embedding").alias("v"),
+            )
+            .select("bucket", "id", "v", _norm("v").alias("nrm"))
+            .select(
+                "bucket", "id", F.expr("transform(v, x -> x / nrm)").alias("vn")
+            )
+        )
+        a = base.select(
+            "bucket", F.col("id").alias("id_a"), F.col("vn").alias("vna")
+        )
+        b = base.select(
+            "bucket", F.col("id").alias("id_b"), F.col("vn").alias("vnb")
+        )
+        ref = {
+            (r.id_a, r.id_b)
+            for r in (
+                a.join(b, "bucket")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .filter(_dot("vna", "vnb") >= thr)
+                .select("id_a", "id_b")
+            ).collect()
+        }
+        assert got == ref, f"pair set diverged at threshold {thr}"
