@@ -331,8 +331,12 @@ def minhash_signatures(docs: DataFrame, k: int = 32, n: int = 3) -> DataFrame:
     sigarr = toked.filter(
         F.size("__tokens") >= n
     ).select("doc_id", F.expr(sig_sql).alias("__sig"))
-    return sigarr.select(
-        "doc_id", *[F.col("__sig")[j].alias(f"h{j}") for j in range(k)]
+    # selectExpr strings, not k Column objects: the per-column
+    # col/getItem/alias py4j round-trips dominated plan-construction
+    # time for the whole minhash chain (guide §1 — the cost was on
+    # the driver, not in any stage)
+    return sigarr.selectExpr(
+        "doc_id", *[f"__sig[{j}] AS h{j}" for j in range(k)]
     )
 
 
@@ -367,15 +371,16 @@ def minhash_band_buckets(
     (:func:`minhash_index_build` / :func:`dedup_against_index`)."""
     r = k // bands
     sig = minhash_signatures(docs, k, n)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.xxhash64(*[F.col(f"h{b * r + i}") for i in range(r)]).alias("bh"),
-        )
+    # one parsed expression instead of bands × (struct + hash + lits)
+    # Column calls — same tree, a fraction of the driver round-trips
+    band_structs = ", ".join(
+        f"named_struct('band_id', {b}, 'bh', "
+        f"xxhash64({', '.join(f'h{b * r + i}' for i in range(r))}))"
         for b in range(bands)
-    ]
+    )
     return sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+        "doc_id",
+        F.explode(F.expr(f"array({band_structs})")).alias("band"),
     ).select("doc_id", "band.band_id", "band.bh")
 
 
@@ -560,8 +565,12 @@ def connected_components(
     the difference between 6 rounds and 60 for a pathological
     chain-shaped cluster at corpus scale. ``localCheckpoint`` cuts
     lineage each round so the plan doesn't grow exponentially;
-    convergence is a count aggregate on the already-checkpointed
-    update; max_iter bounds the loop defensively.
+    checkpoints are LAZY (round 13) so each round issues exactly ONE
+    action — the convergence count materializes the round's hooked
+    and updated frames in the same job, where the two eager
+    checkpoints plus the count were three driver round-trips per
+    iteration (guide §1.2: per-round fixed cost is what an iterative
+    operator amortizes worst).
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -569,16 +578,17 @@ def connected_components(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        # Materialize once: every iteration joins edges, and without
-        # the cut each round would recompute the whole upstream
-        # pair-finding pipeline (MinHash/Jaccard) from scratch.
+        # Materialize once (EAGER): every iteration joins edges, and
+        # without the cut each round would recompute the whole
+        # upstream pair-finding pipeline (MinHash/Jaccard) from
+        # scratch.
         .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     converged = False
     for _ in range(max_iter):
@@ -600,8 +610,10 @@ def connected_components(
                     F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            # checkpointed because the shortcut self-join reads it twice
-            .localCheckpoint()
+            # checkpointed because the shortcut self-join reads it
+            # twice; lazy — the convergence count below materializes
+            # it exactly once
+            .localCheckpoint(eager=False)
         )
         # Pointer jumping: adopt the label's own label. Labels are
         # always ids of nodes present in `hooked` (they start as node
@@ -617,11 +629,11 @@ def connected_components(
                 "__old",
                 F.coalesce("__plabel", "cluster_id").alias("cluster_id"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            updated.filter(F.col("cluster_id") != F.col("__old")).limit(1).count()
-        )
+        # full count, not limit(1): materializes the lazy checkpoints
+        # in the SAME job the convergence test rides on
+        changed = updated.filter(F.col("cluster_id") != F.col("__old")).count()
         labels = updated.drop("__old")
         if changed == 0:
             converged = True

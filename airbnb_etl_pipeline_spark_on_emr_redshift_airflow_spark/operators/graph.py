@@ -29,6 +29,7 @@ def bfs_min_hops(
     dst_col: str = "dst",
     node_col: str = "node",
     stats: dict | None = None,
+    broadcast_max_rows: int | None = 4_000_000,
 ) -> DataFrame:
     """Minimum hop count from any source node, by BFS frontier
     iteration: returns (``node_col``, ``hops``) for every node
@@ -42,38 +43,65 @@ def bfs_min_hops(
     (the recursive-CTE oracle does exactly that global MIN; results
     match, the plans differ by design).
 
+    Join strategy is picked DELIBERATELY per round (guide §3.1) from
+    the frontier/visited row counts the loop already knows: a
+    checkpointed frame has no Catalyst stats, so left alone every
+    round sort-merge/shuffle-joins the FULL edge set against a
+    frontier that is usually tiny — the frontier (probe side) and the
+    visited set (anti side) get an explicit broadcast hint while they
+    hold ≤ ``broadcast_max_rows`` rows (slim single-column frames;
+    the default ~4M rows ≈ tens of MB broadcast). Past the threshold
+    the hint is dropped and the keyed shuffle plan takes over — the
+    growth path for frontiers that outgrow executor memory. One
+    action per round: the convergence check is a ``count()`` on the
+    lazily-checkpointed new frontier (materialize + count in the same
+    job, where an eager checkpoint plus ``head(1)`` was two).
+
     Pass ``stats={}`` to record ``stats["frontier_sizes"]`` — the
     node count of each round's NEW frontier. Each round's join/anti
     inputs are the frontier frame (never the visited set), so these
     sizes ARE the per-round cost profile; the power-law graph test
-    pins that contract. Costs one extra count action per round —
-    leave ``stats`` None in production.
+    pins that contract. The counts now drive convergence, so stats
+    cost nothing extra.
     """
     if max_hops < 0:
         raise ValueError(f"bfs_min_hops: max_hops must be >= 0, got {max_hops}")
+
+    def _maybe_bcast(df: DataFrame, n_rows: int) -> DataFrame:
+        if broadcast_max_rows is not None and n_rows <= broadcast_max_rows:
+            return F.broadcast(df)
+        return df
+
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     visited = (
         sources.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("hops", F.lit(0).cast("bigint"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    frontier = visited
+    n_visited = visited.count()
+    frontier, n_frontier = visited, n_visited
     for h in range(1, max_hops + 1):
         nxt = (
-            frontier.join(e, frontier.node == e.__src)
+            _maybe_bcast(frontier, n_frontier)
+            .join(e, frontier.node == e.__src)
             .select(F.col("__dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(
+                _maybe_bcast(visited.select("node"), n_visited),
+                "node",
+                "left_anti",
+            )
             .withColumn("hops", F.lit(h).cast("bigint"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if not nxt.head(1):
+        cnt = nxt.count()
+        if cnt == 0:
             break
         if stats is not None:
-            stats.setdefault("frontier_sizes", []).append(nxt.count())
+            stats.setdefault("frontier_sizes", []).append(cnt)
         # no checkpoint on the union: every leaf (seed set + each
         # round's frontier) is already materialized, so the union plan
         # stays ≤ max_hops shallow unions deep with zero recompute —
@@ -82,7 +110,8 @@ def bfs_min_hops(
         # the per-round checkpoint that matters is nxt's, which caps
         # the join lineage)
         visited = visited.unionByName(nxt)
-        frontier = nxt
+        n_visited += cnt
+        frontier, n_frontier = nxt, cnt
     return visited.select(F.col("node").alias(node_col), "hops")
 
 

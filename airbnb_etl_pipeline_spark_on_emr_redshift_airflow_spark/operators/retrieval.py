@@ -60,18 +60,29 @@ def bm25_search(
     accumulation order (and hash-checkable cross-engine); ties break
     on the document id.
     """
+    # Materialize the tokenized corpus once (lazy checkpoint): tf, dl
+    # and stats are three independent consumers, and without the cut
+    # each re-runs the upstream tokenize (regex + split) scan — three
+    # corpus passes for one logical input. With one shared input the
+    # tf/dfreq/probe subtrees also canonicalize identically, so
+    # ReuseExchange dedups the (id, term) shuffle. The persisted-index
+    # path (bm25_search_with) avoids even this by reading (tf, dl)
+    # from parquet — this fused form is the one-shot convenience.
+    toked = toked.select(
+        F.col(id_col).alias("id"), F.col(tokens_col).alias("__t")
+    ).localCheckpoint(eager=False)
     terms = toked.select(
-        F.col(id_col).alias("id"), F.explode(F.col(tokens_col)).alias("term")
+        "id", F.explode(F.col("__t")).alias("term")
     ).filter(F.col("term") != "")
     tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     dl = toked.select(
-        F.col(id_col).alias("id"),
-        F.size(F.col(tokens_col)).cast("bigint").alias("dl"),
+        "id",
+        F.size(F.col("__t")).cast("bigint").alias("dl"),
     )
     stats = toked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.size(F.col(tokens_col))).cast("bigint").alias("sum_dl"),
+        F.sum(F.size(F.col("__t"))).cast("bigint").alias("sum_dl"),
     )
     # Query terms are DISTINCT per query (a repeated keyword is one
     # probe, standard BM25-on-query-set semantics).

@@ -497,6 +497,15 @@ def dsir_weights(
         grams.withColumn("bucket", _md5_bucket(F.col("gram"), n_buckets))
         .groupBy("id", "__tgt", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # Materialized once (lazy checkpoint): FOUR consumers (raw,
+        # tgt, totals, the final per-doc join) each re-ran the gram
+        # explode + md5 bucketing + count shuffle otherwise — column
+        # pruning gives each consumer a differently-pruned subtree, so
+        # ReuseExchange never fires on them (two identical 358k-row
+        # gram stages per run at sf0.1, 4 corpus scans at any scale).
+        # The cached frame is the slim (id, tgt, bucket, cnt) count
+        # table — the smallest thing the four rollups can share.
+        .localCheckpoint(eager=False)
     )
     raw = db.groupBy("bucket").agg(F.sum("cnt").alias("c_raw"))
     tgt = (

@@ -1371,10 +1371,17 @@ def t_bpe_merges(spark, sf_dir):
         word_table,
     )
 
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.io import (
+        literal_table,
+    )
+
     (docs,) = load(spark, sf_dir, "documents")
     toked = docs.select(F.expr(_TOKS).alias("t"))
     merges = bpe_train(word_table(toked, "t"), 20)
-    return spark.createDataFrame(
+    # VALUES LocalRelation, not a 32-slice parallelized RDD — see
+    # sources.io.literal_table
+    return literal_table(
+        spark,
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, a string, b string",
     )
@@ -2062,19 +2069,31 @@ def g_bfs_reachability(spark, sf_dir):
     )
 
     li, orders = load(spark, sf_dir, "lineitem", "orders")
+    # Narrow node encoding (guide §2.3, "narrower types"): the
+    # bipartite node set is injectively packed into BIGINTs
+    # (orders → 2k, parts → 2k+1) so every per-round join, distinct
+    # and anti-join shuffles/caches 8-byte longs instead of 'o:...'
+    # strings (~3× the bytes, and string hashing/compares per probe);
+    # the string form the oracle emits is decoded ONCE from the
+    # hop-labelled result (output-sized), so the returned rows are
+    # byte-identical to the string-keyed traversal.
     fwd = li.select(
-        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
-        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
     )
     edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     seeds = (
         orders.filter("o_orderkey % 1000 = 0")
-        .select(
-            F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("node")
-        )
+        .select((F.col("o_orderkey") * 2).alias("node"))
         .distinct()
     )
-    return bfs_min_hops(edges, seeds, max_hops=_BFS_HOPS)
+    return bfs_min_hops(edges, seeds, max_hops=_BFS_HOPS).select(
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("o:")).otherwise(F.lit("p:")),
+            F.expr("node div 2").cast("string"),
+        ).alias("node"),
+        "hops",
+    )
 
 
 _RRF_QIDS = (7, 42, 99)

@@ -87,10 +87,17 @@ def r_bm25_search(spark, sf_dir):
         bm25_search,
     )
 
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.sources.io import (
+        literal_table,
+    )
+
     (docs,) = load(spark, sf_dir, "documents")
     toked = docs.select("doc_id", F.expr(TOKS).alias("t"))
-    queries = spark.createDataFrame(
-        _BM25_QUERIES, "query_id bigint, q array<string>"
+    # literal_table = VALUES LocalRelation: createDataFrame of 3 rows
+    # parallelized into a 32-slice Python-pickled RDD scan — ~0.4-1.8 s
+    # of task+worker overhead per run for a constant query table
+    queries = literal_table(
+        spark, _BM25_QUERIES, "query_id bigint, q array<string>"
     )
     return bm25_search(toked, queries, k=_BM25_K)
 

@@ -115,12 +115,57 @@ def read_delimited_text(
     )
 
 
+def _sql_literal(v) -> str:
+    """Render a Python value as a Spark SQL literal (str/bool/int/
+    float/None/list). Floats use repr (shortest exact round-trip)
+    with the ``D`` suffix / DOUBLE cast so they parse as DOUBLE, not
+    DECIMAL; strings double single quotes (safe under
+    escapedStringLiterals — no backslash escapes emitted)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        r = repr(v)
+        return f"{r}D" if "e" not in r and "E" not in r else f"CAST({r} AS DOUBLE)"
+    if isinstance(v, (list, tuple)):
+        return f"array({', '.join(_sql_literal(x) for x in v)})"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    raise TypeError(f"literal_table: unsupported literal type {type(v)!r}")
+
+
 def literal_table(
     spark: SparkSession, rows: list[tuple], schema: str
 ) -> DataFrame:
     """S5 — tiny in-memory dimension (the 4-row station→city lookup,
-    ``apps/preprocess_data.py:142-145``). Broadcast-join fodder."""
-    return spark.createDataFrame(rows, schema=schema)
+    ``apps/preprocess_data.py:142-145``). Broadcast-join fodder.
+
+    Built as a SQL ``VALUES`` LocalRelation, not ``createDataFrame``
+    (round 13): parallelizing a handful of driver rows creates an RDD
+    with ``defaultParallelism`` slices, so every action on the frame
+    launched a 32-task stage whose tasks each spin a Python worker to
+    unpickle (almost always) zero rows — measured at ~0.3-1.8 s of
+    pure overhead per query run (guide §4: the Python boundary you
+    don't need is the cheapest one to remove). A LocalRelation lives
+    in the JVM plan itself: zero tasks, zero Python, and Catalyst
+    folds it straight into broadcast joins."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    fields = _parse_datatype_string(schema).fields
+    if not rows:
+        return spark.createDataFrame(rows, schema=schema)
+    values = ", ".join(
+        "(" + ", ".join(_sql_literal(v) for v in row) + ")" for row in rows
+    )
+    names = ", ".join(f.name for f in fields)
+    casts = ", ".join(
+        f"CAST({f.name} AS {f.dataType.simpleString()}) AS {f.name}"
+        for f in fields
+    )
+    return spark.sql(f"SELECT {casts} FROM (VALUES {values}) AS t({names})")
 
 
 def with_path_segment(
