@@ -1055,6 +1055,28 @@ class Table:
                 "once it commits; if it is dead, release it with "
                 f"release_dml_ticket({base}) while no writers are live."
             )
+        # Ticket won — RE-VALIDATE the pointed changes watermark
+        # before writing (ADVICE r12, the analog of _cas_flip's
+        # step-4 pointer re-check): an optimize + vacuum_changes that
+        # ran inside the decision window folds intermediate batches
+        # into a version and RETIRES them from the log, so the
+        # post-commit gap check below cannot see them; the sweep also
+        # removes the __commit_from={base} ticket, which is how this
+        # writer could (re)create it at all. The pointed watermark is
+        # durable evidence: benign interleavings keep it <= base, a
+        # fold of any batch committed after this writer's decision
+        # moves it past base — then the decisions are stale.
+        v2 = self._pointer()
+        wm2 = self._watermarks(v2)[1] if v2 is not None else 0
+        if wm2 > base:
+            fsutil.delete(spark, ticket)  # nothing committed from it
+            raise ConcurrentWriteError(
+                f"Table: the change-log watermark of {self.root} "
+                f"advanced to {wm2} past this conditional write's "
+                f"decision head {base} (a concurrent writer committed "
+                "and an optimize folded its batches) — these decisions "
+                "are stale; re-run to decide against the current state."
+            )
         try:
             apply_changes(ch, self._changes, self.key_cols, batch_id=n)
         except BaseException:
@@ -1072,8 +1094,15 @@ class Table:
             b for b in _batches(spark, self._changes) if base < b < n
         ]
         if blind:
-            # withdraw our batch: its decisions never saw these rows
+            # withdraw our batch: its decisions never saw these rows.
+            # Release the ticket too (ADVICE r12 — as the apply-failure
+            # branch does): nothing from this head remains committed,
+            # and a later same-base contender independently detects
+            # the still-committed blind batch via its own gap check —
+            # leaving the ticket dangling only buys every such
+            # contender a misleading IN-DOUBT error.
             fsutil.delete(spark, f"{self._changes}/batch={n}")
+            fsutil.delete(spark, ticket)
             raise ConcurrentWriteError(
                 f"Table: blind change batch(es) {blind} committed to "
                 f"{self.root} while this conditional write was deciding "
@@ -1785,7 +1814,13 @@ class Table:
         is the pointed LATEST, the fold watermarks it recorded
         (which live/change batches it materialized), and whether it
         is an orphaned CAS loser (committed-but-never-pointed — still
-        pinnable via :meth:`snapshot`). All metadata-plane reads
+        pinnable via :meth:`snapshot`). The ``cas_loser`` flag is
+        derived as ``version > pointed``, so it only identifies
+        losers ABOVE the current pointer: once a later optimize
+        advances the pointer past a loser, that version reads as
+        normally superseded (ADVICE r12 — durable per-version parent
+        metadata would be needed to tell the two apart after the
+        fact). All metadata-plane reads
         (version count is bounded by ``keep``); pairs with
         :meth:`restore` for point-in-time rollback and with
         :meth:`snapshot` for pinned reads."""

@@ -466,3 +466,59 @@ def test_history_lists_versions_and_flags_cas_losers(spark, tmp_dir):
     assert loser["cas_loser"] and not loser["is_latest"]
     # the loser is still a consistent pin
     assert t.snapshot(3).count() == 1
+
+
+def test_vacuumed_decision_window_fails_loudly(spark, tmp_dir, monkeypatch):
+    """ADVICE r12 (medium): a conditional writer whose decision head
+    predates an optimize+vacuum sweep must NOT commit — the swept
+    intermediate batches are invisible to the post-commit gap check,
+    and the sweep also removed the __commit_from ticket, so without
+    the post-ticket watermark re-check the stale decisions would land
+    silently (lost update)."""
+    root = f"{tmp_dir}/t"
+    t = _mk(spark, root, [(1, 0)], zone=False)
+    base0 = t._dml_base()
+    # another writer commits from base0, then optimize folds its
+    # batch into a version and vacuum retires it (ticket swept too)
+    t.update_where("k = 1", {"v": "v + 1"})
+    t.optimize(keep=10)
+    wm = t._watermarks(t._pointer())[1]
+    t.vacuum_changes(wm)
+    assert not fsutil.exists(
+        spark, f"{root}/changes/__commit_from={base0}"
+    )  # the sweep is what lets the stale writer re-take the ticket
+    monkeypatch.setattr(Table, "_dml_base", lambda self: base0)
+    with pytest.raises(ConcurrentWriteError, match="advanced"):
+        t.update_where("k = 1", {"v": "v + 1"})
+    monkeypatch.undo()
+    # exactly one increment landed; the stale writer's never did
+    assert _content(t) == [(1, 1)]
+    # and its released ticket doesn't brick the real head's retry
+    t.update_where("k = 1", {"v": "v + 1"})
+    assert _content(t) == [(1, 2)]
+
+
+def test_blind_withdrawal_releases_its_ticket(spark, tmp_dir, monkeypatch):
+    """ADVICE r12 (low): the blind-batch withdrawal path must release
+    its __commit_from ticket like the apply-failure path does — a
+    dangling ticket gives every later same-base contender a
+    misleading IN-DOUBT error until a vacuum sweep."""
+    root = f"{tmp_dir}/t"
+    t = _mk(spark, root, [(1, 0)], zone=False)
+    base0 = t._dml_base()
+    t.upsert(spark.createDataFrame([(2, 99)], "k bigint, v bigint"))
+    monkeypatch.setattr(Table, "_dml_base", lambda self: base0)
+    with pytest.raises(ConcurrentWriteError, match="blind change batch"):
+        t.update_where("true", {"v": "v + 1"})
+    # the ticket went with the withdrawn batch
+    assert not fsutil.exists(
+        spark, f"{root}/changes/__commit_from={base0}"
+    )
+    # a same-base contender re-raises on ITS OWN gap check (the blind
+    # batch is still committed), not on a dangling in-doubt ticket
+    with pytest.raises(ConcurrentWriteError, match="blind change batch"):
+        t.update_where("true", {"v": "v + 1"})
+    monkeypatch.undo()
+    # with the real head the write goes through
+    t.update_where("true", {"v": "v + 1"})
+    assert _content(t) == [(1, 1), (2, 100)]
