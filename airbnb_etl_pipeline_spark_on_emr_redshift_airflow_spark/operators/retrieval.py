@@ -71,25 +71,42 @@ def bm25_search(
     toked = toked.select(
         F.col(id_col).alias("id"), F.col(tokens_col).alias("__t")
     ).localCheckpoint(eager=False)
-    terms = toked.select(
-        "id", F.explode(F.col("__t")).alias("term")
-    ).filter(F.col("term") != "")
-    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    dl = toked.select(
-        "id",
-        F.size(F.col("__t")).cast("bigint").alias("dl"),
-    )
-    stats = toked.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.size(F.col("__t"))).cast("bigint").alias("sum_dl"),
-    )
     # Query terms are DISTINCT per query (a repeated keyword is one
     # probe, standard BM25-on-query-set semantics).
     qterms = queries.select(
         F.col(qid_col).alias("qid"),
         F.explode(F.array_distinct(F.col(qterms_col))).alias("term"),
     ).filter(F.col("term") != "")
+    # Every BM25 quantity except dl/avgdl is only ever needed for
+    # terms that appear in SOME query, so the dim-sized distinct query
+    # vocabulary broadcast-semi-joins into the term explode BEFORE any
+    # aggregation (guide §3.2 — pre-filter the big side): the
+    # (id, term) shuffle and the df rollup then carry query-term rows
+    # only, instead of the full corpus vocabulary. df per query term
+    # is unchanged — the filter restricts terms, never the documents
+    # counted per term.
+    terms = (
+        toked.select("id", F.explode(F.col("__t")).alias("term"))
+        .filter(F.col("term") != "")
+        # left_semi (not distinct-then-inner): no extra exchange to
+        # dedup the query vocabulary, and the broadcast side is the
+        # SAME qterms frame the probe join broadcasts, so the build
+        # is shared instead of gating the explode behind a second
+        # broadcast job.
+        .join(F.broadcast(qterms), "term", "left_semi")
+    )
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = toked.select(
+        "id",
+        F.size(F.col("__t")).cast("bigint").alias("dl"),
+    )
+    # Global doc count / total length derive from dl — one corpus
+    # pass for both, instead of a separate aggregate over toked.
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
 
     # Probe the inverted index: dim-sized query terms broadcast into
     # the (doc, term, tf) table; df (vocab-rows, corpus-derived — no
