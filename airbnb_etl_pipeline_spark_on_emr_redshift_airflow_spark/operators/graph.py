@@ -74,7 +74,7 @@ def bfs_min_hops(
 
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     visited = (
         sources.select(F.col(node_col).alias("node"))
         .distinct()
@@ -161,8 +161,17 @@ def pagerank_fixed_point(
     checkpoint once and the rank frame checkpoints per round (the
     :func:`bfs_min_hops` lineage-cut discipline): without the cuts
     every iteration replays the whole prior lineage and the plan
-    grows with the iteration count. No driver-side state beyond the
-    loop counter."""
+    grows with the iteration count. Checkpoint eagerness is split by
+    consumption pattern (round 13, measured both ways): the
+    edges/nodes/degree frames stay EAGER because every round re-reads
+    them — a lazy persist let concurrent AQE stages race-recompute
+    their partitions (the all-lazy variant regressed the pagerank
+    suite ~1.6×) — while the per-round rank frame is LAZY (consumed
+    exactly once, by the next round), folding the ``iterations``
+    blocking driver actions into the caller's single action (guide
+    §1.2: per-round fixed cost is what an iterative operator
+    amortizes worst). No driver-side state beyond the loop
+    counter."""
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
     ).localCheckpoint()
@@ -181,7 +190,8 @@ def pagerank_fixed_point(
             teleport.select("node")
             .distinct()
             .join(nodes, "node", "left_semi")
-            .localCheckpoint()
+            # lazy: the count() two lines down materializes it
+            .localCheckpoint(eager=False)
         )
         n_nodes, n_seeds = nodes.count(), seeds.count()
         if n_seeds == 0:
@@ -237,7 +247,7 @@ def pagerank_fixed_point(
                 .cast("bigint")
                 .alias("rank_fp"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     for _ in range(iterations):
         contrib = (
@@ -265,7 +275,7 @@ def pagerank_fixed_point(
                 .cast("bigint")
                 .alias("rank_fp"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return r.select("node", "rank_fp")
 
