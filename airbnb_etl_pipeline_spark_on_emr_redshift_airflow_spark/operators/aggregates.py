@@ -182,8 +182,21 @@ def tfidf_topk(
     terms = toked.select(
         F.col(id_col).alias("id"), F.explode(F.col(tokens_col)).alias("term")
     ).filter(F.col("term") != "")
-    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # Materialize the (id, term, tf) table ONCE (lazy localCheckpoint):
+    # the df rollup prunes columns differently from the join probe, so
+    # ReuseExchange never unified the two subtrees and the whole
+    # scan → tokenize → explode → (id, term) shuffle ran twice per
+    # query (guide §2.4 — the plan showed two full parquet scans of
+    # the corpus; same fix as bm25_search's shared tokenized corpus).
+    tf = (
+        terms.groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # n_docs stays a count over `toked` (NOT over tf: documents with
+    # zero non-empty tokens are absent from tf but must count toward
+    # n_docs). Column pruning reduces it to a metadata-cheap scan.
     total = toked.select(F.count(F.lit(1)).alias("n_docs"))
     score = F.col("tf") * F.log(
         F.col("n_docs").cast("double") / F.col("df").cast("double")
@@ -247,6 +260,15 @@ def unigram_lm_score(
     terms = toked.select(
         F.col(id_col).alias("id"), F.explode(F.col(tokens_col)).alias("term")
     ).filter(F.col("term") != "")
+    # NOT checkpointed (round 13, measured): the tf table's three
+    # consumers (LM rollup, totals chain, join probe) do rebuild the
+    # scan → explode → shuffle prefix three times (no ReuseExchange
+    # after column pruning), but a shared lazy localCheckpoint of tf
+    # measured ~10% SLOWER at both sf0.1 and the 10x decade — the
+    # block write/read + materialization barrier of the full
+    # (id, term, tf) table costs more than the two extra codegen-fused
+    # pruned rebuilds it saves (unlike tfidf_topk, where the same
+    # checkpoint halved the 10x-decade time — measure per operator).
     tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     counts = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     totals = counts.agg(
