@@ -544,6 +544,7 @@ def connected_components(
     max_iter: int = 20,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    broadcast_max_rows: int | None = 4_000_000,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
     components by iterative min-label propagation — each node adopts
@@ -590,25 +591,51 @@ def connected_components(
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint(eager=False)
     )
+    # Deliberate join strategy per round (guide §3.1, same policy as
+    # bfs_min_hops): checkpointed label frames carry no Catalyst
+    # stats, so AQE must plan shuffle stages for BOTH join inputs
+    # before it can downgrade to broadcast — per-round jobs the loop
+    # pays at every scale. The node count is loop-invariant, so ONE
+    # count up front (it materializes the init frame the first round
+    # would have materialized anyway) licenses an explicit broadcast
+    # hint on the node-sized sides (labels in the hook join, the
+    # parent map in the shortcut join) while they hold
+    # ≤ broadcast_max_rows slim two-column rows. Past the threshold
+    # the hint drops and the keyed-shuffle plan remains the 100 TB
+    # growth path.
+    n_nodes = labels.count()
+    hint = (
+        F.broadcast
+        if broadcast_max_rows is not None and n_nodes <= broadcast_max_rows
+        else (lambda df: df)
+    )
     converged = False
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nbr_min"))
+        # Hook as ONE aggregation over self ∪ neighbor labels (round
+        # 13): the former join→groupBy→left-join chain re-shuffled the
+        # label frame twice per round; unioning a tagged self leg into
+        # the neighbor-label stream lets a single groupBy produce both
+        # the hooked label (min over self ∪ neighbors ≡ the old
+        # least/coalesce — every node contributes its own self row, so
+        # no left-join null handling is needed) and the pre-update
+        # label for the convergence test (min(when(__self)) — exactly
+        # one self row per node). One exchange per round where there
+        # were three; identical labels at every round, pinned by the
+        # oracle's recursive-closure replay and tests/test_dedup.py.
+        nbr_leg = edges.join(hint(labels), edges.dst == labels.doc_id).select(
+            F.col("src").alias("doc_id"),
+            F.col("cluster_id"),
+            F.lit(False).alias("__self"),
         )
-        # The pre-update label rides along as __old so convergence is
-        # a filter on the (already checkpointed) update itself — no
-        # second join per round just to detect the fixpoint.
         hooked = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
-                F.col("cluster_id").alias("__old"),
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
+            labels.select("doc_id", "cluster_id", F.lit(True).alias("__self"))
+            .unionByName(nbr_leg)
+            .groupBy("doc_id")
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.min(F.when(F.col("__self"), F.col("cluster_id"))).alias(
+                    "__old"
+                ),
             )
             # checkpointed because the shortcut self-join reads it
             # twice; lazy — the convergence count below materializes
@@ -623,7 +650,7 @@ def connected_components(
             F.col("doc_id").alias("__pid"), F.col("cluster_id").alias("__plabel")
         )
         updated = (
-            hooked.join(parents, hooked.cluster_id == parents.__pid, "left")
+            hooked.join(hint(parents), hooked.cluster_id == parents.__pid, "left")
             .select(
                 "doc_id",
                 "__old",
