@@ -125,6 +125,7 @@ def pagerank_fixed_point(
     dst_col: str = "dst",
     init_ranks: DataFrame | None = None,
     teleport: DataFrame | None = None,
+    broadcast_max_rows: int | None = 4_000_000,
 ) -> DataFrame:
     """Deterministic PageRank over integer fixed-point ranks — the
     second iterative-graph operator beside :func:`bfs_min_hops`.
@@ -185,6 +186,23 @@ def pagerank_fixed_point(
         F.count(F.lit(1)).cast("bigint").alias("__out_deg")
     ).localCheckpoint()
     base = (scale * (damping_den - damping_num)) // damping_den
+    # Deliberate join strategy per round (guide §3.1, the
+    # bfs_min_hops / connected_components policy): checkpointed
+    # frames carry no Catalyst stats, so AQE must plan and
+    # materialize shuffle stages for both inputs of every per-round
+    # join before it can downgrade to broadcast. The rank/degree/node
+    # frames are all node-count-sized and that count is
+    # loop-invariant, so one up-front count licenses explicit
+    # broadcast hints while they hold ≤ broadcast_max_rows slim rows;
+    # past the threshold the hints drop and the keyed-shuffle plan
+    # remains the growth path.
+    n_nodes = nodes.count()
+
+    def _maybe_bcast(df: DataFrame) -> DataFrame:
+        if broadcast_max_rows is not None and n_nodes <= broadcast_max_rows:
+            return F.broadcast(df)
+        return df
+
     if teleport is not None:
         seeds = (
             teleport.select("node")
@@ -193,7 +211,7 @@ def pagerank_fixed_point(
             # lazy: the count() two lines down materializes it
             .localCheckpoint(eager=False)
         )
-        n_nodes, n_seeds = nodes.count(), seeds.count()
+        n_seeds = seeds.count()
         if n_seeds == 0:
             raise ValueError(
                 "pagerank_fixed_point: teleport set shares no node "
@@ -251,8 +269,8 @@ def pagerank_fixed_point(
         )
     for _ in range(iterations):
         contrib = (
-            e.join(r, e["__src"] == r["node"])
-            .join(deg, "__src")
+            e.join(_maybe_bcast(r), e["__src"] == r["node"])
+            .join(_maybe_bcast(deg), "__src")
             .select(
                 "__dst",
                 F.expr("rank_fp div __out_deg").alias("__c"),
@@ -262,7 +280,7 @@ def pagerank_fixed_point(
             F.sum("__c").cast("bigint").alias("__s")
         )
         r = (
-            nodes.join(agg, nodes["node"] == agg["__dst"], "left")
+            nodes.join(_maybe_bcast(agg), nodes["node"] == agg["__dst"], "left")
             .select(
                 "node",
                 (
