@@ -403,7 +403,11 @@ def triangle_counts(
 
 
 def k_core(
-    edges: DataFrame, k: int, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    broadcast_max_rows: int | None = 4_000_000,
 ) -> DataFrame:
     """The k-CORE of an undirected simple graph (input canonicalized
     like :func:`triangle_counts`): the unique maximal subgraph in
@@ -444,22 +448,49 @@ def k_core(
             .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
             .localCheckpoint(eager=False)
         )
-        weak = deg.filter(F.col("degree") < k).select("node")
-        if not weak.head(1):
+        # ONE driver action per round (round 13): the weak/survivor
+        # existence probes were two separate head(1) jobs; one
+        # two-valued aggregate over the (already lazily-checkpointed)
+        # degree frame materializes it AND returns both counts — and
+        # the survivor count licenses a deliberate broadcast below.
+        n_weak, n_total = deg.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("degree") < k, 1).otherwise(0)), F.lit(0)
+            ),
+            F.count(F.lit(1)),
+        ).first()
+        if n_weak == 0:
             return deg.select(
                 "node", F.col("degree").alias("core_degree")
             )
         survivors = deg.filter(F.col("degree") >= k).select("node")
-        if not survivors.head(1):
+        if n_total - n_weak == 0:
             return survivors.withColumn(
                 "core_degree", F.lit(0).cast("bigint")
             )
+        # Checkpointed frames carry no stats, so AQE would plan (and
+        # materialize) shuffle stages for BOTH sides of each semi-join
+        # — re-shuffling the surviving edge set twice per peel round.
+        # The survivor count just came back with the convergence probe:
+        # broadcast-hint the node-sized build side while it stays under
+        # broadcast_max_rows (the bfs/pagerank/cc policy); past the
+        # threshold the keyed-shuffle plan remains the growth path.
+        _hint = (
+            F.broadcast
+            if broadcast_max_rows is not None
+            and n_total - n_weak <= broadcast_max_rows
+            else (lambda df: df)
+        )
         e = (
             e.join(
-                survivors.select(F.col("node").alias("a")), "a", "left_semi"
+                _hint(survivors.select(F.col("node").alias("a"))),
+                "a",
+                "left_semi",
             )
             .join(
-                survivors.select(F.col("node").alias("b")), "b", "left_semi"
+                _hint(survivors.select(F.col("node").alias("b"))),
+                "b",
+                "left_semi",
             )
             .localCheckpoint(eager=False)
         )
