@@ -545,6 +545,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     broadcast_max_rows: int | None = 4_000_000,
+    check_every: int = 2,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
     components by iterative min-label propagation — each node adopts
@@ -572,7 +573,21 @@ def connected_components(
     checkpoints plus the count were three driver round-trips per
     iteration (guide §1.2: per-round fixed cost is what an iterative
     operator amortizes worst).
+
+    ``check_every`` (round 14) spaces the convergence counts: with the
+    default 2, two hook+shortcut rounds chain lazily and ONE count
+    materializes both — halving the blocking driver actions of the
+    fixpoint loop. Labels are unchanged for any value: a round applied
+    past the fixpoint is the identity (min over self ∪ neighbors of a
+    converged labeling returns the same labels), so at worst one extra
+    identity round executes before the loop observes changed == 0
+    (pinned set-identical in tests/test_dedup.py). ``check_every=1``
+    restores the round-13 per-round check.
     """
+    if check_every < 1:
+        raise ValueError(
+            f"connected_components: check_every must be >= 1, got {check_every}"
+        )
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -602,15 +617,21 @@ def connected_components(
     # parent map in the shortcut join) while they hold
     # ≤ broadcast_max_rows slim two-column rows. Past the threshold
     # the hint drops and the keyed-shuffle plan remains the 100 TB
-    # growth path.
-    n_nodes = labels.count()
+    # growth path. The count's only consumer is the broadcast gate —
+    # skip the blocking action entirely when the gate is disabled
+    # (ADVICE r13; round 1's convergence count materializes the init
+    # frame either way). Driver-memory note: the hinted frames are
+    # slim two-column bigint rows, so the 4M default is a ~100-150 MB
+    # broadcast rebuilt per round near the threshold — lower it on
+    # thin drivers (see operators/graph.py for the full rationale).
+    n_nodes = labels.count() if broadcast_max_rows is not None else 0
     hint = (
         F.broadcast
         if broadcast_max_rows is not None and n_nodes <= broadcast_max_rows
         else (lambda df: df)
     )
     converged = False
-    for _ in range(max_iter):
+    for it in range(1, max_iter + 1):
         # Hook as ONE aggregation over self ∪ neighbor labels (round
         # 13): the former join→groupBy→left-join chain re-shuffled the
         # label frame twice per round; unioning a tagged self leg into
@@ -659,12 +680,23 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         # full count, not limit(1): materializes the lazy checkpoints
-        # in the SAME job the convergence test rides on
-        changed = updated.filter(F.col("cluster_id") != F.col("__old")).count()
+        # in the SAME job the convergence test rides on. Only every
+        # ``check_every``-th round (and the last) pays the blocking
+        # action — intermediate rounds chain lazily and the next check
+        # materializes them all in one job (guide §1.2). The broadcast
+        # builds of the hinted sides run as separate jobs BEFORE the
+        # probe stage, so a chained round's label frame is cached by
+        # the build before the probe-side scan reads it — no
+        # race-recompute of the unmaterialized checkpoint (the failure
+        # mode that sank the all-lazy pagerank variant in round 13).
         labels = updated.drop("__old")
-        if changed == 0:
-            converged = True
-            break
+        if it % check_every == 0 or it == max_iter:
+            changed = updated.filter(
+                F.col("cluster_id") != F.col("__old")
+            ).count()
+            if changed == 0:
+                converged = True
+                break
     if not converged:
         # One hop per iteration: a component whose diameter exceeds
         # max_iter would return silently-wrong labels (and downstream

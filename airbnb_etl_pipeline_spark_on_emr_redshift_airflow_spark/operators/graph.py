@@ -81,7 +81,11 @@ def bfs_min_hops(
         .withColumn("hops", F.lit(0).cast("bigint"))
         .localCheckpoint(eager=False)
     )
-    n_visited = visited.count()
+    # The up-front count's only consumer is the broadcast gate — skip
+    # the blocking action entirely when the gate is disabled (ADVICE
+    # r13; round 1's convergence count materializes the lazy frame
+    # either way).
+    n_visited = visited.count() if broadcast_max_rows is not None else 0
     frontier, n_frontier = visited, n_visited
     for h in range(1, max_hops + 1):
         nxt = (
@@ -196,7 +200,25 @@ def pagerank_fixed_point(
     # broadcast hints while they hold ≤ broadcast_max_rows slim rows;
     # past the threshold the hints drop and the keyed-shuffle plan
     # remains the growth path.
-    n_nodes = nodes.count()
+    #
+    # Driver-memory expectation for the default gate (ADVICE r13): the
+    # hinted frames are slim two-column bigint rows, ~16-25 bytes
+    # framed, so the 4M-row default licenses a broadcast relation of
+    # ~100-150 MB rebuilt on the driver each round near the threshold
+    # — well inside the default 8 GB driver but a real per-round cost;
+    # callers on thin drivers should lower ``broadcast_max_rows`` (the
+    # operators are parameterized precisely for this). The explicit
+    # hint deliberately bypasses autoBroadcastJoinThreshold sizing
+    # because checkpointed frames carry no stats at all.
+    #
+    # The count itself is needed by the broadcast gate and by the
+    # personalized form's seed_base — skip the blocking action when
+    # neither consumer exists (ADVICE r13).
+    n_nodes = (
+        nodes.count()
+        if broadcast_max_rows is not None or teleport is not None
+        else 0
+    )
 
     def _maybe_bcast(df: DataFrame) -> DataFrame:
         if broadcast_max_rows is not None and n_nodes <= broadcast_max_rows:

@@ -43,6 +43,7 @@ def bm25_search(
     k1: float = 1.2,
     b: float = 0.75,
     return_terms: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-``k`` documents per query by Okapi BM25.
 
@@ -68,9 +69,16 @@ def bm25_search(
     # ReuseExchange dedups the (id, term) shuffle. The persisted-index
     # path (bm25_search_with) avoids even this by reading (tf, dl)
     # from parquet — this fused form is the one-shot convenience.
+    # ``materialize=False`` is for callers that ALREADY hand in a
+    # checkpointed/materialized frame (e.g. the hybrid-RRF probe
+    # shares one tokenized corpus between its lexical leg and its
+    # query side): a second localCheckpoint would copy the corpus
+    # into block storage again for nothing.
     toked = toked.select(
         F.col(id_col).alias("id"), F.col(tokens_col).alias("__t")
-    ).localCheckpoint(eager=False)
+    )
+    if materialize:
+        toked = toked.localCheckpoint(eager=False)
     # Query terms are DISTINCT per query (a repeated keyword is one
     # probe, standard BM25-on-query-set semantics).
     qterms = queries.select(

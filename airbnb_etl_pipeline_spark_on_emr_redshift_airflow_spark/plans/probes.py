@@ -2187,13 +2187,23 @@ def r_hybrid_rrf(spark, sf_dir):
     )
 
     docs, emb = load(spark, sf_dir, "documents", "embeddings")
-    toked = docs.select("doc_id", F.expr(_TOKS).alias("t"))
+    # ONE tokenized corpus for BOTH bm25 consumers (round 14, guide
+    # §2.4): the query side used to re-scan documents.parquet (a
+    # pushed isin filter still decompresses the whole text column of
+    # the row group) and re-tokenize; deriving it from the same lazy
+    # checkpoint the lexical leg materializes makes the plan scan
+    # documents exactly once. bm25_search(materialize=False) skips its
+    # internal re-checkpoint of the already-checkpointed frame.
+    toked = (
+        docs.select("doc_id", F.expr(_TOKS).alias("t"))
+        .localCheckpoint(eager=False)
+    )
     qdocs = toked.filter(F.col("doc_id").isin(*_RRF_QIDS)).select(
         F.col("doc_id").alias("query_id"), F.col("t").alias("q")
     )
-    lex = bm25_search(toked, qdocs, k=_RRF_K_LEG).filter(
-        F.col("doc_id") != F.col("query_id")
-    )
+    lex = bm25_search(
+        toked, qdocs, k=_RRF_K_LEG, materialize=False
+    ).filter(F.col("doc_id") != F.col("query_id"))
     den = brute_force_topk(
         emb, emb.filter(F.col("vec_id").isin(*_RRF_QIDS)), k=_RRF_K_LEG
     ).select(

@@ -55,3 +55,9 @@ def test_drift_ratio_median_of_canaries():
     assert drift_ratio(
         {"q1_pricing_summary": 2.0}, {"q1_pricing_summary": 1.0}
     ) == 2.0
+
+
+def test_host_probe_ms_positive_and_fast():
+    # tiny probe: sanity that the contention probe runs and returns ms
+    v = bench.host_probe_ms(n_threads=4, reps=50)
+    assert v is not None and 0.0 < v < 10_000.0

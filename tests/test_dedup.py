@@ -962,3 +962,42 @@ def test_minhash_index_remove_equals_rebuild(spark):
         for r in dedup_against_index(batch, bk2, sh2).collect()
     }
     assert hits == {13}  # 12's twin was removed; 13's survives
+
+
+def test_connected_components_check_every_identical_labels(spark):
+    """check_every=2 (round 14: one blocking convergence count per two
+    hook+shortcut rounds) must return labels identical to the
+    per-round-check form — a round applied past the fixpoint is the
+    identity, so only the NUMBER of driver actions may change."""
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chains (need multiple pointer-jump rounds), a star, an island
+    pairs = (
+        [(i, i + 1) for i in range(1, 9)]
+        + [(100, x) for x in range(101, 106)]
+        + [(200, 201)]
+        + [(i, i + 1) for i in range(300, 330)]
+    )
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    base = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(df, check_every=1).collect()
+    }
+    for ce in (2, 3):
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(df, check_every=ce).collect()
+        }
+        assert got == base, f"check_every={ce} changed labels"
+
+
+def test_connected_components_check_every_validates(spark):
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.dedup import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="check_every"):
+        connected_components(df, check_every=0)

@@ -316,3 +316,27 @@ def test_bm25_index_remove_equals_rebuild(spark):
     assert [(r["doc_id"], r["score_fp"] if "score_fp" in r.__fields__ else r[2]) for r in res] == [
         (r["doc_id"], r["score_fp"] if "score_fp" in r.__fields__ else r[2]) for r in res_rb
     ]
+
+
+def test_bm25_search_materialize_false_identical(spark):
+    """materialize=False (round 14: callers that already hand in a
+    checkpointed corpus skip the internal re-checkpoint) must not
+    change a single row."""
+    docs = _corpus(spark)
+    queries = docs.sparkSession.createDataFrame(
+        [(1, ["spark"]), (2, ["join", "merge"])],
+        "query_id bigint, q array<string>",
+    )
+    a = sorted(map(tuple, bm25_search(docs, queries, k=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            bm25_search(
+                docs.localCheckpoint(eager=False),
+                queries,
+                k=3,
+                materialize=False,
+            ).collect(),
+        )
+    )
+    assert a == b

@@ -10,7 +10,16 @@ exits nonzero if any is violated:
   similarity family (AQE choosing broadcast from observed sizes is
   fine; a hint pins the choice at any scale),
 - no Exchange SinglePartition in the dedup/similarity/curation family,
-- ann_topk_lsh's candidate dedup carries no vector columns.
+- ann_topk_lsh's candidate dedup carries no vector columns,
+- catalog-wide (every benched query, round 14): every
+  ``Exchange SinglePartition`` feeds from a PARTIAL AGGREGATE (its
+  rows are per-partition partial states — a handful of rows at any
+  data scale) or from a frame on the explicit tiny-by-construction
+  exemption list. This is the precise form of the round-13 "zero
+  SinglePartition" claim: global scalar aggregates (bm25/dsir/rrf
+  stats) legitimately carry the standard partial→final single
+  partition hop; what must never exist is a SinglePartition exchange
+  carrying DATA-SIZED rows.
 """
 
 from __future__ import annotations
@@ -240,6 +249,45 @@ NO_SINGLE_PARTITION = [
 ]
 
 
+# Physical aggregate nodes whose appearance directly under an
+# Exchange SinglePartition marks the benign partial→final scalar hop.
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+
+# SinglePartition exchanges whose INPUT is not a partial aggregate but
+# is tiny by construction — name: (child-line marker, rationale).
+# Every entry must name WHY the frame cannot grow with the data.
+SINGLE_PARTITION_NONAGG_EXEMPT: dict[str, str] = {
+    # c_budget_select: the running-offset frame is ≤ n_buckets rows
+    # (bucket list is a config constant), sorted once to assign
+    # cumulative offsets.
+    "c_budget_select": "offsets frame is <= n_buckets rows by config",
+    # w_ntile_percentiles: the single-partition hop carries the
+    # per-__bucket count table — rows = the ntile bucket count, a
+    # query constant, not data-sized.
+    "w_ntile_percentiles": "per-bucket count frame, <= n_tiles rows",
+    # c_unimax_budget: every flagged child is keyed by ``lang`` — the
+    # per-language count/cap tables the UniMax allocator sorts
+    # globally; rows = number of languages (bounded dimension).
+    "c_unimax_budget": "per-language cap frames, <= n_languages rows",
+}
+
+
+def single_partition_nonagg(plan: str) -> list[str]:
+    """Child lines of every ``Exchange SinglePartition`` node whose
+    input is NOT a partial aggregate. The child of a unary Exchange is
+    the next line of the tree dump (one indent deeper)."""
+    lines = plan.splitlines()
+    bad: list[str] = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        if any(a in child for a in _AGG_NODES) and "partial_" in child:
+            continue
+        bad.append(child.strip()[:100])
+    return bad
+
+
 def main() -> None:
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.plans import QUERIES
     from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.session import (
@@ -249,9 +297,13 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("plan-audit")
 
+    _plan_cache: dict[str, str] = {}
+
     def executed(name: str) -> str:
-        qe = QUERIES[name](spark, sf_dir)._jdf.queryExecution()
-        return qe.executedPlan().toString()
+        if name not in _plan_cache:
+            qe = QUERIES[name](spark, sf_dir)._jdf.queryExecution()
+            _plan_cache[name] = qe.executedPlan().toString()
+        return _plan_cache[name]
 
     print("| query | shuffles | broadcast joins | sort-merge |")
     print("|---|---|---|---|")
@@ -277,6 +329,24 @@ def main() -> None:
     for name in NO_SINGLE_PARTITION:
         if "Exchange SinglePartition" in executed(name):
             violations.append(f"{name}: Exchange SinglePartition")
+    # Catalog-wide SinglePartition payload gate (round 14): every
+    # benched query — the same 126-query set plan_shapes.tsv covers.
+    import os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    for name in bench.HEADLINE + bench.SIDECAR_ONLY:
+        bad = single_partition_nonagg(executed(name))
+        if bad and name not in SINGLE_PARTITION_NONAGG_EXEMPT:
+            for child in bad:
+                violations.append(
+                    f"{name}: Exchange SinglePartition over "
+                    f"non-aggregated rows ({child})"
+                )
+
     ann = executed("s_ann_methods")
     if "first(qv" in ann or "first(cv" in ann:
         violations.append("s_ann_methods: candidate dedup carries vector columns")
