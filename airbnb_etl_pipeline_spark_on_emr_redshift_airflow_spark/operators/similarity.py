@@ -820,36 +820,34 @@ def embedding_near_dup_pairs_lsh(
     true near-dups (s ≥ 0.9) stay ≈1.0 — raise n_tables to win loose
     recall back (standard LSH trade).
 
-    VERIFY SHAPE (round 7): the exact-cosine verify runs INSIDE each
-    (table, bucket) group as ONE numpy matmul over the bucket's unit
-    vectors (Arrow-batched ``applyInPandas``), emitting only the
-    pairs that clear the threshold. Two structural wins over the
-    previous candidates-then-attach design (generate slim id pairs,
-    dedup, join vectors back, fold per pair):
+    VERIFY SHAPE (round 7, payload slimmed round 14): the in-bucket
+    pass runs INSIDE each (table, bucket) group as ONE numpy matmul
+    (Arrow-batched ``applyInPandas``) — but over INT8-QUANTIZED unit
+    vectors carried as ``dim``-byte BINARY through the bucket
+    exchange, screening at ``threshold − margin`` where ``margin`` is
+    the proven worst-case quantization error (≤ 2·√d/254 + d/254²
+    for round-to-nearest on unit vectors). The surviving candidates —
+    output-sized plus the tiny margin band — dedup across tables and
+    re-attach the exact float64 unit vectors by keyed join for the
+    final unquantized threshold (the JVM sequential-fold dot, the
+    catalog's oracle arithmetic). Structure per guide §8: every
+    corpus-sized exchange moves a lightweight proxy (16 × ~dim bytes
+    per doc instead of 16 × ~8·dim — ~5× fewer bytes at dim 64); the
+    full-precision vectors are only ever touched by scans and a
+    candidate-sized join.
 
-    - the heavy exchanges are CORPUS-sized, not candidate-sized: the
-      shuffle carries ``n_tables`` copies of each unit vector
-      (n_tables × dim doubles per row) instead of ~n_tables × target/2
-      candidate id-pairs per row PLUS a 2×dim-double vector attach per
-      distinct candidate — at the default target 160 that exchange
-      alone was ~40× the bytes of the vectors themselves, and it grew
-      with the target; the only pair-sized frame now is the OUTPUT
-      (true near-dups), deduped across tables after the verify;
-    - the per-pair dot is a BLAS row in a (pop × dim)·(dim × pop)
-      matmul (~ns/pair) instead of an interpreted ``zip_with`` fold
-      (CodegenFallback, boxed per element — the same trade
-      :func:`hyperplane_buckets` documents for the plane dots). Pairs
-      colliding in several tables are re-dotted once per table, but a
-      redundant BLAS dot is ~100× cheaper than one deduped interpreted
-      fold — measured on the scale-decade bench this verify is ~10×
-      faster end to end and stays so at every N (the candidate count
-      is linear either way; only the constant changed).
-
-    Emission uses the BLAS dot of pre-normalized unit vectors; a
-    certification layer that re-checks pairs with the JVM fold (e.g.
-    ``s_near_dup_lsh_blocked``'s ``cos_fp`` gate at 1e-6 fixed point)
-    disagrees only if the two sums differ by > 5e-7 — ~1e7× the
-    worst observed float-order noise for dim-64 unit vectors.
+    Why screen-then-certify instead of exact in-bucket emission (the
+    round-7..13 form): the bucket exchange was the chain's one
+    corpus×n_tables shuffle of full doubles — at 10⁹ docs × 16 tables
+    ~8 TB of vector bytes. The certify join costs two extra corpus
+    SCANS (no exchange: AQE broadcasts the candidate side when small;
+    past that the keyed join streams the vector table) — scans are
+    the cheap currency at 100 TB, exchanges are not. Membership is
+    EXACT-threshold by construction: the screen margin makes false
+    negatives impossible, and the certify applies the same fold
+    arithmetic the catalog's cos_fp gates replay (pairs planted
+    inside the margin band on both sides pin this in
+    tests/test_similarity.py).
 
     ``max_bucket_rows`` is the loud-failure guard (same philosophy as
     :func:`embedding_near_dup_pairs`): a group larger than it — a
@@ -889,13 +887,24 @@ def embedding_near_dup_pairs_lsh(
             "bucket",
             F.pmod(F.xxhash64("table_id", "bucket"), F.lit(n_buckets)),
         )
-    # Pre-normalize once per vector so the in-bucket verify is a plain
-    # matmul of unit vectors (dot == cosine). The attach is ONE keyed
-    # join of the slim bucket frame to the vector table — NO broadcast
-    # hint: the vector table is corpus-sized (at 10^9 docs × 64 dims a
-    # broadcast is ~0.5 TB — guaranteed OOM for the function
-    # advertised as the 100 TB path). At small scale AQE sees the
-    # actual sizes and converts to broadcast-hash on its own.
+    # QUANTIZED CARRIAGE through the bucket exchange (round 14, guide
+    # §2.3 narrower types + §8 "decide with small rows, move big rows
+    # once"): the only corpus×n_tables exchange in the chain used to
+    # ship each unit vector as array<double> (~530 B/row) — at 10⁹
+    # docs × 16 tables that exchange alone is ~8 TB. The in-bucket
+    # pass only needs enough precision to SCREEN candidates, so the
+    # exchange now carries an int8 quantization of the unit vector
+    # (dim bytes packed as BINARY, ~5× fewer bytes/row), the in-bucket
+    # matmul screens at ``threshold − margin`` where ``margin`` is the
+    # PROVEN worst-case quantization error (per element ≤ 1/254 after
+    # round-to-nearest, so |q̂·ŵ − q·w| ≤ 2·√d/254 + d/254² for unit
+    # vectors — no false negative is possible), and the surviving
+    # candidate pairs (output-sized + the tiny margin band) re-attach
+    # the exact float64 unit vectors by keyed join for the final
+    # threshold — the SAME sequential-fold cosine the catalog's
+    # oracle-checked queries use. Exact-threshold semantics are
+    # unchanged by construction; the equivalence test plants pairs on
+    # both sides INSIDE the int8 margin band to pin it.
     vecs = (
         emb.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
         # norm lands as a materialized attribute first so the transform
@@ -903,7 +912,26 @@ def embedding_near_dup_pairs_lsh(
         .select("id", "v", _norm("v").alias("nrm"))
         .select("id", F.expr("transform(v, x -> x / nrm)").alias("vn"))
     )
-    grouped = b.join(vecs, "id")
+
+    @F.pandas_udf("binary")
+    def _quantize(vn: pd.Series) -> pd.Series:
+        if len(vn) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(vn.to_numpy()).astype(np.float64)
+        q = np.rint(mat * 127.0)
+        # NaN rows (zero-norm inputs) become garbage candidates at
+        # worst — the exact certify below rejects them, matching the
+        # pre-quantization behavior (NaN cosine compares false).
+        q = np.nan_to_num(q, nan=0.0, posinf=127.0, neginf=-127.0)
+        arr = q.astype(np.int8)
+        return pd.Series([row.tobytes() for row in arr])
+
+    qvecs = vecs.select("id", _quantize("vn").alias("qv"))
+    # The attach is ONE keyed join of the slim bucket frame to the
+    # quantized vector table — NO broadcast hint: the vector table is
+    # corpus-sized (the 100 TB path). At small scale AQE sees the
+    # actual sizes and converts to broadcast-hash on its own.
+    grouped = b.join(qvecs, "id")
     # The verify stage's parallelism is pinned to cluster width, not
     # inherited from the input layout: per-row cost here is a matmul
     # ROW (dim × pop multiplies), far above what AQE's byte-based
@@ -922,7 +950,7 @@ def embedding_near_dup_pairs_lsh(
     thr = float(threshold)
     guard = int(max_bucket_rows) if max_bucket_rows is not None else None
 
-    def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _screen(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "id_a": pd.Series([], dtype="int64"),
@@ -940,10 +968,24 @@ def embedding_near_dup_pairs_lsh(
                 f"max_bucket_rows={guard} — raise n_planes / lower "
                 "target_bucket_rows, or pre-collapse exact duplicates"
             )
-        mat = _stack_batch(pdf["vn"], "embedding_near_dup_pairs_lsh")
+        buf = b"".join(pdf["qv"].tolist())
+        d = len(buf) // n
+        mat = (
+            np.frombuffer(buf, dtype=np.int8)
+            .reshape(n, d)
+            .astype(np.float64)
+            / 127.0
+        )
         ids = pdf["id"].to_numpy(dtype="int64")
         sims = mat @ mat.T
-        ia, ib = np.nonzero(np.triu(sims >= thr, k=1))
+        # Worst-case screen margin for round-to-nearest int8 on unit
+        # vectors: per-element error ≤ 1/254, so the dot moves by at
+        # most 2·√d/254 + d/254² (plus a float-arithmetic crumb). No
+        # pair with true cosine ≥ threshold can fall below
+        # threshold − margin, so the exact certify sees every true
+        # pair; margin-band false positives are certify's to drop.
+        margin = 2.0 * np.sqrt(d) / 254.0 + d / (254.0 * 254.0) + 1e-9
+        ia, ib = np.nonzero(np.triu(sims >= thr - margin, k=1))
         if len(ia) == 0:
             return empty
         return pd.DataFrame(
@@ -953,16 +995,34 @@ def embedding_near_dup_pairs_lsh(
             }
         )
 
-    pairs = (
+    cand = (
         grouped.repartition(width, "table_id", "bucket")
         .groupBy("table_id", "bucket")
-        .applyInPandas(_verify, "id_a bigint, id_b bigint")
+        .applyInPandas(_screen, "id_a bigint, id_b bigint")
     )
-    # cross-table dedup of the OUTPUT (a pair found in several tables
-    # emits once per table) — output-sized, the cheapest frame in the
-    # whole chain
-    return pairs.repartition(width, "id_a", "id_b").dropDuplicates(
+    # cross-table dedup of the CANDIDATES (a pair screened in several
+    # tables emits once per table) — output-sized plus the margin
+    # band, the cheapest frame in the whole chain — then the exact
+    # float64 certify: re-attach the unit vectors by keyed join (AQE
+    # broadcasts the candidate side when it is small; at scale the
+    # keyed plan streams the vector table once per side, which is a
+    # SCAN, not an exchange) and apply the UNQUANTIZED threshold with
+    # the sequential-fold dot. Membership is decided here, in exactly
+    # the arithmetic the pre-quantization implementation used.
+    cand = cand.repartition(width, "id_a", "id_b").dropDuplicates(
         ["id_a", "id_b"]
+    )
+    return (
+        cand.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("vn").alias("__va")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("vn").alias("__vb")),
+            "id_b",
+        )
+        .filter(_dot("__va", "__vb") >= F.lit(thr))
+        .select("id_a", "id_b")
     )
 
 

@@ -741,3 +741,78 @@ def test_embedding_near_dup_matmul_matches_fold_verify(spark):
             ).collect()
         }
         assert got == ref, f"pair set diverged at threshold {thr}"
+
+
+def test_lsh_int8_screen_certify_membership_exact(spark):
+    """Round 14: the bucket exchange carries int8-quantized unit
+    vectors and the in-bucket matmul only SCREENS (threshold − proven
+    margin); membership is decided by the exact float64 certify. Plant
+    pairs INSIDE the int8 margin band on both sides of the threshold —
+    the output must equal the exact-threshold pairs over co-bucketed
+    candidates, i.e. quantization must be invisible in the result."""
+    import math
+
+    import numpy as np
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        embedding_near_dup_pairs_lsh,
+        hyperplane_buckets,
+    )
+
+    dim = 16
+    thr = 0.35
+    rng = np.random.RandomState(11)
+    rows = []
+    vid = 0
+    base_vecs = rng.randn(40, dim)
+    for v in base_vecs:
+        rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+        vid += 1
+    # planted pairs at exact cosine thr ± eps for eps inside the int8
+    # band (margin at dim 16 ≈ 2·4/254 ≈ 0.0316) and outside it
+    for eps in (0.02, 0.005, 1e-4, -1e-4, -0.005, -0.02, 0.2, -0.2):
+        v = rng.randn(dim)
+        v /= np.linalg.norm(v)
+        u = rng.randn(dim)
+        u -= u.dot(v) * v
+        u /= np.linalg.norm(u)
+        c = thr + eps
+        w = c * v + math.sqrt(1 - c * c) * u
+        rows.append((vid, v.tolist()))
+        rows.append((vid + 1, w.tolist()))
+        vid += 2
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs_lsh(
+            emb, threshold=thr, n_planes=3, n_tables=12, dim=dim
+        ).collect()
+    }
+    # expected: exact float64 threshold over CO-BUCKETED pairs (same
+    # bucket assignment the operator uses)
+    co = {}
+    for r in hyperplane_buckets(
+        emb, n_planes=3, n_tables=12, dim=dim
+    ).collect():
+        co.setdefault((r.table_id, r.bucket), []).append(r.vec_id)
+    # float32-cast first: the operator receives array<float> parquet/
+    # createDataFrame columns, so its float64 unit vectors derive from
+    # the float32 values
+    vec = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).collect()
+    }
+    expected = set()
+    for members in co.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                va, vb = vec[a], vec[b]
+                cos = float(
+                    np.dot(va, vb)
+                    / (np.linalg.norm(va) * np.linalg.norm(vb))
+                )
+                if cos >= thr:
+                    expected.add((min(a, b), max(a, b)))
+    assert got == expected
