@@ -243,11 +243,20 @@ def ivf_read_index(
 _PROBE_LITERAL_MAX_CENTROIDS = 256
 
 
+def _sql_double(x: float) -> str:
+    """A SQL literal that parses to exactly the double ``x`` —
+    ``repr`` round-trips doubles and the ``D`` suffix keeps Spark from
+    reading them as decimals (the seed_quantize round-13 device)."""
+    r = repr(float(x))
+    return f"{r}D" if ("e" not in r and "E" not in r) else f"CAST({r} AS DOUBLE)"
+
+
 def _probe_cells(
     centroids: list[list[float]],
     qv,
     n_probe: int,
     impl: str | None = None,
+    qv_sql: str | None = None,
 ):
     """Expression: the ``n_probe`` nearest centroid cell ids (an
     ``array<int>``, nearest first) for a query vector.
@@ -260,13 +269,40 @@ def _probe_cells(
     2¹⁴–2¹⁶ cells — the distances compute in ONE Arrow-batched numpy
     matmul per batch (same dense-matrix rationale as
     :func:`hyperplane_buckets`). Ties break toward the lower cell id
-    in both forms."""
+    in both forms.
+
+    ``qv_sql`` (round 14): the query vector as a SQL fragment. When
+    given, the whole literal expression is BUILT as one SQL string
+    parsed by a single ``F.expr`` call — the Column-by-Column form
+    issues ~n_centroids × dim py4j round-trips for the literals alone
+    (~0.5 s of DRIVER time per plan build at 8 × 64, measured on the
+    IVF serving read, guide §1: the cost was plan CONSTRUCTION, not
+    the stages). ``repr``-round-tripped double literals make the
+    parsed tree node-for-node the one ``F.lit`` built, so probe
+    selection is bit-identical (pinned by
+    test_probe_cells_sql_build_matches_column_build)."""
     n = len(centroids)
     if impl is None:
         impl = (
             "literal" if n <= _PROBE_LITERAL_MAX_CENTROIDS else "vectorized"
         )
     if impl == "literal":
+        if qv_sql is not None:
+            structs = []
+            for cid, center in enumerate(centroids):
+                arr = ", ".join(_sql_double(x) for x in center)
+                dist2 = (
+                    f"aggregate(zip_with({qv_sql}, array({arr}), "
+                    "(x, y) -> (x - y) * (x - y)), "
+                    "cast(0.0 as double), (acc, v) -> acc + v)"
+                )
+                structs.append(
+                    f"named_struct('d', {dist2}, 'cell', {cid})"
+                )
+            return F.expr(
+                f"transform(slice(array_sort(array({', '.join(structs)})), "
+                f"1, {int(n_probe)}), s -> s.cell)"
+            )
         cells = []
         for cid, center in enumerate(centroids):
             lit_center = F.array(*[F.lit(float(x)) for x in center])
@@ -327,7 +363,13 @@ def ivf_search(
         F.col(id_col).alias("query_id"),
         qv.alias("qv"),
         F.explode(
-            _probe_cells(centroids, qv, n_probe, impl=probe_impl)
+            _probe_cells(
+                centroids,
+                qv,
+                n_probe,
+                impl=probe_impl,
+                qv_sql=f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)",
+            )
         ).alias("cell"),
     )
 
@@ -1545,7 +1587,7 @@ def ivfpq_topk(
             F.col("id").alias("query_id"),
             F.col("vn").alias("qv"),
             F.explode(
-                _probe_cells(centroids, F.col("vn"), n_probe)
+                _probe_cells(centroids, F.col("vn"), n_probe, qv_sql="vn")
             ).alias("cell"),
         )
         .select("query_id", "cell", lut_of("qv", "cell").alias("lut"))

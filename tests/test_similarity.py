@@ -816,3 +816,34 @@ def test_lsh_int8_screen_certify_membership_exact(spark):
                 if cos >= thr:
                     expected.add((min(a, b), max(a, b)))
     assert got == expected
+
+
+def test_probe_cells_sql_build_matches_column_build(spark):
+    """Round 14: the literal probe expression builds as ONE parsed SQL
+    string (the Column-by-Column form issued ~n_centroids × dim py4j
+    round-trips of pure driver time per plan build). The parsed tree
+    must select bit-identical probe cells to the F.lit build."""
+    import numpy as np
+
+    from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
+        _probe_cells,
+    )
+
+    rng = np.random.RandomState(3)
+    cents = [[float(x) for x in rng.randn(8)] for _ in range(16)]
+    qs = [(i, [float(x) for x in rng.randn(8)]) for i in range(64)]
+    df = spark.createDataFrame(qs, "qid long, v array<double>")
+    sql_built = {
+        r.qid: list(r.p)
+        for r in df.select(
+            "qid",
+            _probe_cells(cents, F.col("v"), 3, qv_sql="v").alias("p"),
+        ).collect()
+    }
+    col_built = {
+        r.qid: list(r.p)
+        for r in df.select(
+            "qid", _probe_cells(cents, F.col("v"), 3).alias("p")
+        ).collect()
+    }
+    assert sql_built == col_built
