@@ -2471,8 +2471,13 @@ _SAMPLE_MIX_HASHED = xxhash64_cols_sql(
     ["doc_id", "source"],
 )
 
+# MATERIALIZED (round 14): the xxh replay is a ~46-level nested
+# projection tree; DuckDB re-inlines it at every reference of ``h``
+# (two UNION branches × two pmod probes each) and its optimizer goes
+# super-linear on the cross product — 115 s for 50 rows at sf0.001,
+# 0.06 s materialized. Pure evaluation-strategy hint; rows identical.
 ORACLE_SAMPLE_MIX = f"""
-WITH h AS ({_SAMPLE_MIX_HASHED})
+WITH h AS MATERIALIZED ({_SAMPLE_MIX_HASHED})
 SELECT 'stratified' AS op, source AS bucket, doc_id
 FROM h
 WHERE (source = 'src0' AND {pmod_sql("h5", 1_000_000)} < 1000000)

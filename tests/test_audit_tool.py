@@ -4,6 +4,10 @@ family — not just the subset mirrored in test_plans.py."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import sys
 from pathlib import Path
 

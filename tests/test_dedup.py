@@ -875,6 +875,7 @@ def test_connected_components_incremental_equals_full_recompute(spark):
     assert as_map[30] == 30 and as_map[31] == 30
 
 
+@pytest.mark.slow
 def test_jaccard_prefix_property_random_corpora(spark):
     """Property: prefix filtering is EXACT for arbitrary corpora and
     thresholds — including float-hostile ones (0.07, 0.15, 1/3-ish)

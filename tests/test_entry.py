@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as entrymod
 from tests.conftest import SF_DIR
 
@@ -271,6 +273,7 @@ def test_coverage_doc_names_match_catalog():
     assert not missing_bench, f"bench names missing from catalog: {missing_bench}"
 
 
+@pytest.mark.slow
 def test_no_canonicalizer_hazardous_output_columns(spark):
     """No catalog query may emit array/struct/map/binary columns: the
     driver's pandas canonicalizer cannot sort/hash them (the round-1

@@ -3,6 +3,8 @@ dropping via the persisted index, and replay idempotence."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.examples.incremental import (
@@ -68,6 +70,7 @@ def test_incremental_drops_cross_day_twins(spark, tmp_dir):
     assert {(r.new_id - 50000) == r.corpus_id for r in hits.collect()} == {True}
 
 
+@pytest.mark.slow
 def test_incremental_lm_ledger_tracks_corpus_and_survives_replay(spark, tmp_dir):
     """The period-partitioned LM ledger folds to exactly the LM of the
     published corpus after every period, INCLUDING a replayed one
@@ -105,6 +108,7 @@ def test_incremental_lm_ledger_tracks_corpus_and_survives_replay(spark, tmp_dir)
     assert {r.term: r.cnt for r in r2.results["lm"].collect()} == lm1
 
 
+@pytest.mark.slow
 def test_incremental_hll_ledger_folds_to_direct_and_survives_replay(
     spark, tmp_dir
 ):
@@ -151,6 +155,7 @@ def test_incremental_hll_ledger_folds_to_direct_and_survives_replay(
     assert got2 == got1
 
 
+@pytest.mark.slow
 def test_incremental_profile_ledger_folds_to_direct_and_survives_replay(
     spark, tmp_dir
 ):
@@ -218,6 +223,7 @@ def test_incremental_profile_ledger_folds_to_direct_and_survives_replay(
     assert served(r2) == got1
 
 
+@pytest.mark.slow
 def test_incremental_hitters_ledger_bounds_and_survives_replay(spark, tmp_dir):
     """The period-partitioned heavy-hitters ledger must serve sound
     bounds after every period — lb <= true corpus count <= ub for
@@ -395,6 +401,7 @@ def test_incremental_corpus_manifest_serves_pruned_reads(spark, tmp_dir):
     assert again.count() == len(want_ids)
 
 
+@pytest.mark.slow
 def test_incremental_triangles_equal_full_recompute_and_replay(
     spark, tmp_dir
 ):
@@ -440,6 +447,7 @@ def test_incremental_triangles_equal_full_recompute_and_replay(
     assert again == got
 
 
+@pytest.mark.slow
 def test_retention_delete_every_family_equals_survivor_rebuild(
     spark, tmp_dir
 ):

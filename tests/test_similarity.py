@@ -3,6 +3,8 @@ recall vs the exact baseline on real testdata."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from airbnb_etl_pipeline_spark_on_emr_redshift_airflow_spark.operators.similarity import (
@@ -76,6 +78,7 @@ def test_ann_recall_against_brute_force(spark):
     assert recall >= 0.5, f"ANN recall collapsed: {recall}"
 
 
+@pytest.mark.slow
 def test_probe_cells_vectorized_matches_literal_at_1024_cells(spark):
     """Past _PROBE_LITERAL_MAX_CENTROIDS the probe-cell selection runs
     as an Arrow-batched numpy matmul instead of unrolling one struct

@@ -964,6 +964,7 @@ def test_restore_restores_the_schema_too(spark, tmp_path_factory):
     assert t.read().filter("k = 200").count() == 1
 
 
+@pytest.mark.slow
 def test_filter_law_random_sweep_under_evolution(
     spark, tmp_path_factory
 ):
@@ -1372,6 +1373,7 @@ def test_update_delete_where_composite_key(spark, tmp_path_factory):
     assert t.read().filter("day % 5 = 0").count() == 0
 
 
+@pytest.mark.slow
 def test_filter_law_sweep_composite_key(spark, tmp_path_factory):
     """The filter-under-CDC law on a COMPOSITE-key table with indexed
     columns: for seeded random range/IN predicates over an optimized

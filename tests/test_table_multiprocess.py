@@ -16,6 +16,10 @@ two extra JVM boots cost ~40 s.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 import os
 import subprocess
